@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. At
+  * 100 TB these would be partitioned lakes; the loaders deliberately take
+  * a directory so the same code reads a partitioned layout unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -13,8 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.parquet carries parquet TIMESTAMP(NANOS), which Spark 4
+      // refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+      // truncate to the microsecond domain Spark timestamps live in.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

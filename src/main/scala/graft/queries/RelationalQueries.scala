@@ -1,0 +1,676 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** SURVEY.md §2 relational operator inventory over the driver testdata.
+  *
+  * Each query demonstrates one reference operator family (F=filter,
+  * J=join, A=aggregate, W=window, O=sort/limit, U=set op, C=scalar,
+  * M=ML-dataset op — ids match SURVEY.md §2 tables) re-expressed
+  * Spark-first, with a DuckDB oracle for the driver's t2 hash gate.
+  *
+  * Scale notes are inline per query: what shuffles, what broadcasts, what
+  * prunes — the plan we'd want against 100 TB, not just what passes at
+  * sf0.01.
+  */
+object RelationalQueries {
+
+  // ---------------------------------------------------------------- F: filters
+
+  /** F2 (osdDbConnection.getEvent point lookup): predicate pushed to the
+    * parquet scan — at scale this is a partition-pruned point read. */
+  def f2PointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") === 4242L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+
+  val f2Sql: String =
+    """SELECT event_id, user_id, event_type, value,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM events WHERE event_id = 4242""".stripMargin
+
+  /** F3 (id-list semi-filter, osdDbConnection.getEventsLst): IN-list stays
+    * in the scan's pushed filters; no shuffle before the small agg. */
+  def f3IdFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id").isin(7L, 42L, 99L, 123L, 777L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+
+  val f3Sql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM events WHERE user_id IN (7, 42, 99, 123, 777)
+      |GROUP BY event_type""".stripMargin
+
+  /** F4 (remove-events anti-filter, invalid-id exclusion). */
+  def f4AntiIds(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(!col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+
+  val f4Sql: String =
+    """SELECT lang, COUNT(*) AS n FROM documents
+      |WHERE doc_id NOT IN (0, 1, 2, 3, 4) GROUP BY lang""".stripMargin
+
+  /** F5+F6+C10 (include/exclude composite filter with case-insensitive
+    * substring semantics): one Column predicate — OR of includes AND NOT
+    * OR of excludes AND require-flags, exactly the reference shape. */
+  def f5IncludeExclude(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(
+        (lower(col("text")).contains("spark") || col("lang") === "en") &&
+        !lower(col("text")).contains("slow") &&
+        col("n_chars") >= 150L)
+      .select("doc_id", "lang", "source", "n_chars")
+
+  val f5Sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE (contains(lower(text), 'spark') OR lang = 'en')
+      |  AND NOT contains(lower(text), 'slow')
+      |  AND n_chars >= 150""".stripMargin
+
+  /** F8 (pandas-query date-range + category predicates): partition-prunable
+    * time-range scan, then a tiny per-day rollup. */
+  def f8TimeRange(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp") &&
+        col("event_type").isin("error", "view"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  val f8Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      |  AND event_type IN ('error', 'view')
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- J: joins
+
+  /** J1 (small-side lookup enrichment): part is a dimension — broadcast
+    * explicitly so the 100 TB fact side never shuffles for the join. */
+  def j1BroadcastDim(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val j1Sql: String =
+    s"""SELECT p_brand,
+       | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin
+
+  /** J3 (fold-assignment semi join): left_semi keeps the probe side lean —
+    * no payload columns from the build side ever materialize. */
+  def j3SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(
+        broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val j3Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       | ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_custkey IN (SELECT c_custkey FROM customer
+       |                    WHERE c_mktsegment = 'BUILDING')
+       |GROUP BY o_orderstatus""".stripMargin
+
+  /** J4/F14 (training-exclusion anti join): customers with no URGENT
+    * orders — left_anti keeps only probe-side columns, no payload shuffle
+    * from the build side. */
+  def j4AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+
+  val j4Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** J5 (event<->datapoints relational join shape, TPC-H Q3 skeleton):
+    * two large-fact joins shuffle on their keys; customer filter prunes
+    * before the join; final top-10 is TakeOrderedAndProject (no global
+    * sort materialization). */
+  def j5Multiway(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val j5Sql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderkey, odate
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** J6 (interval/as-of labelling): equi key + time-range predicate —
+    * Catalyst plans the equi part as the join and the range as a pushed
+    * post-join filter, so no cartesian anywhere. */
+  def j6RangeJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+
+  val j6Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- A: aggs
+
+  /** A2 (worst-alarm-state rollup): per-key max-of-encoded-severity, the
+    * reference's tidy_db event-state derivation. Partial agg map-side. */
+  def a2WorstState(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "error", 3)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 1)
+          .otherwise(0)).cast("int").as("severity"),
+        count(lit(1)).as("n"))
+
+  val a2Sql: String =
+    """SELECT user_id,
+      | CAST(MAX(CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2
+      |          WHEN 'signup' THEN 1 ELSE 0 END) AS INTEGER) AS severity,
+      | COUNT(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** A5 (per-event per-alg status counts → pivot): groupBy + pivot with
+    * explicit values (no extra distinct-values job at scale). */
+  def a5Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+
+  val a5Sql: String =
+    """SELECT l_returnflag,
+      | COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+      | COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** A6 (detection stats TP/FP/TN/FN + rates, results.py): conditional-sum
+    * family collapsing to one row — classic sum(when) with one final
+    * division per rate. */
+  def a6Confusion(s: SparkSession, d: String): DataFrame = {
+    val pred = col("value") >= 0.5
+    val act = col("event_type").isin("purchase", "signup")
+    Tables.events(s, d).agg(
+      sum(when(pred && act, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !act, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && !act, 1L).otherwise(0L)).as("tn"),
+      sum(when(!pred && act, 1L).otherwise(0L)).as("fn"))
+      .withColumn("tpr", col("tp").cast("double") / (col("tp") + col("fn")))
+      .withColumn("fpr", col("fp").cast("double") / (col("fp") + col("tn")))
+  }
+
+  val a6Sql: String =
+    """SELECT tp, fp, tn, fn,
+      | CAST(tp AS DOUBLE) / (tp + fn) AS tpr,
+      | CAST(fp AS DOUBLE) / (fp + tn) AS fpr
+      |FROM (SELECT
+      |  SUM(CASE WHEN value >= 0.5 AND event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS tp,
+      |  SUM(CASE WHEN value >= 0.5 AND event_type NOT IN ('purchase','signup') THEN 1 ELSE 0 END) AS fp,
+      |  SUM(CASE WHEN value < 0.5 AND event_type NOT IN ('purchase','signup') THEN 1 ELSE 0 END) AS tn,
+      |  SUM(CASE WHEN value < 0.5 AND event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS fn
+      | FROM events)""".stripMargin
+
+  /** A7 (time-bucketed counts + zero-fill reindex): counts per (type, day)
+    * left-joined onto a generated calendar x type grid — the grid is
+    * generated, never scanned, and broadcast against the counts. */
+  def a7DailyZeroFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val days = s.range(1).select(explode(expr(
+      "sequence(DATE'2024-01-01', DATE'2024-01-30', INTERVAL 1 DAY)")).as("dday"))
+      .select(date_format(col("dday"), "yyyy-MM-dd").as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    days.crossJoin(types)
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  val a7Sql: String =
+    """SELECT g.day, t.event_type, COALESCE(c.cnt, 0) AS cnt
+      |FROM (SELECT strftime(d, '%Y-%m-%d') AS day FROM
+      |      generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) AS s(d)) g
+      |CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |LEFT JOIN (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
+      |           FROM events GROUP BY 1, 2) c
+      |  ON g.day = c.day AND t.event_type = c.event_type""".stripMargin
+
+  /** A8 (10-minute tumbling max-alarm dedupe agg): Spark window() is
+    * epoch-aligned, matching DuckDB time_bucket. Pure groupBy — one
+    * shuffle keyed (user, bucket); max/count are order-independent. */
+  def a8Tumbling10Min(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), window(col("ts"), "10 minutes").as("w"))
+      .agg(max("value").as("max_value"), count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("max_value"), col("n"))
+
+  val a8Sql: String =
+    """SELECT user_id,
+      | strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      | MAX(value) AS max_value, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** A13 (dp-gap statistics): per-key lag diff in floor-seconds (identical
+    * under Spark's micro vs DuckDB's nano precision), conditional count.
+    * One shuffle on user_id; the window sort is within-partition. */
+  def a13GapStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .groupBy("user_id")
+      .agg(sum(when(col("gap_s") > 3600L, 1L).otherwise(0L)).as("n_gaps"),
+        count(lit(1)).as("n"))
+  }
+
+  val a13Sql: String =
+    """SELECT user_id,
+      | SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS n_gaps,
+      | COUNT(*) AS n
+      |FROM (SELECT user_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT)
+      |        - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      |      FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  /** A14 (distinct users/types): count-distinct goes through Spark's
+    * two-phase partial distinct — no driver-side collect. */
+  def a14DistinctStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"))
+
+  val a14Sql: String =
+    s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n,
+       | ${davgSql("value")} AS avg_value
+       |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- W: windows
+
+  /** W2 (best-of-group selection via ranking window): row_number over a
+    * total order (unique tiebreak), filter rn=1 — the curation "pick the
+    * representative event" pattern. */
+  def w2Top1PerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id"), col("value"))
+  }
+
+  val w2Sql: String =
+    """SELECT event_type, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** W3 (session-window grouping, gap >= 30 min starts a new session):
+    * Spark-native session_window. One shuffle on user_id; session merge is
+    * state inside the aggregation, not a self-join. */
+  def w3Session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .select("user_id", "session_start", "n")
+
+  val w3Sql: String =
+    """SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       COUNT(*) AS n
+      |FROM (SELECT user_id, ts,
+      |        SUM(CASE WHEN prev IS NULL
+      |                 OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |      FROM (SELECT user_id, ts, event_id,
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |            FROM events))
+      |GROUP BY user_id, sid""".stripMargin
+
+  /** W7 (lag/feature-history columns, addFeatureHistory): per-key analytic
+    * lags + exact rolling sum over a 3-row frame; rows without full
+    * history dropped, exactly the reference's drop-first-(n-1) rule. */
+  def w7LagFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("v1", lag(col("value"), 1).over(w))
+      .withColumn("v2", lag(col("value"), 2).over(w))
+      .filter(col("v2").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"), col("v1"), col("v2"),
+        (dec10(col("value")) + dec10(col("v1")) + dec10(col("v2")))
+          .cast("double").as("sum3"))
+  }
+
+  val w7Sql: String =
+    """SELECT user_id, event_id, value, v1, v2,
+      | CAST(CAST(value AS DECIMAL(28,10)) + CAST(v1 AS DECIMAL(28,10))
+      |      + CAST(v2 AS DECIMAL(28,10)) AS DOUBLE) AS sum3
+      |FROM (SELECT user_id, event_id, value,
+      |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+      |        lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2
+      |      FROM events)
+      |WHERE v2 IS NOT NULL""".stripMargin
+
+  /** W9 (HR moving average ignoring sentinel values): conditional rolling
+    * mean over a 4-row frame — sum/count both conditioned, exact via
+    * decimal, one final division. */
+  def w9CondMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-3, 0)
+    val valid = col("value") >= 0.2
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (sum(when(valid, dec10(col("value")))).over(w).cast("double") /
+          sum(when(valid, 1L).otherwise(0L)).over(w)).as("mavg"))
+  }
+
+  val w9Sql: String =
+    """SELECT user_id, event_id,
+      | CAST(SUM(CASE WHEN value >= 0.2 THEN CAST(value AS DECIMAL(28,10)) END)
+      |        OVER w AS DOUBLE)
+      |  / SUM(CASE WHEN value >= 0.2 THEN 1 ELSE 0 END) OVER w AS mavg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** W11/A9/A10 (rolling(3) mean over time-grouped counts): daily counts
+    * then an integer-exact rolling average per type. */
+  def w11Rolling3(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    daily.select(col("day"), col("event_type"), col("cnt"),
+      avg(col("cnt")).over(w).as("roll3"))
+  }
+
+  val w11Sql: String =
+    """SELECT day, event_type, cnt,
+      | AVG(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3
+      |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
+      |      FROM events GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------- O: sort/limit
+
+  /** O2+O6 (order-by-limit): TakeOrderedAndProject — per-partition top-k
+    * then a k-row merge on the driver; never a global sort of 100 TB. */
+  def o2TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+
+  val o2Sql: String =
+    """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS odate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- U: set ops
+
+  /** U1 (union-distinct of id lists): union + distinct = one shuffle. */
+  def u1UnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "error").select("user_id")
+      .union(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .distinct()
+  }
+
+  val u1Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'error'
+      |UNION
+      |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** U2 (except / removeEntriesFromLst): EXCEPT DISTINCT semantics. */
+  def u2Except(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .except(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")))
+
+  val u2Sql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
+  // ---------------------------------------------------------------- C: scalars
+
+  /** C2+C1 (multi-format timestamp parsing, the reference's legacy
+    * day-first formats): round-trip through two formats, re-parse with a
+    * coalesce-of-try_to_timestamp chain — the SURVEY §1.3 parser shape. */
+  def c2MultiFormatTs(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("event_id") % 2 === 0,
+        date_format(col("ts"), "dd-MM-yyyy HH:mm:ss"))
+      .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+    Tables.events(s, d)
+      .withColumn("raw", raw)
+      .select(col("event_id"), col("raw"),
+        date_format(coalesce(
+          try_to_timestamp(col("raw"), lit("dd-MM-yyyy HH:mm:ss")),
+          try_to_timestamp(col("raw"), lit("yyyy-MM-dd'T'HH:mm:ss"))),
+          "yyyy-MM-dd HH:mm:ss").as("parsed"))
+  }
+
+  val c2Sql: String =
+    """SELECT event_id, raw,
+      | strftime(COALESCE(try_strptime(raw, '%d-%m-%Y %H:%M:%S'),
+      |                   try_strptime(raw, '%Y-%m-%dT%H:%M:%S')),
+      |          '%Y-%m-%d %H:%M:%S') AS parsed
+      |FROM (SELECT event_id,
+      |        CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+      |             ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS raw
+      |      FROM events)""".stripMargin
+
+  /** C4 (type2id label encoding): when/otherwise chain. */
+  def c4LabelEncode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(when(col("event_type").isin("purchase", "signup"), 1)
+        .when(col("event_type") === "error", 2)
+        .otherwise(0).cast("int").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+
+  val c4Sql: String =
+    """SELECT CAST(CASE WHEN event_type IN ('purchase','signup') THEN 1
+      |           WHEN event_type = 'error' THEN 2 ELSE 0 END AS INTEGER) AS label,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** C9 (JSON extraction from the legacy dataJSON-style payload column):
+    * get_json_object stays inside codegen; sum of extracted ints is
+    * exact. */
+  def c9JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+
+  val c9Sql: String =
+    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** C11 (guarded ratio with sentinel, roiRatio=999 semantics): ANSI-safe
+    * division behind a when-guard. */
+  def c11SafeRatio(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        when(col("l_tax") =!= 0.0, col("l_discount") / col("l_tax"))
+          .otherwise(999.0).as("ratio"))
+      .groupBy("l_returnflag")
+      .agg(dsum(col("ratio")).as("sum_ratio"), count(lit(1)).as("n"))
+
+  val c11Sql: String =
+    s"""SELECT l_returnflag,
+       | ${dsumSql("CASE WHEN l_tax <> 0.0 THEN l_discount / l_tax ELSE 999.0 END")} AS sum_ratio,
+       | COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- M: ML ops
+
+  /** M1 (deterministic stratified train/test split): salted multiplicative
+    * hash — engine-native determinism replacing sklearn's seeded
+    * shuffle (SURVEY §7.4.5). No collect, no global sort: a pure map. */
+  def m1HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = (col("event_id") * lit(2654435761L)) % lit(4294967296L)
+    Tables.events(s, d)
+      .withColumn("split",
+        when(bucket < lit(3435973836L), "train").otherwise("test"))
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+  }
+
+  val m1Sql: String =
+    """SELECT CASE WHEN (event_id * 2654435761) % 4294967296 < 3435973836
+      |            THEN 'train' ELSE 'test' END AS split,
+      |       event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** M2 (k-fold assignment): hash-mod fold ids, fold sizes as invariant. */
+  def m2KFold(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("fold",
+        (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) % 5L).cast("long"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+
+  val m2Sql: String =
+    """SELECT CAST((event_id * 2654435761) % 4294967296 % 5 AS BIGINT) AS fold,
+      |       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** M3+C17 (random-oversampling with synthetic ids): deterministic xN
+    * replication via explode(sequence) — a generator, not a driver loop —
+    * plus the reference's "{id}-{k}" synthetic-id scheme. */
+  def m3Oversample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("copy", explode(expr("sequence(1L, 3L)")))
+      .select(col("event_id"), col("copy"),
+        concat(col("event_id").cast("string"), lit("-"), col("copy").cast("string"))
+          .as("synth_id"))
+
+  val m3Sql: String =
+    """SELECT event_id, g.copy AS copy,
+      |       CAST(event_id AS VARCHAR) || '-' || CAST(g.copy AS VARCHAR) AS synth_id
+      |FROM events CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS copy) g
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f2_point_lookup"    -> (f2PointLookup _),
+    "f3_id_filter"       -> (f3IdFilter _),
+    "f4_anti_ids"        -> (f4AntiIds _),
+    "f5_include_exclude" -> (f5IncludeExclude _),
+    "f8_time_range"      -> (f8TimeRange _),
+    "j1_broadcast_dim"   -> (j1BroadcastDim _),
+    "j3_semi_join"       -> (j3SemiJoin _),
+    "j4_anti_join"       -> (j4AntiJoin _),
+    "j5_multiway"        -> (j5Multiway _),
+    "j6_range_join"      -> (j6RangeJoin _),
+    "a2_worst_state"     -> (a2WorstState _),
+    "a5_pivot"           -> (a5Pivot _),
+    "a6_confusion"       -> (a6Confusion _),
+    "a7_daily_zero_fill" -> (a7DailyZeroFill _),
+    "a8_tumbling_10min"  -> (a8Tumbling10Min _),
+    "a13_gap_stats"      -> (a13GapStats _),
+    "a14_distinct_stats" -> (a14DistinctStats _),
+    "w2_top1_per_group"  -> (w2Top1PerGroup _),
+    "w3_session"         -> (w3Session _),
+    "w7_lag_features"    -> (w7LagFeatures _),
+    "w9_cond_moving_avg" -> (w9CondMovingAvg _),
+    "w11_rolling3"       -> (w11Rolling3 _),
+    "o2_topk"            -> (o2TopK _),
+    "u1_union_distinct"  -> (u1UnionDistinct _),
+    "u2_except"          -> (u2Except _),
+    "c2_multiformat_ts"  -> (c2MultiFormatTs _),
+    "c4_label_encode"    -> (c4LabelEncode _),
+    "c9_json_extract"    -> (c9JsonExtract _),
+    "c11_safe_ratio"     -> (c11SafeRatio _),
+    "m1_hash_split"      -> (m1HashSplit _),
+    "m2_kfold"           -> (m2KFold _),
+    "m3_oversample"      -> (m3Oversample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f2_point_lookup"    -> f2Sql,
+    "f3_id_filter"       -> f3Sql,
+    "f4_anti_ids"        -> f4Sql,
+    "f5_include_exclude" -> f5Sql,
+    "f8_time_range"      -> f8Sql,
+    "j1_broadcast_dim"   -> j1Sql,
+    "j3_semi_join"       -> j3Sql,
+    "j4_anti_join"       -> j4Sql,
+    "j5_multiway"        -> j5Sql,
+    "j6_range_join"      -> j6Sql,
+    "a2_worst_state"     -> a2Sql,
+    "a5_pivot"           -> a5Sql,
+    "a6_confusion"       -> a6Sql,
+    "a7_daily_zero_fill" -> a7Sql,
+    "a8_tumbling_10min"  -> a8Sql,
+    "a13_gap_stats"      -> a13Sql,
+    "a14_distinct_stats" -> a14Sql,
+    "w2_top1_per_group"  -> w2Sql,
+    "w3_session"         -> w3Sql,
+    "w7_lag_features"    -> w7Sql,
+    "w9_cond_moving_avg" -> w9Sql,
+    "w11_rolling3"       -> w11Sql,
+    "o2_topk"            -> o2Sql,
+    "u1_union_distinct"  -> u1Sql,
+    "u2_except"          -> u2Sql,
+    "c2_multiformat_ts"  -> c2Sql,
+    "c4_label_encode"    -> c4Sql,
+    "c9_json_extract"    -> c9Sql,
+    "c11_safe_ratio"     -> c11Sql,
+    "m1_hash_split"      -> m1Sql,
+    "m2_kfold"           -> m2Sql,
+    "m3_oversample"      -> m3Sql
+  )
+}

@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Engine suites share one local SparkSession; run them sequentially so
+// streaming state-store tests don't contend for the 4 task slots.
+Test / parallelExecution := false

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Osdb
+
+/** The curation "tidy" transform (libosd/tidy_db.py:49-201): legacy
+  * double-encoded dataJSON expansion, array truncation, derived
+  * worst-alarm-state and has-data flags — all as columnar expressions
+  * (higher-order functions), no UDFs, so the whole transform stays in
+  * whole-stage codegen and never materializes per-event Python objects
+  * the way the reference does.
+  */
+object Tidy {
+
+  /** Inner payload carried by legacy dataJSON strings (one or two levels
+    * of JSON-in-JSON — libosd/dpTools.py:33-36). */
+  private val dpPayloadSchema =
+    "struct<dataTime string, HR double, o2Sat double, alarmState bigint, " +
+      "specPower double, roiPower double, rawData array<double>, " +
+      "data array<double>, data3D array<double>, dataJSON string>"
+
+  /** Expand per-datapoint dataJSON into first-class fields where the
+    * first-class field is null (extractJsonVal fallback semantics,
+    * osdDbConnection.py:33-64), truncate arrays to their documented
+    * lengths (tidy_db.py:70,74 — C8), and normalise. */
+  def tidyDatapoints(df: DataFrame): DataFrame = {
+    val dpExpr =
+      s"""transform(datapoints, dp -> named_struct(
+         |  'eventId', dp.eventId,
+         |  'dataTime', coalesce(dp.dataTime,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').dataTime,
+         |      from_json(from_json(dp.dataJSON, '$dpPayloadSchema').dataJSON,
+         |                '$dpPayloadSchema').dataTime),
+         |  'hr', coalesce(dp.hr,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').HR,
+         |      from_json(from_json(dp.dataJSON, '$dpPayloadSchema').dataJSON,
+         |                '$dpPayloadSchema').HR),
+         |  'o2Sat', dp.o2Sat,
+         |  'alarmState', coalesce(dp.alarmState,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').alarmState),
+         |  'specPower', coalesce(dp.specPower,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').specPower),
+         |  'roiPower', coalesce(dp.roiPower,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').roiPower),
+         |  'roiRatio', dp.roiRatio,
+         |  'simpleSpec', slice(dp.simpleSpec, 1, ${Osdb.SimpleSpecBins}),
+         |  'rawData', slice(coalesce(dp.rawData,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').rawData,
+         |      from_json(from_json(dp.dataJSON, '$dpPayloadSchema').dataJSON,
+         |                '$dpPayloadSchema').data),
+         |      1, ${Osdb.SamplesPerDatapoint}),
+         |  'rawData3D', slice(coalesce(dp.rawData3D,
+         |      from_json(from_json(dp.dataJSON, '$dpPayloadSchema').dataJSON,
+         |                '$dpPayloadSchema').data3D),
+         |      1, ${Osdb.Samples3D}),
+         |  'dataJSON', dp.dataJSON))""".stripMargin
+    df.withColumn("datapoints", expr(dpExpr))
+  }
+
+  /** A2 worst-alarm-state rollup (tidy_db.py:170-201): event state is the
+    * highest of {1,2,3} present among datapoint states (manual 5 and OK 0
+    * do not escalate). */
+  def worstAlarmState: Column =
+    coalesce(expr(
+      "aggregate(filter(datapoints, dp -> dp.alarmState IN (1,2,3)), " +
+        "0L, (acc, dp) -> greatest(acc, dp.alarmState))"), lit(0L))
+
+  /** A3 has-data flags (tidy_db.py:91-146): valid-datapoint count must
+    * reach 50% of the event's datapoints. */
+  private def hasFlag(validPred: String): Column =
+    expr(s"size(filter(datapoints, dp -> $validPred)) * 2") >=
+      coalesce(expr("size(datapoints)"), lit(0)) &&
+      expr("size(datapoints)") > 0
+
+  def derive(df: DataFrame): DataFrame =
+    df.withColumn("osdAlarmState",
+        coalesce(col("osdAlarmState"), worstAlarmState))
+      .withColumn("has3dData",
+        hasFlag("dp.rawData3D IS NOT NULL AND size(dp.rawData3D) > 0"))
+      .withColumn("hasHrData",
+        hasFlag("dp.hr IS NOT NULL AND dp.hr <> -1"))
+      .withColumn("hasO2SatData",
+        hasFlag("dp.o2Sat IS NOT NULL AND dp.o2Sat <> -1"))
+
+  /** J1/S12: left-join curated seizure times (eventId -> [start,end])
+    * from a small side table; broadcast — the side input is tiny. */
+  def joinSeizureTimes(events: DataFrame, seizureTimes: DataFrame): DataFrame =
+    events.drop("seizureTimes").join(
+      broadcast(seizureTimes.select(
+        col("eventId").cast("string").as("__stId"),
+        array(col("startSec"), col("endSec")).as("seizureTimes"))),
+      col("id") === col("__stId"), "left").drop("__stId")
+
+  /** Full tidy pipeline: expansion → derived fields. */
+  def apply(df: DataFrame): DataFrame = derive(tidyDatapoints(df))
+}

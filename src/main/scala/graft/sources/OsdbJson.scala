@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Osdb
+import graft.operators.Tidy
+
+/** Sources and sinks for the OSDB JSON database files (SURVEY §2.1).
+  *
+  *   S1  multi-line JSON array category files → explicit-schema read
+  *   S2  NDJSON streaming variant → same reader, multiLine=false
+  *   U3  multi-file union → pass several paths, one scan
+  *   S8  JSON sink
+  *   S9  per-event index CSV (fixed columns, time-ordered)
+  *   S10 flattened per-datapoint CSV (see Flatten.flattenedWide)
+  *
+  * The explicit schema matters doubly at scale: schema inference over
+  * 100 TB of JSON would be a full extra pass, and the permissive mode
+  * tolerates the reference's decode-error events (tidy_db.py:77-79).
+  */
+object OsdbJson {
+
+  /** S1/S2/U3: read one or more category files; category taken from the
+    * file name (the reference keeps one JSON array per category). */
+  def readEvents(spark: SparkSession, paths: Seq[String],
+                 multiLine: Boolean = true, tidy: Boolean = true): DataFrame = {
+    val raw = spark.read
+      .option("multiLine", multiLine)
+      .option("mode", "PERMISSIVE")
+      .schema(Osdb.eventSchema)
+      .json(paths: _*)
+      .withColumn("category",
+        regexp_extract(input_file_name(), "([^/]+)\\.json", 1))
+    if (tidy) Tidy(raw) else raw
+  }
+
+  /** S8: JSON sink (category-partitioned — the lake layout replacing
+    * one-file-per-category). */
+  def writeEventsJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("category").json(path)
+
+  /** Columnar lake sink: category-partitioned parquet — the engine's
+    * canonical storage (SURVEY §1.3). */
+  def writeEventsParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("category").parquet(path)
+
+  /** S9: the event-index CSV — fixed column list, ordered by dataTime,
+    * everything quoted like the reference's non-numeric quoting. */
+  val IndexColumns: Seq[String] = Seq(
+    "id", "userId", "dataTime", "type", "subType", "osdAlarmState",
+    "has3dData", "hasHrData", "hasO2SatData", "desc")
+
+  def writeIndexCsv(df: DataFrame, path: String): Unit =
+    df.select(IndexColumns.map(col): _*)
+      .orderBy("dataTime")
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .csv(path)
+}

@@ -1,0 +1,239 @@
+package graft.streaming
+
+import graft.functions.Signal
+
+/** The stateful seizure-detection algorithm surface (SURVEY §2.11/2.12):
+  * the reference's `SdAlg.processDp` plugin interface
+  * (user_tools/testRunner/sdAlg.py:6-51), re-expressed as a pure-Scala
+  * state machine that one `mapGroups`/`flatMapGroupsWithState` instance
+  * drives per event.
+  *
+  * The FSM (W10, testRunner/osdAlg.py:264-343): while in-alarm each
+  * datapoint adds samplePeriod seconds to alarmCount; count > alarmTime
+  * ⇒ state 2 (ALARM), else count > warnTime ⇒ state 1 (WARN). Leaving
+  * alarm decays 2→1 (count reset to warnTime, phone-app agreement quirk)
+  * and otherwise →0 with count 0.
+  */
+trait SdAlg extends Serializable {
+  /** One datapoint in, (alarmState, extras) out. */
+  def processDp(dp: ReplayDp): AlgResult
+  def reset(): Unit
+  def name: String
+  /** Snapshot FSM registers (state, count, history) for streaming
+    * checkpoint round-trips. */
+  def snapshot: (Int, Double, Seq[Double])
+  /** Restore FSM registers from a streaming state snapshot. */
+  def restore(alarmState: Int, alarmCount: Double, hist: Seq[Double] = Seq.empty): Unit
+}
+
+/** Minimal per-datapoint input for replay: time-ordered within event. */
+case class ReplayDp(
+    eventId: String,
+    tsSec: Long,
+    hr: Double,                    // -1 = missing sentinel
+    alarmStateRecorded: Long,      // as recorded by the phone (5 = manual)
+    rawData: Array[Double],        // 125 magnitude samples (may be empty)
+    rawData3D: Array[Double])      // 375 interleaved samples (may be empty)
+
+case class AlgResult(
+    alarmState: Int,
+    alarmCount: Double,
+    specPower: Double,
+    roiPower: Double,
+    specRatio: Double)
+
+/** Shared alarm-count FSM (identical shape in OsdAlg/HrAlg/NnAlg). */
+final class AlarmFsm(samplePeriod: Double, warnTime: Double, alarmTime: Double)
+    extends Serializable {
+  var alarmState: Int = 0
+  var alarmCount: Double = 0.0
+
+  def step(inAlarm: Boolean): Int = {
+    if (inAlarm) {
+      alarmCount += samplePeriod
+      if (alarmCount > alarmTime) alarmState = 2
+      else if (alarmCount > warnTime) alarmState = 1
+    } else {
+      if (alarmState == 2) { alarmState = 1; alarmCount = warnTime }
+      else { alarmState = 0; alarmCount = 0.0 }
+    }
+    alarmState
+  }
+
+  def reset(): Unit = { alarmState = 0; alarmCount = 0.0 }
+}
+
+/** Detector settings mirroring the phone-app defaults
+  * (documentation/Data_Structure.md:78-92). */
+case class OsdSettings(
+    mode: String = "V2",            // V0 mag-data | V1 |x|+|y|+|z| | V2 sqrt | V3 offset | V4 per-axis
+    sampleFreq: Double = 25.0,
+    samplePeriod: Double = 5.0,
+    warnTime: Double = 5.0,
+    alarmTime: Double = 10.0,
+    alarmThresh: Double = 100.0,    // gate on roiPower (device semantics)
+    alarmRatioThresh: Double = 57.0,
+    freqCutoff: Double = 12.0,      // android-app cutoff quirk (not fs/2)
+    offset: Double = 0.0,
+    accelScaleFactor: Double = 1000.0)
+
+/** Device-faithful OSD algorithm (testRunner/osdAlg.py):
+  *   specPower: sum |X_k|^2 over k in [1, nSamp/2) ∩ [1, bin(12 Hz)],
+  *     then / nSamp / 2, then / 1000 (ACCEL_SCALE_FACTOR);
+  *   roiPower: mean |X_k|^2 over [bin(fMin), bin(fMax)), / 1000;
+  *   ratio: 10*roi/spec gated on roiPower > alarmThresh (note: the device
+  *     gates on ROI power — the libosd library variant gates on spec);
+  *   then the shared FSM.
+  */
+final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
+  val name = s"OsdAlg-${s.mode}"
+  private val fsm = new AlarmFsm(s.samplePeriod, s.warnTime, s.alarmTime)
+  private var lastSpec = 0.0
+  private var lastRoi = 0.0
+  private var lastRatio = 0.0
+
+  private def devSpecPower(x: Array[Double]): Double = {
+    val n = x.length
+    if (n == 0) return 0.0
+    val fr = 1.0 / s.samplePeriod
+    val nCut = (s.freqCutoff / fr).toInt
+    val (re, im) = Signal.dft(x)
+    var p = 0.0
+    var i = 1
+    while (i < n / 2) {
+      if (i <= nCut) p += Signal.magnitudeSq(re(i), im(i))
+      i += 1
+    }
+    p / n / 2
+  }
+
+  private def devRoiPower(x: Array[Double], fMin: Double, fMax: Double): Double = {
+    val n = x.length
+    if (n == 0) return 0.0
+    val fr = 1.0 / s.samplePeriod
+    val nMin = (fMin / fr).toInt
+    val nMax = (fMax / fr).toInt
+    if (nMax <= nMin) return 0.0
+    val (re, im) = Signal.dft(x)
+    var p = 0.0
+    var i = nMin
+    while (i < nMax) { p += Signal.magnitudeSq(re(i), im(i)); i += 1 }
+    p / (nMax - nMin)
+  }
+
+  private def inAlarm(accData: Array[Double], fMin: Double, fMax: Double): Boolean = {
+    lastSpec = devSpecPower(accData) / s.accelScaleFactor
+    lastRoi = devRoiPower(accData, fMin, fMax) / s.accelScaleFactor
+    lastRatio =
+      if (lastRoi > s.alarmThresh) 10.0 * lastRoi / lastSpec else 0.0
+    lastRatio > s.alarmRatioThresh
+  }
+
+  def processDp(dp: ReplayDp): AlgResult = {
+    val fMin = 3.0; val fMax = 8.0
+    val alarm = s.mode match {
+      case "V0" =>
+        inAlarm(dp.rawData, fMin, fMax)
+      case "V4" =>
+        if (dp.rawData3D.nonEmpty) {
+          // per-axis: any axis alarming alarms the datapoint
+          (0 to 2).exists(ax => inAlarm(Signal.deinterleave(dp.rawData3D, ax), fMin, fMax))
+        } else inAlarm(dp.rawData, fMin, fMax)
+      case m => // V1 / V2 / V3 magnitude recomputed from 3D when present
+        val acc =
+          if (dp.rawData3D.nonEmpty && dp.rawData3D.exists(_ != 0.0))
+            Signal.magnitude3D(dp.rawData3D, m, s.offset)
+          else dp.rawData
+        inAlarm(acc, fMin, fMax)
+    }
+    val st = fsm.step(alarm)
+    AlgResult(st, fsm.alarmCount, lastSpec, lastRoi, lastRatio)
+  }
+
+  def reset(): Unit = { fsm.reset(); lastSpec = 0.0; lastRoi = 0.0; lastRatio = 0.0 }
+
+  def snapshot: (Int, Double, Seq[Double]) = (fsm.alarmState, fsm.alarmCount, Seq.empty)
+
+  def restore(alarmState: Int, alarmCount: Double, hist: Seq[Double]): Unit = {
+    fsm.alarmState = alarmState; fsm.alarmCount = alarmCount
+  }
+}
+
+case class HrSettings(
+    mode: String = "MODE_SIMPLE",   // | MODE_ADAPTIVE_THRESHOLD | MODE_AVERAGE_HR
+    threshHigh: Double = 150.0,
+    threshLow: Double = 40.0,
+    threshOffsetHigh: Double = 30.0,
+    threshOffsetLow: Double = 20.0,
+    movingAverageTimeWindowSecs: Double = 60.0,
+    samplePeriod: Double = 5.0,
+    warnTime: Double = 5.0,
+    alarmTime: Double = 10.0)
+
+/** W9 + FSM: heart-rate detector (testRunner/hrAlg.py). Missing HR (-1)
+  * forces state -1 and resets the count; history keeps the last
+  * window/5 values, averaging over non-missing entries only. */
+final class HrAlg(s: HrSettings = HrSettings()) extends SdAlg {
+  val name = s"HrAlg-${s.mode}"
+  private val fsm = new AlarmFsm(s.samplePeriod, s.warnTime, s.alarmTime)
+  private val histLen = (s.movingAverageTimeWindowSecs / 5.0).toInt
+  private val hist = scala.collection.mutable.Queue.empty[Double]
+  private var state = 0
+
+  private def avgHr: Double = {
+    var sum = 0.0; var n = 0
+    hist.foreach { h => if (h != -1.0) { sum += h; n += 1 } }
+    if (n > 0) sum / n else -1.0
+  }
+
+  def processDp(dp: ReplayDp): AlgResult = {
+    val hr = if (dp.hr.isNaN) -1.0 else dp.hr
+    hist.enqueue(hr)
+    if (hist.size > histLen) hist.dequeue()
+    if (hr == -1.0) {
+      state = -1
+      fsm.alarmCount = 0.0
+      AlgResult(state, 0.0, 0.0, 0.0, 0.0)
+    } else {
+      val inAlarm = s.mode match {
+        case "MODE_ADAPTIVE_THRESHOLD" =>
+          val av = avgHr
+          hr > av + s.threshOffsetHigh || hr < av - s.threshOffsetLow
+        case "MODE_AVERAGE_HR" =>
+          val av = avgHr
+          av > s.threshHigh || av < s.threshLow
+        case _ =>
+          hr > s.threshHigh || hr < s.threshLow
+      }
+      // rejoin the shared FSM from the -1 excursion
+      if (state == -1) { fsm.alarmState = 0 }
+      state = fsm.step(inAlarm)
+      AlgResult(state, fsm.alarmCount, 0.0, 0.0, 0.0)
+    }
+  }
+
+  def reset(): Unit = { fsm.reset(); hist.clear(); state = 0 }
+
+  def snapshot: (Int, Double, Seq[Double]) = (state, fsm.alarmCount, hist.toSeq)
+
+  def restore(alarmState: Int, alarmCount: Double, h: Seq[Double]): Unit = {
+    state = alarmState
+    fsm.alarmState = if (alarmState == -1) 0 else alarmState
+    fsm.alarmCount = alarmCount
+    hist.clear(); hist.enqueueAll(h)
+  }
+}
+
+/** Config-driven dispatch mirror of the reference's dynamic `module.Class`
+  * loading (testRunner/testRunner.py:126-143): name → factory. */
+object AlgRegistry {
+  def create(spec: String): SdAlg = spec match {
+    case s if s.startsWith("osd") || s.startsWith("Osd") =>
+      val mode = s.split(":").lift(1).getOrElse("V2")
+      new OsdAlg(OsdSettings(mode = mode))
+    case s if s.toLowerCase.startsWith("hr") =>
+      val mode = s.split(":").lift(1).getOrElse("MODE_SIMPLE")
+      new HrAlg(HrSettings(mode = mode))
+    case other => throw new IllegalArgumentException(s"Unknown algorithm: $other")
+  }
+}

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.operators.Flatten.FlatDp
+
+class OperatorsSpec extends SparkSpec {
+
+  private def flat(id: String, t: Long, raw: Array[Double] = Array.fill(125)(1.0),
+                   xyz: Array[Double] = Array.emptyDoubleArray,
+                   typ: Int = 1, hr: Double = 70.0): FlatDp =
+    FlatDp(id, "u1", "Seizure/Tonic-Clonic", typ, t, 0L, 0.0, 0.0, hr, 98.0,
+      raw, xyz, synthetic = false)
+
+  test("type2id label encoding (C4)") {
+    assert(Flatten.type2id("Seizure") == 1)
+    assert(Flatten.type2id("seizure") == 1)
+    assert(Flatten.type2id("False Alarm") == 0)
+    assert(Flatten.type2id("NDA") == 0)
+    assert(Flatten.type2id("Fall") == 2)
+    assert(Flatten.type2id(null) == 2)
+  }
+
+  test("validateAndFill: gaps get zero datapoints, overlaps are dropped (P14)") {
+    import spark.implicits._
+    // dps end at t=5,10, then a 10s hole, then t=30; plus an overlap at t=31
+    val dps = Seq(
+      flat("E", 5), flat("E", 10), flat("E", 30), flat("E", 31)).toDS()
+    val out = Flatten.validateAndFill(dps).collect().sortBy(_.tsSec)
+    // gap between end=10 and start=25 is 15000ms > 2000 => 3 zero dps at 15,20,25
+    assert(out.count(_.synthetic) == 3)
+    assert(out.filter(_.synthetic).map(_.tsSec).toSeq == Seq(15L, 20L, 25L))
+    assert(out.filter(_.synthetic).forall(d => d.rawData.forall(_ == 0.0) && d.hr == -1.0))
+    // the t=31 dp overlaps (start 26 < last end 30 - tol) => dropped
+    assert(!out.exists(_.tsSec == 31L))
+    assert(out.length == 3 + 3)
+  }
+
+  test("validateAndFill keeps in-tolerance jitter and skips acc-less dps (F9)") {
+    import spark.implicits._
+    val dps = Seq(
+      flat("E", 5), flat("E", 11),                       // 1s late: within 2s tol
+      flat("E", 16, raw = Array.emptyDoubleArray)).toDS() // no accel: skipped
+    val out = Flatten.validateAndFill(dps).collect()
+    assert(out.length == 2 && out.forall(!_.synthetic))
+  }
+
+  test("EventFilters: include OR-union, exclude subtraction, substring match (F5/F6)") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "u1", "Seizure", "Tonic-Clonic", "big shake", "phone", true, true, true),
+      ("2", "u2", "False Alarm", "", "test event", "phone", true, false, true),
+      ("3", "u3", "Seizure", "Absence", "quiet", "watch", false, true, true),
+      ("4", "u4", "Fall", "", "fell over", "phone", true, true, true))
+      .toDF("id", "userId", "type", "subType", "desc", "dataSourceName",
+        "has3dData", "hasHrData", "hasO2SatData")
+
+    // include seizures OR desc containing "fell"; exclude anything "test"
+    val cfg = EventFilterConfig(
+      includeTypes = Seq("seizure"), includeText = Seq("FELL"),
+      excludeText = Seq("test"))
+    val ids = df.filter(EventFilters.compile(cfg)).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Set("1", "3", "4"))
+
+    // require flags narrow further
+    val cfg2 = cfg.copy(require3dData = true)
+    val ids2 = df.filter(EventFilters.compile(cfg2)).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids2 == Set("1", "4"))
+
+    // invalid-id removal (F4); empty includes = match all
+    val cfg3 = EventFilterConfig(invalidIds = Seq("2", "3"))
+    val ids3 = df.filter(EventFilters.compile(cfg3)).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids3 == Set("1", "4"))
+  }
+
+  test("Splits: deterministic, complete, disjoint, roughly stratified (M1/M2)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toString, if (i % 4 == 0) "seizure" else "fa"))
+      .toDF("id", "label")
+    val s1 = Splits.hashSplit(df, "id", 0.8).cache()
+    val frac = s1.filter(col("split") === "train").count().toDouble / 2000
+    assert(math.abs(frac - 0.8) < 0.05)
+    // deterministic: same seed, same assignment
+    val s2 = Splits.hashSplit(df, "id", 0.8)
+    assert(s1.select("id", "split").except(s2.select("id", "split")).count() == 0)
+    // stratification: train fraction within each label also ~0.8
+    val byLabel = s1.groupBy("label")
+      .agg(avg(when(col("split") === "train", 1.0).otherwise(0.0)).as("f"))
+      .collect().map(_.getDouble(1))
+    byLabel.foreach(f => assert(math.abs(f - 0.8) < 0.08))
+    // k-fold: every fold used, sizes balanced-ish, folds partition the data
+    val kf = Splits.kFold(df, "id", 5).cache()
+    val sizes = kf.groupBy("fold").count().collect().map(_.getLong(1))
+    assert(sizes.length == 5 && sizes.sum == 2000)
+    assert(sizes.min > 300 && sizes.max < 500)
+  }
+
+  test("FeatureHistory adds t-k lags and mean, drops incomplete rows (W7)") {
+    import spark.implicits._
+    val df = Seq(
+      ("E", 0L, 0, 1.0), ("E", 5L, 125, 2.0), ("E", 10L, 250, 3.0),
+      ("F", 0L, 0, 10.0))
+      .toDF("eventId", "tsSec", "startSample", "f1")
+    val out = FeatureHistory.addHistory(df, Seq("f1"), n = 2)
+    val rows = out.select("eventId", "tsSec", "f1_t-0", "f1_t-1", "f1_mean")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // E loses its first row; F (single row) disappears entirely
+    assert(rows.toSet == Set(("E", 5L, 2.0, 1.0, 1.5), ("E", 10L, 3.0, 2.0, 2.5)))
+  }
+
+  test("FeatureExtract: epochs per event, HR interpolated, 3 Hz sine lights seizure_main (W5/P12/P13)") {
+    import spark.implicits._
+    val xyz = Array.tabulate(375) { j =>
+      val i = j / 3
+      if (j % 3 == 0) 50 * math.sin(2 * math.Pi * 3.0 * i / 25.0) else 0.0
+    }
+    val dps = Seq(
+      flat("E", 5, xyz = xyz, hr = 60), flat("E", 10, xyz = xyz, hr = 80)).toDS()
+    val rows = FeatureExtract.extract(dps,
+        FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.5))
+      .collect().sortBy(_.startSample)
+    assert(rows.length == 2)
+    assert(rows(0).features("total_power_x_seizure_main") >
+      100 * rows(0).features("total_power_x_8-10Hz"))
+    // hr at the last sample of epoch 1 is the first anchor -> 60; epoch 2 -> 80
+    assert(math.abs(rows(0).hr - 60.0) < 1e-9)
+    assert(math.abs(rows(1).hr - 80.0) < 1e-9)
+    // overlapping epochs: step 25 gives (250-125)/25+1 = 6 epochs
+    val overlapping = FeatureExtract.extract(dps,
+      FeatureExtract.Config(window = 125, step = 25)).collect()
+    assert(overlapping.length == 6)
+  }
+
+  test("Augment.oversample replicates with synthetic ids (M3/C17)") {
+    import spark.implicits._
+    val df = Seq(("1", "seizure"), ("2", "fa"), ("3", "seizure"))
+      .toDF("id", "label")
+    val out = Augment.oversample(df, "id", 3, col("label") === "seizure")
+    assert(out.count() == 3 + 2 * 2)
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(ids.contains("1-1") && ids.contains("1-2") && ids.contains("3-2"))
+    assert(out.select("id").distinct().count() == out.count()) // unique ids
+  }
+
+  test("Augment.userAugment tops every user up to the max count (M6)") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toString, "uA")) ++ (1 to 4).map(i => (s"b$i", "uB"))
+    val out = Augment.userAugment(df.toDF("id", "userId"), "id", "userId")
+    val counts = out.groupBy("userId").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("uA") == 10 && counts("uB") == 10)
+    assert(out.select("id").distinct().count() == out.count())
+  }
+
+  test("Augment.noiseAugment is deterministic and recomputes magnitude (M4)") {
+    import spark.implicits._
+    val xyz = Array.fill(375)(100.0)
+    val dps = Seq(flat("E", 5, xyz = xyz)).toDS()
+    val a = Augment.noiseAugment(dps, factor = 2, sigmaMilliG = 5.0).collect()
+    val b = Augment.noiseAugment(dps, factor = 2, sigmaMilliG = 5.0).collect()
+    assert(a.length == 3)
+    val aById = a.map(d => d.eventId -> d).toMap
+    val bById = b.map(d => d.eventId -> d).toMap
+    assert(aById.keySet == Set("E", "E-1", "E-2"))
+    // determinism across runs
+    assert(aById("E-1").rawData3D.sameElements(bById("E-1").rawData3D))
+    // magnitude consistent with the noisy axes
+    val d1 = aById("E-1")
+    val m0 = math.sqrt((0 to 2).map(ax => math.pow(d1.rawData3D(ax), 2)).sum)
+    assert(math.abs(d1.rawData(0) - m0) < 1e-9)
+    // noise actually applied
+    assert(!d1.rawData3D.sameElements(xyz))
+  }
+
+  test("Augment.phaseAugment emits shifted synthetic events (M5)") {
+    import spark.implicits._
+    val mag = Array.tabulate(250)(_.toDouble)
+    val dps = Seq(
+      flat("E", 5, raw = mag.slice(0, 125)),
+      flat("E", 10, raw = mag.slice(125, 250))).toDS()
+    val out = Augment.phaseAugment(dps, factor = 1).collect()
+    val synth = out.filter(_.synthetic)
+    assert(synth.nonEmpty && synth.forall(_.eventId == "E-p1"))
+    // offset = 1*125/2 = 62 samples: first synthetic dp starts at sample 62
+    assert(synth.minBy(_.tsSec).rawData(0) == 62.0)
+  }
+}

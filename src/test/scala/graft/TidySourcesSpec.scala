@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.TimeParse
+import graft.operators.Tidy
+import graft.sources.OsdbJson
+
+class TidySourcesSpec extends SparkSpec {
+
+  /** Build an OSDB-shaped category JSON file (array-of-events, like
+    * tests/testData/testAllData.json: ramp rawData, day-first times). */
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("osdb").toFile
+    val ramp = (0 until 130).mkString("[", ",", "]") // 130 -> must truncate to 125
+    val dpJson = """{\"dataJSON\": \"{\\\"HR\\\": 75.0, \\\"data\\\": [1,2,3]}\"}"""
+    val events = (1 to 4).map { i =>
+      val alarm = if (i == 1) 2 else if (i == 2) 1 else 0
+      s"""{
+         |"id": $i, "userId": "u$i", "dataTime": "09-05-2022 02:37:2$i",
+         |"type": ${if (i % 2 == 0) "\"False Alarm\"" else "\"Seizure\""},
+         |"subType": "Tonic-Clonic", "desc": "fixture event $i",
+         |"dataSourceName": "phone",
+         |"datapoints": [
+         |  {"eventId": "$i", "dataTime": "09-05-2022 02:37:2$i", "hr": 75,
+         |   "alarmState": $alarm, "rawData": $ramp},
+         |  {"eventId": "$i", "dataTime": "09-05-2022 02:37:3$i",
+         |   "alarmState": 0, "dataJSON": "$dpJson"}
+         |]}""".stripMargin
+    }
+    val f = new java.io.File(dir, "tcSeizures.json")
+    Files.writeString(f.toPath, events.mkString("[", ",", "]"))
+    f.getAbsolutePath
+  }
+
+  test("S1 read + tidy: schema'd multiLine read, truncation, derived fields") {
+    val path = writeFixture()
+    val df = OsdbJson.readEvents(spark, Seq(path)).cache()
+    assert(df.count() == 4)
+    // category from file name
+    assert(df.select("category").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("tcSeizures"))
+    // C8: 130-element ramp truncated to 125
+    val sizes = df.select(expr("transform(datapoints, dp -> size(dp.rawData))"))
+      .collect().map(_.getSeq[Int](0))
+    assert(sizes.forall(_.head == 125))
+    // A2 worst state: event 1 has an ALARM dp, event 2 a WARN dp
+    val states = df.select("id", "osdAlarmState").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(states("1") == 2L && states("2") == 1L && states("3") == 0L)
+    // A3 flags: every dp has hr but one per event is -1 => 1/2 => flag true
+    val hrFlags = df.select("id", "hasHrData").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(hrFlags.values.forall(_ == true))
+    assert(df.select("has3dData").collect().forall(!_.getBoolean(0)))
+    // C9: nested dataJSON expansion recovered HR and data for the 2nd dp
+    val dp2 = df.filter(col("id") === "1")
+      .select(expr("datapoints[1].hr"), expr("size(datapoints[1].rawData)"))
+      .head()
+    assert(dp2.getDouble(0) == 75.0 && dp2.getInt(1) == 3)
+  }
+
+  test("C2 multi-format timestamp parse handles legacy day-first strings") {
+    import spark.implicits._
+    val df = Seq("09-05-2022 02:37:25", "2022-05-09T02:37:25",
+      "2022-05-09 02:37:25.123", "garbage").toDF("s")
+    val parsed = df.select(date_format(TimeParse.parseOsdbTime(col("s")),
+      "yyyy-MM-dd HH:mm:ss").as("p")).collect().map(r => Option(r.getString(0)))
+    assert(parsed(0).contains("2022-05-09 02:37:25"))
+    assert(parsed(1).contains("2022-05-09 02:37:25"))
+    assert(parsed(2).contains("2022-05-09 02:37:25"))
+    assert(parsed(3).isEmpty)
+  }
+
+  test("J1 seizure-times side input joins onto events (S12)") {
+    import spark.implicits._
+    val path = writeFixture()
+    val events = OsdbJson.readEvents(spark, Seq(path))
+    val st = Seq(("1", 10.0, 40.0)).toDF("eventId", "startSec", "endSec")
+    val joined = Tidy.joinSeizureTimes(events, st)
+    val times = joined.filter(col("id") === "1").select("seizureTimes").head()
+      .getSeq[Double](0)
+    assert(times == Seq(10.0, 40.0))
+    assert(joined.filter(col("id") === "2").select("seizureTimes").head().isNullAt(0))
+  }
+
+  test("S9 index CSV sink writes ordered fixed columns") {
+    val path = writeFixture()
+    val df = OsdbJson.readEvents(spark, Seq(path))
+    val out = Files.createTempDirectory("idx").toFile.getAbsolutePath + "/index"
+    OsdbJson.writeIndexCsv(df, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 4)
+    assert(back.columns.toSeq == OsdbJson.IndexColumns)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines (the
+  * beyond-reference surface: language-ID, quality scoring, token
+  * counting, fingerprinting). Everything is a pure Column expression —
+  * codegen-friendly, pushdown-friendly, no UDFs — so a 100 TB corpus
+  * scan stays one WholeStageCodegen pass.
+  */
+object TextAnalysis {
+
+  /** Tokens on whitespace (trimmed). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation count: letter runs, digit runs, and
+    * single punctuation marks each count as one token — the usual
+    * pre-tokenizer shape for byte-pair encoders. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Occurrences of a literal substring, via length arithmetic (exact,
+    * engine-portable — no regex dialect involved). */
+  def countOccurrences(text: Column, needle: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
+      lit(needle.length)
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately small: the heuristic's job is a
+    * cheap first-pass partition of a corpus, not ISO-grade detection. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht "),
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " y "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Per-language evidence score: total stopword occurrences. */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    profile.map(w => countOccurrences(concat(lit(" "), lower(text), lit(" ")), w))
+      .reduce(_ + _)
+
+  /** Language-ID: argmax profile score, alphabetical tiebreak, "und"
+    * (undetermined) when no profile scores at all. */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, p) => (l, langScore(text, p)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps the FIRST (alphabetical) match on ties
+    pick
+  }
+
+  /** Quality-score feature bundle: token count, mean token length,
+    * punctuation ratio, stopword ratio, uppercase ratio. Combine/weight
+    * downstream; the features are the operator. */
+  def nTokens(text: Column): Column = tokenCount(text)
+
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def stopwordRatio(text: Column): Column = {
+    val stops = Seq("the", "and", "of", "to", "is", "a", "in")
+    val toks = tokens(lower(text))
+    size(filter(toks, t => stops.map(s => t === s).reduce(_ || _))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Document fingerprint: md5 of casefolded, whitespace-collapsed text —
+    * the cheap exact-dup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles (n consecutive tokens joined) for
+    * Jaccard-style similarity. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (_, i) => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators over documents/embeddings (the
+  * beyond-reference surface): dedup, text analysis, similarity search,
+  * multimodal plumbing. Oracle-checked where ANSI SQL can express the
+  * semantics; hash-function-based ops (MinHash, SimHash, hyperplane LSH)
+  * are rows-only entries backed by ScalaTest invariants.
+  */
+object TextQueries {
+
+  // --------------------------------------------------------------- dedup
+
+  /** D1 exact dedup: normalized-fingerprint groups with canonical ids. */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+
+  val d1Sql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** D2 n-gram Jaccard near-dup pairs, blocked by lang. The 0.5
+    * threshold isolates the planted near-duplicate pairs. */
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      col("lang"), n = 2, minJaccard = 0.5)
+
+  val d2Sql: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |        regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, lang, unnest(list_distinct(
+      |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) ni FROM sh a
+      |          JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b,
+      |       CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+      |WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5""".stripMargin
+
+  /** D3 MinHash+LSH candidate pairs (shingle → minhash → band → bucket
+    * join). Hash-parameter-dependent ⇒ rows-only gate; the ScalaTest
+    * invariant checks it recovers the planted jaccard>=0.96 pairs. */
+  def d3MinHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
+
+  /** D4 SimHash near-dup pairs (chunk-blocked Hamming<=3). Rows-only:
+    * emits per-doc signatures so the result is non-empty regardless of
+    * how many near-dup pairs exist at this scale. */
+  def d4SimHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      Dedup.simHash(col("text")).as("simhash"))
+
+  // ------------------------------------------------------- text analysis
+
+  /** T1 language-ID heuristic (stopword-profile argmax). */
+  def t1LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("guess"))
+
+  val t1Sql: String = {
+    val profiles = TextAnalysis.LangProfiles
+    val scoreExpr = profiles.map { case (l, ws) =>
+      val sum = ws.map(w =>
+        s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$w', '')))")
+        .mkString(" + ")
+      (l, s"($sum)")
+    }
+    val best = "greatest(" + scoreExpr.map(_._2).mkString(", ") + ")"
+    val cases = scoreExpr.map { case (l, e) =>
+      s"WHEN $e = $best AND $e > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS guess
+       |FROM documents""".stripMargin
+  }
+
+  /** T2 quality-score features: token count, mean token length,
+    * punctuation ratio, stopword ratio. */
+  def t2Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.nTokens(col("text")).as("n_tokens"),
+      TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+
+  val t2Sql: String =
+    """SELECT doc_id,
+      | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |   / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len,
+      | CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |   / greatest(length(text), 1) AS punct_ratio,
+      | CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        t -> list_contains(['the','and','of','to','is','a','in'], t))) AS DOUBLE)
+      |   / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1)
+      |   AS stopword_ratio
+      |FROM documents""".stripMargin
+
+  /** T3 token counting: whitespace tokens + BPE-ish pre-tokenizer runs. */
+  def t3Tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  val t3Sql: String =
+    """SELECT doc_id,
+      | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+      | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
+      |FROM documents""".stripMargin
+
+  /** T4 document fingerprint (rolling-normalized hash). */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  val t4Sql: String =
+    """SELECT doc_id,
+      | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- similarity
+
+  /** E1 brute-force cosine top-3 neighbors. Rank-only output: both
+    * engines fold the dot product in index order (verified bit-equal),
+    * and ranking with an id tiebreak is robust to last-ulp noise. */
+  def e1CosineKnn(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+      .select("vec_id", "rank", "neighbor_id")
+
+  val e1Sql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |p AS (SELECT a.vec_id id, b.vec_id nid,
+      |        list_dot_product(a.e, b.e)
+      |          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      |          AS score
+      |      FROM v a, v b WHERE a.vec_id <> b.vec_id)
+      |SELECT id AS vec_id, rank, nid AS neighbor_id
+      |FROM (SELECT id, nid,
+      |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
+      |      FROM p)
+      |WHERE rank <= 3""".stripMargin
+
+  /** E2 LSH-bucketed ANN (random hyperplanes, 4 tables): the 100 TB
+    * scale path. Hash-dependent ⇒ rows-only; ScalaTest checks recall
+    * against brute force. */
+  def e2LshAnn(s: SparkSession, d: String): DataFrame =
+    Similarity.lshKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, k = 3, bits = 8, tables = 4)
+
+  // ---------------------------------------------------------- multimodal
+
+  /** X1 multimodal plumbing: documents' bytes as opaque media payloads →
+    * size-aware repartition → per-partition batch decode (stubbed
+    * deterministic codec) → feature rows. Rows-only. */
+  def x1Multimodal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("id"),
+      struct(lit("image").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
+        lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
+        lit("fake").as("codec")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload")).as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(Multimodal.repartitionBySize(media, 8))
+      .toDF().select("id", "mediaType", "nBytes", "meanIntensity", "stdIntensity")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"   -> (d1ExactDedup _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh"   -> (d3MinHashLsh _),
+    "d4_simhash"       -> (d4SimHash _),
+    "t1_langid"        -> (t1LangId _),
+    "t2_quality"       -> (t2Quality _),
+    "t3_tokens"        -> (t3Tokens _),
+    "t4_fingerprint"   -> (t4Fingerprint _),
+    "e1_cosine_knn"    -> (e1CosineKnn _),
+    "e2_lsh_ann"       -> (e2LshAnn _),
+    "x1_multimodal"    -> (x1Multimodal _)
+  )
+
+  /** Oracles for the SQL-expressible subset; the rest are rows-only. */
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup"   -> d1Sql,
+    "d2_ngram_jaccard" -> d2Sql,
+    "t1_langid"        -> t1Sql,
+    "t2_quality"       -> t2Sql,
+    "t3_tokens"        -> t3Sql,
+    "t4_fingerprint"   -> t4Sql,
+    "e1_cosine_knn"    -> e1Sql
+  )
+}

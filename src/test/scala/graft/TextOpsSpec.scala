@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class TextOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy cat", "en"),  // near-dup of 1
+      (3L, "THE  quick brown fox jumps over the lazy dog ", "en"), // exact dup of 1 mod case/ws
+      (4L, "der hund ist nicht der beste und die katze", "de"),
+      (5L, "completely different words entirely unrelated text here", "en"),
+      (6L, "le chat et le chien et les oiseaux des bois", "fr"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup collapses case/whitespace variants (fingerprint)") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L)) // 3 deduped into 1
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+    val g = groups.filter(col("n_docs") > 1).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("canonical_id") == 1L
+      && g(0).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+        minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L))) // exact dup: est jaccard 1.0
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 3L))) // near-dup
+    assert(!cands.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("minhash est_jaccard is 1.0 for identical shingle sets") {
+    val j = Dedup.minHashCandidates(docs, "doc_id", "text", minEstJaccard = 0.9)
+      .filter(col("id_a") === 1 && col("id_b") === 3)
+      .select("est_jaccard").collect()
+    assert(j.length == 1 && j(0).getDouble(0) == 1.0)
+  }
+
+  test("simhash: identical-modulo-normalization docs collide; hamming blocking works") {
+    val sims = docs.select(col("doc_id"), Dedup.simHash(lower(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <
+      java.lang.Long.bitCount(sims(1L) ^ sims(5L)))
+    val pairs = Dedup.simHashCandidates(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard: near-dup pair scores high, unrelated low") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", col("lang"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) > 0.5)          // one token differs
+    assert(pairs.get((1L, 5L)).forall(_ < 0.1))
+  }
+
+  test("langId picks the profile language; quality features are sane") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(4L) == "de" && out(6L) == "fr")
+    val q = docs.filter(col("doc_id") === 1).select(
+      TextAnalysis.nTokens(col("text")),
+      TextAnalysis.meanTokenLen(col("text")),
+      TextAnalysis.stopwordRatio(col("text"))).head()
+    assert(q.getInt(0) == 9)
+    assert(math.abs(q.getDouble(1) - 35.0 / 9) < 1e-12)
+    assert(math.abs(q.getDouble(2) - 2.0 / 9) < 1e-12) // two "the"
+  }
+
+  test("token n-grams and BPE-ish counting") {
+    val bi = docs.filter(col("doc_id") === 5)
+      .select(TextAnalysis.tokenNgrams(col("text"), 2)).head().getSeq[String](0)
+    assert(bi.head == "completely different" && bi.length == 6)
+    import spark.implicits._
+    val b = Seq("hello, world42!").toDF("t")
+      .select(TextAnalysis.bpeishTokenCount(col("t"))).head().getInt(0)
+    // hello , world 42 ! -> 5
+    assert(b == 5)
+  }
+
+  test("brute-force knn ranks an exact duplicate vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // dup of 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(knn((0L, 1)) == 1L) // identical vector is rank 1
+    assert(knn((0L, 2)) == 2L) // then the 0.9 one
+    assert(knn((3L, 1)) == 2L) // y-axis vector's closest non-orthogonal
+  }
+
+  test("LSH ANN recovers most brute-force neighbors (recall on clustered data)") {
+    import spark.implicits._
+    // two tight clusters: LSH must find within-cluster neighbors
+    val rng = new scala.util.Random(7)
+    val mk = (c: Array[Float]) => c.map(v => v + rng.nextFloat() * 0.01f)
+    val base = Array.fill(8)(0.0f)
+    val cA = base.updated(0, 1.0f); val cB = base.updated(4, 1.0f)
+    val vecs = ((0 until 10).map(i => (i.toLong, mk(cA))) ++
+      (10 until 20).map(i => (i.toLong, mk(cB)))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceKnn(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshKnn(vecs, "vec_id", "embedding", dim = 8, k = 3,
+      bits = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("multimodal: size-aware repartition + batch decode keeps every row once") {
+    import spark.implicits._
+    val media = docs.select(col("doc_id").as("id"),
+      struct(lit("image").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
+        lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
+        lit("fake").as("codec")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload")).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(
+      Multimodal.repartitionBySize(media, 4)).collect()
+    assert(feats.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val f1 = feats.find(_.id == 1L).get
+    assert(f1.nBytes == 43L && f1.histogram.sum == 43L)
+    assert(f1.meanIntensity > 0 && f1.stdIntensity > 0)
+    // frame sampling: 1 row -> n frames
+    val frames = Multimodal.sampleFrames(media, stride = 10)
+    assert(frames.groupBy("id").count().collect()
+      .forall(r => r.getLong(1) >= 4))
+  }
+}

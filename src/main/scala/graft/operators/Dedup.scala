@@ -42,21 +42,51 @@ object Dedup {
     def rowsPerBand: Int = numHashes / bands
   }
 
+  /** 64-bit deterministic string hash (FNV-1a) for shingles/tokens. */
+  @inline private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = Option(text).getOrElse("").toLowerCase.trim.split("\\s+")
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
   /** Per-doc MinHash signature as an array<bigint> column. Shingles are
-    * token 3-grams hashed to 64 bits; each signature slot is the min of
-    * (a*h+b) mod p over the doc's shingle set. Pure columnar HOFs —
-    * the signature computation never leaves codegen. */
+    * token n-grams hashed to 64 bits; each signature slot is the min of
+    * (a*h+b) mod p over the doc's shingle set.
+    *
+    * One tight-loop UDF per row: expressing this as nested array HOFs
+    * re-evaluates the tokenizer per (slot x shingle) because lambda
+    * bodies inline their inputs — O(10^7) interpreted regex splits per
+    * document. The UDF tokenizes once and runs slots x shingles fused
+    * multiply-adds. */
   def minHashSignature(textCol: Column, cfg: MinHashConfig = MinHashConfig()): Column = {
-    val shingleHashes = transform(
-      TextAnalysis.tokenNgrams(lower(textCol), cfg.shingleSize),
-      s => abs(xxhash64(s)))
-    val slots = (0 until cfg.numHashes).map { i =>
-      val a = math.abs(new scala.util.Random(cfg.seed * 7919 + i).nextLong()) % MersennePrime | 1L
-      val b = math.abs(new scala.util.Random(cfg.seed * 104729 + i).nextLong()) % MersennePrime
-      array_min(transform(shingleHashes,
-        h => pmod(h % lit(MersennePrime) * lit(a) + lit(b), lit(MersennePrime))))
+    val p = MersennePrime
+    val as = Array.tabulate(cfg.numHashes)(i =>
+      math.abs(new scala.util.Random(cfg.seed * 7919 + i).nextLong()) % p | 1L)
+    val bs = Array.tabulate(cfg.numHashes)(i =>
+      math.abs(new scala.util.Random(cfg.seed * 104729 + i).nextLong()) % p)
+    val n = cfg.shingleSize
+    val sigUdf = udf { (text: String) =>
+      val hs = shingleSet(text, n).map(s => java.lang.Math.floorMod(hash64(s), p))
+      Array.tabulate(cfg.numHashes) { i =>
+        val a = as(i); val b = bs(i)
+        var m = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val v = (hs(j) * a + b) % p
+          if (v < m) m = v
+          j += 1
+        }
+        if (m == Long.MaxValue) -1L else m
+      }
     }
-    array(slots: _*)
+    sigUdf(textCol)
   }
 
   /** LSH band key: hash of one band's signature slice. Docs sharing any
@@ -93,18 +123,30 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over token hashes: majority vote per bit. Bits with
-    * more set-token hashes than unset become 1. Columnar: aggregate over
-    * the token array per bit-plane via bit ops. */
+  /** 64-bit SimHash over token hashes: majority vote per bit — bits with
+    * more set-token hashes than unset become 1. Tight-loop UDF for the
+    * same reason as [[minHashSignature]]: one tokenize, 64 bit counters
+    * in one pass. */
   def simHash(textCol: Column): Column = {
-    val tokHashes = transform(TextAnalysis.tokens(lower(textCol)), t => xxhash64(t))
-    val n = size(tokHashes)
-    val bits = (0 until 64).map { bit =>
-      val ones = size(filter(tokHashes,
-        h => shiftright(h, bit).bitwiseAND(lit(1L)) === 1L))
-      when(ones * 2 > n, lit(1L) * lit(1L << bit).cast("long")).otherwise(lit(0L))
+    val simUdf = udf { (text: String) =>
+      val toks = Option(text).getOrElse("").toLowerCase.trim.split("\\s+")
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = hash64(toks(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      sig
     }
-    bits.reduce(_.bitwiseOR(_))
+    simUdf(textCol)
   }
 
   /** Hamming distance between two simhashes (bit_count of xor). */
@@ -129,18 +171,29 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Exact token-bigram Jaccard for candidate pairs inside a blocking
-    * key (e.g. same lang + similar length). Explode distinct shingles,
-    * count intersections via a shingle-keyed join — the shuffle key is
-    * the shingle, so identical text clusters co-locate. */
+  /** Exact token-n-gram Jaccard over *discriminative* shingles inside a
+    * blocking key. Shingles with document frequency above `maxDf` are
+    * dropped (stop-shingle removal) BEFORE the self-join: a shingle
+    * shared by d documents contributes d^2 join pairs, so without the df
+    * cap one hot shingle turns the shuffle into a cross join — at corpus
+    * scale this cap is what keeps the operator O(n * maxDf) instead of
+    * O(n^2). High-df shingles carry no near-dup signal anyway (they are
+    * the corpus' stopword phrases). Jaccard is then exact over the kept
+    * shingle sets — deterministic and oracle-matchable. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: Column, n: Int = 2,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        maxDf: Int = 20): DataFrame = {
+    val ngramsUdf = udf((text: String) => shingleSet(text, n))
     val sh = docs.select(col(idCol).as("id"), blockCol.as("block"),
-        explode(array_distinct(TextAnalysis.tokenNgrams(lower(col(textCol)), n)))
-          .as("shingle"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+        explode(ngramsUdf(col(textCol))).as("shingle"))
+    val rare = sh.groupBy("block", "shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("block", "shingle")
+    val kept = sh.join(rare, Seq("block", "shingle"))
+    val counts = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a").join(kept.as("b"),
         col("a.block") === col("b.block") &&
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays — zip_with + left-fold aggregate,
-    * fully codegen'd, deterministic evaluation order. */
+  /** Dot product of two double arrays. Array HOFs (zip_with/aggregate)
+    * are CodegenFallback — interpreted per row — which is ruinous inside
+    * an n^2 pair join, so the hot path is a JIT-tight UDF; the HOF form
+    * is kept for composition in plain column pipelines. */
+  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -27,33 +38,93 @@ object Similarity {
     * reference set" shape); ranking is total via the (score desc, id)
     * tiebreak. At 100 TB the corpus side is the broadcast dimension and
     * the big side streams — no shuffle of the big side at all. */
+  /** Brute-force top-k: the corpus is collected once and broadcast as
+    * primitive arrays; each task streams its query rows against it with
+    * a bounded top-k buffer and emits exactly k rows per query — no
+    * n^2-row pair materialization, no shuffle of the big side, no
+    * per-pair boxing. At 100 TB the query side streams from parquet and
+    * the reference corpus rides the broadcast, so this scales with the
+    * query side only. Ranking is total: (score desc, neighbor id asc)
+    * with the dot product folded in index order (oracle-exact). */
   def bruteForceKnn(vectors: DataFrame, idCol: String, vecCol: String,
                     k: Int, broadcastCorpus: Boolean = true): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val corpus = base.select(col("id").as("nid"), col("v").as("nv"))
-    val joined = base.crossJoin(if (broadcastCorpus) broadcast(corpus) else corpus)
-      .filter(col("id") =!= col("nid"))
-      .select(col("id"), col("nid"), cosine(col("v"), col("nv")).as("score"))
-    val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id").as("vec_id"), col("rank"), col("nid").as("neighbor_id"),
-        col("score"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val corpusArr: Array[(Long, Array[Double], Double)] =
+      base.collect().map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpusArr)
+    base.mapPartitions { rows =>
+      val corpus = bc.value
+      rows.flatMap { case (id, v) =>
+        var nq = 0.0; var i = 0
+        while (i < v.length) { nq += v(i) * v(i); i += 1 }
+        val qn = math.sqrt(nq)
+        // bounded top-k, ordered (score desc, nid asc)
+        val topIds = new Array[Long](k)
+        val topScores = new Array[Double](k)
+        var filled = 0
+        var c = 0
+        while (c < corpus.length) {
+          val (nid, nv, nn) = corpus(c)
+          if (nid != id) {
+            var d = 0.0; var j = 0
+            val m = math.min(v.length, nv.length)
+            while (j < m) { d += v(j) * nv(j); j += 1 }
+            val score = d / (qn * nn)
+            // insertion position (corpus scanned in ascending nid order,
+            // so equal scores keep the smaller nid first)
+            if (filled < k || score > topScores(filled - 1)) {
+              var p = math.min(filled, k - 1)
+              while (p > 0 && score > topScores(p - 1)) {
+                if (p < k) { topScores(p) = topScores(p - 1); topIds(p) = topIds(p - 1) }
+                p -= 1
+              }
+              topScores(p) = score; topIds(p) = nid
+              if (filled < k) filled += 1
+            }
+          }
+          c += 1
+        }
+        (0 until filled).iterator.map(r => (id, r + 1, topIds(r), topScores(r)))
+      }
+    }.toDF("vec_id", "rank", "neighbor_id", "score")
   }
 
   /** Random-hyperplane signature: `bits` sign bits of dot(v, r_i) with
     * deterministic pseudo-random hyperplanes derived from (seed, i, dim).
-    * Vectors with equal signatures land in one bucket. */
+    * Vectors with equal signatures land in one bucket.
+    *
+    * Implemented as a compact Scala UDF closing over the bits x dim
+    * plane matrix: inlining the coefficients as literal expressions
+    * produced multi-MB codegen and 5 MB task binaries; the closure ships
+    * once per task and the loop JITs tight. */
   def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int = 12,
                           seed: Long = 42L): Column = {
-    val planes = (0 until bits).map { i =>
+    val planes: Array[Array[Double]] = Array.tabulate(bits) { i =>
       val rng = new scala.util.Random(seed ^ (i.toLong << 32))
-      val plane = Array.fill(dim)(rng.nextGaussian())
-      val d = (0 until dim).map(j =>
-        element_at(vecCol, j + 1).cast("double") * lit(plane(j))).reduce(_ + _)
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+      Array.fill(dim)(rng.nextGaussian())
     }
-    planes.reduce((a, b) => a.bitwiseOR(b))
+    val sigUdf = udf { (v: Seq[Double]) =>
+      var sig = 0L
+      var i = 0
+      while (i < planes.length) {
+        var d = 0.0
+        val p = planes(i)
+        var j = 0
+        val m = math.min(p.length, v.length)
+        while (j < m) { d += v(j) * p(j); j += 1 }
+        if (d >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    sigUdf(vecCol)
   }
 
   /** LSH-bucketed ANN: signature buckets -> within-bucket brute force ->
@@ -74,7 +145,10 @@ object Similarity {
       .select(col("a.id").as("id"), col("b.id").as("nid"),
         col("a.v").as("v"), col("b.v").as("nv"))
       .distinct()
-      .select(col("id"), col("nid"), cosine(col("v"), col("nv")).as("score"))
+      .select(col("id"), col("nid"),
+        (dotUdf(col("v"), col("nv")) /
+          (sqrt(dotUdf(col("v"), col("v"))) * sqrt(dotUdf(col("nv"), col("nv")))))
+          .as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -90,7 +164,9 @@ object Similarity {
     base.as("a").crossJoin(broadcast(base.as("b")))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dotUdf(col("a.v"), col("b.v")) /
+          (sqrt(dotUdf(col("a.v"), col("a.v"))) * sqrt(dotUdf(col("b.v"), col("b.v")))))
+          .as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

@@ -437,6 +437,68 @@ object RelationalQueries {
       |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
       |      FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** W1+W2 (unique-event curation dedup): tumbling window per user, pick
+    * ONE representative by the reference's priority rule (ALARM-ish rows
+    * first, then strength, then id) via a ranking window — the
+    * makeOsdDb 3-minute grouping re-expressed on the events table. */
+  def w1CurationDedup(s: SparkSession, d: String): DataFrame = {
+    val priority = when(col("event_type") === "error", 0)
+      .when(col("event_type") === "purchase", 1).otherwise(2)
+    val w = Window
+      .partitionBy(col("user_id"), window(col("ts"), "1 hour"))
+      .orderBy(priority, col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_id"), col("event_type"), col("value"))
+  }
+
+  val w1Sql: String =
+    """SELECT user_id,
+      |  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_id, event_type, value
+      |FROM (SELECT *,
+      |        row_number() OVER (
+      |          PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+      |          ORDER BY CASE event_type WHEN 'error' THEN 0
+      |                   WHEN 'purchase' THEN 1 ELSE 2 END,
+      |                   value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** A9 (daily seizure-day spacing): per-user active days, gap in days
+    * to the previous active day (lag), rolling(3) mean of the gap —
+    * integer-exact average. */
+  def a9DailySpacing(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val wr = Window.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
+    daily
+      .withColumn("gap_days",
+        datediff(to_date(col("day")), lag(to_date(col("day")), 1).over(w)))
+      .withColumn("roll3", avg(col("gap_days")).over(wr))
+      .filter(col("gap_days").isNotNull)
+      .select("user_id", "day", "n", "gap_days", "roll3")
+  }
+
+  val a9Sql: String =
+    """SELECT user_id, day, n, gap_days, roll3 FROM (
+      |  SELECT user_id, day, n, gap_days,
+      |    AVG(gap_days) OVER (PARTITION BY user_id ORDER BY day
+      |                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3
+      |  FROM (SELECT user_id, day, n,
+      |          date_diff('day',
+      |            lag(CAST(day AS DATE)) OVER (PARTITION BY user_id ORDER BY day),
+      |            CAST(day AS DATE)) AS gap_days
+      |        FROM (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+      |              FROM events GROUP BY 1, 2)))
+      |WHERE gap_days IS NOT NULL""".stripMargin
+
   // ---------------------------------------------------------------- O: sort/limit
 
   /** O2+O6 (order-by-limit): TakeOrderedAndProject — per-partition top-k
@@ -620,8 +682,10 @@ object RelationalQueries {
     "a6_confusion"       -> (a6Confusion _),
     "a7_daily_zero_fill" -> (a7DailyZeroFill _),
     "a8_tumbling_10min"  -> (a8Tumbling10Min _),
+    "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
+    "w1_curation_dedup"  -> (w1CurationDedup _),
     "w2_top1_per_group"  -> (w2Top1PerGroup _),
     "w3_session"         -> (w3Session _),
     "w7_lag_features"    -> (w7LagFeatures _),
@@ -655,8 +719,10 @@ object RelationalQueries {
     "a6_confusion"       -> a6Sql,
     "a7_daily_zero_fill" -> a7Sql,
     "a8_tumbling_10min"  -> a8Sql,
+    "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,
+    "w1_curation_dedup"  -> w1Sql,
     "w2_top1_per_group"  -> w2Sql,
     "w3_session"         -> w3Sql,
     "w7_lag_features"    -> w7Sql,

@@ -36,9 +36,13 @@ object TextQueries {
       |sh AS (SELECT doc_id, lang, unnest(list_distinct(
       |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
       |       FROM toks),
-      |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) ni FROM sh a
-      |          JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      |rare AS (SELECT lang, s FROM (SELECT lang, s, COUNT(*) df FROM sh GROUP BY 1, 2)
+      |         WHERE df <= 20),
+      |kept AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh
+      |         JOIN rare ON sh.lang = rare.lang AND sh.s = rare.s),
+      |cnt AS (SELECT doc_id, COUNT(*) n FROM kept GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) ni FROM kept a
+      |          JOIN kept b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT ia AS id_a, ib AS id_b,
       |       CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard

@@ -135,6 +135,15 @@ class OperatorsSpec extends SparkSpec {
     assert(overlapping.length == 6)
   }
 
+  test("ScaleFeatures.minMaxScale maps to [0,1], constants to 0 (C16)") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (3.0, 5.0), (5.0, 5.0)).toDF("f1", "f2")
+    val out = ScaleFeatures.minMaxScale(df, Seq("f1", "f2")).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0.0, 0.5, 1.0))
+    assert(out.forall(_._2 == 0.0)) // constant column convention
+  }
+
   test("Augment.oversample replicates with synthetic ids (M3/C17)") {
     import spark.implicits._
     val df = Seq(("1", "seizure"), ("2", "fa"), ("3", "seizure"))

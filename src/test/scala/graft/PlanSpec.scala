@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** Physical-plan audits: the 100 TB story depends on WHICH plan Catalyst
+  * picks, not just on results matching. These pin the load-bearing plan
+  * properties so a refactor that silently de-optimizes (loses a
+  * pushdown, drops a broadcast, forces a global sort) fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point lookup pushes the id predicate into the parquet scan (F2)") {
+    val p = plan(RelationalQueries.f2PointLookup(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,4242)]"),
+      s"missing pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("scans prune columns: q1 reads only the 4 needed lineitem columns") {
+    val p = plan(Queries.q1Agg(spark, sf))
+    val readSchema = "ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_returnflag:string,l_linestatus:string>"
+    assert(p.contains(readSchema), s"column pruning lost in:\n${p.take(2000)}")
+  }
+
+  test("q1 aggregates partially map-side (two HashAggregate stages)") {
+    val p = plan(Queries.q1Agg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("dimension join broadcasts the small side (J1)") {
+    val p = plan(RelationalQueries.j1BroadcastDim(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("semi join stays a broadcast LeftSemi — no payload shuffle (J3)") {
+    val p = plan(RelationalQueries.j3SemiJoin(spark, sf))
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("order-by-limit is TakeOrderedAndProject, not a global sort (O2)") {
+    val p = plan(RelationalQueries.o2TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort ["), s"global sort crept in:\n${p.take(2000)}")
+  }
+
+  test("events time-range filter is NOT parquet-pushable (nanos workaround) — documented") {
+    // events.ts is reconstructed from TIMESTAMP(NANOS)-as-long, so time
+    // predicates evaluate post-transform: no pushdown, no partition
+    // pruning on raw events. The ingest normalization writes a properly
+    // typed lake (OsdbJson.writeEventsParquet) where they do push; this
+    // test pins the known limitation so it is a choice, not a surprise.
+    val p = plan(RelationalQueries.f8TimeRange(spark, sf))
+    assert(p.contains("PushedFilters: []") || !p.contains("GreaterThanOrEqual(ts"))
+  }
+}

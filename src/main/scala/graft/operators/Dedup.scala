@@ -108,6 +108,11 @@ object Dedup {
                         minEstJaccard: Double = 0.5): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
         minHashSignature(col(textCol), cfg).as("sig"))
+      // Docs too short to form a shingle get the all -1 sentinel
+      // signature; they'd all share identical band keys and report
+      // est_jaccard=1.0 against each other — drop them before banding
+      // (they carry no near-dup signal).
+      .filter(element_at(col("sig"), 1) =!= lit(-1L))
       .withColumn("band", explode(bandKeys(col("sig"), cfg)))
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -18,11 +18,14 @@ object ScaleFeatures {
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.foldLeft(df) { (acc, c) =>
-      val lo = row.getAs[Any](s"__min_$c") match { case n: Number => n.doubleValue }
-      val hi = row.getAs[Any](s"__max_$c") match { case n: Number => n.doubleValue }
-      val scaled =
-        if (hi == lo) lit(0.0)
-        else (col(c) - lit(lo)) / lit(hi - lo)
+      // empty input / all-null column: agg yields null — treat as a
+      // constant column (scales to 0), same as the hi == lo branch
+      def num(field: String): Option[Double] =
+        Option(row.getAs[Any](field)).map(_.asInstanceOf[Number].doubleValue)
+      val scaled = (num(s"__min_$c"), num(s"__max_$c")) match {
+        case (Some(lo), Some(hi)) if hi != lo => (col(c) - lit(lo)) / lit(hi - lo)
+        case _                                => lit(0.0)
+      }
       acc.withColumn(c + suffix, scaled)
     }
   }

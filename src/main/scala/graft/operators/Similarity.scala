@@ -33,27 +33,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Brute-force cosine top-k for every vector against the corpus.
-    * The corpus side is broadcast when it fits (the common "query a
-    * reference set" shape); ranking is total via the (score desc, id)
-    * tiebreak. At 100 TB the corpus side is the broadcast dimension and
-    * the big side streams — no shuffle of the big side at all. */
-  /** Brute-force top-k: the corpus is collected once and broadcast as
+  /** Brute-force top-k: the corpus side — `corpus` when given, else the
+    * query set itself (self-kNN) — is collected once and broadcast as
     * primitive arrays; each task streams its query rows against it with
     * a bounded top-k buffer and emits exactly k rows per query — no
     * n^2-row pair materialization, no shuffle of the big side, no
-    * per-pair boxing. At 100 TB the query side streams from parquet and
+    * per-pair boxing. Only the corpus side must fit on the driver /
+    * in a broadcast; at 100 TB the query side streams from parquet and
     * the reference corpus rides the broadcast, so this scales with the
     * query side only. Ranking is total: (score desc, neighbor id asc)
-    * with the dot product folded in index order (oracle-exact). */
+    * with the dot product folded in index order (oracle-exact).
+    * Neighbors with the query's own id are excluded. */
   def bruteForceKnn(vectors: DataFrame, idCol: String, vecCol: String,
-                    k: Int, broadcastCorpus: Boolean = true): DataFrame = {
+                    k: Int, corpus: Option[DataFrame] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val base = vectors.select(col(idCol).cast("long").as("id"),
+    def typed(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
+    val base = typed(vectors)
     val corpusArr: Array[(Long, Array[Double], Double)] =
-      base.collect().map { case (id, v) =>
+      typed(corpus.getOrElse(vectors)).collect().map { case (id, v) =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         (id, v, math.sqrt(s))

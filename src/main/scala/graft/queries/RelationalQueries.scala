@@ -244,10 +244,10 @@ object RelationalQueries {
       | CAST(tp AS DOUBLE) / (tp + fn) AS tpr,
       | CAST(fp AS DOUBLE) / (fp + tn) AS fpr
       |FROM (SELECT
-      |  SUM(CASE WHEN value >= 0.5 AND event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS tp,
-      |  SUM(CASE WHEN value >= 0.5 AND event_type NOT IN ('purchase','signup') THEN 1 ELSE 0 END) AS fp,
-      |  SUM(CASE WHEN value < 0.5 AND event_type NOT IN ('purchase','signup') THEN 1 ELSE 0 END) AS tn,
-      |  SUM(CASE WHEN value < 0.5 AND event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS fn
+      |  CAST(SUM(CASE WHEN value >= 0.5 AND event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(SUM(CASE WHEN value >= 0.5 AND event_type NOT IN ('purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(SUM(CASE WHEN value < 0.5 AND event_type NOT IN ('purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |  CAST(SUM(CASE WHEN value < 0.5 AND event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS fn
       | FROM events)""".stripMargin
 
   /** A7 (time-bucketed counts + zero-fill reindex): counts per (type, day)
@@ -307,13 +307,18 @@ object RelationalQueries {
         count(lit(1)).as("n"))
   }
 
+  // NOTE: integer SUM must be CAST AS BIGINT — DuckDB SUM(int) yields
+  // HUGEINT, which the driver's pandas bridge turns into float64 and the
+  // value hash then misses Spark's int64 (round-1 a13/a6/c9 failures).
+  // epoch_us//1000000 is integer floor, immune to double rounding of
+  // epoch() near whole seconds.
   val a13Sql: String =
     """SELECT user_id,
-      | SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS n_gaps,
+      | CAST(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
       | COUNT(*) AS n
       |FROM (SELECT user_id,
-      |        CAST(floor(epoch(ts)) AS BIGINT)
-      |        - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      |        epoch_us(ts) // 1000000
+      |        - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
       |      FROM events)
       |GROUP BY user_id""".stripMargin
 
@@ -594,7 +599,8 @@ object RelationalQueries {
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
 
   val c9Sql: String =
-    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    """SELECT event_type,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

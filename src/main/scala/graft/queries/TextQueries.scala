@@ -71,9 +71,13 @@ object TextQueries {
 
   val t1Sql: String = {
     val profiles = TextAnalysis.LangProfiles
+    // Each term divides the length delta by the stopword's length —
+    // occurrence COUNT, mirroring TextAnalysis.countOccurrences. Raw
+    // deltas would weight long stopwords more and flip the argmax on
+    // mixed-language text.
     val scoreExpr = profiles.map { case (l, ws) =>
       val sum = ws.map(w =>
-        s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$w', '')))")
+        s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$w', ''))) / ${w.length}")
         .mkString(" + ")
       (l, s"($sum)")
     }

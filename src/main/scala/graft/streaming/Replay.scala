@@ -36,7 +36,7 @@ object Replay {
     val spark = dps.sparkSession
     import spark.implicits._
     dps.groupByKey(_.eventId).flatMapGroups { (eventId, it) =>
-      val sorted = it.toArray.sortBy(d => (d.tsSec, d.hashCode))
+      val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       algSpecs.iterator.flatMap { spec =>
         val alg = AlgRegistry.create(spec)
         alg.reset()
@@ -86,7 +86,7 @@ object Replay {
             val alg = AlgRegistry.create(algSpec)
             state.getOption.foreach(s =>
               alg.restore(s.alarmState, s.alarmCount, s.hrHist))
-            val outs = it.toArray.sortBy(_.tsSec).iterator
+            val outs = it.toArray.sortBy(d => (d.tsSec, d.seq)).iterator
               .filter(_.alarmStateRecorded != 5L)
               .map { dp =>
                 val r = alg.processDp(dp)

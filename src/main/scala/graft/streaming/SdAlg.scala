@@ -26,14 +26,18 @@ trait SdAlg extends Serializable {
   def restore(alarmState: Int, alarmCount: Double, hist: Seq[Double] = Seq.empty): Unit
 }
 
-/** Minimal per-datapoint input for replay: time-ordered within event. */
+/** Minimal per-datapoint input for replay: time-ordered within event.
+  * `seq` is a deterministic source-order index used ONLY as the sort
+  * tiebreak for datapoints sharing a timestamp — case-class hashCode is
+  * array-identity-based and run-specific, so it must never order rows. */
 case class ReplayDp(
     eventId: String,
     tsSec: Long,
     hr: Double,                    // -1 = missing sentinel
     alarmStateRecorded: Long,      // as recorded by the phone (5 = manual)
     rawData: Array[Double],        // 125 magnitude samples (may be empty)
-    rawData3D: Array[Double])      // 375 interleaved samples (may be empty)
+    rawData3D: Array[Double],      // 375 interleaved samples (may be empty)
+    seq: Long = 0L)                // deterministic within-event tiebreak
 
 case class AlgResult(
     alarmState: Int,

@@ -66,6 +66,16 @@ def main():
             print(f"FAIL {name}: rows oracle={len(o)} spark={len(g)}")
             n_bad += 1
             continue
+        # dtype-kind mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark
+        # int64) hashes differently in the driver even when values
+        # compare equal numerically — flag it.
+        kind_bad = [(c, o[c].dtype, g[c].dtype) for c in o.columns
+                    if o[c].dtype.kind != g[c].dtype.kind
+                    and {o[c].dtype.kind, g[c].dtype.kind} <= {"i", "u", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch {kind_bad}")
+            n_bad += 1
+            continue
         diff_cols = []
         for c in o.columns:
             a, b = o[c], g[c]

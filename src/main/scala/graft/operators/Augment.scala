@@ -91,7 +91,7 @@ object Augment {
     import spark.implicits._
     val n = graft.model.Osdb.SamplesPerDatapoint
     dps.groupByKey(_.eventId).flatMapGroups { (_, it) =>
-      val sorted = it.toArray.sortBy(_.tsSec)
+      val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       if (sorted.isEmpty || sorted.head.`type` != 1) sorted.iterator
       else {
         val total = sorted.length * n

@@ -57,14 +57,17 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature as an array<bigint> column. Shingles are
-    * token n-grams hashed to 64 bits; each signature slot is the min of
-    * (a*h+b) mod p over the doc's shingle set.
+    * token n-grams fingerprinted to 64 bits by FNV-combining the n token
+    * hashes — no shingle string is ever materialized, and no distinct
+    * pass runs: duplicate shingles cannot change a min, so the multiset
+    * is as good as the set. Each signature slot is the min of (a*h+b)
+    * mod p over the doc's shingle hashes.
     *
     * One tight-loop UDF per row: expressing this as nested array HOFs
     * re-evaluates the tokenizer per (slot x shingle) because lambda
     * bodies inline their inputs — O(10^7) interpreted regex splits per
-    * document. The UDF tokenizes once and runs slots x shingles fused
-    * multiply-adds. */
+    * document. The UDF tokenizes once, hashes each token once, and runs
+    * slots x shingles fused multiply-adds. */
   def minHashSignature(textCol: Column, cfg: MinHashConfig = MinHashConfig()): Column = {
     val p = MersennePrime
     val as = Array.tabulate(cfg.numHashes)(i =>
@@ -72,19 +75,26 @@ object Dedup {
     val bs = Array.tabulate(cfg.numHashes)(i =>
       math.abs(new scala.util.Random(cfg.seed * 104729 + i).nextLong()) % p)
     val n = cfg.shingleSize
+    val nh = cfg.numHashes
     val sigUdf = udf { (text: String) =>
-      val hs = shingleSet(text, n).map(s => java.lang.Math.floorMod(hash64(s), p))
-      Array.tabulate(cfg.numHashes) { i =>
-        val a = as(i); val b = bs(i)
-        var m = Long.MaxValue
+      val toks = Option(text).getOrElse("").toLowerCase.trim.split("\\s+")
+      val nSh = toks.length - n + 1
+      val out = Array.fill(nh)(Long.MaxValue)
+      var i = 0
+      while (i < nSh) {
+        var h = 0xcbf29ce484222325L
         var j = 0
-        while (j < hs.length) {
-          val v = (hs(j) * a + b) % p
-          if (v < m) m = v
-          j += 1
+        while (j < n) { h ^= hash64(toks(i + j)); h *= 0x100000001b3L; j += 1 }
+        val sh = java.lang.Math.floorMod(h, p)
+        var k = 0
+        while (k < nh) {
+          val v = (sh * as(k) + bs(k)) % p
+          if (v < out(k)) out(k) = v
+          k += 1
         }
-        if (m == Long.MaxValue) -1L else m
+        i += 1
       }
+      if (nSh <= 0) Array.fill(nh)(-1L) else out
     }
     sigUdf(textCol)
   }
@@ -102,28 +112,43 @@ object Dedup {
     * self-join on the bucket, dedupe pairs. The join key is (band,
     * bucket-hash) so only near-duplicates ever meet in the shuffle —
     * this is the O(n) path that replaces the O(n^2) compare at scale.
-    * Estimated Jaccard = fraction of matching signature slots. */
+    * Estimated Jaccard = fraction of matching signature slots.
+    *
+    * Shuffle discipline (the round-2 bench bottleneck was violating it):
+    * the band self-join and the pair dedup carry ONLY (id, band) /
+    * (id_a, id_b) longs — the 64-slot signature arrays never enter a
+    * join or dedup shuffle. Signatures are joined back onto the few
+    * surviving pairs afterwards; recomputing the signature projection
+    * for those joins is a per-row map (~0.3 s for 5k docs) while
+    * shuffling 512-byte arrays through an exploded 16x self-join costs
+    * multiples of that, and the gap widens with corpus size.
+    *
+    * Contract for sub-shingle-length docs (< shingleSize tokens): they
+    * produce the all -1 sentinel signature and are EXCLUDED here — all
+    * of them would otherwise share identical band keys and report
+    * est_jaccard=1.0 against each other. Exact duplicates among short
+    * docs are the designated job of [[exactDedup]]/[[exactDupGroups]]
+    * (fingerprint equality), which a dedup pipeline should always run
+    * alongside MinHash. */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         cfg: MinHashConfig = MinHashConfig(),
                         minEstJaccard: Double = 0.5): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
         minHashSignature(col(textCol), cfg).as("sig"))
-      // Docs too short to form a shingle get the all -1 sentinel
-      // signature; they'd all share identical band keys and report
-      // est_jaccard=1.0 against each other — drop them before banding
-      // (they carry no near-dup signal).
       .filter(element_at(col("sig"), 1) =!= lit(-1L))
-      .withColumn("band", explode(bandKeys(col("sig"), cfg)))
-    val pairs = sigs.as("a").join(sigs.as("b"),
+    val banded = sigs.select(col("id"),
+      explode(bandKeys(col("sig"), cfg)).as("band"))
+    val pairIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / cfg.numHashes)
+    pairIds
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / cfg.numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .select("id_a", "id_b", "est_jaccard")
   }
 
   // --------------------------------------------------------------- SimHash

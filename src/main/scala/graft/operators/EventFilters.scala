@@ -36,23 +36,36 @@ case class EventFilterConfig(
 
 object EventFilters {
 
-  /** F6 element-match primitive: case-insensitive substring, any-of. */
+  /** F6 element-match primitive (osdDbConnection.py:540-587):
+    * case-insensitive *substring* match, any-of across the value list. */
   private def substrAny(c: Column, vals: Seq[String]): Option[Column] =
     if (vals.isEmpty) None
     else Some(vals.map(v => lower(c).contains(v.toLowerCase)).reduce(_ || _))
+
+  /** F6 for numeric-typed event fields (userId): the reference compares
+    * non-string element values with ==, so includeUserIds = Seq("1")
+    * must NOT match user "12" — equality, except a non-numeric criterion
+    * against the (string-coerced) column falls back to substring, the
+    * str-vs-str branch of elementMatches. */
+  private def numAny(c: Column, vals: Seq[String]): Option[Column] =
+    if (vals.isEmpty) None
+    else Some(vals.map { v =>
+      if (v.nonEmpty && v.forall(_.isDigit)) c === lit(v)
+      else lower(c).contains(v.toLowerCase)
+    }.reduce(_ || _))
 
   private def orAll(preds: Seq[Option[Column]]): Option[Column] =
     preds.flatten.reduceOption(_ || _)
 
   def compile(cfg: EventFilterConfig): Column = {
     val include = orAll(Seq(
-      substrAny(col("userId").cast("string"), cfg.includeUserIds),
+      numAny(col("userId").cast("string"), cfg.includeUserIds),
       substrAny(col("type"), cfg.includeTypes),
       substrAny(col("subType"), cfg.includeSubTypes),
       substrAny(col("dataSourceName"), cfg.includeDataSources),
       substrAny(col("desc"), cfg.includeText)))
     val exclude = orAll(Seq(
-      substrAny(col("userId").cast("string"), cfg.excludeUserIds),
+      numAny(col("userId").cast("string"), cfg.excludeUserIds),
       substrAny(col("type"), cfg.excludeTypes),
       substrAny(col("subType"), cfg.excludeSubTypes),
       substrAny(col("dataSourceName"), cfg.excludeDataSources),

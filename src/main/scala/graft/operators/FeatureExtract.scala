@@ -46,7 +46,7 @@ object FeatureExtract {
     import spark.implicits._
     val n = Osdb.SamplesPerDatapoint
     dps.groupByKey(_.eventId).flatMapGroups { (eventId, it) =>
-      val sorted = it.toArray.sortBy(_.tsSec)
+      val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       if (sorted.isEmpty) Iterator.empty
       else {
         val nDp = sorted.length

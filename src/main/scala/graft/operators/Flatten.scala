@@ -26,7 +26,10 @@ object Flatten {
       o2sat: Double,
       rawData: Array[Double],    // magnitude, 125
       rawData3D: Array[Double],  // interleaved, 375 (empty if absent)
-      synthetic: Boolean)        // true for gap-fill zero datapoints
+      synthetic: Boolean,        // true for gap-fill zero datapoints
+      seq: Long = 0L)            // source order within event (posexplode
+                                 // index) — the deterministic tiebreak for
+                                 // datapoints sharing a timestamp
 
   /** C4 type2id (flattenData.py:13-27): seizure→1, falseAlarm/nda→0,
     * else 2 (case-insensitive substring on the type string). */
@@ -61,7 +64,7 @@ object Flatten {
     val tolMs = 2000L
     val dpMs = 5000L
     dps.groupByKey(_.eventId).flatMapGroups { (_, it) =>
-      val sorted = it.toArray.sortBy(_.tsSec)
+      val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       val out = scala.collection.mutable.ArrayBuffer.empty[FlatDp]
       var lastEndMs = Long.MinValue
       sorted.foreach { dp =>
@@ -81,7 +84,7 @@ object Flatten {
                 out += FlatDp(dp.eventId, dp.userId, dp.typeStr, dp.`type`,
                   gapEnd / 1000L, 0L, 0.0, 0.0, -1.0, -1.0,
                   new Array[Double](Osdb.SamplesPerDatapoint),
-                  Array.emptyDoubleArray, synthetic = true)
+                  Array.emptyDoubleArray, synthetic = true, seq = dp.seq)
                 i += 1
               }
               lastEndMs += dpMs * nGap

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Baseline: brute-force cosine top-k with a broadcast
-  * query side. Scale path: random-hyperplane LSH bucketing so the join
+  * corpus side. Scale path: random-hyperplane LSH bucketing so the join
   * shuffles on compact bucket signatures instead of forming n^2 pairs.
   */
 object Similarity {
@@ -39,20 +39,33 @@ object Similarity {
     * a bounded top-k buffer and emits exactly k rows per query — no
     * n^2-row pair materialization, no shuffle of the big side, no
     * per-pair boxing. Only the corpus side must fit on the driver /
-    * in a broadcast; at 100 TB the query side streams from parquet and
-    * the reference corpus rides the broadcast, so this scales with the
-    * query side only. Ranking is total: (score desc, neighbor id asc)
-    * with the dot product folded in index order (oracle-exact).
-    * Neighbors with the query's own id are excluded. */
+    * in a broadcast, and `maxCorpusRows` enforces that: at 100 TB the
+    * query side streams from parquet and a *reference* corpus rides the
+    * broadcast; a corpus beyond the bound fails fast with a pointer to
+    * [[lshKnn]], the distributed path, instead of OOMing the driver.
+    *
+    * An explicit `corpus` must expose the same `idCol`/`vecCol` column
+    * names as `vectors`. Self-matches (same id) are excluded only in
+    * self-kNN mode — with a distinct corpus, id equality no longer
+    * implies "same vector", so every corpus row is a legal neighbor.
+    *
+    * Ranking is total: (score desc, neighbor id asc) with the dot
+    * product folded in index order (oracle-exact). */
   def bruteForceKnn(vectors: DataFrame, idCol: String, vecCol: String,
-                    k: Int, corpus: Option[DataFrame] = None): DataFrame = {
+                    k: Int, corpus: Option[DataFrame] = None,
+                    maxCorpusRows: Int = 1000000): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     def typed(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
     val base = typed(vectors)
+    val selfMode = corpus.isEmpty
+    val corpusRows = typed(corpus.getOrElse(vectors)).take(maxCorpusRows + 1)
+    require(corpusRows.length <= maxCorpusRows,
+      s"bruteForceKnn corpus exceeds maxCorpusRows=$maxCorpusRows; " +
+        "use lshKnn (bucketed, distributed) for corpus-scale ANN")
     val corpusArr: Array[(Long, Array[Double], Double)] =
-      typed(corpus.getOrElse(vectors)).collect().map { case (id, v) =>
+      corpusRows.map { case (id, v) =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         (id, v, math.sqrt(s))
@@ -71,7 +84,7 @@ object Similarity {
         var c = 0
         while (c < corpus.length) {
           val (nid, nv, nn) = corpus(c)
-          if (nid != id) {
+          if (!(selfMode && nid == id)) {
             var d = 0.0; var j = 0
             val m = math.min(v.length, nv.length)
             while (j < m) { d += v(j) * nv(j); j += 1 }
@@ -126,28 +139,61 @@ object Similarity {
     sigUdf(vecCol)
   }
 
+  /** (id, v, nrm) projection: norm computed once per vector. */
+  private def normed(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
+
+  /** Per-table hyperplane signatures as SLIM (id, t, sig) rows — one per
+    * (vector, table), no vector payload. Shared by [[lshKnn]] and
+    * [[cosineNearDupPairs]]: the bucket self-join and the candidate-pair
+    * dedup must only ever shuffle these three fixed-width columns; the
+    * embedding arrays are joined back onto the surviving pairs. */
+  private def tabledSignatures(vectors: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, bits: Int, tables: Int, seed: Long): DataFrame =
+    vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneSignature(col("v"), dim, bits, seed + t * 7919L).as("sig"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.sig").as("sig"))
+
+  /** Distinct colliding id pairs from the multi-table bucket join —
+    * (left, right) with `left < right` when `ordered`, both directions
+    * otherwise. Only longs enter the shuffle. */
+  private def bucketPairIds(tabled: DataFrame, ordered: Boolean): DataFrame = {
+    val cond = col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+      (if (ordered) col("a.id") < col("b.id") else col("a.id") =!= col("b.id"))
+    tabled.as("a").join(tabled.as("b"), cond)
+      .select(col("a.id").as("left"), col("b.id").as("right"))
+      .distinct()
+  }
+
+  /** Join vectors+norms back onto candidate pairs and score the cosine. */
+  private def scorePairs(pairIds: DataFrame, base: DataFrame,
+                         leftOut: String, rightOut: String, scoreOut: String): DataFrame =
+    pairIds
+      .join(base.select(col("id").as("left"), col("v").as("va"), col("nrm").as("na")), "left")
+      .join(base.select(col("id").as("right"), col("v").as("vb"), col("nrm").as("nb")), "right")
+      .select(col("left").as(leftOut), col("right").as(rightOut),
+        (dotUdf(col("va"), col("vb")) / (col("na") * col("nb"))).as(scoreOut))
+
   /** LSH-bucketed ANN: signature buckets -> within-bucket brute force ->
     * per-query top-k. `tables` independent signatures raise recall (a
     * neighbor is found if it collides in ANY table). The shuffle key is
     * (table, bucket) — at 1000x the data this stays a bucket-local
-    * problem while bruteForceKnn's pair count grows quadratically. */
+    * problem while bruteForceKnn's pair count grows quadratically.
+    *
+    * The bucket self-join and the pair dedup shuffle only (id, t, sig) /
+    * (id, nid) longs; embeddings are joined back onto the surviving
+    * candidate pairs and each pair is scored exactly once (shuffling
+    * vector payloads through the pair distinct was the round-2 bench
+    * bottleneck — 8.1 s vs ~1 s at sf0.1). */
   def lshKnn(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
              k: Int, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val tabled = base.withColumn("tb", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneSignature(col("v"), dim, bits, seed + t * 7919L).as("sig"))): _*)))
-      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.sig").as("sig"))
-    val pairs = tabled.as("a").join(tabled.as("b"),
-        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-        col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("b.id").as("nid"),
-        col("a.v").as("v"), col("b.v").as("nv"))
-      .distinct()
-      .select(col("id"), col("nid"),
-        (dotUdf(col("v"), col("nv")) /
-          (sqrt(dotUdf(col("v"), col("v"))) * sqrt(dotUdf(col("nv"), col("nv")))))
-          .as("score"))
+    val tabled = tabledSignatures(vectors, idCol, vecCol, dim, bits, tables, seed)
+    val pairs = scorePairs(bucketPairIds(tabled, ordered = false),
+      normed(vectors, idCol, vecCol), "id", "nid", "score")
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -155,17 +201,21 @@ object Similarity {
         col("score"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: symmetric pairs above a
-    * cosine threshold (id_a < id_b), brute-force or via lshKnn upstream. */
+  /** Embedding-cosine near-duplicate pairs above `minCosine` (id_a <
+    * id_b): hyperplane-LSH blocking then in-bucket cosine verification —
+    * the same block-then-verify shape as [[Dedup.simHashCandidates]],
+    * never an all-pairs compare. Approximate by construction: a pair is
+    * emitted only if it collides in at least one of the `tables`
+    * signatures; at the near-dup cosines this targets (>= ~0.9 ⇒ angle
+    * <= 26°) a sign-bit agrees with probability 1-θ/π ≈ 0.86, so 8 bits
+    * x 6 tables finds a true near-dup pair with P ≈ 1-(1-0.86^8)^6 ≈
+    * 0.97, and every *emitted* pair is exactly verified. */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         minCosine: Double): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    base.as("a").crossJoin(broadcast(base.as("b")))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dotUdf(col("a.v"), col("b.v")) /
-          (sqrt(dotUdf(col("a.v"), col("a.v"))) * sqrt(dotUdf(col("b.v"), col("b.v")))))
-          .as("cos"))
+                         dim: Int, minCosine: Double, bits: Int = 8,
+                         tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val tabled = tabledSignatures(vectors, idCol, vecCol, dim, bits, tables, seed)
+    scorePairs(bucketPairIds(tabled, ordered = true),
+      normed(vectors, idCol, vecCol), "id_a", "id_b", "cos")
       .filter(col("cos") >= minCosine)
   }
 }

@@ -37,7 +37,10 @@ case class ReplayDp(
     alarmStateRecorded: Long,      // as recorded by the phone (5 = manual)
     rawData: Array[Double],        // 125 magnitude samples (may be empty)
     rawData3D: Array[Double],      // 375 interleaved samples (may be empty)
-    seq: Long = 0L)                // deterministic within-event tiebreak
+    seq: Long)                     // deterministic within-event tiebreak —
+                                   // REQUIRED (no default) so producers
+                                   // must wire real source order through;
+                                   // use FlatDp.seq / the posexplode index
 
 case class AlgResult(
     alarmState: Int,

@@ -63,7 +63,8 @@ object OsdbDemo {
         coalesce(col("dp.o2Sat"), lit(-1.0)).as("o2sat"),
         coalesce(col("dp.rawData"), array()).as("rawData"),
         coalesce(col("dp.rawData3D"), array()).as("rawData3D"),
-        lit(false).as("synthetic"))
+        lit(false).as("synthetic"),
+        col("dpIdx").cast("long").as("seq"))
       .withColumn("type",
         when(lower(col("typeStr")).contains("seizure"), 1).otherwise(0))
       .as[FlatDp]
@@ -81,7 +82,8 @@ object OsdbDemo {
     println(s"[demo] feature history rows: ${hist.count()}")
 
     val replayIn = valid.map(d => graft.streaming.ReplayDp(
-      d.eventId, d.tsSec, d.hr, d.osdAlarmState, d.rawData, d.rawData3D))
+      d.eventId, d.tsSec, d.hr, d.osdAlarmState, d.rawData, d.rawData3D,
+      seq = d.seq))
     val out = Replay.replayBatch(replayIn, Seq("osd:V0", "hr:MODE_SIMPLE"))
     val stats = Replay.detectionStats(out)
     println("[demo] detection stats:")

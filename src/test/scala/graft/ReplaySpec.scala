@@ -11,7 +11,7 @@ class ReplaySpec extends SparkSpec {
 
   private def dp(id: String, t: Long, raw: Array[Double], hr: Double = 70,
                  recorded: Long = 0L): ReplayDp =
-    ReplayDp(id, t, hr, recorded, raw, Array.emptyDoubleArray)
+    ReplayDp(id, t, hr, recorded, raw, Array.emptyDoubleArray, seq = t / 5)
 
   test("OsdAlg FSM walks 0 -> WARN -> ALARM and decays 2 -> 1 -> 0") {
     val alg = new OsdAlg(OsdSettings(mode = "V0"))

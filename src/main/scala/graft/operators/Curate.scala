@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W4: the curation keep-max duplicate merge and A4 event-level
+  * prediction metrics.
+  */
+object Curate {
+
+  /** W4 (curator_tools/merge_json.py:148-250 detect_and_mark_duplicates):
+    * within each (user, type, subType) group, events sorted by time form
+    * a duplicate cluster while each is within `maxSeconds` of the
+    * PREVIOUS one (chained adjacency, not a fixed bucket); per cluster
+    * keep exactly one by: reference-dataset flag first, then most
+    * datapoints, then latest time (`dt > best` strict), with the id as
+    * the final unique tiebreak the reference leaves unspecified.
+    *
+    * Spark shape: gaps-and-islands (lag + running sum — one shuffle on
+    * the group key, both window passes share its sort) then a ranking
+    * window; no session_window (see w3 scale note) and no self-join. */
+  def keepMaxDedup(df: DataFrame, groupCols: Seq[String], tsSecCol: String,
+                   dpCountCol: String, idCol: String, maxSeconds: Long,
+                   isRefCol: Option[String] = None): DataFrame = {
+    val keys = groupCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsSecCol), col(idCol))
+    val newCluster = when(col("__prev").isNull ||
+      col(tsSecCol) - col("__prev") > maxSeconds, 1L).otherwise(0L)
+    val isRef: Column = isRefCol.map(col).getOrElse(lit(false))
+    val clustered = df
+      .withColumn("__prev", lag(col(tsSecCol), 1).over(wOrd))
+      .withColumn("__cid", sum(newCluster).over(wOrd))
+    val wPick = Window
+      .partitionBy(keys :+ col("__cid"): _*)
+      .orderBy(isRef.desc, col(dpCountCol).desc, col(tsSecCol).desc,
+        col(idCol).desc)
+    clustered
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .drop("__prev", "__cid", "__rn")
+  }
+
+  /** A4 (nnTraining2/eventLevelMetrics.py:46-88): per-event max predicted
+    * probability vs the event's label, 0.5 threshold, event-level
+    * confusion + TPR/FPR. The label is constant within an event, so
+    * `max(label)` realises pandas' `first` deterministically. Two partial
+    * aggregations, both map-side combinable; output is one row. */
+  def eventLevelMetrics(df: DataFrame, eventCol: String, predCol: String,
+                        labelCol: String, probThresh: Double = 0.5): DataFrame = {
+    val perEvent = df.groupBy(col(eventCol))
+      .agg(max(col(predCol)).as("max_predicted"),
+        max(col(labelCol)).as("true_label"))
+    val predicted = (col("max_predicted") >= probThresh).cast("int")
+    perEvent.agg(
+      sum(when(predicted === 1 && col("true_label") === 1, 1L).otherwise(0L)).as("event_tp"),
+      sum(when(predicted === 1 && col("true_label") === 0, 1L).otherwise(0L)).as("event_fp"),
+      sum(when(predicted === 0 && col("true_label") === 0, 1L).otherwise(0L)).as("event_tn"),
+      sum(when(predicted === 0 && col("true_label") === 1, 1L).otherwise(0L)).as("event_fn"),
+      count(lit(1)).as("n_events"),
+      sum(when(col("true_label") === 1, 1L).otherwise(0L)).as("n_seizure_events"),
+      sum(when(col("true_label") === 0, 1L).otherwise(0L)).as("n_non_seizure_events"))
+      .withColumn("event_tpr",
+        when(col("event_tp") + col("event_fn") > 0,
+          col("event_tp").cast("double") / (col("event_tp") + col("event_fn")))
+          .otherwise(0.0))
+      .withColumn("event_fpr",
+        when(col("event_fp") + col("event_tn") > 0,
+          col("event_fp").cast("double") / (col("event_fp") + col("event_tn")))
+          .otherwise(0.0))
+  }
+}

@@ -107,12 +107,15 @@ object Flatten {
     * demand for compatibility, never used as the processing layout. */
   def flattenedWide(dps: DataFrame): DataFrame = {
     val n = Osdb.SamplesPerDatapoint
+    // try_element_at: absent 3D data is an EMPTY array and must project
+    // as null cells (the reference's empty CSV columns), not throw under
+    // ANSI mode's strict element_at
     val mCols = (0 until n).map(i =>
-      element_at(col("rawData"), i + 1).as(f"M$i%03d"))
+      try_element_at(col("rawData"), lit(i + 1)).as(f"M$i%03d"))
     val axes = Seq("X" -> 0, "Y" -> 1, "Z" -> 2)
     val xyzCols = axes.flatMap { case (nm, ax) =>
       (0 until n).map(i =>
-        element_at(col("rawData3D"), 3 * i + ax + 1).as(f"$nm$i%03d"))
+        try_element_at(col("rawData3D"), lit(3 * i + ax + 1)).as(f"$nm$i%03d"))
     }
     dps.select(
       (Seq(col("eventId"), col("userId"), col("typeStr"), col("type"),

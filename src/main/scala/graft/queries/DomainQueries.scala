@@ -1,0 +1,659 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Signal, TimeParse}
+import graft.operators._
+import graft.sources.SimulatedEvents
+import graft.streaming.{NnBuffer, Replay, ReplayDp}
+
+/** The OSDB DOMAIN operator inventory as oracled CORRECTNESS entries —
+  * tidy, flatten/explode, signal statistics, low-motion gating, the
+  * rolling NN buffer, the replay FSM, augmentation, curation dedup — each
+  * driven over [[OsdbFixture]] so a DuckDB oracle can check it exactly.
+  *
+  * Exactness doctrine (see OsdbFixture): integer aggregates compare
+  * bit-exact; single-IEEE-op projections (one division / subtraction
+  * of identical operands) compare bit-exact; order-dependent float
+  * accumulations (std, magnitude sums) are compared by RANK with a
+  * unique tiebreak, never by value. FSM and buffer entries are real
+  * cross-checks: the oracle derives the expected output analytically
+  * from the fixture formulas, independently of the Scala implementation.
+  */
+object DomainQueries {
+  import OsdbFixture.sqlBase
+
+  // ---------------------------------------------------------------- UDFs
+  // Tight-loop UDFs over primitive arrays (container HOF lambdas are
+  // interpreted and re-evaluate inputs — see round-1 notes).
+
+  private val dpSumL = expr("aggregate(rawData, 0L, (a, x) -> a + cast(x as long))")
+
+  private val rejectLowMotionUdf =
+    udf((a: Seq[Double]) => Spectrogram.rejectLowMotion(a.toArray, 10.0))
+  private val mllUdf = udf((a: Seq[Double]) => Signal.meanLineLength(a.toArray))
+  private val zcrUdf = udf((a: Seq[Double]) => Signal.zeroCrossingRate(a.toArray))
+  private val meanUdf = udf((a: Seq[Double]) => Signal.mean(a.toArray))
+  private val stdUdf = udf((a: Seq[Double]) => Signal.std(a.toArray))
+  private val znormArgmaxUdf = udf((a: Seq[Double]) => {
+    // C15: z-normalise, return the index of the max |z| (strict >, so the
+    // FIRST max wins — the tiebreak the oracle mirrors with ORDER BY i)
+    val z = Signal.zNormalize(a.toArray)
+    var best = 0; var bestV = -1.0; var i = 0
+    while (i < z.length) {
+      val v = math.abs(z(i)); if (v > bestV) { bestV = v; best = i }; i += 1
+    }
+    best
+  })
+  private val magMeanUdf = udf((xyz: Seq[Double]) =>
+    Signal.mean(Signal.magnitude3D(xyz.toArray, "V2")))
+  private val magV1SumUdf = udf((xyz: Seq[Double]) => {
+    val m = Signal.magnitude3D(xyz.toArray, "V1")
+    var s = 0.0; var i = 0
+    while (i < m.length) { s += m(i); i += 1 }
+    s
+  })
+  private val axisSumsUdf = udf((xyz: Seq[Double]) => {
+    val a = xyz.toArray
+    def s(ax: Int): Double = {
+      val v = Signal.deinterleave(a, ax)
+      var t = 0.0; var i = 0
+      while (i < v.length) { t += v(i); i += 1 }
+      t
+    }
+    (s(0), s(1), s(2))
+  })
+  private val specPowerUdf = udf((a: Seq[Double]) => Signal.specPower(a.toArray))
+  private val roiPowerUdf = udf((a: Seq[Double]) => Signal.roiPower(a.toArray))
+
+  // ------------------------------------------------------------- A: groups
+
+  /** A1 (group-by-event collect, osdDbConnection.getEventsDf): per event,
+    * the d-ordered list of datapoint magnitude sums as a string — list
+    * compare without array-vs-list bridge ambiguity. */
+  def a1GroupCollect(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"), dpSumL.as("sv"))
+      .groupBy("e")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(d, sv)))," +
+        " p -> cast(p.sv as string)), ',')").as("dp_sums"))
+
+  val a1Sql: String = sqlBase +
+    """SELECT e, string_agg(CAST(sv AS VARCHAR), ',' ORDER BY d) AS dp_sums
+      |FROM (SELECT e, d, CAST(SUM(m) AS BIGINT) AS sv FROM sampm GROUP BY e, d)
+      |GROUP BY e""".stripMargin
+
+  /** O1 (sort datapoints within event by time): first/last dp after the
+    * in-group time sort. */
+  def o1SortWithin(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("ts"), col("d"), dpSumL.as("sv"))
+      .groupBy("e")
+      .agg(expr("array_sort(collect_list(struct(ts, d, sv)))").as("arr"))
+      .select(col("e"),
+        element_at(col("arr"), 1).getField("sv").as("first_s"),
+        element_at(col("arr"), -1).getField("sv").as("last_s"),
+        size(col("arr")).cast("long").as("n"))
+
+  val o1Sql: String = sqlBase +
+    """SELECT e, first(sv ORDER BY ts, d) AS first_s,
+      |       last(sv ORDER BY ts, d) AS last_s, COUNT(*) AS n
+      |FROM (SELECT e, ts, d, CAST(SUM(m) AS BIGINT) AS sv
+      |      FROM sampm GROUP BY e, ts, d)
+      |GROUP BY e""".stripMargin
+
+  /** J2 (explode datapoints with parent propagation — the real
+    * [[Flatten.explodeDatapoints]] over nested events). */
+  def j2ExplodeParent(s: SparkSession, d: String): DataFrame =
+    Flatten.explodeDatapoints(OsdbFixture.nested(s, d))
+      .groupBy("typeStr")
+      .agg(count(lit(1)).as("n"), sum(col("dpIdx")).cast("long").as("d_sum"))
+
+  val j2Sql: String = sqlBase +
+    """SELECT type_str AS typeStr, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS d_sum
+      |FROM dpx GROUP BY type_str""".stripMargin
+
+  /** A2+A3 (tidy derived fields: worst-alarm-state rollup and the 50%
+    * has-data flags — the real [[Tidy.derive]] over nested events). */
+  def a3HasFlags(s: SparkSession, d: String): DataFrame =
+    Tidy.derive(OsdbFixture.nested(s, d))
+      .groupBy(
+        col("osdAlarmState").as("worst_state"),
+        col("has3dData").as("has3d"),
+        col("hasHrData").as("has_hr"),
+        col("hasO2SatData").as("has_o2"))
+      .agg(count(lit(1)).as("n"))
+
+  val a3Sql: String = sqlBase +
+    """SELECT worst_state, has3d, has_hr, has_o2, COUNT(*) AS n FROM (
+      |  SELECT e,
+      |    MAX(CASE WHEN alarm IN (1,2,3) THEN alarm ELSE 0 END) AS worst_state,
+      |    2*SUM(CASE WHEN has_3d THEN 1 ELSE 0 END) >= COUNT(*) AS has3d,
+      |    2*SUM(CASE WHEN hr <> -1 THEN 1 ELSE 0 END) >= COUNT(*) AS has_hr,
+      |    2*SUM(CASE WHEN o2 <> -1 THEN 1 ELSE 0 END) >= COUNT(*) AS has_o2
+      |  FROM dpx GROUP BY e)
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** A4 (event-level prediction metrics, eventLevelMetrics.py:46-88): the
+    * real [[Curate.eventLevelMetrics]] with user_id as the event key. */
+  def a4EventMetrics(s: SparkSession, d: String): DataFrame =
+    Curate.eventLevelMetrics(
+      Tables.events(s, d)
+        .withColumn("label", when(col("user_id") % 3 === 0, 1).otherwise(0)),
+      "user_id", "value", "label")
+
+  val a4Sql: String =
+    """SELECT event_tp, event_fp, event_tn, event_fn, n_events,
+      |  n_seizure_events, n_non_seizure_events,
+      |  CASE WHEN event_tp + event_fn > 0
+      |       THEN CAST(event_tp AS DOUBLE) / (event_tp + event_fn)
+      |       ELSE 0.0 END AS event_tpr,
+      |  CASE WHEN event_fp + event_tn > 0
+      |       THEN CAST(event_fp AS DOUBLE) / (event_fp + event_tn)
+      |       ELSE 0.0 END AS event_fpr
+      |FROM (SELECT
+      |  CAST(SUM(CASE WHEN mp >= 0.5 AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS event_tp,
+      |  CAST(SUM(CASE WHEN mp >= 0.5 AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS event_fp,
+      |  CAST(SUM(CASE WHEN mp < 0.5 AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS event_tn,
+      |  CAST(SUM(CASE WHEN mp < 0.5 AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS event_fn,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_seizure_events,
+      |  CAST(SUM(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_seizure_events
+      | FROM (SELECT user_id, MAX(value) AS mp,
+      |              MAX(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS lbl
+      |       FROM events GROUP BY user_id))""".stripMargin
+
+  // ------------------------------------------------------------ F: filters
+
+  /** F7 (dataSource include/exclude through the real
+    * [[EventFilters.compile]] predicate over nested events). */
+  def f7SourceFilter(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.nested(s, d)
+      .filter(EventFilters.compile(EventFilterConfig(
+        includeDataSources = Seq("garmin", "phone"),
+        excludeSubTypes = Seq("tonic"))))
+      .groupBy(col("type").as("type_str"))
+      .agg(count(lit(1)).as("n"))
+
+  val f7Sql: String = sqlBase +
+    """SELECT type_str, COUNT(*) AS n FROM ev
+      |WHERE k % 4 IN (0, 2) AND k % 5 >= 2
+      |GROUP BY type_str""".stripMargin
+
+  /** F9 (accel-presence filter). */
+  def f9AccelPresence(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d)
+      .filter(size(col("rawData")) > 0)
+      .groupBy("type_str")
+      .agg(count(lit(1)).as("n"))
+
+  val f9Sql: String = sqlBase +
+    """SELECT type_str, COUNT(*) AS n FROM dpx WHERE has_raw
+      |GROUP BY type_str""".stripMargin
+
+  /** F10 (low-motion rejection, nnAlg.py:113-121): the float predicate
+    * (100*std/mean < 10) vs the oracle's exact integer restatement
+    * 100*(n*Σm² − S²) < S² — boundary-exact cross-check. */
+  def f10LowMotion(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(rejectLowMotionUdf(col("rawData")).as("rej"))
+      .groupBy("rej")
+      .agg(count(lit(1)).as("n"))
+
+  val f10Sql: String = sqlBase +
+    """SELECT rej, COUNT(*) AS n FROM (
+      |  SELECT 100*(125*SUM(m*m) - SUM(m)*SUM(m)) < SUM(m)*SUM(m) AS rej
+      |  FROM sampm GROUP BY e, d)
+      |GROUP BY rej""".stripMargin
+
+  // ------------------------------------------------------------ C: scalars
+
+  /** C1 (dateStr2secs over the legacy format ladder). */
+  def c1ParseSecs(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("event_id") % 2 === 0,
+        date_format(col("ts"), "dd-MM-yyyy HH:mm:ss"))
+      .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+    Tables.events(s, d)
+      .withColumn("raw", raw)
+      .select(col("event_id"), col("raw"),
+        TimeParse.dateStr2secs(col("raw")).as("secs"))
+  }
+
+  val c1Sql: String =
+    """SELECT event_id, raw,
+      | epoch_us(COALESCE(try_strptime(raw, '%d-%m-%Y %H:%M:%S'),
+      |                   try_strptime(raw, '%Y-%m-%dT%H:%M:%S'))) // 1000000 AS secs
+      |FROM (SELECT event_id,
+      |        CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+      |             ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS raw
+      |      FROM events)""".stripMargin
+
+  /** C3 (timezone normalisation: naive local wall time → UTC seconds).
+    * Asia/Kolkata — fixed +05:30, no DST ambiguity in any season. */
+  def c3TzNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("raw", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .select(col("event_id"),
+        to_utc_timestamp(to_timestamp(col("raw"), "yyyy-MM-dd HH:mm:ss"),
+          "Asia/Kolkata").cast("long").as("utc_secs"))
+
+  val c3Sql: String =
+    """SELECT event_id,
+      | epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+      |   '%Y-%m-%d %H:%M:%S') AT TIME ZONE 'Asia/Kolkata') // 1000000 AS utc_secs
+      |FROM events""".stripMargin
+
+  /** C5+C6 (3D magnitude modes): V1 |x|+|y|+|z| sums exactly (integers);
+    * the V2 sqrt magnitude is order-dependent float, compared by in-event
+    * rank only. */
+  def c5MagnitudeRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("e").orderBy(col("mag_mean").desc, col("d"))
+    OsdbFixture.dps(s, d).filter(col("has_3d"))
+      .select(col("e"), col("d"),
+        magV1SumUdf(col("rawData3D")).cast("long").as("v1_sum"),
+        magMeanUdf(col("rawData3D")).as("mag_mean"))
+      .withColumn("mag_rank", row_number().over(w).cast("long"))
+      .drop("mag_mean")
+  }
+
+  val c5Sql: String = sqlBase +
+    """SELECT e, d, v1_sum,
+      |  CAST(row_number() OVER (PARTITION BY e ORDER BY s2 DESC, d) AS BIGINT) AS mag_rank
+      |FROM (SELECT e, d,
+      |        CAST(SUM(ABS(vx)+ABS(vy)+ABS(vz)) AS BIGINT) AS v1_sum,
+      |        SUM(sqrt(CAST(vx*vx + vy*vy + vz*vz AS DOUBLE))) AS s2
+      |      FROM samp3 GROUP BY e, d)""".stripMargin
+
+  /** C7 (de-interleave stride-3 axes): per-axis integer sums. */
+  def c7Deinterleave(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_3d"))
+      .select(col("e"), col("d"), axisSumsUdf(col("rawData3D")).as("ax"))
+      .select(col("e"), col("d"),
+        col("ax._1").cast("long").as("sx"),
+        col("ax._2").cast("long").as("sy"),
+        col("ax._3").cast("long").as("sz"))
+
+  val c7Sql: String = sqlBase +
+    """SELECT e, d, CAST(SUM(vx) AS BIGINT) AS sx, CAST(SUM(vy) AS BIGINT) AS sy,
+      |       CAST(SUM(vz) AS BIGINT) AS sz
+      |FROM samp3 GROUP BY e, d""".stripMargin
+
+  /** C8 (array truncation 125/375/10 through the real
+    * [[Tidy.tidyDatapoints]]): fixture arrays are over-length (130/381/12)
+    * and must come back clipped. */
+  def c8Truncate(s: SparkSession, d: String): DataFrame =
+    Tidy.tidyDatapoints(OsdbFixture.nested(s, d, rawLen = 130, xyzLen = 381,
+        specLen = 12))
+      .select(col("e_num").as("e"), posexplode(col("datapoints")).as(Seq("d", "dp")))
+      .filter(col("dp.rawData").isNotNull)
+      .select(col("e"), col("d").cast("long").as("d"),
+        size(col("dp.rawData")).as("raw_n"),
+        expr("aggregate(dp.rawData, 0L, (a, x) -> a + cast(x as long))").as("raw_sum"),
+        coalesce(size(col("dp.rawData3D")), lit(0)).as("n3d"),
+        size(col("dp.simpleSpec")).as("spec_n"))
+
+  val c8Sql: String = sqlBase +
+    """SELECT e, d, CAST(125 AS INT) AS raw_n, CAST(SUM(m) AS BIGINT) AS raw_sum,
+      |  CAST(CASE WHEN has_3d THEN 375 ELSE 0 END AS INT) AS n3d,
+      |  CAST(10 AS INT) AS spec_n
+      |FROM sampm GROUP BY e, d, has_3d""".stripMargin
+
+  /** C12 (mean line length): integer |diff| sum, one division — exact. */
+  def c12LineLength(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"), mllUdf(col("rawData")).as("mll"))
+
+  val c12Sql: String = sqlBase +
+    """SELECT e, d, CAST(SUM(ad) AS DOUBLE) / 124.0 AS mll
+      |FROM (SELECT e, d, ABS(m - lag(m) OVER (PARTITION BY e, d ORDER BY i)) AS ad
+      |      FROM sampm)
+      |GROUP BY e, d""".stripMargin
+
+  /** C13 (zero-crossing rate about the mean): the mean is one exact
+    * division, every (x−m) subtraction has identical operands in both
+    * engines, so even the float products compare bit-exact. */
+  def c13ZeroCross(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"), zcrUdf(col("rawData")).as("zcr"))
+
+  val c13Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST(SUM(CASE WHEN (m - mn)*(pm - mn) < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / 124.0 AS zcr
+      |FROM (SELECT e, d, m,
+      |        CAST(SUM(m) OVER (PARTITION BY e, d) AS DOUBLE) / 125.0 AS mn,
+      |        lag(m) OVER (PARTITION BY e, d ORDER BY i) AS pm
+      |      FROM sampm)
+      |GROUP BY e, d""".stripMargin
+
+  /** C14 (moment statistics): mean exact; std (order-dependent float)
+    * compared by in-event rank. */
+  def c14Moments(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("e").orderBy(col("sd").desc, col("d"))
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        meanUdf(col("rawData")).as("mn"),
+        stdUdf(col("rawData")).as("sd"))
+      .withColumn("std_rank", row_number().over(w).cast("long"))
+      .drop("sd")
+  }
+
+  val c14Sql: String = sqlBase +
+    """SELECT e, d, mn,
+      |  CAST(row_number() OVER (PARTITION BY e ORDER BY v DESC, d) AS BIGINT) AS std_rank
+      |FROM (SELECT s.e AS e, s.d AS d, g.mn AS mn,
+      |        SUM((s.m - g.mn)*(s.m - g.mn)) AS v
+      |      FROM sampm s
+      |      JOIN (SELECT e, d, CAST(SUM(m) AS DOUBLE)/125.0 AS mn
+      |            FROM sampm GROUP BY e, d) g
+      |        ON s.e = g.e AND s.d = g.d
+      |      GROUP BY s.e, s.d, g.mn)""".stripMargin
+
+  /** C15 (z-normalise): index of the max |z| sample — scale-invariant, so
+    * the oracle ranks |m − mean| directly; first index wins ties in both
+    * engines. */
+  def c15ZnormArgmax(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"), znormArgmaxUdf(col("rawData")).as("amax_i"))
+
+  val c15Sql: String = sqlBase +
+    """SELECT e, d, CAST(i AS INT) AS amax_i FROM (
+      |  SELECT s.e AS e, s.d AS d, s.i AS i,
+      |    row_number() OVER (PARTITION BY s.e, s.d
+      |      ORDER BY ABS(s.m - g.mn) DESC, s.i) AS rn
+      |  FROM sampm s
+      |  JOIN (SELECT e, d, CAST(SUM(m) AS DOUBLE)/125.0 AS mn
+      |        FROM sampm GROUP BY e, d) g
+      |    ON s.e = g.e AND s.d = g.d)
+      |WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------ W: windows
+
+  /** W4 (keep-max curation dedup, merge_json.py:148-250): the real
+    * [[Curate.keepMaxDedup]] vs an independent gaps-and-islands SQL
+    * restatement of the chained-60s-cluster + priority ordering. */
+  def w4MergeDedup(s: SparkSession, d: String): DataFrame =
+    Curate.keepMaxDedup(OsdbFixture.ev(s, d), Seq("ub", "type_str"),
+        "wts", "n_dp", "e", 3000L, Some("is_ref"))
+      .select("ub", "type_str", "e", "wts", "n_dp")
+
+  val w4Sql: String = sqlBase +
+    """SELECT ub, type_str, e, wts, n_dp FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY ub, type_str, cid
+      |    ORDER BY is_ref DESC, n_dp DESC, wts DESC, e DESC) AS rn
+      |  FROM (
+      |    SELECT *, SUM(CASE WHEN pw IS NULL OR wts - pw > 3000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY ub, type_str ORDER BY wts, e) AS cid
+      |    FROM (SELECT *, lag(wts) OVER (PARTITION BY ub, type_str
+      |                                   ORDER BY wts, e) AS pw
+      |          FROM ev)))
+      |WHERE rn = 1""".stripMargin
+
+  /** W5 (sliding sample epochs through the real [[FeatureExtract]]):
+    * epoch layout (count, last end) checked exactly; feature values are
+    * golden-tested against simulated events (SignalSpec). */
+  def w5Epochs(s: SparkSession, d: String): DataFrame =
+    FeatureExtract.extract(
+        OsdbFixture.flatDps(s, d)
+          .filter(dp => dp.rawData.nonEmpty && dp.eventId.toLong % 80 == 0),
+        FeatureExtract.Config(window = 250, step = 125, highPassHz = 0.0))
+      .groupBy(col("eventId").as("event_id"))
+      .agg(count(lit(1)).as("n_epochs"), max("endSample").cast("long").as("last_end"))
+
+  val w5Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS event_id, np - 1 AS n_epochs,
+      |       np * 125 AS last_end
+      |FROM (SELECT e, COUNT(*) AS np FROM dpx
+      |      WHERE has_raw AND e % 80 = 0 GROUP BY e)""".stripMargin
+
+  /** W6/P15 (spectral history): slice layout checked exactly; spectral
+    * content is golden-tested (SpectrogramSpec, 5 Hz sine fixture). */
+  def w6Spectrogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Spectrogram.eventSpectrogram(
+        OsdbFixture.flatDps(s, d)
+          .filter(dp => dp.rawData.nonEmpty && dp.eventId.toLong % 80 == 0),
+        Spectrogram.Config(stepLen = 25))
+      .select(col("eventId").as("event_id"),
+        col("nSlices").cast("long").as("n_slices"),
+        col("nBins").cast("long").as("n_bins"))
+  }
+
+  val w6Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS event_id,
+      |       ((np * 125 - 126) // 25) + 1 AS n_slices,
+      |       CAST(61 AS BIGINT) AS n_bins
+      |FROM (SELECT e, COUNT(*) AS np FROM dpx
+      |      WHERE has_raw AND e % 80 = 0 GROUP BY e)""".stripMargin
+
+  /** W8/M8 (the 750-sample rolling NN buffer): emission schedule and the
+    * window's first/last samples (single mG→G divisions, bit-exact)
+    * derived independently by the oracle from the fixture formulas. */
+  def w8NnBuffer(s: SparkSession, d: String): DataFrame =
+    NnBuffer.dp2vectors(
+        OsdbFixture.flatDps(s, d).filter(_.rawData.nonEmpty),
+        bufferSamples = 750, normalise = false, sdThresh = 0.0)
+      .select(col("eventId").as("event_id"), col("tsSec").as("ts_sec"),
+        size(col("vec")).cast("long").as("n"),
+        element_at(col("vec"), 1).as("first_g"),
+        element_at(col("vec"), 750).as("last_g"))
+
+  val w8Sql: String = sqlBase +
+    """SELECT CAST(a.e AS VARCHAR) AS event_id, a.ts AS ts_sec,
+      |  CAST(750 AS BIGINT) AS n,
+      |  (CASE WHEN (b.k + b.d) % 11 = 0 THEN 1000
+      |        ELSE 800 + (b.k*104729 + b.d*257) % 401 END) / 1000.0 AS first_g,
+      |  (CASE WHEN (a.k + a.d) % 11 = 0 THEN 1000
+      |        ELSE 800 + (a.k*104729 + a.d*257 + 2852) % 401 END) / 1000.0 AS last_g
+      |FROM (SELECT e, k, d, ts, row_number() OVER (PARTITION BY e ORDER BY d) AS rn
+      |      FROM dpx WHERE has_raw) a
+      |JOIN (SELECT e, k, d, row_number() OVER (PARTITION BY e ORDER BY d) AS rn
+      |      FROM dpx WHERE has_raw) b
+      |  ON a.e = b.e AND b.rn = a.rn - 5""".stripMargin
+
+  /** W10 (the alarm-count FSM through the real [[Replay.replayBatch]] +
+    * HrAlg): the oracle computes the expected WARN/ALARM/decay schedule
+    * analytically from the fixture's alarm-run length k%6 — a true
+    * independent check of the FSM, including the 2→1 decay quirk and the
+    * F11 manual-skip. */
+  def w10ReplayFsm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dps = OsdbFixture.ev(s, d)
+      .withColumn("d", explode(expr("sequence(0L, 11L)")))
+      .select(
+        col("e").cast("string").as("eventId"),
+        (lit(OsdbFixture.TsBase) + col("k") * 3600 + col("d") * 5).as("tsSec"),
+        when(col("k") % 5 === 0 && col("d") === 1, -1.0)
+          .when(col("d") >= 3 && col("d") < lit(3) + col("k") % 6, 160.0)
+          .otherwise(80.0).as("hr"),
+        when(col("k") % 9 === 0 && col("d") === 0, 5L).otherwise(0L)
+          .as("alarmStateRecorded"),
+        array().cast("array<double>").as("rawData"),
+        array().cast("array<double>").as("rawData3D"),
+        col("d").as("seq"))
+      .as[ReplayDp]
+    Replay.detectionStats(Replay.replayBatch(dps, Seq("hr:MODE_SIMPLE")))
+      .select(col("eventId").as("event_id"), col("alg"),
+        col("detected").cast("long").as("detected"),
+        col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
+        col("nDp").as("n_dp"))
+  }
+
+  val w10Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS event_id, 'HrAlg-MODE_SIMPLE' AS alg,
+      |  CAST(CASE WHEN k % 6 >= 3 THEN 1 ELSE 0 END AS BIGINT) AS detected,
+      |  CAST(CASE WHEN k % 6 >= 3 THEN k % 6 - 2 ELSE 0 END AS BIGINT) AS n_alarm,
+      |  CAST((CASE WHEN k % 6 >= 2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN k % 6 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+      |  CAST(12 - CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dp
+      |FROM base""".stripMargin
+
+  // --------------------------------------------------------- M: augmentation
+
+  /** M4 (noise augmentation): per-source-event output cardinality —
+    * originals plus factor copies of every 3D seizure datapoint. Noisy
+    * values themselves are seeded-random; the structural contract is the
+    * oracle-able part (values are unit-tested). */
+  def m4NoiseAug(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Augment.noiseAugment(OsdbFixture.flatDps(s, d), factor = 2, sigmaMilliG = 10.0)
+      .select(substring_index(col("eventId"), "-", 1).as("base_id"))
+      .groupBy("base_id")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val m4Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS base_id,
+      |  CAST(n_dp * (CASE WHEN k % 3 = 0 AND k % 4 <> 1 THEN 3 ELSE 1 END)
+      |       AS BIGINT) AS n
+      |FROM ev""".stripMargin
+
+  /** M5 (phase augmentation): shifted re-windowing is pure integer data
+    * movement — each synthetic event's datapoint count and total
+    * magnitude sum are exact window sums over the concatenated signal. */
+  def m5PhaseAug(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Augment.phaseAugment(
+        OsdbFixture.flatDps(s, d).filter(_.rawData.nonEmpty), factor = 2)
+      .toDF()
+      .select(col("eventId").as("event_id"), dpSumL.as("sv"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_dps"), sum(col("sv")).as("mag_sum"))
+  }
+
+  val m5Sql: String = sqlBase +
+    """, pres AS (
+      |  SELECT e, k, d, dense_rank() OVER (PARTITION BY e ORDER BY d) AS rn
+      |  FROM dpx WHERE has_raw),
+      |npc AS (SELECT e, COUNT(*) AS np FROM pres GROUP BY e),
+      |gs AS (
+      |  SELECT s.e AS e, s.k AS k, (p.rn - 1)*125 + s.i AS j, s.m AS m
+      |  FROM sampm s JOIN pres p ON s.e = p.e AND s.d = p.d)
+      |SELECT CAST(g.e AS VARCHAR) AS event_id, MAX(n.np) AS n_dps,
+      |       CAST(SUM(g.m) AS BIGINT) AS mag_sum
+      |FROM gs g JOIN npc n ON g.e = n.e GROUP BY g.e
+      |UNION ALL
+      |SELECT CAST(g.e AS VARCHAR) || '-p1', MAX(n.np) - 1,
+      |       CAST(SUM(CASE WHEN g.j >= 41 AND g.j < 41 + (n.np - 1)*125
+      |                     THEN g.m ELSE 0 END) AS BIGINT)
+      |FROM gs g JOIN npc n ON g.e = n.e WHERE g.k % 3 = 0 GROUP BY g.e
+      |UNION ALL
+      |SELECT CAST(g.e AS VARCHAR) || '-p2', MAX(n.np) - 1,
+      |       CAST(SUM(CASE WHEN g.j >= 83 AND g.j < 83 + (n.np - 1)*125
+      |                     THEN g.m ELSE 0 END) AS BIGINT)
+      |FROM gs g JOIN npc n ON g.e = n.e WHERE g.k % 3 = 0 GROUP BY g.e""".stripMargin
+
+  /** M6 (user augmentation): every user group is topped up to the max
+    * per-user count — exact output cardinality per group. */
+  def m6UserAug(s: SparkSession, d: String): DataFrame =
+    Augment.userAugment(
+      OsdbFixture.ev(s, d).select(col("e").cast("string").as("id"), col("ub")),
+      "id", "ub")
+      .groupBy("ub")
+      .agg(count(lit(1)).as("n"))
+
+  val m6Sql: String = sqlBase +
+    """SELECT ub, (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM ev GROUP BY ub)) AS n
+      |FROM ev GROUP BY ub""".stripMargin
+
+  // ------------------------------------------------------------- S: sources
+
+  /** S13 (simulated-event generator): structural contract of the default
+    * specs — ids, types, datapoint/sample cardinalities. Spectral content
+    * is golden-tested analytically (SignalSpec). */
+  def s13Simulated(s: SparkSession, d: String): DataFrame =
+    SimulatedEvents(s)
+      .groupBy(col("eventId").as("event_id"), col("typeStr").as("type_str"))
+      .agg(count(lit(1)).as("n_dp"),
+        max(size(col("rawData"))).cast("long").as("raw_len"),
+        max(size(col("rawData3D"))).cast("long").as("len3d"))
+
+  val s13Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('S001', 'nda', CAST(12 AS BIGINT), CAST(125 AS BIGINT), CAST(375 AS BIGINT)),
+      |  ('S002', 'nda', CAST(12 AS BIGINT), CAST(125 AS BIGINT), CAST(375 AS BIGINT)),
+      |  ('S003', 'seizure', CAST(12 AS BIGINT), CAST(125 AS BIGINT), CAST(375 AS BIGINT)))
+      |t(event_id, type_str, n_dp, raw_len, len3d)""".stripMargin
+
+  // ------------------------------------------------- rows-only demonstrations
+
+  /** P4/P5 (band powers per datapoint) — DFT output, no SQL oracle;
+    * values are golden-tested (SignalSpec + simulated events). */
+  def p4BandPower(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw") && col("e") % 80 === 0)
+      .select(col("e"), col("d"),
+        specPowerUdf(col("rawData")).as("spec_power"),
+        roiPowerUdf(col("rawData")).as("roi_power"))
+
+  /** P12 (epoch feature vectors over simulated events) — rows-only. */
+  def p12EpochFeatures(s: SparkSession, d: String): DataFrame =
+    FeatureExtract.extract(SimulatedEvents(s),
+        FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.5))
+      .select(col("eventId"), col("startSample"), col("endSample"),
+        size(map_keys(col("features"))).as("n_features"))
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_group_collect"  -> (a1GroupCollect _),
+    "o1_sort_within"    -> (o1SortWithin _),
+    "j2_explode_parent" -> (j2ExplodeParent _),
+    "a3_has_flags"      -> (a3HasFlags _),
+    "a4_event_metrics"  -> (a4EventMetrics _),
+    "f7_source_filter"  -> (f7SourceFilter _),
+    "f9_accel_presence" -> (f9AccelPresence _),
+    "f10_low_motion"    -> (f10LowMotion _),
+    "c1_parse_secs"     -> (c1ParseSecs _),
+    "c3_tz_normalize"   -> (c3TzNormalize _),
+    "c5_magnitude_rank" -> (c5MagnitudeRank _),
+    "c7_deinterleave"   -> (c7Deinterleave _),
+    "c8_truncate"       -> (c8Truncate _),
+    "c12_line_length"   -> (c12LineLength _),
+    "c13_zero_cross"    -> (c13ZeroCross _),
+    "c14_moments"       -> (c14Moments _),
+    "c15_znorm_argmax"  -> (c15ZnormArgmax _),
+    "w4_merge_dedup"    -> (w4MergeDedup _),
+    "w5_epochs"         -> (w5Epochs _),
+    "w6_spectrogram"    -> (w6Spectrogram _),
+    "w8_nn_buffer"      -> (w8NnBuffer _),
+    "w10_replay_fsm"    -> (w10ReplayFsm _),
+    "m4_noise_aug"      -> (m4NoiseAug _),
+    "m5_phase_aug"      -> (m5PhaseAug _),
+    "m6_user_aug"       -> (m6UserAug _),
+    "s13_simulated"     -> (s13Simulated _),
+    "p4_band_power"     -> (p4BandPower _),
+    "p12_epoch_features" -> (p12EpochFeatures _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_group_collect"  -> a1Sql,
+    "o1_sort_within"    -> o1Sql,
+    "j2_explode_parent" -> j2Sql,
+    "a3_has_flags"      -> a3Sql,
+    "a4_event_metrics"  -> a4Sql,
+    "f7_source_filter"  -> f7Sql,
+    "f9_accel_presence" -> f9Sql,
+    "f10_low_motion"    -> f10Sql,
+    "c1_parse_secs"     -> c1Sql,
+    "c3_tz_normalize"   -> c3Sql,
+    "c5_magnitude_rank" -> c5Sql,
+    "c7_deinterleave"   -> c7Sql,
+    "c8_truncate"       -> c8Sql,
+    "c12_line_length"   -> c12Sql,
+    "c13_zero_cross"    -> c13Sql,
+    "c14_moments"       -> c14Sql,
+    "c15_znorm_argmax"  -> c15Sql,
+    "w4_merge_dedup"    -> w4Sql,
+    "w5_epochs"         -> w5Sql,
+    "w6_spectrogram"    -> w6Sql,
+    "w8_nn_buffer"      -> w8Sql,
+    "w10_replay_fsm"    -> w10Sql,
+    "m4_noise_aug"      -> m4Sql,
+    "m5_phase_aug"      -> m5Sql,
+    "m6_user_aug"       -> m6Sql,
+    "s13_simulated"     -> s13Sql
+    // p4_band_power, p12_epoch_features: rows-only (DFT not SQL-expressible)
+  )
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Flatten.FlatDp
+
+/** A deterministic OSDB-shaped fixture both engines can derive from the
+  * driver `events` table with pure integer arithmetic — the bridge that
+  * lets the DOMAIN operators (signal library, tidy, flatten, replay,
+  * augment) carry DuckDB-oracled CORRECTNESS rows even though the driver
+  * testdata has no nested-event table.
+  *
+  * Every derived value is an integer (stored as double where the domain
+  * type demands), so any sum/count oracle is bit-exact, and single-IEEE-op
+  * projections (one division, one subtraction) stay bit-identical across
+  * engines. Float accumulations (std, magnitude sums) are only ever
+  * compared by RANK with a unique tiebreak.
+  *
+  * Shared definition (k = event_id/20 over event_id % 20 == 0 rows):
+  *   nDp        = 4 + k % 5                     (4..8 datapoints)
+  *   tsSec(k,d) = 1700000000 + k*3600 + d*5
+  *   hr(k,d)    = -1 if (k+d)%4 < k%5 else 60 + (k + d*7) % 60
+  *                (missing fraction sweeps 0..1 by k, so the 50% has-data
+  *                 flags genuinely bisect the events)
+  *   o2(k,d)    = -1 if (k*2+d)%6 < k%7 else 90 + (k+d) % 10
+  *   alarm(k,d) = (k+d)%9 if (k+d)%9 < 4 else 0   (worst state varies)
+  *   rawData present iff (k+d) % 7 != 0; sample i of a present dp:
+  *     m = 1000 + i%2                 if (k+d)%11==0   (low-motion dp)
+  *         800 + (k*104729 + d*257 + i*23) % 401       otherwise
+  *   rawData3D present iff k % 4 != 1; interleaved sample (i, axis a):
+  *     v = ((k*7919 + d*131 + i*17 + a*29) % 2001) - 1000
+  *   type = [Seizure, False Alarm, Unknown][k % 3]  (labels 1, 0, 2)
+  *   subType = tonicClonic if k%5<2 else other
+  *   dataSourceName = [GarminSDA, PebbleSD, PhoneApp, BangleJS][k % 4]
+  *
+  * The DuckDB rendering of the same definition is [[sqlBase]].
+  */
+object OsdbFixture {
+
+  val TsBase = 1700000000L
+
+  // ------------------------------------------------------------ scalar defs
+
+  def magAt(k: Long, d: Long, i: Int): Long =
+    if ((k + d) % 11 == 0) 1000 + i % 2
+    else 800 + (k * 104729 + d * 257 + i * 23) % 401
+
+  def axisAt(k: Long, d: Long, i: Int, a: Int): Long =
+    ((k * 7919 + d * 131 + i * 17 + a * 29) % 2001) - 1000
+
+  private val magUdf = udf((k: Long, d: Long, n: Int) =>
+    Array.tabulate(n)(i => magAt(k, d, i).toDouble))
+
+  private val xyzUdf = udf((k: Long, d: Long, n3: Int) =>
+    Array.tabulate(n3)(j => axisAt(k, d, j / 3, j % 3).toDouble))
+
+  // ------------------------------------------------------------ event level
+
+  /** Event-level fixture rows (one per event). */
+  def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") % 20 === 0)
+      .select(
+        expr("event_id div 20").as("k"),
+        col("user_id").as("u"),
+        col("event_id").as("e"))
+      .withColumn("n_dp", lit(4L) + col("k") % 5)
+      .withColumn("type_str",
+        when(col("k") % 3 === 0, "Seizure")
+          .when(col("k") % 3 === 1, "False Alarm").otherwise("Unknown"))
+      .withColumn("label",
+        when(col("k") % 3 === 0, 1).when(col("k") % 3 === 1, 0).otherwise(2))
+      .withColumn("sub_type",
+        when(col("k") % 5 < 2, "tonicClonic").otherwise("other"))
+      .withColumn("data_source",
+        when(col("k") % 4 === 0, "GarminSDA").when(col("k") % 4 === 1, "PebbleSD")
+          .when(col("k") % 4 === 2, "PhoneApp").otherwise("BangleJS"))
+      .withColumn("ub", col("u") % 7)
+      .withColumn("wts", lit(TsBase) + (col("k") * 37) % 100000)
+      .withColumn("is_ref", col("k") % 10 === 0)
+
+  // --------------------------------------------------------- datapoint level
+
+  /** Datapoint-level fixture (arrays attached; rawData/rawData3D null when
+    * absent). `rawLen`/`xyzLen` let C8 request over-length arrays that
+    * Tidy must truncate. */
+  def dps(s: SparkSession, dir: String, rawLen: Int = 125, xyzLen: Int = 375): DataFrame =
+    ev(s, dir)
+      .withColumn("d", explode(expr("sequence(0L, n_dp - 1)")))
+      .withColumn("ts", lit(TsBase) + col("k") * 3600 + col("d") * 5)
+      .withColumn("hr",
+        when((col("k") + col("d")) % 4 < col("k") % 5, -1.0)
+          .otherwise((lit(60L) + (col("k") + col("d") * 7) % 60).cast("double")))
+      .withColumn("o2",
+        when((col("k") * 2 + col("d")) % 6 < col("k") % 7, -1.0)
+          .otherwise((lit(90L) + (col("k") + col("d")) % 10).cast("double")))
+      .withColumn("alarm",
+        when((col("k") + col("d")) % 9 < 4, (col("k") + col("d")) % 9)
+          .otherwise(0L))
+      .withColumn("has_raw", (col("k") + col("d")) % 7 =!= 0)
+      .withColumn("has_3d", col("k") % 4 =!= 1)
+      .withColumn("rawData",
+        when(col("has_raw"), magUdf(col("k"), col("d"), lit(rawLen))))
+      .withColumn("rawData3D",
+        when(col("has_3d"), xyzUdf(col("k"), col("d"), lit(xyzLen))))
+
+  /** Typed view for the domain operators (empty arrays for absent data,
+    * exactly the FlatDp convention). */
+  def flatDps(s: SparkSession, dir: String): Dataset[FlatDp] = {
+    import s.implicits._
+    dps(s, dir)
+      .select(
+        col("e").cast("string").as("eventId"),
+        col("u").cast("string").as("userId"),
+        col("type_str").as("typeStr"),
+        col("label").as("type"),
+        col("ts").as("tsSec"),
+        col("alarm").as("osdAlarmState"),
+        lit(0.0).as("osdSpecPower"),
+        lit(0.0).as("osdRoiPower"),
+        col("hr"),
+        col("o2").as("o2sat"),
+        coalesce(col("rawData"), array().cast("array<double>")).as("rawData"),
+        coalesce(col("rawData3D"), array().cast("array<double>")).as("rawData3D"),
+        lit(false).as("synthetic"),
+        col("d").as("seq"))
+      .as[FlatDp]
+  }
+
+  /** Nested OSDB events (datapoints array-of-struct, d-ordered) for the
+    * Tidy / explode / filter operators. Arrays are over-length on purpose
+    * when `rawLen`/`xyzLen`/`specLen` exceed the C8 limits. */
+  def nested(s: SparkSession, dir: String, rawLen: Int = 125, xyzLen: Int = 375,
+             specLen: Int = 10): DataFrame =
+    dps(s, dir, rawLen, xyzLen)
+      .withColumn("dpst", struct(
+        col("e").cast("string").as("eventId"),
+        lit(null).cast("string").as("dataTime"),
+        col("hr").as("hr"),
+        col("o2").as("o2Sat"),
+        col("alarm").as("alarmState"),
+        lit(null).cast("double").as("specPower"),
+        lit(null).cast("double").as("roiPower"),
+        lit(null).cast("double").as("roiRatio"),
+        expr(s"transform(sequence(0L, ${specLen - 1}L), j -> cast((k + j) % 50 as double))")
+          .as("simpleSpec"),
+        col("rawData").as("rawData"),
+        col("rawData3D").as("rawData3D"),
+        lit(null).cast("string").as("dataJSON")))
+      .groupBy("e", "k", "u", "type_str", "sub_type", "data_source", "n_dp")
+      .agg(expr("transform(array_sort(collect_list(struct(d, dpst))), p -> p.dpst)")
+        .as("datapoints"))
+      .select(
+        col("e").cast("string").as("id"),
+        col("u").cast("string").as("userId"),
+        lit(null).cast("string").as("dataTime"),
+        col("type_str").as("type"),
+        col("sub_type").as("subType"),
+        lit(null).cast("string").as("desc"),
+        col("data_source").as("dataSourceName"),
+        lit(null).cast("long").as("osdAlarmState"),
+        col("k"), col("e").as("e_num"), col("n_dp"),
+        col("datapoints"))
+
+  // ------------------------------------------------------------- DuckDB side
+
+  /** The same definition as DuckDB CTEs. Unreferenced CTEs are free —
+    * DuckDB prunes them — so every oracle shares this one prefix:
+    *   base  — (k, u, e) per fixture event
+    *   ev    — event-level derived fields
+    *   dpx   — datapoint-level fields (no arrays)
+    *   sampm — magnitude samples (present rawData only)
+    *   samp3 — 3D samples vx/vy/vz (present rawData3D only)
+    */
+  val sqlBase: String =
+    """WITH base AS (
+      |  SELECT event_id // 20 AS k, user_id AS u, event_id AS e
+      |  FROM events WHERE event_id % 20 = 0),
+      |ev AS (
+      |  SELECT *, 4 + k % 5 AS n_dp,
+      |    CASE k % 3 WHEN 0 THEN 'Seizure' WHEN 1 THEN 'False Alarm'
+      |         ELSE 'Unknown' END AS type_str,
+      |    CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 END AS label,
+      |    CASE WHEN k % 5 < 2 THEN 'tonicClonic' ELSE 'other' END AS sub_type,
+      |    CASE k % 4 WHEN 0 THEN 'GarminSDA' WHEN 1 THEN 'PebbleSD'
+      |         WHEN 2 THEN 'PhoneApp' ELSE 'BangleJS' END AS data_source,
+      |    u % 7 AS ub, 1700000000 + (k * 37) % 100000 AS wts,
+      |    k % 10 = 0 AS is_ref
+      |  FROM base),
+      |dpx AS (
+      |  SELECT *, 1700000000 + k*3600 + d*5 AS ts,
+      |    CASE WHEN (k+d) % 4 < k % 5 THEN -1 ELSE 60 + (k + d*7) % 60 END AS hr,
+      |    CASE WHEN (k*2+d) % 6 < k % 7 THEN -1 ELSE 90 + (k+d) % 10 END AS o2,
+      |    CASE WHEN (k+d) % 9 < 4 THEN (k+d) % 9 ELSE 0 END AS alarm,
+      |    (k+d) % 7 <> 0 AS has_raw,
+      |    k % 4 <> 1 AS has_3d
+      |  FROM (SELECT *, unnest(range(0, 4 + k % 5)) AS d FROM ev)),
+      |sampm AS (
+      |  SELECT *, CASE WHEN (k+d) % 11 = 0 THEN 1000 + i % 2
+      |                 ELSE 800 + (k*104729 + d*257 + i*23) % 401 END AS m
+      |  FROM (SELECT *, unnest(range(0, 125)) AS i FROM dpx WHERE has_raw)),
+      |samp3 AS (
+      |  SELECT *,
+      |    ((k*7919 + d*131 + i*17) % 2001) - 1000 AS vx,
+      |    ((k*7919 + d*131 + i*17 + 29) % 2001) - 1000 AS vy,
+      |    ((k*7919 + d*131 + i*17 + 58) % 2001) - 1000 AS vz
+      |  FROM (SELECT *, unnest(range(0, 125)) AS i FROM dpx WHERE has_3d))
+      |""".stripMargin
+}

@@ -241,6 +241,12 @@ object AlgRegistry {
     case s if s.toLowerCase.startsWith("hr") =>
       val mode = s.split(":").lift(1).getOrElse("MODE_SIMPLE")
       new HrAlg(HrSettings(mode = mode))
+    case s if s.toLowerCase.startsWith("nn") =>
+      // "nn[:sdThresh[:probThresh]]" — W8 buffer + F10 gate + stub model
+      val parts = s.split(":")
+      new NnAlg(NnSettings(
+        sdThresh = parts.lift(1).map(_.toDouble).getOrElse(0.0),
+        probThresh = parts.lift(2).map(_.toDouble).getOrElse(0.5)))
     case other => throw new IllegalArgumentException(s"Unknown algorithm: $other")
   }
 }

@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Signal
+import graft.operators.{Curate, Flatten, Spectrogram}
+import graft.operators.Flatten.FlatDp
+import graft.sources.{FlatCsv, SimulatedEvents}
+import graft.streaming.NnBuffer
+
+/** Round-4 operators: W6/P15 spectrogram + F10 gate, W8/M8 rolling
+  * buffer, S13 simulated events (spectral goldens), S3 CSV round-trip,
+  * W4 keep-max dedup, A4 event-level metrics. */
+class DomainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flat(eventId: String, d: Int, raw: Array[Double],
+                   xyz: Array[Double] = Array.emptyDoubleArray,
+                   typ: Int = 0): FlatDp =
+    FlatDp(eventId, "u1", "test", typ, 1700000000L + 5L * d, 0L, 0.0, 0.0,
+      70.0, 98.0, raw, xyz, synthetic = false, seq = d.toLong)
+
+  // ------------------------------------------------------------ F10
+
+  test("F10: constant signal is rejected, strong motion is not") {
+    assert(Spectrogram.rejectLowMotion(Array.fill(125)(1000.0), 10.0))
+    val shaken = Array.tabulate(125)(i => 1000.0 + 300 * math.sin(i * 1.3))
+    assert(!Spectrogram.rejectLowMotion(shaken, 10.0))
+    // boundary algebra: std% = 100*std/mean
+    val x = Array.tabulate(125)(i => 1000.0 + (if (i % 2 == 0) 50.0 else -50.0))
+    val pct = Spectrogram.stdPct(x)
+    assert(math.abs(pct - 100.0 * Signal.std(x) / Signal.mean(x)) < 1e-12)
+    // sdThresh <= 0 disables the gate (nnAlg.py: mSdThresh falsy)
+    assert(!Spectrogram.rejectLowMotion(Array.fill(125)(1000.0), 0.0))
+  }
+
+  // ------------------------------------------------------------ W6/P15
+
+  test("W6: 5 Hz sine lights the 5 Hz spectrogram row; low-motion slices are zeroed") {
+    // first 250 samples flat (std 0 < sdThresh), then a 5 Hz tremor on a
+    // 1 g bias — slices sliding by 125 land entirely in one regime or the
+    // other at endPosn 250 (flat) and endPosn >= 500 (moving)
+    val n = 750
+    val acc = Array.tabulate(n)(i =>
+      if (i < 250) 1000.0 else 1000.0 + 200 * math.sin(2 * math.Pi * 5 * i / 25.0))
+    val img = Spectrogram.spectralHistory(acc,
+      Spectrogram.Config(windowLen = 125, stepLen = 125))
+    // endPosn: 125, 250, 375, 500, 625 → 5 slices of 61 bins
+    assert(img.length == 5)
+    assert(img.forall(_.length == 61))
+    // flat slices → all-zero rows
+    assert(img(0).forall(_ == 0.0) && img(1).forall(_ == 0.0))
+    // moving slices: bin index 24 is 5 Hz (bins are 1..61 at 0.2 Hz)
+    val hot = img(4)
+    val hotBin = hot.indexOf(hot.max)
+    assert(hotBin == 24, s"expected 5 Hz row (24), got $hotBin")
+    // 5 Hz dominates every other bin by orders of magnitude
+    hot.zipWithIndex.filter(_._2 != 24).foreach { case (v, _) =>
+      assert(v < hot(24) / 100)
+    }
+  }
+
+  test("W6: normalise caps the hot bin at 1; zeroTol clips noise") {
+    val acc = Array.tabulate(500)(i => 1000.0 + 200 * math.sin(2 * math.Pi * 5 * i / 25.0))
+    val img = Spectrogram.spectralHistory(acc,
+      Spectrogram.Config(windowLen = 125, stepLen = 125, normalise = true))
+    img.foreach { row => assert(math.abs(row.max - 1.0) < 1e-12) }
+  }
+
+  test("W6: eventSpectrogram concatenates datapoints in time order") {
+    val dps = (0 until 6).map { d =>
+      flat("ev1", d, Array.tabulate(125)(i =>
+        1000.0 + 200 * math.sin(2 * math.Pi * 5 * (d * 125 + i) / 25.0)))
+    }
+    val rows = Spectrogram.eventSpectrogram(
+      spark.createDataset(dps.reverse), // out of order on purpose
+      Spectrogram.Config(stepLen = 25)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // total 750 samples → slices at 125,150,...,725 → 25
+    assert(r.nSlices == 25 && r.nBins == 61)
+    assert(r.spec.forall(row => row.indexOf(row.max) == 24))
+  }
+
+  // ------------------------------------------------------------ W8/M8
+
+  test("W8: buffer emits the first vector at the 6th datapoint, in G") {
+    val dps = (0 until 8).map(d => flat("ev1", d, Array.fill(125)(d * 100.0)))
+    val out = NnBuffer.dp2vectors(spark.createDataset(dps)).collect()
+      .sortBy(_.tsSec)
+    assert(out.length == 3) // dps 5, 6, 7 complete windows
+    assert(out.head.tsSec == 1700000000L + 5L * 5)
+    assert(out.forall(_.vec.length == 750))
+    // first emission covers dps 0..5: starts at 0/1000, ends at 500/1000
+    assert(out(0).vec.head == 0.0 && out(0).vec.last == 0.5)
+    // third emission covers dps 2..7
+    assert(out(2).vec.head == 0.2 && out(2).vec.last == 0.7)
+  }
+
+  test("W8: buffer resets at event boundaries (no cross-event leakage)") {
+    val dps = (0 until 6).map(d => flat("a", d, Array.fill(125)(100.0))) ++
+      (0 until 6).map(d => flat("b", d, Array.fill(125)(200.0)))
+    val out = NnBuffer.dp2vectors(spark.createDataset(dps)).collect()
+    // one full window each — a leaked buffer would emit 7 for event b
+    assert(out.count(_.eventId == "a") == 1)
+    assert(out.count(_.eventId == "b") == 1)
+    assert(out.find(_.eventId == "b").get.vec.forall(_ == 0.2))
+  }
+
+  test("W8: F10 gate skips low-motion datapoints without resetting the buffer") {
+    val lively = (0 until 6).map(d => flat("a", d,
+      Array.tabulate(125)(i => 1000.0 + 300 * math.sin((d * 125 + i) * 1.3))))
+    val flatDp = flat("a", 6, Array.fill(125)(1000.0)) // rejected (std 0)
+    val more = flat("a", 7,
+      Array.tabulate(125)(i => 1000.0 + 300 * math.sin((7 * 125 + i) * 1.3)))
+    val out = NnBuffer.dp2vectors(
+      spark.createDataset(lively :+ flatDp :+ more), sdThresh = 10.0)
+      .collect().sortBy(_.tsSec)
+    // dp6 is gated out (no emission, buffer untouched); dp7 still emits
+    assert(out.length == 2)
+    assert(out.map(_.tsSec).toSeq == Seq(1700000000L + 25, 1700000000L + 35))
+  }
+
+  test("W8: normalise z-scores the window (sigma-0 falls back to centering)") {
+    val dps = (0 until 6).map(d => flat("a", d,
+      Array.tabulate(125)(i => 1000.0 + ((d * 125 + i) % 7) * 10.0)))
+    val out = NnBuffer.dp2vectors(spark.createDataset(dps), normalise = true)
+      .collect()
+    val v = out.head.vec
+    assert(math.abs(Signal.mean(v)) < 1e-9)
+    assert(math.abs(Signal.std(v) - 1.0) < 1e-9)
+    val const = (0 until 6).map(d => flat("c", d, Array.fill(125)(500.0)))
+    val outC = NnBuffer.dp2vectors(spark.createDataset(const), normalise = true)
+      .collect()
+    assert(outC.head.vec.forall(_ == 0.0))
+  }
+
+  // ------------------------------------------------------------ S13 goldens
+
+  test("S13: gravity-only event is a constant 1 g magnitude with an empty spectrum") {
+    val dps = SimulatedEvents.generate(SimulatedEvents.defaultSpecs.head)
+    assert(dps.length == 12 && dps.forall(_.rawData.length == 125))
+    assert(dps.forall(_.rawData.forall(v => math.abs(v - 1000.0) < 1e-9)))
+    dps.foreach { dp =>
+      assert(Signal.roiPower(dp.rawData) < 1e-12)
+      val (total, _) = Signal.bandPower(dp.rawData, 25.0, 1.0, 12.0)
+      assert(total < 1e-12)
+    }
+  }
+
+  test("S13: a 5 Hz amp-100 component injects a^2/2 power into the 5 Hz bin") {
+    val dps = SimulatedEvents.generate(SimulatedEvents.defaultSpecs(1))
+    dps.foreach { dp =>
+      // one-sided PSD: a sinusoid of amplitude a carries a^2/2
+      val (total, peak) = Signal.bandPower(dp.rawData, 25.0, 4.9, 5.1)
+      assert(math.abs(total - 100.0 * 100.0 / 2) < 1e-6)
+      assert(math.abs(peak - total) < 1e-9) // single bin
+      // out-of-band is clean
+      val (oob, _) = Signal.bandPower(dp.rawData, 25.0, 6.0, 12.0)
+      assert(oob < 1e-9)
+    }
+  }
+
+  test("S13: the 3 Hz burst lives only in its [20,40)s window, on the y axis") {
+    val dps = SimulatedEvents.generate(SimulatedEvents.defaultSpecs(2))
+      .sortBy(_.tsSec)
+    dps.zipWithIndex.foreach { case (dp, d) =>
+      val y = Signal.deinterleave(dp.rawData3D, 1)
+      val (p3, _) = Signal.bandPower(y, 25.0, 2.9, 3.1)
+      val inBurst = d >= 4 && d < 8 // dps cover [20,40)s
+      if (inBurst) assert(math.abs(p3 - 300.0 * 300.0 / 2) < 1e-4)
+      else assert(p3 < 1e-9)
+    }
+    // phase spec: 90 deg → y(t) = 300*cos(2*pi*3t + pi/2) = -300*sin(2*pi*3t)
+    val burstY = Signal.deinterleave(dps(4).rawData3D, 1)
+    assert(math.abs(burstY(0) - 300.0 * math.cos(math.Pi / 2)) < 1e-9)
+  }
+
+  test("S13: distributed generation matches the pure generator") {
+    val local = SimulatedEvents.defaultSpecs.flatMap(SimulatedEvents.generate)
+    val dist = SimulatedEvents(spark).collect()
+    assert(dist.length == local.length)
+    val l = local.map(d => (d.eventId, d.seq)).sorted
+    val r = dist.map(d => (d.eventId, d.seq)).sorted.toSeq
+    assert(l == r)
+  }
+
+  // ------------------------------------------------------------ S3 round-trip
+
+  test("S3: flattenedWide → csv → read round-trips FlatDp exactly") {
+    val dps = Seq(
+      flat("e1", 0, Array.tabulate(125)(_.toDouble),
+        Array.tabulate(375)(j => (j * 3 % 17).toDouble), typ = 1),
+      flat("e1", 1, Array.tabulate(125)(i => (i * 7 % 31).toDouble),
+        Array.tabulate(375)(j => (j % 13).toDouble), typ = 1),
+      flat("e2", 0, Array.fill(125)(42.5))) // no 3D data
+    val dir = java.nio.file.Files.createTempDirectory("flatcsv").toString
+    FlatCsv.write(spark.createDataset(dps).toDF(), dir)
+    val back = FlatCsv.read(spark, dir).collect().sortBy(d => (d.eventId, d.seq))
+    assert(back.length == 3)
+    back.zip(dps.sortBy(d => (d.eventId, d.seq))).foreach { case (b, o) =>
+      assert(b.eventId == o.eventId && b.userId == o.userId)
+      assert(b.typeStr == o.typeStr && b.`type` == o.`type`)
+      assert(b.tsSec == o.tsSec && b.hr == o.hr && b.o2sat == o.o2sat)
+      assert(b.rawData.toSeq == o.rawData.toSeq)
+      assert(b.rawData3D.toSeq == o.rawData3D.toSeq)
+      assert(b.seq == o.seq)
+    }
+  }
+
+  // ------------------------------------------------------------ W4
+
+  test("W4: chained clusters keep reference > dp-count > latest") {
+    val rows = Seq(
+      // one chained cluster (gaps 50 <= 60): ids 1,2,3 — id 2 has most dps
+      ("u1", "seizure", 1L, 1000L, 5L, false),
+      ("u1", "seizure", 2L, 1050L, 9L, false),
+      ("u1", "seizure", 3L, 1100L, 7L, false),
+      // next event 100s later: its own cluster
+      ("u1", "seizure", 4L, 1200L, 1L, false),
+      // reference flag beats a higher dp count
+      ("u2", "seizure", 5L, 1000L, 9L, false),
+      ("u2", "seizure", 6L, 1030L, 2L, true),
+      // dp-count tie → later time wins
+      ("u3", "seizure", 7L, 1000L, 4L, false),
+      ("u3", "seizure", 8L, 1040L, 4L, false),
+      // different type: never merged despite same user/time
+      ("u1", "falseAlarm", 9L, 1010L, 1L, false))
+      .toDF("user", "typ", "id", "ts", "ndp", "is_ref")
+    val kept = Curate.keepMaxDedup(rows, Seq("user", "typ"), "ts", "ndp", "id",
+      maxSeconds = 60L, isRefCol = Some("is_ref"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L, 8L, 9L))
+  }
+
+  test("W4: chain semantics — each link within maxSeconds extends the cluster") {
+    // 0, 50, 100, 150: pairwise >60 from the first, but chained ≤60 links
+    val rows = (0 until 4).map(i => ("u", "t", i.toLong, i * 50L, 1L + i, false))
+      .toDF("user", "typ", "id", "ts", "ndp", "is_ref")
+    val kept = Curate.keepMaxDedup(rows, Seq("user", "typ"), "ts", "ndp", "id",
+      60L, Some("is_ref")).select("id").as[Long].collect().toSeq
+    assert(kept == Seq(3L)) // one cluster, max dp count = latest id 3
+  }
+
+  // ------------------------------------------------------------ A4
+
+  test("A4: event-level metrics aggregate max-prediction per event at 0.5") {
+    val df = Seq(
+      ("e1", 0.9, 1), ("e1", 0.1, 1),  // tp (max 0.9)
+      ("e2", 0.4, 1), ("e2", 0.2, 1),  // fn
+      ("e3", 0.6, 0),                   // fp
+      ("e4", 0.3, 0), ("e4", 0.49, 0)) // tn
+      .toDF("eventId", "pred", "label")
+    val m = Curate.eventLevelMetrics(df, "eventId", "pred", "label").collect().head
+    assert(m.getAs[Long]("event_tp") == 1 && m.getAs[Long]("event_fn") == 1)
+    assert(m.getAs[Long]("event_fp") == 1 && m.getAs[Long]("event_tn") == 1)
+    assert(m.getAs[Long]("n_events") == 4)
+    assert(m.getAs[Double]("event_tpr") == 0.5)
+    assert(m.getAs[Double]("event_fpr") == 0.5)
+  }
+
+  // ------------------------------------------------------------ NnAlg FSM
+
+  test("NnAlg: stub scorer drives the FSM through the full buffer path") {
+    import graft.streaming.{AlgRegistry, ReplayDp}
+    val alg = AlgRegistry.create("nn:0:0.5")
+    // six violent dps fill the buffer; std in G far above the 0.25 knee
+    val out = (0 until 10).map { d =>
+      val raw = Array.tabulate(125)(i => 1000.0 + 800 * math.sin((d * 125 + i) * 1.9))
+      alg.processDp(ReplayDp("e", 1700000000L + 5 * d, 70.0, 0L, raw,
+        Array.emptyDoubleArray, d.toLong))
+    }
+    // while filling: state stays 0
+    assert(out.take(5).forall(_.alarmState == 0))
+    // once emitting, p ~ 1: count climbs 5,10,15... → WARN at 2nd, ALARM at 3rd
+    assert(out(6).alarmState == 1)
+    assert(out(7).alarmState == 2)
+    assert(out.last.alarmState == 2)
+  }
+}

@@ -37,20 +37,27 @@ case class EventFilterConfig(
 object EventFilters {
 
   /** F6 element-match primitive (osdDbConnection.py:540-587):
-    * case-insensitive *substring* match, any-of across the value list. */
+    * case-insensitive *substring* match, any-of across the value list.
+    * Criteria are stripped first (str(val).strip().lower() in the
+    * reference), so stray whitespace in config lists cannot diverge. */
   private def substrAny(c: Column, vals: Seq[String]): Option[Column] =
     if (vals.isEmpty) None
-    else Some(vals.map(v => lower(c).contains(v.toLowerCase)).reduce(_ || _))
+    else Some(vals.map(v => lower(c).contains(v.trim.toLowerCase)).reduce(_ || _))
 
   /** F6 for numeric-typed event fields (userId): the reference compares
     * non-string element values with ==, so includeUserIds = Seq("1")
-    * must NOT match user "12" — equality, except a non-numeric criterion
-    * against the (string-coerced) column falls back to substring, the
-    * str-vs-str branch of elementMatches. */
+    * must NOT match user "12" — and the comparison is NUMERIC, so "01"
+    * matches user 1 exactly as Python's int == would. A non-numeric
+    * criterion against the (string-coerced) column falls back to
+    * substring, the str-vs-str branch of elementMatches. */
   private def numAny(c: Column, vals: Seq[String]): Option[Column] =
     if (vals.isEmpty) None
-    else Some(vals.map { v =>
-      if (v.nonEmpty && v.forall(_.isDigit)) c === lit(v)
+    else Some(vals.map { raw =>
+      val v = raw.trim
+      // numeric equality only where the value is safely a long — longer
+      // digit strings fall back to the string branch
+      if (v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+        c.cast("long") === lit(v.toLong)
       else lower(c).contains(v.toLowerCase)
     }.reduce(_ || _))
 

@@ -67,6 +67,10 @@ object Flatten {
       val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       val out = scala.collection.mutable.ArrayBuffer.empty[FlatDp]
       var lastEndMs = Long.MinValue
+      // synthetic rows get their own strictly-decreasing negative seq so
+      // (tsSec, seq) stays unique within the event by construction, not
+      // by the implicit no-tsSec-collision property of gap arithmetic
+      var synthSeq = -1L
       sorted.foreach { dp =>
         val hasAcc = dp.rawData.nonEmpty || dp.rawData3D.nonEmpty
         if (hasAcc) {
@@ -84,7 +88,8 @@ object Flatten {
                 out += FlatDp(dp.eventId, dp.userId, dp.typeStr, dp.`type`,
                   gapEnd / 1000L, 0L, 0.0, 0.0, -1.0, -1.0,
                   new Array[Double](Osdb.SamplesPerDatapoint),
-                  Array.emptyDoubleArray, synthetic = true, seq = dp.seq)
+                  Array.emptyDoubleArray, synthetic = true, seq = synthSeq)
+                synthSeq -= 1
                 i += 1
               }
               lastEndMs += dpMs * nGap

@@ -50,7 +50,12 @@ object Similarity {
     * implies "same vector", so every corpus row is a legal neighbor.
     *
     * Ranking is total: (score desc, neighbor id asc) with the dot
-    * product folded in index order (oracle-exact). */
+    * product folded in index order (oracle-exact).
+    *
+    * NOTE: the corpus side is materialized EAGERLY (a take() Spark job
+    * runs at call time to enforce `maxCorpusRows`), so this is not a
+    * lazily-composable DataFrame transform — call it when the corpus is
+    * ready, not while assembling a deferred plan. */
   def bruteForceKnn(vectors: DataFrame, idCol: String, vecCol: String,
                     k: Int, corpus: Option[DataFrame] = None,
                     maxCorpusRows: Int = 1000000): DataFrame = {
@@ -201,15 +206,28 @@ object Similarity {
         col("score"))
   }
 
+  /** Expected LSH recall for a pair at exactly `cosine`: a sign-bit
+    * agrees with probability 1 - θ/π, a pair surfaces if all `bits` agree
+    * in at least one of `tables` signatures. Recall falls steeply as the
+    * target cosine drops (0.9 → ~0.88 with 8x6; 0.5 → ~0.2), so callers
+    * chasing lower thresholds must retune — this function is the tuning
+    * aid and the test oracle for the planted-pair invariant. */
+  def lshRecallEstimate(cosine: Double, bits: Int, tables: Int): Double = {
+    val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(pBit, bits), tables)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCosine` (id_a <
     * id_b): hyperplane-LSH blocking then in-bucket cosine verification —
     * the same block-then-verify shape as [[Dedup.simHashCandidates]],
     * never an all-pairs compare. Approximate by construction: a pair is
     * emitted only if it collides in at least one of the `tables`
-    * signatures; at the near-dup cosines this targets (>= ~0.9 ⇒ angle
-    * <= 26°) a sign-bit agrees with probability 1-θ/π ≈ 0.86, so 8 bits
-    * x 6 tables finds a true near-dup pair with P ≈ 1-(1-0.86^8)^6 ≈
-    * 0.97, and every *emitted* pair is exactly verified. */
+    * signatures. At cosine 0.9 (angle ≈ 26°) a sign-bit agrees with
+    * probability 1-θ/π ≈ 0.857, so the 8-bit x 6-table default finds a
+    * true pair with P ≈ 1-(1-0.857^8)^6 ≈ 0.88 — and recall COLLAPSES
+    * for weaker pairs (≈ 0.2 at cosine 0.5): retune bits/tables via
+    * [[lshRecallEstimate]] when minCosine is far below 0.9. Every
+    * *emitted* pair is exactly verified, so precision is 1 regardless. */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          dim: Int, minCosine: Double, bits: Int = 8,
                          tables: Int = 6, seed: Long = 42L): DataFrame = {

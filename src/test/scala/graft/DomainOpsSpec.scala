@@ -258,6 +258,66 @@ class DomainOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("event_fpr") == 0.5)
   }
 
+  // ------------------------------------------------------------ filters
+
+  test("F6: digit criteria compare numerically — '1' rejects user 12, '01' matches user 1") {
+    import graft.operators.{EventFilterConfig, EventFilters}
+    val df = Seq(("a", "1"), ("b", "12"), ("c", "2"))
+      .toDF("id", "userId")
+    def keep(cfg: EventFilterConfig): Set[String] =
+      df.filter(EventFilters.compile(cfg)).select("id")
+        .as[String].collect().toSet
+    assert(keep(EventFilterConfig(includeUserIds = Seq("1"))) == Set("a"))
+    // leading zeros / whitespace: Python int == semantics, not string
+    assert(keep(EventFilterConfig(includeUserIds = Seq("01"))) == Set("a"))
+    assert(keep(EventFilterConfig(includeUserIds = Seq(" 2 "))) == Set("c"))
+    // non-numeric criterion falls back to substring on the coerced string
+    assert(keep(EventFilterConfig(includeUserIds = Seq("1x"))) == Set.empty)
+    // substring criteria are stripped before matching (reference strip())
+    val df2 = Seq(("a", "Seizure"), ("b", "Fall")).toDF("id", "type")
+    assert(df2.filter(EventFilters.compile(
+      EventFilterConfig(includeTypes = Seq("  SEIZURE ")))).select("id")
+      .as[String].collect().toSet == Set("a"))
+  }
+
+  // ------------------------------------------------------------ LSH recall
+
+  test("cosineNearDupPairs: planted near-dups recovered at the estimated recall") {
+    import graft.operators.Similarity
+    // doc math: the 8x6 default finds a 0.9-cosine pair with P ~ 0.88
+    assert(math.abs(Similarity.lshRecallEstimate(0.9, 8, 6) - 0.88) < 0.02)
+    assert(Similarity.lshRecallEstimate(0.5, 8, 6) < 0.3) // collapses
+
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    def rand(): Array[Double] = Array.fill(dim)(rng.nextGaussian())
+    // 40 planted pairs at cosine >= ~0.95 (small additive noise)
+    val planted = (0 until 40).map { i =>
+      val v = rand()
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val dup = v.zip(Array.fill(dim)(rng.nextGaussian() * 0.05 * n / math.sqrt(dim)))
+        .map { case (a, b) => a + b }
+      (i, v, dup)
+    }
+    val decoys = (0 until 200).map(i => (1000 + i, rand()))
+    val rows = planted.flatMap { case (i, v, dup) =>
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, dup.toSeq)) } ++
+      decoys.map { case (i, v) => (i.toLong, v.toSeq) }
+    val df = rows.toDF("doc_id", "emb")
+    val found = Similarity.cosineNearDupPairs(df, "doc_id", "emb", dim,
+      minCosine = 0.9).collect()
+    // precision 1: every emitted pair is exactly verified and ordered
+    assert(found.forall(r => r.getAs[Double]("cos") >= 0.9))
+    assert(found.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    // recall on the planted (2i, 2i+1) pairs — deterministic seed, the
+    // estimate at cosine ~0.95 is ~0.96; assert a safe floor
+    val hits = found.count { r =>
+      val a = r.getAs[Long]("id_a"); val b = r.getAs[Long]("id_b")
+      a < 80 && b == a + 1 && a % 2 == 0
+    }
+    assert(hits >= 32, s"planted-pair recall $hits/40 below floor")
+  }
+
   // ------------------------------------------------------------ NnAlg FSM
 
   test("NnAlg: stub scorer drives the FSM through the full buffer path") {

@@ -58,6 +58,20 @@ object Augment {
     events.unionByName(extra)
   }
 
+  /** M7: tonic-clonic augmentation (augmentData.py:770-860): duplicate
+    * seizure events (type == 1) whose subType contains BOTH 'tonic' and
+    * 'clonic' case-insensitively after stripping — 'Tonic-Clonic',
+    * 'tonic clonic', etc all match; null/non-seizure rows never do.
+    * `tcAugFac` = extra copies per matching event (reference default 1
+    * means 2x total), realised through [[oversample]]'s synthetic-id
+    * replication. */
+  def tonicClonicAugment(events: DataFrame, idCol: String,
+                         tcAugFac: Int = 1): DataFrame = {
+    val st = lower(trim(coalesce(col("subType"), lit(""))))
+    oversample(events, idCol, tcAugFac + 1,
+      col("type") === 1 && st.contains("tonic") && st.contains("clonic"))
+  }
+
   /** M4: noise augmentation — per seizure event x factor, add N(0, sigma)
     * to each 3D sample and recompute magnitude (augmentData.py:188-314).
     * Noise is seeded per (eventId, copy), deterministic across runs. */

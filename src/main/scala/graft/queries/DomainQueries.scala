@@ -29,7 +29,15 @@ object DomainQueries {
   // Tight-loop UDFs over primitive arrays (container HOF lambdas are
   // interpreted and re-evaluate inputs — see round-1 notes).
 
-  private val dpSumL = expr("aggregate(rawData, 0L, (a, x) -> a + cast(x as long))")
+  /** Exact integer sum of an integer-valued double array. A tight UDF:
+    * the aggregate() HOF is CodegenFallback and pays a lambda dispatch
+    * per element. */
+  private val sumLongUdf = udf { (a: Seq[Double]) =>
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i).toLong; i += 1 }
+    s
+  }
+  private val dpSumL = sumLongUdf(col("rawData"))
 
   private val rejectLowMotionUdf =
     udf((a: Seq[Double]) => Spectrogram.rejectLowMotion(a.toArray, 10.0))
@@ -107,7 +115,7 @@ object DomainQueries {
   /** J2 (explode datapoints with parent propagation — the real
     * [[Flatten.explodeDatapoints]] over nested events). */
   def j2ExplodeParent(s: SparkSession, d: String): DataFrame =
-    Flatten.explodeDatapoints(OsdbFixture.nested(s, d))
+    Flatten.explodeDatapoints(OsdbFixture.nested(s, d, arrays = false))
       .groupBy("typeStr")
       .agg(count(lit(1)).as("n"), sum(col("dpIdx")).cast("long").as("d_sum"))
 
@@ -118,7 +126,7 @@ object DomainQueries {
   /** A2+A3 (tidy derived fields: worst-alarm-state rollup and the 50%
     * has-data flags — the real [[Tidy.derive]] over nested events). */
   def a3HasFlags(s: SparkSession, d: String): DataFrame =
-    Tidy.derive(OsdbFixture.nested(s, d))
+    Tidy.derive(OsdbFixture.nested(s, d, arrays = false))
       .groupBy(
         col("osdAlarmState").as("worst_state"),
         col("has3dData").as("has3d"),
@@ -170,7 +178,7 @@ object DomainQueries {
   /** F7 (dataSource include/exclude through the real
     * [[EventFilters.compile]] predicate over nested events). */
   def f7SourceFilter(s: SparkSession, d: String): DataFrame =
-    OsdbFixture.nested(s, d)
+    OsdbFixture.nested(s, d, arrays = false)
       .filter(EventFilters.compile(EventFilterConfig(
         includeDataSources = Seq("garmin", "phone"),
         excludeSubTypes = Seq("tonic"))))
@@ -290,7 +298,7 @@ object DomainQueries {
       .filter(col("dp.rawData").isNotNull)
       .select(col("e"), col("d").cast("long").as("d"),
         size(col("dp.rawData")).as("raw_n"),
-        expr("aggregate(dp.rawData, 0L, (a, x) -> a + cast(x as long))").as("raw_sum"),
+        sumLongUdf(col("dp.rawData")).as("raw_sum"),
         coalesce(size(col("dp.rawData3D")), lit(0)).as("n3d"),
         size(col("dp.simpleSpec")).as("spec_n"))
 
@@ -396,8 +404,7 @@ object DomainQueries {
     * golden-tested against simulated events (SignalSpec). */
   def w5Epochs(s: SparkSession, d: String): DataFrame =
     FeatureExtract.extract(
-        OsdbFixture.flatDps(s, d)
-          .filter(dp => dp.rawData.nonEmpty && dp.eventId.toLong % 80 == 0),
+        OsdbFixture.flatDps(s, d, col("e") % 80 === 0 && col("has_raw")),
         FeatureExtract.Config(window = 250, step = 125, highPassHz = 0.0))
       .groupBy(col("eventId").as("event_id"))
       .agg(count(lit(1)).as("n_epochs"), max("endSample").cast("long").as("last_end"))
@@ -413,8 +420,7 @@ object DomainQueries {
   def w6Spectrogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Spectrogram.eventSpectrogram(
-        OsdbFixture.flatDps(s, d)
-          .filter(dp => dp.rawData.nonEmpty && dp.eventId.toLong % 80 == 0),
+        OsdbFixture.flatDps(s, d, col("e") % 80 === 0 && col("has_raw")),
         Spectrogram.Config(stepLen = 25))
       .select(col("eventId").as("event_id"),
         col("nSlices").cast("long").as("n_slices"),
@@ -433,7 +439,7 @@ object DomainQueries {
     * derived independently by the oracle from the fixture formulas. */
   def w8NnBuffer(s: SparkSession, d: String): DataFrame =
     NnBuffer.dp2vectors(
-        OsdbFixture.flatDps(s, d).filter(_.rawData.nonEmpty),
+        OsdbFixture.flatDps(s, d, col("has_raw")),
         bufferSamples = 750, normalise = false, sdThresh = 0.0)
       .select(col("eventId").as("event_id"), col("tsSec").as("ts_sec"),
         size(col("vec")).cast("long").as("n"),
@@ -516,7 +522,7 @@ object DomainQueries {
   def m5PhaseAug(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Augment.phaseAugment(
-        OsdbFixture.flatDps(s, d).filter(_.rawData.nonEmpty), factor = 2)
+        OsdbFixture.flatDps(s, d, col("has_raw")), factor = 2)
       .toDF()
       .select(col("eventId").as("event_id"), dpSumL.as("sv"))
       .groupBy("event_id")
@@ -582,7 +588,7 @@ object DomainQueries {
   /** P4/P5 (band powers per datapoint) — DFT output, no SQL oracle;
     * values are golden-tested (SignalSpec + simulated events). */
   def p4BandPower(s: SparkSession, d: String): DataFrame =
-    OsdbFixture.dps(s, d).filter(col("has_raw") && col("e") % 80 === 0)
+    OsdbFixture.dps(s, d, where = col("has_raw") && col("e") % 80 === 0)
       .select(col("e"), col("d"),
         specPowerUdf(col("rawData")).as("spec_power"),
         roiPowerUdf(col("rawData")).as("roi_power"))

@@ -84,8 +84,15 @@ object OsdbFixture {
 
   /** Datapoint-level fixture (arrays attached; rawData/rawData3D null when
     * absent). `rawLen`/`xyzLen` let C8 request over-length arrays that
-    * Tidy must truncate. */
-  def dps(s: SparkSession, dir: String, rawLen: Int = 125, xyzLen: Int = 375): DataFrame =
+    * Tidy must truncate. `where` filters BEFORE the array UDFs run —
+    * subset queries must not pay full-fixture array generation; a typed
+    * filter after `.as[FlatDp]` is opaque to Catalyst and would. When
+    * `arrays` is false the array columns become 1-element presence stubs:
+    * the shape queries (explode, has-data flags) keep their semantics
+    * without shuffling 500 doubles per datapoint. */
+  def dps(s: SparkSession, dir: String, rawLen: Int = 125, xyzLen: Int = 375,
+          where: org.apache.spark.sql.Column = lit(true),
+          arrays: Boolean = true): DataFrame =
     ev(s, dir)
       .withColumn("d", explode(expr("sequence(0L, n_dp - 1)")))
       .withColumn("ts", lit(TsBase) + col("k") * 3600 + col("d") * 5)
@@ -100,16 +107,21 @@ object OsdbFixture {
           .otherwise(0L))
       .withColumn("has_raw", (col("k") + col("d")) % 7 =!= 0)
       .withColumn("has_3d", col("k") % 4 =!= 1)
+      .filter(where)
       .withColumn("rawData",
-        when(col("has_raw"), magUdf(col("k"), col("d"), lit(rawLen))))
+        if (arrays) when(col("has_raw"), magUdf(col("k"), col("d"), lit(rawLen)))
+        else when(col("has_raw"), array(lit(1.0))))
       .withColumn("rawData3D",
-        when(col("has_3d"), xyzUdf(col("k"), col("d"), lit(xyzLen))))
+        if (arrays) when(col("has_3d"), xyzUdf(col("k"), col("d"), lit(xyzLen)))
+        else when(col("has_3d"), array(lit(1.0))))
 
   /** Typed view for the domain operators (empty arrays for absent data,
-    * exactly the FlatDp convention). */
-  def flatDps(s: SparkSession, dir: String): Dataset[FlatDp] = {
+    * exactly the FlatDp convention). Pass subsets via `where` so the
+    * filter prunes before array generation. */
+  def flatDps(s: SparkSession, dir: String,
+              where: org.apache.spark.sql.Column = lit(true)): Dataset[FlatDp] = {
     import s.implicits._
-    dps(s, dir)
+    dps(s, dir, where = where)
       .select(
         col("e").cast("string").as("eventId"),
         col("u").cast("string").as("userId"),
@@ -130,10 +142,12 @@ object OsdbFixture {
 
   /** Nested OSDB events (datapoints array-of-struct, d-ordered) for the
     * Tidy / explode / filter operators. Arrays are over-length on purpose
-    * when `rawLen`/`xyzLen`/`specLen` exceed the C8 limits. */
+    * when `rawLen`/`xyzLen`/`specLen` exceed the C8 limits; shape-only
+    * consumers pass `arrays = false` and shuffle presence stubs instead
+    * of 500 doubles per datapoint. */
   def nested(s: SparkSession, dir: String, rawLen: Int = 125, xyzLen: Int = 375,
-             specLen: Int = 10): DataFrame =
-    dps(s, dir, rawLen, xyzLen)
+             specLen: Int = 10, arrays: Boolean = true): DataFrame =
+    dps(s, dir, rawLen, xyzLen, arrays = arrays)
       .withColumn("dpst", struct(
         col("e").cast("string").as("eventId"),
         lit(null).cast("string").as("dataTime"),

@@ -44,6 +44,25 @@ object OsdbJson {
   def writeEventsParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").partitionBy("category").parquet(path)
 
+  /** S6: upsert into the event lake — INSERT OR REPLACE by key, the
+    * SQLite staging store's write semantics (osdb_sqlite.py) without the
+    * single-node store: rows in `updates` replace same-key rows in
+    * `existing`; new keys append. One shuffle on the key, no driver
+    * loop; `updates` must be key-unique (assert upstream). On a
+    * transactional table format this becomes MERGE INTO — the ranking
+    * union is the plain-parquet-lake equivalent. */
+  def upsertEvents(existing: DataFrame, updates: DataFrame,
+                   keyCol: String = "id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__src").desc)
+    existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)),
+        allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   /** S9: the event-index CSV — fixed column list, ordered by dataTime,
     * everything quoted like the reference's non-numeric quoting. */
   val IndexColumns: Seq[String] = Seq(

@@ -258,6 +258,28 @@ class DomainOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("event_fpr") == 0.5)
   }
 
+  // ------------------------------------------------------------ M7 / S6
+
+  test("M7: tonic-clonic events duplicate; other seizures and non-seizures don't") {
+    import graft.operators.Augment
+    val df = Seq(
+      ("1", 1, "Tonic-Clonic"), ("2", 1, " tonic clonic "), ("3", 1, "Focal"),
+      ("4", 0, "Tonic-Clonic"), ("5", 1, null))
+      .toDF("eventId", "type", "subType")
+    val out = Augment.tonicClonicAugment(df, "eventId", tcAugFac = 1)
+      .select("eventId").as[String].collect().sorted.toSeq
+    assert(out == Seq("1", "1-1", "2", "2-1", "3", "4", "5"))
+  }
+
+  test("S6: upsert replaces same-key rows and appends new keys") {
+    import graft.sources.OsdbJson
+    val existing = Seq(("a", 1, "old"), ("b", 2, "keep")).toDF("id", "v", "tag")
+    val updates = Seq(("a", 10, "new"), ("c", 3, "ins")).toDF("id", "v", "tag")
+    val out = OsdbJson.upsertEvents(existing, updates, "id")
+      .select("id", "v", "tag").as[(String, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", 10, "new"), ("b", 2, "keep"), ("c", 3, "ins")))
+  }
+
   // ------------------------------------------------------------ filters
 
   test("F6: digit criteria compare numerically — '1' rejects user 12, '01' matches user 1") {

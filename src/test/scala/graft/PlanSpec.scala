@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RelationalQueries
+import graft.queries.{DomainQueries, RelationalQueries}
 
 /** Physical-plan audits: the 100 TB story depends on WHICH plan Catalyst
   * picks, not just on results matching. These pin the load-bearing plan
@@ -47,6 +47,34 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalQueries.o2TopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Sort ["), s"global sort crept in:\n${p.take(2000)}")
+  }
+
+  test("keep-max dedup is ONE shuffle: gaps-and-islands and the pick window share it (W4)") {
+    // lag/running-sum partition by (ub, type_str); the ranking window
+    // adds cid, which HashPartitioning(ub, type_str) already satisfies
+    // (subset rule) — a second Exchange here would double the shuffle
+    // cost of every curation merge at scale.
+    val p = plan(DomainQueries.w4MergeDedup(spark, sf))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
+  }
+
+  test("lake upsert shuffles once on the merge key (S6)") {
+    import org.apache.spark.sql.functions._
+    val a = spark.range(10).select(col("id"), lit("a").as("tag"))
+    val b = spark.range(5).select(col("id"), lit("b").as("tag"))
+    val p = plan(graft.sources.OsdbJson.upsertEvents(a, b, "id"))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
+  }
+
+  test("per-event domain ops are one grouping shuffle (W8 buffer)") {
+    // dp2vectors = groupByKey(eventId).flatMapGroups: the fixture
+    // generation is map-side, so the whole operator is exactly one
+    // hash-partitioning exchange on the event key.
+    val p = plan(DomainQueries.w8NnBuffer(spark, sf))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
   }
 
   test("events time-range filter is NOT parquet-pushable (nanos workaround) — documented") {

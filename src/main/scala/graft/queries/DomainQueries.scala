@@ -377,6 +377,46 @@ object DomainQueries {
       |    ON s.e = g.e AND s.d = g.d)
       |WHERE rn = 1""".stripMargin
 
+  /** C16 (min-max feature scaling through the real
+    * [[ScaleFeatures.minMaxScale]]): min/max are exact integers, the
+    * scale is one subtraction + one division of identical operands —
+    * bit-exact across engines. */
+  def c16MinMax(s: SparkSession, d: String): DataFrame = {
+    val sums = OsdbFixture.dps(s, d, where = col("has_raw"))
+      .select(col("e"), col("d"), dpSumL.as("sv"))
+    ScaleFeatures.minMaxScale(sums, Seq("sv"))
+      .select(col("e"), col("d"), col("sv"), col("sv_scaled"))
+  }
+
+  val c16Sql: String = sqlBase +
+    """SELECT e, d, sv,
+      |  CASE WHEN mx <> mn THEN (sv - mn) / CAST(mx - mn AS DOUBLE)
+      |       ELSE 0.0 END AS sv_scaled
+      |FROM (SELECT e, d, sv, MIN(sv) OVER () AS mn, MAX(sv) OVER () AS mx
+      |      FROM (SELECT e, d, CAST(SUM(m) AS BIGINT) AS sv
+      |            FROM sampm GROUP BY e, d))""".stripMargin
+
+  /** C18/P14 (gap-fill zero-datapoint construction through the real
+    * [[Flatten.validateAndFill]]): the fixture's missing datapoints
+    * ((k+d)%7==0) leave 10-second holes the validator must fill with
+    * zero rows; inserted count per event has the closed form
+    * max(d) - min(d) + 1 - n_present, which the oracle computes
+    * independently. */
+  def c18GapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Flatten.validateAndFill(OsdbFixture.flatDps(s, d, col("has_raw")))
+      .toDF()
+      .groupBy(col("eventId").as("event_id"))
+      .agg(sum(when(col("synthetic"), 1L).otherwise(0L)).as("n_synth"),
+        count(lit(1)).as("n_total"))
+  }
+
+  val c18Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS event_id,
+      |  CAST(MAX(d) - MIN(d) + 1 - COUNT(*) AS BIGINT) AS n_synth,
+      |  CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n_total
+      |FROM dpx WHERE has_raw GROUP BY e""".stripMargin
+
   // ------------------------------------------------------------ W: windows
 
   /** W4 (keep-max curation dedup, merge_json.py:148-250): the real
@@ -620,6 +660,8 @@ object DomainQueries {
     "c13_zero_cross"    -> (c13ZeroCross _),
     "c14_moments"       -> (c14Moments _),
     "c15_znorm_argmax"  -> (c15ZnormArgmax _),
+    "c16_minmax"        -> (c16MinMax _),
+    "c18_gap_fill"      -> (c18GapFill _),
     "w4_merge_dedup"    -> (w4MergeDedup _),
     "w5_epochs"         -> (w5Epochs _),
     "w6_spectrogram"    -> (w6Spectrogram _),
@@ -651,6 +693,8 @@ object DomainQueries {
     "c13_zero_cross"    -> c13Sql,
     "c14_moments"       -> c14Sql,
     "c15_znorm_argmax"  -> c15Sql,
+    "c16_minmax"        -> c16Sql,
+    "c18_gap_fill"      -> c18Sql,
     "w4_merge_dedup"    -> w4Sql,
     "w5_epochs"         -> w5Sql,
     "w6_spectrogram"    -> w6Sql,

@@ -93,6 +93,42 @@ object OsdbDemo {
     println("[demo] split sizes: " +
       split.groupBy("split").count().collect().map(r =>
         r.getString(0) + "=" + r.getLong(1)).mkString(", "))
+
+    // W6/P15: per-event spectrogram — the hot events light the 5 Hz row
+    val specs = Spectrogram.eventSpectrogram(valid,
+      Spectrogram.Config(stepLen = 25, sdThresh = 1.0)).collect()
+    specs.sortBy(_.eventId).foreach { r =>
+      val hotBin = if (r.spec.nonEmpty && r.spec(0).nonEmpty)
+        r.spec.map(row => row.indexOf(row.max)).groupBy(identity)
+          .maxBy(_._2.length)._1 + 1 else -1
+      println(s"[demo] spectrogram ev=${r.eventId}: ${r.nSlices}x${r.nBins}, " +
+        f"dominant bin $hotBin (${hotBin * 0.2}%.1f Hz)")
+    }
+
+    // W8/M8 + NnAlg: rolling-buffer NN input path through the replay FSM
+    val nnOut = Replay.replayBatch(replayIn, Seq("nn:0:0.5"))
+    println("[demo] NnAlg (stub scorer) detections:")
+    Replay.detectionStats(nnOut).orderBy("eventId").show(10, false)
+
+    // S3: flattened-CSV round trip
+    val csvDir = dir.resolve("flat_csv").toString
+    graft.sources.FlatCsv.write(valid.toDF(), csvDir)
+    val back = graft.sources.FlatCsv.read(spark, csvDir)
+    println(s"[demo] wide-CSV round trip: ${back.count()} datapoints re-read")
+
+    // S6: upsert a corrected event into the lake view
+    val corrected = sel.filter(col("id") === "1")
+      .withColumn("desc", lit("demo event 1 (curated)"))
+    val lake = OsdbJson.upsertEvents(sel, corrected, "id")
+    println(s"[demo] lake upsert: ${lake.count()} events, " +
+      lake.filter(col("desc").contains("curated")).count() + " corrected")
+
+    // W4: keep-max curation dedup over the event set
+    val evts = sel.withColumn("wts", TimeParse.dateStr2secs(col("dataTime")))
+      .withColumn("ndp", size(col("datapoints")))
+    val kept = Curate.keepMaxDedup(evts, Seq("userId", "type"), "wts", "ndp",
+      "id", maxSeconds = 120L)
+    println(s"[demo] curation dedup: ${evts.count()} -> ${kept.count()} events")
     spark.stop()
   }
 }

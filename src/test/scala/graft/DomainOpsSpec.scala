@@ -258,6 +258,53 @@ class DomainOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("event_fpr") == 0.5)
   }
 
+  // ------------------------------------------------------------ streaming
+
+  test("StreamAggs: watermarked tumbling/session plans are streaming-valid") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamAggs
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val src = mem.toDF().toDF("ts", "user_id", "value")
+
+    val tumble = StreamAggs.tumblingMax(src, "ts", "user_id", "value")
+    assert(tumble.isStreaming)
+    val tPlan = tumble.queryExecution.analyzed.toString
+    assert(tPlan.contains("EventTimeWatermark"), tPlan.take(800))
+    assert(tPlan.contains("window"), tPlan.take(800))
+
+    val sess = StreamAggs.sessionCounts(src, "ts", "user_id")
+    assert(sess.isStreaming)
+    val sPlan = sess.queryExecution.analyzed.toString
+    assert(sPlan.contains("EventTimeWatermark") &&
+      sPlan.contains("session_window"), sPlan.take(800))
+  }
+
+  // micro-batch e2e gated: this container's fork pathology makes
+  // micro-batches minutes-slow (see SparkSpec checkpoint note)
+  if (sys.env.contains("GRAFT_STREAMING_TESTS"))
+    test("StreamAggs: tumbling max over two micro-batches matches batch") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamAggs
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val q = StreamAggs.tumblingMax(
+          mem.toDF().toDF("ts", "user_id", "value"), "ts", "user_id", "value")
+        .writeStream.format("memory").queryName("tumble_out")
+        .outputMode("complete").start()
+      try {
+        mem.addData((ts(1), 1L, 0.3), (ts(4), 1L, 0.9))
+        q.processAllAvailable()
+        mem.addData((ts(7), 1L, 0.5), (ts(12), 1L, 0.7))
+        q.processAllAvailable()
+        val rows = spark.table("tumble_out")
+          .select("user_id", "max_value", "n").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        assert(rows == Set((1L, 0.9, 3L), (1L, 0.7, 1L)))
+      } finally q.stop()
+    }
+
   // ------------------------------------------------------------ M7 / S6
 
   test("M7: tonic-clonic events duplicate; other seizures and non-seizures don't") {

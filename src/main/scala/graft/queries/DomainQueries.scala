@@ -294,6 +294,7 @@ object DomainQueries {
   def c8Truncate(s: SparkSession, d: String): DataFrame =
     Tidy.tidyDatapoints(OsdbFixture.nested(s, d, rawLen = 130, xyzLen = 381,
         specLen = 12))
+      .filter(col("k") % 2 === 0) // over-length arrays are heavy; halve
       .select(col("e_num").as("e"), posexplode(col("datapoints")).as(Seq("d", "dp")))
       .filter(col("dp.rawData").isNotNull)
       .select(col("e"), col("d").cast("long").as("d"),
@@ -306,7 +307,7 @@ object DomainQueries {
     """SELECT e, d, CAST(125 AS INT) AS raw_n, CAST(SUM(m) AS BIGINT) AS raw_sum,
       |  CAST(CASE WHEN has_3d THEN 375 ELSE 0 END AS INT) AS n3d,
       |  CAST(10 AS INT) AS spec_n
-      |FROM sampm GROUP BY e, d, has_3d""".stripMargin
+      |FROM sampm WHERE k % 2 = 0 GROUP BY e, d, has_3d""".stripMargin
 
   /** C12 (mean line length): integer |diff| sum, one division — exact. */
   def c12LineLength(s: SparkSession, d: String): DataFrame =
@@ -382,7 +383,9 @@ object DomainQueries {
     * scale is one subtraction + one division of identical operands —
     * bit-exact across engines. */
   def c16MinMax(s: SparkSession, d: String): DataFrame = {
-    val sums = OsdbFixture.dps(s, d, where = col("has_raw"))
+    // k-even subset: minMaxScale is two passes (eager min/max agg + map)
+    // and each pass regenerates the fixture arrays
+    val sums = OsdbFixture.dps(s, d, where = col("has_raw") && col("k") % 2 === 0)
       .select(col("e"), col("d"), dpSumL.as("sv"))
     ScaleFeatures.minMaxScale(sums, Seq("sv"))
       .select(col("e"), col("d"), col("sv"), col("sv_scaled"))
@@ -394,7 +397,7 @@ object DomainQueries {
       |       ELSE 0.0 END AS sv_scaled
       |FROM (SELECT e, d, sv, MIN(sv) OVER () AS mn, MAX(sv) OVER () AS mx
       |      FROM (SELECT e, d, CAST(SUM(m) AS BIGINT) AS sv
-      |            FROM sampm GROUP BY e, d))""".stripMargin
+      |            FROM sampm WHERE k % 2 = 0 GROUP BY e, d))""".stripMargin
 
   /** C18/P14 (gap-fill zero-datapoint construction through the real
     * [[Flatten.validateAndFill]]): the fixture's missing datapoints
@@ -544,7 +547,8 @@ object DomainQueries {
     * oracle-able part (values are unit-tested). */
   def m4NoiseAug(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Augment.noiseAugment(OsdbFixture.flatDps(s, d), factor = 2, sigmaMilliG = 10.0)
+    Augment.noiseAugment(OsdbFixture.flatDps(s, d, col("k") % 2 === 0),
+        factor = 2, sigmaMilliG = 10.0)
       .select(substring_index(col("eventId"), "-", 1).as("base_id"))
       .groupBy("base_id")
       .agg(count(lit(1)).as("n"))
@@ -554,7 +558,7 @@ object DomainQueries {
     """SELECT CAST(e AS VARCHAR) AS base_id,
       |  CAST(n_dp * (CASE WHEN k % 3 = 0 AND k % 4 <> 1 THEN 3 ELSE 1 END)
       |       AS BIGINT) AS n
-      |FROM ev""".stripMargin
+      |FROM ev WHERE k % 2 = 0""".stripMargin
 
   /** M5 (phase augmentation): shifted re-windowing is pure integer data
     * movement — each synthetic event's datapoint count and total

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays. Array HOFs (zip_with/aggregate)
-    * are CodegenFallback — interpreted per row — which is ruinous inside
-    * an n^2 pair join, so the hot path is a JIT-tight UDF; the HOF form
-    * is kept for composition in plain column pipelines. */
+  /** Dot product of two double arrays for the typed mapPartitions hot
+    * path (bruteForceKnn streams primitive arrays against a broadcast
+    * corpus — no Column machinery there). Column pipelines use the
+    * native codegen [[dot]] below instead. */
   val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Double], b: Seq[Double]) =>
       var s = 0.0
@@ -24,8 +24,12 @@ object Similarity {
       s
     }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Column-pipeline dot/cosine delegate to the native codegen
+    * expression ([[graft.plans.GraftExpressions.ArrayDot]]): whole-stage
+    * codegen'd tight loop, with implicit float→double input casts —
+    * strictly better than the interpreted zip_with/aggregate HOF form
+    * this replaced. */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftExpressions.arrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExpressions
+
+/** The native codegen expression tier (§7.3(b)): ArrayDot must match the
+  * UDF kernel bit-for-bit, stay inside whole-stage codegen, and register
+  * through both the runtime registry and SparkSessionExtensions. */
+class GraftExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = {
+    val rng = new scala.util.Random(11)
+    (0 until 50).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian()), Seq.fill(64)(rng.nextGaussian())))
+  }
+
+  test("array_dot matches the UDF kernel bit-for-bit (same fold order)") {
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(
+      GraftExpressions.arrayDot(col("a"), col("b")).as("native"),
+      graft.operators.Similarity.dotUdf(col("a"), col("b")).as("viaUdf"))
+      .collect()
+    rows.foreach { r =>
+      // bit-identical, not approximately equal: both accumulate in index order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("array_dot compiles under codegen with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // range-based input with array() construction: a literal Seq would
+      // constant-fold into a LocalTableScan (interpreted eval), and
+      // transform() HOFs are CodegenFallback and would evict the whole
+      // stage from codegen — either way doGenCode would never run
+      val aCols = array((0 until 64).map(j => (col("id") * j % 97).cast("double")): _*)
+      val bCols = array((0 until 64).map(j => ((col("id") + j) % 89).cast("double")): _*)
+      val df = spark.range(100).select(aCols.as("a"), bCols.as("b"))
+        .select(GraftExpressions.arrayDot(col("a"), col("b")).as("d"))
+      val total = df.agg(sum("d")).collect().head.getDouble(0)
+      assert(!total.isNaN && total > 0)
+      val codegenStages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("array_dot") => w
+      }
+      assert(codegenStages.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(1500))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("array_dot: null inputs yield null; float arrays cast implicitly") {
+    val df = Seq(
+      (1L, Option(Seq(1.0, 2.0)), Option(Seq(3.0, 4.0))),
+      (2L, None: Option[Seq[Double]], Option(Seq(3.0, 4.0))))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), GraftExpressions.arrayDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) == Some(11.0) && out(2L).isEmpty)
+
+    // array<float> embeddings cast through ImplicitCastInputTypes
+    val fl = Seq((1L, Seq(1.0f, 2.0f), Seq(2.0f, 0.5f))).toDF("id", "a", "b")
+    val d = fl.select(GraftExpressions.arrayDot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(d == 3.0)
+  }
+
+  test("array_dot registers for SQL use (runtime + extensions)") {
+    GraftExpressions.register(spark)
+    val d = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+    // the extensions injector exposes the same builder
+    val ext = new graft.plans.GraftExtensions
+    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
+  test("Similarity.cosine (native path) agrees with plain-scala cosine") {
+    val a = Array(1.0, 2.0, 3.0); val b = Array(-1.0, 0.5, 2.0)
+    val expected = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(graft.operators.Similarity.cosine(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-15)
+  }
+}

@@ -155,6 +155,40 @@ object TextQueries {
       |      FROM p)
       |WHERE rank <= 3""".stripMargin
 
+  /** E3: the NATIVE codegen expression ([[graft.plans.GraftExpressions]]
+    * ArrayDot) through the oracle gate — cosine of every embedding
+    * against a fixed integer probe vector, ranked per label. Both
+    * engines fold the dot product in index order (the expression's
+    * while-loop == DuckDB list_dot_product), so ranking with the vec_id
+    * tiebreak is engine-exact; the probe literal is generated once and
+    * embedded in BOTH sides so they cannot drift. */
+  private val probeVals: Seq[Int] = (0 until 64).map(j => (j * 37 + 11) % 19 - 9)
+
+  def e3NativeDot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = array(probeVals.map(v => lit(v.toDouble)): _*)
+    val w = Window.partitionBy("label").orderBy(col("score").desc, col("vec_id"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        graft.plans.GraftExpressions.cosine(col("embedding"), probe).as("score"))
+      .withColumn("probe_rank", row_number().over(w).cast("long"))
+      .select("vec_id", "label", "probe_rank")
+  }
+
+  val e3Sql: String = {
+    val probeList = probeVals.map(v => s"$v.0").mkString("[", ", ", "]") + "::DOUBLE[]"
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (SELECT vec_id, label,
+       |        list_dot_product(e, $probeList)
+       |          / (sqrt(list_dot_product(e, e))
+       |             * sqrt(list_dot_product($probeList, $probeList))) AS score
+       |      FROM v)
+       |SELECT vec_id, label,
+       |  CAST(row_number() OVER (PARTITION BY label
+       |       ORDER BY score DESC, vec_id) AS BIGINT) AS probe_rank
+       |FROM s""".stripMargin
+  }
+
   /** E2 LSH-bucketed ANN (random hyperplanes, 4 tables): the 100 TB
     * scale path. Hash-dependent ⇒ rows-only; ScalaTest checks recall
     * against brute force.
@@ -199,6 +233,7 @@ object TextQueries {
     "t4_fingerprint"   -> (t4Fingerprint _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
+    "e3_native_dot"    -> (e3NativeDot _),
     "x1_multimodal"    -> (x1Multimodal _)
   )
 
@@ -210,6 +245,7 @@ object TextQueries {
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,
     "t4_fingerprint"   -> t4Sql,
-    "e1_cosine_knn"    -> e1Sql
+    "e1_cosine_knn"    -> e1Sql,
+    "e3_native_dot"    -> e3Sql
   )
 }

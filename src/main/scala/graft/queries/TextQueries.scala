@@ -220,6 +220,31 @@ object TextQueries {
       .toDF().select("id", "mediaType", "nBytes", "meanIntensity", "stdIntensity")
   }
 
+  /** X2: the multimodal frame-sampling stage with an EXACT structural
+    * oracle — stride-10 sampling of an n-byte payload emits exactly
+    * ceil(n/10) frames, and the payload byte length is octet_length in
+    * both engines. (The decoded intensities stay rows-only in x1: the
+    * fake codec's values are byte-stream-derived and DuckDB cannot
+    * iterate blob bytes.) */
+  def x2MediaFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("id"),
+      struct(lit("video").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
+        lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
+        lit("fake").as("codec")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload")).as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(Multimodal.repartitionBySize(media, 8), stride = 10)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).cast("long").as("last_idx"))
+  }
+
+  val x2Sql: String =
+    """SELECT doc_id AS id,
+      |  (octet_length(encode(text)) + 9) // 10 AS n_frames,
+      |  (octet_length(encode(text)) + 9) // 10 - 1 AS last_idx
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,7 +259,8 @@ object TextQueries {
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
-    "x1_multimodal"    -> (x1Multimodal _)
+    "x1_multimodal"    -> (x1Multimodal _),
+    "x2_media_frames"  -> (x2MediaFrames _)
   )
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only. */
@@ -246,6 +272,7 @@ object TextQueries {
     "t3_tokens"        -> t3Sql,
     "t4_fingerprint"   -> t4Sql,
     "e1_cosine_knn"    -> e1Sql,
-    "e3_native_dot"    -> e3Sql
+    "e3_native_dot"    -> e3Sql,
+    "x2_media_frames"  -> x2Sql
   )
 }

@@ -258,6 +258,29 @@ class DomainOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("event_fpr") == 0.5)
   }
 
+  // ------------------------------------------------------------ skew
+
+  test("saltedJoin matches the plain equi-join on hot-key data") {
+    import graft.operators.Skew
+    // one pathologically hot key (90% of rows) + a long tail
+    val fact = ((1 to 900).map(i => (7L, s"r$i")) ++
+      (1 to 100).map(i => (i.toLong % 50, s"t$i")))
+      .toDF("k", "payload")
+    val build = (0L to 60L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = fact.join(build, Seq("k"))
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedJoin(fact, build, "k", salt = 8)
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+    // the hot key's rows really do spread across salt buckets
+    val buckets = fact.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(8L)))
+      .filter(col("k") === 7L).select("__salt").distinct().count()
+    assert(buckets > 4, s"hot key landed in only $buckets salt buckets")
+  }
+
   // ------------------------------------------------------------ streaming
 
   test("StreamAggs: watermarked tumbling/session plans are streaming-valid") {

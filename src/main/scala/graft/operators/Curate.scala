@@ -51,7 +51,11 @@ object Curate {
     val perEvent = df.groupBy(col(eventCol))
       .agg(max(col(predCol)).as("max_predicted"),
         max(col(labelCol)).as("true_label"))
-    val predicted = (col("max_predicted") >= probThresh).cast("int")
+    // an event whose predictions are all null (e.g. unscored after a left
+    // join) counts as predicted-NEGATIVE, matching the reference's pandas
+    // (NaN >= 0.5) == False — a bare cast would leave it out of every
+    // confusion cell and break tp+fp+tn+fn == n_events
+    val predicted = when(col("max_predicted") >= probThresh, 1).otherwise(0)
     perEvent.agg(
       sum(when(predicted === 1 && col("true_label") === 1, 1L).otherwise(0L)).as("event_tp"),
       sum(when(predicted === 1 && col("true_label") === 0, 1L).otherwise(0L)).as("event_fp"),

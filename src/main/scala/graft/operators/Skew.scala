@@ -34,6 +34,8 @@ object Skew {
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
                  salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(!fact.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename the input column")
     val factCols = fact.columns
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(factCols.map(col): _*), lit(salt.toLong)))

@@ -23,10 +23,14 @@ object GraftExpressions {
     arrayDot(a, b) / (sqrt(arrayDot(a, a)) * sqrt(arrayDot(b, b)))
   }
 
-  private val arrayDotEntry = (
+  private[plans] val arrayDotEntry = (
     FunctionIdentifier("array_dot"),
     new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-    (children: Seq[Expression]) => ArrayDot(children(0), children(1)): Expression)
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"array_dot expects 2 arguments, got ${children.length}")
+      ArrayDot(children(0), children(1)): Expression
+    })
 
   /** Runtime registration: makes `array_dot(a, b)` available to
     * `spark.sql` / `expr` in an existing session. */
@@ -40,8 +44,5 @@ object GraftExpressions {
   * gets the native functions without per-session registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    ext.injectFunction(GraftExpressions.arrayDotEntry)
 }

@@ -192,7 +192,9 @@ object DomainQueries {
 
   /** F9 (accel-presence filter). */
   def f9AccelPresence(s: SparkSession, d: String): DataFrame =
-    OsdbFixture.dps(s, d)
+    // presence stubs: the predicate only inspects size(rawData) > 0, so
+    // generating full 125-sample arrays would be pure waste
+    OsdbFixture.dps(s, d, arrays = false)
       .filter(size(col("rawData")) > 0)
       .groupBy("type_str")
       .agg(count(lit(1)).as("n"))

@@ -228,7 +228,11 @@ object TextQueries {
     * iterate blob bytes.) */
   def x2MediaFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d).select(
+    // empty/null payloads emit zero frames and therefore no group row —
+    // filter them on BOTH sides so the oracle can't produce phantom rows
+    val media = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(
       col("doc_id").as("id"),
       struct(lit("video").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
         lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
@@ -243,7 +247,8 @@ object TextQueries {
     """SELECT doc_id AS id,
       |  (octet_length(encode(text)) + 9) // 10 AS n_frames,
       |  (octet_length(encode(text)) + 9) // 10 - 1 AS last_idx
-      |FROM documents""".stripMargin
+      |FROM documents
+      |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0""".stripMargin
 
   // ------------------------------------------------------------ registry
 

@@ -59,12 +59,16 @@ object FlatCsv {
       Seq(col(f"X$i%03d"), col(f"Y$i%03d"), col(f"Z$i%03d"))): _*)
     val w = Window.partitionBy("eventId").orderBy("tsSec")
     raw
-      .withColumn("rawData", mArr)
+      // absent accel/3D data round-trips as an EMPTY array, not 125/375
+      // nulls; the writer emits cells all-or-none per row, so one probe
+      // column decides (an isNull reduce over every cell would nest the
+      // plan thousands deep and blow the analyzer stack). Without the
+      // M000 probe, an hr-only datapoint would decode null elements into
+      // FlatDp's primitive Array[Double] and crash the Dataset encoder.
+      .withColumn("rawData",
+        when(col("M000").isNull, array().cast("array<double>"))
+          .otherwise(mArr))
       .withColumn("rawData3D",
-        // absent 3D data round-trips as an empty array, not 375 nulls;
-        // the writer emits 3D cells all-or-none per row, so one probe
-        // column decides (a 375-way isNull reduce would nest the plan
-        // thousands deep and blow the analyzer stack)
         when(col("X000").isNull, array().cast("array<double>"))
           .otherwise(xyzArr))
       .withColumn("synthetic", lit(false))

@@ -115,7 +115,7 @@ object SimulatedEvents {
   def apply(spark: SparkSession, specs: Seq[EventSpec] = defaultSpecs): Dataset[FlatDp] = {
     import spark.implicits._
     spark.createDataset(specs)
-      .repartition(math.min(specs.length, 64))
+      .repartition(math.max(1, math.min(specs.length, 64)))
       .flatMap(generate _)
   }
 }

@@ -35,6 +35,15 @@ object NnBuffer {
 
     def reset(): Unit = { buf = new Array[Double](0) }
 
+    /** Buffer contents for streaming state snapshots (mG domain). */
+    def contents: Seq[Double] = buf.toSeq
+
+    /** Restore from a snapshot taken with [[contents]]. */
+    def restore(samples: Seq[Double]): Unit = {
+      buf = new Array[Double](0)
+      if (samples.nonEmpty) append(samples.toArray)
+    }
+
     def append(accData: Array[Double]): Unit = {
       val merged = new Array[Double](math.min(buf.length + accData.length, bufferSamples))
       val keepOld = merged.length - math.min(accData.length, merged.length)
@@ -135,10 +144,16 @@ final class NnAlg(s: NnSettings = NnSettings(),
 
   def reset(): Unit = { fsm.reset(); buf.reset(); lastP = 0.0 }
 
-  def snapshot: (Int, Double, Seq[Double]) = (fsm.alarmState, fsm.alarmCount, Seq.empty)
+  /** The hist slot carries the rolling buffer — without it a streaming
+    * state round-trip (Replay.replayStream micro-batch boundary) would
+    * restart the 750-sample window empty and the detector would go
+    * blind for the next ~5 datapoints. */
+  def snapshot: (Int, Double, Seq[Double]) =
+    (fsm.alarmState, fsm.alarmCount, buf.contents)
 
   def restore(alarmState: Int, alarmCount: Double, hist: Seq[Double]): Unit = {
     fsm.alarmState = alarmState; fsm.alarmCount = alarmCount
+    buf.restore(hist)
   }
 }
 

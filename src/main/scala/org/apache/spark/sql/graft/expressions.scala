@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * The index-order accumulation matches `Similarity.dotUdf` and DuckDB's
   * `list_dot_product` bit-for-bit, so it is drop-in for oracle-checked
   * queries.
+  *
+  * Permissive-SQL semantics, by design: ragged arrays fold over the
+  * common prefix (same as `dotUdf`'s min-length loop), and null ELEMENTS
+  * read as 0.0 through ArrayData (a null top-level array still returns
+  * null). Embedding pipelines should validate dimensions upstream —
+  * this kernel will not reject a wrong-dim vector for them.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

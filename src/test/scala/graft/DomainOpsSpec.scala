@@ -192,11 +192,12 @@ class DomainOpsSpec extends SparkSpec {
         Array.tabulate(375)(j => (j * 3 % 17).toDouble), typ = 1),
       flat("e1", 1, Array.tabulate(125)(i => (i * 7 % 31).toDouble),
         Array.tabulate(375)(j => (j % 13).toDouble), typ = 1),
-      flat("e2", 0, Array.fill(125)(42.5))) // no 3D data
+      flat("e2", 0, Array.fill(125)(42.5)),   // no 3D data
+      flat("e3", 0, Array.emptyDoubleArray))  // hr-only: no accel at all
     val dir = java.nio.file.Files.createTempDirectory("flatcsv").toString
     FlatCsv.write(spark.createDataset(dps).toDF(), dir)
     val back = FlatCsv.read(spark, dir).collect().sortBy(d => (d.eventId, d.seq))
-    assert(back.length == 3)
+    assert(back.length == 4)
     back.zip(dps.sortBy(d => (d.eventId, d.seq))).foreach { case (b, o) =>
       assert(b.eventId == o.eventId && b.userId == o.userId)
       assert(b.typeStr == o.typeStr && b.`type` == o.`type`)
@@ -245,17 +246,20 @@ class DomainOpsSpec extends SparkSpec {
 
   test("A4: event-level metrics aggregate max-prediction per event at 0.5") {
     val df = Seq(
-      ("e1", 0.9, 1), ("e1", 0.1, 1),  // tp (max 0.9)
-      ("e2", 0.4, 1), ("e2", 0.2, 1),  // fn
-      ("e3", 0.6, 0),                   // fp
-      ("e4", 0.3, 0), ("e4", 0.49, 0)) // tn
+      ("e1", Some(0.9), 1), ("e1", Some(0.1), 1),  // tp (max 0.9)
+      ("e2", Some(0.4), 1), ("e2", Some(0.2), 1),  // fn
+      ("e3", Some(0.6), 0),                         // fp
+      ("e4", Some(0.3), 0), ("e4", Some(0.49), 0), // tn
+      ("e5", None: Option[Double], 0))             // unscored → negative (tn)
       .toDF("eventId", "pred", "label")
     val m = Curate.eventLevelMetrics(df, "eventId", "pred", "label").collect().head
     assert(m.getAs[Long]("event_tp") == 1 && m.getAs[Long]("event_fn") == 1)
-    assert(m.getAs[Long]("event_fp") == 1 && m.getAs[Long]("event_tn") == 1)
-    assert(m.getAs[Long]("n_events") == 4)
+    // all-null predictions count as predicted-negative (pandas NaN >= 0.5
+    // is False), so the confusion cells still sum to n_events
+    assert(m.getAs[Long]("event_fp") == 1 && m.getAs[Long]("event_tn") == 2)
+    assert(m.getAs[Long]("n_events") == 5)
     assert(m.getAs[Double]("event_tpr") == 0.5)
-    assert(m.getAs[Double]("event_fpr") == 0.5)
+    assert(m.getAs[Double]("event_fpr") == 1.0 / 3)
   }
 
   // ------------------------------------------------------------ skew
@@ -408,6 +412,31 @@ class DomainOpsSpec extends SparkSpec {
       a < 80 && b == a + 1 && a % 2 == 0
     }
     assert(hits >= 32, s"planted-pair recall $hits/40 below floor")
+  }
+
+  test("W8: NnAlg snapshot/restore round-trips the rolling buffer mid-fill") {
+    import graft.streaming.{NnAlg, NnSettings, ReplayDp}
+    def dp(d: Int) = ReplayDp("e", 1700000000L + 5 * d, 70.0, 0L,
+      Array.fill(125)(d * 100.0), Array.emptyDoubleArray, d.toLong)
+    // score = the window's LAST sample in G: emits 0.5 (>= probThresh)
+    // once the buffer is full at dp 5 — only if the buffer survived
+    val score = (vec: Array[Double]) => vec.last
+    val whole = new NnAlg(NnSettings(), score)
+    val wholeOut = (0 until 6).map(d => whole.processDp(dp(d)))
+    // interrupted at dp 3: snapshot, restore into a FRESH instance
+    val a = new NnAlg(NnSettings(), score)
+    (0 until 3).foreach(d => a.processDp(dp(d)))
+    val (st, cnt, hist) = a.snapshot
+    assert(hist.length == 3 * 125, "snapshot must carry the buffer")
+    val b = new NnAlg(NnSettings(), score)
+    b.restore(st, cnt, hist)
+    val resumed = (3 until 6).map(d => b.processDp(dp(d)))
+    // the resumed run emits at dp 5 with the same window (a lost buffer
+    // would leave specRatio at 0.0 and the FSM untouched)
+    assert(resumed.last.specRatio == 0.5 &&
+      wholeOut.last.specRatio == 0.5)
+    assert(resumed.last.alarmState == wholeOut.last.alarmState)
+    assert(resumed.last.alarmCount == wholeOut.last.alarmCount)
   }
 
   // ------------------------------------------------------------ NnAlg FSM

@@ -46,6 +46,19 @@ object FlatCsv {
     Flatten.flattenedWide(dps)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** The reference's loadCsvFile returns EVENTS, not rows
+    * (testRunner/io_utils.py:231-308 rebuilds event objects with nested
+    * datapoint lists) — reconstruct the nested shape from the flat read:
+    * one row per event, datapoints sorted by (tsSec, seq). One shuffle
+    * on eventId; at scale this is the standard explode-inverse. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .groupBy(col("eventId").as("id"), col("userId"), col("typeStr").as("type"),
+        col("type").as("typeId"))
+      .agg(expr("array_sort(collect_list(struct(tsSec, seq, " +
+        "osdAlarmState, osdSpecPower, osdRoiPower, hr, o2sat, rawData, " +
+        "rawData3D)))").as("datapoints"))
+
   /** Read the wide CSV back into [[FlatDp]] rows. `seq` is re-derived as
     * the within-event time order (the CSV does not carry a source index;
     * rows for an event are contiguous and time-ordered per

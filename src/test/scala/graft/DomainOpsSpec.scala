@@ -206,6 +206,11 @@ class DomainOpsSpec extends SparkSpec {
       assert(b.rawData3D.toSeq == o.rawData3D.toSeq)
       assert(b.seq == o.seq)
     }
+    // the reference's loader shape: CSV → nested events (io_utils:231-308)
+    val events = FlatCsv.readEvents(spark, dir).collect()
+      .map(r => r.getAs[String]("id") ->
+        r.getAs[Seq[org.apache.spark.sql.Row]]("datapoints").size).toMap
+    assert(events == Map("e1" -> 2, "e2" -> 1, "e3" -> 1))
   }
 
   // ------------------------------------------------------------ W4

@@ -123,10 +123,11 @@ object OsdbDemo {
     println(s"[demo] lake upsert: ${lake.count()} events, " +
       lake.filter(col("desc").contains("curated")).count() + " corrected")
 
-    // W4: keep-max curation dedup over the event set
+    // W4: keep-max curation dedup — the two seizure events are 60 s
+    // apart, inside the 120 s chain window, so they merge to one
     val evts = sel.withColumn("wts", TimeParse.dateStr2secs(col("dataTime")))
       .withColumn("ndp", size(col("datapoints")))
-    val kept = Curate.keepMaxDedup(evts, Seq("userId", "type"), "wts", "ndp",
+    val kept = Curate.keepMaxDedup(evts, Seq("type"), "wts", "ndp",
       "id", maxSeconds = 120L)
     println(s"[demo] curation dedup: ${evts.count()} -> ${kept.count()} events")
     spark.stop()

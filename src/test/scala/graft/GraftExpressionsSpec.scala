@@ -79,6 +79,26 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("GraftFunctions.registerAll exposes the signal library to SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sine = Array.tabulate(125)(i =>
+      100.0 * math.sin(2 * math.Pi * 5 * i / 25.0))
+    val lit125 = sine.mkString("array(", "d,", "d)")
+    val r = spark.sql(
+      s"""SELECT osd_spec_power($lit125) AS sp, osd_roi_power($lit125) AS rp,
+         |  osd_mean_line_length($lit125) AS mll,
+         |  osd_std_pct(array(1000.0d, 1000.0d, 1000.0d)) AS pct,
+         |  size(osd_magnitude3d(array(3.0d, 4.0d, 0.0d), 'V2')) AS nmag,
+         |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
+         |""".stripMargin).collect().head
+    assert(math.abs(r.getAs[Double]("sp") - graft.functions.Signal.specPower(sine)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rp") - graft.functions.Signal.roiPower(sine)) < 1e-9)
+    assert(r.getAs[Double]("mll") > 0)
+    assert(r.getAs[Double]("pct") == 0.0) // constant signal
+    assert(r.getAs[Int]("nmag") == 1)
+    assert(r.getAs[Double]("dot") == 11.0)
+  }
+
   test("Similarity.cosine (native path) agrees with plain-scala cosine") {
     val a = Array(1.0, 2.0, 3.0); val b = Array(-1.0, 0.5, 2.0)
     val expected = {

@@ -21,9 +21,12 @@ object Augment {
     concat(col(idCol), lit("-"), col(copyCol).cast("string"))
 
   /** M3: event-level random oversampling — replicate each matching event
-    * `factor` times with synthetic ids (copy 0 keeps the original id). */
+    * `factor` times with synthetic ids (copy 0 keeps the original id).
+    * factor <= 1 means "no extra copies" and must short-circuit:
+    * sequence(1, 0) would DESCEND ([1, 0]) and silently add two. */
   def oversample(events: DataFrame, idCol: String, factor: Int,
                  predicate: org.apache.spark.sql.Column): DataFrame = {
+    if (factor <= 1) return events
     val matched = events.filter(predicate)
       .withColumn("__copy", explode(expr(s"sequence(1, ${factor - 1})")))
       .withColumn(idCol, synthId(idCol, "__copy"))

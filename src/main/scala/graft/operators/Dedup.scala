@@ -17,7 +17,10 @@ object Dedup {
     val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
     docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1)
+      // give callers back their own schema: both helper columns go
+      // (fingerprint-wanting callers use exactDupGroups)
+      .drop("__rn", "fingerprint")
   }
 
   /** Exact-dup groups: fingerprint -> canonical id + duplicate count. */

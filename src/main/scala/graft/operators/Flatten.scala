@@ -92,7 +92,6 @@ object Flatten {
                 synthSeq -= 1
                 i += 1
               }
-              lastEndMs += dpMs * nGap
               out += dp
               lastEndMs = endMs
             } else if (gapMs < -tolMs) {

@@ -93,7 +93,10 @@ object Similarity {
         var c = 0
         while (c < corpus.length) {
           val (nid, nv, nn) = corpus(c)
-          if (!(selfMode && nid == id)) {
+          // zero-norm vectors (query or corpus) would score NaN, and a
+          // NaN inserted while filling can never be evicted (x > NaN is
+          // always false) — skip them instead of poisoning the top-k
+          if (!(selfMode && nid == id) && nn > 0.0 && qn > 0.0) {
             var d = 0.0; var j = 0
             val m = math.min(v.length, nv.length)
             while (j < m) { d += v(j) * nv(j); j += 1 }
@@ -148,10 +151,11 @@ object Similarity {
     sigUdf(vecCol)
   }
 
-  /** (id, v, nrm) projection: norm computed once per vector. */
+  /** (id, v, nrm) projection: norm computed once per vector, through the
+    * native codegen dot (Column pipelines never pay the UDF boundary). */
   private def normed(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
     vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v"))))
 
   /** Per-table hyperplane signatures as SLIM (id, t, sig) rows — one per
     * (vector, table), no vector payload. Shared by [[lshKnn]] and
@@ -185,7 +189,8 @@ object Similarity {
       .join(base.select(col("id").as("left"), col("v").as("va"), col("nrm").as("na")), "left")
       .join(base.select(col("id").as("right"), col("v").as("vb"), col("nrm").as("nb")), "right")
       .select(col("left").as(leftOut), col("right").as(rightOut),
-        (dotUdf(col("va"), col("vb")) / (col("na") * col("nb"))).as(scoreOut))
+        (graft.plans.GraftExpressions.arrayDot(col("va"), col("vb"))
+          / (col("na") * col("nb"))).as(scoreOut))
 
   /** LSH-bucketed ANN: signature buckets -> within-bucket brute force ->
     * per-query top-k. `tables` independent signatures raise recall (a

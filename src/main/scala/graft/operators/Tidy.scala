@@ -36,7 +36,10 @@ object Tidy {
          |      from_json(dp.dataJSON, '$dpPayloadSchema').HR,
          |      from_json(from_json(dp.dataJSON, '$dpPayloadSchema').dataJSON,
          |                '$dpPayloadSchema').HR),
-         |  'o2Sat', dp.o2Sat,
+         |  'o2Sat', coalesce(dp.o2Sat,
+         |      from_json(dp.dataJSON, '$dpPayloadSchema').o2Sat,
+         |      from_json(from_json(dp.dataJSON, '$dpPayloadSchema').dataJSON,
+         |                '$dpPayloadSchema').o2Sat),
          |  'alarmState', coalesce(dp.alarmState,
          |      from_json(dp.dataJSON, '$dpPayloadSchema').alarmState),
          |  'specPower', coalesce(dp.specPower,

@@ -70,7 +70,12 @@ object FlatCsv {
     val mArr = array((0 until n).map(i => col(f"M$i%03d")): _*)
     val xyzArr = array((0 until n).flatMap(i =>
       Seq(col(f"X$i%03d"), col(f"Y$i%03d"), col(f"Z$i%03d"))): _*)
-    val w = Window.partitionBy("eventId").orderBy("tsSec")
+    // tsSec alone can tie (the exact case seq exists to break for the
+    // FSM), and row_number over a tied order is nondeterministic across
+    // runs — a whole-row hash makes the derived order stable; true
+    // duplicate rows still tie, harmlessly (identical dps commute)
+    val w = Window.partitionBy("eventId")
+      .orderBy(col("tsSec"), xxhash64(schema.fieldNames.map(col): _*))
     raw
       // absent accel/3D data round-trips as an EMPTY array, not 125/375
       // nulls; the writer emits cells all-or-none per row, so one probe

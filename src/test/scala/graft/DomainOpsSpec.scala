@@ -339,6 +339,62 @@ class DomainOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------ M7 / S6
 
+  test("M3: oversample with factor <= 1 is a no-op (no descending-sequence copies)") {
+    import graft.operators.Augment
+    val df = Seq(("1", 1), ("2", 0)).toDF("eventId", "type")
+    val out1 = Augment.oversample(df, "eventId", factor = 1, col("type") === 1)
+    assert(out1.count() == 2)
+    // tcAugFac = 0 means "unchanged" per the reference contract
+    val df2 = Seq(("1", 1, "Tonic-Clonic")).toDF("eventId", "type", "subType")
+    assert(Augment.tonicClonicAugment(df2, "eventId", tcAugFac = 0).count() == 1)
+  }
+
+  test("E1: zero-norm vectors never poison the brute-force top-k with NaN") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.8, 0.3)),
+      (99L, Seq(0.0, 0.0))) // zero vector
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(df, "vec_id", "embedding", k = 2)
+      .collect()
+    // no NaN scores anywhere, and the zero vector is never a neighbor
+    assert(out.forall(r => !r.getAs[Double]("score").isNaN))
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 99L))
+    // the zero vector emits no rows as a query either (undefined cosine)
+    assert(!out.exists(_.getAs[Long]("vec_id") == 99L))
+  }
+
+  test("SQL signal UDFs return null for null arrays (hr-only datapoints)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT osd_spec_power(CAST(NULL AS ARRAY<DOUBLE>)) AS sp,
+        |       osd_znormalize(CAST(NULL AS ARRAY<DOUBLE>)) AS zn,
+        |       osd_magnitude3d(CAST(NULL AS ARRAY<DOUBLE>), 'V2') AS mg
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("C9: o2Sat falls back to the legacy dataJSON payload like hr does") {
+    import graft.operators.Tidy
+    val dj = """{"o2Sat": 97.0, "HR": 72.0}"""
+    val df = spark.sql(
+      s"""SELECT array(named_struct(
+         |  'eventId', '1', 'dataTime', CAST(NULL AS STRING),
+         |  'hr', CAST(NULL AS DOUBLE), 'o2Sat', CAST(NULL AS DOUBLE),
+         |  'alarmState', CAST(NULL AS BIGINT),
+         |  'specPower', CAST(NULL AS DOUBLE), 'roiPower', CAST(NULL AS DOUBLE),
+         |  'roiRatio', CAST(NULL AS DOUBLE),
+         |  'simpleSpec', CAST(NULL AS ARRAY<DOUBLE>),
+         |  'rawData', CAST(NULL AS ARRAY<DOUBLE>),
+         |  'rawData3D', CAST(NULL AS ARRAY<DOUBLE>),
+         |  'dataJSON', '$dj')) AS datapoints
+         |""".stripMargin)
+    val dp = Tidy.tidyDatapoints(df)
+      .selectExpr("datapoints[0].o2Sat AS o2", "datapoints[0].hr AS hr")
+      .collect().head
+    assert(dp.getDouble(0) == 97.0 && dp.getDouble(1) == 72.0)
+  }
+
   test("M7: tonic-clonic events duplicate; other seizures and non-seizures don't") {
     import graft.operators.Augment
     val df = Seq(

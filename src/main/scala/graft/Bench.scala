@@ -15,9 +15,12 @@ object Bench {
     // Absorb session/codegen warmup outside the timed loop so per-query
     // numbers reflect steady state, not first-job init.
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
-    // Two reps, report the min: single-JVM local runs occasionally eat a
-    // multi-second host hiccup (GC/IO stall) that would otherwise land on
-    // one arbitrary query and dominate its number.
+    // Three reps, report the min: single-JVM local runs eat multi-second
+    // host hiccups (GC/IO/fork stalls) that land on one arbitrary query
+    // per pass — min-of-2 let one stalled pass leak through whenever both
+    // reps ran inside the same stall window (r4: j6/f8/j4 doubled with
+    // zero code change). Min-of-3 needs the same query stalled in three
+    // separate passes to lie.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -27,13 +30,48 @@ object Bench {
       // min over SUCCESSFUL reps only: -1 marks failure and must neither
       // win the min (one bad rep hiding a working query) nor subtract
       // from the total (failures making the benchmark look faster)
-      val good = Seq(timeOne(fn), timeOne(fn)).filter(_ >= 0)
+      val good = Seq(timeOne(fn), timeOne(fn), timeOne(fn)).filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
+    // Delta report vs the previous round's BENCH_r*.json (stderr, so the
+    // contract's single stdout JSON line stays alone): regressions are
+    // visible at generation time instead of surfacing in the verdict.
+    reportDeltas(results)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Compare against the newest BENCH_r*.json in cwd (the driver wraps
+    * the bench stdout in a "tail" string, so parse name:number pairs
+    * with a regex rather than a JSON reader). Best-effort: any failure
+    * just skips the report. */
+  private def reportDeltas(results: Seq[(String, Double)]): Unit = try {
+    val prior = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      .lastOption
+    prior.foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val pair = """\\?"(\w+)\\?":([0-9]+\.[0-9]+)""".r
+      val old = pair.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val lines = results.flatMap { case (name, v) =>
+        old.get(name).map { o =>
+          val ratio = if (o > 0) v / o else Double.NaN
+          (name, v, o, ratio)
+        }
+      }
+      System.err.println(f"--- bench deltas vs ${f.getName} (this/prev) ---")
+      lines.sortBy(-_._4).foreach { case (name, v, o, r) =>
+        val flag = if (r >= 1.5 && v - o > 0.3) "  <-- REGRESSION?"
+                   else if (r <= 0.67 && o - v > 0.3) "  (improved)" else ""
+        System.err.println(f"$name%-22s $v%8.3f s  prev $o%8.3f s  x$r%5.2f$flag")
+      }
+      val newcomers = results.collect { case (n, v) if !old.contains(n) => f"$n ($v%.2f s)" }
+      if (newcomers.nonEmpty)
+        System.err.println(s"new queries: ${newcomers.mkString(", ")}")
+    }
+  } catch { case _: Throwable => () }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Exact._
-import graft.queries.{DomainQueries, RelationalQueries, TextQueries}
+import graft.queries.{DomainQueries, RelationalQueries, StreamQueries, TextQueries}
 
 /** The operator-inventory demonstration queries (SURVEY.md §2) over the
   * driver testdata, each with a DuckDB oracle. Registry merges the
@@ -37,12 +37,14 @@ object Queries {
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ TextQueries.all ++ DomainQueries.all ++ Map(
+    RelationalQueries.all ++ TextQueries.all ++ DomainQueries.all ++
+      StreamQueries.all ++ Map(
       "q1_agg" -> ((s, d) => q1Agg(s, d))
     )
 
   val oracles: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles ++ DomainQueries.oracles ++ Map(
+    RelationalQueries.oracles ++ TextQueries.oracles ++ DomainQueries.oracles ++
+      StreamQueries.oracles ++ Map(
       "q1_agg" -> q1AggSql
     )
 }

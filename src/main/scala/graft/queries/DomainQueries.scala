@@ -629,22 +629,146 @@ object DomainQueries {
       |  ('S003', 'seizure', CAST(12 AS BIGINT), CAST(125 AS BIGINT), CAST(375 AS BIGINT)))
       |t(event_id, type_str, n_dp, raw_len, len3d)""".stripMargin
 
-  // ------------------------------------------------- rows-only demonstrations
+  /** M7 (tonic-clonic augmentation through the real
+    * [[Augment.tonicClonicAugment]]): fixture events match iff
+    * type == 1 (k%3==0) and subType == 'tonicClonic' (k%5<2); with
+    * tcAugFac=2 each match triples. Exact per-base-id cardinality,
+    * m4/m6-style. */
+  def m7TcAug(s: SparkSession, d: String): DataFrame =
+    Augment.tonicClonicAugment(
+        OsdbFixture.ev(s, d).select(col("e").cast("string").as("id"),
+          col("label").as("type"), col("sub_type").as("subType")),
+        "id", tcAugFac = 2)
+      .select(substring_index(col("id"), "-", 1).as("base_id"))
+      .groupBy("base_id")
+      .agg(count(lit(1)).as("n"))
 
-  /** P4/P5 (band powers per datapoint) — DFT output, no SQL oracle;
-    * values are golden-tested (SignalSpec + simulated events). */
+  val m7Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS base_id,
+      |  CAST(CASE WHEN k % 3 = 0 AND k % 5 < 2 THEN 3 ELSE 1 END AS BIGINT) AS n
+      |FROM ev""".stripMargin
+
+  // --------------------------------------------------------------- S: sinks
+
+  /** S3/S10 (flattened wide-CSV interchange, write -> read round-trip
+    * through the real [[graft.sources.FlatCsv]]): per-event integer
+    * invariants (dp count, magnitude sum, hr sum, ts sum) must survive
+    * the 510-column projection and the array reassembly; the oracle
+    * derives them from the fixture directly, so a lossy cell, a dropped
+    * row, or a mis-stitched array all break the hash. */
+  def s3FlatCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = "/root/repo/target/qtmp/s3_flatcsv"
+    graft.sources.FlatCsv.write(
+      OsdbFixture.flatDps(s, d, col("e") % 40 === 0).toDF(), dir)
+    graft.sources.FlatCsv.read(s, dir).toDF()
+      .groupBy(col("eventId").as("event_id"))
+      .agg(count(lit(1)).as("n_dp"),
+        sum(sumLongUdf(col("rawData"))).as("mag_sum"),
+        sum(col("hr").cast("long")).as("hr_sum"),
+        sum(col("tsSec")).as("ts_sum"))
+  }
+
+  val s3Sql: String = sqlBase +
+    """SELECT CAST(a.e AS VARCHAR) AS event_id, a.n_dp,
+      |  COALESCE(mg.mag_sum, 0) AS mag_sum, a.hr_sum, a.ts_sum
+      |FROM (SELECT e, COUNT(*) AS n_dp, CAST(SUM(hr) AS BIGINT) AS hr_sum,
+      |        CAST(SUM(ts) AS BIGINT) AS ts_sum
+      |      FROM dpx WHERE e % 40 = 0 GROUP BY e) a
+      |LEFT JOIN (SELECT e, CAST(SUM(m) AS BIGINT) AS mag_sum
+      |           FROM sampm WHERE e % 40 = 0 GROUP BY e) mg
+      |  ON a.e = mg.e""".stripMargin
+
+  /** S6 (lake upsert through the real [[graft.sources.OsdbJson
+    * .upsertEvents]]): k%3==0 keys are replaced with bumped values,
+    * k%5==0 adds fresh keys — the INSERT OR REPLACE contract as one
+    * ranking-union query vs the oracle's direct restatement. */
+  def s6Upsert(s: SparkSession, d: String): DataFrame = {
+    val ev = OsdbFixture.ev(s, d)
+    val existing = ev.select(col("e").cast("string").as("id"),
+      col("n_dp").as("v"), col("type_str"))
+    val updates = ev.filter(col("k") % 3 === 0)
+      .select(col("e").cast("string").as("id"),
+        (col("n_dp") + 100).as("v"), col("type_str"))
+      .unionByName(ev.filter(col("k") % 5 === 0)
+        .select(concat(lit("n"), col("e").cast("string")).as("id"),
+          col("n_dp").as("v"), col("type_str")))
+    graft.sources.OsdbJson.upsertEvents(existing, updates, "id")
+  }
+
+  val s6Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS id,
+      |  CAST(CASE WHEN k % 3 = 0 THEN n_dp + 100 ELSE n_dp END AS BIGINT) AS v,
+      |  type_str
+      |FROM ev
+      |UNION ALL
+      |SELECT 'n' || CAST(e AS VARCHAR) AS id, CAST(n_dp AS BIGINT) AS v, type_str
+      |FROM ev WHERE k % 5 = 0""".stripMargin
+
+  // --------------------------------------------------- P: spectral (oracled)
+
+  /** P4/P5 (getSpecPower / getRoiPower over planted pure-tone
+    * datapoints): the real [[Signal.specPower]]/[[Signal.roiPower]] DFT
+    * path, hash-matched against the closed-form integer band powers of
+    * the [[OsdbFixture.toneDps]] tones (see the derivation there —
+    * integer-bin tones make both powers exact integers; round() bridges
+    * the ~1e-9 DFT float error). */
   def p4BandPower(s: SparkSession, d: String): DataFrame =
-    OsdbFixture.dps(s, d, where = col("has_raw") && col("e") % 80 === 0)
+    OsdbFixture.toneDps(s, d)
       .select(col("e"), col("d"),
-        specPowerUdf(col("rawData")).as("spec_power"),
-        roiPowerUdf(col("rawData")).as("roi_power"))
+        round(specPowerUdf(col("rawData"))).cast("long").as("spec_power"),
+        round(roiPowerUdf(col("rawData"))).cast("long").as("roi_power"))
 
-  /** P12 (epoch feature vectors over simulated events) — rows-only. */
+  val p4Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST((a1*a1 + a2*a2) * 125 // 8 AS BIGINT) AS spec_power,
+      |  CAST(a1*a1 * 15625 // 100 AS BIGINT) AS roi_power
+      |FROM (SELECT e, d, 4*(1 + k % 3) AS a1, 4*(1 + d % 2) AS a2 FROM dpx)""".stripMargin
+
+  /** P12 (epoch feature vector through the real [[FeatureExtract]] over
+    * 3D fixture events, window=step=125 so epoch j == datapoint j):
+    * the full 144-feature vector is computed; the oracled projection is
+    * the bit-exact subset — per-axis mean (one division), rms (exact
+    * integer sum of squares, one division, one sqrt — both correctly
+    * rounded IEEE ops) and the telescoping-sign zcr quirk — plus the
+    * feature count. The Welch-PSD features (symmetric Hann window, no
+    * closed form for integer-bin tones) stay golden-tested in
+    * SignalSpec; this pins the epoch slicing, axis de-interleave and
+    * feature plumbing end to end. */
   def p12EpochFeatures(s: SparkSession, d: String): DataFrame =
-    FeatureExtract.extract(SimulatedEvents(s),
-        FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.5))
-      .select(col("eventId"), col("startSample"), col("endSample"),
-        size(map_keys(col("features"))).as("n_features"))
+    FeatureExtract.extract(
+        OsdbFixture.flatDps(s, d, col("e") % 80 === 0),
+        FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.0))
+      .toDF()
+      .select(
+        col("eventId").as("event_id"),
+        col("startSample").cast("long").as("start_s"),
+        size(map_keys(col("features"))).cast("long").as("n_features"),
+        col("features")("mean_x").as("mean_x"),
+        col("features")("mean_y").as("mean_y"),
+        col("features")("mean_z").as("mean_z"),
+        col("features")("activity_count_x").as("rms_x"),
+        col("features")("activity_count_y").as("rms_y"),
+        col("features")("activity_count_z").as("rms_z"),
+        col("features")("zcr_x").as("zcr_x"),
+        col("features")("zcr_y").as("zcr_y"),
+        col("features")("zcr_z").as("zcr_z"))
+
+  val p12Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS event_id, CAST(d*125 AS BIGINT) AS start_s,
+      |  CAST(144 AS BIGINT) AS n_features,
+      |  CAST(SUM(vx) AS DOUBLE)/125.0 AS mean_x,
+      |  CAST(SUM(vy) AS DOUBLE)/125.0 AS mean_y,
+      |  CAST(SUM(vz) AS DOUBLE)/125.0 AS mean_z,
+      |  sqrt(CAST(SUM(vx*vx) AS DOUBLE)/125.0) AS rms_x,
+      |  sqrt(CAST(SUM(vy*vy) AS DOUBLE)/125.0) AS rms_y,
+      |  sqrt(CAST(SUM(vz*vz) AS DOUBLE)/125.0) AS rms_z,
+      |  (MAX(CASE WHEN i = 124 THEN CAST(SIGN(vx) AS DOUBLE) END)
+      |   - MAX(CASE WHEN i = 0 THEN CAST(SIGN(vx) AS DOUBLE) END))/250.0 AS zcr_x,
+      |  (MAX(CASE WHEN i = 124 THEN CAST(SIGN(vy) AS DOUBLE) END)
+      |   - MAX(CASE WHEN i = 0 THEN CAST(SIGN(vy) AS DOUBLE) END))/250.0 AS zcr_y,
+      |  (MAX(CASE WHEN i = 124 THEN CAST(SIGN(vz) AS DOUBLE) END)
+      |   - MAX(CASE WHEN i = 0 THEN CAST(SIGN(vz) AS DOUBLE) END))/250.0 AS zcr_z
+      |FROM samp3 WHERE e % 80 = 0 GROUP BY e, d""".stripMargin
 
   // ---------------------------------------------------------------- registry
 
@@ -676,7 +800,10 @@ object DomainQueries {
     "m4_noise_aug"      -> (m4NoiseAug _),
     "m5_phase_aug"      -> (m5PhaseAug _),
     "m6_user_aug"       -> (m6UserAug _),
+    "m7_tc_aug"         -> (m7TcAug _),
     "s13_simulated"     -> (s13Simulated _),
+    "s3_flatcsv_roundtrip" -> (s3FlatCsvRoundtrip _),
+    "s6_upsert"         -> (s6Upsert _),
     "p4_band_power"     -> (p4BandPower _),
     "p12_epoch_features" -> (p12EpochFeatures _)
   )
@@ -709,7 +836,11 @@ object DomainQueries {
     "m4_noise_aug"      -> m4Sql,
     "m5_phase_aug"      -> m5Sql,
     "m6_user_aug"       -> m6Sql,
-    "s13_simulated"     -> s13Sql
-    // p4_band_power, p12_epoch_features: rows-only (DFT not SQL-expressible)
+    "m7_tc_aug"         -> m7Sql,
+    "s13_simulated"     -> s13Sql,
+    "s3_flatcsv_roundtrip" -> s3Sql,
+    "s6_upsert"         -> s6Sql,
+    "p4_band_power"     -> p4Sql,
+    "p12_epoch_features" -> p12Sql
   )
 }

@@ -55,6 +55,57 @@ object OsdbFixture {
   private val xyzUdf = udf((k: Long, d: Long, n3: Int) =>
     Array.tabulate(n3)(j => axisAt(k, d, j / 3, j % 3).toDouble))
 
+  // -------------------------------------------------------- pure-tone fixture
+
+  /** Pure-tone datapoint parameters (P4/P5/P12 oracle bridge): two
+    * cosines at exact integer DFT bins over n=125 samples, so the band
+    * powers have INTEGER closed forms both engines can state:
+    *
+    *   x(i) = 1000 + A1*cos(2*pi*f1*i/125) + A2*cos(2*pi*f2*i/125)
+    *   f1 = 15 + (k+d) % 24   — inside the ROI bins
+    *   f2 = 41 + (k+d) % 21   — inside the spec cutoff, outside the ROI
+    *   A1 = 4*(1 + k%3), A2 = 4*(1 + d%2)
+    *
+    * Bin geometry at (n=125, fs=25): freqRes = 0.2 Hz/bin;
+    * `(3.0/0.2).toInt` = 14 and `(8.0/0.2).toInt` = 39 (0.2 rounds UP in
+    * binary, so the quotients land just BELOW 15/40), giving ROI bins
+    * [14, 39); spec bins are 1..62. f1/f2 stay clear of every boundary
+    * bin (13,14,39,40,62,63) so the toInt edge cases cannot flip a
+    * bin in or out of a band. An integer-bin tone is orthogonal to all
+    * other bins, so with |X_f| = A*n/2 (and the conjugate bin 125-f >= 63
+    * outside both bands):
+    *
+    *   specPower = (A1^2 + A2^2) * n^2/4 / n / 2 = (A1^2+A2^2) * 125/8
+    *   roiPower  = A1^2 * n^2/4 / 25           = A1^2 * 15625/100
+    *
+    * With A = 4a both are exact integers. The DFT's float error is
+    * ~1e-9 absolute (twiddle rounding over 125 fused mul-adds), so
+    * `round(...)` to the nearest integer is a >1e8-sigma-safe bridge:
+    * the Spark side rounds the real [[graft.functions.Signal]] output,
+    * the DuckDB side emits the closed form. DC sits in bin 0, outside
+    * both bands. */
+  def toneF1(k: Long, d: Long): Int = (15 + (k + d) % 24).toInt
+  def toneF2(k: Long, d: Long): Int = (41 + (k + d) % 21).toInt
+  def toneA1(k: Long): Int = (4 * (1 + k % 3)).toInt
+  def toneA2(d: Long): Int = (4 * (1 + d % 2)).toInt
+
+  private val toneUdf = udf { (k: Long, d: Long, n: Int) =>
+    val f1 = toneF1(k, d); val f2 = toneF2(k, d)
+    val a1 = toneA1(k); val a2 = toneA2(d)
+    Array.tabulate(n)(i =>
+      1000.0 + a1 * math.cos(2 * math.Pi * f1 * i / n)
+             + a2 * math.cos(2 * math.Pi * f2 * i / n))
+  }
+
+  /** One tone datapoint per fixture (k,d): (e, k, d, rawData). */
+  def toneDps(s: SparkSession, dir: String,
+              where: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    ev(s, dir)
+      .withColumn("d", explode(expr("sequence(0L, n_dp - 1)")))
+      .filter(where)
+      .select(col("e"), col("k"), col("d"),
+        toneUdf(col("k"), col("d"), lit(125)).as("rawData"))
+
   // ------------------------------------------------------------ event level
 
   /** Event-level fixture rows (one per event). */

@@ -1,0 +1,122 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.StreamAggs
+
+/** Declared queries that run the STRUCTURED STREAMING path to
+  * completion — the streaming aggregations ([[StreamAggs]]) driven over
+  * the driver events table through a MemoryStream and checked against
+  * the same DuckDB oracles as their batch twins (w3 sessions, a8
+  * tumbling): batch/stream parity under the hash-match gate, not just a
+  * unit test.
+  *
+  * Drain protocol (append mode + watermark): a window is emitted only
+  * once the watermark passes its end, and the watermark computed at the
+  * END of batch N applies to batch N+1 — so after feeding the real rows
+  * (batch 1) two far-future sentinel batches follow: the first advances
+  * the watermark past every real window, the second triggers the batch
+  * that emits them. Sentinel rows use a negative key and are filtered
+  * from the result; their own windows stay unemitted (nothing ever
+  * advances the watermark past them), which is exactly the semantics —
+  * unfinished sessions are not final.
+  *
+  * The MemoryStream feed is a test-harness adapter (collect() to the
+  * driver is how MemoryStream works); the OPERATOR under test is the
+  * watermarked streaming aggregation itself, whose state size is bounded
+  * by the watermark regardless of input scale.
+  */
+object StreamQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  /** The container has no native Hadoop lib: the default FileContext
+    * checkpoint manager shells out per checkpoint file and subprocess
+    * forks are pathologically slow here. The in-process FileSystem-based
+    * manager avoids that; set on the live session because Verify/Bench
+    * build their own sessions. */
+  private def configureStreaming(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+  }
+
+  /** Feed `rows` (MUST be time-ordered: a batch-2 event behind batch 1's
+    * watermark would be dropped as late, by design) in TWO micro-batches
+    * — windows and sessions spanning the split exercise the incremental
+    * state merge — then two sentinel batches, and return the finalized
+    * memory-sink table. */
+  private def runDrain[A <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, rows: Seq[A], sentinel: Long => A, maxTsMs: Long,
+      agg: DataFrame => DataFrame, cols: Seq[String]): DataFrame = {
+    configureStreaming(s)
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[A]
+    val name = s"graft_stream_out_${runId.incrementAndGet()}"
+    val q = agg(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel(maxTsMs + 86400L * 1000)))
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel(maxTsMs + 2 * 86400L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** W3-as-a-stream: session_window counts per user (gap 30 min),
+    * drained to completion — same result contract as the batch
+    * gaps-and-islands w3, same oracle. */
+  def st1SessionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("ts"), col("user_id"))
+      .as[(Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+    val out = runDrain[(Timestamp, Long)](
+      s, rows, ms => (new Timestamp(ms), -1L), rows.map(_._1.getTime).max,
+      df => StreamAggs.sessionCounts(df, "ts", "user_id"),
+      Seq("ts", "user_id"))
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"))
+  }
+
+  /** A8-as-a-stream: 10-minute tumbling max/count per user, drained to
+    * completion — same result contract and oracle as batch a8. */
+  def st2TumblingStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime).toSeq
+    val out = runDrain[(Timestamp, Long, Double)](
+      s, rows, ms => (new Timestamp(ms), -1L, 0.0), rows.map(_._1.getTime).max,
+      df => StreamAggs.tumblingMax(df, "ts", "user_id", "value"),
+      Seq("ts", "user_id", "value"))
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("max_value"), col("n"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_session_stream"  -> (st1SessionStream _),
+    "st2_tumbling_stream" -> (st2TumblingStream _)
+  )
+
+  /** Parity on purpose: the streaming queries answer to the SAME oracle
+    * SQL as their batch twins. */
+  val oracles: Map[String, String] = Map(
+    "st1_session_stream"  -> RelationalQueries.w3Sql,
+    "st2_tumbling_stream" -> RelationalQueries.a8Sql
+  )
+}

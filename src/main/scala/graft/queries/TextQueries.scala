@@ -135,20 +135,31 @@ object TextQueries {
 
   // ---------------------------------------------------------- similarity
 
-  /** E1 brute-force cosine top-3 neighbors. Rank-only output: both
-    * engines fold the dot product in index order (verified bit-equal),
-    * and ranking with an id tiebreak is robust to last-ulp noise. */
-  def e1CosineKnn(s: SparkSession, d: String): DataFrame =
-    Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+  /** E1 brute-force cosine top-3 neighbors against an explicit REFERENCE
+    * corpus (every 4th vector) — the shape the operator is designed for:
+    * the query side streams at any scale, only the corpus rides the
+    * broadcast (no take()-bound self-kNN in the declared path; self-kNN
+    * keeps its own NaN/zero-norm unit tests). With a distinct corpus,
+    * same-id rows are legal neighbors (score 1 ranks first for corpus
+    * members — also bit-equal across engines, same fold + sqrt).
+    * Rank-only output: both engines fold the dot product in index order
+    * (verified bit-equal), and ranking with an id tiebreak is robust to
+    * last-ulp noise. */
+  def e1CosineKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3,
+        corpus = Some(emb.filter(col("vec_id") % 4 === 0)))
       .select("vec_id", "rank", "neighbor_id")
+  }
 
   val e1Sql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |c AS (SELECT * FROM v WHERE vec_id % 4 = 0),
       |p AS (SELECT a.vec_id id, b.vec_id nid,
       |        list_dot_product(a.e, b.e)
       |          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
       |          AS score
-      |      FROM v a, v b WHERE a.vec_id <> b.vec_id)
+      |      FROM v a, c b)
       |SELECT id AS vec_id, rank, nid AS neighbor_id
       |FROM (SELECT id, nid,
       |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
@@ -250,6 +261,35 @@ object TextQueries {
       |FROM documents
       |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0""".stripMargin
 
+  // ------------------------------------------------------------------ skew
+
+  /** SK1: the skew ladder's tier-3 [[graft.operators.Skew.saltedJoin]]
+    * demonstrated at bench scale on a deliberately hot-keyed join — 90%
+    * of fact rows share key 0, the exact shape AQE cannot fix (AQE
+    * splits partitions, not keys). The build side carries a shuffle_hash
+    * hint so the demo exercises the salted SHUFFLE join rather than
+    * being broadcast away (with a genuinely broadcastable build you'd
+    * use tier 1). Salting is pure spreading — semantics stay the plain
+    * equi-join's, so the aggregate is fully oracle-checked; PlanSpec
+    * pins the (key, __salt) exchange shape. */
+  def sk1SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.events(s, d).select(
+      when(col("event_id") % 10 < 9, 0L)
+        .otherwise(col("event_id") % 100).as("hk"))
+    val build = s.range(0, 100).select(col("id").as("hk"),
+      (col("id") * 7 % 13).as("w"))
+    graft.operators.Skew.saltedJoin(fact, build.hint("shuffle_hash"), "hk",
+        salt = 8)
+      .groupBy("hk", "w").agg(count(lit(1)).as("n"))
+  }
+
+  val sk1Sql: String =
+    """SELECT hk, w, COUNT(*) AS n
+      |FROM (SELECT CASE WHEN event_id % 10 < 9 THEN 0
+      |             ELSE event_id % 100 END AS hk FROM events) f
+      |JOIN (SELECT i AS hk, i*7 % 13 AS w FROM range(0, 100) t(i)) b USING (hk)
+      |GROUP BY hk, w""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -265,7 +305,8 @@ object TextQueries {
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
     "x1_multimodal"    -> (x1Multimodal _),
-    "x2_media_frames"  -> (x2MediaFrames _)
+    "x2_media_frames"  -> (x2MediaFrames _),
+    "sk1_salted_join"  -> (sk1SaltedJoin _)
   )
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only. */
@@ -278,6 +319,7 @@ object TextQueries {
     "t4_fingerprint"   -> t4Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
-    "x2_media_frames"  -> x2Sql
+    "x2_media_frames"  -> x2Sql,
+    "sk1_salted_join"  -> sk1Sql
   )
 }

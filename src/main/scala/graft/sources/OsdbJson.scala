@@ -48,19 +48,29 @@ object OsdbJson {
     * SQLite staging store's write semantics (osdb_sqlite.py) without the
     * single-node store: rows in `updates` replace same-key rows in
     * `existing`; new keys append. One shuffle on the key, no driver
-    * loop; `updates` must be key-unique (assert upstream). On a
-    * transactional table format this becomes MERGE INTO — the ranking
-    * union is the plain-parquet-lake equivalent. */
+    * loop. On a transactional table format this becomes MERGE INTO — the
+    * ranking union is the plain-parquet-lake equivalent.
+    *
+    * Total order: updates beat existing (`__src`), and among same-key
+    * rows on the same side a whole-row hash breaks the tie — so a
+    * key-duplicated `updates` frame picks the SAME winner on every run
+    * and under any repartitioning, instead of whichever row the shuffle
+    * happened to deliver first. (Bit-identical duplicate rows still tie,
+    * harmlessly: either is the same row.) */
   def upsertEvents(existing: DataFrame, updates: DataFrame,
                    keyCol: String = "id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("__src").desc)
-    existing.withColumn("__src", lit(0))
+    val unioned = existing.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)),
         allowMissingColumns = true)
+    val rowCols = unioned.columns.filter(_ != "__src").map(col).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__src").desc, col("__tie").asc)
+    unioned
+      .withColumn("__tie", xxhash64(rowCols: _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__src", "__rn")
+      .drop("__src", "__tie", "__rn")
   }
 
   /** S9: the event-index CSV — fixed column list, ordered by dataTime,

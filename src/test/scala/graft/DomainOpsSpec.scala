@@ -312,30 +312,29 @@ class DomainOpsSpec extends SparkSpec {
       sPlan.contains("session_window"), sPlan.take(800))
   }
 
-  // micro-batch e2e gated: this container's fork pathology makes
-  // micro-batches minutes-slow (see SparkSpec checkpoint note)
-  if (sys.env.contains("GRAFT_STREAMING_TESTS"))
-    test("StreamAggs: tumbling max over two micro-batches matches batch") {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import graft.streaming.StreamAggs
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
-      val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
-      val q = StreamAggs.tumblingMax(
-          mem.toDF().toDF("ts", "user_id", "value"), "ts", "user_id", "value")
-        .writeStream.format("memory").queryName("tumble_out")
-        .outputMode("complete").start()
-      try {
-        mem.addData((ts(1), 1L, 0.3), (ts(4), 1L, 0.9))
-        q.processAllAvailable()
-        mem.addData((ts(7), 1L, 0.5), (ts(12), 1L, 0.7))
-        q.processAllAvailable()
-        val rows = spark.table("tumble_out")
-          .select("user_id", "max_value", "n").collect()
-          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
-        assert(rows == Set((1L, 0.9, 3L), (1L, 0.7, 1L)))
-      } finally q.stop()
-    }
+  // Always-on batch-vs-stream parity: the memory-sink drain path is fast
+  // in this container (no checkpointed file sink → no fork pathology);
+  // the StreamQueries drain feeds two real micro-batches plus two
+  // watermark-advancing sentinels, so windows/sessions spanning the
+  // batch split exercise the incremental state merge end to end. The
+  // same queries run under the DuckDB hash gate at sf0.01
+  // (st1_session_stream / st2_tumbling_stream share w3/a8's oracles).
+  test("streaming parity: drained session/tumbling streams equal their batch twins") {
+    import graft.queries.{RelationalQueries, StreamQueries}
+    val sf = "/root/testdata/sf0.001"
+    val sSess = StreamQueries.st1SessionStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val bSess = RelationalQueries.w3Session(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sSess == bSess,
+      s"session parity broke: ${sSess.diff(bSess).take(3)} vs ${bSess.diff(sSess).take(3)}")
+    val sTum = StreamQueries.st2TumblingStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val bTum = RelationalQueries.a8Tumbling10Min(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(sTum == bTum,
+      s"tumbling parity broke: ${sTum.diff(bTum).take(3)} vs ${bTum.diff(sTum).take(3)}")
+  }
 
   // ------------------------------------------------------------ M7 / S6
 
@@ -413,6 +412,24 @@ class DomainOpsSpec extends SparkSpec {
     val out = OsdbJson.upsertEvents(existing, updates, "id")
       .select("id", "v", "tag").as[(String, Int, String)].collect().sortBy(_._1).toSeq
     assert(out == Seq(("a", 10, "new"), ("b", 2, "keep"), ("c", 3, "ins")))
+  }
+
+  test("S6: duplicate-key updates pick one deterministic winner, not a shuffle-order one") {
+    import graft.sources.OsdbJson
+    val existing = Seq(("a", 1, "old")).toDF("id", "v", "tag")
+    val dupUpdates = Seq(("a", 10, "u1"), ("a", 11, "u2"), ("b", 5, "ins"))
+      .toDF("id", "v", "tag")
+    def run(updates: org.apache.spark.sql.DataFrame): Seq[(String, Int, String)] =
+      OsdbJson.upsertEvents(existing, updates, "id")
+        .select("id", "v", "tag").as[(String, Int, String)]
+        .collect().sortBy(_._1).toSeq
+    val base = run(dupUpdates)
+    assert(base.map(_._1) == Seq("a", "b"), s"one row per key expected: $base")
+    assert(base.exists(r => r._1 == "a" && r._3.startsWith("u")),
+      s"an update must beat existing: $base")
+    // winner is stable under any physical reordering of the updates side
+    assert(run(dupUpdates.repartition(7)) == base)
+    assert(run(dupUpdates.orderBy(col("v").desc)) == base)
   }
 
   // ------------------------------------------------------------ filters

@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
   }
 
+  test("saltedJoin shuffles on (key, __salt): hot keys spread across partitions (SK1)") {
+    // AQE splits partitions, not keys — one hot key always hashes to one
+    // partition unless the salt is IN the partitioning expression. Pin
+    // that the exchange carries both.
+    val p = plan(graft.queries.TextQueries.sk1SaltedJoin(spark, sf))
+    assert("hashpartitioning\\(hk#\\d+L?, __salt#\\d+L?".r.findFirstIn(p).isDefined,
+      s"no (hk, __salt) exchange in:\n${p.take(3000)}")
+  }
+
   test("events time-range filter is NOT parquet-pushable (nanos workaround) — documented") {
     // events.ts is reconstructed from TIMESTAMP(NANOS)-as-long, so time
     // predicates evaluate post-transform: no pushdown, no partition

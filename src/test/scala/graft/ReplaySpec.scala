@@ -103,9 +103,15 @@ class ReplaySpec extends SparkSpec {
     assert(hOut1 ++ hOut2 == hExpect)
   }
 
-  // End-to-end Structured Streaming parity via MemoryStream. Opt-in: this
-  // container's fork/stall pathology makes micro-batches take minutes
-  // (see SparkSpec checkpoint-manager note); run with
+  // End-to-end Structured Streaming parity via MemoryStream. Opt-in:
+  // promotion re-measured round 5 — even with the in-process FileSystem
+  // checkpoint manager and a memory sink, flatMapGroupsWithState
+  // micro-batches still exceed 100 s in this container (watermarked
+  // AGGREGATION drains finish in seconds under the same session — see
+  // the always-on DomainOpsSpec parity test and the declared
+  // st1/st2 queries; the asymmetry is the fMGWS state-commit path, not
+  // the checkpoint manager). FSM-over-micro-batch-boundary semantics
+  // stay covered in-process by the snapshot/restore test above. Run with
   // GRAFT_STREAMING_TESTS=1 on a healthy host.
   if (sys.env.contains("GRAFT_STREAMING_TESTS"))
     test("streaming replay (flatMapGroupsWithState) matches batch replay") {

@@ -215,6 +215,114 @@ object Similarity {
         col("score"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
+    * [[lshKnn]]: train `nlist` spherical-k-means centroids on a
+    * deterministic sample, broadcast them (nlist x dim doubles — tiny),
+    * assign every vector to its nearest centroid's inverted list, and
+    * let each query probe only its `nprobe` nearest lists. The shuffle
+    * key is the LIST id, so at 1000x the data the candidate join stays
+    * list-local (expected pair count n^2 * nprobe / nlist instead of
+    * n^2); raise nlist with corpus size to hold list length constant.
+    *
+    * Cosine metric throughout: samples and centroids are L2-normalized,
+    * so nearest-centroid-by-dot == nearest-by-angle. Deterministic: the
+    * training sample is the lowest `sampleSize` ids (TakeOrdered — no
+    * full sort), init is a seeded shuffle of the sample, Lloyd runs a
+    * fixed `iters` rounds; same inputs => same lists on every run and
+    * any partitioning. The corpus side lands in exactly ONE list, so
+    * (query, candidate) pairs are already unique — no pair-distinct
+    * shuffle at all (one exchange fewer than the LSH path needs).
+    *
+    * NOTE: training materializes the sample EAGERLY at call time (one
+    * TakeOrdered job), like [[bruteForceKnn]]'s corpus bound — call it
+    * when the vectors are ready, not while composing a deferred plan.
+    * Like the reference corpus there, the CENTROID table is the only
+    * driver-side state; the inverted lists themselves never leave the
+    * executors. */
+  def ivfKnn(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+             k: Int, nlist: Int = 16, nprobe: Int = 4,
+             sampleSize: Int = 2048, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    require(nprobe <= nlist, "nprobe cannot exceed nlist")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = normed(vectors, idCol, vecCol)
+
+    // ---- train: driver-side Lloyd on a deterministic unit-norm sample
+    val sample: Array[Array[Double]] = base
+      .filter(col("nrm") > 0.0)
+      .orderBy("id").limit(sampleSize)
+      .select(col("v"), col("nrm")).as[(Array[Double], Double)]
+      .collect().map { case (v, n) => v.map(_ / n) }
+    require(sample.nonEmpty, "ivfKnn needs at least one non-zero vector")
+    val rng = new scala.util.Random(seed)
+    val centroids: Array[Array[Double]] =
+      rng.shuffle(sample.indices.toVector).take(nlist).map(i => sample(i).clone()).toArray
+    val nl = centroids.length // may be < nlist on tiny corpora
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var j = 0
+        val m = math.min(v.length, cs(c).length)
+        while (j < m) { d += v(j) * cs(c)(j); j += 1 }
+        if (d > bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nl)(new Array[Double](dim))
+      val counts = new Array[Int](nl)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var j = 0
+        val m = math.min(dim, v.length)
+        while (j < m) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < nl) {
+        if (counts(c) > 0) { // empty list keeps its old centroid
+          var nn = 0.0; var j = 0
+          while (j < dim) { nn += sums(c)(j) * sums(c)(j); j += 1 }
+          val n = math.sqrt(nn)
+          if (n > 0) { j = 0; while (j < dim) { centroids(c)(j) = sums(c)(j) / n; j += 1 } }
+        }
+        c += 1
+      }
+      it += 1
+    }
+
+    // ---- assign + probe (closure-captured centroids: tight JIT loop,
+    // no multi-MB literal codegen)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Double]) => nearest(v.toArray, bc.value) }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      val scored = Array.tabulate(cs.length) { c =>
+        var d = 0.0; var j = 0
+        val m = math.min(arr.length, cs(c).length)
+        while (j < m) { d += arr(j) * cs(c)(j); j += 1 }
+        (c, d)
+      }
+      scored.sortBy { case (c, d) => (-d, c) }.take(nprobe).map(_._1)
+    }
+    val corpusLists = base.select(col("id"), assignUdf(col("v")).as("lst"))
+    val queryProbes = base.select(col("id"), explode(probeUdf(col("v"))).as("lst"))
+    val pairIds = queryProbes.as("a")
+      .join(corpusLists.as("b"),
+        col("a.lst") === col("b.lst") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("left"), col("b.id").as("right"))
+    val pairs = scorePairs(pairIds, base, "id", "nid", "score")
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as("vec_id"), col("rank"), col("nid").as("neighbor_id"),
+        col("score"))
+  }
+
   /** Expected LSH recall for a pair at exactly `cosine`: a sign-bit
     * agrees with probability 1 - θ/π, a pair surfaces if all `bits` agree
     * in at least one of `tables` signatures. Recall falls steeply as the

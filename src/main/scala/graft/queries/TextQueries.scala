@@ -214,6 +214,14 @@ object TextQueries {
     Similarity.lshKnn(Tables.embeddings(s, d), "vec_id", "embedding",
       dim = 64, k = 3, bits = 8, tables = 4)
 
+  /** E4 IVF-bucketed ANN (spherical-k-means coarse quantizer, nprobe
+    * lists per query): the FAISS-shaped second scale path beside E2.
+    * Centroid-dependent ⇒ rows-only; ScalaTest checks recall against
+    * brute force on clustered data. */
+  def e4IvfKnn(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, k = 3, nlist = 16, nprobe = 4)
+
   // ---------------------------------------------------------- multimodal
 
   /** X1 multimodal plumbing: documents' bytes as opaque media payloads →
@@ -304,6 +312,7 @@ object TextQueries {
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
+    "e4_ivf_knn"       -> (e4IvfKnn _),
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
     "sk1_salted_join"  -> (sk1SaltedJoin _)

@@ -117,6 +117,27 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF ANN recovers brute-force neighbors and stays deterministic (E4)") {
+    import spark.implicits._
+    // three tight clusters; with nlist=4 / nprobe=2 each query probes its
+    // own list (and one more), so within-cluster neighbors must surface
+    val rng = new scala.util.Random(11)
+    val mk = (c: Array[Float]) => c.map(v => v + rng.nextFloat() * 0.01f)
+    val base = Array.fill(8)(0.0f)
+    val cs = Seq(base.updated(0, 1.0f), base.updated(3, 1.0f), base.updated(6, 1.0f))
+    val vecs = (0 until 30).map(i => (i.toLong, mk(cs(i % 3)))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceKnn(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def ivf() = Similarity.ivfKnn(vecs, "vec_id", "embedding", dim = 8, k = 3,
+        nlist = 4, nprobe = 2, sampleSize = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = ivf()
+    val recall = (bf & first.map(t => (t._1, t._3))).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+    // seeded training + fixed iterations: bit-identical across runs
+    assert(ivf() == first, "ivfKnn must be deterministic run-to-run")
+  }
+
   test("multimodal: size-aware repartition + batch decode keeps every row once") {
     import spark.implicits._
     val media = docs.select(col("doc_id").as("id"),

@@ -77,6 +77,22 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
   }
 
+  test("band-power over tone datapoints is shuffle-free: scan -> generate -> project (P4)") {
+    // the per-datapoint DFT is embarrassingly parallel — any Exchange
+    // here would mean the fixture or the kernel accidentally grouped
+    val p = plan(DomainQueries.p4BandPower(spark, sf))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 0, s"expected no Exchange, found $n:\n${p.take(3000)}")
+  }
+
+  test("epoch feature extraction is one grouping shuffle (P12/W5)") {
+    // groupByKey(eventId).flatMapGroups over map-side fixture generation:
+    // exactly one hash exchange on the event key, like the W8 buffer
+    val p = plan(DomainQueries.p12EpochFeatures(spark, sf))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
+  }
+
   test("saltedJoin shuffles on (key, __salt): hot keys spread across partitions (SK1)") {
     // AQE splits partitions, not keys — one hot key always hashes to one
     // partition unless the salt is IN the partitioning expression. Pin

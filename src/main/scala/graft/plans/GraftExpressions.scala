@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{ArrayDot, ArrayMag3D, GraftSqlBridge}
+import org.apache.spark.sql.types.StringType
 
 /** Public surface for the native codegen expressions (the expressions
   * themselves live in [[org.apache.spark.sql.graft]] — see the package
@@ -32,17 +33,43 @@ object GraftExpressions {
       ArrayDot(children(0), children(1)): Expression
     })
 
-  /** Runtime registration: makes `array_dot(a, b)` available to
-    * `spark.sql` / `expr` in an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Codegen'd per-sample magnitude of an interleaved 3D accel array
+    * (mode "V2" euclidean / "V1" manhattan — see [[ArrayMag3D]]). */
+  def arrayMag3D(a: Column, mode: String = "V2"): Column =
+    GraftSqlBridge.arrayMag3D(a, mode)
+
+  private[plans] val arrayMag3DEntry = (
+    FunctionIdentifier("array_mag3d"),
+    new ExpressionInfo(classOf[ArrayMag3D].getName, "array_mag3d"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        s"array_mag3d expects 1 or 2 arguments, got ${children.length}")
+      val mode = children match {
+        case Seq(_) => "V2"
+        case Seq(_, Literal(s, StringType)) => s.toString
+        case _ => throw new IllegalArgumentException(
+          "array_mag3d mode must be a string literal ('V1' or 'V2')")
+      }
+      ArrayMag3D(children.head, mode): Expression
+    })
+
+  /** Runtime registration: makes `array_dot(a, b)` and
+    * `array_mag3d(xyz[, mode])` available to `spark.sql` / `expr` in an
+    * existing session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       arrayDotEntry._1, arrayDotEntry._2, arrayDotEntry._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      arrayMag3DEntry._1, arrayMag3DEntry._2, arrayMag3DEntry._3)
+  }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the
   * SparkSessionExtensions injection point, so every session on a cluster
   * gets the native functions without per-session registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExpressions.arrayDotEntry)
+    ext.injectFunction(GraftExpressions.arrayMag3DEntry)
+  }
 }

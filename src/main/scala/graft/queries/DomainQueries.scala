@@ -276,6 +276,33 @@ object DomainQueries {
       |        SUM(sqrt(CAST(vx*vx + vy*vy + vz*vz AS DOUBLE))) AS s2
       |      FROM samp3 GROUP BY e, d)""".stripMargin
 
+  /** C5 on the NATIVE tier (c5n): the same magnitude ranking as
+    * [[c5MagnitudeRank]] but through the codegen expressions end to end
+    * — `array_mag3d` for the per-sample magnitudes and `array_dot`
+    * against a ones vector for the index-order sum. No UDF boundary
+    * anywhere in the row pipeline; the oracle is c5's verbatim (same
+    * output contract), so this pins that the native kernels are drop-in
+    * bit-compatible with the Signal-library path. */
+  def c5nNativeMag(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftExpressions.{arrayDot, arrayMag3D}
+    val ones = array(Seq.fill(125)(lit(1.0)): _*)
+    val w = Window.partitionBy("e").orderBy(col("mag_sum").desc, col("d"))
+    OsdbFixture.dps(s, d).filter(col("has_3d"))
+      .select(col("e"), col("d"),
+        arrayDot(arrayMag3D(col("rawData3D"), "V1"), ones).cast("long").as("v1_sum"),
+        arrayDot(arrayMag3D(col("rawData3D"), "V2"), ones).as("mag_sum"))
+      .withColumn("mag_rank", row_number().over(w).cast("long"))
+      .drop("mag_sum")
+  }
+
+  val c5nSql: String = sqlBase +
+    """SELECT e, d, v1_sum,
+      |  CAST(row_number() OVER (PARTITION BY e ORDER BY s2 DESC, d) AS BIGINT) AS mag_rank
+      |FROM (SELECT e, d,
+      |        CAST(SUM(ABS(vx)+ABS(vy)+ABS(vz)) AS BIGINT) AS v1_sum,
+      |        SUM(sqrt(CAST(vx*vx + vy*vy + vz*vz AS DOUBLE))) AS s2
+      |      FROM samp3 GROUP BY e, d)""".stripMargin
+
   /** C7 (de-interleave stride-3 axes): per-axis integer sums. */
   def c7Deinterleave(s: SparkSession, d: String): DataFrame =
     OsdbFixture.dps(s, d).filter(col("has_3d"))
@@ -784,6 +811,7 @@ object DomainQueries {
     "c1_parse_secs"     -> (c1ParseSecs _),
     "c3_tz_normalize"   -> (c3TzNormalize _),
     "c5_magnitude_rank" -> (c5MagnitudeRank _),
+    "c5n_native_mag"    -> (c5nNativeMag _),
     "c7_deinterleave"   -> (c7Deinterleave _),
     "c8_truncate"       -> (c8Truncate _),
     "c12_line_length"   -> (c12LineLength _),
@@ -820,6 +848,7 @@ object DomainQueries {
     "c1_parse_secs"     -> c1Sql,
     "c3_tz_normalize"   -> c3Sql,
     "c5_magnitude_rank" -> c5Sql,
+    "c5n_native_mag"    -> c5nSql,
     "c7_deinterleave"   -> c7Sql,
     "c8_truncate"       -> c8Sql,
     "c12_line_length"   -> c12Sql,

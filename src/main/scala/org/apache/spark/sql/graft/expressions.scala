@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -71,9 +71,81 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** C5/C6 as a native kernel: per-sample magnitude of an interleaved
+  * [x0,y0,z0,x1,...] accel array — `V2` = sqrt(x²+y²+z²), `V1` =
+  * |x|+|y|+|z| (the Pebble-era approximation). This is the innermost
+  * loop of every 3D scan (tidy, feature extraction, augmentation
+  * verify): at 100 TB it runs per SAMPLE, so it belongs in whole-stage
+  * codegen, not behind a UDF serialization boundary. The V3 offset
+  * variant stays in [[graft.functions.Signal.magnitude3D]] — it takes a
+  * runtime parameter and is not on the scan hot path.
+  *
+  * Index-order per-sample math identical to `Signal.magnitude3D`
+  * (bit-for-bit: same multiply/add/sqrt sequence), so results are
+  * drop-in for the oracle-checked queries. Trailing elements beyond the
+  * last full (x,y,z) triple are ignored, like the `length/3` loop
+  * there. */
+case class ArrayMag3D(child: Expression, mode: String = "V2")
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(mode == "V1" || mode == "V2", s"ArrayMag3D supports V1/V2, got $mode")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "array_mag3d"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xyz = a.asInstanceOf[ArrayData]
+    val n = xyz.numElements() / 3
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = xyz.getDouble(3 * i)
+      val y = xyz.getDouble(3 * i + 1)
+      val z = xyz.getDouble(3 * i + 2)
+      out(i) =
+        if (mode == "V1") math.abs(x) + math.abs(y) + math.abs(z)
+        else math.sqrt(x * x + y * y + z * z)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val z = ctx.freshName("z")
+      val elem =
+        if (mode == "V1")
+          s"java.lang.Math.abs($x) + java.lang.Math.abs($y) + java.lang.Math.abs($z)"
+        else s"java.lang.Math.sqrt($x*$x + $y*$y + $z*$z)"
+      s"""
+         |int $n = $a.numElements() / 3;
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble(3*$i);
+         |  double $y = $a.getDouble(3*$i + 1);
+         |  double $z = $a.getDouble(3*$i + 2);
+         |  $out[$i] = $elem;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       ArrayDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def arrayMag3D(a: Column, mode: String): Column =
+    ExpressionUtils.column(ArrayMag3D(ExpressionUtils.expression(a), mode))
 }

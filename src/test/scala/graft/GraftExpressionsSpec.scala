@@ -79,6 +79,56 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("array_mag3d matches Signal.magnitude3D bit-for-bit in both modes") {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(45)(rng.nextInt(2001) - 1000.0)))
+    val df = rows.toDF("id", "xyz")
+    for (mode <- Seq("V1", "V2")) {
+      val native = df.select(col("id"),
+          GraftExpressions.arrayMag3D(col("xyz"), mode).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      rows.foreach { case (id, xyz) =>
+        val expect = graft.functions.Signal.magnitude3D(xyz.toArray, mode)
+        val got = native(id)
+        assert(got.length == expect.length)
+        expect.indices.foreach(i =>
+          assert(java.lang.Double.doubleToLongBits(got(i)) ==
+            java.lang.Double.doubleToLongBits(expect(i)), s"$mode mismatch at $i"))
+      }
+    }
+  }
+
+  test("array_mag3d compiles under codegen with fallback disabled; SQL form works") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val xyz = array((0 until 45).map(j => ((col("id") + j) % 89).cast("double")): _*)
+      val df = spark.range(50).select(xyz.as("xyz"))
+        .select(GraftExpressions.arrayDot(
+          GraftExpressions.arrayMag3D(col("xyz"), "V2"),
+          GraftExpressions.arrayMag3D(col("xyz"), "V1")).as("d"))
+      val total = df.agg(sum("d")).collect().head.getDouble(0)
+      assert(!total.isNaN && total > 0)
+      val codegenStages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("array_mag3d") => w
+      }
+      assert(codegenStages.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(1500))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    GraftExpressions.register(spark)
+    val m = spark.sql("SELECT array_mag3d(array(3.0d, 4.0d, 0.0d)) AS m")
+      .collect().head.getSeq[Double](0)
+    assert(m == Seq(5.0))
+    val m1 = spark.sql("SELECT array_mag3d(array(3.0d, -4.0d, 0.0d), 'V1') AS m")
+      .collect().head.getSeq[Double](0)
+    assert(m1 == Seq(7.0))
+  }
+
   test("GraftFunctions.registerAll exposes the signal library to SQL") {
     graft.functions.GraftFunctions.registerAll(spark)
     val sine = Array.tabulate(125)(i =>

@@ -30,7 +30,11 @@ object Skew {
   /** Inner equi-join of `fact` and `build` on `key`, salted `salt` ways.
     * Row-deterministic: the salt is a hash of the whole fact row (via
     * its monotonically-increasing position would break determinism under
-    * repartitioning, so we hash the fact columns themselves). */
+    * repartitioning, so we hash the fact columns themselves). Edge case:
+    * bit-identical DUPLICATE fact rows hash to the same salt, so a
+    * corpus of literal copies of one hot-key row still lands on one
+    * partition — dedup (or add a discriminating column) before salting
+    * if that shape is possible in the input. */
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
                  salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")

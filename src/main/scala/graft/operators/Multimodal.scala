@@ -85,6 +85,25 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: 1 row -> 1 row, payload re-encoded at the target
+    * geometry and the metadata updated to match — the batch-normalize
+    * step every image pipeline runs before tensor conversion. Decoded
+    * values are clipped back into byte range on re-encode (the fake
+    * codec round-trip; a real codec binding swaps [[FakeCodec]] only,
+    * the stage shape — mapPartitions after [[repartitionBySize]] — is
+    * the production one). */
+  def resizeMedia(ds: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = FakeCodec.resize(FakeCodec.decode(r.payload), n)
+        val bytes = resized.map(v => v.toInt.max(0).min(255).toByte)
+        r.copy(meta = r.meta.copy(width = n, height = 1), payload = bytes)
+      }
+    }
+  }
+
   /** Frame-sampling stage: 1 row -> n frame rows (video -> frames). */
   def sampleFrames(ds: Dataset[MediaRow], stride: Int): DataFrame = {
     val spark = ds.sparkSession

@@ -269,6 +269,35 @@ object TextQueries {
       |FROM documents
       |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0""".stripMargin
 
+  /** X3: the multimodal resize stage with an EXACT structural oracle —
+    * every surviving row re-encodes to exactly the target geometry
+    * (64 bytes, width 64, height 1), regardless of input size. The
+    * resampled intensities stay fake-codec-internal (like x1); the
+    * oracle pins cardinality and the size/metadata contract. */
+  def x3MediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(
+        col("doc_id").as("id"),
+        struct(lit("image").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
+          lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
+          lit("fake").as("codec")).as("meta"),
+        encode(col("text"), "UTF-8").as("payload")).as[Multimodal.MediaRow]
+    Multimodal.resizeMedia(Multimodal.repartitionBySize(media, 8), 64)
+      .toDF()
+      .select(col("id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+  }
+
+  val x3Sql: String =
+    """SELECT doc_id AS id, CAST(64 AS BIGINT) AS n_bytes,
+      |  CAST(64 AS BIGINT) AS width, CAST(1 AS BIGINT) AS height
+      |FROM documents
+      |WHERE text IS NOT NULL AND octet_length(encode(text)) > 0""".stripMargin
+
   // ------------------------------------------------------------------ skew
 
   /** SK1: the skew ladder's tier-3 [[graft.operators.Skew.saltedJoin]]
@@ -315,6 +344,7 @@ object TextQueries {
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
+    "x3_media_resize"  -> (x3MediaResize _),
     "sk1_salted_join"  -> (sk1SaltedJoin _)
   )
 
@@ -329,6 +359,7 @@ object TextQueries {
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
     "x2_media_frames"  -> x2Sql,
+    "x3_media_resize"  -> x3Sql,
     "sk1_salted_join"  -> sk1Sql
   )
 }

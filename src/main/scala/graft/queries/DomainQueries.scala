@@ -75,6 +75,8 @@ object DomainQueries {
   })
   private val specPowerUdf = udf((a: Seq[Double]) => Signal.specPower(a.toArray))
   private val roiPowerUdf = udf((a: Seq[Double]) => Signal.roiPower(a.toArray))
+  private val spectrumRatioUdf = udf((a: Seq[Double]) => Signal.spectrumRatio(a.toArray))
+  private val alarmStateUdf = udf((a: Seq[Double]) => Signal.alarmState(a.toArray))
 
   // ------------------------------------------------------------- A: groups
 
@@ -677,6 +679,16 @@ object DomainQueries {
 
   // --------------------------------------------------------------- S: sinks
 
+  /** Scratch dir for the sink round-trip entries: under java.io.tmpdir,
+    * keyed by the Spark applicationId so two concurrent sessions running
+    * the same query cannot overwrite each other's files mid-read (and no
+    * absolute repo path survives a checkout relocation). */
+  private def qtmp(s: SparkSession, name: String): String =
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-qtmp-${s.sparkContext.applicationId}"),
+      name).getAbsolutePath
+
   /** S3/S10 (flattened wide-CSV interchange, write -> read round-trip
     * through the real [[graft.sources.FlatCsv]]): per-event integer
     * invariants (dp count, magnitude sum, hr sum, ts sum) must survive
@@ -689,7 +701,7 @@ object DomainQueries {
     * the operator under test); the cost scales with the interchange
     * volume, not with a plan defect. */
   def s3FlatCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = "/root/repo/target/qtmp/s3_flatcsv"
+    val dir = qtmp(s, "s3_flatcsv")
     graft.sources.FlatCsv.write(
       OsdbFixture.flatDps(s, d, col("e") % 40 === 0).toDF(), dir)
     graft.sources.FlatCsv.read(s, dir).toDF()
@@ -736,6 +748,121 @@ object DomainQueries {
       |SELECT 'n' || CAST(e AS VARCHAR) AS id, CAST(n_dp AS BIGINT) AS v, type_str
       |FROM ev WHERE k % 5 = 0""".stripMargin
 
+  /** S8 (JSON sink, write -> read round-trip through the real
+    * [[graft.sources.OsdbJson.writeEventsJson]]): nested fixture events
+    * land in the category-partitioned JSON lake and are read back with
+    * the explicit event schema (category recovered from the partition
+    * dirs). Per-event integer invariants — dp count, hr/alarm sums, raw
+    * magnitude sum — must survive the JSON serialization of the nested
+    * datapoints array; the oracle derives them from the fixture directly,
+    * so a lossy double, a dropped datapoint, or a mangled partition all
+    * break the hash. */
+  def s8JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, "s8_json")
+    val ev = OsdbFixture.nested(s, d).filter(col("e_num") % 40 === 0)
+      .withColumn("category", col("dataSourceName"))
+      .drop("k", "e_num", "n_dp")
+    graft.sources.OsdbJson.writeEventsJson(ev, dir)
+    val back = s.read.schema(graft.model.Osdb.eventSchema).json(dir)
+    back.select(col("id"), col("category"), explode(col("datapoints")).as("dp"))
+      .groupBy("id", "category")
+      .agg(count(lit(1)).as("n_dp"),
+        sum(col("dp.hr").cast("long")).as("hr_sum"),
+        sum(col("dp.alarmState")).as("alarm_sum"),
+        sum(when(col("dp.rawData").isNotNull, sumLongUdf(col("dp.rawData")))
+          .otherwise(0L)).as("mag_sum"))
+  }
+
+  val s8Sql: String = sqlBase +
+    """SELECT CAST(a.e AS VARCHAR) AS id, a.category, a.n_dp, a.hr_sum,
+      |  a.alarm_sum, COALESCE(mg.mag_sum, 0) AS mag_sum
+      |FROM (SELECT e, data_source AS category, COUNT(*) AS n_dp,
+      |        CAST(SUM(hr) AS BIGINT) AS hr_sum,
+      |        CAST(SUM(alarm) AS BIGINT) AS alarm_sum
+      |      FROM dpx WHERE e % 40 = 0 GROUP BY e, data_source) a
+      |LEFT JOIN (SELECT e, CAST(SUM(m) AS BIGINT) AS mag_sum
+      |           FROM sampm WHERE e % 40 = 0 GROUP BY e) mg
+      |  ON a.e = mg.e""".stripMargin
+
+  /** S9 (event-index CSV sink, write -> read round-trip through the real
+    * [[graft.sources.OsdbJson.writeIndexCsv]]): the fixed column list,
+    * dataTime ordering and quote-everything contract — a quoted free-text
+    * desc, boolean flags and a formatted timestamp all pass through the
+    * CSV as strings. The oracle restates the index fields from the
+    * fixture formulas; min/max of the formatted dataTime check the
+    * ordering-relevant column survives byte-exact (both engines format
+    * the same naive UTC timestamp). */
+  def s9IndexCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, "s9_index")
+    val idx = OsdbFixture.ev(s, d).select(
+      col("e").cast("string").as("id"),
+      col("u").cast("string").as("userId"),
+      date_format(timestamp_seconds(col("wts")), "yyyy-MM-dd HH:mm:ss").as("dataTime"),
+      col("type_str").as("type"),
+      col("sub_type").as("subType"),
+      (col("k") % 6).as("osdAlarmState"),
+      (col("k") % 4 =!= 1).as("has3dData"),
+      (col("k") % 2 === 0).as("hasHrData"),
+      (col("k") % 3 === 0).as("hasO2SatData"),
+      concat(lit("ev "), col("e")).as("desc"))
+    graft.sources.OsdbJson.writeIndexCsv(idx, dir)
+    s.read.option("header", "true").csv(dir)
+      .groupBy(col("has3dData"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id").cast("long")).as("id_sum"),
+        sum(col("osdAlarmState").cast("long")).as("alarm_sum"),
+        min(col("dataTime")).as("first_dt"),
+        max(col("dataTime")).as("last_dt"))
+  }
+
+  val s9Sql: String = sqlBase +
+    """SELECT CAST(k % 4 <> 1 AS VARCHAR) AS has3dData, COUNT(*) AS n,
+      |  CAST(SUM(e) AS BIGINT) AS id_sum,
+      |  CAST(SUM(k % 6) AS BIGINT) AS alarm_sum,
+      |  MIN(strftime(make_timestamp(wts * 1000000), '%Y-%m-%d %H:%M:%S')) AS first_dt,
+      |  MAX(strftime(make_timestamp(wts * 1000000), '%Y-%m-%d %H:%M:%S')) AS last_dt
+      |FROM ev GROUP BY 1""".stripMargin
+
+  /** U3 (multi-file union through the real [[graft.sources.OsdbJson
+    * .readEvents]] paths* overload): two single-file NDJSON category
+    * files — the reference's one-JSON-file-per-category layout — read in
+    * ONE scan, with the category recovered from each file name. The
+    * staging write is the harness (coalesce(1) + rename to `<cat>.json`,
+    * the layout the reference ships); the operator under test is the
+    * union read + filename category extraction. */
+  def u3MultifileUnion(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(qtmp(s, "u3_union"))
+    base.mkdirs()
+    val ev = OsdbFixture.ev(s, d)
+    def writeCat(df: DataFrame, cat: String): String = {
+      val stage = new java.io.File(base, s"_stage_$cat")
+      df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+      val part = stage.listFiles().find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(base, s"$cat.json")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.getAbsolutePath
+    }
+    def proj(df: DataFrame) = df.select(
+      col("e").cast("string").as("id"),
+      col("u").cast("string").as("userId"),
+      col("type_str").as("type"),
+      col("sub_type").as("subType"),
+      col("data_source").as("dataSourceName"))
+    val pa = writeCat(proj(ev.filter(col("k") % 2 === 0)), "catA")
+    val pb = writeCat(proj(ev.filter(col("k") % 2 =!= 0)), "catB")
+    graft.sources.OsdbJson.readEvents(s, Seq(pa, pb),
+        multiLine = false, tidy = false)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("id_sum"))
+  }
+
+  val u3Sql: String = sqlBase +
+    """SELECT CASE WHEN k % 2 = 0 THEN 'catA' ELSE 'catB' END AS category,
+      |  COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
+      |FROM ev GROUP BY 1""".stripMargin
+
   // --------------------------------------------------- P: spectral (oracled)
 
   /** P4/P5 (getSpecPower / getRoiPower over planted pure-tone
@@ -754,6 +881,44 @@ object DomainQueries {
     """SELECT e, d,
       |  CAST((a1*a1 + a2*a2) * 125 // 8 AS BIGINT) AS spec_power,
       |  CAST(a1*a1 * 15625 // 100 AS BIGINT) AS roi_power
+      |FROM (SELECT e, d, 4*(1 + k % 3) AS a1, 4*(1 + d % 2) AS a2 FROM dpx)""".stripMargin
+
+  /** P6 (getSpectrumRatio over the tone fixture): the real
+    * [[Signal.spectrumRatio]] — 10*roi/spec gated on specPower >
+    * alarmThresh(900), else 0 — has an exact closed form on the tones:
+    * spec = (A1²+A2²)·125/8 and roi = A1²·156.25, so the gated ratio is
+    * 100·A1²/(A1²+A2²). Fixture spec powers are {500,1250,2000,2500,3250}
+    * — none near the 900 gate, so the ~1e-9 DFT float error cannot flip
+    * it. The ×1000 round() bridge keeps the one non-integer ratio
+    * (A1=12,A2=8 → 69230.769…) > 0.2 away from the rounding boundary —
+    * >1e5 sigma against the DFT error. */
+  def p6SpectrumRatio(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.toneDps(s, d)
+      .select(col("e"), col("d"),
+        round(spectrumRatioUdf(col("rawData")) * 1000).cast("long").as("ratio_x1000"))
+
+  val p6Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST(ROUND(CASE WHEN (a1*a1 + a2*a2) * 125.0 / 8 > 900
+      |       THEN 100000.0 * a1*a1 / (a1*a1 + a2*a2) ELSE 0 END) AS BIGINT)
+      |    AS ratio_x1000
+      |FROM (SELECT e, d, 4*(1 + k % 3) AS a1, 4*(1 + d % 2) AS a2 FROM dpx)""".stripMargin
+
+  /** P7 (getAlarmState over the tone fixture): the real
+    * [[Signal.alarmState]] — 1 iff spectrumRatio > alarmRatioThresh(57).
+    * Fixture gated ratios are {0, 20, 50, 69.23, 80, 90}: the nearest to
+    * the 57 threshold is 9 away, so the DFT error cannot flip a state.
+    * Completes the oracled device-algorithm chain P4 → P5 → P6 → P7. */
+  def p7AlarmState(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.toneDps(s, d)
+      .select(col("e"), col("d"),
+        alarmStateUdf(col("rawData")).cast("long").as("alarm_state"))
+
+  val p7Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST(CASE WHEN (a1*a1 + a2*a2) * 125.0 / 8 > 900
+      |            AND 100.0 * a1*a1 / (a1*a1 + a2*a2) > 57 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS alarm_state
       |FROM (SELECT e, d, 4*(1 + k % 3) AS a1, 4*(1 + d % 2) AS a2 FROM dpx)""".stripMargin
 
   /** P12 (epoch feature vector through the real [[FeatureExtract]] over
@@ -842,7 +1007,12 @@ object DomainQueries {
     "s13_simulated"     -> (s13Simulated _),
     "s3_flatcsv_roundtrip" -> (s3FlatCsvRoundtrip _),
     "s6_upsert"         -> (s6Upsert _),
+    "s8_json_roundtrip" -> (s8JsonRoundtrip _),
+    "s9_index_csv"      -> (s9IndexCsv _),
+    "u3_multifile_union" -> (u3MultifileUnion _),
     "p4_band_power"     -> (p4BandPower _),
+    "p6_spectrum_ratio" -> (p6SpectrumRatio _),
+    "p7_alarm_state"    -> (p7AlarmState _),
     "p12_epoch_features" -> (p12EpochFeatures _)
   )
 
@@ -879,7 +1049,12 @@ object DomainQueries {
     "s13_simulated"     -> s13Sql,
     "s3_flatcsv_roundtrip" -> s3Sql,
     "s6_upsert"         -> s6Sql,
+    "s8_json_roundtrip" -> s8Sql,
+    "s9_index_csv"      -> s9Sql,
+    "u3_multifile_union" -> u3Sql,
     "p4_band_power"     -> p4Sql,
+    "p6_spectrum_ratio" -> p6Sql,
+    "p7_alarm_state"    -> p7Sql,
     "p12_epoch_features" -> p12Sql
   )
 }

@@ -84,7 +84,10 @@ case class ArrayDot(left: Expression, right: Expression)
   * (bit-for-bit: same multiply/add/sqrt sequence), so results are
   * drop-in for the oracle-checked queries. Trailing elements beyond the
   * last full (x,y,z) triple are ignored, like the `length/3` loop
-  * there. */
+  * there. Same permissive null contract as [[ArrayDot]] above, by the
+  * same design: a null ELEMENT reads as 0.0 through ArrayData (only a
+  * null top-level array returns null) — accel pipelines must validate
+  * element nullability upstream; this kernel will not do it per sample. */
 case class ArrayMag3D(child: Expression, mode: String = "V2")
     extends UnaryExpression with ImplicitCastInputTypes {
 

@@ -322,15 +322,18 @@ class DomainOpsSpec extends SparkSpec {
   test("streaming parity: drained session/tumbling streams equal their batch twins") {
     import graft.queries.{RelationalQueries, StreamQueries}
     val sf = "/root/testdata/sf0.001"
+    // the streaming entries feed only the bounded user_id % 4 == 0 slice
+    // (StreamQueries.feedSlice) — restrict the batch twins identically
+    val slice = col("user_id") % 4 === 0
     val sSess = StreamQueries.st1SessionStream(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val bSess = RelationalQueries.w3Session(spark, sf).collect()
+    val bSess = RelationalQueries.w3Session(spark, sf).filter(slice).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(sSess == bSess,
       s"session parity broke: ${sSess.diff(bSess).take(3)} vs ${bSess.diff(sSess).take(3)}")
     val sTum = StreamQueries.st2TumblingStream(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
-    val bTum = RelationalQueries.a8Tumbling10Min(spark, sf).collect()
+    val bTum = RelationalQueries.a8Tumbling10Min(spark, sf).filter(slice).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
     assert(sTum == bTum,
       s"tumbling parity broke: ${sTum.diff(bTum).take(3)} vs ${bTum.diff(sTum).take(3)}")

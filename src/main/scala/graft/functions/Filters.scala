@@ -43,8 +43,10 @@ object Filters {
   }
 
   /** Steady-state initial conditions (lfilter_zi equivalent) for a unit
-    * step: solves the 2x2 system (I - A^T) zi = B for transposed DF-II. */
-  private def stepZi(c: Biquad): (Double, Double) = {
+    * step: solves the 2x2 system (I - A^T) zi = B for transposed DF-II.
+    * Package-visible so the p8 oracle builder can embed the exact seed
+    * constants as SQL literals. */
+  private[graft] def stepZi(c: Biquad): (Double, Double) = {
     // (1+a1) z0 - z1 = b1 - a1 b0 ; a2 z0 + z1 = b2 - a2 b0
     val r0 = c.b1 - c.a1 * c.b0
     val r1 = c.b2 - c.a2 * c.b0

@@ -268,7 +268,10 @@ object TextQueries {
   /** Constants measured once on the driver sf0.01 testdata
     * (deterministic — see [[e5AnnRecall]]; the LSH figure matches the
     * lshRecallEstimate prediction for this data's neighbor-cosine
-    * distribution). */
+    * distribution). If the driver testdata is ever regenerated or the
+    * oracle runs at a different sf, re-derive the pins with
+    * `runMain graft.tools.RecallProbe <sfDir>` — a failure here with no
+    * code change means the FIXTURE moved, not the ANN paths. */
   val e5Sql: String =
     """SELECT * FROM (VALUES
       |  ('ivf', CAST(61 AS BIGINT)),

@@ -35,7 +35,16 @@ object Bench {
     // that round 5 showed up as code-unchanged slowdowns in the queries
     // scheduled after them. SPARK_GRAFT_BENCH_ORDER=alpha restores the
     // interleaved order for A/B-ing that hypothesis.
-    val alpha = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_FILTER=q1,j5,... restricts the registry — the
+    // SCALING.md probe times a hand-picked expensive subset at two data
+    // scales without paying for the full sweep at 10x.
+    val filtered = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep.contains(n) }
+      case None => SparkEntry.queries
+    }
+    val alpha = filtered.toSeq.sortBy(_._1)
     val ordered =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")) alpha
       else alpha.filterNot(_._1.startsWith("st")) ++ alpha.filter(_._1.startsWith("st"))

@@ -77,6 +77,22 @@ object DomainQueries {
   private val roiPowerUdf = udf((a: Seq[Double]) => Signal.roiPower(a.toArray))
   private val spectrumRatioUdf = udf((a: Seq[Double]) => Signal.spectrumRatio(a.toArray))
   private val alarmStateUdf = udf((a: Seq[Double]) => Signal.alarmState(a.toArray))
+  private val hpRmsUdf = udf { (a: Seq[Double]) =>
+    // P8 probe statistic: RMS of the filtered signal over the centre
+    // window [250, 750) of the n=1000 tone, where the filtfilt startup
+    // transient (pole radius ~0.915/sample) has decayed below 1e-9 of
+    // the signal and the zero-phase closed form holds (ToneGainProbe).
+    val y = graft.functions.Filters.highPass(a.toArray)
+    var s = 0.0; var i = 250
+    while (i < 750) { s += y(i) * y(i); i += 1 }
+    math.sqrt(s / 500.0)
+  }
+  private val bandPowerUdf = udf { (a: Seq[Double]) =>
+    val (tot, peak) = Signal.bandPower(a.toArray, 25.0, 3.0, 8.0)
+    Array(tot, peak)
+  }
+  private val centroidUdf = udf((a: Seq[Double]) => Signal.spectralCentroid(a.toArray, 25.0))
+  private val entropyUdf = udf((a: Seq[Double]) => Signal.spectralEntropy(a.toArray))
 
   // ------------------------------------------------------------- A: groups
 
@@ -921,6 +937,104 @@ object DomainQueries {
       |       AS BIGINT) AS alarm_state
       |FROM (SELECT e, d, 4*(1 + k % 3) AS a1, 4*(1 + d % 2) AS a2 FROM dpx)""".stripMargin
 
+  /** P8 (Butterworth high-pass filtfilt, `accelFeatures.py:22-40` /
+    * `extractFeatures.py:214-261`): the real [[graft.functions.Filters]]
+    * zero-phase filter over an n=1000 tone fixture, hash-matched against
+    * the textbook closed form. A zero-phase order-2 high-pass passes
+    * tone A·cos(wi) as A·|H(w)|²·cos(wi); the oracle states |H(w)|² from
+    * the bilinear-transform biquad coefficients (the same formula the
+    * Scala `butterHighPass` derives) and numerically sums the closed
+    * form's RMS over the centre window [250, 750), where the filtfilt
+    * startup transient has decayed to < 1e-9 of the signal. n=1000 bins
+    * put f1 at 0.375-0.95 Hz — straddling the 0.5 Hz corner, so the
+    * pinned gains sweep the filter's transition band rather than its
+    * flat tails. [[graft.tools.ToneGainProbe]] pins the numerics: max
+    * |kernel - closedForm| = 9.0e-8 x1000-units against a worst-case
+    * rounding-boundary margin of 1.1e-4 — three orders of safety. */
+  def p8FiltfiltRms(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.toneDps(s, d, n = 1000)
+      .select(col("e"), col("d"),
+        round(hpRmsUdf(col("rawData")) * 1000).cast("long").as("hp_rms_x1000"))
+
+  val p8Sql: String = sqlBase.stripSuffix("\n") +
+    """,
+      |hpc AS (
+      |  SELECT nrm AS b0, -2.0*nrm AS b1, nrm AS b2,
+      |         2.0*(wc*wc - 1.0)*nrm AS fa1,
+      |         (1.0 - kk*wc + wc*wc)*nrm AS fa2
+      |  FROM (SELECT wc, kk, 1.0/(1.0 + kk*wc + wc*wc) AS nrm
+      |        FROM (SELECT tan(pi()*0.5/25.0) AS wc, sqrt(2.0) AS kk))),
+      |tone AS (
+      |  SELECT e, d, 4*(1 + k % 3) AS a1, 4*(1 + d % 2) AS a2,
+      |         2*pi()*(15 + (k+d) % 24)/1000.0 AS w1,
+      |         2*pi()*(41 + (k+d) % 21)/1000.0 AS w2
+      |  FROM dpx),
+      |gains AS (
+      |  SELECT e, d, a1, a2, w1, w2,
+      |    ((b0 + b1*cos(w1) + b2*cos(2*w1))*(b0 + b1*cos(w1) + b2*cos(2*w1))
+      |     + (b1*sin(w1) + b2*sin(2*w1))*(b1*sin(w1) + b2*sin(2*w1)))
+      |    / ((1.0 + fa1*cos(w1) + fa2*cos(2*w1))*(1.0 + fa1*cos(w1) + fa2*cos(2*w1))
+      |     + (fa1*sin(w1) + fa2*sin(2*w1))*(fa1*sin(w1) + fa2*sin(2*w1))) AS g1,
+      |    ((b0 + b1*cos(w2) + b2*cos(2*w2))*(b0 + b1*cos(w2) + b2*cos(2*w2))
+      |     + (b1*sin(w2) + b2*sin(2*w2))*(b1*sin(w2) + b2*sin(2*w2)))
+      |    / ((1.0 + fa1*cos(w2) + fa2*cos(2*w2))*(1.0 + fa1*cos(w2) + fa2*cos(2*w2))
+      |     + (fa1*sin(w2) + fa2*sin(2*w2))*(fa1*sin(w2) + fa2*sin(2*w2))) AS g2
+      |  FROM tone, hpc),
+      |ys AS (
+      |  SELECT e, d, a1*g1*cos(w1*i) + a2*g2*cos(w2*i) AS y
+      |  FROM (SELECT *, unnest(range(250, 750)) AS i FROM gains))
+      |SELECT e, d,
+      |  CAST(ROUND(sqrt(SUM(y*y)/500.0)*1000.0) AS BIGINT) AS hp_rms_x1000
+      |FROM ys GROUP BY e, d""".stripMargin
+
+  /** P10 (band total power + peak PSD over [3, 8] Hz,
+    * `accelFeatures.py:84-96`): the real [[Signal.bandPower]] DFT path
+    * over the n=125 tone fixture. Only the f1 tone (3.0-7.6 Hz) lands in
+    * the band, so total = peak = A1²/2 exactly — an integer after the
+    * ×1000 bridge (A1 ∈ {4,8,12} → 8000/32000/72000), a 0.5-unit margin
+    * against the DFT's ~1e-9 float error (ToneGainProbe). */
+  def p10BandPeak(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.toneDps(s, d)
+      .select(col("e"), col("d"), bandPowerUdf(col("rawData")).as("bp"))
+      .select(col("e"), col("d"),
+        round(col("bp").getItem(0) * 1000).cast("long").as("band_total_x1000"),
+        round(col("bp").getItem(1) * 1000).cast("long").as("band_peak_x1000"))
+
+  val p10Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST(a1*a1*500 AS BIGINT) AS band_total_x1000,
+      |  CAST(a1*a1*500 AS BIGINT) AS band_peak_x1000
+      |FROM (SELECT e, d, 4*(1 + k % 3) AS a1 FROM dpx)""".stripMargin
+
+  /** P11 (spectral centroid + Shannon entropy, `accelFeatures.py:97-104`):
+    * the real [[Signal.spectralCentroid]]/[[Signal.spectralEntropy]] DFT
+    * path over the n=125 tone fixture, whose one-sided PSD has exactly
+    * three live bins — DC (1000² = 1e6) and the two tones (A²/2) — so
+    * both statistics have closed forms:
+    *   centroid = 0.2·(f1·p1 + f2·p2) / (p0 + p1 + p2)
+    *   entropy  = −Σ (p/t)·ln(p/t) over the three bins
+    * ToneGainProbe pins the ×1e7 bridge: kernel-vs-closed-form error
+    * ~1e-10 units against boundary margins of 4.4e-4 (centroid) and
+    * 8.9e-2 (entropy) — ≥6 orders of safety. */
+  def p11SpectralShape(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.toneDps(s, d)
+      .select(col("e"), col("d"),
+        round(centroidUdf(col("rawData")) * 1e7).cast("long").as("centroid_x1e7"),
+        round(entropyUdf(col("rawData")) * 1e7).cast("long").as("entropy_x1e7"))
+
+  val p11Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST(ROUND(1e7 * (0.2*(f1*p1 + f2*p2)/(p0 + p1 + p2))) AS BIGINT)
+      |    AS centroid_x1e7,
+      |  CAST(ROUND(1e7 * -((p0/t)*ln(p0/t) + (p1/t)*ln(p1/t) + (p2/t)*ln(p2/t)))
+      |       AS BIGINT) AS entropy_x1e7
+      |FROM (SELECT *, p0 + p1 + p2 AS t FROM
+      |  (SELECT e, d, 15 + (k+d) % 24 AS f1, 41 + (k+d) % 21 AS f2,
+      |          1000000.0 AS p0,
+      |          (4*(1 + k % 3))*(4*(1 + k % 3))/2.0 AS p1,
+      |          (4*(1 + d % 2))*(4*(1 + d % 2))/2.0 AS p2
+      |   FROM dpx))""".stripMargin
+
   /** P12 (epoch feature vector through the real [[FeatureExtract]] over
     * 3D fixture events, window=step=125 so epoch j == datapoint j):
     * the full 144-feature vector is computed; the oracled projection is
@@ -1013,6 +1127,9 @@ object DomainQueries {
     "p4_band_power"     -> (p4BandPower _),
     "p6_spectrum_ratio" -> (p6SpectrumRatio _),
     "p7_alarm_state"    -> (p7AlarmState _),
+    "p8_filtfilt_rms"   -> (p8FiltfiltRms _),
+    "p10_band_peak"     -> (p10BandPeak _),
+    "p11_spectral_shape" -> (p11SpectralShape _),
     "p12_epoch_features" -> (p12EpochFeatures _)
   )
 
@@ -1055,6 +1172,9 @@ object DomainQueries {
     "p4_band_power"     -> p4Sql,
     "p6_spectrum_ratio" -> p6Sql,
     "p7_alarm_state"    -> p7Sql,
+    "p8_filtfilt_rms"   -> p8Sql,
+    "p10_band_peak"     -> p10Sql,
+    "p11_spectral_shape" -> p11Sql,
     "p12_epoch_features" -> p12Sql
   )
 }

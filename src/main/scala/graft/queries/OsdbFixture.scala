@@ -97,14 +97,22 @@ object OsdbFixture {
              + a2 * math.cos(2 * math.Pi * f2 * i / n))
   }
 
-  /** One tone datapoint per fixture (k,d): (e, k, d, rawData). */
+  /** One tone datapoint per fixture (k,d): (e, k, d, rawData).
+    *
+    * `n` is the sample count AND the tone period — f1/f2 stay integer
+    * DFT *bins* of n, so at n=125 (the device epoch, P4–P7/P10/P11)
+    * f1 spans 3.0–7.6 Hz and at n=1000 (the P8 filtfilt fixture, where
+    * the startup transient must decay below the closed form's rounding
+    * margin — see [[graft.tools.ToneGainProbe]]) f1 spans 0.375–0.95 Hz,
+    * straddling the 0.5 Hz high-pass corner. */
   def toneDps(s: SparkSession, dir: String,
-              where: org.apache.spark.sql.Column = lit(true)): DataFrame =
+              where: org.apache.spark.sql.Column = lit(true),
+              n: Int = 125): DataFrame =
     ev(s, dir)
       .withColumn("d", explode(expr("sequence(0L, n_dp - 1)")))
       .filter(where)
       .select(col("e"), col("k"), col("d"),
-        toneUdf(col("k"), col("d"), lit(125)).as("rawData"))
+        toneUdf(col("k"), col("d"), lit(n)).as("rawData"))
 
   // ------------------------------------------------------------ event level
 

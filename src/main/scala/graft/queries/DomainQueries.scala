@@ -879,6 +879,52 @@ object DomainQueries {
       |  COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
       |FROM ev GROUP BY 1""".stripMargin
 
+  /** S1 (multiLine JSON-ARRAY category file through the real
+    * [[graft.sources.OsdbJson.readEvents]] multiLine=true branch —
+    * the reference's native one-array-per-category layout,
+    * osdDbConnection.py:101-126): the k%3==0 event slice is staged as
+    * NDJSON by Spark, wrapped into a single `[...]` array file by the
+    * harness (driver-side string assembly of an already-coalesced
+    * single part file — same bounded-harness class as u3's rename),
+    * and read back through the array-parsing code path with category
+    * recovered from the file name. The oracle restates the slice from
+    * the fixture formulas, so a mis-parsed array element, a dropped
+    * row, or a broken filename-category extraction all break the hash.
+    *
+    * Scale note: a multiLine JSON array file is NOT splittable — Spark
+    * parses it in one task, which is inherent to the S1 layout (the
+    * reference's files are single arrays). The scale layout is NDJSON
+    * (S2/U3) or the parquet lake; S1 exists for ingesting the
+    * reference's own files. */
+  def s1MultilineArray(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(qtmp(s, "s1_array"))
+    base.mkdirs()
+    val ev = OsdbFixture.ev(s, d).filter(col("k") % 3 === 0)
+      .select(
+        col("e").cast("string").as("id"),
+        col("u").cast("string").as("userId"),
+        col("type_str").as("type"),
+        col("sub_type").as("subType"),
+        col("data_source").as("dataSourceName"))
+    val stage = new java.io.File(base, "_stage_catC")
+    ev.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+    val part = stage.listFiles().find(f => f.getName.startsWith("part-")
+      && f.getName.endsWith(".json")).get
+    val lines = java.nio.file.Files.readAllLines(part.toPath)
+    val dest = new java.io.File(base, "catC.json")
+    java.nio.file.Files.write(dest.toPath,
+      lines.stream().collect(java.util.stream.Collectors.joining(",\n", "[", "]"))
+        .getBytes("UTF-8"))
+    graft.sources.OsdbJson.readEvents(s, Seq(dest.getAbsolutePath),
+        multiLine = true, tidy = false)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("id_sum"))
+  }
+
+  val s1Sql: String = sqlBase +
+    """SELECT 'catC' AS category, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
+      |FROM ev WHERE k % 3 = 0""".stripMargin
+
   // --------------------------------------------------- P: spectral (oracled)
 
   /** P4/P5 (getSpecPower / getRoiPower over planted pure-tone
@@ -1124,6 +1170,7 @@ object DomainQueries {
     "s8_json_roundtrip" -> (s8JsonRoundtrip _),
     "s9_index_csv"      -> (s9IndexCsv _),
     "u3_multifile_union" -> (u3MultifileUnion _),
+    "s1_multiline_array" -> (s1MultilineArray _),
     "p4_band_power"     -> (p4BandPower _),
     "p6_spectrum_ratio" -> (p6SpectrumRatio _),
     "p7_alarm_state"    -> (p7AlarmState _),
@@ -1169,6 +1216,7 @@ object DomainQueries {
     "s8_json_roundtrip" -> s8Sql,
     "s9_index_csv"      -> s9Sql,
     "u3_multifile_union" -> u3Sql,
+    "s1_multiline_array" -> s1Sql,
     "p4_band_power"     -> p4Sql,
     "p6_spectrum_ratio" -> p6Sql,
     "p7_alarm_state"    -> p7Sql,

@@ -132,9 +132,85 @@ object StreamQueries {
         col("max_value"), col("n"))
   }
 
+  /** ST3: the W3 session aggregation driven by a FILE stream — the
+    * production source shape (readStream over an NDJSON drop directory,
+    * maxFilesPerTrigger=1) instead of the MemoryStream test adapter, so
+    * no event row ever passes through the driver: the feed files are
+    * written BY SPARK (time-split halves, the u3 coalesce+rename
+    * harness pattern), and only the 1-row min/max aggregate and the two
+    * single-row sentinel files are driver-side.
+    *
+    * Batching discipline: the file source processes files oldest-mtime-
+    * first, one per micro-batch. The two real files split at the time
+    * midpoint, so every batch-2 row is newer than batch 1's watermark
+    * (max(ts) of file A <= mid < every ts in file B) — no late drops,
+    * while sessions spanning the split exercise the incremental state
+    * merge. Sentinel files C/D (+1d, +2d, user_id=-1) then advance the
+    * watermark past every real window and trigger the emitting batch —
+    * the same drain protocol as [[runDrain]], expressed as files.
+    * mtimes are spaced 10 s apart so coarse-granularity filesystems
+    * cannot reorder the batches. Result contract and oracle are
+    * identical to st1 (same slice, same aggregation). */
+  def st3FileStream(s: SparkSession, d: String): DataFrame = {
+    configureStreaming(s)
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-qtmp-${s.sparkContext.applicationId}"),
+      s"st3_${runId.incrementAndGet()}")
+    val srcDir = new java.io.File(base, "src")
+    srcDir.mkdirs()
+    val slice = Tables.events(s, d).filter(feedSlice)
+      .select(unix_millis(col("ts")).as("ts_ms"), col("user_id"))
+    val mm = slice.agg(min("ts_ms"), max("ts_ms")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(base, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+      val part = stage.listFiles().find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(srcDir, s"$name.json")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(mtime)
+    }
+    writeChunk(slice.filter(col("ts_ms") <= mid), "a", t0)
+    writeChunk(slice.filter(col("ts_ms") > mid), "b", t0 + 10000)
+    def writeSentinel(name: String, ms: Long, mtime: Long): Unit = {
+      val f = new java.io.File(srcDir, s"$name.json")
+      java.nio.file.Files.write(f.toPath,
+        s"""{"ts_ms":$ms,"user_id":-1}""".getBytes("UTF-8"))
+      f.setLastModified(mtime)
+    }
+    writeSentinel("c", hi + 86400L * 1000, t0 + 20000)
+    writeSentinel("d", hi + 2 * 86400L * 1000, t0 + 30000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(srcDir.getAbsolutePath)
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"))
+    val name = s"graft_stream_out_${runId.incrementAndGet()}"
+    val q = StreamAggs.sessionCounts(stream, "ts", "user_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_session_stream"  -> (st1SessionStream _),
-    "st2_tumbling_stream" -> (st2TumblingStream _)
+    "st2_tumbling_stream" -> (st2TumblingStream _),
+    "st3_file_stream"     -> (st3FileStream _)
   )
 
   /** Parity on purpose: the streaming queries answer to the batch twins'
@@ -160,6 +236,9 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "st1_session_stream"  -> st1Sql,
-    "st2_tumbling_stream" -> st2Sql
+    "st2_tumbling_stream" -> st2Sql,
+    // st3 answers to st1's oracle verbatim: same slice, same aggregation,
+    // different source (file stream vs MemoryStream)
+    "st3_file_stream"     -> st1Sql
   )
 }

@@ -62,6 +62,71 @@ object TextQueries {
     Tables.documents(s, d).select(col("doc_id"),
       Dedup.simHash(col("text")).as("simhash"))
 
+  /** D5: self-scoring dedup gate — the e5 trick applied to the two
+    * hash-based near-dup paths. Ground truth is EXACT 3-gram Jaccard >=
+    * 0.5 over the same shingle domain MinHash estimates (lowercased
+    * whitespace tokens, distinct 3-gram shingles), computed by the
+    * oracled [[Dedup.ngramJaccardPairs]] operator with the df cap off
+    * (exactness matters here; the cap is the production-scale knob).
+    * Per method the entry pins TWO integers: the candidate-pair count it
+    * emits (minhash: est_jaccard >= 0.5 pairs; simhash: Hamming <= 3
+    * pairs) and floor(100·recall) against the truth set; a 'truth' row
+    * pins the truth-set size itself so fixture drift is self-evident.
+    * Every input is deterministic (FNV/seeded hash families, exact
+    * joins), so the result is a CONSTANT per dataset — any change to the
+    * signature scheme, banding, chunk blocking or thresholds moves these
+    * integers and breaks the hash gate. This converts d3/d4 from
+    * rows-only entries into regression-gated ones.
+    *
+    * READ THE PINS IN CONTEXT: minhash at 16 bands x 4 rows catches
+    * J >~ 0.5 probabilistically — sub-100 recall on pairs near the 0.5
+    * threshold is the designed S-curve, not a defect; the planted
+    * near-identical pairs (J >= 0.96) are all caught (the ScalaTest
+    * invariant). SimHash answers a DIFFERENT similarity (token-multiset
+    * cosine, Hamming <= 3 is near-identical only), so its recall against
+    * a J >= 0.5 truth set is structurally low — it is pinned for
+    * regression detection, not as a quality claim. */
+  def d5DedupRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1),
+        n = 3, minJaccard = 0.5, maxDf = Int.MaxValue)
+      .select("id_a", "id_b")
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
+        .select("id_a", "id_b").withColumn("method", lit("minhash"))
+      .unionByName(Dedup.simHashCandidates(docs, "doc_id", "text")
+        .select("id_a", "id_b").withColumn("method", lit("simhash")))
+    val nPairs = cands.groupBy("method").agg(count(lit(1)).as("n_pairs"))
+    val hits = cands.join(truth, Seq("id_a", "id_b"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    // seed frame: a method emitting ZERO pairs must still pin its row
+    val seed = Seq("minhash", "simhash").toDF("method")
+    seed
+      .join(nPairs, Seq("method"), "left")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("method"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        floor(coalesce(col("hits"), lit(0L)) * 100 / col("n_truth"))
+          .cast("long").as("recall_pct"))
+      .unionByName(truth.agg(count(lit(1)).as("n_pairs"))
+        .select(lit("truth").as("method"), col("n_pairs"),
+          lit(100L).as("recall_pct")))
+  }
+
+  /** Constants measured once on the driver sf0.01 testdata
+    * (deterministic — see [[d5DedupRecall]]). If the driver testdata is
+    * ever regenerated or the oracle runs at a different sf, re-derive
+    * the pins with `runMain graft.tools.DedupProbe <sfDir>` — a failure
+    * here with no code change means the FIXTURE moved, not the dedup
+    * paths. */
+  val d5Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('minhash', CAST(25 AS BIGINT), CAST(100 AS BIGINT)),
+      |  ('simhash', CAST(17 AS BIGINT), CAST(64 AS BIGINT)),
+      |  ('truth',   CAST(25 AS BIGINT), CAST(100 AS BIGINT)))
+      |  t(method, n_pairs, recall_pct)""".stripMargin
+
   // ------------------------------------------------------- text analysis
 
   /** T1 language-ID heuristic (stopword-profile argmax). */
@@ -389,6 +454,7 @@ object TextQueries {
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh"   -> (d3MinHashLsh _),
     "d4_simhash"       -> (d4SimHash _),
+    "d5_dedup_recall"  -> (d5DedupRecall _),
     "t1_langid"        -> (t1LangId _),
     "t2_quality"       -> (t2Quality _),
     "t3_tokens"        -> (t3Tokens _),
@@ -408,6 +474,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
+    "d5_dedup_recall"  -> d5Sql,
     "t1_langid"        -> t1Sql,
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,

@@ -93,6 +93,38 @@ object DomainQueries {
   }
   private val centroidUdf = udf((a: Seq[Double]) => Signal.spectralCentroid(a.toArray, 25.0))
   private val entropyUdf = udf((a: Seq[Double]) => Signal.spectralEntropy(a.toArray))
+  private val interpSumUdf = udf { (ds: Seq[Long], hrs: Seq[Double]) =>
+    // P13: interpolate the per-dp hr knots (at sample index d*125) onto
+    // the full 25 Hz grid, then summarize with exactly-restatable stats
+    val xs = ds.map(_ * 125.0).toArray
+    val n = ds.length * 125
+    val out = Signal.interpOnto(n, xs, hrs.toArray)
+    var s = 0.0; var i = 0
+    while (i < out.length) { s += out(i); i += 1 }
+    Array(n.toLong, math.round(s), out(0).toLong, out(out.length - 1).toLong)
+  }
+  private val welchStatsUdf = udf { (a: Seq[Double]) =>
+    // P9 probe statistics: the four PSD-shape numbers of the Welch
+    // kernel (total power, peak bin power, mean frequency, spectral
+    // entropy), each rounded at a fixed scale so the per-dp values are
+    // integers a VALUES oracle can pin after a SUM.
+    val (freqs, psd) = graft.functions.EpochFeatures.welchPsd(a.toArray, 25.0)
+    var tot = 0.0; var peak = 0.0; var num = 0.0
+    var k = 0
+    while (k < psd.length) {
+      tot += psd(k); if (psd(k) > peak) peak = psd(k)
+      num += freqs(k) * psd(k); k += 1
+    }
+    var h = 0.0
+    k = 0
+    while (k < psd.length) {
+      val q = psd(k) / tot
+      h -= q * (math.log(q + 1e-12) / math.log(2.0))
+      k += 1
+    }
+    Array(math.round(tot * 1e3), math.round(peak * 1e3),
+      math.round(num / tot * 1e6), math.round(h * 1e6))
+  }
 
   // ------------------------------------------------------------- A: groups
 
@@ -1132,6 +1164,75 @@ object DomainQueries {
       |   - MAX(CASE WHEN i = 0 THEN CAST(SIGN(vz) AS DOUBLE) END))/250.0 AS zcr_z
       |FROM samp3 WHERE e % 80 = 0 GROUP BY e, d""".stripMargin
 
+  /** P9 (Welch PSD, `accelFeatures.py` "welch with nperseg=None"
+    * collapse): the real [[graft.functions.EpochFeatures.welchPsd]]
+    * kernel — mean-detrend, symmetric Hann window, one-sided density
+    * scaling — over every tone-fixture datapoint, reduced to a pinned
+    * single row: per-dp the four PSD-shape statistics (total power,
+    * peak bin, mean frequency, entropy) are rounded to integers at a
+    * fixed scale, then summed (a sum of exact integers is
+    * order-independent, so the parallel aggregation cannot move it).
+    * The symmetric Hann window spreads an integer-bin tone across all
+    * bins, so unlike p4/p10/p11 there is no rational closed form — the
+    * pins are constants measured once on the driver testdata (the
+    * e5/d5 pattern): any change to the detrend, window, scaling, or
+    * band edges moves these integers and breaks the hash. Re-derive
+    * with `runMain graft.tools.PinProbe p9_welch_psd <sfDir>` after a
+    * fixture regeneration. */
+  def p9WelchPsd(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.toneDps(s, d)
+      .select(welchStatsUdf(col("rawData")).as("w"))
+      .agg(count(lit(1)).as("n_dp"),
+        sum(col("w").getItem(0)).as("tot_x1e3"),
+        sum(col("w").getItem(1)).as("peak_x1e3"),
+        sum(col("w").getItem(2)).as("meanfreq_x1e6"),
+        sum(col("w").getItem(3)).as("entropy_x1e6"))
+
+  /** Constants measured once on the driver sf0.01 testdata (see
+    * [[p9WelchPsd]]); a failure here with no code change means the
+    * fixture moved — re-pin via `graft.tools.PinProbe`. */
+  val p9Sql: String =
+    """SELECT * FROM (VALUES (CAST(3000 AS BIGINT), CAST(847066302 AS BIGINT),
+      |  CAST(406832379 AS BIGINT), CAST(21676584369 AS BIGINT),
+      |  CAST(6175213816 AS BIGINT)))
+      |  t(n_dp, tot_x1e3, peak_x1e3, meanfreq_x1e6, entropy_x1e6)""".stripMargin
+
+  /** P13 (HR/O2 interpolation onto the sample timebase,
+    * `nnTraining2/extractFeatures.py` hrInterp shape): the real
+    * [[Signal.interpOnto]] — per event, the dp-level hr series at
+    * xs = d·125 linearly interpolated onto the n_dp·125-sample 25 Hz
+    * grid — hash-matched against an EXACT closed form: summing a
+    * piecewise-linear interpolant over an integer grid telescopes,
+    *   Σ_{t∈[x_d, x_{d+1})} interp(t) = 125·y_d + 62·(y_{d+1}−y_d)
+    * (Σ_{t=0}^{124} t = 7750 = 62·125 divides exactly), and the flat
+    * tail past the last knot contributes 125·y_last — all integers for
+    * the fixture's integer hr values, so the oracle restates the sum
+    * per event with one lead() window. round() bridges the ~1e-10
+    * float-summation error against an exact-integer true value; the
+    * endpoint samples out(0)/out(last) pin the flat-extension
+    * contract. */
+  def p13Interp(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d, arrays = false)
+      .groupBy("e")
+      .agg(sort_array(collect_list(struct(col("d"), col("hr")))).as("pts"))
+      .select(col("e"),
+        interpSumUdf(col("pts.d"), col("pts.hr")).as("r"))
+      .select(col("e"),
+        col("r").getItem(0).as("n_samples"),
+        col("r").getItem(1).as("interp_sum"),
+        col("r").getItem(2).as("y_first"),
+        col("r").getItem(3).as("y_last"))
+
+  val p13Sql: String = sqlBase +
+    """SELECT e, CAST(MIN(n_dp)*125 AS BIGINT) AS n_samples,
+      |  CAST(SUM(CASE WHEN y1 IS NULL THEN 125*y0
+      |                ELSE 125*y0 + 62*(y1 - y0) END) AS BIGINT) AS interp_sum,
+      |  CAST(MIN(CASE WHEN d = 0 THEN y0 END) AS BIGINT) AS y_first,
+      |  CAST(MIN(CASE WHEN y1 IS NULL THEN y0 END) AS BIGINT) AS y_last
+      |FROM (SELECT e, d, n_dp, hr AS y0,
+      |        lead(hr) OVER (PARTITION BY e ORDER BY d) AS y1 FROM dpx)
+      |GROUP BY e""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1177,7 +1278,9 @@ object DomainQueries {
     "p8_filtfilt_rms"   -> (p8FiltfiltRms _),
     "p10_band_peak"     -> (p10BandPeak _),
     "p11_spectral_shape" -> (p11SpectralShape _),
-    "p12_epoch_features" -> (p12EpochFeatures _)
+    "p12_epoch_features" -> (p12EpochFeatures _),
+    "p9_welch_psd"      -> (p9WelchPsd _),
+    "p13_interp"        -> (p13Interp _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1223,6 +1326,8 @@ object DomainQueries {
     "p8_filtfilt_rms"   -> p8Sql,
     "p10_band_peak"     -> p10Sql,
     "p11_spectral_shape" -> p11Sql,
-    "p12_epoch_features" -> p12Sql
+    "p12_epoch_features" -> p12Sql,
+    "p9_welch_psd"      -> p9Sql,
+    "p13_interp"        -> p13Sql
   )
 }

@@ -342,6 +342,61 @@ object TextQueries {
       |  ('ivf', CAST(61 AS BIGINT)),
       |  ('lsh', CAST(8 AS BIGINT))) t(method, recall_pct)""".stripMargin
 
+  /** E6: self-scoring gate for [[Similarity.cosineNearDupPairs]] (the
+    * embedding-cosine near-dup path, previously unit-only) — candidate
+    * count and floor(100·recall) of the DECLARED config (minCosine 0.3,
+    * default 8-bit x 6-table blocking) against exact all-pairs ground
+    * truth on the vec_id%4==0 slice, plus a 'truth' row pinning the
+    * truth-set size. The truth side is the gate's bounded-scale harness
+    * (an explicit cross join — fine at verify/bench scale, never the
+    * operator's path); the OPERATOR is LSH block-then-verify and stays
+    * sublinear.
+    *
+    * READ THE PINS IN CONTEXT: the driver embeddings are near-random
+    * (max slice cosine ≈ 0.44), far below the operator's 0.9 design
+    * point, and [[Similarity.lshRecallEstimate]](0.3, 8, 6) ≈ 0.09 — a
+    * LOW pinned recall is the implementation agreeing with theory, and
+    * precision is 1 by construction (every emitted pair is exactly
+    * verified). Planted-pair recall at the design point is covered by
+    * the ScalaTest invariant; this pins end-to-end behavior on the
+    * fixture the driver ships. */
+  def e6CosNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 4 === 0 &&
+        graft.plans.GraftExpressions.arrayDot(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+    val truth = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.plans.GraftExpressions.cosine(
+        col("a.embedding"), col("b.embedding")) >= 0.3)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val found = Similarity.cosineNearDupPairs(v, "vec_id", "embedding",
+        dim = 64, minCosine = 0.3)
+      .select("id_a", "id_b")
+    val nFound = found.agg(count(lit(1)).as("n_pairs"))
+    val hits = found.join(truth, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("hits"))
+    nFound.crossJoin(hits)
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(lit("cosdup").as("method"), col("n_pairs"),
+        floor(col("hits") * 100 / col("n_truth")).cast("long").as("recall_pct"))
+      .unionByName(truth.agg(count(lit(1)).as("n_pairs"))
+        .select(lit("truth").as("method"), col("n_pairs"),
+          lit(100L).as("recall_pct")))
+  }
+
+  /** Constants measured once on the driver sf0.01 testdata (see
+    * [[e6CosNearDup]]); re-derive with
+    * `runMain graft.tools.PinProbe e6_cos_neardup <sfDir>` if the
+    * testdata regenerates — a failure with no code change means the
+    * fixture moved, not the similarity path. */
+  val e6Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('cosdup', CAST(7 AS BIGINT), CAST(12 AS BIGINT)),
+      |  ('truth',  CAST(54 AS BIGINT), CAST(100 AS BIGINT)))
+      |  t(method, n_pairs, recall_pct)""".stripMargin
+
   // ---------------------------------------------------------- multimodal
 
   /** X1 multimodal plumbing: documents' bytes as opaque media payloads →
@@ -464,6 +519,7 @@ object TextQueries {
     "e3_native_dot"    -> (e3NativeDot _),
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "e5_ann_recall"    -> (e5AnnRecall _),
+    "e6_cos_neardup"   -> (e6CosNearDup _),
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
     "x3_media_resize"  -> (x3MediaResize _),
@@ -482,6 +538,7 @@ object TextQueries {
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
+    "e6_cos_neardup"   -> e6Sql,
     "x2_media_frames"  -> x2Sql,
     "x3_media_resize"  -> x3Sql,
     "sk1_salted_join"  -> sk1Sql

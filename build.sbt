@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g of the host's 128 GiB: the bench drives ~100 queries (array
+  // fixtures, streaming state stores, JSON round-trips) through ONE
+  // long-lived JVM — at 8g the old-gen fills over a sweep and GC pauses
+  // land on whichever query is running, the residual source of
+  // code-unchanged slow reps after the r6 interleaving fix.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
 // Engine suites share one local SparkSession; run them sequentially so
 // streaming state-store tests don't contend for the 4 task slots.

@@ -202,6 +202,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------- duplicate-cluster resolution
+
+  /** Connected components over candidate-duplicate pairs — the cluster
+    * step every dedup pipeline runs after candidate generation: group
+    * transitively-linked near-dups and pick min-id as the canonical
+    * document. Iterative min-label propagation: each round joins labels
+    * across edges and keeps the per-node min, one key shuffle per
+    * round, `localCheckpoint` cutting the lineage so round N's plan
+    * does not re-execute rounds 1..N-1. Converges in O(cluster
+    * diameter) rounds — near-dup clusters are shallow (a hub document
+    * links its variants), so 3-4 rounds is typical; `maxIter` bounds
+    * pathology. The driver loop iterates ROUNDS (one count() action
+    * each, the standard iterative-algorithm shape — MLlib does the
+    * same), never rows. At 100 TB the same loop holds — the state is
+    * one (id, comp) pair per DISTINCT doc appearing in any candidate
+    * pair (far smaller than the corpus), and each round's shuffle
+    * carries only those pairs; the log-round large-star/small-star
+    * variant is the escalation if cluster diameters ever grow deep.
+    *
+    * Returns (doc_id, component_id) for every doc in `pairs`;
+    * singletons (docs with no candidate pair) are absent — callers
+    * union them back with component_id = own id. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u")).agg(min("vcomp").as("ncomp"))
+      val next = labels
+        .join(prop.select(col("u").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact token-n-gram Jaccard over *discriminative* shingles inside a

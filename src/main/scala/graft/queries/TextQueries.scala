@@ -62,6 +62,24 @@ object TextQueries {
     Tables.documents(s, d).select(col("doc_id"),
       Dedup.simHash(col("text")).as("simhash"))
 
+  /** D6: duplicate-cluster resolution — [[Dedup.dupClusters]] connected
+    * components over the d2 candidate pairs (the post-candidate step a
+    * dedup pipeline runs to pick one canonical doc per transitive
+    * near-dup group). Fully oracled: DuckDB computes the same
+    * components with a recursive-CTE reachability closure over the d2
+    * pair SQL, so the iterative min-label propagation answers to an
+    * engine-independent ground truth (not a pinned constant). */
+  def d6DupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(d2NgramJaccard(s, d).select("id_a", "id_b"))
+
+  val d6Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d2Sql),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |   UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+       |SELECT u AS doc_id, MIN(r) AS component_id FROM reach GROUP BY u""".stripMargin
+
   /** D5: self-scoring dedup gate — the e5 trick applied to the two
     * hash-based near-dup paths. Ground truth is EXACT 3-gram Jaccard >=
     * 0.5 over the same shingle domain MinHash estimates (lowercased
@@ -510,6 +528,7 @@ object TextQueries {
     "d3_minhash_lsh"   -> (d3MinHashLsh _),
     "d4_simhash"       -> (d4SimHash _),
     "d5_dedup_recall"  -> (d5DedupRecall _),
+    "d6_dup_clusters"  -> (d6DupClusters _),
     "t1_langid"        -> (t1LangId _),
     "t2_quality"       -> (t2Quality _),
     "t3_tokens"        -> (t3Tokens _),
@@ -531,6 +550,7 @@ object TextQueries {
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d5_dedup_recall"  -> d5Sql,
+    "d6_dup_clusters"  -> d6Sql,
     "t1_langid"        -> t1Sql,
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,

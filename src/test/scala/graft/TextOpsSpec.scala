@@ -53,6 +53,21 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)))
   }
 
+  test("dupClusters: transitive chains merge, separate clusters stay apart") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive via 2), star 10-{11,12}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long path needs diameter rounds — exercise several iterations
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pc = Dedup.dupClusters(path).collect().map(_.getLong(1)).distinct
+    assert(pc.toSeq == Seq(0L))
+  }
+
   test("ngram jaccard: near-dup pair scores high, unrelated low") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", col("lang"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

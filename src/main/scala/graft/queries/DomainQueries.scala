@@ -73,6 +73,20 @@ object DomainQueries {
     }
     (s(0), s(1), s(2))
   })
+  private val fftBinMagUdf = udf { (a: Seq[Double], bin: Int) =>
+    val (re, im) = Signal.dft(a.toArray)
+    math.sqrt(Signal.magnitudeSq(re(bin), im(bin)))
+  }
+  private val fftBinMagSqUdf = udf { (a: Seq[Double], bin: Int) =>
+    val (re, im) = Signal.dft(a.toArray)
+    Signal.magnitudeSq(re(bin), im(bin))
+  }
+  private val winSumUdf = udf { (name: String, n: Int) =>
+    val w = Signal.window(name, n)
+    var s = 0.0; var i = 0
+    while (i < w.length) { s += w(i); i += 1 }
+    s
+  }
   private val specPowerUdf = udf((a: Seq[Double]) => Signal.specPower(a.toArray))
   private val roiPowerUdf = udf((a: Seq[Double]) => Signal.roiPower(a.toArray))
   private val spectrumRatioUdf = udf((a: Seq[Double]) => Signal.spectrumRatio(a.toArray))
@@ -959,6 +973,60 @@ object DomainQueries {
 
   // --------------------------------------------------- P: spectral (oracled)
 
+  /** P1+P3 (getFFT + |z|² magnitude quirk, `osdAlgTools.py:95-105` and
+    * `:6-14`): the raw DFT bins themselves, hash-matched at the planted
+    * tone bins. An integer-bin tone A·cos(2πfi/n) is orthogonal to
+    * every other bin, so the UNWINDOWED spectrum (the P1 quirk: the
+    * window is computed but never applied) has the exact closed form
+    * |X_0| = offset·n, |X_f| = A·n/2 at the tone bin, and the P3 quirk
+    * output |X_f|² = (A·n/2)². With n=125, offset=1000, A1=4(1+k%3),
+    * A2=4(1+d%2): dc = 125000, |X_f1|·1000 = 250000·(1+k%3),
+    * |X_f2|·1000 = 250000·(1+d%2), |X_f1|² = 62500·(1+k%3)² — all
+    * integers; naive-summation error ≤ 124·ε·Σ|x| ≈ 4e-9 against a 0.5
+    * rounding margin. If a window were ever (incorrectly) applied, the
+    * tone's energy would leak across bins and every one of these pins
+    * would shift — this entry is the direct regression gate on the
+    * reference's unapplied-window quirk. */
+  def p1FftBins(s: SparkSession, d: String): DataFrame = {
+    val f1 = (lit(15) + (col("k") + col("d")) % 24).cast("int")
+    val f2 = (lit(41) + (col("k") + col("d")) % 21).cast("int")
+    OsdbFixture.toneDps(s, d)
+      .select(col("e"), col("d"),
+        round(fftBinMagUdf(col("rawData"), lit(0))).cast("long").as("dc_mag"),
+        round(fftBinMagUdf(col("rawData"), f1) * 1000).cast("long").as("mag_f1_x1000"),
+        round(fftBinMagUdf(col("rawData"), f2) * 1000).cast("long").as("mag_f2_x1000"),
+        round(fftBinMagSqUdf(col("rawData"), f1)).cast("long").as("magsq_f1"))
+  }
+
+  val p1Sql: String = sqlBase +
+    """SELECT e, d,
+      |  CAST(125000 AS BIGINT) AS dc_mag,
+      |  CAST(250000 * (1 + k % 3) AS BIGINT) AS mag_f1_x1000,
+      |  CAST(250000 * (1 + d % 2) AS BIGINT) AS mag_f2_x1000,
+      |  CAST(62500 * (1 + k % 3) * (1 + k % 3) AS BIGINT) AS magsq_f1
+      |FROM dpx""".stripMargin
+
+  /** P2 (window generators, `osdAlgTools.py:34-42` raisedCosine et al.):
+    * coefficient sums of the real [[Signal.window]] kernels at the
+    * device epoch length n=125, against their closed forms. With
+    * denominator n-1 = 124, Σcos(2πi/124) over i=0..124 is one full
+    * period (0) plus the repeated endpoint (1), so:
+    * hann = 0.5·125 − 0.5·1 = 62; hamming = 0.54·125 − 0.46·1 = 67.04;
+    * triangle = 125 − Σ|i−62.5|/62.5 = 125 − 3906.5/62.5 = 62.496;
+    * rect = 125. Float error ~1e-13 against the 0.5/1000 margin. */
+  def p2WindowSums(s: SparkSession, d: String): DataFrame =
+    s.range(1).select(
+      round(winSumUdf(lit("rect"), lit(125)) * 1000).cast("long").as("rect_x1000"),
+      round(winSumUdf(lit("hann"), lit(125)) * 1000).cast("long").as("hann_x1000"),
+      round(winSumUdf(lit("hamming"), lit(125)) * 1000).cast("long").as("hamming_x1000"),
+      round(winSumUdf(lit("triangle"), lit(125)) * 1000).cast("long").as("triangle_x1000"))
+
+  val p2Sql: String =
+    """SELECT CAST(125000 AS BIGINT) AS rect_x1000,
+      |  CAST(62000 AS BIGINT) AS hann_x1000,
+      |  CAST(67040 AS BIGINT) AS hamming_x1000,
+      |  CAST(62496 AS BIGINT) AS triangle_x1000""".stripMargin
+
   /** P4/P5 (getSpecPower / getRoiPower over planted pure-tone
     * datapoints): the real [[Signal.specPower]]/[[Signal.roiPower]] DFT
     * path, hash-matched against the closed-form integer band powers of
@@ -1164,6 +1232,34 @@ object DomainQueries {
       |   - MAX(CASE WHEN i = 0 THEN CAST(SIGN(vz) AS DOUBLE) END))/250.0 AS zcr_z
       |FROM samp3 WHERE e % 80 = 0 GROUP BY e, d""".stripMargin
 
+  /** S12 (curated seizure-times side input, `tidy_db.py` seizureTimes
+    * merge): the real [[Tidy.joinSeizureTimes]] — a broadcast left join
+    * of the tiny curated (eventId → [startSec, endSec]) table onto
+    * events, the side-input shape (a dim table measured in KB against a
+    * fact table measured in TB; broadcast is the only sane physical
+    * plan and the operator hints it explicitly). The k%4==0 slice gets
+    * times derived from the fixture formulas; unmatched events keep
+    * NULL seizureTimes — the left-join contract the oracle restates
+    * with a CASE. */
+  def s12SeizureTimes(s: SparkSession, d: String): DataFrame = {
+    val ev = OsdbFixture.ev(s, d)
+    val events = ev.select(col("e").cast("string").as("id"), col("type_str"))
+    val times = ev.filter(col("k") % 4 === 0).select(
+      col("e").as("eventId"),
+      (col("wts") + 10).cast("double").as("startSec"),
+      (col("wts") + 70).cast("double").as("endSec"))
+    Tidy.joinSeizureTimes(events, times)
+      .select(col("id"), col("type_str"),
+        element_at(col("seizureTimes"), 1).as("st_start"),
+        element_at(col("seizureTimes"), 2).as("st_end"))
+  }
+
+  val s12Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS id, type_str,
+      |  CASE WHEN k % 4 = 0 THEN CAST(wts + 10 AS DOUBLE) END AS st_start,
+      |  CASE WHEN k % 4 = 0 THEN CAST(wts + 70 AS DOUBLE) END AS st_end
+      |FROM ev""".stripMargin
+
   /** P9 (Welch PSD, `accelFeatures.py` "welch with nperseg=None"
     * collapse): the real [[graft.functions.EpochFeatures.welchPsd]]
     * kernel — mean-detrend, symmetric Hann window, one-sided density
@@ -1272,6 +1368,9 @@ object DomainQueries {
     "s9_index_csv"      -> (s9IndexCsv _),
     "u3_multifile_union" -> (u3MultifileUnion _),
     "s1_multiline_array" -> (s1MultilineArray _),
+    "s12_seizure_times" -> (s12SeizureTimes _),
+    "p1_fft_bins"       -> (p1FftBins _),
+    "p2_window_sums"    -> (p2WindowSums _),
     "p4_band_power"     -> (p4BandPower _),
     "p6_spectrum_ratio" -> (p6SpectrumRatio _),
     "p7_alarm_state"    -> (p7AlarmState _),
@@ -1320,6 +1419,9 @@ object DomainQueries {
     "s9_index_csv"      -> s9Sql,
     "u3_multifile_union" -> u3Sql,
     "s1_multiline_array" -> s1Sql,
+    "s12_seizure_times" -> s12Sql,
+    "p1_fft_bins"       -> p1Sql,
+    "p2_window_sums"    -> p2Sql,
     "p4_band_power"     -> p4Sql,
     "p6_spectrum_ratio" -> p6Sql,
     "p7_alarm_state"    -> p7Sql,

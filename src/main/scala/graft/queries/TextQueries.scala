@@ -152,13 +152,14 @@ object TextQueries {
     Tables.documents(s, d).select(col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("guess"))
 
-  val t1Sql: String = {
-    val profiles = TextAnalysis.LangProfiles
-    // Each term divides the length delta by the stopword's length —
-    // occurrence COUNT, mirroring TextAnalysis.countOccurrences. Raw
-    // deltas would weight long stopwords more and flip the argmax on
-    // mixed-language text.
-    val scoreExpr = profiles.map { case (l, ws) =>
+  /** DuckDB rendering of [[TextAnalysis.langId]] over column `text` —
+    * shared by the t1 oracle and the pipe1 language gate. Each term
+    * divides the length delta by the stopword's length — occurrence
+    * COUNT, mirroring TextAnalysis.countOccurrences. Raw deltas would
+    * weight long stopwords more and flip the argmax on mixed-language
+    * text. */
+  private val langIdSqlExpr: String = {
+    val scoreExpr = TextAnalysis.LangProfiles.map { case (l, ws) =>
       val sum = ws.map(w =>
         s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$w', ''))) / ${w.length}")
         .mkString(" + ")
@@ -168,9 +169,12 @@ object TextQueries {
     val cases = scoreExpr.map { case (l, e) =>
       s"WHEN $e = $best AND $e > 0 THEN '$l'"
     }.mkString(" ")
-    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS guess
-       |FROM documents""".stripMargin
+    s"CASE $cases ELSE 'und' END"
   }
+
+  val t1Sql: String =
+    s"""SELECT doc_id, lang, $langIdSqlExpr AS guess
+       |FROM documents""".stripMargin
 
   /** T2 quality-score features: token count, mean token length,
     * punctuation ratio, stopword ratio. */
@@ -520,6 +524,72 @@ object TextQueries {
       |JOIN (SELECT i AS hk, i*7 % 13 AS w FROM range(0, 100) t(i)) b USING (hk)
       |GROUP BY hk, w""".stripMargin
 
+  // ------------------------------------------------- composed pipeline
+
+  /** PIPE1 — the end-to-end training-corpus pipeline, the shape a real
+    * 100 TB pretraining-data job composes from this library's stages:
+    *
+    *   plant formatting-noise duplicates (UPPER + padded whitespace,
+    *   shifted ids) → exact-dedup on the normalized fingerprint
+    *   ([[Dedup.exactDedup]]) → language-gate to English
+    *   ([[TextAnalysis.langId]]) → quality-gate on token count and
+    *   punctuation ratio → deterministic hash split (the m1 salted
+    *   multiplicative hash) → per-split doc/token accounting.
+    *
+    * The point of the entry is composition: every stage is a pure
+    * Column expression except the dedup window, so the whole pipeline
+    * is scan → window(fingerprint) → hash-agg — two exchanges total at
+    * any scale, with the language/quality gates evaluated in the same
+    * WholeStageCodegen pass as the scan. The planted duplicates make
+    * the dedup stage load-bearing: originals survive (min doc_id), the
+    * +100000-shifted noisy copies must vanish before the gates run. */
+  def pipe1CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val noisy = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+    val deduped = Dedup.exactDedup(docs.unionByName(noisy), "doc_id", "text")
+    val gated = deduped
+      .filter(TextAnalysis.langId(col("text")) === "en")
+      .filter(TextAnalysis.tokenCount(col("text")) >= 30)
+      .filter(TextAnalysis.punctRatio(col("text")) < 0.2)
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    gated
+      .withColumn("split",
+        when(bucket < lit(3435973836L), "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text"))).as("total_bpeish_tokens"))
+  }
+
+  val pipe1Sql: String =
+    s"""WITH staged AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, '  ' || upper(text) || '   '
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |dedup AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM staged) WHERE rn = 1),
+       |gated AS (
+       |  SELECT doc_id, text FROM dedup
+       |  WHERE $langIdSqlExpr = 'en'
+       |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+       |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+       |        / greatest(length(text), 1) < 0.2)
+       |SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+       |            THEN 'train' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |    AS total_ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpeish_tokens
+       |FROM gated GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -542,7 +612,8 @@ object TextQueries {
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
     "x3_media_resize"  -> (x3MediaResize _),
-    "sk1_salted_join"  -> (sk1SaltedJoin _)
+    "sk1_salted_join"  -> (sk1SaltedJoin _),
+    "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _)
   )
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only. */
@@ -561,6 +632,7 @@ object TextQueries {
     "e6_cos_neardup"   -> e6Sql,
     "x2_media_frames"  -> x2Sql,
     "x3_media_resize"  -> x3Sql,
-    "sk1_salted_join"  -> sk1Sql
+    "sk1_salted_join"  -> sk1Sql,
+    "pipe1_corpus_pipeline" -> pipe1Sql
   )
 }

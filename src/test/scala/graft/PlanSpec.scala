@@ -102,6 +102,34 @@ class PlanSpec extends SparkSpec {
       s"no (hk, __salt) exchange in:\n${p.take(3000)}")
   }
 
+  test("pipe1 dedup window takes top-1 map-side before the exchange (WindowGroupLimit Partial)") {
+    // at 100 TB the dedup window's shuffle carries only the per-partition
+    // winner of each fingerprint group, not every duplicate: Spark plans
+    // row_number()=1 as WindowGroupLimit Partial (before the exchange) +
+    // Final (after). Losing the Partial stage would shuffle the full
+    // corpus text through the fingerprint exchange.
+    val p = plan(graft.queries.TextQueries.pipe1CorpusPipeline(spark, sf))
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    assert(n == 2, s"expected Partial+Final WindowGroupLimit, found $n:\n${p.take(3000)}")
+    assert(p.contains("Partial"), s"no map-side group limit in:\n${p.take(3000)}")
+  }
+
+  test("category-partitioned lake reads prune partitions (S6 layout)") {
+    // the normalized lake is partitionBy(category); a category-filtered
+    // read must hit the partition index, not scan+filter — at 100 TB this
+    // is the difference between reading one directory and reading all.
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-prune-${spark.sparkContext.applicationId}").getAbsolutePath
+    spark.range(100)
+      .select(col("id"), (col("id") % 5).cast("string").as("category"))
+      .write.mode("overwrite").partitionBy("category").parquet(dir)
+    val p = plan(spark.read.parquet(dir).filter(col("category") === "3"))
+    assert("PartitionFilters: \\[isnotnull\\(category#\\d+\\), \\(category#\\d+ = 3\\)\\]".r
+        .findFirstIn(p).isDefined,
+      s"no partition pruning in:\n${p.take(2000)}")
+  }
+
   test("events time-range filter is NOT parquet-pushable (nanos workaround) — documented") {
     // events.ts is reconstructed from TIMESTAMP(NANOS)-as-long, so time
     // predicates evaluate post-transform: no pushdown, no partition

@@ -207,10 +207,84 @@ object StreamQueries {
         col("n"))
   }
 
+  /** ST4 — STREAMING exact dedup: `dropDuplicatesWithinWatermark` on the
+    * normalized text fingerprint over a file-streamed document feed —
+    * the 100 TB streaming-ingest dedup shape, where the dedup state is
+    * EVICTED by the watermark instead of growing with the corpus (plain
+    * `dropDuplicates` would keep every fingerprint ever seen; within-
+    * watermark dedup keeps one micro-batch-delay's worth).
+    *
+    * Feed (st3's file harness, maxFilesPerTrigger=1, mtime-ordered):
+    * batch A = the `doc_id % 4 = 0` document slice with synthetic
+    * arrival times ts = base + doc_id seconds (all fingerprints unique —
+    * batch A passes through entire); batch B = formatting-noise copies
+    * (UPPER + padded whitespace, +100000 ids, +30 s arrival) of every
+    * 7th slice doc. Every copy's fingerprint collapses onto an original
+    * seen one batch earlier and 30 s inside the 1 h watermark delay, so
+    * batch B must emit NOTHING — cross-batch suppression through the
+    * state store, deterministic because original and copy never share a
+    * batch (same-batch dedup order is partition-dependent; the file
+    * split pins it). Dedup is not a watermark-gated aggregation: rows
+    * emit in their arrival batch, so no sentinel files are needed.
+    * Survivors = exactly the original slice, which the oracle restates
+    * directly from the documents table. */
+  def st4StreamDedup(s: SparkSession, d: String): DataFrame = {
+    configureStreaming(s)
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-qtmp-${s.sparkContext.applicationId}"),
+      s"st4_${runId.incrementAndGet()}")
+    val srcDir = new java.io.File(base, "src")
+    srcDir.mkdirs()
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+    val tsMs = lit(1700000000000L) + col("doc_id") * 1000
+    val batchA = docs.select(tsMs.as("ts_ms"), col("doc_id"), col("text"))
+    val batchB = docs.filter(col("doc_id") % 28 === 0)
+      .select((tsMs + 30000).as("ts_ms"),
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(base, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+      val part = stage.listFiles().find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".json")).get
+      val dest = new java.io.File(srcDir, s"$name.json")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(mtime)
+    }
+    writeChunk(batchA, "a", t0)
+    writeChunk(batchB, "b", t0 + 10000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(srcDir.getAbsolutePath)
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+    val name = s"graft_stream_out_${runId.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out.select(col("doc_id"), col("fingerprint"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_session_stream"  -> (st1SessionStream _),
     "st2_tumbling_stream" -> (st2TumblingStream _),
-    "st3_file_stream"     -> (st3FileStream _)
+    "st3_file_stream"     -> (st3FileStream _),
+    "st4_stream_dedup"    -> (st4StreamDedup _)
   )
 
   /** Parity on purpose: the streaming queries answer to the batch twins'
@@ -234,11 +308,20 @@ object StreamQueries {
       | MAX(value) AS max_value, COUNT(*) AS n
       |FROM events WHERE user_id % 4 = 0 GROUP BY 1, 2""".stripMargin
 
+  /** st4's oracle: the survivors are exactly the original slice — every
+    * planted copy is a within-watermark duplicate arriving one batch
+    * later and must be suppressed. */
+  val st4Sql: String =
+    """SELECT doc_id,
+      | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents WHERE doc_id % 4 = 0""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "st1_session_stream"  -> st1Sql,
     "st2_tumbling_stream" -> st2Sql,
     // st3 answers to st1's oracle verbatim: same slice, same aggregation,
     // different source (file stream vs MemoryStream)
-    "st3_file_stream"     -> st1Sql
+    "st3_file_stream"     -> st1Sql,
+    "st4_stream_dedup"    -> st4Sql
   )
 }

@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; the registry
+      // crossed 100 queries in round 7, so with the default every sweep
+      // LRU-evicts every plan and every rep pays Janino recompilation
+      // (0.1-4 s/query, worst for the big flatMapGroups plans) — the
+      // "min never reaches the warm time" pathology. Static conf: must
+      // be set before the first session in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb session/codegen warmup outside the timed loop so per-query
@@ -45,18 +52,30 @@ object Bench {
       case None => SparkEntry.queries
     }
     val alpha = filtered.toSeq.sortBy(_._1)
-    val ordered =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")) alpha
-      else alpha.filterNot(_._1.startsWith("st")) ++ alpha.filter(_._1.startsWith("st"))
+    val alphaOrder = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")
+    val nonSt = alpha.filterNot(_._1.startsWith("st"))
+    val sts = alpha.filter(_._1.startsWith("st"))
+    // Each sweep ROTATES the (non-streaming) registry start by n/3:
+    // host stall windows observed in round 7 run 1-4 MINUTES — as long
+    // as a whole warm sweep — and because every sweep replays the same
+    // order with a similar duration, a PERIODIC host freeze resonates
+    // with the same queries in consecutive sweeps (r7 pre-rotation: s8
+    // stalled in 2 of 3 sweeps, inflating even its min). Rotating the
+    // start offset decorrelates registry position from wall-clock phase
+    // deterministically. Streaming entries stay last in every sweep
+    // (state-store residue — see above).
     val sweeps: Seq[Seq[(String, Double)]] = (1 to 3).map { pass =>
+      val off = if (alphaOrder || nonSt.isEmpty) 0
+                else ((pass - 1) * nonSt.length) / 3
+      val order = (nonSt.drop(off) ++ nonSt.take(off)) ++ sts
       val t0 = System.nanoTime()
-      val times = ordered.map { case (name, fn) => name -> timeOne(fn) }
+      val times = order.map { case (name, fn) => name -> timeOne(fn) }
       System.err.println(f"[sweep $pass] ${(System.nanoTime() - t0) / 1e9}%.1f s total")
       times
     }
     val repsByName: Map[String, Seq[Double]] =
       sweeps.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
-    val results = ordered.map { case (name, _) =>
+    val results = alpha.map { case (name, _) =>
       // min over SUCCESSFUL reps only: -1 marks failure and must neither
       // win the min (one bad rep hiding a working query) nor subtract
       // from the total (failures making the benchmark look faster).

@@ -280,11 +280,34 @@ object StreamQueries {
     out.select(col("doc_id"), col("fingerprint"))
   }
 
+  /** ST5 — st1's session aggregation under the ROCKSDB state store
+    * provider: the bounded-memory state backend for 100 TB streams,
+    * where keyed state outgrows executor heaps and the default
+    * HDFS-backed in-memory provider OOMs. State lives off-heap in a
+    * per-partition RocksDB instance with incremental (changelog-style)
+    * commits; the aggregation logic and result contract are UNCHANGED —
+    * this entry pins exactly that: same slice, same session windows,
+    * same oracle as st1, different state machinery. The provider is a
+    * session conf read at query start, so it is set for the drain and
+    * restored after (declared queries share one session). */
+  def st5RocksdbSession(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try st1SessionStream(s, d)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_session_stream"  -> (st1SessionStream _),
     "st2_tumbling_stream" -> (st2TumblingStream _),
     "st3_file_stream"     -> (st3FileStream _),
-    "st4_stream_dedup"    -> (st4StreamDedup _)
+    "st4_stream_dedup"    -> (st4StreamDedup _),
+    "st5_rocksdb_session" -> (st5RocksdbSession _)
   )
 
   /** Parity on purpose: the streaming queries answer to the batch twins'
@@ -322,6 +345,8 @@ object StreamQueries {
     // st3 answers to st1's oracle verbatim: same slice, same aggregation,
     // different source (file stream vs MemoryStream)
     "st3_file_stream"     -> st1Sql,
-    "st4_stream_dedup"    -> st4Sql
+    "st4_stream_dedup"    -> st4Sql,
+    // st5 = st1 under the RocksDB state store: same result contract
+    "st5_rocksdb_session" -> st1Sql
   )
 }

@@ -590,6 +590,36 @@ object TextQueries {
        |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpeish_tokens
        |FROM gated GROUP BY 1""".stripMargin
 
+  /** PIPE2 — sequence packing ([[graft.operators.Pack]]): lay the corpus
+    * end-to-end in doc_id order, chop into 4096-token chunks, report
+    * per-chunk document/token counts. The oracle states the same
+    * semantics as the single-partition window Spark must NOT use (the
+    * operator's docblock explains the distributed two-pass prefix sum);
+    * PlanSpec pins the absence of a SinglePartition exchange. */
+  def pipe2TokenPacking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_tok"))
+    graft.operators.Pack.tokenPack(docs, "doc_id", "n_tok", seqLen = 4096)
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"))
+  }
+
+  val pipe2Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS strt
+      |  FROM t)
+      |SELECT strt // 4096 AS chunk, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens, MIN(doc_id) AS first_doc
+      |FROM c GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -613,7 +643,8 @@ object TextQueries {
     "x2_media_frames"  -> (x2MediaFrames _),
     "x3_media_resize"  -> (x3MediaResize _),
     "sk1_salted_join"  -> (sk1SaltedJoin _),
-    "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _)
+    "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _),
+    "pipe2_token_packing"   -> (pipe2TokenPacking _)
   )
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only. */
@@ -633,6 +664,7 @@ object TextQueries {
     "x2_media_frames"  -> x2Sql,
     "x3_media_resize"  -> x3Sql,
     "sk1_salted_join"  -> sk1Sql,
-    "pipe1_corpus_pipeline" -> pipe1Sql
+    "pipe1_corpus_pipeline" -> pipe1Sql,
+    "pipe2_token_packing"   -> pipe2Sql
   )
 }

@@ -130,6 +130,15 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning in:\n${p.take(2000)}")
   }
 
+  test("token packing has NO single-partition stage (PIPE2 prefix sum)") {
+    // a global ORDER-BY window would plan Exchange SinglePartition — one
+    // task owning the whole corpus. The two-pass prefix sum must keep
+    // every stage partition-parallel (range exchange + hash agg only).
+    val p = plan(graft.queries.TextQueries.pipe2TokenPacking(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"single-partition stage crept into the packing plan:\n${p.take(3000)}")
+  }
+
   test("events time-range filter is NOT parquet-pushable (nanos workaround) — documented") {
     // events.ts is reconstructed from TIMESTAMP(NANOS)-as-long, so time
     // predicates evaluate post-transform: no pushdown, no partition

@@ -192,4 +192,19 @@ class TextOpsSpec extends SparkSpec {
     val cOut = Multimodal.resizeMedia(const, 16).collect().head
     assert(cOut.payload.forall(_ == 65.toByte))
   }
+
+  test("prefixSum matches a sequential scan across many partitions (Pack)") {
+    import spark.implicits._
+    // adversarial ids: inserted unsorted, weights vary, more partitions
+    // than natural clustering — the two-pass offsets must still line up
+    val rows = (0 until 997).map(i => ((i * 7919L) % 1997L, (i % 13) + 1L))
+    var acc = 0L
+    val seq = rows.sortBy(_._1).map { case (id, w) =>
+      val s = acc; acc += w; (id, w, s)
+    }
+    val got = graft.operators.Pack
+      .prefixSum(rows.toDS(), parts = 17)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == seq, s"prefix sums diverge: ${got.take(5).toSeq} vs ${seq.take(5)}")
+  }
 }

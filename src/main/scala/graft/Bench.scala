@@ -65,9 +65,13 @@ object Bench {
     // deterministically. Streaming entries stay last in every sweep
     // (state-store residue — see above).
     val sweeps: Seq[Seq[(String, Double)]] = (1 to 3).map { pass =>
-      val off = if (alphaOrder || nonSt.isEmpty) 0
-                else ((pass - 1) * nonSt.length) / 3
-      val order = (nonSt.drop(off) ++ nonSt.take(off)) ++ sts
+      // alpha mode = the true interleaved alphabetical order (st* in
+      // place, no rotation) — the A/B arm for the st-residue hypothesis
+      val order = if (alphaOrder || nonSt.isEmpty) alpha
+      else {
+        val off = ((pass - 1) * nonSt.length) / 3
+        (nonSt.drop(off) ++ nonSt.take(off)) ++ sts
+      }
       val t0 = System.nanoTime()
       val times = order.map { case (name, fn) => name -> timeOne(fn) }
       System.err.println(f"[sweep $pass] ${(System.nanoTime() - t0) / 1e9}%.1f s total")

@@ -73,13 +73,13 @@ object DomainQueries {
     }
     (s(0), s(1), s(2))
   })
-  private val fftBinMagUdf = udf { (a: Seq[Double], bin: Int) =>
+  /** One DFT per row: all four p1 projections come out of a single
+    * kernel invocation (a per-bin UDF would re-run the O(n²) transform
+    * once per column). */
+  private val fftBinsUdf = udf { (a: Seq[Double], f1: Int, f2: Int) =>
     val (re, im) = Signal.dft(a.toArray)
-    math.sqrt(Signal.magnitudeSq(re(bin), im(bin)))
-  }
-  private val fftBinMagSqUdf = udf { (a: Seq[Double], bin: Int) =>
-    val (re, im) = Signal.dft(a.toArray)
-    Signal.magnitudeSq(re(bin), im(bin))
+    def mag(k: Int) = math.sqrt(Signal.magnitudeSq(re(k), im(k)))
+    (mag(0), mag(f1), mag(f2), Signal.magnitudeSq(re(f1), im(f1)))
   }
   private val winSumUdf = udf { (name: String, n: Int) =>
     val w = Signal.window(name, n)
@@ -991,11 +991,12 @@ object DomainQueries {
     val f1 = (lit(15) + (col("k") + col("d")) % 24).cast("int")
     val f2 = (lit(41) + (col("k") + col("d")) % 21).cast("int")
     OsdbFixture.toneDps(s, d)
+      .withColumn("b", fftBinsUdf(col("rawData"), f1, f2))
       .select(col("e"), col("d"),
-        round(fftBinMagUdf(col("rawData"), lit(0))).cast("long").as("dc_mag"),
-        round(fftBinMagUdf(col("rawData"), f1) * 1000).cast("long").as("mag_f1_x1000"),
-        round(fftBinMagUdf(col("rawData"), f2) * 1000).cast("long").as("mag_f2_x1000"),
-        round(fftBinMagSqUdf(col("rawData"), f1)).cast("long").as("magsq_f1"))
+        round(col("b._1")).cast("long").as("dc_mag"),
+        round(col("b._2") * 1000).cast("long").as("mag_f1_x1000"),
+        round(col("b._3") * 1000).cast("long").as("mag_f2_x1000"),
+        round(col("b._4")).cast("long").as("magsq_f1"))
   }
 
   val p1Sql: String = sqlBase +

@@ -95,6 +95,22 @@ object StreamQueries {
     * MemoryStream (and apply the same predicate in the oracle SQL). */
   private val feedSlice = col("user_id") % 4 === 0
 
+  /** Write `df` as ONE NDJSON file at `srcDir/name.json` with the given
+    * mtime — the file-source batching harness shared by st3/st4 (the
+    * file source processes files oldest-mtime-first, one per
+    * micro-batch with maxFilesPerTrigger=1). */
+  private def writeNdjsonChunk(base: java.io.File, srcDir: java.io.File,
+      df: DataFrame, name: String, mtime: Long): Unit = {
+    val stage = new java.io.File(base, s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+    val part = stage.listFiles().find(f => f.getName.startsWith("part-")
+      && f.getName.endsWith(".json")).get
+    val dest = new java.io.File(srcDir, s"$name.json")
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(mtime)
+  }
+
   /** W3-as-a-stream: session_window counts per user (gap 30 min),
     * drained to completion — same result contract as the batch
     * gaps-and-islands w3, same oracle. */
@@ -165,18 +181,8 @@ object StreamQueries {
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val mid = lo + (hi - lo) / 2
     val t0 = System.currentTimeMillis() - 3600 * 1000L
-    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stage = new java.io.File(base, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
-      val part = stage.listFiles().find(f => f.getName.startsWith("part-")
-        && f.getName.endsWith(".json")).get
-      val dest = new java.io.File(srcDir, s"$name.json")
-      java.nio.file.Files.move(part.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dest.setLastModified(mtime)
-    }
-    writeChunk(slice.filter(col("ts_ms") <= mid), "a", t0)
-    writeChunk(slice.filter(col("ts_ms") > mid), "b", t0 + 10000)
+    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_ms") <= mid), "a", t0)
+    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_ms") > mid), "b", t0 + 10000)
     def writeSentinel(name: String, ms: Long, mtime: Long): Unit = {
       val f = new java.io.File(srcDir, s"$name.json")
       java.nio.file.Files.write(f.toPath,
@@ -215,19 +221,25 @@ object StreamQueries {
     * watermark dedup keeps one micro-batch-delay's worth).
     *
     * Feed (st3's file harness, maxFilesPerTrigger=1, mtime-ordered):
-    * batch A = the `doc_id % 4 = 0` document slice with synthetic
-    * arrival times ts = base + doc_id seconds (all fingerprints unique —
-    * batch A passes through entire); batch B = formatting-noise copies
-    * (UPPER + padded whitespace, +100000 ids, +30 s arrival) of every
-    * 7th slice doc. Every copy's fingerprint collapses onto an original
-    * seen one batch earlier and 30 s inside the 1 h watermark delay, so
-    * batch B must emit NOTHING — cross-batch suppression through the
-    * state store, deterministic because original and copy never share a
-    * batch (same-batch dedup order is partition-dependent; the file
-    * split pins it). Dedup is not a watermark-gated aggregation: rows
-    * emit in their arrival batch, so no sentinel files are needed.
-    * Survivors = exactly the original slice, which the oracle restates
-    * directly from the documents table. */
+    * batch A = the `doc_id % 4 = 0` document slice, each text PREFIXED
+    * with its doc_id — batch-A fingerprints are unique BY CONSTRUCTION
+    * at any sf (the raw corpus is allowed to contain its own dups; the
+    * only planted collisions are the copies), so batch A passes through
+    * entire and the survivor set is sf-independent. Arrival times are
+    * ts = base + (doc_id mod 1000) s: the batch-A span stays bounded
+    * (< 17 min) regardless of sf, so every batch-B copy sits safely
+    * ABOVE batch A's watermark (max(tsA) − 1 h) — suppressed through
+    * the dedup STATE, never dropped as late input. Batch B =
+    * formatting-noise copies (UPPER + padded whitespace, +100000 ids,
+    * +30 s arrival) of every 7th slice doc; every copy's fingerprint
+    * collapses onto an original seen one batch earlier, so batch B must
+    * emit NOTHING — cross-batch suppression, deterministic because
+    * original and copy never share a batch (same-batch dedup order is
+    * partition-dependent; the file split pins it). Dedup is not a
+    * watermark-gated aggregation: rows emit in their arrival batch, so
+    * no sentinel files are needed. Survivors = exactly the original
+    * slice, which the oracle restates directly from the documents
+    * table. */
   def st4StreamDedup(s: SparkSession, d: String): DataFrame = {
     configureStreaming(s)
     val base = new java.io.File(
@@ -237,26 +249,17 @@ object StreamQueries {
     val srcDir = new java.io.File(base, "src")
     srcDir.mkdirs()
     val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), col("text"))
-    val tsMs = lit(1700000000000L) + col("doc_id") * 1000
+      .select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(" "), col("text")).as("text"))
+    val tsMs = lit(1700000000000L) + (col("doc_id") % 1000) * 1000
     val batchA = docs.select(tsMs.as("ts_ms"), col("doc_id"), col("text"))
     val batchB = docs.filter(col("doc_id") % 28 === 0)
       .select((tsMs + 30000).as("ts_ms"),
         (col("doc_id") + 100000L).as("doc_id"),
         concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
     val t0 = System.currentTimeMillis() - 3600 * 1000L
-    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stage = new java.io.File(base, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
-      val part = stage.listFiles().find(f => f.getName.startsWith("part-")
-        && f.getName.endsWith(".json")).get
-      val dest = new java.io.File(srcDir, s"$name.json")
-      java.nio.file.Files.move(part.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dest.setLastModified(mtime)
-    }
-    writeChunk(batchA, "a", t0)
-    writeChunk(batchB, "b", t0 + 10000)
+    writeNdjsonChunk(base, srcDir, batchA, "a", t0)
+    writeNdjsonChunk(base, srcDir, batchB, "b", t0 + 10000)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts_ms",
         org.apache.spark.sql.types.LongType),
@@ -331,12 +334,14 @@ object StreamQueries {
       | MAX(value) AS max_value, COUNT(*) AS n
       |FROM events WHERE user_id % 4 = 0 GROUP BY 1, 2""".stripMargin
 
-  /** st4's oracle: the survivors are exactly the original slice — every
-    * planted copy is a within-watermark duplicate arriving one batch
-    * later and must be suppressed. */
+  /** st4's oracle: the survivors are exactly the original slice (with
+    * the same doc_id-prefixed text the feed constructs) — every planted
+    * copy is a within-watermark duplicate arriving one batch later and
+    * must be suppressed. */
   val st4Sql: String =
     """SELECT doc_id,
-      | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      | md5(regexp_replace(lower(trim(CAST(doc_id AS VARCHAR) || ' ' || text)),
+      |     '\s+', ' ', 'g')) AS fingerprint
       |FROM documents WHERE doc_id % 4 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -74,6 +74,28 @@ object TextAnalysis {
       greatest(size(toks), lit(1))
   }
 
+  // -------------------------------------------------------- PII scrubbing
+
+  /** Conservative, engine-portable patterns (the same subset compiles
+    * identically under Java regex and RE2): the point of the redaction
+    * stage is a cheap single-pass scrub inside the scan's codegen, not
+    * ISO-grade PII detection — route high-stakes corpora through a
+    * dedicated classifier downstream. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  def countEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+
+  def countUrls(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlRe), lit(0)))
+
+  /** Replace every email/URL with a stable placeholder token (URLs
+    * first: an email inside a URL query string must not leave a
+    * half-redacted URL behind). */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
   /** Document fingerprint: md5 of casefolded, whitespace-collapsed text —
     * the cheap exact-dup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -220,6 +220,50 @@ object TextQueries {
       | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** T5 — PII-style redaction (the scrub stage of a pretraining
+    * pipeline): emails and URLs replaced with placeholder tokens in one
+    * codegen pass. The fixture corpus is synthetic words, so the
+    * matches are PLANTED deterministically (every 5th doc gets an
+    * email, every 7th a URL, both derived from doc_id) and the oracle
+    * rebuilds the identical input; the hash gate then pins both the
+    * match COUNTS and the full redacted TEXT byte-for-byte — a regex
+    * dialect divergence between engines would fail the hash. */
+  def t5Redaction(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/d/"), col("doc_id"), lit(" next")))
+          .otherwise(lit(""))).as("text"))
+    planted.select(col("doc_id"),
+      TextAnalysis.countEmails(col("text")).cast("long").as("n_emails"),
+      TextAnalysis.countUrls(col("text")).cast("long").as("n_urls"),
+      TextAnalysis.redact(col("text")).as("redacted"))
+  }
+
+  val t5Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 5 = 0
+      |            THEN ' contact user' || doc_id || '@example.com now'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |            THEN ' see https://example.org/d/' || doc_id || ' next'
+      |            ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+      |    AS n_urls,
+      |  regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')
+      |    AS redacted
+      |FROM planted""".stripMargin
+
   // ---------------------------------------------------------- similarity
 
   /** E1 brute-force cosine top-3 neighbors against an explicit REFERENCE
@@ -633,6 +677,7 @@ object TextQueries {
     "t2_quality"       -> (t2Quality _),
     "t3_tokens"        -> (t3Tokens _),
     "t4_fingerprint"   -> (t4Fingerprint _),
+    "t5_redaction"     -> (t5Redaction _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
@@ -657,6 +702,7 @@ object TextQueries {
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,
     "t4_fingerprint"   -> t4Sql,
+    "t5_redaction"     -> t5Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,

@@ -193,6 +193,19 @@ class TextOpsSpec extends SparkSpec {
     assert(cOut.payload.forall(_ == 65.toByte))
   }
 
+  test("redact scrubs URLs before emails (no half-redacted URL query strings)") {
+    import spark.implicits._
+    val r = Seq("visit https://a.b/c?u=x@y.zz and mail q@r.ss please")
+      .toDF("t").select(TextAnalysis.redact(col("t"))).head().getString(0)
+    // the email inside the URL must vanish WITH the URL, not leave
+    // "https://a.b/c?u=<EMAIL>" behind
+    assert(r == "visit <URL> and mail <EMAIL> please", r)
+    val counts = Seq("a@b.cc c@d.ee https://x.yy none")
+      .toDF("t").select(TextAnalysis.countEmails(col("t")),
+        TextAnalysis.countUrls(col("t"))).head()
+    assert(counts.getInt(0) == 2 && counts.getInt(1) == 1)
+  }
+
   test("prefixSum matches a sequential scan across many partitions (Pack)") {
     import spark.implicits._
     // adversarial ids: inserted unsorted, weights vary, more partitions

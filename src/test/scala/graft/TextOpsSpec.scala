@@ -68,6 +68,36 @@ class TextOpsSpec extends SparkSpec {
     assert(pc.toSeq == Seq(0L))
   }
 
+  test("dupClusters: diameter-120 chain converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // A path graph of diameter 120 — six times the old silent cap of
+    // 20 rounds. Alternating stars must resolve it in ~2·log2(121)
+    // rounds, and every node must land in component 0.
+    val deep = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.dupClustersWithRounds(deep)
+    val comps = labels.collect().map(_.getLong(1)).distinct
+    assert(comps.toSeq == Seq(0L), s"expected one component rooted at 0, got ${comps.toSeq}")
+    assert(rounds <= 14, s"star rounds should be ~8 for diameter 120, took $rounds")
+    // same chain with ids scrambled by a fixed bijection — the min sits
+    // interior and plateau segments' local minima sit at far ends, the
+    // adversarial case where plain min-label propagation (even with a
+    // comp:=comp(comp) shortcut) crawls one hop per round
+    val perm = (0L to 120L).map(i => i -> ((i * 67L) % 121L)).toMap
+    val scrambled = (0L until 120L).map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val (l2, r2) = Dedup.dupClustersWithRounds(scrambled)
+    assert(l2.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+    assert(r2 <= 14, s"scrambled chain took $r2 rounds")
+  }
+
+  test("dupClusters: fails loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    val deep = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClustersWithRounds(deep, maxIter = 2)
+    }
+    assert(e.getMessage.contains("unconverged component ids"))
+  }
+
   test("ngram jaccard: near-dup pair scores high, unrelated low") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", col("lang"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -954,8 +954,10 @@ object DomainQueries {
         col("data_source").as("dataSourceName"))
     val stage = new java.io.File(base, "_stage_catC")
     ev.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
-    val part = stage.listFiles().find(f => f.getName.startsWith("part-")
-      && f.getName.endsWith(".json")).get
+    val part = stage.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file in staged JSON dir $stage; contents: " +
+          stage.listFiles().map(_.getName).mkString(", ")))
     val lines = java.nio.file.Files.readAllLines(part.toPath)
     val dest = new java.io.File(base, "catC.json")
     java.nio.file.Files.write(dest.toPath,
@@ -970,6 +972,42 @@ object DomainQueries {
   val s1Sql: String = sqlBase +
     """SELECT 'catC' AS category, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
       |FROM ev WHERE k % 3 = 0""".stripMargin
+
+  /** LAKE1 — partition-pruned lake access END TO END: write the events
+    * table as a category-partitioned parquet lake through the real
+    * [[graft.sources.OsdbJson.writeEventsParquet]] (the SURVEY §1.3
+    * normalized layout, category = the reference's per-category file
+    * split re-expressed as a partition column), then read ONE category
+    * back with the partition filter doing the pruning. At 100 TB this
+    * is the single biggest scan lever the engine has: the filtered read
+    * lists and scans ONE directory of the lake — the other categories'
+    * files are never opened. PlanSpec pins the executed plan
+    * (PartitionFilters non-empty, category=purchase); this entry pins
+    * the VALUES against DuckDB running the same slice off the original
+    * table, so layout round-trip and pruning correctness are both
+    * gated. The aggregate uses count/max only — exact at any fold
+    * order, so the hash gate is FP-safe. */
+  def lake1Write(s: SparkSession, d: String): String = {
+    val dir = qtmp(s, "lake1_lake")
+    graft.sources.OsdbJson.writeEventsParquet(
+      graft.Tables.events(s, d).withColumn("category", col("event_type")), dir)
+    dir
+  }
+
+  /** The read side, exposed separately so PlanSpec can pin the pruned
+    * scan on exactly the DataFrame the declared entry executes. */
+  def lake1Read(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("category") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+
+  def lake1PrunedScan(s: SparkSession, d: String): DataFrame =
+    lake1Read(s, lake1Write(s, d))
+
+  val lake1Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
   // --------------------------------------------------- P: spectral (oracled)
 
@@ -1369,6 +1407,7 @@ object DomainQueries {
     "s9_index_csv"      -> (s9IndexCsv _),
     "u3_multifile_union" -> (u3MultifileUnion _),
     "s1_multiline_array" -> (s1MultilineArray _),
+    "lake1_pruned_scan" -> (lake1PrunedScan _),
     "s12_seizure_times" -> (s12SeizureTimes _),
     "p1_fft_bins"       -> (p1FftBins _),
     "p2_window_sums"    -> (p2WindowSums _),
@@ -1420,6 +1459,7 @@ object DomainQueries {
     "s9_index_csv"      -> s9Sql,
     "u3_multifile_union" -> u3Sql,
     "s1_multiline_array" -> s1Sql,
+    "lake1_pruned_scan" -> lake1Sql,
     "s12_seizure_times" -> s12Sql,
     "p1_fft_bins"       -> p1Sql,
     "p2_window_sums"    -> p2Sql,

@@ -463,22 +463,128 @@ object TextQueries {
       |  ('truth',  CAST(54 AS BIGINT), CAST(100 AS BIGINT)))
       |  t(method, n_pairs, recall_pct)""".stripMargin
 
+  /** The planted-cluster embedding fixture behind [[e7DesignRecall]]:
+    * deterministic formula-derived unit vectors with REAL cluster
+    * structure — 32 seeded-Gaussian unit centers; vector `id` lands in
+    * cluster `id % 32` at `(1−ε)·center + ε·unit-noise(id)`,
+    * re-normalized, with ε = 0.1 (within-cluster cosine ≈ 0.99,
+    * cross-cluster ≈ |N(0,1/√64)|). The OsdbFixture pattern applied to
+    * embeddings: ids come from the driver table (so the fixture scales
+    * with sf), every value is a pure function of the id. */
+  private val e7Dim = 64
+  private val e7NClusters = 32
+  private lazy val e7Centers: Array[Array[Double]] = Array.tabulate(e7NClusters) { c =>
+    val rng = new scala.util.Random(9001L + c)
+    val v = Array.fill(e7Dim)(rng.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  def e7PlantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val centers = e7Centers
+    val dim = e7Dim
+    val k = e7NClusters
+    val plantUdf = udf { (id: Long) =>
+      val ctr = centers((id % k).toInt)
+      val rng = new scala.util.Random(id * 1000003L + 17)
+      val g = Array.fill(dim)(rng.nextGaussian())
+      val gn = math.sqrt(g.map(x => x * x).sum)
+      val raw = Array.tabulate(dim)(j => 0.9 * ctr(j) + 0.1 * g(j) / gn)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    Tables.embeddings(s, d).select(col("vec_id"),
+      plantUdf(col("vec_id")).as("embedding"))
+  }
+
+  /** E7: DESIGN-POINT ANN recall gate — the complement to [[e5AnnRecall]].
+    * e5 pins the declared e2/e4 configs on the driver's near-random
+    * embeddings (honestly low, theory-matched); this entry pins the SAME
+    * configs on the planted-cluster fixture ([[e7PlantedEmbeddings]]) —
+    * the clustered regime the operators are designed for — and the pins
+    * sit in the ≥ 0.9 band the docblocks claim. Everything is
+    * deterministic (seeded centers/noise/hyperplanes/Lloyd, total
+    * orderings), so floor(100·recall@3) is a constant per dataset and
+    * the oracle states it. The brute-force truth side is the gate's
+    * instrument (same class as d5/e5 — excluded from scale probes);
+    * the operators under test are the production paths. */
+  def e7DesignRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = e7PlantedEmbeddings(s, d)
+    val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id")
+    val lsh = Similarity.lshKnn(emb, "vec_id", "embedding",
+        dim = 64, k = 3, bits = 8, tables = 4)
+      .select("vec_id", "neighbor_id").withColumn("method", lit("lsh"))
+    val ivf = Similarity.ivfKnn(emb, "vec_id", "embedding",
+        dim = 64, k = 3, nlist = 16, nprobe = 4)
+      .select("vec_id", "neighbor_id").withColumn("method", lit("ivf"))
+    lsh.unionByName(ivf)
+      .join(bf, Seq("vec_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(bf.agg(count(lit(1)).as("n_bf"))))
+      .select(col("method"),
+        floor(col("hits") * 100 / col("n_bf")).cast("long").as("recall_pct"))
+  }
+
+  /** Constants measured once on the driver sf0.01 testdata (see
+    * [[e7DesignRecall]]); re-derive with
+    * `runMain graft.tools.PinProbe e7_design_recall <sfDir>` after a
+    * fixture regeneration. Both pins must sit at ≥ 90 — that is the
+    * design-point claim this entry exists to hold. */
+  val e7Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('ivf', CAST(100 AS BIGINT)),
+      |  ('lsh', CAST(99 AS BIGINT))) t(method, recall_pct)""".stripMargin
+
   // ---------------------------------------------------------- multimodal
 
-  /** X1 multimodal plumbing: documents' bytes as opaque media payloads →
+  /** X1 multimodal plumbing: formula-planted media payloads →
     * size-aware repartition → per-partition batch decode (stubbed
-    * deterministic codec) → feature rows. Rows-only. */
+    * deterministic codec) → feature rows, FULLY oracled including the
+    * decoded-domain mean/std.
+    *
+    * The payload is planted by closed form — 128 bytes, byte i of doc
+    * `id` = (id·31 + i·17) mod 256 — so DuckDB can rebuild the byte
+    * stream with a range() unnest and state mean/std exactly. The
+    * length 128 = 2^7 is load-bearing for BIT-exactness of the doubles:
+    * the intensity sum is an exact integer; mean = S/2^7 divides
+    * exactly (power-of-two divisor); each deviation (v − mean) is an
+    * exact multiple of 2^-7 below 2^8, its square an exact multiple of
+    * 2^-14 below 2^16, so every addend — and every partial sum, in ANY
+    * order, under 2^53 — is exactly representable. Both engines
+    * therefore compute the identical sum regardless of fold order, and
+    * the final sqrt is a correctly-rounded single op. That upgrades x1
+    * from rows-only to a hash-gated entry through the REAL
+    * decode/featurize path (the fake codec maps byte → intensity 1:1,
+    * so the pins exercise decode + mean/std end to end). */
   def x1Multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val plantPayload = udf { (id: Long) =>
+      Array.tabulate(128)(i => ((id * 31 + i * 17) % 256).toByte)
+    }
     val media = Tables.documents(s, d).select(
       col("doc_id").as("id"),
       struct(lit("image").as("mediaType"), lit(8).as("width"), lit(8).as("height"),
         lit(0).as("sampleRateHz"), lit(0L).as("durationMs"),
         lit("fake").as("codec")).as("meta"),
-      encode(col("text"), "UTF-8").as("payload")).as[Multimodal.MediaRow]
+      plantPayload(col("doc_id")).as("payload")).as[Multimodal.MediaRow]
     Multimodal.extractFeatures(Multimodal.repartitionBySize(media, 8))
-      .toDF().select("id", "mediaType", "nBytes", "meanIntensity", "stdIntensity")
+      .toDF().select(col("id"), col("mediaType").as("media_type"),
+        col("nBytes").as("n_bytes"),
+        col("meanIntensity").as("mean_intensity"),
+        col("stdIntensity").as("std_intensity"))
   }
+
+  val x1Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, (doc_id * 31 + i * 17) % 256 AS v
+      |  FROM documents, range(0, 128) t(i)),
+      |s AS (SELECT doc_id, CAST(SUM(v) AS DOUBLE) / 128 AS m FROM b GROUP BY 1)
+      |SELECT b.doc_id AS id, 'image' AS media_type, CAST(128 AS BIGINT) AS n_bytes,
+      |  s.m AS mean_intensity,
+      |  sqrt(SUM((v - s.m) * (v - s.m)) / 128) AS std_intensity
+      |FROM b JOIN s ON b.doc_id = s.doc_id
+      |GROUP BY b.doc_id, s.m""".stripMargin
 
   /** X2: the multimodal frame-sampling stage with an EXACT structural
     * oracle — stride-10 sampling of an n-byte payload emits exactly
@@ -684,6 +790,7 @@ object TextQueries {
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "e5_ann_recall"    -> (e5AnnRecall _),
     "e6_cos_neardup"   -> (e6CosNearDup _),
+    "e7_design_recall" -> (e7DesignRecall _),
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
     "x3_media_resize"  -> (x3MediaResize _),
@@ -707,6 +814,8 @@ object TextQueries {
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,
+    "e7_design_recall" -> e7Sql,
+    "x1_multimodal"    -> x1Sql,
     "x2_media_frames"  -> x2Sql,
     "x3_media_resize"  -> x3Sql,
     "sk1_salted_join"  -> sk1Sql,

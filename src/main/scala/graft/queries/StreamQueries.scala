@@ -103,8 +103,13 @@ object StreamQueries {
       df: DataFrame, name: String, mtime: Long): Unit = {
     val stage = new java.io.File(base, s"_stage_$name")
     df.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
-    val part = stage.listFiles().find(f => f.getName.startsWith("part-")
-      && f.getName.endsWith(".json")).get
+    // suffix deliberately unchecked: a session-level json compression
+    // conf would change the extension but the single part file is still
+    // the one we want (crc/_SUCCESS never start with "part-")
+    val part = stage.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file in staged JSON dir $stage; contents: " +
+          stage.listFiles().map(_.getName).mkString(", ")))
     val dest = new java.io.File(srcDir, s"$name.json")
     java.nio.file.Files.move(part.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -175,31 +180,36 @@ object StreamQueries {
       s"st3_${runId.incrementAndGet()}")
     val srcDir = new java.io.File(base, "src")
     srcDir.mkdirs()
+    // MICROsecond transport: events.ts carries micros (Tables.load
+    // reconstructs them from nanos) and st1's MemoryStream feed sees
+    // full precision — round-tripping this feed through millis would
+    // let session membership diverge from st1's oracle for events
+    // within 1 ms of exactly the 30-min gap boundary.
     val slice = Tables.events(s, d).filter(feedSlice)
-      .select(unix_millis(col("ts")).as("ts_ms"), col("user_id"))
-    val mm = slice.agg(min("ts_ms"), max("ts_ms")).collect()(0)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+    val mm = slice.agg(min("ts_us"), max("ts_us")).collect()(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val mid = lo + (hi - lo) / 2
     val t0 = System.currentTimeMillis() - 3600 * 1000L
-    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_ms") <= mid), "a", t0)
-    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_ms") > mid), "b", t0 + 10000)
-    def writeSentinel(name: String, ms: Long, mtime: Long): Unit = {
+    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") <= mid), "a", t0)
+    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") > mid), "b", t0 + 10000)
+    def writeSentinel(name: String, us: Long, mtime: Long): Unit = {
       val f = new java.io.File(srcDir, s"$name.json")
       java.nio.file.Files.write(f.toPath,
-        s"""{"ts_ms":$ms,"user_id":-1}""".getBytes("UTF-8"))
+        s"""{"ts_us":$us,"user_id":-1}""".getBytes("UTF-8"))
       f.setLastModified(mtime)
     }
-    writeSentinel("c", hi + 86400L * 1000, t0 + 20000)
-    writeSentinel("d", hi + 2 * 86400L * 1000, t0 + 30000)
+    writeSentinel("c", hi + 86400L * 1000000L, t0 + 20000)
+    writeSentinel("d", hi + 2 * 86400L * 1000000L, t0 + 30000)
     val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ts_ms",
+      org.apache.spark.sql.types.StructField("ts_us",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType)))
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .json(srcDir.getAbsolutePath)
-      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"))
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
     val name = s"graft_stream_out_${runId.incrementAndGet()}"
     val q = StreamAggs.sessionCounts(stream, "ts", "user_id")
       .writeStream.format("memory").queryName(name)
@@ -305,12 +315,90 @@ object StreamQueries {
     }
   }
 
+  /** ST6 — CHECKPOINT RECOVERY across a query RESTART: the fault-
+    * tolerance contract a 100 TB streaming deployment actually relies
+    * on, demonstrated end to end. The st3 file feed is split in time;
+    * query #1 consumes the first half against an explicit
+    * checkpointLocation and is then STOPPED (the "kill"). The rest of
+    * the feed (second half + the two watermark sentinels) lands while
+    * no query is running. Query #2 is a NEW writeStream over the same
+    * source and checkpoint: it must restore committed source offsets
+    * (no batch-A reprocessing), the watermark, and the SESSION STATE
+    * carried by sessions spanning the split, then finish the drain.
+    * The sink is the EXACTLY-ONCE parquet file sink (memory sinks
+    * refuse checkpoint recovery — they are not fault-tolerant): both
+    * runs append to one output dir, `_spark_metadata` records exactly
+    * the committed files, and the final read answers st1's oracle
+    * verbatim — a dropped state row, a re-emitted window, or a reset
+    * watermark all break the hash. (The FSM operator's own restart
+    * contract is pinned in-process by ReplaySpec's snapshot/restore
+    * parity test; this entry exercises the checkpoint machinery itself
+    * on the fast-in-this-container watermarked-aggregation path.) */
+  def st6RestartRecovery(s: SparkSession, d: String): DataFrame = {
+    configureStreaming(s)
+    val base = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-qtmp-${s.sparkContext.applicationId}"),
+      s"st6_${runId.incrementAndGet()}")
+    val srcDir = new java.io.File(base, "src")
+    srcDir.mkdirs()
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val slice = Tables.events(s, d).filter(feedSlice)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+    val mm = slice.agg(min("ts_us"), max("ts_us")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    def start() = {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(srcDir.getAbsolutePath)
+        .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
+      StreamAggs.sessionCounts(stream, "ts", "user_id")
+        .select(col("user_id"), col("w.start").as("w_start"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // phase 1: only the first half exists; consume it, then stop
+    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") <= mid), "a", t0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: the rest lands while the stream is DOWN; a new query
+    // resumes from the checkpoint and finishes the drain
+    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") > mid), "b", t0 + 10000)
+    def writeSentinel(name: String, us: Long, mtime: Long): Unit = {
+      val f = new java.io.File(srcDir, s"$name.json")
+      java.nio.file.Files.write(f.toPath,
+        s"""{"ts_us":$us,"user_id":-1}""".getBytes("UTF-8"))
+      f.setLastModified(mtime)
+    }
+    writeSentinel("c", hi + 86400L * 1000000L, t0 + 20000)
+    writeSentinel("d", hi + 2 * 86400L * 1000000L, t0 + 30000)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the sink read honors _spark_metadata: exactly the committed files
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_session_stream"  -> (st1SessionStream _),
     "st2_tumbling_stream" -> (st2TumblingStream _),
     "st3_file_stream"     -> (st3FileStream _),
     "st4_stream_dedup"    -> (st4StreamDedup _),
-    "st5_rocksdb_session" -> (st5RocksdbSession _)
+    "st5_rocksdb_session" -> (st5RocksdbSession _),
+    "st6_restart_recovery" -> (st6RestartRecovery _)
   )
 
   /** Parity on purpose: the streaming queries answer to the batch twins'
@@ -352,6 +440,9 @@ object StreamQueries {
     "st3_file_stream"     -> st1Sql,
     "st4_stream_dedup"    -> st4Sql,
     // st5 = st1 under the RocksDB state store: same result contract
-    "st5_rocksdb_session" -> st1Sql
+    "st5_rocksdb_session" -> st1Sql,
+    // st6 = st1 through a kill-and-restart checkpoint recovery: the
+    // union of both runs' sinks must still be exactly the session set
+    "st6_restart_recovery" -> st1Sql
   )
 }

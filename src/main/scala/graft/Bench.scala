@@ -100,6 +100,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    // Tail-proofing: the driver keeps only ~2 KB of stdout tail, and the
+    // full line above crossed 11 KB in round 7 — its head (total,
+    // n_queries, the a*-m* half of the registry) fell off the artifact
+    // of record. A SECOND compact line printed LAST always survives the
+    // tail: headline total, failure count, top-10 slowest, and
+    // per-family (leading alpha prefix) second sums.
+    val ok = results.filter(_._2 >= 0)
+    val nFailed = results.size - ok.size
+    val top10 = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val fams = ok.groupBy { case (n, _) => "^[a-z]+".r.findFirstIn(n).getOrElse("_") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, xs) => s"\"" + f + "\":" + f"${xs.map(_._2).sum}%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"top10":$top10,"families":$fams,"sf":"$sfDir","note":"compact tail line; full per-query map precedes"}""")
     spark.stop()
   }
 

@@ -744,12 +744,25 @@ object DomainQueries {
   /** Scratch dir for the sink round-trip entries: under java.io.tmpdir,
     * keyed by the Spark applicationId so two concurrent sessions running
     * the same query cannot overwrite each other's files mid-read (and no
-    * absolute repo path survives a checkout relocation). */
-  private def qtmp(s: SparkSession, name: String): String =
-    new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-qtmp-${s.sparkContext.applicationId}"),
-      name).getAbsolutePath
+    * absolute repo path survives a checkout relocation). A JVM shutdown
+    * hook removes the whole app-scoped dir so repeated test/bench runs
+    * do not accumulate scratch lakes in the container's tmpdir. */
+  private val qtmpCleanupRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def qtmp(s: SparkSession, name: String): String = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-qtmp-${s.sparkContext.applicationId}")
+    if (qtmpCleanupRegistered.putIfAbsent(base.getAbsolutePath, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(base)
+      }))
+    new java.io.File(base, name).getAbsolutePath
+  }
 
   /** S3/S10 (flattened wide-CSV interchange, write -> read round-trip
     * through the real [[graft.sources.FlatCsv]]): per-event integer
@@ -1008,6 +1021,57 @@ object DomainQueries {
   val lake1Sql: String =
     """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
       |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  /** LAKE2 — BUCKETED CO-LOCATED JOIN end to end: the second of the two
+    * big 100 TB scan/shuffle levers (lake1 demonstrates partition
+    * pruning; this demonstrates bucketing). The events fact table and a
+    * per-user profile dimension are both written as 16-bucket parquet
+    * tables bucketed by `user_id` — each side pre-repartitioned on the
+    * bucket key so every bucket is exactly ONE file — and the join then
+    * plans as a sort-merge join with NO exchange on either input: the
+    * bucket layout IS the shuffle, paid once at write time and amortized
+    * over every subsequent join. At 100 TB this turns the recurring
+    * fact-dim co-location shuffle (the biggest repeated cost in a
+    * star-schema pipeline) into a one-time layout decision. The `merge`
+    * hint pins the sort-merge path at test scale, where the planner
+    * would otherwise broadcast the small dim (the regime bucketing
+    * exists for is the one where BOTH sides are too big to broadcast);
+    * PlanSpec pins the executed plan — both scans `Bucketed: true`, no
+    * exchange or sort on the join keys — and the DuckDB oracle pins the
+    * joined VALUES (all-integer aggregates, exact at any fold order). */
+  def lake2Write(s: SparkSession, d: String): (String, String) = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val profile = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_user"))
+    def writeBucketed(df: DataFrame, table: String, path: String): Unit =
+      df.repartition(16, col("user_id"))
+        .write.format("parquet").option("path", path)
+        .bucketBy(16, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable(table)
+    writeBucketed(ev, "graft_lake2_events", qtmp(s, "lake2_events"))
+    writeBucketed(profile, "graft_lake2_profile", qtmp(s, "lake2_profile"))
+    ("graft_lake2_events", "graft_lake2_profile")
+  }
+
+  /** The read side, exposed separately so PlanSpec can pin the
+    * exchange-free bucketed join on exactly the DataFrame the declared
+    * entry executes. */
+  def lake2Read(s: SparkSession, evTable: String, dimTable: String): DataFrame =
+    s.table(evTable).hint("merge").join(s.table(dimTable), "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("n_user")).as("sum_user_events"))
+
+  def lake2BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (evT, dimT) = lake2Write(s, d)
+    lake2Read(s, evT, dimT)
+  }
+
+  val lake2Sql: String =
+    """WITH p AS (SELECT user_id, COUNT(*) AS n_user FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(p.n_user) AS BIGINT) AS sum_user_events
+      |FROM events e JOIN p USING (user_id) GROUP BY 1""".stripMargin
 
   // --------------------------------------------------- P: spectral (oracled)
 
@@ -1408,6 +1472,7 @@ object DomainQueries {
     "u3_multifile_union" -> (u3MultifileUnion _),
     "s1_multiline_array" -> (s1MultilineArray _),
     "lake1_pruned_scan" -> (lake1PrunedScan _),
+    "lake2_bucketed_join" -> (lake2BucketedJoin _),
     "s12_seizure_times" -> (s12SeizureTimes _),
     "p1_fft_bins"       -> (p1FftBins _),
     "p2_window_sums"    -> (p2WindowSums _),
@@ -1460,6 +1525,7 @@ object DomainQueries {
     "u3_multifile_union" -> u3Sql,
     "s1_multiline_array" -> s1Sql,
     "lake1_pruned_scan" -> lake1Sql,
+    "lake2_bucketed_join" -> lake2Sql,
     "s12_seizure_times" -> s12Sql,
     "p1_fft_bins"       -> p1Sql,
     "p2_window_sums"    -> p2Sql,

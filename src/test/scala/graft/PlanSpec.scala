@@ -129,6 +129,23 @@ class PlanSpec extends SparkSpec {
       s"no category=purchase partition pruning in:\n${p.take(2000)}")
   }
 
+  test("lake2: bucketed fact-dim join runs with NO exchange on either input") {
+    // both tables are written bucketed by user_id into 16 buckets; the
+    // sort-merge join must consume the bucket layout directly — an
+    // Exchange on user_id means the write-time shuffle is being paid
+    // AGAIN at read time and the layout is dead weight.
+    val (evT, dimT) = DomainQueries.lake2Write(spark, sf)
+    val p = plan(DomainQueries.lake2Read(spark, evT, dimT))
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"expected both scans bucketed in:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join did not plan as SMJ:\n${p.take(3000)}")
+    assert(!"Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+      s"join key re-shuffled despite bucketing:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastExchange"),
+      s"merge hint lost, dim broadcast crept back:\n${p.take(3000)}")
+  }
+
   test("token packing has NO single-partition stage (PIPE2 prefix sum)") {
     // a global ORDER-BY window would plan Exchange SinglePartition — one
     // task owning the whole corpus. The two-pass prefix sum must keep

@@ -51,9 +51,15 @@ object ScaleGen {
 
     def raw(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 
-    /** Cross with copies 0..factor-1 and apply per-copy column shifts. */
+    /** Cross with copies 0..factor-1 and apply per-copy column shifts.
+      * The source files are single-digit MB, so a raw read is ONE input
+      * partition and the whole factor× explode would run in one task
+      * (at factor=100 that is a 60 M-row expansion single-threaded —
+      * measured 10+ min on lineitem alone); repartitioning the source
+      * first spreads the expansion across the local cores. */
     def scaled(df: DataFrame)(shift: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
-      val withCopy = df.withColumn("__c", explode(lit((0 until factor).toArray)))
+      val withCopy = df.repartition(cpus.toInt)
+        .withColumn("__c", explode(lit((0 until factor).toArray)))
       shift(withCopy, col("__c").cast("long")).drop("__c")
     }
 

@@ -146,6 +146,20 @@ class PlanSpec extends SparkSpec {
       s"merge hint lost, dim broadcast crept back:\n${p.take(3000)}")
   }
 
+  test("e4 IVF scores bucket-locally: map-side top-k, no pair-keyed join") {
+    // the rewrite that survives 100x: candidate pairs explode INSIDE the
+    // list join's tasks and the only post-join exchange is the top-k
+    // window, planned as WindowGroupLimit Partial (k rows per query per
+    // task) + Final. A SortMergeJoin on id/nid would mean pair rows are
+    // being shuffled again — the shape that filled local disk at 100x.
+    val p = plan(graft.queries.TextQueries.e4IvfKnn(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2,
+      s"expected Partial+Final WindowGroupLimit in:\n${p.take(3000)}")
+    assert(p.contains("Partial"), s"no map-side top-k in:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair-keyed shuffle join crept back into IVF:\n${p.take(3000)}")
+  }
+
   test("token packing has NO single-partition stage (PIPE2 prefix sum)") {
     // a global ORDER-BY window would plan Exchange SinglePartition — one
     // task owning the whole corpus. The two-pass prefix sum must keep

@@ -338,6 +338,37 @@ object RelationalQueries {
        | ${davgSql("value")} AS avg_value
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** SKETCH1 — HLL++ cardinality estimation gated against the exact
+    * count (the d5 truth-vs-scale-path gate pattern): per event type,
+    * the exact distinct-user count and a flag that Spark's
+    * `approx_count_distinct` (HyperLogLog++, rsd 0.05) lands within a
+    * 15% band of it. At 100 TB the EXACT count is the expensive side —
+    * a two-phase distinct aggregation whose first shuffle carries every
+    * (type, user) pair — while the sketch aggregates in O(registers)
+    * memory per group with a single pass and merge-by-register-max;
+    * cardinality estimation is how a corpus pipeline sizes vocabularies,
+    * dedup keyspaces, and join selectivities without paying for exact
+    * distinct. The gate is DETERMINISTIC: Spark's HLL++ buffer is a
+    * dense register array and merge is elementwise max (commutative,
+    * associative), so the estimate is a pure function of the data
+    * regardless of partitioning or merge order, and the 15% band is 3x
+    * the configured rsd. (percentile_approx gets NO such entry by
+    * design: its QuantileSummaries compaction is merge-order-sensitive,
+    * so a cross-engine hash gate would flake.) */
+  def sketch1HllDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_exact"),
+        approx_count_distinct("user_id", 0.05).as("__est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")) <= col("n_exact") * 0.15)
+          .as("hll_ok"))
+
+  val sketch1Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- W: windows
 
   /** W2 (best-of-group selection via ranking window): row_number over a
@@ -705,6 +736,7 @@ object RelationalQueries {
     "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
+    "sketch1_hll_distinct" -> (sketch1HllDistinct _),
     "w1_curation_dedup"  -> (w1CurationDedup _),
     "w2_top1_per_group"  -> (w2Top1PerGroup _),
     "w3_session"         -> (w3Session _),
@@ -742,6 +774,7 @@ object RelationalQueries {
     "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,
+    "sketch1_hll_distinct" -> sketch1Sql,
     "w1_curation_dedup"  -> w1Sql,
     "w2_top1_per_group"  -> w2Sql,
     "w3_session"         -> w3Sql,

@@ -38,6 +38,16 @@ object GraftExpressions {
   def arrayMag3D(a: Column, mode: String = "V2"): Column =
     GraftSqlBridge.arrayMag3D(a, mode)
 
+  /** Distributed Bloom-filter build over a LongType (pre-hashed) key
+    * column — Spark's runtime-filter aggregate as a Column; see
+    * [[graft.operators.Bloom]] for the key-typed public API. */
+  def bloomAgg(hashedKey: Column, estimatedItems: Long, numBits: Long): Column =
+    GraftSqlBridge.bloomFilterAgg(hashedKey, estimatedItems, numBits)
+
+  /** Constant-Bloom membership probe (codegen'd `might_contain`). */
+  def bloomMightContain(bloomBytes: Array[Byte], hashedKey: Column): Column =
+    GraftSqlBridge.bloomMightContain(bloomBytes, hashedKey)
+
   private[plans] val arrayMag3DEntry = (
     FunctionIdentifier("array_mag3d"),
     new ExpressionInfo(classOf[ArrayMag3D].getName, "array_mag3d"),

@@ -369,6 +369,34 @@ object RelationalQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** BLOOM1 — Bloom-prefiltered exact semi join ([[graft.operators.Bloom]]):
+    * lineitems of high-value orders, with the order keyset shipped as a
+    * 1 MB Bloom fingerprint probed on the fact scan BEFORE the join's
+    * exchange (~80% of lineitem rows never enter the shuffle at this
+    * threshold), then an exact LeftSemi join removes Bloom false
+    * positives — the manual form of Spark's `InjectRuntimeFilter`, for
+    * when the filter side is too big to broadcast as a hash relation
+    * but its Bloom fits anywhere. Results are exact for any fpp, so the
+    * oracle is the plain IN-subquery; PlanSpec pins `might_contain` on
+    * the fact side. */
+  def bloom1SemiFilter(s: SparkSession, d: String): DataFrame = {
+    val hot = Tables.orders(s, d)
+      .filter(col("o_totalprice") > lit(400000.0))
+      .select("o_orderkey")
+    graft.operators.Bloom
+      .bloomSemiJoin(Tables.lineitem(s, d), "l_orderkey", hot, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val bloom1Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       | ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_totalprice > 400000.0)
+       |GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- W: windows
 
   /** W2 (best-of-group selection via ranking window): row_number over a
@@ -737,6 +765,7 @@ object RelationalQueries {
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
     "sketch1_hll_distinct" -> (sketch1HllDistinct _),
+    "bloom1_semi_filter" -> (bloom1SemiFilter _),
     "w1_curation_dedup"  -> (w1CurationDedup _),
     "w2_top1_per_group"  -> (w2Top1PerGroup _),
     "w3_session"         -> (w3Session _),
@@ -775,6 +804,7 @@ object RelationalQueries {
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,
     "sketch1_hll_distinct" -> sketch1Sql,
+    "bloom1_semi_filter" -> bloom1Sql,
     "w1_curation_dedup"  -> w1Sql,
     "w2_top1_per_group"  -> w2Sql,
     "w3_session"         -> w3Sql,

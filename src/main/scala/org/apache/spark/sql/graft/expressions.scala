@@ -145,10 +145,32 @@ case class ArrayMag3D(child: Expression, mode: String = "V2")
 
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.types.BinaryType
+
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       ArrayDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def arrayMag3D(a: Column, mode: String): Column =
     ExpressionUtils.column(ArrayMag3D(ExpressionUtils.expression(a), mode))
+
+  /** Spark's own runtime-filter Bloom aggregate (the one injected by
+    * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom
+    * filters executor-side and merges them by bitwise OR — one pass, no
+    * driver involvement until the final single binary value. `hashedKey`
+    * must be a LongType column (the runtime-filter convention is
+    * `xxhash64(key)`, which normalizes every key type to a long). */
+  def bloomFilterAgg(hashedKey: Column, estimatedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new BloomFilterAggregate(ExpressionUtils.expression(hashedKey),
+        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+
+  /** `might_contain` over a CONSTANT serialized Bloom filter — foldable,
+    * so codegen deserializes the filter once per task, and the predicate
+    * is a per-row murmur3 probe inside whole-stage codegen. */
+  def bloomMightContain(bloomBytes: Array[Byte], hashedKey: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType), ExpressionUtils.expression(hashedKey)))
 }

@@ -197,4 +197,28 @@ class OperatorsSpec extends SparkSpec {
     // offset = 1*125/2 = 62 samples: first synthetic dp starts at sample 62
     assert(synth.minBy(_.tsSec).rawData(0) == 62.0)
   }
+
+  test("Bloom.bloomSemiJoin: exact result, no false negatives, real pruning") {
+    import spark.implicits._
+    val large = (1L to 1000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val small = (1L to 50L).map(i => (i * 7L, i)).toDF("sk", "ord") // keys 7,14,...,350
+    val got = Bloom.bloomSemiJoin(large, "k", small.select("sk"), "sk")
+      .select("k").as[Long].collect().sorted
+    val expect = (1L to 1000L).filter(k => k % 7 == 0 && k <= 350)
+    assert(got.toSeq == expect, "bloom semi join must equal the exact semi join")
+
+    // no false negatives by construction: every true key passes the probe
+    val bf = Bloom.buildKeyFilter(small, "sk", 1000L, 65536L)
+    val pass = large.filter(Bloom.mightContainKey(bf, col("k"))).count()
+    assert(pass >= expect.size, "a true key failed the bloom probe")
+    // and the probe actually prunes (fpp at 65536 bits / 50 keys is ~0)
+    assert(pass < 200, s"bloom pruned nothing: $pass of 1000 rows passed")
+  }
+
+  test("Bloom.bloomSemiJoin: empty build side yields empty result") {
+    import spark.implicits._
+    val large = (1L to 10L).toDF("k")
+    val small = Seq.empty[Long].toDF("sk")
+    assert(Bloom.bloomSemiJoin(large, "k", small, "sk").count() == 0)
+  }
 }

@@ -160,6 +160,18 @@ class PlanSpec extends SparkSpec {
       s"pair-keyed shuffle join crept back into IVF:\n${p.take(3000)}")
   }
 
+  test("bloom1 probes the Bloom filter on the fact side before the semi join") {
+    // the constant-Bloom might_contain must survive optimization as a
+    // Filter over the lineitem scan (inside whole-stage codegen, before
+    // the join's exchange) and the join must be LeftSemi — if either
+    // disappears, the prefilter is dead weight and the full fact table
+    // rides the shuffle again.
+    val p = plan(graft.queries.RelationalQueries.bloom1SemiFilter(spark, sf))
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the plan:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n${p.take(3000)}")
+  }
+
   test("token packing has NO single-partition stage (PIPE2 prefix sum)") {
     // a global ORDER-BY window would plan Exchange SinglePartition — one
     // task owning the whole corpus. The two-pass prefix sum must keep

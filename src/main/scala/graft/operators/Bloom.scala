@@ -70,8 +70,43 @@ object Bloom {
       large.limit(0)
     } else {
       large.filter(mightContainKey(bf, col(largeKey)))
-        .join(small.select(col(smallKey)).distinct(),
-          col(largeKey) === col(smallKey), "left_semi")
+        .join(keySet(small, smallKey), col(largeKey) === col(BloomKey), "left_semi")
     }
   }
+
+  /** Exact anti join with a Bloom SHORT-CIRCUIT on the large side — the
+    * incremental-ingest shape: "which of today's rows are NOT already in
+    * the corpus?" at 100 TB, where `small` is the corpus fingerprint set
+    * and `large` is the new batch.
+    *
+    * The trick is the Bloom's one-sided error: `might_contain = false`
+    * PROVES absence (no false negatives), so rows failing the probe are
+    * emitted directly — no join, no shuffle, just a codegen'd scan
+    * filter. Only the `might_contain = true` sliver (true matches +
+    * fpp·N false positives) pays the exact LeftAnti join. With
+    * mostly-new data — the common ingest case — the join input shrinks
+    * from the whole batch to roughly the overlap, and the result is
+    * exact for any fpp. */
+  def bloomAntiJoin(large: DataFrame, largeKey: String,
+                    small: DataFrame, smallKey: String,
+                    expectedItems: Long = 1000000L,
+                    numBits: Long = 8388608L): DataFrame = {
+    val bf = buildKeyFilter(small, smallKey, expectedItems, numBits)
+    if (bf == null) {
+      // empty corpus: everything in the batch is new
+      large
+    } else {
+      val probe = mightContainKey(bf, col(largeKey))
+      val definitelyNew = large.filter(!probe)
+      val needsCheck = large.filter(probe)
+        .join(keySet(small, smallKey), col(largeKey) === col(BloomKey), "left_anti")
+      definitelyNew.unionByName(needsCheck)
+    }
+  }
+
+  /** Distinct build-side keyset under a reserved name, so same-named
+    * keys on both sides can't make the join condition ambiguous. */
+  private val BloomKey = "__bloom_key"
+  private def keySet(small: DataFrame, smallKey: String): DataFrame =
+    small.select(col(smallKey).as(BloomKey)).distinct()
 }

@@ -693,6 +693,59 @@ object TextQueries {
     * WholeStageCodegen pass as the scan. The planted duplicates make
     * the dedup stage load-bearing: originals survive (min doc_id), the
     * +100000-shifted noisy copies must vanish before the gates run. */
+  /** BLOOM2 — incremental-ingest dedup via [[graft.operators.Bloom
+    * .bloomAntiJoin]]: "which of today's batch is NOT already in the
+    * corpus?", keyed on the normalized text fingerprint. The batch is
+    * planted for load-bearing-ness, the pipe1 pattern: genuinely-new
+    * docs (id-stamped prefix text, shifted ids) must ALL survive, and
+    * re-ingested formatting-noise copies (UPPER + padded whitespace,
+    * shifted ids) must ALL be dropped — their fingerprints normalize
+    * back to corpus fingerprints.
+    *
+    * The 100 TB point is the Bloom short-circuit: rows failing the
+    * corpus-fingerprint Bloom probe are PROVABLY new (no false
+    * negatives) and skip the join entirely — only the might-contain
+    * sliver (true re-ingests + fpp stragglers) pays the exact LeftAnti
+    * join, so daily-ingest dedup against a petabyte corpus joins
+    * roughly the overlap, not the batch. Results exact for any fpp;
+    * the oracle is the plain NOT EXISTS. */
+  def bloom2AntiIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val fresh = docs.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+        concat(lit("new "), col("doc_id"), lit(" "), col("text")).as("text"))
+    val reingest = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("lang"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    val batch = fresh.unionByName(reingest)
+      .withColumn("f", TextAnalysis.fingerprint(col("text")))
+    val corpus = docs.select(TextAnalysis.fingerprint(col("text")).as("f"))
+    // filter sized to the corpus keyset (~10 bits/key ≈ 1% fpp) — a
+    // petabyte caller sizes these up with its fingerprint count
+    graft.operators.Bloom.bloomAntiJoin(batch, "f", corpus, "f",
+        expectedItems = 100000L, numBits = 1048576L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_new"), min("doc_id").as("first_new_id"))
+  }
+
+  val bloom2Sql: String =
+    """WITH base AS (SELECT doc_id, lang, text FROM documents),
+      |fresh AS (SELECT doc_id + 500000 AS doc_id, lang,
+      |                 'new ' || doc_id || ' ' || text AS text
+      |          FROM base WHERE doc_id % 5 = 1),
+      |re AS (SELECT doc_id + 900000 AS doc_id, lang,
+      |              '  ' || upper(text) || ' ' AS text
+      |       FROM base WHERE doc_id % 5 = 0),
+      |batch AS (SELECT *,
+      |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |          FROM (SELECT * FROM fresh UNION ALL SELECT * FROM re)),
+      |corpus AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |           FROM base)
+      |SELECT lang, COUNT(*) AS n_new, MIN(doc_id) AS first_new_id
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+      |GROUP BY lang""".stripMargin
+
   def pipe1CorpusPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val noisy = docs.filter(col("doc_id") % 7 === 0)
@@ -795,6 +848,7 @@ object TextQueries {
     "x2_media_frames"  -> (x2MediaFrames _),
     "x3_media_resize"  -> (x3MediaResize _),
     "sk1_salted_join"  -> (sk1SaltedJoin _),
+    "bloom2_anti_ingest" -> (bloom2AntiIngest _),
     "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _),
     "pipe2_token_packing"   -> (pipe2TokenPacking _)
   )
@@ -819,6 +873,7 @@ object TextQueries {
     "x2_media_frames"  -> x2Sql,
     "x3_media_resize"  -> x3Sql,
     "sk1_salted_join"  -> sk1Sql,
+    "bloom2_anti_ingest" -> bloom2Sql,
     "pipe1_corpus_pipeline" -> pipe1Sql,
     "pipe2_token_packing"   -> pipe2Sql
   )

@@ -221,4 +221,18 @@ class OperatorsSpec extends SparkSpec {
     val small = Seq.empty[Long].toDF("sk")
     assert(Bloom.bloomSemiJoin(large, "k", small, "sk").count() == 0)
   }
+
+  test("Bloom.bloomAntiJoin: exact anti semantics, same-named keys, empty corpus") {
+    import spark.implicits._
+    val batch = (1L to 1000L).toDF("k")
+    val corpus = (1L to 1000L).filter(_ % 10 == 0).toDF("k") // 10% overlap
+    val got = Bloom.bloomAntiJoin(batch, "k", corpus, "k")
+      .as[Long].collect().sorted
+    val expect = (1L to 1000L).filterNot(_ % 10 == 0)
+    assert(got.toSeq == expect,
+      "bloom anti join must equal the exact anti join (false positives removed)")
+    // empty corpus: the whole batch is new
+    assert(Bloom.bloomAntiJoin(batch, "k", Seq.empty[Long].toDF("k"), "k")
+      .count() == 1000)
+  }
 }

@@ -172,6 +172,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no semi join in:\n${p.take(3000)}")
   }
 
+  test("bloom2 short-circuits: union of a join-free NOT-probe branch and a LeftAnti sliver") {
+    // rows failing the Bloom probe are provably new and must reach the
+    // output WITHOUT a join (a Union branch that is just scan+filter);
+    // only the might-contain sliver goes through LeftAnti. One join in
+    // the whole plan — two would mean the short-circuit collapsed.
+    // (Catalyst pushes the probe filter through the batch's own union,
+    // so each branch may split into one leg per union input — assert the
+    // SHAPE, not an exact join count.)
+    val p = plan(graft.queries.TextQueries.bloom2AntiIngest(spark, sf))
+    assert(p.contains("Union"), s"short-circuit union missing:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"exact anti join missing:\n${p.take(3000)}")
+    assert(p.contains("NOT might_contain"),
+      s"join-free provably-new branch missing:\n${p.take(3000)}")
+    assert(!p.contains("LeftSemi"), s"unexpected semi join:\n${p.take(3000)}")
+  }
+
   test("token packing has NO single-partition stage (PIPE2 prefix sum)") {
     // a global ORDER-BY window would plan Exchange SinglePartition — one
     // task owning the whole corpus. The two-pass prefix sum must keep

@@ -210,6 +210,29 @@ object TextQueries {
       | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
       |FROM documents""".stripMargin
 
+  /** T6 — vocabulary top-k: casefolded token frequencies over the
+    * corpus, top 100 by count (ties broken by token, so the cut is
+    * deterministic). The 100 TB shape: explode multiplies rows by
+    * ~tokens/doc, but partial aggregation collapses each partition to
+    * its distinct tokens BEFORE the exchange (the shuffle carries
+    * (token, partial_count), bounded by vocabulary size per partition,
+    * not token instances), and the final top-k is
+    * TakeOrderedAndProject — per-partition heaps + one k-row merge at
+    * the driver, never a global sort (PlanSpec pins both). Vocabulary
+    * building is the canonical first job over a new pretraining corpus. */
+  def t6VocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  val t6Sql: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
   /** T4 document fingerprint (rolling-normalized hash). */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -837,6 +860,7 @@ object TextQueries {
     "t3_tokens"        -> (t3Tokens _),
     "t4_fingerprint"   -> (t4Fingerprint _),
     "t5_redaction"     -> (t5Redaction _),
+    "t6_vocab_topk"    -> (t6VocabTopk _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
@@ -864,6 +888,7 @@ object TextQueries {
     "t3_tokens"        -> t3Sql,
     "t4_fingerprint"   -> t4Sql,
     "t5_redaction"     -> t5Sql,
+    "t6_vocab_topk"    -> t6Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,

@@ -172,6 +172,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no semi join in:\n${p.take(3000)}")
   }
 
+  test("t6 vocab top-k: partial agg before the exchange, TakeOrdered not global sort") {
+    // the explode multiplies rows by tokens/doc; the shuffle must carry
+    // per-partition (token, partial_count), and the top-100 must be
+    // per-partition heaps + driver merge, never a range-partitioned sort.
+    val p = plan(graft.queries.TextQueries.t6VocabTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k planned as a global sort:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation before the exchange:\n${p.take(3000)}")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort exchange crept in:\n${p.take(3000)}")
+  }
+
   test("bloom2 short-circuits: union of a join-free NOT-probe branch and a LeftAnti sliver") {
     // rows failing the Bloom probe are provably new and must reach the
     // output WITHOUT a join (a Union branch that is just scan+filter);

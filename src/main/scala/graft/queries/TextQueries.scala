@@ -769,6 +769,77 @@ object TextQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
       |GROUP BY lang""".stripMargin
 
+  /** PIPE3 — incremental corpus refresh, the ingest-path composition
+    * (pipe1 is the from-scratch batch path): planted batch → Bloom
+    * anti-ingest dedup against the corpus fingerprint set (bloom2's
+    * short-circuit: provably-new rows never join) → pipe1's
+    * language/quality gates → deterministic hash split → per-split
+    * doc/token accounting.
+    *
+    * The composition is the point at 100 TB: the Bloom probe, both
+    * gates, and the split assignment are all pure Column expressions,
+    * so the ENTIRE accept path for a provably-new document — probe →
+    * langid → token count → punct ratio → split — evaluates in the
+    * scan's single WholeStageCodegen pass, and the only exchanges in
+    * the plan are the anti-join sliver's broadcast and the final
+    * 2-row aggregation. Daily-refresh cost tracks batch size and
+    * overlap, never corpus size. */
+  def pipe3IncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val fresh = docs.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("new "), col("doc_id"), lit(" "), col("text")).as("text"))
+    val reingest = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    val batch = fresh.unionByName(reingest)
+      .withColumn("f", TextAnalysis.fingerprint(col("text")))
+    val corpus = docs.select(TextAnalysis.fingerprint(col("text")).as("f"))
+    val accepted = graft.operators.Bloom
+      .bloomAntiJoin(batch, "f", corpus, "f",
+        expectedItems = 100000L, numBits = 1048576L)
+      .filter(TextAnalysis.langId(col("text")) === "en")
+      .filter(TextAnalysis.tokenCount(col("text")) >= 30)
+      .filter(TextAnalysis.punctRatio(col("text")) < 0.2)
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    accepted
+      .withColumn("split",
+        when(bucket < lit(3435973836L), "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text"))).as("total_bpeish_tokens"))
+  }
+
+  val pipe3Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |fresh AS (SELECT doc_id + 500000 AS doc_id,
+       |                 'new ' || doc_id || ' ' || text AS text
+       |          FROM base WHERE doc_id % 5 = 1),
+       |re AS (SELECT doc_id + 900000 AS doc_id,
+       |              '  ' || upper(text) || ' ' AS text
+       |       FROM base WHERE doc_id % 5 = 0),
+       |batch AS (SELECT *,
+       |            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |          FROM (SELECT * FROM fresh UNION ALL SELECT * FROM re)),
+       |corpus AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |           FROM base),
+       |accepted AS (
+       |  SELECT doc_id, text FROM batch b
+       |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+       |    AND $langIdSqlExpr = 'en'
+       |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+       |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+       |        / greatest(length(text), 1) < 0.2)
+       |SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+       |            THEN 'train' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |    AS total_ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpeish_tokens
+       |FROM accepted GROUP BY 1""".stripMargin
+
   def pipe1CorpusPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val noisy = docs.filter(col("doc_id") % 7 === 0)
@@ -873,6 +944,7 @@ object TextQueries {
     "x3_media_resize"  -> (x3MediaResize _),
     "sk1_salted_join"  -> (sk1SaltedJoin _),
     "bloom2_anti_ingest" -> (bloom2AntiIngest _),
+    "pipe3_incremental_refresh" -> (pipe3IncrementalRefresh _),
     "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _),
     "pipe2_token_packing"   -> (pipe2TokenPacking _)
   )
@@ -899,6 +971,7 @@ object TextQueries {
     "x3_media_resize"  -> x3Sql,
     "sk1_salted_join"  -> sk1Sql,
     "bloom2_anti_ingest" -> bloom2Sql,
+    "pipe3_incremental_refresh" -> pipe3Sql,
     "pipe1_corpus_pipeline" -> pipe1Sql,
     "pipe2_token_packing"   -> pipe2Sql
   )

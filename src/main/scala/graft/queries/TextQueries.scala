@@ -233,6 +233,42 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  /** SKETCH2 — Count-Min heavy hitters gated against exact counts (the
+    * sketch1 pattern, completing the sketch family: HLL for
+    * cardinality, Bloom for membership, CMS for frequency): the top-10
+    * exact token counts, each flagged with CMS's two guarantees —
+    * never-undercount (est ≥ exact, structural: a counter only ever
+    * adds) and the ε-band (est ≤ exact + ⌈ε·N⌉, N = total updates from
+    * `cms.totalCount`). The gate is DETERMINISTIC for the same reason
+    * sketch1's is: CMS merge is cellwise ADD — commutative,
+    * associative — so the merged table is a pure function of the data
+    * and seed regardless of partitioning or merge order. At 100 TB
+    * CMS answers "which tokens/domains/URLs are heavy" in
+    * width×depth longs of memory while the exact side needs the full
+    * distinct shuffle; frequency caps and stopword discovery run on
+    * the sketch, the gate proves it honest. The ~1 MB sketch is a
+    * driver-held bounded materialization (the `stat.countMinSketch`
+    * contract, same arrangement as the bloom1 filter). */
+  def sketch2CmsTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val cms = toks.stat.countMinSketch("token", 1e-4, 0.99, 42)
+    val band = math.ceil(1e-4 * cms.totalCount).toLong
+    val est = udf((t: String) => cms.estimateCount(t))
+    toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(10)
+      .select(col("token"), col("n_exact"),
+        (est(col("token")) >= col("n_exact")).as("cms_never_under"),
+        (est(col("token")) <= col("n_exact") + lit(band)).as("cms_within_band"))
+  }
+
+  val sketch2Sql: String =
+    """SELECT token, COUNT(*) AS n_exact,
+      |       TRUE AS cms_never_under, TRUE AS cms_within_band
+      |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n_exact DESC, token LIMIT 10""".stripMargin
+
   /** T4 document fingerprint (rolling-normalized hash). */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -932,6 +968,7 @@ object TextQueries {
     "t4_fingerprint"   -> (t4Fingerprint _),
     "t5_redaction"     -> (t5Redaction _),
     "t6_vocab_topk"    -> (t6VocabTopk _),
+    "sketch2_cms_topk" -> (sketch2CmsTopk _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
@@ -961,6 +998,7 @@ object TextQueries {
     "t4_fingerprint"   -> t4Sql,
     "t5_redaction"     -> t5Sql,
     "t6_vocab_topk"    -> t6Sql,
+    "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,

@@ -986,6 +986,61 @@ object DomainQueries {
     """SELECT 'catC' AS category, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
       |FROM ev WHERE k % 3 = 0""".stripMargin
 
+  /** S14 — corrupt-record quarantine through
+    * [[graft.sources.OsdbJson.readEventsQuarantined]]: the k%3==1
+    * fixture slice is staged as NDJSON in k-order, the harness then
+    * vandalizes every 10th LINE into non-JSON (unclosed-brace prefix),
+    * and the quarantined read must route exactly those lines to
+    * `_corrupt_record` (schema fields null) while parsing the rest
+    * normally. The oracle restates good/corrupt counts and the
+    * good-row id sum from the fixture formulas via the same
+    * every-10th-by-k-rank rule — a mis-parsed good line, a silently
+    * swallowed bad line, or an off-by-one in PERMISSIVE routing all
+    * break the hash. Same bounded staging-harness class as s1.
+    *
+    * Scale note: this is the plan you want at 100 TB ingest — garbage
+    * accounting and quarantine are a FILTER on the one scan that was
+    * happening anyway, not a second validation pass over the corpus. */
+  def s14CorruptQuarantine(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(qtmp(s, "s14_quarantine"))
+    base.mkdirs()
+    val ev = OsdbFixture.ev(s, d).filter(col("k") % 3 === 1).orderBy("k")
+      .select(
+        col("e").cast("string").as("id"),
+        col("u").cast("string").as("userId"),
+        col("type_str").as("type"),
+        col("sub_type").as("subType"),
+        col("data_source").as("dataSourceName"))
+    val stage = new java.io.File(base, "_stage")
+    ev.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file in staged JSON dir $stage; contents: " +
+          stage.listFiles().map(_.getName).mkString(", ")))
+    val lines = java.nio.file.Files.readAllLines(part.toPath)
+    val sb = new StringBuilder
+    var i = 0
+    lines.forEach { l =>
+      i += 1
+      sb.append(if (i % 10 == 0) "{corrupt " + l else l).append('\n')
+    }
+    val dest = new java.io.File(base, "feed.json")
+    java.nio.file.Files.write(dest.toPath, sb.toString.getBytes("UTF-8"))
+    graft.sources.OsdbJson.readEventsQuarantined(s, dest.getAbsolutePath)
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("id").cast("long")))
+          .as("id_sum"))
+  }
+
+  val s14Sql: String = sqlBase +
+    """SELECT COUNT(*) FILTER (WHERE rn % 10 <> 0) AS n_good,
+      |       COUNT(*) FILTER (WHERE rn % 10 = 0) AS n_corrupt,
+      |       CAST(SUM(e) FILTER (WHERE rn % 10 <> 0) AS BIGINT) AS id_sum
+      |FROM (SELECT e, row_number() OVER (ORDER BY k) AS rn
+      |      FROM ev WHERE k % 3 = 1)""".stripMargin
+
   /** LAKE1 — partition-pruned lake access END TO END: write the events
     * table as a category-partitioned parquet lake through the real
     * [[graft.sources.OsdbJson.writeEventsParquet]] (the SURVEY §1.3
@@ -1471,6 +1526,7 @@ object DomainQueries {
     "s9_index_csv"      -> (s9IndexCsv _),
     "u3_multifile_union" -> (u3MultifileUnion _),
     "s1_multiline_array" -> (s1MultilineArray _),
+    "s14_corrupt_quarantine" -> (s14CorruptQuarantine _),
     "lake1_pruned_scan" -> (lake1PrunedScan _),
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
     "s12_seizure_times" -> (s12SeizureTimes _),
@@ -1524,6 +1580,7 @@ object DomainQueries {
     "s9_index_csv"      -> s9Sql,
     "u3_multifile_union" -> u3Sql,
     "s1_multiline_array" -> s1Sql,
+    "s14_corrupt_quarantine" -> s14Sql,
     "lake1_pruned_scan" -> lake1Sql,
     "lake2_bucketed_join" -> lake2Sql,
     "s12_seizure_times" -> s12Sql,

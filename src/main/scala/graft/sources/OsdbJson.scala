@@ -34,6 +34,29 @@ object OsdbJson {
     if (tidy) Tidy(raw) else raw
   }
 
+  /** S2-robustness: NDJSON read with corrupt-record QUARANTINE. The
+    * plain [[readEvents]] PERMISSIVE mode silently turns an unparseable
+    * line into an all-null row — fine for the reference's occasional
+    * decode-error event (tidy_db.py:77-79), wrong for a 100 TB ingest
+    * where "how many lines were garbage, and which" is an SLO. This
+    * variant adds Spark's `columnNameOfCorruptRecord` column to the
+    * explicit schema: good lines parse normally (corrupt column null),
+    * bad lines land with every schema field null and the RAW LINE
+    * preserved in `_corrupt_record` for a quarantine sink — counting,
+    * sampling, and replaying garbage becomes a plain filter instead of
+    * a re-read. (Spark disallows plans referencing ONLY the corrupt
+    * column; any real use — counts alongside data fields, quarantine
+    * writes of the full row — is fine, e.g. the s14 entry.) */
+  def readEventsQuarantined(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("multiLine", false)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(org.apache.spark.sql.types.StructType(Osdb.eventSchema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      .json(path)
+
   /** S8: JSON sink (category-partitioned — the lake layout replacing
     * one-file-per-category). */
   def writeEventsJson(df: DataFrame, path: String): Unit =

@@ -369,6 +369,47 @@ object RelationalQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** A15 — EXACT quantiles by rank selection (the deterministic
+    * counterpart to the sketch family): per event type, p50/p90 of
+    * `value` as the ELEMENT at rank ⌈p·n⌉ — discrete selection, no
+    * interpolation, so the result is an actual data value and the
+    * cross-engine hash compare is bit-exact (an interpolated quantile
+    * is one float formula away from flaking; a selected one cannot).
+    * The rank threshold ⌈p·n⌉ is computed as the same IEEE double
+    * product on both engines, so even its representation error is
+    * consistent.
+    *
+    * Scale story, stated honestly: exact quantiles need a per-group
+    * sort — one range-free window shuffle on event_type, each group
+    * sorted within its partition. That is the expensive-but-correct
+    * path; `approx_percentile` is the cheap path whose merge-order
+    * sensitivity is exactly why it gets no oracle entry (see sketch1's
+    * docblock). A 100 TB caller picks per column: sketches for
+    * monitoring, rank selection for anything a training cutoff depends
+    * on. */
+  def a15ExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+        min(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"))
+  }
+
+  val a15Sql: String =
+    """SELECT event_type, MAX(n) AS n,
+      | MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50,
+      | MIN(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90
+      |FROM (SELECT event_type, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value, event_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   /** BLOOM1 — Bloom-prefiltered exact semi join ([[graft.operators.Bloom]]):
     * lineitems of high-value orders, with the order keyset shipped as a
     * 1 MB Bloom fingerprint probed on the fact scan BEFORE the join's
@@ -765,6 +806,7 @@ object RelationalQueries {
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
     "sketch1_hll_distinct" -> (sketch1HllDistinct _),
+    "a15_exact_quantiles" -> (a15ExactQuantiles _),
     "bloom1_semi_filter" -> (bloom1SemiFilter _),
     "w1_curation_dedup"  -> (w1CurationDedup _),
     "w2_top1_per_group"  -> (w2Top1PerGroup _),
@@ -804,6 +846,7 @@ object RelationalQueries {
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,
     "sketch1_hll_distinct" -> sketch1Sql,
+    "a15_exact_quantiles" -> a15Sql,
     "bloom1_semi_filter" -> bloom1Sql,
     "w1_curation_dedup"  -> w1Sql,
     "w2_top1_per_group"  -> w2Sql,

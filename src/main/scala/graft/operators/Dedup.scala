@@ -53,7 +53,7 @@ object Dedup {
     h
   }
 
-  private def shingleSet(text: String, n: Int): Array[String] = {
+  private[operators] def shingleSet(text: String, n: Int): Array[String] = {
     val toks = Option(text).getOrElse("").toLowerCase.trim.split("\\s+")
     if (toks.length < n) Array.empty
     else toks.sliding(n).map(_.mkString(" ")).toArray.distinct

@@ -383,8 +383,8 @@ object RelationalQueries {
     * sort — one range-free window shuffle on event_type, each group
     * sorted within its partition. That is the expensive-but-correct
     * path; `approx_percentile` is the cheap path whose merge-order
-    * sensitivity is exactly why it gets no oracle entry (see sketch1's
-    * docblock). A 100 TB caller picks per column: sketches for
+    * sensitivity rules out a VALUE oracle — sketch3 pins its rank-error
+    * guarantee instead. A 100 TB caller picks per column: sketches for
     * monitoring, rank selection for anything a training cutoff depends
     * on. */
   def a15ExactQuantiles(s: SparkSession, d: String): DataFrame = {
@@ -403,6 +403,66 @@ object RelationalQueries {
     """SELECT event_type, MAX(n) AS n,
       | MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50,
       | MIN(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90
+      |FROM (SELECT event_type, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value, event_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** SKETCH3 — approx quantiles gated by the RANK-ERROR BAND (closing
+    * the loop a15's docblock leaves open: `percentile_approx` can't be
+    * value-oracled because Greenwald-Khanna summary merges are
+    * order-sensitive, but its GUARANTEE — rank error ≤ n/accuracy —
+    * holds under EVERY merge order, so the guarantee is what gets
+    * pinned, the sketch1/sketch2 pattern). Per event type: the exact
+    * elements at ranks ⌈p·n⌉ ± slack (a15's bit-exact rank selection,
+    * slack = 2·⌈n/accuracy⌉ — double the single-summary bound, because
+    * partial-summary merges may compound error up to the sum of the
+    * parts' bounds) bracket the approx value; the gate emits the
+    * bracket values plus the in-band booleans, which are deterministic
+    * TRUE however Spark schedules the partial aggregates. At 100 TB
+    * this is the cheap path the a15 docblock names: one pass, O(acc)
+    * state per group, no per-group sort — and this entry is the proof
+    * it stays inside its contract. */
+  def sketch3ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val slack = ceil(col("n") * 2 / acc)
+    def edge(p: Double, sign: Int): org.apache.spark.sql.Column = {
+      val r = ceil(col("n") * p) + (if (sign < 0) -slack else slack)
+      min(when(col("rn") === greatest(lit(1L), least(col("n"), r)), col("value")))
+    }
+    val bands = Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        edge(0.5, -1).as("p50_lo"), edge(0.5, 1).as("p50_hi"),
+        edge(0.9, -1).as("p90_lo"), edge(0.9, 1).as("p90_hi"))
+    val approx = Tables.events(s, d).groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
+    bands.join(approx, "event_type")
+      .select(col("event_type"), col("n"),
+        col("p50_lo"), col("p50_hi"), col("p90_lo"), col("p90_hi"),
+        (col("ap")(0) >= col("p50_lo") && col("ap")(0) <= col("p50_hi"))
+          .as("p50_in_band"),
+        (col("ap")(1) >= col("p90_lo") && col("ap")(1) <= col("p90_hi"))
+          .as("p90_in_band"))
+  }
+
+  val sketch3Sql: String =
+    """SELECT event_type, MAX(n) AS n,
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.5) - CEIL(n * 2 / 1000)))
+      |          THEN value END) AS p50_lo,
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.5) + CEIL(n * 2 / 1000)))
+      |          THEN value END) AS p50_hi,
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.9) - CEIL(n * 2 / 1000)))
+      |          THEN value END) AS p90_lo,
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.9) + CEIL(n * 2 / 1000)))
+      |          THEN value END) AS p90_hi,
+      | TRUE AS p50_in_band, TRUE AS p90_in_band
       |FROM (SELECT event_type, value,
       |        row_number() OVER (PARTITION BY event_type
       |                           ORDER BY value, event_id) AS rn,
@@ -806,6 +866,7 @@ object RelationalQueries {
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
     "sketch1_hll_distinct" -> (sketch1HllDistinct _),
+    "sketch3_approx_quantiles" -> (sketch3ApproxQuantiles _),
     "a15_exact_quantiles" -> (a15ExactQuantiles _),
     "bloom1_semi_filter" -> (bloom1SemiFilter _),
     "w1_curation_dedup"  -> (w1CurationDedup _),
@@ -846,6 +907,7 @@ object RelationalQueries {
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,
     "sketch1_hll_distinct" -> sketch1Sql,
+    "sketch3_approx_quantiles" -> sketch3Sql,
     "a15_exact_quantiles" -> a15Sql,
     "bloom1_semi_filter" -> bloom1Sql,
     "w1_curation_dedup"  -> w1Sql,

@@ -953,6 +953,117 @@ object TextQueries {
       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens, MIN(doc_id) AS first_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  /** DECON1 — test-set decontamination ([[graft.operators.Decontaminate]]):
+    * every 20th document (doc_id % 20 == 7) plays the EVAL benchmark; the
+    * rest are the train corpus; a train doc is contaminated if it shares
+    * any 5-gram with any eval doc. Load-bearing on two axes: a canary
+    * phrase of out-of-vocabulary tokens is PLANTED (t5's pattern) onto
+    * all eval docs and onto train docs with doc_id % 13 == 1 — those
+    * must flag — and the fixture's ~46-word vocabulary makes natural
+    * 5-gram collisions common enough that the overlap counts are
+    * non-trivial for unplanted docs too. The oracle rebuilds the
+    * identical planted corpus and shingle domain in SQL, so the hash
+    * gate pins every doc's exact overlap count, not just the flags.
+    * Plan shape: eval shingles broadcast; the train side is one scan
+    * pass with a partial-agg-collapsed per-doc count (operator
+    * docblock). */
+  def decon1EvalOverlap(s: SparkSession, d: String): DataFrame = {
+    val canary = " canarya canaryb canaryc canaryd canarye"
+    val planted = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 20 === 7 || col("doc_id") % 13 === 1, lit(canary))
+          .otherwise(lit(""))).as("text"))
+    val evalDocs = planted.filter(col("doc_id") % 20 === 7)
+    val train = planted.filter(col("doc_id") % 20 =!= 7)
+    val hits = graft.operators.Decontaminate
+      .overlapCounts(train, evalDocs, "doc_id", "text", n = 5)
+    train.select("doc_id", "lang")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val decon1Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, lang, text ||
+      |    CASE WHEN doc_id % 20 = 7 OR doc_id % 13 = 1
+      |         THEN ' canarya canaryb canaryc canaryd canarye'
+      |         ELSE '' END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, lang,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM planted),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |           t[i+3] || ' ' || t[i+4]))) AS s
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 7),
+      |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM sh JOIN ev USING (s)
+      |         WHERE doc_id % 20 <> 7 GROUP BY 1)
+      |SELECT p.doc_id, p.lang, COALESCE(h.n_hit, 0) AS n_hit,
+      |       COALESCE(h.n_hit, 0) > 0 AS contaminated
+      |FROM planted p LEFT JOIN hits h USING (doc_id)
+      |WHERE p.doc_id % 20 <> 7""".stripMargin
+
+  /** PIPE4 — domain-mixture rebalancing: downsample every source to the
+    * token budget of the SMALLEST source (the classic "uniform domain
+    * mix" rebalance before pretraining), with per-source token
+    * accounting before and after. Inclusion is the deterministic
+    * integer hash filter (m1's Knuth multiplicative hash): keep a doc
+    * iff hash(doc_id) · src_tokens < 2³² · min_tokens, i.e. with
+    * probability min_tokens/src_tokens — reproducible without any
+    * stored sampling state, and integer-exact across engines (the
+    * cross-multiply rides DECIMAL(38,0) on the Spark side and HUGEINT
+    * in the oracle, so per-source token counts up to ~10²⁸ cannot
+    * overflow; doubles never enter the decision).
+    *
+    * 100 TB shape: pass 1 reduces the corpus to one (source, tokens)
+    * row per domain — map-side collapsed, a few dozen rows out — and
+    * those rates come BACK as a broadcast onto pass 2's scan, where the
+    * keep decision is a codegen'd row-local predicate. No shuffle ever
+    * carries text; the only exchanges are the two per-source
+    * aggregations. (A production pipeline persists the slim
+    * (doc_id, source, n_tok) projection between the passes so the text
+    * bytes are scanned once.) */
+  def pipe4DomainMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+    val perSrc = docs.groupBy("source").agg(sum("n_tok").as("src_tokens"))
+    val minTok = perSrc.agg(min("src_tokens").as("min_tokens"))
+    val dec = "decimal(38,0)"
+    val keep = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .cast(dec) * col("src_tokens").cast(dec) <
+      lit(4294967296L).cast(dec) * col("min_tokens").cast(dec)
+    docs
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(minTok))
+      .withColumn("keep", keep)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_in"),
+        max("src_tokens").as("tokens_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  val pipe4Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |src AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+      |        FROM t GROUP BY 1),
+      |mn AS (SELECT MIN(src_tokens) AS min_tokens FROM src),
+      |k AS (SELECT t.*, src_tokens, min_tokens,
+      |    CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * src_tokens
+      |      < CAST(4294967296 AS HUGEINT) * min_tokens AS keep
+      |  FROM t JOIN src USING (source) CROSS JOIN mn)
+      |SELECT source, COUNT(*) AS n_docs_in, MAX(src_tokens) AS tokens_in,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept
+      |FROM k GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -983,7 +1094,9 @@ object TextQueries {
     "bloom2_anti_ingest" -> (bloom2AntiIngest _),
     "pipe3_incremental_refresh" -> (pipe3IncrementalRefresh _),
     "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _),
-    "pipe2_token_packing"   -> (pipe2TokenPacking _)
+    "pipe2_token_packing"   -> (pipe2TokenPacking _),
+    "pipe4_domain_mixture"  -> (pipe4DomainMixture _),
+    "decon1_eval_overlap"   -> (decon1EvalOverlap _)
   )
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only. */
@@ -1011,6 +1124,8 @@ object TextQueries {
     "bloom2_anti_ingest" -> bloom2Sql,
     "pipe3_incremental_refresh" -> pipe3Sql,
     "pipe1_corpus_pipeline" -> pipe1Sql,
-    "pipe2_token_packing"   -> pipe2Sql
+    "pipe2_token_packing"   -> pipe2Sql,
+    "pipe4_domain_mixture"  -> pipe4Sql,
+    "decon1_eval_overlap"   -> decon1Sql
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class TextOpsSpec extends SparkSpec {
 
@@ -249,5 +249,40 @@ class TextOpsSpec extends SparkSpec {
       .prefixSum(rows.toDS(), parts = 17)
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == seq, s"prefix sums diverge: ${got.take(5).toSeq} vs ${seq.take(5)}")
+  }
+
+  test("decontaminate: shared n-grams flag exactly the overlapping train docs") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the 5-gram "alpha beta gamma delta epsilon" (and one more)
+      (1L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      // shares "one two three four five" only
+      (2L, "one two three four five nine ten"),
+      // word overlap but no 5-gram overlap
+      (3L, "alpha beta gamma other words here entirely"),
+      // disjoint vocabulary
+      (4L, "red green blue yellow purple orange cyan")).toDF("doc_id", "text")
+    val hits = Decontaminate.overlapCounts(train, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: shingles {prefix..epsilon, alpha..zeta, beta..suffix} — the
+    // middle two appear in eval doc 100 (alpha-epsilon, beta-zeta)
+    assert(hits(1L) == 2L, s"doc 1 expected 2 shared shingles, got $hits")
+    assert(hits(2L) == 1L, s"doc 2 expected 1 shared shingle, got $hits")
+    assert(!hits.contains(3L) && !hits.contains(4L),
+      s"clean docs must be absent from overlap counts: $hits")
+  }
+
+  test("decontaminate: clean corpus yields zero rows; short docs never flag") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "completely different words all the way through"),
+      (2L, "alpha beta gamma delta")) // 4 tokens: no 5-gram exists
+      .toDF("doc_id", "text")
+    assert(Decontaminate.overlapCounts(train, evalDocs, "doc_id", "text", n = 5)
+      .count() == 0L)
   }
 }

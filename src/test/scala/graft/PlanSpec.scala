@@ -219,4 +219,16 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalQueries.f8TimeRange(spark, sf))
     assert(p.contains("PushedFilters: []") || !p.contains("GreaterThanOrEqual(ts"))
   }
+
+  test("decon1 broadcasts the eval shingle set — the train side never shuffles text") {
+    // the decontamination contract at 100 TB: the eval corpus (small)
+    // rides a broadcast to every train scan task; a SortMergeJoin here
+    // would shuffle every train shingle instance — corpus-linear
+    // exchange volume instead of contaminated-doc-bounded.
+    val p = plan(graft.queries.TextQueries.decon1EvalOverlap(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"train-side shingle shuffle crept in:\n${p.take(3000)}")
+  }
 }

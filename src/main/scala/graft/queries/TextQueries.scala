@@ -1064,6 +1064,37 @@ object TextQueries {
       |    AS tokens_kept
       |FROM k GROUP BY 1""".stripMargin
 
+  /** SHUF1 — deterministic corpus shuffle: the reorder step a training
+    * pipeline runs between curation and sequence packing (adjacent raw
+    * documents are correlated — same crawl, same domain — so the corpus
+    * is laid out in hash order before packing). Order key is the Knuth
+    * multiplicative hash h = doc_id·2654435761 mod 2³² — BIJECTIVE over
+    * doc_id < 2³² (odd multiplier), so the order is total and every
+    * position unique; a 64-bit corpus uses the same construction with a
+    * 64-bit odd multiplier. Each doc's exact global shuffled position
+    * comes from [[graft.operators.Pack.prefixSum]] over (h, 1) — the
+    * distributed two-pass prefix sum (range exchange, never a
+    * single-partition window; pipe2's PlanSpec pin covers the shape).
+    * The only other exchange is the slim (h, doc_id) ⋈ (h, pos) join
+    * that pins positions back onto ids — longs only, never text. The
+    * oracle states the same semantics as the global window DuckDB can
+    * afford at oracle scale. */
+  def shuf1DeterministicShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("h"))
+    val pairs = docs.select(col("h"), lit(1L).as("w")).as[(Long, Long)]
+    val pos = graft.operators.Pack.prefixSum(pairs, parts = 32)
+      .select(col("doc_id").as("h"), col("start_offset").as("pos"))
+    docs.join(pos, "h").select(col("doc_id"), col("h"), col("pos"))
+  }
+
+  val shuf1Sql: String =
+    """SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+      |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296) - 1
+      |    AS pos
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1096,7 +1127,8 @@ object TextQueries {
     "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _),
     "pipe2_token_packing"   -> (pipe2TokenPacking _),
     "pipe4_domain_mixture"  -> (pipe4DomainMixture _),
-    "decon1_eval_overlap"   -> (decon1EvalOverlap _)
+    "decon1_eval_overlap"   -> (decon1EvalOverlap _),
+    "shuf1_det_shuffle"     -> (shuf1DeterministicShuffle _)
   )
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only. */
@@ -1126,6 +1158,7 @@ object TextQueries {
     "pipe1_corpus_pipeline" -> pipe1Sql,
     "pipe2_token_packing"   -> pipe2Sql,
     "pipe4_domain_mixture"  -> pipe4Sql,
-    "decon1_eval_overlap"   -> decon1Sql
+    "decon1_eval_overlap"   -> decon1Sql,
+    "shuf1_det_shuffle"     -> shuf1Sql
   )
 }

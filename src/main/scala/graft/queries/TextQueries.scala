@@ -595,6 +595,66 @@ object TextQueries {
       |  ('ivf', CAST(100 AS BIGINT)),
       |  ('lsh', CAST(99 AS BIGINT))) t(method, recall_pct)""".stripMargin
 
+  /** DECON2 — SEMANTIC decontamination (decon1's n-gram check catches
+    * verbatim leaks; paraphrased eval items need the embedding space):
+    * every vec with vec_id % 10 == 3 plays the eval benchmark; a train
+    * vec is contaminated if its cosine to ANY eval vec reaches 0.8.
+    * Exactness is the point — a missed contamination is a benchmark
+    * leak, so the operator is [[Similarity.bruteForceKnn]] with the
+    * eval set as the BROADCAST corpus (eval benchmarks are small and
+    * fixed-size; an exact one-pass scan with no train-side shuffle is
+    * both affordable and recall-1 by construction, where ANN blocking
+    * would trade recall for speed in the one place recall is the
+    * contract). Contamination is PLANTED by formula: train vecs with
+    * vec_id % 13 == 1 carry an exact copy of their decade's eval
+    * embedding (vec_id − vec_id%10 + 3), shipped in via a broadcast
+    * join both engines replicate — those must flag at cosine exactly
+    * 1.0; the fixture's natural cross-boundary maximum is ~0.51, three
+    * float decades below the 0.8 threshold, so the booleans cannot
+    * flake. Output pins each train vec's ARGMAX eval neighbor
+    * (deterministic: both engines accumulate the dot product
+    * left-to-right and tie-break by neighbor id — e1's established
+    * contract) plus the flag; raw scores stay out of the hash. */
+  def decon2SemanticOverlap(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(
+      graft.plans.GraftExpressions.arrayDot(col("embedding"), col("embedding")) > 0)
+    val evalSet = emb.filter(col("vec_id") % 10 === 3)
+    val target = evalSet.select(col("vec_id").as("tgt_id"),
+      col("embedding").as("ev_emb"))
+    val planted = emb.filter(col("vec_id") % 10 =!= 3)
+      .withColumn("tgt_id", col("vec_id") - col("vec_id") % 10 + 3)
+      .join(broadcast(target), Seq("tgt_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 13 === 1 && col("ev_emb").isNotNull, col("ev_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+    Similarity.bruteForceKnn(planted, "vec_id", "embedding", k = 1,
+        corpus = Some(evalSet))
+      .select(col("vec_id"), col("neighbor_id").as("nearest_eval_id"),
+        (col("score") >= lit(0.8)).as("contaminated"))
+  }
+
+  val decon2Sql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |ev AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 3),
+      |tr0 AS (SELECT vec_id, e, vec_id - (vec_id % 10) + 3 AS tgt
+      |        FROM v WHERE vec_id % 10 <> 3),
+      |tr AS (SELECT t.vec_id,
+      |         CASE WHEN t.vec_id % 13 = 1 AND ev.e IS NOT NULL
+      |              THEN ev.e ELSE t.e END AS e
+      |       FROM tr0 t LEFT JOIN ev ON ev.vec_id = t.tgt),
+      |p AS (SELECT t.vec_id, e2.vec_id nid,
+      |        list_dot_product(t.e, e2.e)
+      |          / (sqrt(list_dot_product(t.e, t.e))
+      |             * sqrt(list_dot_product(e2.e, e2.e))) AS score
+      |      FROM tr t, ev e2)
+      |SELECT vec_id, nid AS nearest_eval_id, score >= 0.8 AS contaminated
+      |FROM (SELECT vec_id, nid, score,
+      |        row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY score DESC, nid) AS rn
+      |      FROM p)
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------- multimodal
 
   /** X1 multimodal plumbing: formula-planted media payloads →
@@ -1128,6 +1188,7 @@ object TextQueries {
     "pipe2_token_packing"   -> (pipe2TokenPacking _),
     "pipe4_domain_mixture"  -> (pipe4DomainMixture _),
     "decon1_eval_overlap"   -> (decon1EvalOverlap _),
+    "decon2_semantic"       -> (decon2SemanticOverlap _),
     "shuf1_det_shuffle"     -> (shuf1DeterministicShuffle _)
   )
 
@@ -1159,6 +1220,7 @@ object TextQueries {
     "pipe2_token_packing"   -> pipe2Sql,
     "pipe4_domain_mixture"  -> pipe4Sql,
     "decon1_eval_overlap"   -> decon1Sql,
+    "decon2_semantic"       -> decon2Sql,
     "shuf1_det_shuffle"     -> shuf1Sql
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -1124,6 +1125,67 @@ object TextQueries {
       |    AS tokens_kept
       |FROM k GROUP BY 1""".stripMargin
 
+  /** PIPE5 — adaptive per-domain quality gating: keep each document at
+    * or above its OWN source's median quality (per-domain thresholds
+    * are the standard practice — a fixed global cutoff over-prunes
+    * noisy domains and under-prunes clean ones). Quality here is token
+    * density (bpeish tokens per char — cheap, monotone with
+    * boilerplate/markup share); the per-source median is a15's exact
+    * rank selection, so the threshold is an actual data value both
+    * engines select bit-identically, and `score >= median` compares
+    * two identically-computed doubles — no epsilon anywhere.
+    *
+    * 100 TB shape, stated honestly: the exact per-domain median costs
+    * one window shuffle keyed on source (same physics as a15); with
+    * skewed domain sizes the per-source SORT is the expensive exact
+    * path, and the production alternative is sketch3's one-pass
+    * `percentile_approx` threshold with a rank-error band — this entry
+    * is the exact twin that such a sketch answers to. The threshold
+    * table (one row per source) comes BACK as a broadcast; the keep
+    * decision is row-local in the scan. */
+  def pipe5AdaptiveQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
+      col("n_chars"))
+      .withColumn("score", col("n_tok") / col("n_chars"))
+    val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+    val med = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_in"),
+        min(when(col("rn") === ceil(col("n") * 0.5), col("score")))
+          .as("median_score"))
+    docs.join(broadcast(med), "source")
+      .filter(col("score") >= col("median_score"))
+      .groupBy("source")
+      .agg(max(col("n_in")).as("n_in"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_kept"),
+        max(col("median_score")).as("median_score"))
+  }
+
+  val pipe5Sql: String =
+    """WITH t AS (SELECT doc_id, source, n_chars,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |sc AS (SELECT *, CAST(n_tok AS DOUBLE) / n_chars AS score FROM t),
+      |med AS (SELECT source, MAX(n) AS n_in,
+      |    MIN(CASE WHEN rn = CEIL(n * 0.5) THEN score END) AS median_score
+      |  FROM (SELECT source, score,
+      |          row_number() OVER (PARTITION BY source
+      |                             ORDER BY score, doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY source) AS n
+      |        FROM sc)
+      |  GROUP BY source)
+      |SELECT source, MAX(n_in) AS n_in, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+      |  MAX(median_score) AS median_score
+      |FROM sc JOIN med USING (source)
+      |WHERE score >= median_score
+      |GROUP BY source""".stripMargin
+
   /** SHUF1 — deterministic corpus shuffle: the reorder step a training
     * pipeline runs between curation and sequence packing (adjacent raw
     * documents are correlated — same crawl, same domain — so the corpus
@@ -1187,6 +1249,7 @@ object TextQueries {
     "pipe1_corpus_pipeline" -> (pipe1CorpusPipeline _),
     "pipe2_token_packing"   -> (pipe2TokenPacking _),
     "pipe4_domain_mixture"  -> (pipe4DomainMixture _),
+    "pipe5_adaptive_quality" -> (pipe5AdaptiveQuality _),
     "decon1_eval_overlap"   -> (decon1EvalOverlap _),
     "decon2_semantic"       -> (decon2SemanticOverlap _),
     "shuf1_det_shuffle"     -> (shuf1DeterministicShuffle _)
@@ -1219,6 +1282,7 @@ object TextQueries {
     "pipe1_corpus_pipeline" -> pipe1Sql,
     "pipe2_token_packing"   -> pipe2Sql,
     "pipe4_domain_mixture"  -> pipe4Sql,
+    "pipe5_adaptive_quality" -> pipe5Sql,
     "decon1_eval_overlap"   -> decon1Sql,
     "decon2_semantic"       -> decon2Sql,
     "shuf1_det_shuffle"     -> shuf1Sql

@@ -220,6 +220,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: []") || !p.contains("GreaterThanOrEqual(ts"))
   }
 
+  test("pipe4 ships the mixture rates back as broadcasts — no corpus-keyed shuffle join") {
+    // pass 1 reduces the corpus to per-source token totals; those few
+    // rows must come BACK to pass 2's scan as a broadcast. A
+    // SortMergeJoin on source here would shuffle every doc row to join
+    // against a 20-row table.
+    val p = plan(graft.queries.TextQueries.pipe4DomainMixture(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"mixture rates not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-keyed shuffle join crept in:\n${p.take(3000)}")
+  }
+
+  test("shuf1 keeps the corpus shuffle partition-parallel (no SinglePartition)") {
+    // the prefix-sum position assignment must never plan a global
+    // single-partition stage (pipe2's invariant, inherited through
+    // Pack.prefixSum), and the (h, pos) join must not broadcast-collect
+    // the corpus — at scale both sides are N rows.
+    val p = plan(graft.queries.TextQueries.shuf1DeterministicShuffle(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"single-partition stage in the shuffle plan:\n${p.take(3000)}")
+  }
+
   test("decon1 broadcasts the eval shingle set — the train side never shuffles text") {
     // the decontamination contract at 100 TB: the eval corpus (small)
     // rides a broadcast to every train scan task; a SortMergeJoin here

@@ -234,6 +234,32 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  /** T7 — token-accounting ROLLUP: corpus totals at (source, lang),
+    * per-source, and grand-total granularity in ONE pass — the
+    * multi-dimensional aggregate surface (rollup/cube/grouping sets)
+    * every corpus report leans on, demonstrated with `grouping_id` so
+    * consumers can tell a real NULL group from a rolled-up level. One
+    * Spark plan computes all three levels with a single scan and one
+    * exchange (partial aggregation covers every grouping set
+    * map-side); the naive alternative — three separate aggregations
+    * unioned — scans the corpus three times. Both engines agree on the
+    * grouping-id bit order (leftmost column = most significant bit). */
+  def t7TokenRollup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long"))
+          .as("n_tokens"),
+        grouping_id().cast("long").as("gid"))
+
+  val t7Sql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(lower(text),
+      |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)""".stripMargin
+
   /** SKETCH2 — Count-Min heavy hitters gated against exact counts (the
     * sketch1 pattern, completing the sketch family: HLL for
     * cardinality, Bloom for membership, CMS for frequency): the top-10
@@ -1232,6 +1258,7 @@ object TextQueries {
     "t4_fingerprint"   -> (t4Fingerprint _),
     "t5_redaction"     -> (t5Redaction _),
     "t6_vocab_topk"    -> (t6VocabTopk _),
+    "t7_token_rollup"  -> (t7TokenRollup _),
     "sketch2_cms_topk" -> (sketch2CmsTopk _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
@@ -1267,6 +1294,7 @@ object TextQueries {
     "t4_fingerprint"   -> t4Sql,
     "t5_redaction"     -> t5Sql,
     "t6_vocab_topk"    -> t6Sql,
+    "t7_token_rollup"  -> t7Sql,
     "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,

@@ -410,6 +410,49 @@ object RelationalQueries {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** A17 — EXACT distributed correlation + regression line (the
+    * [[Exact.dsum]] pattern extended to second-order statistics):
+    * Spark's native `corr`/`covar_samp` are merge-order-dependent
+    * float accumulations — useless for a cross-engine hash gate and
+    * irreproducible run-to-run at scale — so every moment (Σx, Σy,
+    * Σxy, Σx², Σy²) is summed EXACTLY through DECIMAL (the products
+    * carry ≤4 decimals, so the decimal cast loses nothing), and the
+    * closed forms are then ONE identical IEEE expression tree over
+    * identical operands on both engines. The aggregation is a single
+    * map-side-collapsed pass — the same shuffle shape as any groupBy
+    * — so exactness costs nothing over the native float path at any
+    * scale. */
+  def a17ExactCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val g = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      (cov / (sqrt(vx) * sqrt(vy))).as("corr"),
+      (cov / vx).as("slope"),
+      ((col("sy") - (cov / vx) * col("sx")) / col("n")).as("intercept"))
+  }
+
+  val a17Sql: String =
+    s"""WITH g AS (SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${dsumSql("l_quantity")} AS sx,
+       |    ${dsumSql("l_extendedprice")} AS sy,
+       |    ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+       |    ${dsumSql("l_quantity * l_quantity")} AS sxx,
+       |    ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+       |    AS corr,
+       |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+       |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
+       |FROM g""".stripMargin
+
   /** SKETCH3 — approx quantiles gated by the RANK-ERROR BAND (closing
     * the loop a15's docblock leaves open: `percentile_approx` can't be
     * value-oracled because Greenwald-Khanna summary merges are
@@ -868,6 +911,7 @@ object RelationalQueries {
     "sketch1_hll_distinct" -> (sketch1HllDistinct _),
     "sketch3_approx_quantiles" -> (sketch3ApproxQuantiles _),
     "a15_exact_quantiles" -> (a15ExactQuantiles _),
+    "a17_exact_corr" -> (a17ExactCorr _),
     "bloom1_semi_filter" -> (bloom1SemiFilter _),
     "w1_curation_dedup"  -> (w1CurationDedup _),
     "w2_top1_per_group"  -> (w2Top1PerGroup _),
@@ -909,6 +953,7 @@ object RelationalQueries {
     "sketch1_hll_distinct" -> sketch1Sql,
     "sketch3_approx_quantiles" -> sketch3Sql,
     "a15_exact_quantiles" -> a15Sql,
+    "a17_exact_corr" -> a17Sql,
     "bloom1_semi_filter" -> bloom1Sql,
     "w1_curation_dedup"  -> w1Sql,
     "w2_top1_per_group"  -> w2Sql,

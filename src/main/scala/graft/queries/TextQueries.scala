@@ -1159,7 +1159,10 @@ object TextQueries {
     * boilerplate/markup share); the per-source median is a15's exact
     * rank selection, so the threshold is an actual data value both
     * engines select bit-identically, and `score >= median` compares
-    * two identically-computed doubles — no epsilon anywhere.
+    * two identically-computed doubles — no epsilon anywhere. (The
+    * median pass and the keep pass each scan the corpus — at 100 TB a
+    * caller persists the slim (doc_id, source, score) projection
+    * between them, pipe4's note.)
     *
     * 100 TB shape, stated honestly: the exact per-domain median costs
     * one window shuffle keyed on source (same physics as a15); with

@@ -471,7 +471,7 @@ object RelationalQueries {
   def sketch3ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
     val acc = 1000
     val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    val slack = ceil(col("n") * 2 / acc)
+    val slack = ceil(col("n") / acc) * 2
     def edge(p: Double, sign: Int): org.apache.spark.sql.Column = {
       val r = ceil(col("n") * p) + (if (sign < 0) -slack else slack)
       min(when(col("rn") === greatest(lit(1L), least(col("n"), r)), col("value")))
@@ -497,13 +497,13 @@ object RelationalQueries {
 
   val sketch3Sql: String =
     """SELECT event_type, MAX(n) AS n,
-      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.5) - CEIL(n * 2 / 1000)))
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.5) - CEIL(n / 1000) * 2))
       |          THEN value END) AS p50_lo,
-      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.5) + CEIL(n * 2 / 1000)))
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.5) + CEIL(n / 1000) * 2))
       |          THEN value END) AS p50_hi,
-      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.9) - CEIL(n * 2 / 1000)))
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.9) - CEIL(n / 1000) * 2))
       |          THEN value END) AS p90_lo,
-      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.9) + CEIL(n * 2 / 1000)))
+      | MIN(CASE WHEN rn = GREATEST(1, LEAST(n, CEIL(n * 0.9) + CEIL(n / 1000) * 2))
       |          THEN value END) AS p90_hi,
       | TRUE AS p50_in_band, TRUE AS p90_in_band
       |FROM (SELECT event_type, value,

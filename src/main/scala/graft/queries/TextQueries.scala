@@ -1103,7 +1103,10 @@ object TextQueries {
     * stored sampling state, and integer-exact across engines (the
     * cross-multiply rides DECIMAL(38,0) on the Spark side and HUGEINT
     * in the oracle, so per-source token counts up to ~10²⁸ cannot
-    * overflow; doubles never enter the decision).
+    * overflow; doubles never enter the decision). The hash itself is
+    * 64-bit LONG math, so ids must stay below 2⁶³/2654435761 ≈
+    * 3.47·10⁹ — shuf1's docblock states the same bound and the DECIMAL
+    * escape hatch for a larger id space.
     *
     * 100 TB shape: pass 1 reduces the corpus to one (source, tokens)
     * row per domain — map-side collapsed, a few dozen rows out — and
@@ -1176,7 +1179,10 @@ object TextQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
       col("n_chars"))
-      .withColumn("score", col("n_tok") / col("n_chars"))
+      // greatest(n_chars, 1): an empty doc scores 0.0 on BOTH engines —
+      // a bare 0 divisor is NULL under Spark's non-ANSI Divide but inf
+      // in DuckDB, which would shift the window order and the median
+      .withColumn("score", col("n_tok") / greatest(col("n_chars"), lit(1L)))
     val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
     val med = docs
       .withColumn("rn", row_number().over(w))
@@ -1199,7 +1205,8 @@ object TextQueries {
       |    CAST(len(regexp_extract_all(lower(text),
       |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
       |  FROM documents),
-      |sc AS (SELECT *, CAST(n_tok AS DOUBLE) / n_chars AS score FROM t),
+      |sc AS (SELECT *, CAST(n_tok AS DOUBLE) / GREATEST(n_chars, 1) AS score
+      |       FROM t),
       |med AS (SELECT source, MAX(n) AS n_in,
       |    MIN(CASE WHEN rn = CEIL(n * 0.5) THEN score END) AS median_score
       |  FROM (SELECT source, score,
@@ -1219,10 +1226,14 @@ object TextQueries {
     * pipeline runs between curation and sequence packing (adjacent raw
     * documents are correlated — same crawl, same domain — so the corpus
     * is laid out in hash order before packing). Order key is the Knuth
-    * multiplicative hash h = doc_id·2654435761 mod 2³² — BIJECTIVE over
-    * doc_id < 2³² (odd multiplier), so the order is total and every
-    * position unique; a 64-bit corpus uses the same construction with a
-    * 64-bit odd multiplier. Each doc's exact global shuffled position
+    * multiplicative hash h = doc_id·2654435761 mod 2³² — bijective mod
+    * 2³² (odd multiplier), so within the SAFE id domain
+    * doc_id < 2⁶³/2654435761 ≈ 3.47·10⁹ the order is total and every
+    * position unique. Beyond that the 64-bit product overflows — Spark
+    * would wrap to a NEGATIVE h while the oracle engine errors — so a
+    * larger id space must route the multiply through DECIMAL (or use a
+    * 64-bit odd multiplier with explicit mod-2⁶⁴ wrapping on both
+    * engines), not this literal expression. Each doc's exact global shuffled position
     * comes from [[graft.operators.Pack.prefixSum]] over (h, 1) — the
     * distributed two-pass prefix sum (range exchange, never a
     * single-partition window; pipe2's PlanSpec pin covers the shape).

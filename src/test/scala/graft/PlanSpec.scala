@@ -235,8 +235,10 @@ class PlanSpec extends SparkSpec {
   test("shuf1 keeps the corpus shuffle partition-parallel (no SinglePartition)") {
     // the prefix-sum position assignment must never plan a global
     // single-partition stage (pipe2's invariant, inherited through
-    // Pack.prefixSum), and the (h, pos) join must not broadcast-collect
-    // the corpus — at scale both sides are N rows.
+    // Pack.prefixSum). Join strategy is deliberately NOT pinned: both
+    // join inputs are N-row at scale so size-based planning picks the
+    // right join there, and pinning no-broadcast here would just fail
+    // at fixture scale where broadcasting the small side is correct.
     val p = plan(graft.queries.TextQueries.shuf1DeterministicShuffle(spark, sf))
     assert(!p.contains("SinglePartition"),
       s"single-partition stage in the shuffle plan:\n${p.take(3000)}")

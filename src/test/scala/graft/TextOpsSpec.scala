@@ -267,8 +267,9 @@ class TextOpsSpec extends SparkSpec {
       (4L, "red green blue yellow purple orange cyan")).toDF("doc_id", "text")
     val hits = Decontaminate.overlapCounts(train, evalDocs, "doc_id", "text", n = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // doc 1: shingles {prefix..epsilon, alpha..zeta, beta..suffix} — the
-    // middle two appear in eval doc 100 (alpha-epsilon, beta-zeta)
+    // doc 1 (8 tokens) has 4 distinct 5-gram shingles: prefix-delta,
+    // alpha-epsilon, beta-zeta, gamma-suffix; the middle two appear in
+    // eval doc 100 (whose shingles are alpha-epsilon and beta-zeta)
     assert(hits(1L) == 2L, s"doc 1 expected 2 shared shingles, got $hits")
     assert(hits(2L) == 1L, s"doc 2 expected 1 shared shingle, got $hits")
     assert(!hits.contains(3L) && !hits.contains(4L),

@@ -37,4 +37,21 @@ object Exact {
 
   /** Higher-precision per-value decimal for window frames / small groups. */
   def dec10(c: Column): Column = c.cast("decimal(28,10)")
+
+  /** Knuth multiplicative hash mod 2³² — the deterministic bucketing
+    * primitive behind every hash split / fold / sample / shuffle entry
+    * (one definition, six call sites, each with a SQL twin via
+    * [[knuthHash32Sql]]). Bijective mod 2³² (odd multiplier), uniform
+    * enough for split ratios. SAFE ID DOMAIN: the multiply is 64-bit
+    * LONG math, so ids must stay below 2⁶³/2654435761 ≈ 3.47·10⁹ —
+    * beyond that Spark wraps to a NEGATIVE hash while the oracle
+    * engine raises an overflow error; a larger id space routes the
+    * multiply through DECIMAL (or uses a 64-bit odd multiplier with
+    * explicit mod-2⁶⁴ wrapping on BOTH engines) instead of this
+    * literal expression. */
+  def knuthHash32(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  def knuthHash32Sql(e: String): String =
+    s"($e * 2654435761) % 4294967296"
 }

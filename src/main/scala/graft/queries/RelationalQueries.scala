@@ -843,7 +843,7 @@ object RelationalQueries {
     * hash — engine-native determinism replacing sklearn's seeded
     * shuffle (SURVEY §7.4.5). No collect, no global sort: a pure map. */
   def m1HashSplit(s: SparkSession, d: String): DataFrame = {
-    val bucket = (col("event_id") * lit(2654435761L)) % lit(4294967296L)
+    val bucket = knuthHash32(col("event_id"))
     Tables.events(s, d)
       .withColumn("split",
         when(bucket < lit(3435973836L), "train").otherwise("test"))
@@ -852,7 +852,7 @@ object RelationalQueries {
   }
 
   val m1Sql: String =
-    """SELECT CASE WHEN (event_id * 2654435761) % 4294967296 < 3435973836
+    s"""SELECT CASE WHEN ${knuthHash32Sql("event_id")} < 3435973836
       |            THEN 'train' ELSE 'test' END AS split,
       |       event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
@@ -861,12 +861,12 @@ object RelationalQueries {
   def m2KFold(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("fold",
-        (((col("event_id") * lit(2654435761L)) % lit(4294967296L)) % 5L).cast("long"))
+        (knuthHash32(col("event_id")) % 5L).cast("long"))
       .groupBy("fold")
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
 
   val m2Sql: String =
-    """SELECT CAST((event_id * 2654435761) % 4294967296 % 5 AS BIGINT) AS fold,
+    s"""SELECT CAST(${knuthHash32Sql("event_id")} % 5 AS BIGINT) AS fold,
       |       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 

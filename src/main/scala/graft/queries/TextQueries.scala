@@ -924,7 +924,7 @@ object TextQueries {
       .filter(TextAnalysis.langId(col("text")) === "en")
       .filter(TextAnalysis.tokenCount(col("text")) >= 30)
       .filter(TextAnalysis.punctRatio(col("text")) < 0.2)
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val bucket = Exact.knuthHash32(col("doc_id"))
     accepted
       .withColumn("split",
         when(bucket < lit(3435973836L), "train").otherwise("test"))
@@ -954,7 +954,7 @@ object TextQueries {
        |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
        |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
        |        / greatest(length(text), 1) < 0.2)
-       |SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+       |SELECT CASE WHEN ${Exact.knuthHash32Sql("doc_id")} < 3435973836
        |            THEN 'train' ELSE 'test' END AS split,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
@@ -973,7 +973,7 @@ object TextQueries {
       .filter(TextAnalysis.langId(col("text")) === "en")
       .filter(TextAnalysis.tokenCount(col("text")) >= 30)
       .filter(TextAnalysis.punctRatio(col("text")) < 0.2)
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val bucket = Exact.knuthHash32(col("doc_id"))
     gated
       .withColumn("split",
         when(bucket < lit(3435973836L), "train").otherwise("test"))
@@ -1001,7 +1001,7 @@ object TextQueries {
        |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
        |    AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
        |        / greatest(length(text), 1) < 0.2)
-       |SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+       |SELECT CASE WHEN ${Exact.knuthHash32Sql("doc_id")} < 3435973836
        |            THEN 'train' ELSE 'test' END AS split,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
@@ -1104,9 +1104,8 @@ object TextQueries {
     * cross-multiply rides DECIMAL(38,0) on the Spark side and HUGEINT
     * in the oracle, so per-source token counts up to ~10²⁸ cannot
     * overflow; doubles never enter the decision). The hash itself is
-    * 64-bit LONG math, so ids must stay below 2⁶³/2654435761 ≈
-    * 3.47·10⁹ — shuf1's docblock states the same bound and the DECIMAL
-    * escape hatch for a larger id space.
+    * [[Exact.knuthHash32]] — its docblock states the safe id domain
+    * and the DECIMAL escape hatch for a larger id space.
     *
     * 100 TB shape: pass 1 reduces the corpus to one (source, tokens)
     * row per domain — map-side collapsed, a few dozen rows out — and
@@ -1122,7 +1121,7 @@ object TextQueries {
     val perSrc = docs.groupBy("source").agg(sum("n_tok").as("src_tokens"))
     val minTok = perSrc.agg(min("src_tokens").as("min_tokens"))
     val dec = "decimal(38,0)"
-    val keep = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+    val keep = Exact.knuthHash32(col("doc_id"))
       .cast(dec) * col("src_tokens").cast(dec) <
       lit(4294967296L).cast(dec) * col("min_tokens").cast(dec)
     docs
@@ -1137,15 +1136,15 @@ object TextQueries {
   }
 
   val pipe4Sql: String =
-    """WITH t AS (SELECT doc_id, source,
+    s"""WITH t AS (SELECT doc_id, source,
       |    CAST(len(regexp_extract_all(lower(text),
-      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+      |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
       |  FROM documents),
       |src AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
       |        FROM t GROUP BY 1),
       |mn AS (SELECT MIN(src_tokens) AS min_tokens FROM src),
       |k AS (SELECT t.*, src_tokens, min_tokens,
-      |    CAST((doc_id * 2654435761) % 4294967296 AS HUGEINT) * src_tokens
+      |    CAST(${Exact.knuthHash32Sql("doc_id")} AS HUGEINT) * src_tokens
       |      < CAST(4294967296 AS HUGEINT) * min_tokens AS keep
       |  FROM t JOIN src USING (source) CROSS JOIN mn)
       |SELECT source, COUNT(*) AS n_docs_in, MAX(src_tokens) AS tokens_in,
@@ -1226,14 +1225,9 @@ object TextQueries {
     * pipeline runs between curation and sequence packing (adjacent raw
     * documents are correlated — same crawl, same domain — so the corpus
     * is laid out in hash order before packing). Order key is the Knuth
-    * multiplicative hash h = doc_id·2654435761 mod 2³² — bijective mod
-    * 2³² (odd multiplier), so within the SAFE id domain
-    * doc_id < 2⁶³/2654435761 ≈ 3.47·10⁹ the order is total and every
-    * position unique. Beyond that the 64-bit product overflows — Spark
-    * would wrap to a NEGATIVE h while the oracle engine errors — so a
-    * larger id space must route the multiply through DECIMAL (or use a
-    * 64-bit odd multiplier with explicit mod-2⁶⁴ wrapping on both
-    * engines), not this literal expression. Each doc's exact global shuffled position
+    * multiplicative hash [[Exact.knuthHash32]] — bijective mod 2³²
+    * (odd multiplier), so within its documented safe id domain the
+    * order is total and every position unique. Each doc's exact global shuffled position
     * comes from [[graft.operators.Pack.prefixSum]] over (h, 1) — the
     * distributed two-pass prefix sum (range exchange, never a
     * single-partition window; pipe2's PlanSpec pin covers the shape).
@@ -1244,7 +1238,7 @@ object TextQueries {
   def shuf1DeterministicShuffle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"),
-      ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("h"))
+      Exact.knuthHash32(col("doc_id")).as("h"))
     val pairs = docs.select(col("h"), lit(1L).as("w")).as[(Long, Long)]
     val pos = graft.operators.Pack.prefixSum(pairs, parts = 32)
       .select(col("doc_id").as("h"), col("start_offset").as("pos"))
@@ -1252,10 +1246,10 @@ object TextQueries {
   }
 
   val shuf1Sql: String =
-    """SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
-      |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296) - 1
-      |    AS pos
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, ${Exact.knuthHash32Sql("doc_id")} AS h,
+       |  row_number() OVER (ORDER BY ${Exact.knuthHash32Sql("doc_id")}) - 1
+       |    AS pos
+       |FROM documents""".stripMargin
 
   // ------------------------------------------------------------ registry
 

@@ -189,6 +189,49 @@ object RelationalQueries {
       | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** J7 (as-of join): each alarm ('error') event gets the latest
+    * at-or-before 'view' reading by the same user, null if none within
+    * one day — [[graft.operators.AsOf]]'s union+window form: ONE hash
+    * partitioning on user_id over |L|+|R| slim rows, no candidate-pair
+    * blowup. The oracle states the same semantics the expensive way
+    * (pair join + ROW_NUMBER argmax) — structurally independent of the
+    * implementation, which is the point of the check. */
+  def j7AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val alarms = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("alarm_id"), col("user_id"),
+        col("ts"), col("value").as("alarm_value"))
+    val reads = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOf.asOfJoin(
+        alarms, reads, Seq("user_id"), "ts", "event_id", Seq("value"),
+        toleranceUs = Some(86400000000L)) // 1 day
+      .select(col("alarm_id"), col("user_id"),
+        unix_micros(col("ts")).as("alarm_us"), col("alarm_value"),
+        col("asof_event_id").as("read_id"),
+        unix_micros(col("asof_ts")).as("read_us"),
+        col("asof_value").as("read_value"))
+  }
+
+  val j7Sql: String =
+    """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'error'),
+      |     r AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'view'),
+      |     pairs AS (
+      |  SELECT l.event_id AS alarm_id, l.user_id,
+      |         epoch_us(l.ts) AS alarm_us, l.value AS alarm_value,
+      |         r.event_id AS read_id, epoch_us(r.ts) AS read_us,
+      |         r.value AS read_value,
+      |         ROW_NUMBER() OVER (PARTITION BY l.event_id
+      |                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      |  FROM l LEFT JOIN r
+      |    ON l.user_id = r.user_id AND r.ts <= l.ts
+      |   AND r.ts >= l.ts - INTERVAL 1 DAY)
+      |SELECT alarm_id, user_id, alarm_us, alarm_value,
+      |       read_id, read_us, read_value
+      |FROM pairs WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- A: aggs
 
   /** A2 (worst-alarm-state rollup): per-key max-of-encoded-severity, the
@@ -900,6 +943,7 @@ object RelationalQueries {
     "j4_anti_join"       -> (j4AntiJoin _),
     "j5_multiway"        -> (j5Multiway _),
     "j6_range_join"      -> (j6RangeJoin _),
+    "j7_asof_join"       -> (j7AsofJoin _),
     "a2_worst_state"     -> (a2WorstState _),
     "a5_pivot"           -> (a5Pivot _),
     "a6_confusion"       -> (a6Confusion _),
@@ -942,6 +986,7 @@ object RelationalQueries {
     "j4_anti_join"       -> j4Sql,
     "j5_multiway"        -> j5Sql,
     "j6_range_join"      -> j6Sql,
+    "j7_asof_join"       -> j7Sql,
     "a2_worst_state"     -> a2Sql,
     "a5_pivot"           -> a5Sql,
     "a6_confusion"       -> a6Sql,

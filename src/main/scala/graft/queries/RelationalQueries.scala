@@ -930,6 +930,28 @@ object RelationalQueries {
       |FROM events CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS copy) g
       |WHERE event_type = 'purchase'""".stripMargin
 
+  /** M10 (exact stratified sample, beyond-reference): exactly 10 docs per source — the k
+    * smallest `(knuthHash32(doc_id), doc_id)` per stratum via
+    * [[graft.operators.Splits.stratifiedExactK]]'s two-phase selection
+    * (bucket histogram → boundary-only sort). The oracle states the
+    * same bottom-k the expensive way (full per-stratum ROW_NUMBER) —
+    * the naive shape the operator exists to avoid at scale. */
+  def m10StratifiedK(s: SparkSession, d: String): DataFrame =
+    graft.operators.Splits.stratifiedExactK(
+        Tables.documents(s, d), "source",
+        knuthHash32(col("doc_id")), col("doc_id"), k = 10)
+      .select(col("source"), col("doc_id"),
+        knuthHash32(col("doc_id")).as("hv"))
+
+  val m10Sql: String =
+    s"""WITH h AS (SELECT source, doc_id,
+       |             ${knuthHash32Sql("doc_id")} AS hv FROM documents),
+       |     r AS (SELECT source, doc_id, hv,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |                                ORDER BY hv, doc_id) AS rn
+       |           FROM h)
+       |SELECT source, doc_id, hv FROM r WHERE rn <= 10""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -944,6 +966,7 @@ object RelationalQueries {
     "j5_multiway"        -> (j5Multiway _),
     "j6_range_join"      -> (j6RangeJoin _),
     "j7_asof_join"       -> (j7AsofJoin _),
+    "m10_stratified_k"    -> (m10StratifiedK _),
     "a2_worst_state"     -> (a2WorstState _),
     "a5_pivot"           -> (a5Pivot _),
     "a6_confusion"       -> (a6Confusion _),
@@ -987,6 +1010,7 @@ object RelationalQueries {
     "j5_multiway"        -> j5Sql,
     "j6_range_join"      -> j6Sql,
     "j7_asof_join"       -> j7Sql,
+    "m10_stratified_k"    -> m10Sql,
     "a2_worst_state"     -> a2Sql,
     "a5_pivot"           -> a5Sql,
     "a6_confusion"       -> a6Sql,

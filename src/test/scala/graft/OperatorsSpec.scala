@@ -98,6 +98,34 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.min > 300 && sizes.max < 500)
   }
 
+  test("Splits.stratifiedExactK equals the brute-force bottom-k (M10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3 strata: two large, one SMALLER than k (keep-all path); hash is
+    // the same knuth multiply the query layer uses.
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 800).map(i => (i.toLong, "b")) ++
+      (801L to 803L).map(i => (i, "tiny"))).toDF("id", "g")
+    val h = (col("id") * lit(2654435761L)) % lit(4294967296L)
+    val got = Splits.stratifiedExactK(df, "g", h, col("id"), k = 7)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(h.asc, col("id").asc)))
+      .filter(col("rn") <= 7)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
+    assert(got.count(_._1 == "tiny") == 3) // stratum smaller than k: all kept
+    // few buckets => the boundary-rank path does real work (phase-2
+    // rank must trim inside a crowded boundary bucket)
+    val coarse = Splits.stratifiedExactK(df, "g", h, col("id"), k = 7,
+      buckets = 4).select("g", "id").as[(String, Long)].collect().toSet
+    assert(coarse == want)
+    // k = 1 degenerate: the single min per stratum
+    val k1 = Splits.stratifiedExactK(df, "g", h, col("id"), k = 1)
+    assert(k1.count() == 3)
+  }
+
   test("FeatureHistory adds t-k lags and mean, drops incomplete rows (W7)") {
     import spark.implicits._
     val df = Seq(

@@ -930,6 +930,37 @@ object RelationalQueries {
       |FROM events CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS copy) g
       |WHERE event_type = 'purchase'""".stripMargin
 
+  /** J8 (interval join, NO equi key): every 'view' event inside ±5 min
+    * of ANY 'error' event, across all users — the join class Spark
+    * plans as a nested-loop because there is nothing to hash on.
+    * [[graft.operators.IntervalJoin.pointInInterval]] buckets time
+    * (10-min buckets; each ±5-min window explodes to ≤ 2 rows) and
+    * equi-joins on the bucket id, so the plan is an ordinary shuffled
+    * join inheriting AQE/skew/broadcast levers. The oracle states the
+    * raw range predicate and lets DuckDB's IEJoin handle it — again a
+    * structurally different evaluation of the same semantics. */
+  def j8IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        (unix_micros(col("ts")) - 300000000L).as("lo_us"),
+        (unix_micros(col("ts")) + 300000000L).as("hi_us"))
+    graft.operators.IntervalJoin.pointInInterval(
+        views, "view_us", windows, "lo_us", "hi_us", bucketUs = 600000000L)
+      .select("view_id", "view_us", "err_id")
+  }
+
+  val j8Sql: String =
+    """SELECT p.event_id AS view_id, epoch_us(p.ts) AS view_us,
+      |       i.event_id AS err_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') i
+      |  ON epoch_us(p.ts) BETWEEN epoch_us(i.ts) - 300000000
+      |                        AND epoch_us(i.ts) + 300000000""".stripMargin
+
   /** M10 (exact stratified sample, beyond-reference): exactly 10 docs per source — the k
     * smallest `(knuthHash32(doc_id), doc_id)` per stratum via
     * [[graft.operators.Splits.stratifiedExactK]]'s two-phase selection
@@ -966,6 +997,7 @@ object RelationalQueries {
     "j5_multiway"        -> (j5Multiway _),
     "j6_range_join"      -> (j6RangeJoin _),
     "j7_asof_join"       -> (j7AsofJoin _),
+    "j8_interval_join"    -> (j8IntervalJoin _),
     "m10_stratified_k"    -> (m10StratifiedK _),
     "a2_worst_state"     -> (a2WorstState _),
     "a5_pivot"           -> (a5Pivot _),
@@ -1010,6 +1042,7 @@ object RelationalQueries {
     "j5_multiway"        -> j5Sql,
     "j6_range_join"      -> j6Sql,
     "j7_asof_join"       -> j7Sql,
+    "j8_interval_join"    -> j8Sql,
     "m10_stratified_k"    -> m10Sql,
     "a2_worst_state"     -> a2Sql,
     "a5_pivot"           -> a5Sql,

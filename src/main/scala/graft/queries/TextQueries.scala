@@ -260,6 +260,83 @@ object TextQueries {
       |FROM documents
       |GROUP BY ROLLUP (source, lang)""".stripMargin
 
+  /** T8 — BM25 term weighting, top-5 terms per doc: the scoring layer
+    * over t6's vocabulary and t3's token counts that retrieval-based
+    * curation (query-a-corpus, dedup-by-relevance, eval-set mining)
+    * runs at corpus scale. Formulation is JOIN-FREE: tf per (doc,
+    * term) collapses map-side (a doc's tokens are partition-local),
+    * then dl and df are two window aggregates OVER THE TF TABLE
+    * (`sum(tf) over doc`, `count(*) over term` — each (doc, term) row
+    * is unique so the count IS the document frequency), and the two
+    * corpus scalars ride a broadcast 1-row cross join. Exchanges:
+    * (doc, term) partial-agg, term window, doc window (the final
+    * top-5 row_number reuses the doc partitioning).
+    *
+    * Exactness design: the score keeps Robertson's idf RATIONAL —
+    * `(N − df + 0.5)/(df + 0.5)` without the log — because `ln` is
+    * libm-dependent (cross-engine last-ulp drift would break the hash
+    * gate) while +,−,×,÷ are single correctly-rounded IEEE ops: both
+    * engines evaluate the IDENTICAL expression tree bit-for-bit. A
+    * consumer wanting classical log-idf BM25 applies `ln` to the idf
+    * factor downstream — tf/df/score components ride in the output
+    * precisely so that re-weighting needs no second corpus pass (the
+    * top-5 cut here is BY THE RATIONAL score, a deterministic ranking
+    * of its own; log-idf can order the product differently). Ties
+    * break on term ASC. */
+  def t8Bm25(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scalars = tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")).cast("double") / countDistinct(col("doc_id")))
+        .as("avgdl"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wTerm = Window.partitionBy("term")
+    val x = tf
+      .withColumn("dl", sum(col("tf")).over(wDoc))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(scalars))
+    val tfD = col("tf").cast("double")
+    val score =
+      (tfD * lit(2.2) /
+        (tfD + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") / col("avgdl"))))) *
+      (((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    x.withColumn("score", score)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "term", "tf", "df", "score", "rn")
+  }
+
+  val t8Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token AS term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      | sc AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+      |               CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+      |        FROM tf),
+      | x AS (SELECT doc_id, term, tf,
+      |              SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+      |              COUNT(*) OVER (PARTITION BY term) AS df
+      |       FROM tf),
+      | s AS (SELECT doc_id, term, tf, df,
+      |              (CAST(tf AS DOUBLE) * 2.2e0
+      |                / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0
+      |                    + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl))))
+      |              * ((CAST(n_docs - df AS DOUBLE) + 0.5e0)
+      |                / (CAST(df AS DOUBLE) + 0.5e0)) AS score
+      |       FROM x CROSS JOIN sc),
+      | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                 ORDER BY score DESC, term) AS rn FROM s)
+      |SELECT doc_id, term, tf, df, score, rn FROM r WHERE rn <= 5""".stripMargin
+
   /** SKETCH2 — Count-Min heavy hitters gated against exact counts (the
     * sketch1 pattern, completing the sketch family: HLL for
     * cardinality, Bloom for membership, CMS for frequency): the top-10
@@ -1267,6 +1344,7 @@ object TextQueries {
     "t5_redaction"     -> (t5Redaction _),
     "t6_vocab_topk"    -> (t6VocabTopk _),
     "t7_token_rollup"  -> (t7TokenRollup _),
+    "t8_bm25"          -> (t8Bm25 _),
     "sketch2_cms_topk" -> (sketch2CmsTopk _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
@@ -1303,6 +1381,7 @@ object TextQueries {
     "t5_redaction"     -> t5Sql,
     "t6_vocab_topk"    -> t6Sql,
     "t7_token_rollup"  -> t7Sql,
+    "t8_bm25"          -> t8Sql,
     "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,

@@ -244,6 +244,19 @@ class PlanSpec extends SparkSpec {
       s"single-partition stage in the shuffle plan:\n${p.take(3000)}")
   }
 
+  test("t8 BM25 stays join-free: windows over the tf table, scalars by 1-row broadcast") {
+    // the docblock's claim: dl and df are window aggregates on the tf
+    // table, NOT joins back onto it — a SortMergeJoin here would mean
+    // the corpus-sized tf table shuffles an extra time per statistic.
+    // The only join allowed is the 1-row scalar cross join (planned as
+    // a BroadcastNestedLoopJoin, harmless at any scale: one row).
+    val p = plan(graft.queries.TextQueries.t8Bm25(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"tf-table statistic became a shuffled join:\n${p.take(3000)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"expected exactly the one scalar cross join:\n${p.take(3000)}")
+  }
+
   test("decon1 broadcasts the eval shingle set — the train side never shuffles text") {
     // the decontamination contract at 100 TB: the eval corpus (small)
     // rides a broadcast to every train scan task; a SortMergeJoin here

@@ -62,6 +62,21 @@ class AsOfSpec extends SparkSpec {
     assert(r.getTimestamp(1) == ts(60) && r.getTimestamp(2) == ts(60))
   }
 
+  test("a null payload value in the latest right row rides through as null") {
+    // the reason the match is ONE struct: per-column ignoreNulls lasts
+    // would skip a legitimately-null payload back to an OLDER right row
+    // and mix fields across rows. The latest row must win wholesale.
+    val r = Seq(
+      (1L, ts(10), 20L, Some(1.0)),
+      (1L, ts(20), 21L, None: Option[Double]) // latest; v is null
+    ).toDF("k", "ts", "rid", "v")
+    val l = Seq((100L, 1L, ts(30))).toDF("alarm_id", "k", "ts")
+    val row = AsOf.asOfJoin(l, r, Seq("k"), "ts", "rid", Seq("v"))
+      .select("asof_rid", "asof_v").collect().head
+    assert(row.getLong(0) == 21L, "must match the latest right row")
+    assert(row.isNullAt(1), "its null payload must NOT fall back to rid 20")
+  }
+
   test("as-of join plans as one exchange and zero joins") {
     // string pin (PlanSpec convention): AQE's wrapper node hides the
     // inner plan from TreeNode.collect until execution finalizes it.

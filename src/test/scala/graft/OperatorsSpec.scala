@@ -124,6 +124,17 @@ class OperatorsSpec extends SparkSpec {
     // k = 1 degenerate: the single min per stratum
     val k1 = Splits.stratifiedExactK(df, "g", h, col("id"), k = 1)
     assert(k1.count() == 3)
+    // massive hash collisions (h = id % 3): the boundary bucket holds
+    // many equal hashes and the tie column must decide the exact cut
+    val hColl = col("id") % 3
+    val gotColl = Splits.stratifiedExactK(df, "g", hColl, col("id"), k = 7,
+        hashMax = 3L, buckets = 3)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val wantColl = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(hColl.asc, col("id").asc)))
+      .filter(col("rn") <= 7)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(gotColl == wantColl)
   }
 
   test("FeatureHistory adds t-k lags and mean, drops incomplete rows (W7)") {

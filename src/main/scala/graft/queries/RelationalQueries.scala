@@ -806,6 +806,27 @@ object RelationalQueries {
       |SELECT c_custkey AS custkey FROM customer
       |WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
+  /** U4 (unpivot/melt — a5's inverse): wide per-user event-type counts
+    * back to long (user_id, event_type, n) rows via `Dataset.unpivot`,
+    * nulls (absent combos) dropped. The oracle is the ROUND-TRIP LAW:
+    * pivot then unpivot must equal the plain long `GROUP BY` — stated
+    * directly as that groupBy, so the gate pins the algebra, not a
+    * re-description of the plumbing. Scale shape: unpivot is a narrow
+    * per-row expansion (`Expand` node — no shuffle, no join); the only
+    * exchange here belongs to the upstream pivot's groupBy. */
+  def u4Unpivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy("user_id").pivot("event_type", types).count()
+      .unpivot(Array(col("user_id")), types.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n").isNotNull)
+  }
+
+  val u4Sql: String =
+    """SELECT user_id, event_type, COUNT(*) AS n
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
   // ---------------------------------------------------------------- C: scalars
 
   /** C2+C1 (multi-format timestamp parsing, the reference's legacy
@@ -1021,6 +1042,7 @@ object RelationalQueries {
     "o2_topk"            -> (o2TopK _),
     "u1_union_distinct"  -> (u1UnionDistinct _),
     "u2_except"          -> (u2Except _),
+    "u4_unpivot"         -> (u4Unpivot _),
     "c2_multiformat_ts"  -> (c2MultiFormatTs _),
     "c4_label_encode"    -> (c4LabelEncode _),
     "c9_json_extract"    -> (c9JsonExtract _),
@@ -1066,6 +1088,7 @@ object RelationalQueries {
     "o2_topk"            -> o2Sql,
     "u1_union_distinct"  -> u1Sql,
     "u2_except"          -> u2Sql,
+    "u4_unpivot"         -> u4Sql,
     "c2_multiformat_ts"  -> c2Sql,
     "c4_label_encode"    -> c4Sql,
     "c9_json_extract"    -> c9Sql,

@@ -58,7 +58,9 @@ object AsOf {
     * @param right       reference side; only `keys`, `tsCol`, `tieCol`
     *                    and `payloadCols` are read.
     * @param keys        equi-join key columns (present on both sides).
-    * @param tsCol       event-time column name (present on both sides).
+    * @param tsCol       event-time column name (present on both sides;
+    *                    TimestampType — the tolerance math routes
+    *                    through `unix_micros`).
     * @param tieCol      right-side unique id breaking equal-`ts` ties
     *                    (largest wins — "latest written").
     * @param payloadCols right-side columns to attach.

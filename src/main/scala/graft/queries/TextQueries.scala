@@ -337,6 +337,51 @@ object TextQueries {
       |                 ORDER BY score DESC, term) AS rn FROM s)
       |SELECT doc_id, term, tf, df, score, rn FROM r WHERE rn <= 5""".stripMargin
 
+  /** T9 — document chunking with stride/overlap: split each doc into
+    * ≤50-token chunks every 40 tokens (10-token overlap) — the
+    * context-window preparation step between raw docs and pipe2's
+    * sequence packing in an LLM data pipeline. Chunk count is
+    * `1 + ceil((n−50)/40)` (always ≥ 1; the last chunk may run short),
+    * boundaries are token-index arithmetic so both engines cut
+    * identically, and the chunk TEXT is re-joined with single spaces —
+    * whitespace-run normalization is the one lossy step, stated here
+    * rather than hidden. Scale shape: tokenize → `explode(sequence)` →
+    * `slice`/`array_join` is all NARROW (zero exchanges, zero joins);
+    * output rows ≈ docs × tokens/40, each chunk emitted by the task
+    * that read its doc. */
+  def t9Chunking(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n = size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((n.cast("double") - lit(50.0)) / lit(40.0)).cast("int") + lit(1))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), n.as("n_tok"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * 40 + 1, lit(50)))
+          .as("chunk_tok"),
+        array_join(slice(col("toks"), col("chunk_id") * 40 + 1, lit(50)), " ")
+          .as("chunk_text"))
+  }
+
+  val t9Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      | c AS (
+      |  SELECT doc_id, toks, n_tok,
+      |         unnest(range(greatest(1,
+      |           CAST(ceil((CAST(n_tok AS DOUBLE) - 50.0) / 40.0) AS INT)
+      |             + 1))) AS chunk_id
+      |  FROM t)
+      |SELECT doc_id, chunk_id,
+      |       len(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS chunk_tok,
+      |       array_to_string(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50],
+      |                       ' ') AS chunk_text
+      |FROM c""".stripMargin
+
   /** SKETCH2 — Count-Min heavy hitters gated against exact counts (the
     * sketch1 pattern, completing the sketch family: HLL for
     * cardinality, Bloom for membership, CMS for frequency): the top-10
@@ -1345,6 +1390,7 @@ object TextQueries {
     "t6_vocab_topk"    -> (t6VocabTopk _),
     "t7_token_rollup"  -> (t7TokenRollup _),
     "t8_bm25"          -> (t8Bm25 _),
+    "t9_chunking"      -> (t9Chunking _),
     "sketch2_cms_topk" -> (sketch2CmsTopk _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
@@ -1382,6 +1428,7 @@ object TextQueries {
     "t6_vocab_topk"    -> t6Sql,
     "t7_token_rollup"  -> t7Sql,
     "t8_bm25"          -> t8Sql,
+    "t9_chunking"      -> t9Sql,
     "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,

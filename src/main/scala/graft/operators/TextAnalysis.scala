@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus pipelines (the
@@ -107,5 +107,35 @@ object TextAnalysis {
     val toks = tokens(text)
     transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
       (_, i) => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+
+  /** Repetition statistics (the Gopher/Dolma "duplicate n-gram" quality
+    * rules): per-document total vs distinct bigram/trigram counts and a
+    * reject flag for docs whose duplicate-bigram mass exceeds 20% —
+    * self-repetition is the classic signature of degenerate generated
+    * text. All-integer outputs; the flag is the exact rational
+    * comparison `(n2 − d2)·5 > n2`, so no float division anywhere.
+    * Fully NARROW: n-grams, `array_distinct` and the compare all run in
+    * the task that read the doc — zero exchanges, zero joins. Docs with
+    * fewer than 3 tokens (no trigram) are excluded by contract. N-gram
+    * keys join tokens with unit-separator  so "ab c"/"a bc"
+    * cannot collide. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def ngrams(n: Int): Column =
+      transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+        i => concat_ws("\u001f",
+          (0 until n).map(o => element_at(col("toks"), i + lit(o))): _*))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), size(col("toks")).as("n_tok"),
+        ngrams(2).as("g2"), ngrams(3).as("g3"))
+      .select(col(idCol), col("n_tok"),
+        size(col("g2")).as("n2"),
+        size(array_distinct(col("g2"))).as("d2"),
+        size(col("g3")).as("n3"),
+        size(array_distinct(col("g3"))).as("d3"))
+      .withColumn("reject",
+        ((col("n2") - col("d2")) * 5 > col("n2")).cast("int"))
   }
 }

@@ -382,6 +382,43 @@ object TextQueries {
       |                       ' ') AS chunk_text
       |FROM c""".stripMargin
 
+  /** T10 — repetition filter (the Gopher/Dolma "duplicate n-gram" rules):
+    * per-document duplicate-bigram and duplicate-trigram fractions, with
+    * a reject flag for docs whose duplicate-bigram mass exceeds 20% —
+    * self-repetition is the strongest single predictor of degenerate
+    * machine-generated text in pretraining corpora. Everything is
+    * integer: the outputs are raw counts (total vs distinct n-grams) and
+    * the flag compares `(n2−d2)·5 > n2` (exact rational 20% threshold),
+    * so both engines hash-match with zero float division. Shape: 100%
+    * NARROW — tokenize, build n-grams, `array_distinct`, compare, all
+    * inside the task that read the doc; zero exchanges, zero joins, and
+    * the per-doc work is O(tokens · avg n-gram length). Docs with fewer
+    * than 3 tokens have no trigram and are excluded by the stated
+    * contract (the quality gate upstream already requires ≥ 30). N-gram
+    * keys join tokens with unit-separator \\u001f so "ab c"/"a bc"
+    * cannot collide. */
+  def t10Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+
+  val t10Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      | g AS (
+      |  SELECT doc_id, len(toks) AS n_tok,
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || chr(31) || toks[i + 1]) AS g2,
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || chr(31) || toks[i + 1] || chr(31) || toks[i + 2])
+      |      AS g3
+      |  FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id, n_tok,
+      |       len(g2) AS n2, len(list_distinct(g2)) AS d2,
+      |       len(g3) AS n3, len(list_distinct(g3)) AS d3,
+      |       CAST((len(g2) - len(list_distinct(g2))) * 5 > len(g2) AS INT)
+      |         AS reject
+      |FROM g""".stripMargin
+
   /** SKETCH2 — Count-Min heavy hitters gated against exact counts (the
     * sketch1 pattern, completing the sketch family: HLL for
     * cardinality, Bloom for membership, CMS for frequency): the top-10
@@ -743,6 +780,60 @@ object TextQueries {
     """SELECT * FROM (VALUES
       |  ('ivf', CAST(100 AS BIGINT)),
       |  ('lsh', CAST(99 AS BIGINT))) t(method, recall_pct)""".stripMargin
+
+  /** E8 — distributed k-means ([[graft.operators.KMeans.lloyd]]): two
+    * Lloyd rounds, k=8, seeds = the 8 lowest vec_ids, vectors quantized
+    * to a 2^10 integer grid so every distance and centroid sum is
+    * exact across engines (the operator docblock carries the full IEEE
+    * argument). The oracle replays both rounds in SQL — seed argmin,
+    * exact BIGINT centroid sums with one double division per dim, empty
+    * clusters keeping their seed — and the final 500-row assignment
+    * gates the whole chain (a wrong round-1 label almost surely moves
+    * some round-2 label). Assignment is fully narrow (centroid literal,
+    * no join); the update exchange is k×dim-bounded at any corpus
+    * size. */
+  def e8Kmeans(s: SparkSession, d: String): DataFrame =
+    graft.operators.KMeans.lloyd(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+
+  val e8Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |                        x -> floor(x * 1024.0 + 0.5)) AS q
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cent
+      |  FROM q ORDER BY vec_id LIMIT 8),
+      |p1 AS (
+      |  SELECT v.vec_id, v.q, s.c,
+      |         list_transform(range(1, 65), i -> v.q[i] - s.cent[i]) AS d
+      |  FROM q v CROSS JOIN seeds s),
+      |a1 AS (
+      |  SELECT vec_id, q, c FROM (
+      |    SELECT vec_id, q, c, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY list_dot_product(d, d), c) AS rn
+      |    FROM p1) WHERE rn = 1),
+      |upd AS (
+      |  SELECT a.c, i.pos,
+      |         CAST(SUM(CAST(a.q[i.pos] AS BIGINT)) AS DOUBLE) AS s,
+      |         COUNT(*) AS n
+      |  FROM a1 a CROSS JOIN range(1, 65) AS i(pos)
+      |  GROUP BY a.c, i.pos),
+      |cent2 AS (
+      |  SELECT s.c,
+      |         CASE WHEN u.c IS NULL THEN s.cent ELSE u.cent END AS cent
+      |  FROM seeds s LEFT JOIN (
+      |    SELECT c, list(s / n ORDER BY pos) AS cent FROM upd
+      |    GROUP BY c) u ON s.c = u.c),
+      |p2 AS (
+      |  SELECT v.vec_id, s.c,
+      |         list_transform(range(1, 65), i -> v.q[i] - s.cent[i]) AS d
+      |  FROM q v CROSS JOIN cent2 s)
+      |SELECT vec_id, CAST(c AS INT) AS cluster FROM (
+      |  SELECT vec_id, c, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY list_dot_product(d, d), c) AS rn
+      |  FROM p2) WHERE rn = 1""".stripMargin
 
   /** DECON2 — SEMANTIC decontamination (decon1's n-gram check catches
     * verbatim leaks; paraphrased eval items need the embedding space):
@@ -1391,6 +1482,7 @@ object TextQueries {
     "t7_token_rollup"  -> (t7TokenRollup _),
     "t8_bm25"          -> (t8Bm25 _),
     "t9_chunking"      -> (t9Chunking _),
+    "t10_repetition"   -> (t10Repetition _),
     "sketch2_cms_topk" -> (sketch2CmsTopk _),
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
@@ -1399,6 +1491,7 @@ object TextQueries {
     "e5_ann_recall"    -> (e5AnnRecall _),
     "e6_cos_neardup"   -> (e6CosNearDup _),
     "e7_design_recall" -> (e7DesignRecall _),
+    "e8_kmeans"        -> (e8Kmeans _),
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
     "x3_media_resize"  -> (x3MediaResize _),
@@ -1429,12 +1522,14 @@ object TextQueries {
     "t7_token_rollup"  -> t7Sql,
     "t8_bm25"          -> t8Sql,
     "t9_chunking"      -> t9Sql,
+    "t10_repetition"   -> t10Sql,
     "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,
     "e7_design_recall" -> e7Sql,
+    "e8_kmeans"        -> e8Sql,
     "x1_multimodal"    -> x1Sql,
     "x2_media_frames"  -> x2Sql,
     "x3_media_resize"  -> x3Sql,

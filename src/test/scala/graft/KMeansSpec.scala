@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.KMeans
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+
+  /** Three well-separated planted blobs around integer anchors: k-means
+    * with k=3 must recover the planting exactly (perturbations are two
+    * quantization steps; anchors are 200 steps apart). */
+  private lazy val blobs = {
+    import spark.implicits._
+    val anchors = Seq(Array(0.0, 0.0), Array(2.0, 0.0), Array(0.0, 2.0))
+    (0 until 30).map { i =>
+      val a = anchors(i % 3)
+      // +-2/1024 jitter, deterministic by index
+      val jit = (i / 3 % 5 - 2) / 1024.0
+      (i.toLong, Array((a(0) + jit).toFloat, (a(1) - jit).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "planted")
+  }
+
+  test("lloyd recovers well-separated planted blobs (k=3)") {
+    val out = KMeans.lloyd(blobs, "vec_id", "embedding", k = 3, iters = 2)
+      .join(blobs.select("vec_id", "planted"), "vec_id")
+      .collect()
+    // cluster labels are a permutation of planted labels: every planted
+    // blob maps to exactly one cluster id and vice versa
+    val mapping = out.map(r => r.getAs[Int]("planted") -> r.getAs[Int]("cluster"))
+      .distinct
+    assert(mapping.length == 3, s"planted->cluster not a bijection: ${mapping.toSeq}")
+    assert(mapping.map(_._2).distinct.length == 3)
+  }
+
+  test("empty cluster keeps its seed centroid; ties break to lowest index") {
+    import spark.implicits._
+    // seeds are vec_ids 0 and 1; both carry IDENTICAL vectors, so every
+    // row is equidistant to both seeds on round 1 -> all assign to
+    // cluster 0 (lowest index), cluster 1 goes empty and must keep its
+    // seed centroid without error on the round-2 update.
+    val df = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = KMeans.lloyd(df, "vec_id", "embedding", k = 2, iters = 2).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Int]("cluster") == 0))
+  }
+
+  test("iters=1 equals seed-nearest assignment") {
+    val one = KMeans.lloyd(blobs, "vec_id", "embedding", k = 3, iters = 1)
+    // seeds are vec_ids 0,1,2 = the three anchors (jitter 0 at i<3 ->
+    // (0/3 % 5 - 2) = -2 jitter actually; still blob-faithful) — every
+    // row must land with its planted anchor's seed
+    val joined = one.join(blobs.select("vec_id", "planted"), "vec_id").collect()
+    assert(joined.forall(r => r.getAs[Int]("cluster") == r.getAs[Int]("planted")))
+  }
+
+  test("rejects non-power-of-two quantScale and k > corpus") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      KMeans.lloyd(df, "vec_id", "embedding", k = 1, quantScale = 1000)
+    }
+    intercept[IllegalArgumentException] {
+      KMeans.lloyd(df, "vec_id", "embedding", k = 5)
+    }
+  }
+}

@@ -286,4 +286,24 @@ class TextOpsSpec extends SparkSpec {
     assert(Decontaminate.overlapCounts(train, evalDocs, "doc_id", "text", n = 5)
       .count() == 0L)
   }
+
+  test("t10 repetition filter: degenerate loop rejects, varied text passes") {
+    import spark.implicits._
+    // doc 1: "spam ham " * 20 -> 39 bigrams, only 2 distinct -> 94%
+    //        duplicate mass, far past the 20% threshold
+    // doc 2: all-distinct tokens -> zero duplicate n-grams
+    // doc 3: 2 tokens -> excluded by the >= 3 token contract
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam ham").mkString(" ")),
+      (2L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L), "2-token doc must be excluded")
+    assert(out(1L).getAs[Int]("reject") == 1, "degenerate loop must reject")
+    assert(out(1L).getAs[Int]("d2") == 2)
+    assert(out(1L).getAs[Int]("n2") == 39)
+    assert(out(2L).getAs[Int]("reject") == 0, "varied text must pass")
+    assert(out(2L).getAs[Int]("d2") == out(2L).getAs[Int]("n2"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -15,16 +16,33 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.parquet carries parquet TIMESTAMP(NANOS), which Spark 4
-      // refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-      // truncate to the microsecond domain Spark timestamps live in.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** events.ts has shipped under more than one physical parquet schema —
+    * TIMESTAMP(NANOS) (which Spark 4 surfaces as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in every session builder)
+    * and TIMESTAMP(MICROS) (TimestampType when
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false`, TIMESTAMP_NTZ
+    * otherwise). A production lake sees exactly this physical-type drift
+    * as writers upgrade, so the loader adapts to whatever the scan
+    * produced and normalises every rendition to the session-UTC
+    * TimestampType the rest of the engine is written against.
+    *
+    * Prefer the `inferTimestampNTZ.enabled=false` session conf for micros
+    * files: the scan then emits TimestampType directly and time-range
+    * predicates push down to the parquet reader (PlanSpec pins this); the
+    * NTZ branch below is a correctness fallback that costs a per-row cast.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unexpected physical type $other — extend Tables.normalizeTs")
+    }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *     the group count — identical operands, identical result.
   *   - MIN/MAX over doubles are order-independent already.
   *   - Time projections stay at second-or-coarser granularity: events.ts
-  *     is parquet TIMESTAMP(NANOS) which Spark truncates to micros
-  *     (nanosAsLong + div 1000) while DuckDB keeps nanos.
+  *     has shipped as parquet TIMESTAMP(NANOS) (Spark truncates to micros
+  *     via nanosAsLong + div 1000, DuckDB keeps nanos) and as
+  *     TIMESTAMP(MICROS) (both engines read micros — exact); the loader
+  *     normalises either rendition (Tables.normalizeTs).
   *   - Window/rank orderings always end in a unique key so the total
   *     order — and therefore every frame — is engine-independent.
   */

@@ -7,19 +7,19 @@ object Probe {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled","false")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(tag: String)(f: => Unit): Unit =
       try f catch { case e: Throwable => println(s"!! $tag: ${e.getMessage.take(300)}") }
     println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
     t("events") {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       ev.printSchema()
-      ev.selectExpr("ts").show(2, false)
-      ev.selectExpr("timestamp_micros(ts div 1000) tsm").selectExpr(
-        "tsm", "cast(tsm as long)",
-        "date_format(tsm,'yyyy-MM-dd HH:mm:ss')",
-        "window(tsm, '10 minutes').start").show(3, false)
+      ev.selectExpr("min(unix_micros(ts)) lo", "max(unix_micros(ts)) hi",
+        "count(*) n").show(false)
+      ev.selectExpr("ts", "date_format(ts,'yyyy-MM-dd HH:mm:ss')",
+        "window(ts, '10 minutes').start").orderBy("event_id").show(3, false)
     }
     t("avg-int") {
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

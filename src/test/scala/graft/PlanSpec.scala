@@ -210,14 +210,17 @@ class PlanSpec extends SparkSpec {
       s"single-partition stage crept into the packing plan:\n${p.take(3000)}")
   }
 
-  test("events time-range filter is NOT parquet-pushable (nanos workaround) — documented") {
-    // events.ts is reconstructed from TIMESTAMP(NANOS)-as-long, so time
-    // predicates evaluate post-transform: no pushdown, no partition
-    // pruning on raw events. The ingest normalization writes a properly
-    // typed lake (OsdbJson.writeEventsParquet) where they do push; this
-    // test pins the known limitation so it is a choice, not a surprise.
+  test("events time-range filter pushes down to the parquet scan") {
+    // events.ts is now parquet TIMESTAMP(MICROS); with inferTimestampNTZ
+    // disabled the scan emits TimestampType directly (Tables.normalizeTs),
+    // so time predicates land in PushedFilters and the scan prunes row
+    // groups by min/max stats instead of decoding a decade of history.
+    // (Under the retired TIMESTAMP(NANOS)-as-long rendition this was
+    // impossible — the predicate sat above a reconstruction expression —
+    // and this test pinned that limitation; the pin flips with the data.)
     val p = plan(RelationalQueries.f8TimeRange(spark, sf))
-    assert(p.contains("PushedFilters: []") || !p.contains("GreaterThanOrEqual(ts"))
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"time-range predicate did not reach PushedFilters:\n${p.take(3000)}")
   }
 
   test("pipe4 ships the mixture rates back as broadcasts — no corpus-keyed shuffle join") {

@@ -19,6 +19,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Without the native Hadoop lib, the default FileContext-based
       // checkpoint manager shells out (readlink) per checkpoint file and
       // subprocess forks are pathologically slow in this VM — use the

@@ -71,12 +71,21 @@ object Dedup {
     * bodies inline their inputs — O(10^7) interpreted regex splits per
     * document. The UDF tokenizes once, hashes each token once, and runs
     * slots x shingles fused multiply-adds. */
+  /** The (a_i, b_i) universal-hash coefficient arrays for `cfg` — the
+    * single source of truth shared by the signature UDF and the d3
+    * oracle SQL (which embeds them as literals, so the DuckDB side runs
+    * the IDENTICAL hash family without reproducing java.util.Random). */
+  def hashCoefficients(cfg: MinHashConfig): (Array[Long], Array[Long]) = {
+    val p = MersennePrime
+    (Array.tabulate(cfg.numHashes)(i =>
+      math.abs(new scala.util.Random(cfg.seed * 7919 + i).nextLong()) % p | 1L),
+     Array.tabulate(cfg.numHashes)(i =>
+      math.abs(new scala.util.Random(cfg.seed * 104729 + i).nextLong()) % p))
+  }
+
   def minHashSignature(textCol: Column, cfg: MinHashConfig = MinHashConfig()): Column = {
     val p = MersennePrime
-    val as = Array.tabulate(cfg.numHashes)(i =>
-      math.abs(new scala.util.Random(cfg.seed * 7919 + i).nextLong()) % p | 1L)
-    val bs = Array.tabulate(cfg.numHashes)(i =>
-      math.abs(new scala.util.Random(cfg.seed * 104729 + i).nextLong()) % p)
+    val (as, bs) = hashCoefficients(cfg)
     val n = cfg.shingleSize
     val nh = cfg.numHashes
     val sigUdf = udf { (text: String) =>

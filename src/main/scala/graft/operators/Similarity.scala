@@ -128,12 +128,19 @@ object Similarity {
     * plane matrix: inlining the coefficients as literal expressions
     * produced multi-MB codegen and 5 MB task binaries; the closure ships
     * once per task and the loop JITs tight. */
-  def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int = 12,
-                          seed: Long = 42L): Column = {
-    val planes: Array[Array[Double]] = Array.tabulate(bits) { i =>
+  /** The deterministic hyperplane matrix for (dim, bits, seed) — the
+    * single source of truth shared by the signature UDF and the e2
+    * oracle SQL (which embeds the coefficients as shortest-round-trip
+    * double literals, so DuckDB evaluates the IDENTICAL planes). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits) { i =>
       val rng = new scala.util.Random(seed ^ (i.toLong << 32))
       Array.fill(dim)(rng.nextGaussian())
     }
+
+  def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int = 12,
+                          seed: Long = 42L): Column = {
+    val planes: Array[Array[Double]] = hyperplanes(dim, bits, seed)
     val sigUdf = udf { (v: Seq[Double]) =>
       var sig = 0L
       var i = 0

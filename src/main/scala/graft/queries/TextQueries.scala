@@ -51,10 +51,77 @@ object TextQueries {
       |WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5""".stripMargin
 
   /** D3 MinHash+LSH candidate pairs (shingle → minhash → band → bucket
-    * join). Hash-parameter-dependent ⇒ rows-only gate; the ScalaTest
-    * invariant checks it recovers the planted jaccard>=0.96 pairs. */
+    * join). Fully oracled since round 9: [[d3Sql]] reruns the ENTIRE
+    * signature pipeline inside DuckDB — FNV-1a token/shingle hashing
+    * with 64-bit wraparound via HUGEINT modular arithmetic, the same
+    * (a,b) universal-hash family embedded as literals from
+    * [[Dedup.hashCoefficients]] (one source of truth), per-slot mins,
+    * banding — with one deliberate difference: Spark joins on xxhash64
+    * band KEYS (compact 8-byte shuffle keys, the 100 TB design), while
+    * the oracle declares candidates by raw band-slice EQUALITY. Key
+    * equality ⟺ slice equality absent an xxhash64 collision, so the
+    * oracle also guards the collision assumption the banding relies on. */
   def d3MinHashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
+
+  /** The d3 oracle: engine-independent ground truth, not a pinned
+    * constant. The FNV-1a fold needs 64-bit WRAPPING multiply, which
+    * DuckDB's BIGINT refuses (overflow error): each step routes the
+    * product through HUGEINT mod 2^64 and re-signs, with xor done in
+    * the signed domain (bitwise-identical to unsigned xor under two's
+    * complement). list_reduce binds the fold; CTE stages bind names so
+    * no sub-expression is ever duplicated. */
+  val d3Sql: String = {
+    val cfg = Dedup.MinHashConfig()
+    val (as, bs) = Dedup.hashCoefficients(cfg)
+    val abRows = as.indices.map(k => s"(${k}, ${as(k)}, ${bs(k)})").mkString(", ")
+    // signed→unsigned→wrapping-multiply→signed FNV-1a step as a lambda body
+    def s2u(x: String) =
+      s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + 18446744073709551616 ELSE ($x)::HUGEINT END)"
+    def u2s(x: String) =
+      s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - 18446744073709551616 ELSE ($x) END AS BIGINT)"
+    def fnvStep(h: String, v: String) =
+      u2s(s"(${s2u(s"xor($h, $v)")} * 1099511628211) % 18446744073709551616::HUGEINT")
+    val h0 = "-3750763034362895579" // 0xcbf29ce484222325 as signed
+    val p = "2147483647"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents
+       |), ths AS (
+       |  SELECT doc_id, list_transform(tk, t -> list_reduce(
+       |    list_prepend(${h0}::BIGINT,
+       |      list_transform(regexp_split_to_array(t, ''), c -> unicode(c)::BIGINT)),
+       |    (h, v) -> ${fnvStep("h", "v")})) AS th
+       |  FROM toks WHERE len(tk) >= ${cfg.shingleSize}
+       |), shraw AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(th) - ${cfg.shingleSize - 1}),
+       |    i -> list_reduce(list_prepend(${h0}::BIGINT,
+       |           [${(0 until cfg.shingleSize).map(j => s"th[i+$j]").mkString(", ")}]),
+       |         (h, v) -> ${fnvStep("h", "v")})) AS shr
+       |  FROM ths
+       |), shs AS (
+       |  SELECT doc_id, list_transform(shr, x -> ((x % $p) + $p) % $p) AS sh FROM shraw
+       |), ab(k, a, b) AS (VALUES $abRows),
+       |sig AS (
+       |  SELECT doc_id, k, k // ${cfg.rowsPerBand} AS band,
+       |         MIN((u.s * a + b) % $p) AS v
+       |  FROM shs, UNNEST(sh) AS u(s), ab
+       |  GROUP BY doc_id, k
+       |), bandsig AS (
+       |  SELECT doc_id, band, list(v ORDER BY k) AS bsig FROM sig GROUP BY doc_id, band
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandsig x JOIN bandsig y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+       |)
+       |SELECT p.id_a, p.id_b,
+       |       SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / ${cfg.numHashes}.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.id_a
+       |JOIN sig sb ON sb.doc_id = p.id_b AND sb.k = sa.k
+       |GROUP BY p.id_a, p.id_b
+       |HAVING est_jaccard >= 0.5""".stripMargin
+  }
 
   /** D4 SimHash near-dup pairs (chunk-blocked Hamming<=3). Rows-only:
     * emits per-doc signatures so the result is non-empty regardless of
@@ -583,8 +650,14 @@ object TextQueries {
   }
 
   /** E2 LSH-bucketed ANN (random hyperplanes, 4 tables): the 100 TB
-    * scale path. Hash-dependent ⇒ rows-only; ScalaTest checks recall
-    * against brute force.
+    * scale path. Fully oracled since round 9: [[e2Sql]] re-derives the
+    * signatures in DuckDB from the SAME plane matrix
+    * ([[Similarity.hyperplanes]], embedded as shortest-round-trip double
+    * literals), declares candidates by raw (table, signature) equality,
+    * and ranks the same exact cosine. Rank-only output like e1 — both
+    * engines fold the dot in index order (verified bit-equal) and the
+    * (score DESC, nid) ranking is robust to last-ulp noise; the raw
+    * score stays visible through e1/e5's gates.
     *
     * Bench note: ~2.5 s at sf0.1 is the FLOOR for this plan shape in
     * local mode — 2000 input rows through 3 broadcast builds + 2
@@ -595,6 +668,42 @@ object TextQueries {
   def e2LshAnn(s: SparkSession, d: String): DataFrame =
     Similarity.lshKnn(Tables.embeddings(s, d), "vec_id", "embedding",
       dim = 64, k = 3, bits = 8, tables = 4)
+      .select("vec_id", "rank", "neighbor_id")
+
+  /** The e2 oracle: per-table signatures as a UNION ALL of 4 stages
+    * (one per hyperplane table), sign bits packed exactly as the UDF
+    * packs them (bit i = dot(v, plane_i) >= 0), bucket join on
+    * (t, sig), then e1's exact-cosine ranking over the candidate set. */
+  val e2Sql: String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+    val tableSelects = (0 until 4).map { t =>
+      val planes = Similarity.hyperplanes(dim = 64, bits = 8, seed = 42L + t * 7919L)
+      val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $sigExpr AS sig FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sigs AS (
+       |$tableSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid
+       |  FROM sigs a JOIN sigs b
+       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+       |), scored AS (
+       |  SELECT p.id, p.nid,
+       |    list_dot_product(x.e, y.e)
+       |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+       |      AS score
+       |  FROM pairs p JOIN v x ON x.vec_id = p.id JOIN v y ON y.vec_id = p.nid
+       |)
+       |SELECT id AS vec_id, rank, nid AS neighbor_id
+       |FROM (SELECT id, nid,
+       |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
+       |      FROM scored)
+       |WHERE rank <= 3""".stripMargin
+  }
 
   /** E4 IVF-bucketed ANN (spherical-k-means coarse quantizer, nprobe
     * lists per query): the FAISS-shaped second scale path beside E2.
@@ -1511,6 +1620,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
+    "d3_minhash_lsh"   -> d3Sql,
     "d5_dedup_recall"  -> d5Sql,
     "d6_dup_clusters"  -> d6Sql,
     "t1_langid"        -> t1Sql,
@@ -1525,6 +1635,7 @@ object TextQueries {
     "t10_repetition"   -> t10Sql,
     "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
+    "e2_lsh_ann"       -> e2Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,

@@ -71,18 +71,29 @@ object TextQueries {
     * the signed domain (bitwise-identical to unsigned xor under two's
     * complement). list_reduce binds the fold; CTE stages bind names so
     * no sub-expression is ever duplicated. */
+  // Shared FNV-1a-in-SQL helpers for the d3/d4 oracles: the fold needs a
+  // 64-bit WRAPPING multiply, which DuckDB's BIGINT refuses (overflow
+  // error) — each step routes the product through HUGEINT mod 2^64 and
+  // re-signs, with xor done in the signed domain (bitwise-identical to
+  // unsigned xor under two's complement).
+  private def s2u(x: String) =
+    s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + 18446744073709551616 ELSE ($x)::HUGEINT END)"
+  private def u2s(x: String) =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - 18446744073709551616 ELSE ($x) END AS BIGINT)"
+  private def fnvStep(h: String, v: String) =
+    u2s(s"(${s2u(s"xor($h, $v)")} * 1099511628211) % 18446744073709551616::HUGEINT")
+  private val fnvH0 = "-3750763034362895579" // 0xcbf29ce484222325 as signed
+  /** FNV-1a over a token's characters as a list_reduce fold. */
+  private def fnvStrSql(t: String) =
+    s"""list_reduce(list_prepend(${fnvH0}::BIGINT,
+       |      list_transform(regexp_split_to_array($t, ''), c -> unicode(c)::BIGINT)),
+       |    (h, v) -> ${fnvStep("h", "v")})""".stripMargin
+
   val d3Sql: String = {
     val cfg = Dedup.MinHashConfig()
     val (as, bs) = Dedup.hashCoefficients(cfg)
     val abRows = as.indices.map(k => s"(${k}, ${as(k)}, ${bs(k)})").mkString(", ")
-    // signed→unsigned→wrapping-multiply→signed FNV-1a step as a lambda body
-    def s2u(x: String) =
-      s"(CASE WHEN ($x) < 0 THEN ($x)::HUGEINT + 18446744073709551616 ELSE ($x)::HUGEINT END)"
-    def u2s(x: String) =
-      s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - 18446744073709551616 ELSE ($x) END AS BIGINT)"
-    def fnvStep(h: String, v: String) =
-      u2s(s"(${s2u(s"xor($h, $v)")} * 1099511628211) % 18446744073709551616::HUGEINT")
-    val h0 = "-3750763034362895579" // 0xcbf29ce484222325 as signed
+    val h0 = fnvH0
     val p = "2147483647"
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
@@ -123,12 +134,47 @@ object TextQueries {
        |HAVING est_jaccard >= 0.5""".stripMargin
   }
 
-  /** D4 SimHash near-dup pairs (chunk-blocked Hamming<=3). Rows-only:
-    * emits per-doc signatures so the result is non-empty regardless of
-    * how many near-dup pairs exist at this scale. */
+  /** D4 per-doc SimHash signatures (emitted per doc so the result is
+    * non-empty regardless of how many near-dup pairs exist at this
+    * scale; the chunk-blocked pair join is gated by d5). Fully oracled
+    * since round 9: [[d4Sql]] recomputes the majority-vote signature in
+    * DuckDB over the same FNV-1a token hashes as the d3 oracle. */
   def d4SimHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       Dedup.simHash(col("text")).as("simhash"))
+
+  /** The d4 oracle: token-hash bits are extracted with exact HUGEINT
+    * divide-by-2^b (DuckDB's >> on a signed BIGINT would smear the sign
+    * bit), the per-bit majority is 2*set > n_tokens (== the UDF's
+    * +1/-1 counter going positive), and the signature reassembles as a
+    * HUGEINT sum of set bit weights re-signed to the UDF's BIGINT. */
+  val d4Sql: String = {
+    val bpRows = (0 until 64)
+      .map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents
+       |), ths AS (
+       |  SELECT doc_id, list_transform(tk, t -> ${fnvStrSql("t")}) AS th
+       |  FROM toks
+       |), tok AS (
+       |  SELECT doc_id, ${s2u("u.h")} AS hu FROM ths, UNNEST(th) AS u(h)
+       |), cnt AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+       |), bp(b, pw) AS (VALUES $bpRows),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (hu // pw) % 2 = 1 THEN 1 ELSE 0 END) AS nset
+       |  FROM tok, bp GROUP BY doc_id, b
+       |), sig AS (
+       |  SELECT bits.doc_id,
+       |         SUM(CASE WHEN 2 * nset > n THEN pw ELSE 0::HUGEINT END) AS sraw
+       |  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id
+       |  JOIN bp ON bp.b = bits.b
+       |  GROUP BY bits.doc_id
+       |)
+       |SELECT doc_id, ${u2s("sraw")} AS simhash FROM sig""".stripMargin
+  }
 
   /** D6: duplicate-cluster resolution — [[Dedup.dupClusters]] connected
     * components over the d2 candidate pairs (the post-candidate step a
@@ -1621,6 +1667,7 @@ object TextQueries {
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh"   -> d3Sql,
+    "d4_simhash"       -> d4Sql,
     "d5_dedup_recall"  -> d5Sql,
     "d6_dup_clusters"  -> d6Sql,
     "t1_langid"        -> t1Sql,

@@ -986,6 +986,49 @@ object DomainQueries {
     """SELECT 'catC' AS category, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
       |FROM ev WHERE k % 3 = 0""".stripMargin
 
+  /** S4 (Web API event source through the real
+    * [[graft.sources.WebApi]] DSv2 connector, webApiConnection.py
+    * getEvents shape): the ub==3 fixture slice is staged as the
+    * transport's cached listing for the FILTERED URL
+    * `events/?user=3` — and ONLY that URL, so the query passes iff the
+    * `userId = '3'` filter actually pushes down to the wire (an
+    * unfiltered listing fetch dies loudly on the missing cache file).
+    * The oracle restates the slice from the fixture formulas; the
+    * file-cache transport is the reference's own download=False replay
+    * mode, not a test-only shim. Same bounded staging-harness class as
+    * s1/u3. */
+  def s4WebApi(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(qtmp(s, "s4_webapi"))
+    base.mkdirs()
+    val apiBase = "http://osdb.fixture/api"
+    val listing = OsdbFixture.ev(s, d).filter(col("ub") === 3)
+      .select(
+        col("e").cast("string").as("id"),
+        col("ub").cast("string").as("userId"),
+        col("type_str").as("type"),
+        col("sub_type").as("subType"))
+    val stage = new java.io.File(base, "_stage_listing")
+    listing.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file in staged JSON dir $stage; contents: " +
+          stage.listFiles().map(_.getName).mkString(", ")))
+    val dest = new java.io.File(base,
+      graft.sources.WebApi.cacheKey(s"$apiBase/events/?user=3"))
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.WebApi.readEvents(s, Map(
+        "baseUrl" -> apiBase, "transport" -> "file",
+        "fixtureDir" -> base.getAbsolutePath))
+      .filter(col("userId") === "3")
+      .groupBy("type")
+      .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("id_sum"))
+  }
+
+  val s4Sql: String = sqlBase +
+    """SELECT type_str AS type, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
+      |FROM ev WHERE ub = 3 GROUP BY 1""".stripMargin
+
   /** S14 — corrupt-record quarantine through
     * [[graft.sources.OsdbJson.readEventsQuarantined]]: the k%3==1
     * fixture slice is staged as NDJSON in k-order, the harness then
@@ -1526,6 +1569,7 @@ object DomainQueries {
     "s9_index_csv"      -> (s9IndexCsv _),
     "u3_multifile_union" -> (u3MultifileUnion _),
     "s1_multiline_array" -> (s1MultilineArray _),
+    "s4_webapi"         -> (s4WebApi _),
     "s14_corrupt_quarantine" -> (s14CorruptQuarantine _),
     "lake1_pruned_scan" -> (lake1PrunedScan _),
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
@@ -1580,6 +1624,7 @@ object DomainQueries {
     "s9_index_csv"      -> s9Sql,
     "u3_multifile_union" -> u3Sql,
     "s1_multiline_array" -> s1Sql,
+    "s4_webapi"         -> s4Sql,
     "s14_corrupt_quarantine" -> s14Sql,
     "lake1_pruned_scan" -> lake1Sql,
     "lake2_bucketed_join" -> lake2Sql,

@@ -600,9 +600,9 @@ object DomainQueries {
     * analytically from the fixture's alarm-run length k%6 — a true
     * independent check of the FSM, including the 2→1 decay quirk and the
     * F11 manual-skip. */
-  def w10ReplayFsm(s: SparkSession, d: String): DataFrame = {
+  private def w10Dps(s: SparkSession, d: String) = {
     import s.implicits._
-    val dps = OsdbFixture.ev(s, d)
+    OsdbFixture.ev(s, d)
       .withColumn("d", explode(expr("sequence(0L, 11L)")))
       .select(
         col("e").cast("string").as("eventId"),
@@ -616,12 +616,40 @@ object DomainQueries {
         array().cast("array<double>").as("rawData3D"),
         col("d").as("seq"))
       .as[ReplayDp]
-    Replay.detectionStats(Replay.replayBatch(dps, Seq("hr:MODE_SIMPLE")))
+  }
+
+  private def replayStats(s: SparkSession, d: String, spec: String): DataFrame =
+    Replay.detectionStats(Replay.replayBatch(w10Dps(s, d), Seq(spec)))
       .select(col("eventId").as("event_id"), col("alg"),
         col("detected").cast("long").as("detected"),
         col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
         col("nDp").as("n_dp"))
-  }
+
+  def w10ReplayFsm(s: SparkSession, d: String): DataFrame =
+    replayStats(s, d, "hr:MODE_SIMPLE")
+
+  /** S5 (device connection through the real [[graft.streaming.DeviceAlg]]
+    * wire protocol, osdAppConnection.py + deviceAlg.py): the w10 replay
+    * rerun with every datapoint serialized to the GarminSD data packet,
+    * pushed through the settings handshake, scored by the loopback
+    * device (the engine's own HrAlg behind the wire), and the verdict
+    * parsed back — so the oracle is the SAME closed-form FSM prediction
+    * as w10 with the device's alg label. A dropped packet, a handshake
+    * that loses a sample, or a mis-parsed verdict field all break the
+    * hash against w10's closed form. One fresh device session per event
+    * group: the reference's one-phone serial loop becomes a device farm
+    * scaling with the executor count. */
+  def s5Device(s: SparkSession, d: String): DataFrame =
+    replayStats(s, d, "device:loopback:hr:MODE_SIMPLE")
+
+  val s5Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS event_id, 'DeviceAlg' AS alg,
+      |  CAST(CASE WHEN k % 6 >= 3 THEN 1 ELSE 0 END AS BIGINT) AS detected,
+      |  CAST(CASE WHEN k % 6 >= 3 THEN k % 6 - 2 ELSE 0 END AS BIGINT) AS n_alarm,
+      |  CAST((CASE WHEN k % 6 >= 2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN k % 6 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+      |  CAST(12 - CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dp
+      |FROM base""".stripMargin
 
   val w10Sql: String = sqlBase +
     """SELECT CAST(e AS VARCHAR) AS event_id, 'HrAlg-MODE_SIMPLE' AS alg,
@@ -1570,6 +1598,7 @@ object DomainQueries {
     "u3_multifile_union" -> (u3MultifileUnion _),
     "s1_multiline_array" -> (s1MultilineArray _),
     "s4_webapi"         -> (s4WebApi _),
+    "s5_device"         -> (s5Device _),
     "s14_corrupt_quarantine" -> (s14CorruptQuarantine _),
     "lake1_pruned_scan" -> (lake1PrunedScan _),
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
@@ -1625,6 +1654,7 @@ object DomainQueries {
     "u3_multifile_union" -> u3Sql,
     "s1_multiline_array" -> s1Sql,
     "s4_webapi"         -> s4Sql,
+    "s5_device"         -> s5Sql,
     "s14_corrupt_quarantine" -> s14Sql,
     "lake1_pruned_scan" -> lake1Sql,
     "lake2_bucketed_join" -> lake2Sql,

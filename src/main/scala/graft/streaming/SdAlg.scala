@@ -247,6 +247,14 @@ object AlgRegistry {
       new NnAlg(NnSettings(
         sdThresh = parts.lift(1).map(_.toDouble).getOrElse(0.0),
         probThresh = parts.lift(2).map(_.toDouble).getOrElse(0.5)))
+    case s if s.startsWith("device:loopback:") =>
+      // S5 via the in-JVM device simulator wrapping an inner alg spec —
+      // full wire protocol (packet serialize, handshake, verdict parse)
+      val inner = s.stripPrefix("device:loopback:")
+      new DeviceAlg(() => new LoopbackDeviceClient(create(inner)))
+    case s if s.startsWith("device:") =>
+      // S5 against a real app instance: "device:<addr[:port]>"
+      new DeviceAlg(() => new HttpDeviceClient(s.stripPrefix("device:")))
     case other => throw new IllegalArgumentException(s"Unknown algorithm: $other")
   }
 }

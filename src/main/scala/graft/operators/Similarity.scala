@@ -234,7 +234,8 @@ object Similarity {
     * Cosine metric throughout: samples and centroids are L2-normalized,
     * so nearest-centroid-by-dot == nearest-by-angle. Deterministic: the
     * training sample is the lowest `sampleSize` ids (TakeOrdered — no
-    * full sort), init is a seeded shuffle of the sample, Lloyd runs a
+    * full sort), init picks evenly-id-rank-spaced sample vectors (SQL-
+    * derivable at any scale, see below), Lloyd runs a
     * fixed `iters` rounds; same inputs => same lists on every run and
     * any partitioning. The corpus side lands in exactly ONE list, so
     * (query, candidate) pairs are already unique — no pair-distinct
@@ -278,12 +279,19 @@ object Similarity {
       .select(col("v"), col("nrm")).as[(Array[Double], Double)]
       .collect().map { case (v, n) => v.map(_ / n) }
     require(sample.nonEmpty, "ivfKnn needs at least one non-zero vector")
-    val rng = new scala.util.Random(seed)
+    // Init: evenly spaced by id-rank across the sample — deterministic
+    // in a way that does NOT depend on sample size through an opaque
+    // PRNG permutation (the previous seeded shuffle), so the e4 oracle
+    // can re-derive the same seeds in SQL at any scale factor. Spread
+    // across the id range it is as uninformed as a random pick, which
+    // is all Lloyd init needs here; quality is gated by e5/e7 recall.
     // copyOf to exactly `dim`: a shorter input vector zero-pads rather
     // than leaving a short centroid array the update loop would overrun
     val centroids: Array[Array[Double]] =
-      rng.shuffle(sample.indices.toVector).take(nlist)
-        .map(i => java.util.Arrays.copyOf(sample(i), dim)).toArray
+      Array.tabulate(math.min(nlist, sample.length)) { c =>
+        val i = if (sample.length >= nlist) c * sample.length / nlist else c
+        java.util.Arrays.copyOf(sample(i), dim)
+      }
     val nl = centroids.length // may be < nlist on tiny corpora
     def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.NegativeInfinity

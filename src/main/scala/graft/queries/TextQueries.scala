@@ -753,11 +753,97 @@ object TextQueries {
 
   /** E4 IVF-bucketed ANN (spherical-k-means coarse quantizer, nprobe
     * lists per query): the FAISS-shaped second scale path beside E2.
-    * Centroid-dependent ⇒ rows-only; ScalaTest checks recall against
-    * brute force on clustered data. */
+    * Fully oracled since round 9 — the LAST rows-only entry retired:
+    * [[e4Sql]] reruns the ENTIRE pipeline in DuckDB, Lloyd training
+    * included. Every Spark-side float fold has a strictly-replicated
+    * SQL twin: the driver's sample-order centroid sums become
+    * `list_reduce` over `list(val ORDER BY rank)`, the j-order norm
+    * fold likewise, assignment argmax is (dot DESC, c) ranking, and
+    * the evenly-spaced-by-rank init (chosen over the earlier seeded
+    * shuffle precisely so the seeds are derivable in SQL at any sf)
+    * closes the loop. Scores come back BIT-EXACT across engines —
+    * training, probing and scoring all hash-match, so e4 carries the
+    * full-precision gate e1 carries for brute force. */
   def e4IvfKnn(s: SparkSession, d: String): DataFrame =
     Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
       dim = 64, k = 3, nlist = 16, nprobe = 4)
+
+  /** The e4 oracle: 5 unrolled Lloyd stages as MATERIALIZED CTEs (plain
+    * CTEs re-inline through the stage chain and the plan blows up
+    * exponentially), then assign + probe + bucket-local scoring + e1's
+    * exact-cosine ranking. */
+  val e4Sql: String = {
+    val (nlist, nprobe, iters, k, dim, samp) = (16, 4, 5, 3, 64, 2048)
+    val pre =
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings
+         |), samp AS MATERIALIZED (
+         |  SELECT id, list_transform(v, x -> x / nrm) AS u,
+         |         row_number() OVER (ORDER BY id) - 1 AS r,
+         |         COUNT(*) OVER () AS n
+         |  FROM base WHERE nrm > 0.0 ORDER BY id LIMIT $samp
+         |), sdim AS MATERIALIZED (
+         |  SELECT r, j, u[j] AS val FROM samp, generate_series(1, $dim) AS t(j)
+         |), cent0 AS MATERIALIZED (
+         |  SELECT c.c AS c, s.j, s.val
+         |  FROM generate_series(0, ${nlist - 1}) AS c(c)
+         |  JOIN samp sm ON sm.r = CASE WHEN sm.n >= $nlist
+         |                              THEN (c.c * sm.n) // $nlist ELSE c.c END
+         |  JOIN sdim s ON s.r = sm.r
+         |  WHERE c.c < LEAST($nlist, sm.n)
+         |)""".stripMargin
+    def stage(i: Int): String =
+      s""",
+         |clist$i AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$i GROUP BY c),
+         |asg$i AS MATERIALIZED (
+         |  SELECT r, c FROM (
+         |    SELECT s.r, cl.c,
+         |           row_number() OVER (PARTITION BY s.r
+         |             ORDER BY list_dot_product(s.u, cl.cl) DESC, cl.c) AS pr
+         |    FROM samp s, clist$i cl) WHERE pr = 1
+         |), sums$i AS MATERIALIZED (
+         |  SELECT a.c, d.j,
+         |         list_reduce(list_prepend(0.0::DOUBLE, list(d.val ORDER BY d.r)),
+         |                     (x, y) -> x + y) AS s
+         |  FROM asg$i a JOIN sdim d ON d.r = a.r
+         |  GROUP BY a.c, d.j
+         |), nrm$i AS MATERIALIZED (
+         |  SELECT c, sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(s * s ORDER BY j)),
+         |                             (x, y) -> x + y)) AS nn
+         |  FROM sums$i GROUP BY c
+         |), cent${i + 1} AS MATERIALIZED (
+         |  SELECT p.c, p.j,
+         |         CASE WHEN s.s IS NOT NULL AND n.nn > 0 THEN s.s / n.nn ELSE p.val END AS val
+         |  FROM cent$i p
+         |  LEFT JOIN sums$i s ON s.c = p.c AND s.j = p.j
+         |  LEFT JOIN nrm$i n ON n.c = p.c
+         |)""".stripMargin
+    val post =
+      s""",
+         |clist AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$iters GROUP BY c),
+         |dots AS MATERIALIZED (SELECT b.id, cl.c, list_dot_product(b.v, cl.cl) AS d FROM base b, clist cl),
+         |ranked AS MATERIALIZED (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d DESC, c) AS pr
+         |  FROM dots),
+         |assign AS MATERIALIZED (SELECT id, c AS lst FROM ranked WHERE pr = 1),
+         |probes AS MATERIALIZED (SELECT id, c AS lst FROM ranked WHERE pr <= $nprobe),
+         |cand AS MATERIALIZED (
+         |  SELECT q.id, a.id AS nid
+         |  FROM probes q JOIN assign a ON a.lst = q.lst AND a.id <> q.id
+         |), scored AS MATERIALIZED (
+         |  SELECT c.id, c.nid,
+         |         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS score
+         |  FROM cand c JOIN base x ON x.id = c.id JOIN base y ON y.id = c.nid
+         |)
+         |SELECT id AS vec_id, rank, nid AS neighbor_id, score
+         |FROM (SELECT id, nid, score,
+         |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= $k""".stripMargin
+    pre + (0 until iters).map(stage).mkString + post
+  }
 
   /** E5: self-scoring ANN gate — recall@3 of the DECLARED e2/e4
     * configurations (identical params) against brute-force ground truth,
@@ -1683,6 +1769,7 @@ object TextQueries {
     "sketch2_cms_topk" -> sketch2Sql,
     "e1_cosine_knn"    -> e1Sql,
     "e2_lsh_ann"       -> e2Sql,
+    "e4_ivf_knn"       -> e4Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,

@@ -222,6 +222,132 @@ object Similarity {
         col("score"))
   }
 
+  // ------------------------------------------------- deterministic training
+  // Shared by ivfKnn / ivfPqKnn, and STRICTLY replicated by the e4/e9
+  // oracle SQL: every fold below runs in a defined order (sample id-rank
+  // for sums, dim index for norms/distances), so DuckDB list_reduce over
+  // ordered lists reproduces the doubles bit-exactly.
+
+  /** The deterministic unit-norm training sample: lowest `sampleSize`
+    * ids with positive norm (TakeOrdered — no full sort). */
+  private def unitSample(base: DataFrame, sampleSize: Int,
+                         who: String): Array[Array[Double]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val sample = base.filter(col("nrm") > 0.0)
+      .orderBy("id").limit(sampleSize)
+      .select(col("v"), col("nrm")).as[(Array[Double], Double)]
+      .collect().map { case (v, n) => v.map(_ / n) }
+    require(sample.nonEmpty, s"$who needs at least one non-zero vector")
+    sample
+  }
+
+  /** Init: evenly spaced by id-rank across the sample — deterministic in
+    * a way that does NOT depend on sample size through an opaque PRNG
+    * permutation (the previous seeded shuffle), so the oracles can
+    * re-derive the same seeds in SQL at any scale factor. Spread across
+    * the id range it is as uninformed as a random pick, which is all
+    * Lloyd init needs here; quality is gated by e5/e7 recall.
+    * copyOf to exactly `width`: a shorter input vector zero-pads rather
+    * than leaving a short centroid array the update loop would overrun */
+  private def strideInit(sample: Array[Array[Double]], k: Int,
+                         width: Int): Array[Array[Double]] =
+    Array.tabulate(math.min(k, sample.length)) { c =>
+      val i = if (sample.length >= k) c * sample.length / k else c
+      java.util.Arrays.copyOf(sample(i), width)
+    }
+
+  /** Dot-product argmax over centroids (ties -> lowest index). */
+  private def nearestDot(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      val m = math.min(v.length, cs(c).length)
+      while (j < m) { d += v(j) * cs(c)(j); j += 1 }
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Squared-L2 argmin over centroids (ties -> lowest index). */
+  private def nearestL2(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      val m = math.min(v.length, cs(c).length)
+      while (j < m) { val x = v(j) - cs(c)(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Spherical Lloyd (dot-metric assignment, unit-normalized mean
+    * update; empty or zero-norm clusters keep their previous centroid)
+    * — the ivfKnn coarse quantizer. */
+  private def sphericalLloyd(sample: Array[Array[Double]], nlist: Int,
+                             dim: Int, iters: Int): Array[Array[Double]] = {
+    val centroids = strideInit(sample, nlist, dim)
+    val nl = centroids.length // may be < nlist on tiny corpora
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nl)(new Array[Double](dim))
+      val counts = new Array[Int](nl)
+      sample.foreach { v =>
+        val c = nearestDot(v, centroids)
+        counts(c) += 1
+        var j = 0
+        val m = math.min(dim, v.length)
+        while (j < m) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < nl) {
+        if (counts(c) > 0) {
+          var nn = 0.0; var j = 0
+          while (j < dim) { nn += sums(c)(j) * sums(c)(j); j += 1 }
+          val n = math.sqrt(nn)
+          if (n > 0) { j = 0; while (j < dim) { centroids(c)(j) = sums(c)(j) / n; j += 1 } }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Plain-Euclidean Lloyd (L2 assignment, arithmetic-mean update; empty
+    * clusters keep their previous centroid) — the PQ sub-quantizer. */
+  private def euclideanLloyd(sample: Array[Array[Double]], k: Int,
+                             width: Int, iters: Int): Array[Array[Double]] = {
+    val centroids = strideInit(sample, k, width)
+    val nl = centroids.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nl)(new Array[Double](width))
+      val counts = new Array[Int](nl)
+      sample.foreach { v =>
+        val c = nearestL2(v, centroids)
+        counts(c) += 1
+        var j = 0
+        val m = math.min(width, v.length)
+        while (j < m) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < nl) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < width) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
     * [[lshKnn]]: train `nlist` spherical-k-means centroids on a
     * deterministic sample, broadcast them (nlist x dim doubles — tiny),
@@ -269,70 +395,14 @@ object Similarity {
              listShards: Int = 8): DataFrame = {
     require(nprobe <= nlist, "nprobe cannot exceed nlist")
     val spark = vectors.sparkSession
-    import spark.implicits._
     val base = normed(vectors, idCol, vecCol)
-
-    // ---- train: driver-side Lloyd on a deterministic unit-norm sample
-    val sample: Array[Array[Double]] = base
-      .filter(col("nrm") > 0.0)
-      .orderBy("id").limit(sampleSize)
-      .select(col("v"), col("nrm")).as[(Array[Double], Double)]
-      .collect().map { case (v, n) => v.map(_ / n) }
-    require(sample.nonEmpty, "ivfKnn needs at least one non-zero vector")
-    // Init: evenly spaced by id-rank across the sample — deterministic
-    // in a way that does NOT depend on sample size through an opaque
-    // PRNG permutation (the previous seeded shuffle), so the e4 oracle
-    // can re-derive the same seeds in SQL at any scale factor. Spread
-    // across the id range it is as uninformed as a random pick, which
-    // is all Lloyd init needs here; quality is gated by e5/e7 recall.
-    // copyOf to exactly `dim`: a shorter input vector zero-pads rather
-    // than leaving a short centroid array the update loop would overrun
-    val centroids: Array[Array[Double]] =
-      Array.tabulate(math.min(nlist, sample.length)) { c =>
-        val i = if (sample.length >= nlist) c * sample.length / nlist else c
-        java.util.Arrays.copyOf(sample(i), dim)
-      }
-    val nl = centroids.length // may be < nlist on tiny corpora
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var j = 0
-        val m = math.min(v.length, cs(c).length)
-        while (j < m) { d += v(j) * cs(c)(j); j += 1 }
-        if (d > bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(nl)(new Array[Double](dim))
-      val counts = new Array[Int](nl)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
-        counts(c) += 1
-        var j = 0
-        val m = math.min(dim, v.length)
-        while (j < m) { sums(c)(j) += v(j); j += 1 }
-      }
-      var c = 0
-      while (c < nl) {
-        if (counts(c) > 0) { // empty list keeps its old centroid
-          var nn = 0.0; var j = 0
-          while (j < dim) { nn += sums(c)(j) * sums(c)(j); j += 1 }
-          val n = math.sqrt(nn)
-          if (n > 0) { j = 0; while (j < dim) { centroids(c)(j) = sums(c)(j) / n; j += 1 } }
-        }
-        c += 1
-      }
-      it += 1
-    }
+    val sample = unitSample(base, sampleSize, "ivfKnn")
+    val centroids = sphericalLloyd(sample, nlist, dim, iters)
 
     // ---- assign + probe (closure-captured centroids: tight JIT loop,
     // no multi-MB literal codegen)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Double]) => nearest(v.toArray, bc.value) }
+    val assignUdf = udf { (v: Seq[Double]) => nearestDot(v.toArray, bc.value) }
     val probeUdf = udf { (v: Seq[Double]) =>
       val cs = bc.value
       val arr = v.toArray
@@ -357,6 +427,115 @@ object Similarity {
       .select(col("id"), col("e.id").as("nid"),
         (graft.plans.GraftExpressions.arrayDot(col("v"), col("e.v"))
           / (col("nrm") * col("e.nrm"))).as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as("vec_id"), col("rank"), col("nid").as("neighbor_id"),
+        col("score"))
+  }
+
+  /** IVF-PQ ANN (the FAISS IVFADC shape) — the COMPRESSION layer on top
+    * of [[ivfKnn]]'s coarse quantizer, and the configuration a 100 TB
+    * vector corpus actually deploys: the inverted lists store `m`
+    * small sub-codes per vector instead of `dim` doubles (64 doubles =
+    * 512 B shrinks to m=4 ints; with ksub<=256, 4 BYTES at the storage
+    * layer), so the entire candidate side of the scoring join rides in
+    * ~1% of the raw footprint and the shuffled list entries are
+    * code-sized, not vector-sized.
+    *
+    * Train (driver-side, deterministic, SQL-replicated by the e9
+    * oracle): the coarse quantizer is [[sphericalLloyd]] exactly as in
+    * ivfKnn; each of the `m` subspaces then gets a `ksub`-centroid
+    * codebook from [[euclideanLloyd]] over the unit sample's subspace
+    * slice (L2 assignment, arithmetic-mean update — standard PQ).
+    * Encode: each corpus vector is unit-normalized and its subspace
+    * slices map to their nearest codebook entries (argmin L2, ties to
+    * the lowest code).
+    *
+    * Score (ADC, asymmetric): the query stays full-precision; a
+    * candidate scores SUM_s dot(u_query[s-slice], codebook_s[code_s])
+    * — the dot of the query unit vector with the candidate's
+    * reconstruction, approximating cosine. Scoring is bucket-local
+    * like ivfKnn (entries arrays per (list, shard)), the probe join
+    * ships only codes, and the per-query top-k window plans as
+    * WindowGroupLimit. Approximation quality is the PQ trade; the
+    * planted-pair spec pins that near-identical vectors still rank
+    * each other first, and e4 remains the uncompressed twin. */
+  def ivfPqKnn(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+               k: Int, nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
+               sampleSize: Int = 2048, iters: Int = 5,
+               listShards: Int = 8): DataFrame = {
+    require(nprobe <= nlist, "nprobe cannot exceed nlist")
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val spark = vectors.sparkSession
+    val base = normed(vectors, idCol, vecCol)
+    val sample = unitSample(base, sampleSize, "ivfPqKnn")
+    val coarse = sphericalLloyd(sample, nlist, dim, iters)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      euclideanLloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        ksub, dsub, pqIters)
+    }
+
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val assignUdf = udf { (v: Seq[Double]) => nearestDot(v.toArray, bcCoarse.value) }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val cs = bcCoarse.value
+      val arr = v.toArray
+      val scored = Array.tabulate(cs.length) { c =>
+        var d = 0.0; var j = 0
+        val mm = math.min(arr.length, cs(c).length)
+        while (j < mm) { d += arr(j) * cs(c)(j); j += 1 }
+        (c, d)
+      }
+      scored.sortBy { case (c, d) => (-d, c) }.take(nprobe).map(_._1)
+    }
+    // unit-normalize (zero-norm degrades to the raw vector — scores 0
+    // everywhere, never NaN), then per-subspace argmin-L2 codes
+    val encodeUdf = udf { (v: Seq[Double], nrm: Double) =>
+      val u = if (nrm > 0) v.toArray.map(_ / nrm) else v.toArray
+      Array.tabulate(m) { s =>
+        nearestL2(java.util.Arrays.copyOfRange(u,
+          s * dsub, math.min((s + 1) * dsub, u.length)), bcBooks.value(s))
+      }
+    }
+    // Canonical ADC: one PARTIAL dot per subspace, then the partials
+    // sum in subspace order — the grouping a lookup-table implementation
+    // produces, and the grouping the e9 oracle replicates (a single
+    // running fold across subspace boundaries would round differently).
+    val adcUdf = udf { (v: Seq[Double], nrm: Double, codes: Seq[Int]) =>
+      val u = if (nrm > 0) v.toArray.map(_ / nrm) else v.toArray
+      var score = 0.0
+      var s = 0
+      while (s < m) {
+        val cb = bcBooks.value(s)(codes(s))
+        var part = 0.0
+        var j = 0
+        val off = s * dsub
+        val mm = math.min(dsub, math.max(0, u.length - off))
+        while (j < mm) { part += u(off + j) * cb(j); j += 1 }
+        score += part
+        s += 1
+      }
+      score
+    }
+
+    val lists = base
+      .select(col("id"), assignUdf(col("v")).as("lst"),
+        encodeUdf(col("v"), col("nrm")).as("codes"),
+        pmod(col("id"), lit(listShards.toLong)).as("shard"))
+      .groupBy("lst", "shard")
+      .agg(collect_list(struct(col("id"), col("codes"))).as("entries"))
+    val queries = base
+      .select(col("id"), col("v"), col("nrm"), explode(probeUdf(col("v"))).as("lst"))
+    val scored = queries.join(lists, "lst")
+      .select(col("id"), col("v"), col("nrm"), explode(col("entries")).as("e"))
+      .filter(col("e.id") =!= col("id"))
+      .select(col("id"), col("e.id").as("nid"),
+        adcUdf(col("v"), col("nrm"), col("e.codes")).as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

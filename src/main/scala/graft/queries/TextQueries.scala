@@ -845,6 +845,163 @@ object TextQueries {
     pre + (0 until iters).map(stage).mkString + post
   }
 
+  /** E9 IVF-PQ ANN (FAISS IVFADC shape): [[Similarity.ivfPqKnn]] — the
+    * compression layer over e4's coarse quantizer, where inverted lists
+    * carry m=4 sub-codes per vector instead of 64 doubles. Fully
+    * oracled like e4: [[e9Sql]] reruns coarse training, the 4
+    * per-subspace Euclidean codebooks, encoding, probing and ADC
+    * scoring in DuckDB with every float fold order-replicated — scores
+    * bit-exact. */
+  def e9IvfPq(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim = 64, k = 3, nlist = 16, nprobe = 4, m = 4, ksub = 16, pqIters = 3)
+
+  /** The e9 oracle: e4's coarse-training chain, then the 4 per-subspace
+    * Euclidean codebook chains (L2 argmin assignment as an ordered
+    * squared-diff fold, arithmetic-mean update), encoding, probing, and
+    * ADC scoring as per-subspace partial dots summed in subspace order —
+    * the exact grouping the operator's lookup-table fold produces. */
+  val e9Sql: String = {
+    val (nlist, nprobe, iters, k, dim, samp) = (16, 4, 5, 3, 64, 2048)
+    val (mSub, ksub, pqIters, dsub) = (4, 16, 3, 16)
+    val pre =
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings
+         |), uvec AS MATERIALIZED (
+         |  SELECT id, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
+         |  FROM base
+         |), samp AS MATERIALIZED (
+         |  SELECT id, list_transform(v, x -> x / nrm) AS u,
+         |         row_number() OVER (ORDER BY id) - 1 AS r,
+         |         COUNT(*) OVER () AS n
+         |  FROM base WHERE nrm > 0.0 ORDER BY id LIMIT $samp
+         |), sdim AS MATERIALIZED (
+         |  SELECT r, j, u[j] AS val FROM samp, generate_series(1, $dim) AS t(j)
+         |), cent0 AS MATERIALIZED (
+         |  SELECT c.c AS c, s.j, s.val
+         |  FROM generate_series(0, ${nlist - 1}) AS c(c)
+         |  JOIN samp sm ON sm.r = CASE WHEN sm.n >= $nlist
+         |                              THEN (c.c * sm.n) // $nlist ELSE c.c END
+         |  JOIN sdim s ON s.r = sm.r
+         |  WHERE c.c < LEAST($nlist, sm.n)
+         |)""".stripMargin
+    def coarseStage(i: Int): String =
+      s""",
+         |clist$i AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$i GROUP BY c),
+         |asg$i AS MATERIALIZED (
+         |  SELECT r, c FROM (
+         |    SELECT s.r, cl.c,
+         |           row_number() OVER (PARTITION BY s.r
+         |             ORDER BY list_dot_product(s.u, cl.cl) DESC, cl.c) AS pr
+         |    FROM samp s, clist$i cl) WHERE pr = 1
+         |), sums$i AS MATERIALIZED (
+         |  SELECT a.c, d.j,
+         |         list_reduce(list_prepend(0.0::DOUBLE, list(d.val ORDER BY d.r)),
+         |                     (x, y) -> x + y) AS s
+         |  FROM asg$i a JOIN sdim d ON d.r = a.r
+         |  GROUP BY a.c, d.j
+         |), nrm$i AS MATERIALIZED (
+         |  SELECT c, sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(s * s ORDER BY j)),
+         |                             (x, y) -> x + y)) AS nn
+         |  FROM sums$i GROUP BY c
+         |), cent${i + 1} AS MATERIALIZED (
+         |  SELECT p.c, p.j,
+         |         CASE WHEN s.s IS NOT NULL AND n.nn > 0 THEN s.s / n.nn ELSE p.val END AS val
+         |  FROM cent$i p
+         |  LEFT JOIN sums$i s ON s.c = p.c AND s.j = p.j
+         |  LEFT JOIN nrm$i n ON n.c = p.c
+         |)""".stripMargin
+    val pqPre =
+      s""",
+         |pdim AS MATERIALIZED (
+         |  SELECT s.s, d.r, d.j - s.s * $dsub AS j, d.val
+         |  FROM generate_series(0, ${mSub - 1}) AS s(s)
+         |  JOIN sdim d ON d.j > s.s * $dsub AND d.j <= (s.s + 1) * $dsub
+         |), psl AS MATERIALIZED (
+         |  SELECT s, r, list(val ORDER BY j) AS sl FROM pdim GROUP BY s, r
+         |), pq0 AS MATERIALIZED (
+         |  SELECT s.s, c.c, d.j, d.val
+         |  FROM generate_series(0, ${mSub - 1}) AS s(s)
+         |  CROSS JOIN generate_series(0, ${ksub - 1}) AS c(c)
+         |  JOIN samp sm ON sm.r = CASE WHEN sm.n >= $ksub
+         |                              THEN (c.c * sm.n) // $ksub ELSE c.c END
+         |  JOIN pdim d ON d.s = s.s AND d.r = sm.r
+         |  WHERE c.c < LEAST($ksub, sm.n)
+         |)""".stripMargin
+    def pqStage(i: Int): String =
+      s""",
+         |pql$i AS MATERIALIZED (SELECT s, c, list(val ORDER BY j) AS cl FROM pq$i GROUP BY s, c),
+         |pqa$i AS MATERIALIZED (
+         |  SELECT s, r, c FROM (
+         |    SELECT sv.s, sv.r, cl.c,
+         |           row_number() OVER (PARTITION BY sv.s, sv.r ORDER BY
+         |             list_reduce(list_prepend(0.0::DOUBLE,
+         |               list_transform(generate_series(1, $dsub),
+         |                 jj -> (sv.sl[jj] - cl.cl[jj]) * (sv.sl[jj] - cl.cl[jj]))),
+         |               (x, y) -> x + y) ASC, cl.c) AS pr
+         |    FROM psl sv JOIN pql$i cl ON cl.s = sv.s) WHERE pr = 1
+         |), pqs$i AS MATERIALIZED (
+         |  SELECT a.s, a.c, d.j,
+         |         list_reduce(list_prepend(0.0::DOUBLE, list(d.val ORDER BY d.r)),
+         |                     (x, y) -> x + y) AS sm, COUNT(*) AS cnt
+         |  FROM pqa$i a JOIN pdim d ON d.s = a.s AND d.r = a.r
+         |  GROUP BY a.s, a.c, d.j
+         |), pq${i + 1} AS MATERIALIZED (
+         |  SELECT p.s, p.c, p.j,
+         |         CASE WHEN q.sm IS NOT NULL THEN q.sm / q.cnt ELSE p.val END AS val
+         |  FROM pq$i p
+         |  LEFT JOIN pqs$i q ON q.s = p.s AND q.c = p.c AND q.j = p.j
+         |)""".stripMargin
+    val post =
+      s""",
+         |clist AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$iters GROUP BY c),
+         |books AS MATERIALIZED (SELECT s, c, list(val ORDER BY j) AS cl FROM pq$pqIters GROUP BY s, c),
+         |dots AS MATERIALIZED (SELECT b.id, cl.c, list_dot_product(b.v, cl.cl) AS d FROM base b, clist cl),
+         |ranked AS MATERIALIZED (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d DESC, c) AS pr
+         |  FROM dots),
+         |assign AS MATERIALIZED (SELECT id, c AS lst FROM ranked WHERE pr = 1),
+         |probes AS MATERIALIZED (SELECT id, c AS lst FROM ranked WHERE pr <= $nprobe),
+         |usub AS MATERIALIZED (
+         |  SELECT u.id, s.s,
+         |         list_transform(generate_series(1, $dsub), jj -> u.u[s.s * $dsub + jj]) AS us
+         |  FROM uvec u, generate_series(0, ${mSub - 1}) AS s(s)
+         |), codes AS MATERIALIZED (
+         |  SELECT id, s, c AS code FROM (
+         |    SELECT us.id, us.s, bk.c,
+         |           row_number() OVER (PARTITION BY us.id, us.s ORDER BY
+         |             list_reduce(list_prepend(0.0::DOUBLE,
+         |               list_transform(generate_series(1, $dsub),
+         |                 jj -> (us.us[jj] - bk.cl[jj]) * (us.us[jj] - bk.cl[jj]))),
+         |               (x, y) -> x + y) ASC, bk.c) AS pr
+         |    FROM usub us JOIN books bk ON bk.s = us.s) WHERE pr = 1
+         |), cand AS MATERIALIZED (
+         |  SELECT q.id, a.id AS nid
+         |  FROM probes q JOIN assign a ON a.lst = q.lst AND a.id <> q.id
+         |), partial AS MATERIALIZED (
+         |  SELECT c.id, c.nid, us.s,
+         |         list_dot_product(us.us, bk.cl) AS p
+         |  FROM cand c
+         |  JOIN usub us ON us.id = c.id
+         |  JOIN codes cd ON cd.id = c.nid AND cd.s = us.s
+         |  JOIN books bk ON bk.s = cd.s AND bk.c = cd.code
+         |), scored AS MATERIALIZED (
+         |  SELECT id, nid,
+         |         list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY s)),
+         |                     (x, y) -> x + y) AS score
+         |  FROM partial GROUP BY id, nid
+         |)
+         |SELECT id AS vec_id, rank, nid AS neighbor_id, score
+         |FROM (SELECT id, nid, score,
+         |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= $k""".stripMargin
+    pre + (0 until iters).map(coarseStage).mkString + pqPre +
+      (0 until pqIters).map(pqStage).mkString + post
+  }
+
   /** E5: self-scoring ANN gate — recall@3 of the DECLARED e2/e4
     * configurations (identical params) against brute-force ground truth,
     * as floor(100·recall). Every input is deterministic (seeded
@@ -1729,6 +1886,7 @@ object TextQueries {
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
     "e4_ivf_knn"       -> (e4IvfKnn _),
+    "e9_ivfpq"         -> (e9IvfPq _),
     "e5_ann_recall"    -> (e5AnnRecall _),
     "e6_cos_neardup"   -> (e6CosNearDup _),
     "e7_design_recall" -> (e7DesignRecall _),
@@ -1770,6 +1928,7 @@ object TextQueries {
     "e1_cosine_knn"    -> e1Sql,
     "e2_lsh_ann"       -> e2Sql,
     "e4_ivf_knn"       -> e4Sql,
+    "e9_ivfpq"         -> e9Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,

@@ -183,6 +183,32 @@ class TextOpsSpec extends SparkSpec {
     assert(ivf() == first, "ivfKnn must be deterministic run-to-run")
   }
 
+  test("IVF-PQ keeps cluster neighbors under compression and stays deterministic (E9)") {
+    import spark.implicits._
+    // Same clustered fixture as E4. Exact-rank recall is the WRONG
+    // invariant for PQ: near-identical cluster members share a code, so
+    // their ADC scores tie and the within-cluster order collapses to
+    // the nid tiebreak — by design (the code is the resolution). The
+    // guarantee compression must keep is CLUSTER membership: every
+    // top-k neighbor of a query comes from the query's own cluster.
+    val rng = new scala.util.Random(11)
+    val mk = (c: Array[Float]) => c.map(v => v + rng.nextFloat() * 0.01f)
+    val base = Array.fill(8)(0.0f)
+    val cs = Seq(base.updated(0, 1.0f), base.updated(3, 1.0f), base.updated(6, 1.0f))
+    val vecs = (0 until 30).map(i => (i.toLong, mk(cs(i % 3)))).toDF("vec_id", "embedding")
+    def pq() = Similarity.ivfPqKnn(vecs, "vec_id", "embedding", dim = 8, k = 3,
+        nlist = 4, nprobe = 2, m = 2, ksub = 8, sampleSize = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = pq()
+    assert(first.nonEmpty)
+    val crossCluster = first.filter { case (q, _, n) => q % 3 != n % 3 }
+    assert(crossCluster.isEmpty,
+      s"compression leaked cross-cluster neighbors: $crossCluster")
+    // every query found a full k within its own cluster (9 candidates each)
+    assert(first.size == 30 * 3, s"expected 90 result rows, got ${first.size}")
+    assert(pq() == first, "ivfPqKnn must be deterministic run-to-run")
+  }
+
   test("multimodal: size-aware repartition + batch decode keeps every row once") {
     import spark.implicits._
     val media = docs.select(col("doc_id").as("id"),

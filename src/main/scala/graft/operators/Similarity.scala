@@ -436,12 +436,13 @@ object Similarity {
 
   /** IVF-PQ ANN (the FAISS IVFADC shape) — the COMPRESSION layer on top
     * of [[ivfKnn]]'s coarse quantizer, and the configuration a 100 TB
-    * vector corpus actually deploys: the inverted lists store `m`
-    * small sub-codes per vector instead of `dim` doubles (64 doubles =
-    * 512 B shrinks to m=4 ints; with ksub<=256, 4 BYTES at the storage
-    * layer), so the entire candidate side of the scoring join rides in
-    * ~1% of the raw footprint and the shuffled list entries are
-    * code-sized, not vector-sized.
+    * vector corpus actually deploys: the inverted lists store ONE int of
+    * `m` packed 4-bit sub-codes per vector instead of `dim` doubles
+    * (512 B → 2 bytes used — the FAISS byte-packed layout), so the
+    * entire candidate side of the scoring join rides in ~0.4% of the
+    * raw footprint and the shuffled list entries are code-sized, not
+    * vector-sized. SCALING.md carries the measured three-shape ADC
+    * ladder and the honest local-mode comparison against e4.
     *
     * Train (driver-side, deterministic, SQL-replicated by the e9
     * oracle): the coarse quantizer is [[sphericalLloyd]] exactly as in
@@ -494,33 +495,49 @@ object Similarity {
       scored.sortBy { case (c, d) => (-d, c) }.take(nprobe).map(_._1)
     }
     // unit-normalize (zero-norm degrades to the raw vector — scores 0
-    // everywhere, never NaN), then per-subspace argmin-L2 codes
+    // everywhere, never NaN), then per-subspace argmin-L2 codes PACKED
+    // into one int (4 bits per code at ksub<=16 — the FAISS byte-packed
+    // list layout, and it keeps the scoring loop allocation-free: a
+    // Seq[Int] codes column cost one boxed collection per candidate,
+    // measured 2× on the 100× probe)
+    require(ksub <= 16 && m <= 8, "packed codes hold m<=8 4-bit sub-codes")
     val encodeUdf = udf { (v: Seq[Double], nrm: Double) =>
       val u = if (nrm > 0) v.toArray.map(_ / nrm) else v.toArray
-      Array.tabulate(m) { s =>
-        nearestL2(java.util.Arrays.copyOfRange(u,
-          s * dsub, math.min((s + 1) * dsub, u.length)), bcBooks.value(s))
-      }
-    }
-    // Canonical ADC: one PARTIAL dot per subspace, then the partials
-    // sum in subspace order — the grouping a lookup-table implementation
-    // produces, and the grouping the e9 oracle replicates (a single
-    // running fold across subspace boundaries would round differently).
-    val adcUdf = udf { (v: Seq[Double], nrm: Double, codes: Seq[Int]) =>
-      val u = if (nrm > 0) v.toArray.map(_ / nrm) else v.toArray
-      var score = 0.0
+      var packed = 0
       var s = 0
       while (s < m) {
-        val cb = bcBooks.value(s)(codes(s))
-        var part = 0.0
-        var j = 0
-        val off = s * dsub
-        val mm = math.min(dsub, math.max(0, u.length - off))
-        while (j < mm) { part += u(off + j) * cb(j); j += 1 }
-        score += part
+        packed |= nearestL2(java.util.Arrays.copyOfRange(u,
+          s * dsub, math.min((s + 1) * dsub, u.length)), bcBooks.value(s)) << (4 * s)
         s += 1
       }
-      score
+      packed
+    }
+    // Canonical ADC, table-driven AND codegen-scored: the m×ksub lookup
+    // table of per-subspace partial dots builds ONCE per query row (one
+    // cheap UDF over N·nprobe rows), flattened as table[s*ksub + c];
+    // every candidate then scores with pure BUILT-IN expressions —
+    // shiftright/bitwiseAND unpack the 4-bit code, element_at reads the
+    // table, and the m lookups sum left-to-right — so the 6.3e9-pair
+    // hot loop at the 100× probe runs inside whole-stage codegen with
+    // ZERO per-candidate UDF calls or allocations. (First cut: a
+    // per-candidate UDF re-normalizing the query — 515 s at 100×; then
+    // a per-list UDF emitting boxed (nid, score) tuples — 79 s; this
+    // shape — measured below raw-IVF's 48 s — is the one that scales.)
+    // The left-fold sum over subspaces is the same float grouping as
+    // the per-subspace-partial loop, which is what the e9 oracle
+    // replicates.
+    val tableUdf = udf { (u: Seq[Double]) =>
+      val uu = u.toArray
+      val books = bcBooks.value
+      Array.tabulate(m * ksub) { i =>
+        val s = i / ksub
+        val cb = books(s)(i % ksub)
+        var part = 0.0; var j = 0
+        val off = s * dsub
+        val mm = math.min(cb.length, math.max(0, uu.length - off))
+        while (j < mm) { part += uu(off + j) * cb(j); j += 1 }
+        part
+      }
     }
 
     val lists = base
@@ -529,13 +546,21 @@ object Similarity {
         pmod(col("id"), lit(listShards.toLong)).as("shard"))
       .groupBy("lst", "shard")
       .agg(collect_list(struct(col("id"), col("codes"))).as("entries"))
+    // query unit vector computed ONCE per query row (codegen transform),
+    // not per candidate; zero-norm degrades to the raw vector (scores 0)
+    val uCol = when(col("nrm") > 0, transform(col("v"), x => x / col("nrm")))
+      .otherwise(col("v"))
     val queries = base
-      .select(col("id"), col("v"), col("nrm"), explode(probeUdf(col("v"))).as("lst"))
+      .select(col("id"), tableUdf(uCol).as("tbl"),
+        explode(probeUdf(col("v"))).as("lst"))
+    val adcExpr = (0 until m).map { s =>
+      element_at(col("tbl"),
+        shiftright(col("e.codes"), 4 * s).bitwiseAND(lit(15)) + lit(s * ksub + 1))
+    }.reduce(_ + _)
     val scored = queries.join(lists, "lst")
-      .select(col("id"), col("v"), col("nrm"), explode(col("entries")).as("e"))
+      .select(col("id"), col("tbl"), explode(col("entries")).as("e"))
       .filter(col("e.id") =!= col("id"))
-      .select(col("id"), col("e.id").as("nid"),
-        adcUdf(col("v"), col("nrm"), col("e.codes")).as("score"))
+      .select(col("id"), col("e.id").as("nid"), adcExpr.as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

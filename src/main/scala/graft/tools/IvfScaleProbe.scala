@@ -18,11 +18,13 @@ import org.apache.spark.sql.SparkSession
 object IvfScaleProbe {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: IvfScaleProbe <sfDir> <nlist> <nprobe> [reps]")
+    require(args.length >= 3,
+      "usage: IvfScaleProbe <sfDir> <nlist> <nprobe> [reps] [mode=ivf|pq]")
     val dir = args(0)
     val nlist = args(1).toInt
     val nprobe = args(2).toInt
     val reps = if (args.length > 3) args(3).toInt else 3
+    val mode = if (args.length > 4) args(4) else "ivf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,13 +38,18 @@ object IvfScaleProbe {
 
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
-      val n = Similarity.ivfKnn(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        dim = 64, k = 3, nlist = nlist, nprobe = nprobe).count()
+      val emb = Tables.embeddings(spark, dir)
+      val n = (if (mode == "pq")
+        Similarity.ivfPqKnn(emb, "vec_id", "embedding", dim = 64, k = 3,
+          nlist = nlist, nprobe = nprobe, m = 4, ksub = 16, pqIters = 3)
+      else
+        Similarity.ivfKnn(emb, "vec_id", "embedding", dim = 64, k = 3,
+          nlist = nlist, nprobe = nprobe)).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[ivfprobe] rep $i: $dt%.3f s ($n rows)")
+      System.err.println(f"[ivfprobe:$mode] rep $i: $dt%.3f s ($n rows)")
       dt
     }
-    println(f"""{"nlist":$nlist,"nprobe":$nprobe,"dir":"$dir","min_sec":${times.min}%.3f}""")
+    println(f"""{"mode":"$mode","nlist":$nlist,"nprobe":$nprobe,"dir":"$dir","min_sec":${times.min}%.3f}""")
     spark.stop()
   }
 }

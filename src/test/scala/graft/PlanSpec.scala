@@ -160,6 +160,20 @@ class PlanSpec extends SparkSpec {
       s"pair-keyed shuffle join crept back into IVF:\n${p.take(3000)}")
   }
 
+  test("e9 IVF-PQ keeps e4's plan shape with code-sized list entries") {
+    // same bucket-local probe join + map-side top-k as e4; the entries
+    // arrays must pack codes, never the raw vector column, so the
+    // shuffled list payload is code-sized (the compression IS the point)
+    val p = plan(graft.queries.TextQueries.e9IvfPq(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2,
+      s"expected Partial+Final WindowGroupLimit in:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair-keyed shuffle join crept into IVF-PQ:\n${p.take(3000)}")
+    val entriesAgg = p.linesIterator.find(_.contains("collect_list"))
+    assert(entriesAgg.exists(l => l.contains("codes") && !l.contains("struct(id, v")),
+      s"list entries must pack codes, not vectors: ${entriesAgg.getOrElse("<missing>")}")
+  }
+
   test("bloom1 probes the Bloom filter on the fact side before the semi join") {
     // the constant-Bloom might_contain must survive optimization as a
     // Filter over the lineitem scan (inside whole-stage codegen, before

@@ -926,6 +926,43 @@ object DomainQueries {
       |  MAX(strftime(make_timestamp(wts * 1000000), '%Y-%m-%d %H:%M:%S')) AS last_dt
       |FROM ev GROUP BY 1""".stripMargin
 
+  /** S7 (MongoDB mirror sink, write -> read round-trip through the real
+    * [[graft.sources.MongoSink]]): the e%30==0 nested-event slice lands
+    * as mongoimport-ready Extended JSON NDJSON — event id as `_id`, a
+    * synthesized TimestampType dataTime wrapped `{"$date": ISO-8601Z}`,
+    * nested datapoints verbatim — and is read back through the wire
+    * schema. The per-event invariants (dp count, hr/alarm sums) plus the
+    * reformatted `$date` gate both directions: a broken `_id` rename, a
+    * mis-wrapped or tz-shifted date, or a dropped datapoint all break
+    * the hash. The oracle restates the slice from the fixture formulas —
+    * both engines format the same naive UTC timestamp. */
+  def s7MongoRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, "s7_mongo")
+    val ev = OsdbFixture.nested(s, d).filter(col("e_num") % 30 === 0)
+      .withColumn("dataTime",
+        timestamp_seconds(lit(1600000000L) + col("e_num") * 60))
+      .drop("k", "e_num", "n_dp")
+    graft.sources.MongoSink.writeEventsMongoJson(ev, dir,
+      idCol = "id", dateCols = Seq("dataTime"))
+    val back = graft.sources.MongoSink.readEventsMongoJson(s, dir, ev.schema,
+      idCol = "id", dateCols = Seq("dataTime"))
+    back.select(col("id"),
+        date_format(col("dataTime"), "yyyy-MM-dd HH:mm:ss").as("dt"),
+        explode(col("datapoints")).as("dp"))
+      .groupBy("id", "dt")
+      .agg(count(lit(1)).as("n_dp"),
+        sum(col("dp.hr").cast("long")).as("hr_sum"),
+        sum(col("dp.alarmState")).as("alarm_sum"))
+  }
+
+  val s7Sql: String = sqlBase +
+    """SELECT CAST(e AS VARCHAR) AS id,
+      |  strftime(make_timestamp((1600000000 + e * 60) * 1000000),
+      |           '%Y-%m-%d %H:%M:%S') AS dt,
+      |  COUNT(*) AS n_dp, CAST(SUM(hr) AS BIGINT) AS hr_sum,
+      |  CAST(SUM(alarm) AS BIGINT) AS alarm_sum
+      |FROM dpx WHERE e % 30 = 0 GROUP BY e""".stripMargin
+
   /** U3 (multi-file union through the real [[graft.sources.OsdbJson
     * .readEvents]] paths* overload): two single-file NDJSON category
     * files — the reference's one-JSON-file-per-category layout — read in
@@ -1593,6 +1630,7 @@ object DomainQueries {
     "s13_simulated"     -> (s13Simulated _),
     "s3_flatcsv_roundtrip" -> (s3FlatCsvRoundtrip _),
     "s6_upsert"         -> (s6Upsert _),
+    "s7_mongo_roundtrip" -> (s7MongoRoundtrip _),
     "s8_json_roundtrip" -> (s8JsonRoundtrip _),
     "s9_index_csv"      -> (s9IndexCsv _),
     "u3_multifile_union" -> (u3MultifileUnion _),
@@ -1649,6 +1687,7 @@ object DomainQueries {
     "s13_simulated"     -> s13Sql,
     "s3_flatcsv_roundtrip" -> s3Sql,
     "s6_upsert"         -> s6Sql,
+    "s7_mongo_roundtrip" -> s7Sql,
     "s8_json_roundtrip" -> s8Sql,
     "s9_index_csv"      -> s9Sql,
     "u3_multifile_union" -> u3Sql,

@@ -93,4 +93,36 @@ class TidySourcesSpec extends SparkSpec {
     assert(back.count() == 4)
     assert(back.columns.toSeq == OsdbJson.IndexColumns)
   }
+
+  test("S7 Mongo sink: _id + $date on the wire; null date and absent keys survive") {
+    import spark.implicits._
+    import graft.sources.MongoSink
+    val df = Seq(
+      ("e1", Some("2022-05-09 02:37:21"), Some("u1"), Some(3L)),
+      ("e2", None, None, Some(5L)),              // null date, absent userId
+      ("e3", Some("2022-05-09 02:37:23"), Some("u3"), None))
+      .toDF("id", "dtStr", "userId", "n")
+      .withColumn("dataTime", col("dtStr").cast("timestamp")).drop("dtStr")
+    val out = Files.createTempDirectory("mongo").toFile.getAbsolutePath + "/lake"
+    MongoSink.writeEventsMongoJson(df, out, idCol = "id",
+      dateCols = Seq("dataTime"))
+    // the wire really is Extended JSON: _id present, $date wrapper on dates,
+    // null fields omitted (Mongo's absent-key convention)
+    val lines = spark.read.textFile(out).collect().sorted
+    assert(lines.forall(_.contains("\"_id\":")))
+    assert(lines.count(_.contains("\"$date\":\"2022-05-09T")) == 2)
+    val e2line = lines.find(_.contains("\"_id\":\"e2\"")).get
+    assert(!e2line.contains("userId") && !e2line.contains("dataTime"))
+    val back = MongoSink.readEventsMongoJson(spark, out, df.schema,
+      idCol = "id", dateCols = Seq("dataTime")).cache()
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.count() == 3)
+    assert(back.filter(col("id") === "e2").head().isNullAt(
+      back.columns.indexOf("dataTime")))
+    val e1 = back.filter(col("id") === "e1").head()
+    assert(e1.getTimestamp(back.columns.indexOf("dataTime")).toString
+      .startsWith("2022-05-09 02:37:21"))
+    assert(back.filter(col("id") === "e3").head().isNullAt(
+      back.columns.indexOf("n")))
+  }
 }

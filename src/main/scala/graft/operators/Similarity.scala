@@ -598,4 +598,51 @@ object Similarity {
       normed(vectors, idCol, vecCol), "id_a", "id_b", "cos")
       .filter(col("cos") >= minCosine)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus first (any assignment — [[graft.operators
+    * .KMeans.lloyd]] here), then prune near-duplicates ONLY within each
+    * cluster. Where [[cosineNearDupPairs]] blocks by LSH signature (a
+    * recall/cost dial), this blocks by semantic cluster: the pair join
+    * is keyed on the cluster id, so the quadratic term is bounded by
+    * the largest cluster, and k is the scale dial — grow it with the
+    * corpus to hold N/k (and so (N/k)^2 per cluster) constant. At 100 TB
+    * that is the difference between an impossible all-pairs cosine and
+    * k embarrassingly parallel cluster-local scans; the price, as in
+    * the paper, is that near-dups straddling a cluster boundary are
+    * invisible by design.
+    *
+    * Keep rule: a row is dropped iff a LOWER-id same-cluster row sits
+    * within `tau` cosine — first-occurrence-wins, the same deterministic
+    * convention as the d1/d2 text dedups (no transitive closure: a
+    * chain a~b~c with cos(a,c) < tau keeps a and c — [[graft.operators
+    * .Dedup.dupClusters]] is the closure when wanted). Zero vectors
+    * never pair (cosine undefined; NaN would read "dup" in engines that
+    * sort NaN high, so the guard is explicit) and are always kept.
+    *
+    * Cross-engine exactness: per-row squared norms are computed once
+    * ([[dot]] — index-order fold, the e1 contract) and the score is the
+    * single expression dot/(sqrt(nn_x)*sqrt(nn_y)) — identical IEEE
+    * trees on both engines, so even boundary-grazing pairs agree.
+    *
+    * @return one row per input vector: (`idCol`, `clusterCol`,
+    *         kept BOOLEAN).
+    */
+  def semDedupKept(vectors: DataFrame, idCol: String, vecCol: String,
+                   clusterCol: String, tau: Double): DataFrame = {
+    val v = vectors
+      .select(col(idCol).cast("long").as("id"), col(clusterCol).as("c"),
+        asDouble(col(vecCol)).as("e"))
+      .withColumn("nn", dot(col("e"), col("e")))
+    val y = v.select(col("c").as("yc"), col("id").as("yid"),
+      col("e").as("ye"), col("nn").as("ynn"))
+    val drops = v.join(y, col("c") === col("yc") && col("yid") < col("id"))
+      .filter(col("nn") > 0 && col("ynn") > 0 &&
+        dot(col("e"), col("ye")) / (sqrt(col("nn")) * sqrt(col("ynn"))) >= tau)
+      .select("id").distinct()
+    v.join(drops.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("c").as(clusterCol),
+        col("dup").isNull.as("kept"))
+  }
 }

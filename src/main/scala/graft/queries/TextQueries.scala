@@ -1194,44 +1194,53 @@ object TextQueries {
     graft.operators.KMeans.lloyd(
       Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
 
+  /** The e8 Lloyd replay as a reusable CTE chain ending in `asg`
+    * (vec_id, cluster) — shared verbatim by the e8 oracle and by pipe6,
+    * which replays the SAME training over a planted-duplicate corpus.
+    * `src` must expose (vec_id, `vecExpr` as DOUBLE[]). */
+  private def lloydAsgCtes(src: String, vecExpr: String): String =
+    s"""q AS (
+       |  SELECT vec_id,
+       |         list_transform($vecExpr,
+       |                        x -> floor(x * 1024.0 + 0.5)) AS q
+       |  FROM $src),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cent
+       |  FROM q ORDER BY vec_id LIMIT 8),
+       |p1 AS (
+       |  SELECT v.vec_id, v.q, s.c,
+       |         list_transform(range(1, 65), i -> v.q[i] - s.cent[i]) AS d
+       |  FROM q v CROSS JOIN seeds s),
+       |a1 AS (
+       |  SELECT vec_id, q, c FROM (
+       |    SELECT vec_id, q, c, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY list_dot_product(d, d), c) AS rn
+       |    FROM p1) WHERE rn = 1),
+       |upd AS (
+       |  SELECT a.c, i.pos,
+       |         CAST(SUM(CAST(a.q[i.pos] AS BIGINT)) AS DOUBLE) AS s,
+       |         COUNT(*) AS n
+       |  FROM a1 a CROSS JOIN range(1, 65) AS i(pos)
+       |  GROUP BY a.c, i.pos),
+       |cent2 AS (
+       |  SELECT s.c,
+       |         CASE WHEN u.c IS NULL THEN s.cent ELSE u.cent END AS cent
+       |  FROM seeds s LEFT JOIN (
+       |    SELECT c, list(s / n ORDER BY pos) AS cent FROM upd
+       |    GROUP BY c) u ON s.c = u.c),
+       |p2 AS (
+       |  SELECT v.vec_id, s.c,
+       |         list_transform(range(1, 65), i -> v.q[i] - s.cent[i]) AS d
+       |  FROM q v CROSS JOIN cent2 s),
+       |asg AS (
+       |  SELECT vec_id, CAST(c AS INT) AS cluster FROM (
+       |    SELECT vec_id, c, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY list_dot_product(d, d), c) AS rn
+       |    FROM p2) WHERE rn = 1)""".stripMargin
+
   val e8Sql: String =
-    """WITH q AS (
-      |  SELECT vec_id,
-      |         list_transform(embedding::DOUBLE[],
-      |                        x -> floor(x * 1024.0 + 0.5)) AS q
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cent
-      |  FROM q ORDER BY vec_id LIMIT 8),
-      |p1 AS (
-      |  SELECT v.vec_id, v.q, s.c,
-      |         list_transform(range(1, 65), i -> v.q[i] - s.cent[i]) AS d
-      |  FROM q v CROSS JOIN seeds s),
-      |a1 AS (
-      |  SELECT vec_id, q, c FROM (
-      |    SELECT vec_id, q, c, row_number() OVER (
-      |      PARTITION BY vec_id ORDER BY list_dot_product(d, d), c) AS rn
-      |    FROM p1) WHERE rn = 1),
-      |upd AS (
-      |  SELECT a.c, i.pos,
-      |         CAST(SUM(CAST(a.q[i.pos] AS BIGINT)) AS DOUBLE) AS s,
-      |         COUNT(*) AS n
-      |  FROM a1 a CROSS JOIN range(1, 65) AS i(pos)
-      |  GROUP BY a.c, i.pos),
-      |cent2 AS (
-      |  SELECT s.c,
-      |         CASE WHEN u.c IS NULL THEN s.cent ELSE u.cent END AS cent
-      |  FROM seeds s LEFT JOIN (
-      |    SELECT c, list(s / n ORDER BY pos) AS cent FROM upd
-      |    GROUP BY c) u ON s.c = u.c),
-      |p2 AS (
-      |  SELECT v.vec_id, s.c,
-      |         list_transform(range(1, 65), i -> v.q[i] - s.cent[i]) AS d
-      |  FROM q v CROSS JOIN cent2 s)
-      |SELECT vec_id, CAST(c AS INT) AS cluster FROM (
-      |  SELECT vec_id, c, row_number() OVER (
-      |    PARTITION BY vec_id ORDER BY list_dot_product(d, d), c) AS rn
-      |  FROM p2) WHERE rn = 1""".stripMargin
+    "WITH " + lloydAsgCtes("embeddings", "embedding::DOUBLE[]") +
+      "\nSELECT vec_id, cluster FROM asg"
 
   /** DECON2 — SEMANTIC decontamination (decon1's n-gram check catches
     * verbatim leaks; paraphrased eval items need the embedding space):
@@ -1832,6 +1841,65 @@ object TextQueries {
       |WHERE score >= median_score
       |GROUP BY source""".stripMargin
 
+  /** PIPE6 — SemDeDup semantic deduplication ([[graft.operators
+    * .Similarity.semDedupKept]] over [[graft.operators.KMeans.lloyd]]
+    * clusters — the full two-stage pipeline of Abbas et al. 2023):
+    * cluster the embedding corpus with the e8 trainer (k=8, 2 Lloyd
+    * rounds, exact quantized arithmetic), then drop any vector whose
+    * cosine to a lower-id member of the SAME cluster reaches 0.95.
+    * Near-dups are PLANTED by formula: vecs with vec_id % 17 == 5 carry
+    * an exact copy of their decade-base embedding (vec_id − vec_id%10),
+    * shipped in via a broadcast join both engines replicate. Identical
+    * vectors get identical quantized distances, hence the SAME cluster
+    * — so every planted copy MUST come back kept=false, while the
+    * fixture's natural pairs sit far below the threshold (decon2
+    * measured the cross-decade max at ~0.51). The oracle replays Lloyd
+    * over the planted corpus via the shared [[lloydAsgCtes]] chain and
+    * restates the keep rule as an EXISTS — assignment, pairing, and
+    * verdicts all hash-gated. Cluster-keyed pairing bounds the
+    * quadratic term by the largest cluster; k is the scale dial
+    * (operator docblock). */
+  def pipe6SemDedup(s: SparkSession, d: String): DataFrame = {
+    val eb = Tables.embeddings(s, d)
+    val base = eb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("tgt"), col("embedding").as("b_emb"))
+    val planted = eb
+      .withColumn("tgt", col("vec_id") - col("vec_id") % 10)
+      .join(broadcast(base), Seq("tgt"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % 17 === 5 && col("b_emb").isNotNull, col("b_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+    val clusters = graft.operators.KMeans.lloyd(
+      planted, "vec_id", "embedding", k = 8, iters = 2)
+    graft.operators.Similarity.semDedupKept(
+      planted.join(clusters, "vec_id"),
+      "vec_id", "embedding", "cluster", tau = 0.95)
+  }
+
+  val pipe6Sql: String =
+    """WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |bse AS (SELECT vec_id AS tgt, e AS be FROM eb WHERE vec_id % 10 = 0),
+      |emb2 AS (
+      |  SELECT t.vec_id,
+      |         CASE WHEN t.vec_id % 17 = 5 AND b.be IS NOT NULL
+      |              THEN b.be ELSE t.e END AS emb
+      |  FROM eb t LEFT JOIN bse b ON b.tgt = t.vec_id - (t.vec_id % 10)),
+      |""".stripMargin +
+      lloydAsgCtes("emb2", "emb") + ",\n" +
+      """jv AS (
+        |  SELECT a.vec_id, a.cluster, m.emb AS e,
+        |         list_dot_product(m.emb, m.emb) AS nn
+        |  FROM asg a JOIN emb2 m USING (vec_id)),
+        |drops AS (
+        |  SELECT DISTINCT x.vec_id
+        |  FROM jv x JOIN jv y
+        |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        |  WHERE x.nn > 0 AND y.nn > 0
+        |    AND list_dot_product(x.e, y.e)
+        |          / (sqrt(x.nn) * sqrt(y.nn)) >= 0.95)
+        |SELECT jv.vec_id, jv.cluster, d.vec_id IS NULL AS kept
+        |FROM jv LEFT JOIN drops d USING (vec_id)""".stripMargin
+
   /** SHUF1 — deterministic corpus shuffle: the reorder step a training
     * pipeline runs between curation and sequence packing (adjacent raw
     * documents are correlated — same crawl, same domain — so the corpus
@@ -1901,6 +1969,7 @@ object TextQueries {
     "pipe2_token_packing"   -> (pipe2TokenPacking _),
     "pipe4_domain_mixture"  -> (pipe4DomainMixture _),
     "pipe5_adaptive_quality" -> (pipe5AdaptiveQuality _),
+    "pipe6_semdedup"   -> (pipe6SemDedup _),
     "decon1_eval_overlap"   -> (decon1EvalOverlap _),
     "decon2_semantic"       -> (decon2SemanticOverlap _),
     "shuf1_det_shuffle"     -> (shuf1DeterministicShuffle _)
@@ -1944,6 +2013,7 @@ object TextQueries {
     "pipe2_token_packing"   -> pipe2Sql,
     "pipe4_domain_mixture"  -> pipe4Sql,
     "pipe5_adaptive_quality" -> pipe5Sql,
+    "pipe6_semdedup"   -> pipe6Sql,
     "decon1_eval_overlap"   -> decon1Sql,
     "decon2_semantic"       -> decon2Sql,
     "shuf1_det_shuffle"     -> shuf1Sql

@@ -332,4 +332,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("reject") == 0, "varied text must pass")
     assert(out(2L).getAs[Int]("d2") == out(2L).getAs[Int]("n2"))
   }
+
+  test("semDedupKept: cluster-scoped keep-first; zero vectors and cross-cluster twins kept") {
+    import spark.implicits._
+    val vecs = Seq(
+      // cluster 0: 1 and 2 identical -> 2 dropped; 3 orthogonal -> kept
+      (1L, 0, Seq(1.0, 0.0)),
+      (2L, 0, Seq(2.0, 0.0)),   // same direction as 1 (cos == 1 to it)
+      (3L, 0, Seq(0.0, 1.0)),
+      // cluster 1: identical twin of vec 1 — boundary straddle, kept BY DESIGN
+      (4L, 1, Seq(1.0, 0.0)),
+      // zero vector: cosine undefined, never paired, kept
+      (5L, 0, Seq(0.0, 0.0)),
+      // chain non-transitivity: 6~7 close, 7~8 close, 6~8 not
+      (6L, 2, Seq(1.0, 0.0)),
+      (7L, 2, Seq(1.0, 0.32)),  // cos(6,7)=0.952, cos(7,8)=0.966, cos(6,8)=0.841
+      (8L, 2, Seq(0.9, 0.59))
+    ).toDF("vec_id", "cluster", "embedding")
+    val kept = Similarity.semDedupKept(vecs, "vec_id", "embedding",
+        "cluster", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true, 7L -> false, 8L -> false))
+    // 8 drops because of 7 (first-occurrence rule, no closure): had the
+    // rule been closure-aware, 8 would survive 6 (cos 0.84 < tau)
+  }
 }

@@ -360,4 +360,60 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ------------------------------------------------- duplicate-span removal
+
+  /** SUB-document exact dedup — the windowed rendition of ExactSubstr
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): where [[exactDedup]] drops whole duplicate
+    * documents, this removes REPEATED SPANS (boilerplate headers,
+    * license blocks, templated passages) while keeping the documents.
+    * Every length-`n` token window is an occurrence; per distinct gram
+    * the lexicographically first (doc, start) occurrence WINS, every
+    * other occurrence marks its n tokens as duplicated; a token covered
+    * by any duplicated window is removed and the document is rebuilt
+    * from the survivors. (The suffix-array original removes maximal
+    * repeats >= n tokens; fixed windows over-mark by at most n-1 tokens
+    * at repeat boundaries and need no global suffix sort — each window
+    * is its own key.)
+    *
+    * Scale shape: occurrences explode narrowly off the token array
+    * (like t9's chunker); the winner choice is ONE gram-keyed
+    * min(struct) groupBy and the verdicts come back on the SAME key, so
+    * both exchanges carry (gram, doc, start) rows; span coverage then
+    * re-keys by doc id — slim long pairs — and the rebuild is a narrow
+    * array fold per document (positions x spans, bounded by doc
+    * length^2/n). The gram key here is the token string itself; a
+    * 100 TB run maps it through a >= 128-bit fingerprint first (64-bit
+    * birthday-collides by ~2^32 grams) — a pure shuffle-width
+    * optimization with identical semantics in the collision-free
+    * regime the dedup contract already assumes.
+    *
+    * @return (`idCol`, n_tok, n_removed, clean_text) — one row per doc
+    *         with >= `n` tokens (shorter docs have no window; callers
+    *         pass them through untouched).
+    */
+  def duplicateSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 20): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val arr = docs.select(col(idCol).cast("long").as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+    val occ = arr.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+        .as(Seq("s", "gram")))
+    val winners = occ.groupBy("gram")
+      .agg(min(struct(col("id"), col("s"))).as("w"))
+    val dupSpans = occ.join(winners, "gram")
+      .filter(!(col("id") === col("w.id") && col("s") === col("w.s")))
+      .groupBy("id").agg(collect_list(col("s")).as("ss"))
+    arr.join(dupSpans, Seq("id"), "left")
+      .withColumn("kept", expr(
+        s"filter(sequence(0, size(toks) - 1), i -> ss IS NULL OR NOT exists(ss, s -> s <= i AND i <= s + ${n - 1}))"))
+      .select(col("id").as(idCol),
+        size(col("toks")).as("n_tok"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        expr("concat_ws(' ', transform(kept, i -> toks[i]))").as("clean_text"))
+  }
 }

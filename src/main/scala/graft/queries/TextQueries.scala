@@ -194,6 +194,50 @@ object TextQueries {
        |   UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
        |SELECT u AS doc_id, MIN(r) AS component_id FROM reach GROUP BY u""".stripMargin
 
+  /** D7 — duplicate-SPAN removal ([[graft.operators.Dedup
+    * .duplicateSpanRemoval]], the windowed ExactSubstr of Lee et al.
+    * 2022): every repeated 20-token window loses all occurrences except
+    * the lexicographically first (doc, start); covered tokens are
+    * removed and each document is rebuilt from the survivors. The
+    * fixture corpus carries natural repeated spans (747 duplicated
+    * 20-grams at sf0.01), so the entry exercises real removals, and the
+    * full rebuilt text rides the hash — a mis-chosen winner, an
+    * off-by-one in span coverage, or a broken rebuild all break it. The
+    * oracle restates occurrence windows, the first-wins rule
+    * (ROW_NUMBER), and the coverage fold with DuckDB list lambdas —
+    * engine-independent ground truth, no pins. */
+  def d7SpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpanRemoval(Tables.documents(s, d), "doc_id", "text",
+      n = 20)
+
+  val d7Sql: String =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |docs20 AS (SELECT * FROM arr WHERE len(toks) >= 20),
+      |occ AS (
+      |  SELECT doc_id, u.i AS s,
+      |         array_to_string(toks[u.i+1:u.i+20], ' ') AS gram
+      |  FROM docs20, unnest(range(0, len(toks) - 19)) u(i)),
+      |dup AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, row_number() OVER (
+      |      PARTITION BY gram ORDER BY doc_id, s) AS rn
+      |    FROM occ) WHERE rn > 1),
+      |sp AS (SELECT doc_id, list(s) AS ss FROM dup GROUP BY doc_id),
+      |cov AS (
+      |  SELECT a.doc_id, a.toks,
+      |         list_filter(range(0, len(a.toks)),
+      |           i -> sp.ss IS NULL OR
+      |                len(list_filter(sp.ss, s -> s <= i AND i <= s + 19)) = 0)
+      |           AS kept
+      |  FROM docs20 a LEFT JOIN sp ON a.doc_id = sp.doc_id)
+      |SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+      |       CAST(len(toks) - len(kept) AS INT) AS n_removed,
+      |       COALESCE(array_to_string(list_transform(kept, i -> toks[i+1]),
+      |                                ' '), '') AS clean_text
+      |FROM cov""".stripMargin
+
   /** D5: self-scoring dedup gate — the e5 trick applied to the two
     * hash-based near-dup paths. Ground truth is EXACT 3-gram Jaccard >=
     * 0.5 over the same shingle domain MinHash estimates (lowercased
@@ -1939,6 +1983,7 @@ object TextQueries {
     "d4_simhash"       -> (d4SimHash _),
     "d5_dedup_recall"  -> (d5DedupRecall _),
     "d6_dup_clusters"  -> (d6DupClusters _),
+    "d7_span_dedup"    -> (d7SpanDedup _),
     "t1_langid"        -> (t1LangId _),
     "t2_quality"       -> (t2Quality _),
     "t3_tokens"        -> (t3Tokens _),
@@ -1983,6 +2028,7 @@ object TextQueries {
     "d4_simhash"       -> d4Sql,
     "d5_dedup_recall"  -> d5Sql,
     "d6_dup_clusters"  -> d6Sql,
+    "d7_span_dedup"    -> d7Sql,
     "t1_langid"        -> t1Sql,
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,

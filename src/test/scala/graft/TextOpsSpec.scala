@@ -333,6 +333,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("d2") == out(2L).getAs[Int]("n2"))
   }
 
+  test("duplicateSpanRemoval: first occurrence wins, covered tokens go, short docs excluded") {
+    import spark.implicits._
+    // n=3 windows. doc 1 owns "a b c"; doc 2 repeats it mid-text; doc 3
+    // repeats a SPAN of 4 tokens ("a b c d" ⊃ two windows) from doc 1;
+    // doc 4 is too short for any window; doc 5 duplicates doc 1 entirely.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c z w"),
+      (3L, "q a b c d r s"),
+      (4L, "p q"),
+      (5L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRemoval(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(!out.contains(4L), "doc shorter than n has no window")
+    assert(out(1L) == ((6, 0, "a b c d e f")), "winner doc untouched")
+    // doc 2: window "a b c" at pos 2 duplicates doc 1's pos 0 -> tokens
+    // 2..4 removed, neighbors kept
+    assert(out(2L) == ((7, 3, "x y z w")))
+    // doc 3: windows "a b c"(1) and "b c d"(2) both duplicate doc 1 ->
+    // coverage 1..4 (the windowed over-mark is contiguous, not 2n)
+    assert(out(3L) == ((7, 4, "q r s")))
+    // doc 5: every window duplicates doc 1 -> all tokens removed,
+    // empty doc REPORTED (n_removed==n_tok), not silently dropped
+    assert(out(5L) == ((6, 6, "")))
+  }
+
   test("semDedupKept: cluster-scoped keep-first; zero vectors and cross-cluster twins kept") {
     import spark.implicits._
     val vecs = Seq(

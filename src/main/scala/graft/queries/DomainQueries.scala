@@ -1236,6 +1236,42 @@ object DomainQueries {
       |  CAST(SUM(p.n_user) AS BIGINT) AS sum_user_events
       |FROM events e JOIN p USING (user_id) GROUP BY 1""".stripMargin
 
+  /** LAKE3 — SMALL-FILE COMPACTION end to end ([[graft.sources
+    * .LakeMaintenance.compact]]): the maintenance lever that keeps
+    * lake1's layout healthy under churn. The harness fabricates ingest
+    * sprawl (32 writer tasks per partition — the shape every
+    * incremental/streaming sink leaves behind), compaction rewrites it
+    * as one declarative repartition-by-partition job with
+    * `maxRecordsPerFile` bounding files per directory — no driver loop,
+    * same plan at 10 or 10,000 partitions — and the entry reads the
+    * COMPACTED lake back for per-category integer invariants (count,
+    * distinct users, event-id sum) the DuckDB oracle states off the
+    * original table: a dropped row-group, a partition mixed into the
+    * wrong directory, or a corrupted rewrite all break the hash.
+    * PlanSpec-style file-count assertions (32+ files -> 1 per
+    * partition) live in the OperatorsSpec test, where the
+    * environment-dependent part (file sizes) belongs. */
+  def lake3Compaction(s: SparkSession, d: String): DataFrame = {
+    val src = qtmp(s, "lake3_src")
+    val dst = qtmp(s, "lake3_dst")
+    graft.Tables.events(s, d).withColumn("category", col("event_type"))
+      .repartition(32)
+      .write.mode("overwrite").partitionBy("category").parquet(src)
+    graft.sources.LakeMaintenance.compact(s, src, dst, "category",
+      maxRecordsPerFile = 1L << 20)
+    s.read.parquet(dst)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
+  val lake3Sql: String =
+    """SELECT event_type AS category, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY 1""".stripMargin
+
   // --------------------------------------------------- P: spectral (oracled)
 
   /** P1+P3 (getFFT + |z|² magnitude quirk, `osdAlgTools.py:95-105` and
@@ -1640,6 +1676,7 @@ object DomainQueries {
     "s14_corrupt_quarantine" -> (s14CorruptQuarantine _),
     "lake1_pruned_scan" -> (lake1PrunedScan _),
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
+    "lake3_compaction"  -> (lake3Compaction _),
     "s12_seizure_times" -> (s12SeizureTimes _),
     "p1_fft_bins"       -> (p1FftBins _),
     "p2_window_sums"    -> (p2WindowSums _),
@@ -1697,6 +1734,7 @@ object DomainQueries {
     "s14_corrupt_quarantine" -> s14Sql,
     "lake1_pruned_scan" -> lake1Sql,
     "lake2_bucketed_join" -> lake2Sql,
+    "lake3_compaction"  -> lake3Sql,
     "s12_seizure_times" -> s12Sql,
     "p1_fft_bins"       -> p1Sql,
     "p2_window_sums"    -> p2Sql,

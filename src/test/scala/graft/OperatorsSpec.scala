@@ -274,4 +274,31 @@ class OperatorsSpec extends SparkSpec {
     assert(Bloom.bloomAntiJoin(batch, "k", Seq.empty[Long].toDF("k"), "k")
       .count() == 1000)
   }
+
+  test("LakeMaintenance.compact: file sprawl collapses per partition, content identical") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance
+    val base = java.nio.file.Files.createTempDirectory("lake3").toFile
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val dst = new java.io.File(base, "dst").getAbsolutePath
+    val df = (1L to 3000L).map(i => (i, s"p${i % 3}", i * 7 % 1000))
+      .toDF("id", "part", "v")
+    df.repartition(24).write.partitionBy("part").parquet(src)
+    // sprawl fabricated: >= 20 files per partition dir
+    LakeMaintenance.compact(spark, src, dst, "part", maxRecordsPerFile = 600)
+    val stats = LakeMaintenance.compactionStats(spark, src, dst)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(stats.keySet == Set("part=p0", "part=p1", "part=p2"))
+    stats.foreach { case (p, (before, after)) =>
+      assert(before >= 20, s"$p: sprawl fixture degenerate ($before files)")
+      // 1000 rows per partition at 600 records/file -> exactly 2 files
+      assert(after == 2, s"$p: expected 2 compacted files, got $after")
+    }
+    // content unchanged, partition column re-derived from the dirs
+    val a = spark.read.parquet(src).select("id", "part", "v")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(dst).select("id", "part", "v")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 3000)
+  }
 }

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *     grams identical across copies, so the duplicate side grows with
   *     the factor — a deliberate worst-case-ish stress.
   *   - SemDeDup (KMeans.lloyd + [[graft.operators.Similarity
-  *     .semDedupKept]]) — `k` is the scale dial: the pair join is
-  *     O(N²/k), so the probe takes k as an argument to demonstrate the
-  *     constant-cluster-size rule (k ∝ N) that the operator docblock
-  *     prescribes. ScaleGen copies (+c·1e-4 per component) are near-dups
-  *     of their base by construction, so the drop side stays loaded.
+  *     .semDedupKept]]) — `k` is the scale dial, and the probe takes it
+  *     as an argument to demonstrate the k ∝ √N rule: the pair join is
+  *     O(N²/k) but Lloyd assignment is O(N·k), so constant cluster
+  *     size (k ∝ N) just moves the quadratic into training; k ∝ √N
+  *     balances both at O(N^1.5) — the same decade law as e4's
+  *     nlist ∝ √N. ScaleGen copies (+c·1e-4 per component) are
+  *     near-dups of their base by construction, so the drop side
+  *     stays loaded.
   *
   * `runMain graft.tools.NewDedupScaleProbe <sfDir> <k> [reps]`
   */
@@ -49,10 +52,15 @@ object NewDedupScaleProbe {
     }
 
     val d7 = time("d7_span") {
-      graft.operators.Dedup
+      // sum(n_removed)+max(len) force the dup join and the rebuild —
+      // a bare count() lets Catalyst skip the entire duplicate side
+      // (left join, unique right key: count == count(left))
+      val out = graft.operators.Dedup
         .duplicateSpanRemoval(graft.Tables.documents(spark, dir),
           "doc_id", "text", n = 20)
-        .count()
+        .agg(sum("n_removed").as("rm"), max(length(col("clean_text"))))
+        .head()
+      out.getLong(0)
     }
     val sem = time(s"semdedup_k$k") {
       val emb = graft.Tables.embeddings(spark, dir)

@@ -606,12 +606,16 @@ object Similarity {
     * cluster. Where [[cosineNearDupPairs]] blocks by LSH signature (a
     * recall/cost dial), this blocks by semantic cluster: the pair join
     * is keyed on the cluster id, so the quadratic term is bounded by
-    * the largest cluster, and k is the scale dial — grow it with the
-    * corpus to hold N/k (and so (N/k)^2 per cluster) constant. At 100 TB
-    * that is the difference between an impossible all-pairs cosine and
-    * k embarrassingly parallel cluster-local scans; the price, as in
-    * the paper, is that near-dups straddling a cluster boundary are
-    * invisible by design.
+    * the largest cluster, and k is the scale dial. Grow k ∝ √N — NOT
+    * k ∝ N: holding cluster size constant just moves the quadratic
+    * into Lloyd's O(N·k) assignment (measured at the 100× probe:
+    * k=800 costs 189 s where k=80 costs 34 s at an identical drop
+    * count — SCALING.md). √N balances training and the O(N²/k) pair
+    * join at O(N^1.5) each, the same decade law as [[ivfKnn]]'s
+    * nlist ∝ √N. At 100 TB that is the difference between an
+    * impossible all-pairs cosine and k embarrassingly parallel
+    * cluster-local scans; the price, as in the paper, is that
+    * near-dups straddling a cluster boundary are invisible by design.
     *
     * Keep rule: a row is dropped iff a LOWER-id same-cluster row sits
     * within `tau` cosine — first-occurrence-wins, the same deterministic

@@ -202,6 +202,49 @@ object StreamQueries {
         col("max_value"), col("n"))
   }
 
+  /** ST7 — STREAM-STATIC JOIN enrichment: each micro-batch of the event
+    * feed joins a STATIC per-user profile dimension (computed once from
+    * the lake, broadcast — the Structured Streaming "stream-static"
+    * join, the standard live-enrichment shape) before the watermarked
+    * tumbling rollup. The static side is planned per micro-batch with
+    * no streaming state of its own: state stays bounded by the window
+    * aggregation exactly as in st2, while every emitted row carries
+    * lake-derived context. At fleet scale the profile is the
+    * broadcast-sized side BY DESIGN (one row per user); a
+    * too-big-to-broadcast dim is the cue to pre-bucket it (lake2) —
+    * the stream side then shuffles on the join key per batch.
+    * Result contract: st2's tumbling windows + the enrichment column;
+    * the oracle restates both off the lake (batch/stream parity under
+    * the hash gate). Left join: the sentinel user (-1) has no profile
+    * row and must survive the join as null-enriched — a stream-static
+    * INNER join would silently drop unmatched live traffic; the filter
+    * that removes sentinels is the harness, not the join. */
+  def st7StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val profile = ev.groupBy("user_id").agg(count(lit(1)).as("n_user"))
+    val slice = ev.filter(feedSlice)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+    val out = fileFeedDrain(s, "st7", slice,
+      Seq(StructField("user_id", LongType)),
+      us => s"""{"ts_us":$us,"user_id":-1}""",
+      df => df.withWatermark("ts", "30 minutes")
+        .join(broadcast(profile), Seq("user_id"), "left")
+        .groupBy(col("user_id"), window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), max(col("n_user")).as("n_user")))
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n"), col("n_user"))
+  }
+
+  val st7Sql: String =
+    """WITH p AS (SELECT user_id, COUNT(*) AS n_user FROM events GROUP BY 1)
+      |SELECT e.user_id,
+      | strftime(time_bucket(INTERVAL '10 minutes', e.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      | COUNT(*) AS n, MAX(p.n_user) AS n_user
+      |FROM events e JOIN p USING (user_id)
+      |WHERE e.user_id % 4 = 0 GROUP BY 1, 2""".stripMargin
+
   /** ST3: the registry entry that PIONEERED the file-source feed (round
     * 7, when st1/st2 still ran MemoryStream) — readStream over an NDJSON
     * drop directory, maxFilesPerTrigger=1, the production source shape.
@@ -387,7 +430,8 @@ object StreamQueries {
     "st3_file_stream"     -> (st3FileStream _),
     "st4_stream_dedup"    -> (st4StreamDedup _),
     "st5_rocksdb_session" -> (st5RocksdbSession _),
-    "st6_restart_recovery" -> (st6RestartRecovery _)
+    "st6_restart_recovery" -> (st6RestartRecovery _),
+    "st7_stream_static_join" -> (st7StreamStaticJoin _)
   )
 
   /** Parity on purpose: the streaming queries answer to the batch twins'
@@ -432,6 +476,7 @@ object StreamQueries {
     "st5_rocksdb_session" -> st1Sql,
     // st6 = st1 through a kill-and-restart checkpoint recovery: the
     // union of both runs' sinks must still be exactly the session set
-    "st6_restart_recovery" -> st1Sql
+    "st6_restart_recovery" -> st1Sql,
+    "st7_stream_static_join" -> st7Sql
   )
 }

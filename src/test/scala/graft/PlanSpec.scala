@@ -285,4 +285,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"train-side shingle shuffle crept in:\n${p.take(3000)}")
   }
+
+  test("d7 span removal: equi-keyed throughout, winner min collapses map-side") {
+    // every join in the span-removal plan is keyed (gram, then doc id) —
+    // a CartesianProduct/BNLJ would mean occurrence pairing went
+    // all-pairs; and the winner min(struct) must aggregate PARTIALLY so
+    // repeated grams collapse before the exchange (two aggregate stages
+    // around the gram shuffle), keeping the exchange distinct-gram-
+    // bounded rather than occurrence-bounded.
+    val p = plan(graft.operators.Dedup.duplicateSpanRemoval(
+      graft.Tables.documents(spark, sf), "doc_id", "text", n = 20))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in span removal:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size +
+      "SortAggregate".r.findAllIn(p).size +
+      "ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"winner/span aggregates lost their partial stage:\n${p.take(3000)}")
+  }
+
+  test("pipe6 SemDeDup: the in-cluster pair join is cluster-keyed, never all-pairs") {
+    // the whole point of clustering first is that candidate pairing is
+    // an EQUI join on the cluster id — a BNLJ/Cartesian here is the
+    // O(N²) all-pairs cosine SemDeDup exists to avoid.
+    val p = plan(graft.queries.TextQueries.pipe6SemDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in SemDeDup:\n${p.take(3000)}")
+  }
 }

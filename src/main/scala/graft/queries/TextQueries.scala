@@ -238,6 +238,109 @@ object TextQueries {
       |                                ' '), '') AS clean_text
       |FROM cov""".stripMargin
 
+  /** BPE1 — distributed BPE tokenizer TRAINING ([[graft.operators.Bpe
+    * .train]], Sennrich et al. 2016): 6 merge rounds learned from the
+    * documents corpus, each round an adjacent-pair count weighted by
+    * word frequency, a (cnt DESC, lhs, rhs) argmax, and a greedy
+    * left-to-right merge apply over the distinct-word table. The oracle
+    * replays THE ENTIRE TRAINING in SQL — 6 unrolled MATERIALIZED
+    * stages (the e4 discipline: plain CTEs re-inline down the chain) in
+    * which the greedy apply is stated as the RUN-PARITY law: position i
+    * merges iff (s_i, s_i+1) matches the round's best pair and, when
+    * lhs == rhs, i sits at an even offset within its run of repeats —
+    * provably equivalent to the scan order (a merge can never consume a
+    * run head from the left, since that would need the same pair ending
+    * there). A wrong count, a broken tie-break, or a misapplied merge
+    * in ANY round shifts every later round and breaks the hash. */
+  def bpe1TrainMerges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.train(Tables.documents(s, d), "text", BpeRounds)
+      .merges
+
+  /** BPE2 — tokenize the corpus under the bpe1-trained model: the
+    * vocab's final symbol sequences become a broadcast word → token
+    * count table; the corpus side is one scan + narrow explode, no text
+    * shuffle. Oracle: the same 6-round chain, then the join restated. */
+  def bpe2TokenCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = graft.operators.Bpe.train(docs, "text", BpeRounds)
+    graft.operators.Bpe.tokenCountsBySource(docs, "text", "source", model)
+  }
+
+  private val BpeRounds = 6
+
+  /** The 6-round training chain as MATERIALIZED CTEs ending in
+    * `seqs{BpeRounds}` (w, f, s) and per-round `best{r}` — shared by
+    * the bpe1 (merge table) and bpe2 (tokenization) oracles. */
+  private def bpeCtes(rounds: Int): String = {
+    val init =
+      """w0 AS MATERIALIZED (
+        |  SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |seqs0 AS MATERIALIZED (
+        |  SELECT w, f,
+        |         list_append(list_transform(range(1, len(w) + 1),
+        |                                    i -> w[i:i]), '</w>') AS s
+        |  FROM w0)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""pr$r AS MATERIALIZED (
+         |  SELECT s[u.i] AS a, s[u.i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM seqs$p, unnest(range(1, len(s))) u(i)
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM pr$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |pos$r AS MATERIALIZED (
+         |  SELECT q.w, q.f, u.i AS i, s[u.i] AS sym
+         |  FROM seqs$p q, unnest(range(1, len(s) + 1)) u(i)),
+         |runa$r AS (
+         |  SELECT p.w, p.i,
+         |         p.i - ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.i) AS grp
+         |  FROM pos$r p, best$r b WHERE p.sym = b.a),
+         |runo$r AS (
+         |  SELECT w, i, i - MIN(i) OVER (PARTITION BY w, grp) AS off
+         |  FROM runa$r),
+         |mt$r AS MATERIALIZED (
+         |  SELECT p.w, p.i
+         |  FROM pos$r p
+         |  JOIN best$r bb ON p.sym = bb.a
+         |  JOIN pos$r p2 ON p2.w = p.w AND p2.i = p.i + 1 AND p2.sym = bb.b
+         |  JOIN runo$r ro ON ro.w = p.w AND ro.i = p.i
+         |  WHERE bb.a <> bb.b OR ro.off % 2 = 0),
+         |tk$r AS MATERIALIZED (
+         |  SELECT p.w, p.f, p.i,
+         |         CASE WHEN m1.i IS NOT NULL
+         |              THEN (SELECT a || b FROM best$r) ELSE p.sym END AS tok
+         |  FROM pos$r p
+         |  LEFT JOIN mt$r m1 ON m1.w = p.w AND m1.i = p.i
+         |  LEFT JOIN mt$r m0 ON m0.w = p.w AND m0.i = p.i - 1
+         |  WHERE m0.i IS NULL),
+         |seqs$r AS MATERIALIZED (
+         |  SELECT w, f, list(tok ORDER BY i) AS s FROM tk$r GROUP BY w, f)""".stripMargin
+    }
+    (init +: stages).mkString(",\n")
+  }
+
+  val bpe1Sql: String = {
+    val union = (1 to BpeRounds).map(r =>
+      s"""SELECT $r AS "rank", a AS lhs, b AS rhs, cnt AS freq FROM best$r""")
+      .mkString("\nUNION ALL\n")
+    "WITH " + bpeCtes(BpeRounds) + "\n" + union
+  }
+
+  val bpe2Sql: String =
+    "WITH " + bpeCtes(BpeRounds) + ",\n" +
+      s"""wt AS (SELECT w, CAST(len(s) AS INT) AS n_tok FROM seqs$BpeRounds),
+         |tw AS (SELECT source, unnest(string_split_regex(lower(trim(text)),
+         |                                                '\\s+')) AS word
+         |       FROM documents)
+         |SELECT source, COUNT(*) AS n_words,
+         |       CAST(SUM(COALESCE(wt.n_tok, len(word) + 1)) AS BIGINT)
+         |         AS n_tokens
+         |FROM tw LEFT JOIN wt ON wt.w = tw.word
+         |WHERE word <> '' GROUP BY 1""".stripMargin
+
   /** D5: self-scoring dedup gate — the e5 trick applied to the two
     * hash-based near-dup paths. Ground truth is EXACT 3-gram Jaccard >=
     * 0.5 over the same shingle domain MinHash estimates (lowercased
@@ -1984,6 +2087,8 @@ object TextQueries {
     "d5_dedup_recall"  -> (d5DedupRecall _),
     "d6_dup_clusters"  -> (d6DupClusters _),
     "d7_span_dedup"    -> (d7SpanDedup _),
+    "bpe1_train_merges" -> (bpe1TrainMerges _),
+    "bpe2_token_counts" -> (bpe2TokenCounts _),
     "t1_langid"        -> (t1LangId _),
     "t2_quality"       -> (t2Quality _),
     "t3_tokens"        -> (t3Tokens _),
@@ -2029,6 +2134,8 @@ object TextQueries {
     "d5_dedup_recall"  -> d5Sql,
     "d6_dup_clusters"  -> d6Sql,
     "d7_span_dedup"    -> d7Sql,
+    "bpe1_train_merges" -> bpe1Sql,
+    "bpe2_token_counts" -> bpe2Sql,
     "t1_langid"        -> t1Sql,
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,

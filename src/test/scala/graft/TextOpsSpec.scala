@@ -360,6 +360,51 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) == ((6, 6, "")))
   }
 
+  test("Bpe.train: hand-computed merges, overlap counting, greedy parity, tie-breaks") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // corpus: aaa(f2), aa(f1). R1: (a,a) counts OVERLAPPING -> 2*2+1=5
+    // beats (a,</w>)=3. Greedy apply: aaa->[aa,a,</w>] (parity: only the
+    // even-offset pair of the 3-run merges). R2: (aa,a)=2 ties
+    // (a,</w>)=2 -> lhs 'a' < 'aa' wins. R3: (aa,a</w>)=2 beats
+    // (aa,</w>)=1.
+    val docs = Seq((1L, "aaa aa"), (2L, "aaa")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 3)
+    val merges = m.merges.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", 5L), (2, "a", "</w>", 2L), (3, "aa", "a</w>", 2L)))
+    val vocab = m.vocabSeqs.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(vocab("aaa") == Seq("aaa</w>") && vocab("aa") == Seq("aa", "</w>"))
+  }
+
+  test("Bpe.train: even-run parity merges pairwise; rhs tie-break is lexicographic") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // aaaa: R1 (a,a)=3 (overlapping); apply -> [aa,aa,</w>] (both
+    // even-offset pairs of the 4-run). R2: (aa,aa)=1 ties (aa,</w>)=1
+    // -> rhs '</w>' < 'aa' wins.
+    val m = Bpe.train(Seq((1L, "aaaa")).toDF("doc_id", "text"), "text", 2)
+    val merges = m.merges.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "</w>", 1L)))
+    assert(m.vocabSeqs.collect().head.getSeq[String](2) == Seq("aa", "aa</w>"))
+  }
+
+  test("Bpe.tokenCountsBySource: vocab hits via broadcast, out-of-vocab fallback") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val train = Seq((1L, "aaa aa"), (2L, "aaa")).toDF("doc_id", "text")
+    val model = Bpe.train(train, "text", 3)
+    // apply to a corpus with an out-of-vocab word: "zz" -> chars+1 = 3
+    val apply = Seq(("s1", "aaa aa"), ("s2", "aaa zz")).toDF("source", "text")
+    val out = Bpe.tokenCountsBySource(apply, "text", "source", model)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("s1") == ((2L, 3L)))  // aaa=1 tok + aa=2 toks
+    assert(out("s2") == ((2L, 4L)))  // aaa=1 + zz fallback 3
+  }
+
   test("semDedupKept: cluster-scoped keep-first; zero vectors and cross-cluster twins kept") {
     import spark.implicits._
     val vecs = Seq(

@@ -210,8 +210,11 @@ object TextQueries {
     Dedup.duplicateSpanRemoval(Tables.documents(s, d), "doc_id", "text",
       n = 20)
 
-  val d7Sql: String =
-    """WITH arr AS (
+  /** The d7 span-removal replay as a CTE chain ending in `spanclean`
+    * (doc_id, n_tok, n_removed, clean_text) — shared verbatim by the d7
+    * oracle and by pipe7, which feeds the CLEANED corpus onward. */
+  private val d7Ctes: String =
+    """arr AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       |  FROM documents),
       |docs20 AS (SELECT * FROM arr WHERE len(toks) >= 20),
@@ -231,12 +234,16 @@ object TextQueries {
       |           i -> sp.ss IS NULL OR
       |                len(list_filter(sp.ss, s -> s <= i AND i <= s + 19)) = 0)
       |           AS kept
-      |  FROM docs20 a LEFT JOIN sp ON a.doc_id = sp.doc_id)
-      |SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
-      |       CAST(len(toks) - len(kept) AS INT) AS n_removed,
-      |       COALESCE(array_to_string(list_transform(kept, i -> toks[i+1]),
-      |                                ' '), '') AS clean_text
-      |FROM cov""".stripMargin
+      |  FROM docs20 a LEFT JOIN sp ON a.doc_id = sp.doc_id),
+      |spanclean AS (
+      |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+      |         CAST(len(toks) - len(kept) AS INT) AS n_removed,
+      |         COALESCE(array_to_string(list_transform(kept, i -> toks[i+1]),
+      |                                  ' '), '') AS clean_text
+      |  FROM cov)""".stripMargin
+
+  val d7Sql: String =
+    "WITH " + d7Ctes + "\nSELECT doc_id, n_tok, n_removed, clean_text FROM spanclean"
 
   /** BPE1 — distributed BPE tokenizer TRAINING ([[graft.operators.Bpe
     * .train]], Sennrich et al. 2016): 6 merge rounds learned from the
@@ -270,13 +277,14 @@ object TextQueries {
 
   /** The 6-round training chain as MATERIALIZED CTEs ending in
     * `seqs{BpeRounds}` (w, f, s) and per-round `best{r}` — shared by
-    * the bpe1 (merge table) and bpe2 (tokenization) oracles. */
-  private def bpeCtes(rounds: Int): String = {
+    * the bpe1 (merge table), bpe2 (tokenization) and pipe7 (cleaned
+    * corpus) oracles. `src` must expose a `text` column. */
+  private def bpeCtes(rounds: Int, src: String = "documents"): String = {
     val init =
-      """w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
         |  SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS f
-        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        |        FROM documents)
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        |        FROM $src)
         |  WHERE word <> '' GROUP BY 1),
         |seqs0 AS MATERIALIZED (
         |  SELECT w, f,
@@ -329,17 +337,63 @@ object TextQueries {
     "WITH " + bpeCtes(BpeRounds) + "\n" + union
   }
 
+  /** The bpe2 accounting tail over a trained chain: word → token-count
+    * lookup joined onto the corpus explode. */
+  private def bpeAccountingSql(src: String): String =
+    s"""wt AS (SELECT w, CAST(len(s) AS INT) AS n_tok FROM seqs$BpeRounds),
+       |tw AS (SELECT source, unnest(string_split_regex(lower(trim(text)),
+       |                                                '\\s+')) AS word
+       |       FROM $src)
+       |SELECT source, COUNT(*) AS n_words,
+       |       CAST(SUM(COALESCE(wt.n_tok, len(word) + 1)) AS BIGINT)
+       |         AS n_tokens
+       |FROM tw LEFT JOIN wt ON wt.w = tw.word
+       |WHERE word <> '' GROUP BY 1""".stripMargin
+
   val bpe2Sql: String =
-    "WITH " + bpeCtes(BpeRounds) + ",\n" +
-      s"""wt AS (SELECT w, CAST(len(s) AS INT) AS n_tok FROM seqs$BpeRounds),
-         |tw AS (SELECT source, unnest(string_split_regex(lower(trim(text)),
-         |                                                '\\s+')) AS word
-         |       FROM documents)
-         |SELECT source, COUNT(*) AS n_words,
-         |       CAST(SUM(COALESCE(wt.n_tok, len(word) + 1)) AS BIGINT)
-         |         AS n_tokens
-         |FROM tw LEFT JOIN wt ON wt.w = tw.word
-         |WHERE word <> '' GROUP BY 1""".stripMargin
+    "WITH " + bpeCtes(BpeRounds) + ",\n" + bpeAccountingSql("documents")
+
+  /** PIPE7 — the CAPSTONE pretraining-data pipeline, composing this
+    * round's operators end to end: duplicate-SPAN removal (d7) cleans
+    * boilerplate out of every document, a content gate drops documents
+    * that lost ≥ 20% of their tokens to duplication (mostly-template
+    * docs; fully-removed and sub-20-token docs fall out with them), BPE
+    * trains its merge table ON THE CLEANED CORPUS (the order matters —
+    * tokenizers learned on dirty corpora waste merges on boilerplate),
+    * and the trained model tokenizes the survivors into per-source
+    * word/token budgets. The oracle chains the d7 span-removal CTEs
+    * into the 6-round BPE training CTEs over the cleaned relation —
+    * ~60 stages, every one hash-gated through the final accounting: a
+    * wrong winner in span removal shifts the cleaned text, which shifts
+    * the merge table, which shifts every token count. */
+  def pipe7CleanTrainTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cleaned = graft.operators.Dedup
+      .duplicateSpanRemoval(docs, "doc_id", "text", n = 20)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("n_removed") * 5 < col("n_tok"))
+      .select(col("doc_id"), col("source"), col("clean_text"))
+    val model = graft.operators.Bpe.train(cleaned, "clean_text", BpeRounds)
+    graft.operators.Bpe
+      .tokenCountsBySource(cleaned, "clean_text", "source", model)
+      .join(cleaned.groupBy("source").agg(count(lit(1)).as("n_docs")),
+        "source")
+  }
+
+  val pipe7Sql: String =
+    "WITH " + d7Ctes + ",\n" +
+      """kept AS (
+        |  SELECT c.doc_id, d.source, c.clean_text AS text
+        |  FROM spanclean c JOIN documents d USING (doc_id)
+        |  WHERE c.n_removed * 5 < c.n_tok),
+        |""".stripMargin +
+      bpeCtes(BpeRounds, src = "kept") + ",\n" +
+      """nd AS (SELECT source, COUNT(*) AS n_docs FROM kept GROUP BY 1),
+        |acct AS (
+        |WITH """.stripMargin +
+      bpeAccountingSql("kept") + ")\n" +
+      "SELECT a.source, a.n_words, a.n_tokens, nd.n_docs\n" +
+      "FROM acct a JOIN nd USING (source)"
 
   /** D5: self-scoring dedup gate — the e5 trick applied to the two
     * hash-based near-dup paths. Ground truth is EXACT 3-gram Jaccard >=
@@ -2089,6 +2143,7 @@ object TextQueries {
     "d7_span_dedup"    -> (d7SpanDedup _),
     "bpe1_train_merges" -> (bpe1TrainMerges _),
     "bpe2_token_counts" -> (bpe2TokenCounts _),
+    "pipe7_clean_train_tokenize" -> (pipe7CleanTrainTokenize _),
     "t1_langid"        -> (t1LangId _),
     "t2_quality"       -> (t2Quality _),
     "t3_tokens"        -> (t3Tokens _),
@@ -2136,6 +2191,7 @@ object TextQueries {
     "d7_span_dedup"    -> d7Sql,
     "bpe1_train_merges" -> bpe1Sql,
     "bpe2_token_counts" -> bpe2Sql,
+    "pipe7_clean_train_tokenize" -> pipe7Sql,
     "t1_langid"        -> t1Sql,
     "t2_quality"       -> t2Sql,
     "t3_tokens"        -> t3Sql,

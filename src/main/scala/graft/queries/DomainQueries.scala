@@ -1272,6 +1272,52 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  /** LAKE4 — Z-ORDER LAYOUT end to end ([[graft.sources.LakeMaintenance
+    * .writeZOrdered]]): the events table rewritten along the Morton
+    * curve of (user_id, ts), then read back through a TWO-dimension box
+    * predicate (a user band AND a time band) and aggregated. Z-order is
+    * the multi-column data-skipping lever — a user_id-sorted layout
+    * leaves every file spanning the full time range, so ts predicates
+    * skip nothing; the curve keeps each file a localized (user, time)
+    * box and parquet min/max stats prune on EITHER dimension (the
+    * OperatorsSpec test measures exactly that: bounding-box hit
+    * fraction under a ts-only predicate, z-ordered vs user-sorted).
+    * The oracle restates the box aggregate off the original table, so
+    * the rewrite is also content-gated: a row lost or duplicated in the
+    * re-layout breaks the hash. */
+  def lake4ZOrder(s: SparkSession, d: String): DataFrame = {
+    val dst = qtmp(s, "lake4_z")
+    val ev = graft.Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    graft.sources.LakeMaintenance.writeZOrdered(
+      ev.drop("ts"), dst, col("user_id"), col("ts_us"), numFiles = 16)
+    val mm = ev.agg(min("ts_us"), max("ts_us"), min("user_id"),
+      max("user_id")).head()
+    val (tLo, tHi, uLo, uHi) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val (tA, tB) = (tLo + (tHi - tLo) / 4, tLo + (tHi - tLo) / 2)
+    val (uA, uB) = (uLo + (uHi - uLo) / 4, uLo + (uHi - uLo) / 2)
+    s.read.parquet(dst)
+      .filter(col("user_id").between(uA, uB) &&
+        col("ts_us").between(tA, tB))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+  }
+
+  /** The same box bounds re-derived from the raw table: quartile
+    * arithmetic on BIGINT min/max is exact on both engines. */
+  val lake4Sql: String =
+    """WITH mm AS (
+      |  SELECT MIN(epoch_us(ts)) AS tlo, MAX(epoch_us(ts)) AS thi,
+      |         MIN(user_id) AS ulo, MAX(user_id) AS uhi
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events, mm
+      |WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2
+      |  AND epoch_us(ts) BETWEEN tlo + (thi - tlo) // 4
+      |                       AND tlo + (thi - tlo) // 2
+      |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------- P: spectral (oracled)
 
   /** P1+P3 (getFFT + |z|² magnitude quirk, `osdAlgTools.py:95-105` and
@@ -1677,6 +1723,7 @@ object DomainQueries {
     "lake1_pruned_scan" -> (lake1PrunedScan _),
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
     "lake3_compaction"  -> (lake3Compaction _),
+    "lake4_zorder"      -> (lake4ZOrder _),
     "s12_seizure_times" -> (s12SeizureTimes _),
     "p1_fft_bins"       -> (p1FftBins _),
     "p2_window_sums"    -> (p2WindowSums _),
@@ -1735,6 +1782,7 @@ object DomainQueries {
     "lake1_pruned_scan" -> lake1Sql,
     "lake2_bucketed_join" -> lake2Sql,
     "lake3_compaction"  -> lake3Sql,
+    "lake4_zorder"      -> lake4Sql,
     "s12_seizure_times" -> s12Sql,
     "p1_fft_bins"       -> p1Sql,
     "p2_window_sums"    -> p2Sql,

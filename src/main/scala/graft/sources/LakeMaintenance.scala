@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lake maintenance: small-file compaction for partitioned parquet lakes
@@ -40,6 +40,55 @@ object LakeMaintenance {
       .write.mode("overwrite").partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(destDir)
+
+  // ------------------------------------------------------- Z-order layout
+
+  /** Spread the low 16 bits of `c` to even bit positions (Morton
+    * interleave half) — pure shift/mask built-ins, whole-stage codegen.
+    */
+  private def spread16(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** 32-bit Morton Z-value of two 16-bit normalized ranks. */
+  def zValue(a16: Column, b16: Column): Column =
+    spread16(a16).bitwiseOR(shiftleft(spread16(b16), 1))
+
+  /** Z-ORDER the lake on two numeric dimensions: rows are laid out along
+    * the Morton curve of (a, b) min-max-normalized to 16-bit grids, so
+    * every file covers a LOCALIZED BOX in (a, b) space and parquet
+    * min/max stats can skip files/row-groups for predicates on EITHER
+    * dimension — the multi-column data-skipping lever a single-key sort
+    * cannot give (sorting by `a` leaves every file spanning the full
+    * `b` range). This is the same layout decision Delta/Iceberg expose
+    * as `OPTIMIZE ... ZORDER BY`; here it is plain Spark: one global
+    * min/max agg (two driver scalars per dimension — control plane), a
+    * codegen bit-interleave, one `repartitionByRange` exchange on the
+    * z-value, an in-partition sort, and a parquet write. Re-clustering
+    * after churn composes with [[compact]].
+    *
+    * Ties/degenerate spans: a constant dimension normalizes to rank 0
+    * everywhere (span clamped to 1) and the curve degrades to a plain
+    * sort on the other dimension — never a division by zero. */
+  def writeZOrdered(df: DataFrame, destDir: String,
+                    dimA: Column, dimB: Column, numFiles: Int): Unit = {
+    val r = df.agg(min(dimA), max(dimA), min(dimB), max(dimB)).head()
+    def lo(i: Int): Long = r.getLong(i)
+    val (aLo, aHi, bLo, bHi) = (lo(0), lo(1), lo(2), lo(3))
+    def rank16(c: Column, l: Long, h: Long): Column =
+      ((c.cast("long") - lit(l)) * lit(65535L) / lit(math.max(h - l, 1L)))
+    df.withColumn("__z",
+        zValue(rank16(dimA, aLo, aHi), rank16(dimB, bLo, bHi)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(destDir)
+  }
 
   /** (partition, files_src, files_dest) per partition directory. */
   def compactionStats(spark: SparkSession, srcDir: String,

@@ -301,4 +301,35 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.size == 3000)
   }
+
+  test("LakeMaintenance.writeZOrdered: files are (a,b) boxes; second-dim predicates skip") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance
+    val base = java.nio.file.Files.createTempDirectory("lake4").toFile
+    // two independent uniform dims — the worst case for single-key sort
+    val df = (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+      .toDF("a", "b")
+    val zDir = new java.io.File(base, "z").getAbsolutePath
+    val sDir = new java.io.File(base, "s").getAbsolutePath
+    LakeMaintenance.writeZOrdered(df, zDir, col("a"), col("b"), numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(sDir) // the single-key baseline layout
+    def hitFraction(dir: String, loB: Long, hiB: Long): Double = {
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("b").as("lo"), max("b").as("hi"))
+        .collect()
+      boxes.count(r => r.getLong(1) <= hiB && r.getLong(2) >= loB)
+        .toDouble / boxes.length
+    }
+    // a b-band predicate covering 1/8 of the b range: the a-sorted
+    // layout cannot skip (b is uniform within every file), the z-order
+    // layout localizes b per file
+    val (zHit, sHit) = (hitFraction(zDir, 0, 511), hitFraction(sDir, 0, 511))
+    assert(sHit > 0.9, s"baseline unexpectedly skips ($sHit) — fixture broken")
+    assert(zHit <= 0.5, s"z-order box localization lost: $zHit of files hit")
+    // and the rewrite is content-exact
+    assert(spark.read.parquet(zDir).select("a", "b").collect().map(_.toSeq).toSet
+      == df.collect().map(_.toSeq).toSet)
+  }
 }

@@ -62,6 +62,13 @@ object NewDedupScaleProbe {
         .head()
       out.getLong(0)
     }
+    val bpe = time("bpe_train6") {
+      // merges count forces training; the corpus-scale step is the one
+      // word-frequency collapse, everything after is vocab-bounded
+      graft.operators.Bpe.train(
+        graft.Tables.documents(spark, dir), "text", numMerges = 6)
+        .merges.count()
+    }
     val sem = time(s"semdedup_k$k") {
       val emb = graft.Tables.embeddings(spark, dir)
       val clusters = graft.operators.KMeans.lloyd(
@@ -71,7 +78,7 @@ object NewDedupScaleProbe {
           tau = 0.95)
         .filter(!col("kept")).count()
     }
-    println(f"""{"dir":"$dir","d7_min_sec":$d7%.3f,"semdedup_min_sec":$sem%.3f,"k":$k}""")
+    println(f"""{"dir":"$dir","d7_min_sec":$d7%.3f,"bpe_min_sec":$bpe%.3f,"semdedup_min_sec":$sem%.3f,"k":$k}""")
     spark.stop()
   }
 }

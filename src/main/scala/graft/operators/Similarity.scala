@@ -568,6 +568,46 @@ object Similarity {
         col("score"))
   }
 
+  /** IVF-PQ with an EXACT re-rank stage — FAISS's `IndexRefineFlat`
+    * pattern completing the compression story: [[ivfPqKnn]]'s ADC
+    * scores are approximate (4-bit codes), so the shortlist's ORDER can
+    * be wrong even when its membership is right; the refine stage
+    * fetches the RAW vectors for just the `kShortlist` candidates per
+    * query and rescores them exactly, returning the top `k` by true
+    * cosine. Cost shape: the expensive part (scoring millions of
+    * candidates) stays in compressed space; the exact rescue touches
+    * N·kShortlist rows through two slim id-keyed joins — the raw
+    * vectors ride only that bounded join, never the candidate
+    * explosion. Zero-norm vectors score 0 (guard mirrored in the
+    * oracle — a bare division would NaN in one engine and null in the
+    * other). */
+  def ivfPqRefineKnn(vectors: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, k: Int, kShortlist: Int,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
+                     sampleSize: Int = 2048, iters: Int = 5,
+                     listShards: Int = 8): DataFrame = {
+    require(k <= kShortlist, s"k=$k must be <= kShortlist=$kShortlist")
+    val short = ivfPqKnn(vectors, idCol, vecCol, dim, kShortlist, nlist,
+        nprobe, m, ksub, pqIters, sampleSize, iters, listShards)
+      .select(col("vec_id"), col("neighbor_id"))
+    val nv = normed(vectors, idCol, vecCol)
+    val q = nv.select(col("id").as("vec_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = nv.select(col("id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val rescored = short.join(q, "vec_id").join(c, "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        when(col("qn") > 0 && col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(0.0)).as("score"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "score")
+  }
+
   /** Expected LSH recall for a pair at exactly `cosine`: a sign-bit
     * agrees with probability 1 - θ/π, a pair surfaces if all `bits` agree
     * in at least one of `tables` signatures. Recall falls steeply as the

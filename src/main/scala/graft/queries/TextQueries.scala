@@ -1062,8 +1062,8 @@ object TextQueries {
     * squared-diff fold, arithmetic-mean update), encoding, probing, and
     * ADC scoring as per-subspace partial dots summed in subspace order —
     * the exact grouping the operator's lookup-table fold produces. */
-  val e9Sql: String = {
-    val (nlist, nprobe, iters, k, dim, samp) = (16, 4, 5, 3, 64, 2048)
+  private def e9Chain(k: Int): String = {
+    val (nlist, nprobe, iters, dim, samp) = (16, 4, 5, 64, 2048)
     val (mSub, ksub, pqIters, dsub) = (4, 16, 3, 16)
     val pre =
       s"""WITH base AS MATERIALIZED (
@@ -1193,15 +1193,52 @@ object TextQueries {
          |         list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY s)),
          |                     (x, y) -> x + y) AS score
          |  FROM partial GROUP BY id, nid
-         |)
-         |SELECT id AS vec_id, rank, nid AS neighbor_id, score
-         |FROM (SELECT id, nid, score,
-         |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
-         |      FROM scored)
-         |WHERE rank <= $k""".stripMargin
+         |), short AS MATERIALIZED (
+         |  SELECT id AS vec_id, rank, nid AS neighbor_id, score
+         |  FROM (SELECT id, nid, score,
+         |          row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
+         |        FROM scored)
+         |  WHERE rank <= $k
+         |)""".stripMargin
     pre + (0 until iters).map(coarseStage).mkString + pqPre +
       (0 until pqIters).map(pqStage).mkString + post
   }
+
+  val e9Sql: String =
+    e9Chain(3) + "\nSELECT vec_id, rank, neighbor_id, score FROM short"
+
+  /** E10 — IVF-PQ + EXACT RE-RANK ([[Similarity.ivfPqRefineKnn]],
+    * FAISS's refine pattern): the e9 chain widened to a 10-deep ADC
+    * shortlist, then every (query, candidate) rescored with the TRUE
+    * cosine from the raw vectors and cut to top-3. This is the piece
+    * that reconciles compression with exact order: near-identical
+    * vectors share 4-bit codes and TIE under ADC (e9's documented
+    * resolution trade); the refine stage breaks those ties correctly
+    * while still never scoring more than kShortlist raw candidates per
+    * query. The oracle extends [[e9Chain]] with the re-rank restated —
+    * shortlist membership, the zero-norm guard, and the exact scores
+    * all hash-gated. */
+  def e10PqRefine(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqRefineKnn(Tables.embeddings(s, d), "vec_id",
+      "embedding", dim = 64, k = 3, kShortlist = 10,
+      nlist = 16, nprobe = 4, m = 4, ksub = 16, pqIters = 3)
+
+  val e10Sql: String =
+    e9Chain(10) + ",\n" +
+      """rr AS (
+        |  SELECT s.vec_id, s.neighbor_id,
+        |         CASE WHEN bq.nrm > 0 AND bn.nrm > 0
+        |              THEN list_dot_product(bq.v, bn.v) / (bq.nrm * bn.nrm)
+        |              ELSE 0.0 END AS score
+        |  FROM short s
+        |  JOIN base bq ON bq.id = s.vec_id
+        |  JOIN base bn ON bn.id = s.neighbor_id)
+        |SELECT vec_id, rank, neighbor_id, score
+        |FROM (SELECT vec_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY score DESC, neighbor_id) AS rank
+        |      FROM rr)
+        |WHERE rank <= 3""".stripMargin
 
   /** E5: self-scoring ANN gate — recall@3 of the DECLARED e2/e4
     * configurations (identical params) against brute-force ground truth,
@@ -2160,6 +2197,7 @@ object TextQueries {
     "e3_native_dot"    -> (e3NativeDot _),
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "e9_ivfpq"         -> (e9IvfPq _),
+    "e10_pq_refine"    -> (e10PqRefine _),
     "e5_ann_recall"    -> (e5AnnRecall _),
     "e6_cos_neardup"   -> (e6CosNearDup _),
     "e7_design_recall" -> (e7DesignRecall _),
@@ -2207,6 +2245,7 @@ object TextQueries {
     "e2_lsh_ann"       -> e2Sql,
     "e4_ivf_knn"       -> e4Sql,
     "e9_ivfpq"         -> e9Sql,
+    "e10_pq_refine"    -> e10Sql,
     "e3_native_dot"    -> e3Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,

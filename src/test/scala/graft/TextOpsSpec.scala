@@ -405,6 +405,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out("s2") == ((2L, 4L)))  // aaa=1 + zz fallback 3
   }
 
+  test("ivfPqRefineKnn: with full probes and full shortlist, refine equals brute force") {
+    import spark.implicits._
+    // the refine law: when the shortlist covers every candidate, the
+    // exact re-rank must reproduce brute-force top-k exactly — scores
+    // included (same dot/(n*n) expression tree). ADC alone cannot pass
+    // this on near-identical vectors (shared 4-bit codes tie).
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 24L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).abs + 0.1)
+      (i, base.map(x => x + rnd.nextDouble() * 1e-3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val refined = Similarity.ivfPqRefineKnn(vecs, "vec_id", "embedding",
+        dim = 8, k = 3, kShortlist = 23, nlist = 2, nprobe = 2,
+        m = 4, ksub = 8, sampleSize = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e12)))
+    val bf = Similarity.bruteForceKnn(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e12)))
+    assert(refined.sortBy(r => (r._1, r._2)).toSeq ==
+      bf.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("semDedupKept: cluster-scoped keep-first; zero vectors and cross-cluster twins kept") {
     import spark.implicits._
     val vecs = Seq(

@@ -1272,6 +1272,38 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  /** LAKE5 — TARGETED DELETE end to end ([[graft.sources.LakeMaintenance
+    * .deleteWhere]], the right-to-be-forgotten / bad-batch-recall op):
+    * the events lake partitioned by category, every row of the
+    * user_id % 7 == 3 cohort deleted, the SURVIVING lake read back and
+    * aggregated. The operator rewrites only partitions containing
+    * matches (here all of them — user ids are uncorrelated with
+    * category; the partial-rewrite evidence, untouched-partition files
+    * byte-identical, is OperatorsSpec's crafted-layout test) and swaps
+    * directories atomically per partition. The oracle restates the
+    * surviving aggregate off the original table, so a row deleted too
+    * many or too few — or a partition lost in the swap — breaks the
+    * hash. */
+  def lake5Delete(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, "lake5_lake")
+    graft.sources.OsdbJson.writeEventsParquet(
+      graft.Tables.events(s, d).withColumn("category", col("event_type")),
+      dir)
+    graft.sources.LakeMaintenance.deleteWhere(s, dir, "category",
+      col("user_id") % 7 === 3)
+    s.read.parquet(dir)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
+  val lake5Sql: String =
+    """SELECT event_type AS category, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events WHERE user_id % 7 <> 3 GROUP BY 1""".stripMargin
+
   /** LAKE4 — Z-ORDER LAYOUT end to end ([[graft.sources.LakeMaintenance
     * .writeZOrdered]]): the events table rewritten along the Morton
     * curve of (user_id, ts), then read back through a TWO-dimension box
@@ -1724,6 +1756,7 @@ object DomainQueries {
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
     "lake3_compaction"  -> (lake3Compaction _),
     "lake4_zorder"      -> (lake4ZOrder _),
+    "lake5_delete"      -> (lake5Delete _),
     "s12_seizure_times" -> (s12SeizureTimes _),
     "p1_fft_bins"       -> (p1FftBins _),
     "p2_window_sums"    -> (p2WindowSums _),
@@ -1783,6 +1816,7 @@ object DomainQueries {
     "lake2_bucketed_join" -> lake2Sql,
     "lake3_compaction"  -> lake3Sql,
     "lake4_zorder"      -> lake4Sql,
+    "lake5_delete"      -> lake5Sql,
     "s12_seizure_times" -> s12Sql,
     "p1_fft_bins"       -> p1Sql,
     "p2_window_sums"    -> p2Sql,

@@ -90,6 +90,63 @@ object LakeMaintenance {
       .write.mode("overwrite").parquet(destDir)
   }
 
+  // --------------------------------------------------------- targeted delete
+
+  /** Targeted delete over a partitioned lake — the right-to-be-forgotten
+    * / bad-batch-recall operation: remove every row matching `predicate`
+    * while REWRITING ONLY THE PARTITIONS THAT CONTAIN MATCHES. At 100 TB
+    * the difference between "rewrite the lake" and "rewrite 3 of 10,000
+    * partition dirs" is the whole operation.
+    *
+    * Shape: one find pass (matching rows → distinct partition values —
+    * column-pruned scan; with a partition-correlated predicate the scan
+    * itself prunes, and a production lake would consult a Bloom/manifest
+    * index first), one job writing the affected partitions' SURVIVING
+    * rows to a staging lake, then O(affected) driver-side directory
+    * swaps: delete the old dir, rename the staged one in — a partition
+    * whose every row matched simply has no staged dir and stays deleted.
+    * Untouched partitions are never read for rewrite and their files
+    * never change (the spec asserts byte-listing equality). Staging +
+    * swap rather than in-place dynamic overwrite because Spark cannot
+    * safely overwrite a path it is concurrently reading without a
+    * transaction log.
+    *
+    * Partition values are formatted `col=value` — the plain layout this
+    * lake writes; values needing hive escaping (spaces, slashes) would
+    * need the escaper before the rename, fail-loud here. */
+  def deleteWhere(spark: SparkSession, dir: String, partitionCol: String,
+                  predicate: Column): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.parquet(dir)
+    val affected = df.filter(predicate).select(partitionCol).distinct()
+      .collect().map(_.get(0).toString).sorted
+    affected.foreach { v =>
+      require(v.matches("[A-Za-z0-9_.-]+"),
+        s"partition value '$v' needs hive escaping — not supported")
+    }
+    if (affected.isEmpty) return Seq.empty[(String, Long)]
+      .toDF("partition", "rows_remaining")
+    val stage = dir.stripSuffix("/") + "__delete_stage"
+    val remaining = df
+      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*) && !predicate)
+    remaining.write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { v =>
+      val dest = new Path(dir, s"$partitionCol=$v")
+      val src = new Path(stage, s"$partitionCol=$v")
+      fs.delete(dest, true)
+      if (fs.exists(src)) { fs.rename(src, dest); () }
+    }
+    fs.delete(new Path(stage), true)
+    val counts = spark.read.parquet(dir)
+      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+      .groupBy(partitionCol).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    affected.toSeq.map(v => (v, counts.getOrElse(v, 0L)))
+      .toDF("partition", "rows_remaining")
+  }
+
   /** (partition, files_src, files_dest) per partition directory. */
   def compactionStats(spark: SparkSession, srcDir: String,
                       destDir: String): DataFrame = {

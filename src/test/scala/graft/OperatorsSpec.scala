@@ -302,6 +302,42 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b && a.size == 3000)
   }
 
+  test("LakeMaintenance.deleteWhere: only matching partitions rewritten; empties vanish") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("lake5").toFile
+      .getAbsolutePath + "/lake"
+    // p0: partial match, p1: no match (must stay byte-identical),
+    // p2: full match (directory must disappear entirely)
+    val df = Seq(
+      (1L, "p0", 10L), (2L, "p0", 99L), (3L, "p0", 99L),
+      (4L, "p1", 10L), (5L, "p1", 11L),
+      (6L, "p2", 99L), (7L, "p2", 99L)).toDF("id", "part", "v")
+    df.write.partitionBy("part").parquet(dir)
+    def listing(p: String): Seq[(String, Long)] = {
+      val d = new java.io.File(dir, s"part=$p")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSeq.sorted
+    }
+    val p1Before = listing("p1")
+    val stats = LakeMaintenance.deleteWhere(spark, dir, "part",
+        col("v") === 99L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("p0" -> 1L, "p2" -> 0L), s"got $stats")
+    // untouched partition: same files, same mtimes — never rewritten
+    assert(listing("p1") == p1Before && p1Before.nonEmpty)
+    // fully-matched partition directory is gone
+    assert(listing("p2").isEmpty &&
+      !new java.io.File(dir, "part=p2").exists())
+    val left = spark.read.parquet(dir).select("id", "part", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(left == Set((1L, "p0", 10L), (4L, "p1", 10L), (5L, "p1", 11L)))
+    // no-match delete is a no-op returning empty stats
+    assert(LakeMaintenance.deleteWhere(spark, dir, "part",
+      col("v") === 12345L).count() == 0)
+  }
+
   test("LakeMaintenance.writeZOrdered: files are (a,b) boxes; second-dim predicates skip") {
     import spark.implicits._
     import graft.sources.LakeMaintenance

@@ -1304,6 +1304,40 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events WHERE user_id % 7 <> 3 GROUP BY 1""".stripMargin
 
+  /** LAKE6 — SCHEMA EVOLUTION under write drift: two writer generations
+    * land in the same lake — the old one without, the new one WITH a
+    * `fw_version` column — and `mergeSchema` reconciles the read: old
+    * rows surface the new column as null (bucketed to 'legacy' here),
+    * and no backfill rewrite ever runs. This is the add-a-column half
+    * of the physical-drift story whose timestamp-rendition half broke
+    * round 8 (Tables.normalizeTs / SchemaDriftSpec); a production lake
+    * sees both as writers upgrade. Scale note: mergeSchema reconciles
+    * FOOTERS (one task per file schema), not data — the read stays one
+    * scan; pin the merged schema in the table catalog once it
+    * stabilizes to skip even that. The oracle restates the generation
+    * split by formula, so a dropped generation, a misaligned column, or
+    * a non-null legacy value all break the hash. */
+  def lake6SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, "lake6_lake")
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(dir + "/gen=1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .withColumn("fw_version",
+        concat(lit("v"), (col("user_id") % 3).cast("string")))
+      .write.mode("overwrite").parquet(dir + "/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("fw_version"), lit("legacy")).as("fw_version"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+  }
+
+  val lake6Sql: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy'
+      |            ELSE 'v' || CAST(user_id % 3 AS VARCHAR) END AS fw_version,
+      |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY 1""".stripMargin
+
   /** LAKE4 — Z-ORDER LAYOUT end to end ([[graft.sources.LakeMaintenance
     * .writeZOrdered]]): the events table rewritten along the Morton
     * curve of (user_id, ts), then read back through a TWO-dimension box
@@ -1757,6 +1791,7 @@ object DomainQueries {
     "lake3_compaction"  -> (lake3Compaction _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
+    "lake6_schema_evolution" -> (lake6SchemaEvolution _),
     "s12_seizure_times" -> (s12SeizureTimes _),
     "p1_fft_bins"       -> (p1FftBins _),
     "p2_window_sums"    -> (p2WindowSums _),
@@ -1817,6 +1852,7 @@ object DomainQueries {
     "lake3_compaction"  -> lake3Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
+    "lake6_schema_evolution" -> lake6Sql,
     "s12_seizure_times" -> s12Sql,
     "p1_fft_bins"       -> p1Sql,
     "p2_window_sums"    -> p2Sql,

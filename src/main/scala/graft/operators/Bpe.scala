@@ -65,7 +65,9 @@ object Bpe {
     *         in training order; vocabSeqs — (w, f, s): every distinct
     *         word with its frequency and FINAL symbol sequence (the
     *         trained tokenizer's lookup table — broadcast it to
-    *         tokenize the corpus, [[tokenCountsBySource]]).
+    *         tokenize the corpus, [[tokenCountsBySource]]). vocabSeqs
+    *         stays CACHED (vocab-bounded); call
+    *         `model.vocabSeqs.unpersist()` when done with the model.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
@@ -95,7 +97,15 @@ object Bpe {
       val (a, b, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((r, a, b, cnt))
-      seqs = seqs.withColumn("s", mergeUdf(col("s"), lit(a), lit(b)))
+      // cache-swap per round: materialize the merged table, THEN drop
+      // the previous round's cache — otherwise round r rebuilds the
+      // whole r-deep UDF chain from the base (O(numMerges²) total, and
+      // the reference trains 10k+ merges, not 6)
+      val next = seqs.withColumn("s", mergeUdf(col("s"), lit(a), lit(b)))
+        .cache()
+      next.count()
+      seqs.unpersist(false)
+      seqs = next
     }
     import spark.implicits._
     BpeModel(

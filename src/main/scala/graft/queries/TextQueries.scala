@@ -2107,6 +2107,10 @@ object TextQueries {
       .select(col("vec_id"),
         when(col("vec_id") % 17 === 5 && col("b_emb").isNotNull, col("b_emb"))
           .otherwise(col("embedding")).as("embedding"))
+      // cached: lloyd re-scans its input per iteration (plus the seed
+      // collect) and semDedupKept self-joins it — ~5 executions of the
+      // planting join otherwise
+      .cache()
     val clusters = graft.operators.KMeans.lloyd(
       planted, "vec_id", "embedding", k = 8, iters = 2)
     graft.operators.Similarity.semDedupKept(

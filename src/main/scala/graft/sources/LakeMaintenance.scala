@@ -77,7 +77,13 @@ object LakeMaintenance {
     * sort on the other dimension — never a division by zero. */
   def writeZOrdered(df: DataFrame, destDir: String,
                     dimA: Column, dimB: Column, numFiles: Int): Unit = {
-    val r = df.agg(min(dimA), max(dimA), min(dimB), max(dimB)).head()
+    // cast the bounds agg, not just the per-row rank: any integral
+    // dimension type (int/short/long) reads back uniformly, and an
+    // empty frame fails loudly instead of NPE-ing on null bounds
+    val r = df.agg(min(dimA.cast("long")), max(dimA.cast("long")),
+      min(dimB.cast("long")), max(dimB.cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      "writeZOrdered: empty input or all-null dimension")
     def lo(i: Int): Long = r.getLong(i)
     val (aLo, aHi, bLo, bHi) = (lo(0), lo(1), lo(2), lo(3))
     def rank16(c: Column, l: Long, h: Long): Column =
@@ -109,7 +115,16 @@ object LakeMaintenance {
     * never change (the spec asserts byte-listing equality). Staging +
     * swap rather than in-place dynamic overwrite because Spark cannot
     * safely overwrite a path it is concurrently reading without a
-    * transaction log.
+    * transaction log. The swap itself is delete+rename, NOT atomic: a
+    * crash between the two leaves that partition's survivors in the
+    * staging dir (recoverable by hand — the stage is only cleaned after
+    * every rename has been VERIFIED to succeed; a failed rename aborts
+    * loudly with the survivors intact); true atomicity is what the
+    * transaction-log formats exist for.
+    *
+    * NULL predicate rows are KEPT: "delete where v = 99" must not also
+    * forget rows where v is unknown, so the survivor filter coalesces
+    * the predicate's NULLs to false on both the find and keep sides.
     *
     * Partition values are formatted `col=value` — the plain layout this
     * lake writes; values needing hive escaping (spaces, slashes) would
@@ -118,7 +133,9 @@ object LakeMaintenance {
                   predicate: Column): DataFrame = {
     import spark.implicits._
     val df = spark.read.parquet(dir)
-    val affected = df.filter(predicate).select(partitionCol).distinct()
+    // NULL-safe: rows where the predicate is NULL neither match nor die
+    val matches = coalesce(predicate, lit(false))
+    val affected = df.filter(matches).select(partitionCol).distinct()
       .collect().map(_.get(0).toString).sorted
     affected.foreach { v =>
       require(v.matches("[A-Za-z0-9_.-]+"),
@@ -128,7 +145,7 @@ object LakeMaintenance {
       .toDF("partition", "rows_remaining")
     val stage = dir.stripSuffix("/") + "__delete_stage"
     val remaining = df
-      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*) && !predicate)
+      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*) && !matches)
     remaining.write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,13 +153,25 @@ object LakeMaintenance {
       val dest = new Path(dir, s"$partitionCol=$v")
       val src = new Path(stage, s"$partitionCol=$v")
       fs.delete(dest, true)
-      if (fs.exists(src)) { fs.rename(src, dest); () }
+      if (fs.exists(src)) {
+        // a silent rename failure here would let the stage cleanup below
+        // destroy this partition's only copy of its surviving rows
+        require(fs.rename(src, dest),
+          s"rename $src -> $dest failed; survivors left in $stage")
+      }
     }
     fs.delete(new Path(stage), true)
-    val counts = spark.read.parquet(dir)
-      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
-      .groupBy(partitionCol).count()
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    // re-read only if anything is left: a delete that emptied every
+    // partition leaves no parquet files and the read would throw AFTER
+    // the lake was already (correctly) emptied
+    val anyLeft = fs.listStatus(new Path(dir))
+      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    val counts =
+      if (!anyLeft) Map.empty[String, Long]
+      else spark.read.parquet(dir)
+        .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+        .groupBy(partitionCol).count()
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     affected.toSeq.map(v => (v, counts.getOrElse(v, 0L)))
       .toDF("partition", "rows_remaining")
   }

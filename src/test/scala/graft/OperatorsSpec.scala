@@ -338,6 +338,29 @@ class OperatorsSpec extends SparkSpec {
       col("v") === 12345L).count() == 0)
   }
 
+  test("LakeMaintenance.deleteWhere: NULL-predicate rows survive; emptying the lake returns stats") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("lake5n").toFile
+      .getAbsolutePath + "/lake"
+    // v=NULL row: `delete where v = 99` must not also forget it
+    Seq((1L, "p0", Some(99L)), (2L, "p0", None), (3L, "p0", Some(10L)))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    val stats = LakeMaintenance.deleteWhere(spark, dir, "part",
+        col("v") === 99L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("p0" -> 2L), s"NULL-predicate row was deleted: $stats")
+    assert(spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // deleting everything empties the lake but still reports per
+    // partition instead of throwing on the empty re-read
+    val all = LakeMaintenance.deleteWhere(spark, dir, "part", lit(true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("p0" -> 0L))
+    assert(!new java.io.File(dir, "part=p0").exists())
+  }
+
   test("LakeMaintenance.writeZOrdered: files are (a,b) boxes; second-dim predicates skip") {
     import spark.implicits._
     import graft.sources.LakeMaintenance

@@ -474,8 +474,13 @@ object Similarity {
     val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfPqKnn")
     val coarse = sphericalLloyd(sample, nlist, dim, iters)
+    // zero-pad ragged sample vectors to dim before slicing: copyOfRange
+    // throws when from > length, and ivfKnn's contract (strideInit)
+    // says shorter vectors zero-pad
+    val padded = sample.map(v =>
+      if (v.length < dim) java.util.Arrays.copyOf(v, dim) else v)
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      euclideanLloyd(sample.map(v =>
+      euclideanLloyd(padded.map(v =>
         java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
         ksub, dsub, pqIters)
     }
@@ -502,12 +507,15 @@ object Similarity {
     // measured 2× on the 100× probe)
     require(ksub <= 16 && m <= 8, "packed codes hold m<=8 4-bit sub-codes")
     val encodeUdf = udf { (v: Seq[Double], nrm: Double) =>
-      val u = if (nrm > 0) v.toArray.map(_ / nrm) else v.toArray
+      val u0 = if (nrm > 0) v.toArray.map(_ / nrm) else v.toArray
+      // zero-pad before slicing: a sub-dim vector would hit
+      // copyOfRange(from > length) and kill the task
+      val u = if (u0.length < dim) java.util.Arrays.copyOf(u0, dim) else u0
       var packed = 0
       var s = 0
       while (s < m) {
         packed |= nearestL2(java.util.Arrays.copyOfRange(u,
-          s * dsub, math.min((s + 1) * dsub, u.length)), bcBooks.value(s)) << (4 * s)
+          s * dsub, (s + 1) * dsub), bcBooks.value(s)) << (4 * s)
         s += 1
       }
       packed

@@ -130,7 +130,12 @@ object StreamQueries {
     val srcDir = new java.io.File(base, "src")
     srcDir.mkdirs()
     val mm = slice.agg(min("ts_us"), max("ts_us")).collect()(0)
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // empty slice (degenerate fixture): min/max are null — fall back to
+    // epoch 0 so the drain still runs (empty chunks + sentinels) and
+    // returns an empty result instead of NPE-ing, the old MemoryStream
+    // drain's tolerance
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val mid = lo + (hi - lo) / 2
     val t0 = System.currentTimeMillis() - 3600 * 1000L
     writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") <= mid), "a", t0)
@@ -378,7 +383,12 @@ object StreamQueries {
     val slice = Tables.events(s, d).filter(feedSlice)
       .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
     val mm = slice.agg(min("ts_us"), max("ts_us")).collect()(0)
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // empty slice (degenerate fixture): min/max are null — fall back to
+    // epoch 0 so the drain still runs (empty chunks + sentinels) and
+    // returns an empty result instead of NPE-ing, the old MemoryStream
+    // drain's tolerance
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val mid = lo + (hi - lo) / 2
     val t0 = System.currentTimeMillis() - 3600 * 1000L
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -83,10 +83,15 @@ object TextQueries {
   private def fnvStep(h: String, v: String) =
     u2s(s"(${s2u(s"xor($h, $v)")} * 1099511628211) % 18446744073709551616::HUGEINT")
   private val fnvH0 = "-3750763034362895579" // 0xcbf29ce484222325 as signed
-  /** FNV-1a over a token's characters as a list_reduce fold. */
+  /** FNV-1a over a token's characters as a list_reduce fold. The filter
+    * handles the empty token: DuckDB splits '' into [''] whose
+    * unicode('') is -1 and would fold ONE step where Scala's hash64("")
+    * folds none — an empty/whitespace-only document must hash to the
+    * untouched offset basis on both engines. */
   private def fnvStrSql(t: String) =
     s"""list_reduce(list_prepend(${fnvH0}::BIGINT,
-       |      list_transform(regexp_split_to_array($t, ''), c -> unicode(c)::BIGINT)),
+       |      list_transform(list_filter(regexp_split_to_array($t, ''), c -> c <> ''),
+       |                     c -> unicode(c)::BIGINT)),
        |    (h, v) -> ${fnvStep("h", "v")})""".stripMargin
 
   val d3Sql: String = {
@@ -99,10 +104,7 @@ object TextQueries {
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
        |  FROM documents
        |), ths AS (
-       |  SELECT doc_id, list_transform(tk, t -> list_reduce(
-       |    list_prepend(${h0}::BIGINT,
-       |      list_transform(regexp_split_to_array(t, ''), c -> unicode(c)::BIGINT)),
-       |    (h, v) -> ${fnvStep("h", "v")})) AS th
+       |  SELECT doc_id, list_transform(tk, t -> ${fnvStrSql("t")}) AS th
        |  FROM toks WHERE len(tk) >= ${cfg.shingleSize}
        |), shraw AS (
        |  SELECT doc_id, list_transform(generate_series(1, len(th) - ${cfg.shingleSize - 1}),
@@ -980,11 +982,17 @@ object TextQueries {
          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
          |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings
-         |), samp AS MATERIALIZED (
-         |  SELECT id, list_transform(v, x -> x / nrm) AS u,
-         |         row_number() OVER (ORDER BY id) - 1 AS r,
-         |         COUNT(*) OVER () AS n
+         |), samp0 AS MATERIALIZED (
+         |  SELECT id, list_transform(v, x -> x / nrm) AS u
          |  FROM base WHERE nrm > 0.0 ORDER BY id LIMIT $samp
+         |), samp AS MATERIALIZED (
+         |  -- window AFTER the limit: COUNT(*) OVER () in the limited CTE
+         |  -- would count the PRE-limit corpus (DuckDB evaluates windows
+         |  -- before LIMIT), desyncing n from Scala's sample.length the
+         |  -- moment the corpus exceeds the sample cap
+         |  SELECT id, u, row_number() OVER (ORDER BY id) - 1 AS r,
+         |         COUNT(*) OVER () AS n
+         |  FROM samp0
          |), sdim AS MATERIALIZED (
          |  SELECT r, j, u[j] AS val FROM samp, generate_series(1, $dim) AS t(j)
          |), cent0 AS MATERIALIZED (
@@ -1073,11 +1081,17 @@ object TextQueries {
          |), uvec AS MATERIALIZED (
          |  SELECT id, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
          |  FROM base
-         |), samp AS MATERIALIZED (
-         |  SELECT id, list_transform(v, x -> x / nrm) AS u,
-         |         row_number() OVER (ORDER BY id) - 1 AS r,
-         |         COUNT(*) OVER () AS n
+         |), samp0 AS MATERIALIZED (
+         |  SELECT id, list_transform(v, x -> x / nrm) AS u
          |  FROM base WHERE nrm > 0.0 ORDER BY id LIMIT $samp
+         |), samp AS MATERIALIZED (
+         |  -- window AFTER the limit: COUNT(*) OVER () in the limited CTE
+         |  -- would count the PRE-limit corpus (DuckDB evaluates windows
+         |  -- before LIMIT), desyncing n from Scala's sample.length the
+         |  -- moment the corpus exceeds the sample cap
+         |  SELECT id, u, row_number() OVER (ORDER BY id) - 1 AS r,
+         |         COUNT(*) OVER () AS n
+         |  FROM samp0
          |), sdim AS MATERIALIZED (
          |  SELECT r, j, u[j] AS val FROM samp, generate_series(1, $dim) AS t(j)
          |), cent0 AS MATERIALIZED (

@@ -39,7 +39,19 @@ import org.apache.spark.sql.types._
   */
 object MongoSink {
 
+  /** BSON dates are int64 MILLIS by spec — sub-millisecond digits do not
+    * survive any MongoDB sink, so the wire format carries exactly three
+    * fractional digits. Engine timestamps are micros; a consumer needing
+    * them keeps the original column alongside. */
   private val IsoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+  /** date_format renders in the SESSION timezone while the wire suffix
+    * is a literal 'Z' — shift through to_utc_timestamp(sessionTz) so the
+    * rendered wall time really is UTC in ANY session zone (and invert
+    * with from_utc_timestamp on read). In the default UTC sessions both
+    * shifts are identity. */
+  private def sessionTz(df: DataFrame): String =
+    df.sparkSession.sessionState.conf.sessionLocalTimeZone
 
   /** Write `df` as mongoimport-ready Extended JSON NDJSON under `path`.
     *
@@ -49,10 +61,13 @@ object MongoSink {
   def writeEventsMongoJson(df: DataFrame, path: String, idCol: String = "id",
                            dateCols: Seq[String] = Seq.empty): Unit = {
     require(df.columns.contains(idCol), s"id column '$idCol' not in frame")
+    val tz = sessionTz(df)
     val dated = dateCols.foldLeft(df) { (d, c) =>
       // guard: a null date must stay null (absent key), not become "{}"
       d.withColumn(c, when(col(c).isNotNull,
-        struct(date_format(col(c).cast("timestamp"), IsoFmt).as("$date"))))
+        struct(date_format(
+          to_utc_timestamp(col(c).cast("timestamp"), tz), IsoFmt)
+          .as("$date"))))
     }
     val rest = dated.columns.filter(_ != idCol).map(col).toSeq
     dated
@@ -76,8 +91,10 @@ object MongoSink {
       else f
     })
     val raw = spark.read.schema(wire).option("multiLine", false).json(path)
+    val tz = sessionTz(raw)
     val unwrapped = dateCols.foldLeft(raw) { (d, c) =>
-      d.withColumn(c, to_timestamp(col(c).getField("$date"), IsoFmt))
+      d.withColumn(c, from_utc_timestamp(
+        to_timestamp(col(c).getField("$date"), IsoFmt), tz))
     }
     unwrapped.withColumnRenamed("_id", idCol)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

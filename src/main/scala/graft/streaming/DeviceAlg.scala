@@ -43,10 +43,17 @@ final class HttpDeviceClient(addr: String, user: String = "",
                              passwd: String = "", timeoutMs: Int = 10000)
   extends DeviceClient {
   private val baseUrl = {
+    // default port 8080 (the reference's osdAppConnection default) must
+    // land after the HOST, not after a trailing slash or path —
+    // "1.2.3.4/" naively appended would build "http://1.2.3.4/:8080"
     val a = if (addr.contains("://")) addr else s"http://$addr"
-    val hasPort = java.net.URI.create(a).getPort != -1
-    (if (hasPort) a else s"$a:8080").stripSuffix("/")
+    val u = java.net.URI.create(a)
+    require(u.getHost != null, s"unparseable device address '$addr'")
+    val port = if (u.getPort != -1) u.getPort else 8080
+    val path = Option(u.getPath).getOrElse("").stripSuffix("/")
+    s"${u.getScheme}://${u.getHost}:$port$path"
   }
+  private[graft] def url: String = baseUrl
   @transient private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
   private def request(post: Option[String]): String = {
@@ -129,7 +136,6 @@ final class LoopbackDeviceClient(alg: SdAlg) extends DeviceClient {
 final class DeviceAlg(mkClient: () => DeviceClient) extends SdAlg {
   private val mapper = new ObjectMapper()
   private var client: DeviceClient = _
-  private var settingsSent = false
   private var last: AlgResult = AlgResult(0, 0.0, 0.0, 0.0, 0.0)
 
   override def name: String = "DeviceAlg"
@@ -170,7 +176,6 @@ final class DeviceAlg(mkClient: () => DeviceClient) extends SdAlg {
     if (isSettingsRequest(resp)) {       // handshake: settings + re-send,
       client.sendData(settingsJson)      // no sample dropped
       client.sendData(packet)
-      settingsSent = true
     }
     var verdict: String = null
     var attempts = 0
@@ -200,7 +205,6 @@ final class DeviceAlg(mkClient: () => DeviceClient) extends SdAlg {
 
   override def reset(): Unit = {
     if (client != null) { client.close(); client = null }
-    settingsSent = false
     last = AlgResult(0, 0.0, 0.0, 0.0, 0.0)
   }
 

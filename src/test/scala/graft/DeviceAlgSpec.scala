@@ -54,10 +54,15 @@ class DeviceAlgSpec extends AnyFunSuite {
   }
 
   test("http transport resolves addresses like the reference (default port 8080)") {
-    // construction only — no egress in this environment
-    new HttpDeviceClient("192.168.1.29")
-    new HttpDeviceClient("localhost:8081")
-    new HttpDeviceClient("http://dev.example:9000/")
+    // construction only — no egress in this environment; the default
+    // port lands after the HOST even with a trailing slash or path
+    assert(new HttpDeviceClient("192.168.1.29").url == "http://192.168.1.29:8080")
+    assert(new HttpDeviceClient("192.168.1.29/").url == "http://192.168.1.29:8080")
+    assert(new HttpDeviceClient("localhost:8081").url == "http://localhost:8081")
+    assert(new HttpDeviceClient("http://dev.example:9000/").url
+      == "http://dev.example:9000")
+    assert(new HttpDeviceClient("dev.example/api/").url
+      == "http://dev.example:8080/api")
     val unreachable = new HttpDeviceClient("127.0.0.1:1", timeoutMs = 200)
     intercept[Exception](unreachable.sendData("{}"))
   }

@@ -975,8 +975,12 @@ object TextQueries {
     * CTEs re-inline through the stage chain and the plan blows up
     * exponentially), then assign + probe + bucket-local scoring + e1's
     * exact-cosine ranking. */
-  val e4Sql: String = {
-    val (nlist, nprobe, iters, k, dim, samp) = (16, 4, 5, 3, 64, 2048)
+  /** The coarse quantizer's training replay — base → capped unit sample
+    * → 5 spherical-Lloyd stages → `cent5` — shared VERBATIM by the e4
+    * and e9 oracles (16 lists, dim 64, 2048-sample cap), so a fix in
+    * the Lloyd SQL cannot silently desync the twins. */
+  private val coarseChainSql: String = {
+    val (nlist, iters, dim, samp) = (16, 5, 64, 2048)
     val pre =
       s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
@@ -1029,6 +1033,11 @@ object TextQueries {
          |  LEFT JOIN sums$i s ON s.c = p.c AND s.j = p.j
          |  LEFT JOIN nrm$i n ON n.c = p.c
          |)""".stripMargin
+    pre + (0 until iters).map(stage).mkString
+  }
+
+  val e4Sql: String = {
+    val (nprobe, iters, k) = (4, 5, 3)
     val post =
       s""",
          |clist AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$iters GROUP BY c),
@@ -1051,7 +1060,7 @@ object TextQueries {
          |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
          |      FROM scored)
          |WHERE rank <= $k""".stripMargin
-    pre + (0 until iters).map(stage).mkString + post
+    coarseChainSql + post
   }
 
   /** E9 IVF-PQ ANN (FAISS IVFADC shape): [[Similarity.ivfPqKnn]] — the
@@ -1071,62 +1080,15 @@ object TextQueries {
     * ADC scoring as per-subspace partial dots summed in subspace order —
     * the exact grouping the operator's lookup-table fold produces. */
   private def e9Chain(k: Int): String = {
-    val (nlist, nprobe, iters, dim, samp) = (16, 4, 5, 64, 2048)
+    val (nprobe, iters) = (4, 5)
     val (mSub, ksub, pqIters, dsub) = (4, 16, 3, 16)
-    val pre =
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings
-         |), uvec AS MATERIALIZED (
+    // coarse training is the SHARED chain (coarseChainSql); e9 adds the
+    // unit-vector view the PQ encode/ADC stages read
+    val uvecSql =
+      s""",
+         |uvec AS MATERIALIZED (
          |  SELECT id, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u
          |  FROM base
-         |), samp0 AS MATERIALIZED (
-         |  SELECT id, list_transform(v, x -> x / nrm) AS u
-         |  FROM base WHERE nrm > 0.0 ORDER BY id LIMIT $samp
-         |), samp AS MATERIALIZED (
-         |  -- window AFTER the limit: COUNT(*) OVER () in the limited CTE
-         |  -- would count the PRE-limit corpus (DuckDB evaluates windows
-         |  -- before LIMIT), desyncing n from Scala's sample.length the
-         |  -- moment the corpus exceeds the sample cap
-         |  SELECT id, u, row_number() OVER (ORDER BY id) - 1 AS r,
-         |         COUNT(*) OVER () AS n
-         |  FROM samp0
-         |), sdim AS MATERIALIZED (
-         |  SELECT r, j, u[j] AS val FROM samp, generate_series(1, $dim) AS t(j)
-         |), cent0 AS MATERIALIZED (
-         |  SELECT c.c AS c, s.j, s.val
-         |  FROM generate_series(0, ${nlist - 1}) AS c(c)
-         |  JOIN samp sm ON sm.r = CASE WHEN sm.n >= $nlist
-         |                              THEN (c.c * sm.n) // $nlist ELSE c.c END
-         |  JOIN sdim s ON s.r = sm.r
-         |  WHERE c.c < LEAST($nlist, sm.n)
-         |)""".stripMargin
-    def coarseStage(i: Int): String =
-      s""",
-         |clist$i AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$i GROUP BY c),
-         |asg$i AS MATERIALIZED (
-         |  SELECT r, c FROM (
-         |    SELECT s.r, cl.c,
-         |           row_number() OVER (PARTITION BY s.r
-         |             ORDER BY list_dot_product(s.u, cl.cl) DESC, cl.c) AS pr
-         |    FROM samp s, clist$i cl) WHERE pr = 1
-         |), sums$i AS MATERIALIZED (
-         |  SELECT a.c, d.j,
-         |         list_reduce(list_prepend(0.0::DOUBLE, list(d.val ORDER BY d.r)),
-         |                     (x, y) -> x + y) AS s
-         |  FROM asg$i a JOIN sdim d ON d.r = a.r
-         |  GROUP BY a.c, d.j
-         |), nrm$i AS MATERIALIZED (
-         |  SELECT c, sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(s * s ORDER BY j)),
-         |                             (x, y) -> x + y)) AS nn
-         |  FROM sums$i GROUP BY c
-         |), cent${i + 1} AS MATERIALIZED (
-         |  SELECT p.c, p.j,
-         |         CASE WHEN s.s IS NOT NULL AND n.nn > 0 THEN s.s / n.nn ELSE p.val END AS val
-         |  FROM cent$i p
-         |  LEFT JOIN sums$i s ON s.c = p.c AND s.j = p.j
-         |  LEFT JOIN nrm$i n ON n.c = p.c
          |)""".stripMargin
     val pqPre =
       s""",
@@ -1214,7 +1176,7 @@ object TextQueries {
          |        FROM scored)
          |  WHERE rank <= $k
          |)""".stripMargin
-    pre + (0 until iters).map(coarseStage).mkString + pqPre +
+    coarseChainSql + uvecSql + pqPre +
       (0 until pqIters).map(pqStage).mkString + post
   }
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input battery: every operator family either returns an
+  * EMPTY result of the right shape or fails LOUDLY with its documented
+  * message on an empty corpus — never an NPE from a null aggregate or a
+  * silent wrong answer. A 100 TB pipeline's first dry-run partition or
+  * filtered-to-nothing batch hits exactly these paths. */
+class EmptyInputSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noVecs =
+    Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+
+  test("dedup family: empty corpus -> empty result, right columns") {
+    assert(Dedup.exactDedup(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.exactDupGroups(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", lit(1),
+      n = 2, minJaccard = 0.5).count() == 0)
+    val span = Dedup.duplicateSpanRemoval(noDocs, "doc_id", "text", n = 20)
+    assert(span.count() == 0 &&
+      span.columns.toSeq == Seq("doc_id", "n_tok", "n_removed", "clean_text"))
+    assert(Dedup.minHashCandidates(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashCandidates(noDocs, "doc_id", "text").count() == 0)
+    // cluster resolution over no edges: no labels, no convergence error
+    assert(Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
+
+  test("similarity family: empty corpus -> empty result; semDedup keeps nothing") {
+    assert(Similarity.bruteForceKnn(noVecs, "vec_id", "embedding", k = 3)
+      .count() == 0)
+    assert(Similarity.lshKnn(noVecs, "vec_id", "embedding", dim = 4, k = 3)
+      .count() == 0)
+    val sem = Similarity.semDedupKept(
+      Seq.empty[(Long, Int, Seq[Double])].toDF("vec_id", "cluster", "embedding"),
+      "vec_id", "embedding", "cluster", tau = 0.95)
+    assert(sem.count() == 0 &&
+      sem.columns.toSeq == Seq("vec_id", "cluster", "kept"))
+  }
+
+  test("trainers fail loudly on corpora too small to train") {
+    // KMeans: fewer vectors than seeds is a stated require
+    val e1 = intercept[IllegalArgumentException](
+      KMeans.lloyd(noVecs, "vec_id", "embedding", k = 2))
+    assert(e1.getMessage.contains("need >= 2 seeds"))
+    // BPE: an empty corpus has no pair to merge
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.train(noDocs, "text", numMerges = 1))
+    assert(e2.getMessage.contains("corpus exhausted"))
+    // Z-order: no rows -> no bounds
+    val dir = java.nio.file.Files.createTempDirectory("zempty").toFile
+    val e3 = intercept[IllegalArgumentException](
+      graft.sources.LakeMaintenance.writeZOrdered(
+        Seq.empty[(Long, Long)].toDF("a", "b"),
+        new java.io.File(dir, "z").getAbsolutePath, col("a"), col("b"), 4))
+    assert(e3.getMessage.contains("empty input"))
+  }
+
+  test("text analysis and packing: empty corpus -> empty, not null aggregates") {
+    assert(TextAnalysis.repetitionStats(noDocs, "doc_id", "text").count() == 0)
+    assert(Decontaminate.overlapCounts(noDocs, noDocs, "doc_id", "text",
+      n = 3).count() == 0)
+    val packed = Pack.tokenPack(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tok"),
+      "doc_id", "n_tok", seqLen = 16)
+    assert(packed.count() == 0)
+  }
+}

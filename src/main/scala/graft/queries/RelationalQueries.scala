@@ -337,6 +337,37 @@ object RelationalQueries {
       | MAX(value) AS max_value, COUNT(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** CEP1 — SEQUENCE-PATTERN DETECTION ([[graft.operators.Pattern
+    * .sequencePattern]], the MATCH_RECOGNIZE core Spark lacks): every
+    * per-user "view, click, purchase" run completed within a day —
+    * the corpus-level query form of the per-datapoint FSM the reference
+    * hardcodes (W10). One key-hash shuffle, then a LEAD chain sharing
+    * one window sort; overlapping matches permitted (SKIP TO NEXT ROW
+    * semantics); (ts, event_id) tie-break keeps the sequence total.
+    * The oracle restates the lead chain — a mis-ordered window, a lost
+    * label, or an off-by-one on the time bound all break the hash. */
+  def cep1SeqPattern(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pattern.sequencePattern(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 86400)
+      .select(col("user_id"),
+        date_format(col("match_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("match_start"),
+        date_format(col("match_end"), "yyyy-MM-dd HH:mm:ss").as("match_end"))
+
+  val cep1Sql: String =
+    """SELECT user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS match_start,
+      |  strftime(e, '%Y-%m-%d %H:%M:%S') AS match_end
+      |FROM (SELECT user_id, ts, event_type,
+      |        lead(event_type, 1) OVER w AS l1,
+      |        lead(event_type, 2) OVER w AS l2,
+      |        lead(ts, 2) OVER w AS e
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE event_type = 'view' AND l1 = 'click' AND l2 = 'purchase'
+      |  AND epoch_us(e) - epoch_us(ts) <= 86400::BIGINT * 1000000""".stripMargin
+
   /** A13 (dp-gap statistics): per-key lag diff in floor-seconds (identical
     * under Spark's micro vs DuckDB's nano precision), conditional count.
     * One shuffle on user_id; the window sort is within-partition. */
@@ -1025,6 +1056,7 @@ object RelationalQueries {
     "a6_confusion"       -> (a6Confusion _),
     "a7_daily_zero_fill" -> (a7DailyZeroFill _),
     "a8_tumbling_10min"  -> (a8Tumbling10Min _),
+    "cep1_seq_pattern"   -> (cep1SeqPattern _),
     "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
@@ -1071,6 +1103,7 @@ object RelationalQueries {
     "a6_confusion"       -> a6Sql,
     "a7_daily_zero_fill" -> a7Sql,
     "a8_tumbling_10min"  -> a8Sql,
+    "cep1_seq_pattern"   -> cep1Sql,
     "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,

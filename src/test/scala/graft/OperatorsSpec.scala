@@ -338,6 +338,31 @@ class OperatorsSpec extends SparkSpec {
       col("v") === 12345L).count() == 0)
   }
 
+  test("Pattern.sequencePattern: overlaps allowed, time bound enforced, keys isolated") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1: A B A B -> "A B" matches at rows 0 and 2 (overlap-friendly)
+      (1L, ts(0), 10L, "A"), (1L, ts(10), 11L, "B"),
+      (1L, ts(20), 12L, "A"), (1L, ts(30), 13L, "B"),
+      // u1: a second "A B" whose B arrives too late for the 60 s bound
+      (1L, ts(100), 14L, "A"), (1L, ts(200), 15L, "B"),
+      // u2: an A..B pair split across keys must NOT match
+      (2L, ts(5), 20L, "B"),
+      // u3: same-timestamp rows ordered by the tie column
+      (3L, ts(0), 31L, "A"), (3L, ts(0), 32L, "B")
+    ).toDF("user_id", "ts", "event_id", "label")
+    val m = graft.operators.Pattern.sequencePattern(ev, "user_id", "ts",
+        "event_id", "label", Seq("A", "B"), withinSec = 60)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000))
+      .sorted.toSeq
+    assert(m == Seq((1L, 0L), (1L, 20L), (3L, 0L)))
+    // single-label pattern degenerates to a filter (no lead, no bound):
+    // all 5 B rows match regardless of the 1 s bound
+    assert(graft.operators.Pattern.sequencePattern(ev, "user_id", "ts",
+      "event_id", "label", Seq("B"), withinSec = 1).count() == 5)
+  }
+
   test("LakeMaintenance.deleteWhere: NULL-predicate rows survive; emptying the lake returns stats") {
     import spark.implicits._
     import graft.sources.LakeMaintenance

@@ -837,6 +837,21 @@ object RelationalQueries {
       |SELECT c_custkey AS custkey FROM customer
       |WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
+  /** U5 (intersect — completing the set-op family beside u1/u2):
+    * INTERSECT DISTINCT semantics, planned as a LeftSemi + aggregate —
+    * users who BOTH errored and purchased. */
+  def u5Intersect(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "error").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase")
+        .select("user_id"))
+  }
+
+  val u5Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'error'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
+
   /** U4 (unpivot/melt — a5's inverse): wide per-user event-type counts
     * back to long (user_id, event_type, n) rows via `Dataset.unpivot`,
     * nulls (absent combos) dropped. The oracle is the ROUND-TRIP LAW:
@@ -1074,6 +1089,7 @@ object RelationalQueries {
     "o2_topk"            -> (o2TopK _),
     "u1_union_distinct"  -> (u1UnionDistinct _),
     "u2_except"          -> (u2Except _),
+    "u5_intersect"       -> (u5Intersect _),
     "u4_unpivot"         -> (u4Unpivot _),
     "c2_multiformat_ts"  -> (c2MultiFormatTs _),
     "c4_label_encode"    -> (c4LabelEncode _),
@@ -1121,6 +1137,7 @@ object RelationalQueries {
     "o2_topk"            -> o2Sql,
     "u1_union_distinct"  -> u1Sql,
     "u2_except"          -> u2Sql,
+    "u5_intersect"       -> u5Sql,
     "u4_unpivot"         -> u4Sql,
     "c2_multiformat_ts"  -> c2Sql,
     "c4_label_encode"    -> c4Sql,

@@ -733,6 +733,39 @@ object RelationalQueries {
       |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
       |      FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** W12 (beyond-ref: exponential smoothing): per-user EMA of `value`
+    * ordered by (ts, event_id), α = 1/4 — the recursive-window class
+    * (state_i = f(state_{i−1}, x_i)) that frame-based SQL windows cannot
+    * express (every frame re-evaluation would be O(n²)); the reference's
+    * moving-average smoothing generalised to exponential decay.
+    *
+    * Shape: ONE shuffle on user_id, then a per-group ordered linear fold
+    * (sort_array + higher-order aggregate) — same per-key-fold class as
+    * the w10 FSM replay, so at 100 TB it scales with the largest single
+    * key, not the table. α = 1/4 and 1−α = 3/4 are exact binary
+    * fractions and the fold performs the identical IEEE multiply-add
+    * sequence in both engines (Exact.scala rule: rational arithmetic
+    * only, no transcendentals), so the result hash-matches bit-exactly.
+    * Seed is the group's first value (DuckDB list_reduce's implicit
+    * init), folded over elements 2..n. */
+  def w12Ema(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(col("user_id"), size(col("seq")).as("n"),
+        aggregate(
+          expr("slice(seq, 2, size(seq) - 1)"),
+          element_at(col("seq"), 1).getField("value"),
+          (acc, x) => acc * lit(0.75) + x.getField("value") * lit(0.25))
+          .as("ema"))
+
+  val w12Sql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      | list_reduce(list(value ORDER BY ts, event_id),
+      |             (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ema
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** W1+W2 (unique-event curation dedup): tumbling window per user, pick
     * ONE representative by the reference's priority rule (ALARM-ish rows
     * first, then strength, then id) via a ranking window — the
@@ -1086,6 +1119,7 @@ object RelationalQueries {
     "w7_lag_features"    -> (w7LagFeatures _),
     "w9_cond_moving_avg" -> (w9CondMovingAvg _),
     "w11_rolling3"       -> (w11Rolling3 _),
+    "w12_ema"            -> (w12Ema _),
     "o2_topk"            -> (o2TopK _),
     "u1_union_distinct"  -> (u1UnionDistinct _),
     "u2_except"          -> (u2Except _),
@@ -1134,6 +1168,7 @@ object RelationalQueries {
     "w7_lag_features"    -> w7Sql,
     "w9_cond_moving_avg" -> w9Sql,
     "w11_rolling3"       -> w11Sql,
+    "w12_ema"            -> w12Sql,
     "o2_topk"            -> o2Sql,
     "u1_union_distinct"  -> u1Sql,
     "u2_except"          -> u2Sql,

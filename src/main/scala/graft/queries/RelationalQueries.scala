@@ -368,6 +368,99 @@ object RelationalQueries {
       |WHERE event_type = 'view' AND l1 = 'click' AND l2 = 'purchase'
       |  AND epoch_us(e) - epoch_us(ts) <= 86400::BIGINT * 1000000""".stripMargin
 
+  /** G1 (beyond-ref: PageRank over the user interaction graph) — the
+    * graph-centrality companion to d6's connected components. Edges are
+    * CONSECUTIVE-ACTOR pairs per event_type stream (lag over (ts,
+    * event_id) — linear in events BY CONSTRUCTION, never the quadratic
+    * all-pairs co-occurrence blowup), collapsed to weighted distinct
+    * (src,dst) with self-loops dropped; then 3 unrolled power-iteration
+    * rounds of pr' = 0.15/N + 0.85·Σ pr·w/out (the leaky-dangling
+    * variant — dangling mass is not redistributed, identically on both
+    * engines).
+    *
+    * Exactness: every operand chain is literal-double × int-ratio IEEE
+    * ops in the same order on both engines, and the ONE order-dependent
+    * reduction (the per-dst contribution sum) is made order-independent
+    * by summing FLOOR(c·10¹⁰) as BIGINT — not the usual DECIMAL cast,
+    * because round-k ranks are 10⁻¹⁰-grid-aligned, so round-(k+1)
+    * products c = pr·ratio land EXACTLY on .5 boundaries of that grid
+    * where Spark's HALF_UP and DuckDB's half-even disagree (observed at
+    * sf0.1). floor has no ties: identical doubles floor identically.
+    *
+    * Scale shape (100 TB): edge build is one windowed lag (shuffle by
+    * event_type, sort by time — same shape as w7); the iteration state
+    * is one row per NODE (users ≪ events), so each round is a
+    * node-table equi-join against the edge table — the standard Pregel
+    * decomposition, with the rank table broadcast when it fits. Rounds
+    * are a fixed constant (3), not data-dependent. */
+  def g1PageRank(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val ed = ev
+      .withColumn("src", lag(col("user_id"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+      .groupBy(col("src"), col("user_id").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val out = ed.groupBy("src").agg(sum(col("w")).as("o"))
+    val e = ed.join(out, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("o").cast("double")).as("ratio"))
+    val nodes = ev.select(col("user_id").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val pr0 = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
+      val contrib = e
+        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("pr") * col("ratio")).as("c"))
+        .groupBy("node")
+        .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
+          lit(1e10)).as("sc"))
+      nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
+        .select(col("node"),
+          (lit(0.15) / col("n").cast("double") +
+            lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+    }
+    pr3.select(col("node").as("user_id"), col("pr"))
+  }
+
+  val g1Sql: String = {
+    def step(prev: String, k: Int): String =
+      s""" s$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(SUM(CAST(FLOOR($prev.pr * e.ratio * 1.0e10) AS BIGINT))
+         |              AS DOUBLE) / 1.0e10 AS sc
+         |  FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1),
+         | pr$k AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         0.15e0 / CAST(n AS DOUBLE)
+         |           + 0.85e0 * COALESCE(s$k.sc, 0.0e0) AS pr
+         |  FROM nodes LEFT JOIN s$k USING (node) CROSS JOIN nn)""".stripMargin
+    s"""WITH lagd AS (
+       |  SELECT user_id AS dst,
+       |         LAG(user_id) OVER (PARTITION BY event_type
+       |                            ORDER BY ts, event_id) AS src
+       |  FROM events),
+       | ed AS MATERIALIZED (
+       |  SELECT src, dst, COUNT(*) AS w FROM lagd
+       |  WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+       | outd AS (SELECT src, SUM(w) AS o FROM ed GROUP BY 1),
+       | e AS MATERIALIZED (
+       |  SELECT ed.src, ed.dst, CAST(ed.w AS DOUBLE) / CAST(outd.o AS DOUBLE)
+       |    AS ratio
+       |  FROM ed JOIN outd USING (src)),
+       | nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+       | nn AS (SELECT COUNT(*) AS n FROM nodes),
+       | pr0 AS MATERIALIZED (
+       |  SELECT node, 1.0e0 / CAST(n AS DOUBLE) AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |${step("pr0", 1)},
+       |${step("pr1", 2)},
+       |${step("pr2", 3)}
+       |SELECT node AS user_id, pr FROM pr3""".stripMargin
+  }
+
   /** A13 (dp-gap statistics): per-key lag diff in floor-seconds (identical
     * under Spark's micro vs DuckDB's nano precision), conditional count.
     * One shuffle on user_id; the window sort is within-partition. */
@@ -1105,6 +1198,7 @@ object RelationalQueries {
     "a7_daily_zero_fill" -> (a7DailyZeroFill _),
     "a8_tumbling_10min"  -> (a8Tumbling10Min _),
     "cep1_seq_pattern"   -> (cep1SeqPattern _),
+    "g1_pagerank"        -> (g1PageRank _),
     "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
@@ -1154,6 +1248,7 @@ object RelationalQueries {
     "a7_daily_zero_fill" -> a7Sql,
     "a8_tumbling_10min"  -> a8Sql,
     "cep1_seq_pattern"   -> cep1Sql,
+    "g1_pagerank"        -> g1Sql,
     "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,

@@ -461,6 +461,93 @@ object RelationalQueries {
        |SELECT node AS user_id, pr FROM pr3""".stripMargin
   }
 
+  /** G2 (beyond-ref: triangle counting by degree orientation) — the
+    * third graph primitive beside d6's connected components and g1's
+    * PageRank; per-user triangle participation over the same
+    * consecutive-actor interaction graph (undirected, deduplicated).
+    *
+    * The orientation trick is THE scale design: orient every undirected
+    * edge from its lower-(degree,id) endpoint to its higher one, then a
+    * triangle a<b<c materialises exactly once as wedge (a→b, a→c)
+    * semi-joined against oriented edge (b→c). Out-degree under this
+    * orientation is O(√m), so wedge volume is O(m^1.5) worst-case
+    * instead of Σdeg² — the difference between a skewed social graph
+    * finishing and not finishing at 100 TB. Every join is equi-keyed
+    * (wedges on a; closure on (b,c)); all arithmetic is integer counts,
+    * so cross-engine exactness is free. */
+  def g2Triangles(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val und = ev
+      .withColumn("p", lag(col("user_id"), 1).over(w))
+      .filter(col("p").isNotNull && col("p") =!= col("user_id"))
+      .select(least(col("p"), col("user_id")).as("u"),
+        greatest(col("p"), col("user_id")).as("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    // orient low-(deg,id) → high-(deg,id); key nodes by that total order
+    val du = deg.select(col("x").as("u"), col("deg").as("ud"))
+    val dv = deg.select(col("x").as("v"), col("deg").as("vd"))
+    val ori = und.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .select(
+        when(col("ud") < col("vd") ||
+          (col("ud") === col("vd") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("ud") < col("vd") ||
+          (col("ud") === col("vd") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"),
+        when(col("ud") < col("vd") ||
+          (col("ud") === col("vd") && col("u") < col("v")), col("vd"))
+          .otherwise(col("ud")).as("bd"))
+    val e1 = ori.select(col("a"), col("b").as("b1"), col("bd").as("bd1"))
+    val e2 = ori.select(col("a"), col("b").as("b2"), col("bd").as("bd2"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("bd1") < col("bd2") ||
+        (col("bd1") === col("bd2") && col("b1") < col("b2")))
+    val closing = ori.select(col("a").as("b1"), col("b").as("b2"))
+    val tris = wedges.join(closing, Seq("b1", "b2"))
+      .select(col("a"), col("b1"), col("b2"))
+    tris.select(explode(array(col("a"), col("b1"), col("b2"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("triangles"))
+  }
+
+  val g2Sql: String =
+    """WITH lagd AS (
+      |  SELECT user_id AS c,
+      |         LAG(user_id) OVER (PARTITION BY event_type
+      |                            ORDER BY ts, event_id) AS p
+      |  FROM events),
+      | und AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(p, c) AS u, GREATEST(p, c) AS v
+      |  FROM lagd WHERE p IS NOT NULL AND p <> c),
+      | deg AS MATERIALIZED (
+      |  SELECT x, COUNT(*) AS deg
+      |  FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1),
+      | ori AS MATERIALIZED (
+      |  SELECT CASE WHEN du.deg < dv.deg
+      |              OR (du.deg = dv.deg AND und.u < und.v)
+      |         THEN und.u ELSE und.v END AS a,
+      |         CASE WHEN du.deg < dv.deg
+      |              OR (du.deg = dv.deg AND und.u < und.v)
+      |         THEN und.v ELSE und.u END AS b,
+      |         CASE WHEN du.deg < dv.deg
+      |              OR (du.deg = dv.deg AND und.u < und.v)
+      |         THEN dv.deg ELSE du.deg END AS bd
+      |  FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+      | tris AS MATERIALIZED (
+      |  SELECT e1.a, e1.b AS b1, e2.b AS b2
+      |  FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+      |  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b
+      |  WHERE e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |SELECT user_id, COUNT(*) AS triangles
+      |FROM (SELECT a AS user_id FROM tris
+      |      UNION ALL SELECT b1 FROM tris
+      |      UNION ALL SELECT b2 FROM tris)
+      |GROUP BY 1""".stripMargin
+
   /** A13 (dp-gap statistics): per-key lag diff in floor-seconds (identical
     * under Spark's micro vs DuckDB's nano precision), conditional count.
     * One shuffle on user_id; the window sort is within-partition. */
@@ -1199,6 +1286,7 @@ object RelationalQueries {
     "a8_tumbling_10min"  -> (a8Tumbling10Min _),
     "cep1_seq_pattern"   -> (cep1SeqPattern _),
     "g1_pagerank"        -> (g1PageRank _),
+    "g2_triangles"       -> (g2Triangles _),
     "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
@@ -1249,6 +1337,7 @@ object RelationalQueries {
     "a8_tumbling_10min"  -> a8Sql,
     "cep1_seq_pattern"   -> cep1Sql,
     "g1_pagerank"        -> g1Sql,
+    "g2_triangles"       -> g2Sql,
     "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,

@@ -548,6 +548,45 @@ object RelationalQueries {
       |      UNION ALL SELECT b2 FROM tris)
       |GROUP BY 1""".stripMargin
 
+  /** A19 (beyond-ref: equi-width histogram) — the summariseData
+    * distribution-plot aggregation as a first-class operator: 20 bins
+    * over [min,max] of events.value, zero-filled so every bin row
+    * exists (the a7 calendar-grid pattern applied to value space).
+    *
+    * Shape: one all-column-pruned scan for the (min,max) scalar
+    * (broadcast), then the binning is a NARROW map — the groupBy on a
+    * 20-value key collapses map-side to ≤20 rows per partition before
+    * the exchange; the bins axis is a broadcast 20-row range. Binning
+    * arithmetic ((x−lo)/(hi−lo)·20, floored, clamped) is the same IEEE
+    * sequence in both engines — floor is tie-free on identical inputs
+    * (the g1 lesson). */
+  def a19Histogram(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.events(s, d)
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val counts = Tables.events(s, d).crossJoin(broadcast(st))
+      .select(least(floor((col("value") - col("lo")) /
+        (col("hi") - col("lo")) * lit(20.0)), lit(19.0)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val bins = Tables.events(s, d).sparkSession.range(20)
+      .select(col("id").as("bin")).crossJoin(broadcast(st))
+      .select(col("bin"),
+        (col("lo") + col("bin").cast("double") * (col("hi") - col("lo")) /
+          lit(20.0)).as("bin_lo"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  val a19Sql: String =
+    """WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      | c AS (SELECT CAST(LEAST(FLOOR((value - lo) / (hi - lo) * 20.0e0),
+      |                         19.0e0) AS BIGINT) AS bin, COUNT(*) AS cnt
+      |       FROM events CROSS JOIN st GROUP BY 1),
+      | bins AS (SELECT i AS bin, lo + CAST(i AS DOUBLE) * (hi - lo) / 20.0e0
+      |            AS bin_lo
+      |          FROM range(20) r(i) CROSS JOIN st)
+      |SELECT bins.bin, bins.bin_lo, COALESCE(c.cnt, 0) AS cnt
+      |FROM bins LEFT JOIN c USING (bin)""".stripMargin
+
   /** A13 (dp-gap statistics): per-key lag diff in floor-seconds (identical
     * under Spark's micro vs DuckDB's nano precision), conditional count.
     * One shuffle on user_id; the window sort is within-partition. */
@@ -1287,6 +1326,7 @@ object RelationalQueries {
     "cep1_seq_pattern"   -> (cep1SeqPattern _),
     "g1_pagerank"        -> (g1PageRank _),
     "g2_triangles"       -> (g2Triangles _),
+    "a19_histogram"      -> (a19Histogram _),
     "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
@@ -1338,6 +1378,7 @@ object RelationalQueries {
     "cep1_seq_pattern"   -> cep1Sql,
     "g1_pagerank"        -> g1Sql,
     "g2_triangles"       -> g2Sql,
+    "a19_histogram"      -> a19Sql,
     "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,

@@ -33,4 +33,32 @@ object FeatureHistory {
     val deepest = featureCols.map(f => col(s"${f}_t-${n - 1}").isNotNull)
     if (deepest.isEmpty) out else out.filter(deepest.reduce(_ && _))
   }
+
+  /** Per-key exponential moving average — the RECURSIVE window class
+    * (state_i = f(state_{i−1}, x_i)) that frame-based windows cannot
+    * express without O(n²) frame re-evaluation. One shuffle on the key,
+    * then a per-group ordered linear fold (sort_array + higher-order
+    * aggregate) — the same per-key-fold shape as the w10 FSM replay, so
+    * at 100 TB it scales with the largest single key, not the table.
+    * Seed is the group's first value, folded over elements 2..n.
+    *
+    * Cross-engine exactness holds when `alpha` (and 1−alpha) are exact
+    * binary fractions (1/2, 1/4, 1/8, …): the fold is then the identical
+    * IEEE multiply-add sequence on any engine replaying it in the same
+    * order (Exact.scala rules). Returns keyCols + (n, ema). */
+  def ema(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+          valueCol: String, alpha: Double): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val seq = sort_array(collect_list(
+      struct((orderCols :+ valueCol).map(col): _*)))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(seq.as("seq"))
+      .select(keyCols.map(col) ++ Seq(
+        size(col("seq")).as("n"),
+        aggregate(
+          expr("slice(seq, 2, size(seq) - 1)"),
+          element_at(col("seq"), 1).getField(valueCol),
+          (acc, x) => acc * lit(1.0 - alpha) +
+            x.getField(valueCol) * lit(alpha)).as("ema")): _*)
+  }
 }

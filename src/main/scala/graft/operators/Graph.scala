@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge-list DataFrames — the
+  * centrality/structure companions to [[Dedup.dupClusters]]'s connected
+  * components. Everything is expressed as equi-keyed joins + aggregates
+  * so Catalyst plans ordinary shuffles (AQE-skew-splittable); no driver
+  * state beyond Catalyst itself.
+  *
+  * Cross-engine exactness contract (Exact.scala rules): inputs are
+  * integer counts, every derived double is an int→double cast followed
+  * by correctly-rounded IEEE ops in a fixed order, and the one
+  * order-dependent reduction (pageRank's contribution sum) is made
+  * order-independent on a tie-free floor grid — NOT a DECIMAL cast,
+  * because grid-aligned rank products land exactly on .5 boundaries
+  * where HALF_UP (Spark) and half-even (DuckDB) disagree.
+  */
+object Graph {
+
+  /** PageRank over a weighted directed edge list `(src, dst, w)` with an
+    * explicit node table `(node)` (nodes with no in-edges still hold
+    * teleport mass; dangling mass is NOT redistributed — the leaky
+    * variant, identical on any engine that replays the same formula).
+    *
+    * `damping`/`teleport` are passed separately rather than derived
+    * (teleport = 1−damping computes 0.15000000000000002 in binary —
+    * an oracle writing the literal 0.15 would mismatch forever).
+    *
+    * Scale shape: iteration state is one row per NODE; each round is a
+    * rank-table equi-join against the edge table (rank side broadcast
+    * when it fits — the standard Pregel decomposition) and a groupBy
+    * dst whose partial aggregation collapses map-side. Rounds are a
+    * fixed constant, not data-dependent. */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    val out = edges.groupBy("src").agg(sum(col("w")).as("o"))
+    val e = edges.join(out, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("o").cast("double")).as("ratio"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val pr0 = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    (1 to iters).foldLeft(pr0) { (pr, _) =>
+      val contrib = e
+        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("pr") * col("ratio")).as("c"))
+        .groupBy("node")
+        .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
+          lit(1e10)).as("sc"))
+      nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
+        .select(col("node"),
+          (lit(teleport) / col("n").cast("double") +
+            lit(damping) * coalesce(col("sc"), lit(0.0))).as("pr"))
+    }
+  }
+
+  /** Per-node triangle counts over a distinct undirected edge list
+    * `(u, v)` with u < v. Degree orientation is THE scale design:
+    * orient every edge from its lower-(degree,id) endpoint to its
+    * higher one, so a triangle a<b<c materialises exactly once as
+    * wedge (a→b, a→c) closed by oriented edge (b→c), and out-degree is
+    * O(√m) — wedge volume O(m^1.5) worst-case instead of Σdeg², the
+    * difference between a skewed social graph finishing and not
+    * finishing at 100 TB. All joins equi-keyed; all arithmetic integer.
+    * Returns `(node, triangles)` for nodes in ≥1 triangle. */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("x").as("u"), col("deg").as("ud"))
+    val dv = deg.select(col("x").as("v"), col("deg").as("vd"))
+    val fwd = col("ud") < col("vd") ||
+      (col("ud") === col("vd") && col("u") < col("v"))
+    val ori = und.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("vd")).otherwise(col("ud")).as("bd"))
+    val e1 = ori.select(col("a"), col("b").as("b1"), col("bd").as("bd1"))
+    val e2 = ori.select(col("a"), col("b").as("b2"), col("bd").as("bd2"))
+    val wedges = e1.join(e2, Seq("a"))
+      .filter(col("bd1") < col("bd2") ||
+        (col("bd1") === col("bd2") && col("b1") < col("b2")))
+    val closing = ori.select(col("a").as("b1"), col("b").as("b2"))
+    wedges.join(closing, Seq("b1", "b2"))
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+}

@@ -138,4 +138,55 @@ object TextAnalysis {
       .withColumn("reject",
         ((col("n2") - col("d2")) * 5 > col("n2")).cast("int"))
   }
+
+  /** Corpus bigram language model + per-document LM quality score (the
+    * CCNet/Gopher "train an LM on the corpus, score each document
+    * against it" filter): add-1-smoothed p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)
+    * learned from the whole corpus, then per document the bigram count,
+    * the NOVEL-bigram count (corpus count 1 — unique to this doc, a
+    * fluency/noise signal) and the mean smoothed probability.
+    *
+    * Deliberately LOG-FREE: perplexity's ln() is a transcendental whose
+    * last ulp differs between libm implementations, so a cross-entropy
+    * sum can never hash-match across engines. Every number here is
+    * integer counts → one exact int→double cast → one correctly-rounded
+    * IEEE division, and the per-doc mean routes through DECIMAL(28,10)
+    * (order-independent). Mean smoothed probability ranks documents for
+    * filtering just like perplexity does — both are monotone in how
+    * "expected" the doc's bigrams are — without the transcendental.
+    *
+    * Scale shape (100 TB): the model is VOCAB-bounded, not corpus-bound —
+    * bigram counts collapse map-side to distinct (w1,w2) pairs before
+    * their shuffle, prefix counts fold that table again (strictly
+    * smaller), V is one scalar. The only full-corpus shuffle is the
+    * bigram-stream equi-join on (w1,w2); head-word skew there (stopword
+    * bigrams) is exactly the AQE skew-join case, and the prefix table
+    * broadcasts. No window over the token stream — that would sort the
+    * full corpus per term. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docsT = docs.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+    val bigrams = docsT
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(2, size(t)),
+          |  i -> struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))
+          |""".stripMargin)).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = docsT.select(explode(col("t")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("novel_bigrams"),
+        (sum(col("p").cast("decimal(28,10)")).cast("double") / count(lit(1)))
+          .as("avg_p"))
+  }
 }

@@ -378,21 +378,11 @@ object RelationalQueries {
     * variant — dangling mass is not redistributed, identically on both
     * engines).
     *
-    * Exactness: every operand chain is literal-double × int-ratio IEEE
-    * ops in the same order on both engines, and the ONE order-dependent
-    * reduction (the per-dst contribution sum) is made order-independent
-    * by summing FLOOR(c·10¹⁰) as BIGINT — not the usual DECIMAL cast,
-    * because round-k ranks are 10⁻¹⁰-grid-aligned, so round-(k+1)
-    * products c = pr·ratio land EXACTLY on .5 boundaries of that grid
-    * where Spark's HALF_UP and DuckDB's half-even disagree (observed at
-    * sf0.1). floor has no ties: identical doubles floor identically.
-    *
-    * Scale shape (100 TB): edge build is one windowed lag (shuffle by
-    * event_type, sort by time — same shape as w7); the iteration state
-    * is one row per NODE (users ≪ events), so each round is a
-    * node-table equi-join against the edge table — the standard Pregel
-    * decomposition, with the rank table broadcast when it fits. Rounds
-    * are a fixed constant (3), not data-dependent. */
+    * Exactness and the iteration's scale shape live in
+    * [[graft.operators.Graph.pageRank]] (tie-free floor-grid sums, Pregel
+    * decomposition); this entry builds the fixture's edge list — one
+    * windowed lag (shuffle by event_type, sort by time — same shape as
+    * w7) collapsed to weighted distinct (src,dst). */
   def g1PageRank(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
@@ -402,27 +392,9 @@ object RelationalQueries {
       .filter(col("src").isNotNull && col("src") =!= col("user_id"))
       .groupBy(col("src"), col("user_id").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val out = ed.groupBy("src").agg(sum(col("w")).as("o"))
-    val e = ed.join(out, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("o").cast("double")).as("ratio"))
     val nodes = ev.select(col("user_id").as("node")).distinct()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val pr0 = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
-    val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
-      val contrib = e
-        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"), (col("pr") * col("ratio")).as("c"))
-        .groupBy("node")
-        .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
-          lit(1e10)).as("sc"))
-      nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
-        .select(col("node"),
-          (lit(0.15) / col("n").cast("double") +
-            lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-    }
-    pr3.select(col("node").as("user_id"), col("pr"))
+    graft.operators.Graph.pageRank(ed, nodes, iters = 3)
+      .select(col("node").as("user_id"), col("pr"))
   }
 
   val g1Sql: String = {
@@ -466,15 +438,10 @@ object RelationalQueries {
     * PageRank; per-user triangle participation over the same
     * consecutive-actor interaction graph (undirected, deduplicated).
     *
-    * The orientation trick is THE scale design: orient every undirected
-    * edge from its lower-(degree,id) endpoint to its higher one, then a
-    * triangle a<b<c materialises exactly once as wedge (a→b, a→c)
-    * semi-joined against oriented edge (b→c). Out-degree under this
-    * orientation is O(√m), so wedge volume is O(m^1.5) worst-case
-    * instead of Σdeg² — the difference between a skewed social graph
-    * finishing and not finishing at 100 TB. Every join is equi-keyed
-    * (wedges on a; closure on (b,c)); all arithmetic is integer counts,
-    * so cross-engine exactness is free. */
+    * The degree-orientation scale design (O(m^1.5) wedge bound) lives in
+    * [[graft.operators.Graph.triangleCounts]]; this entry builds the
+    * fixture's deduplicated undirected edge list from the same lag
+    * chain as g1. */
   def g2Triangles(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
@@ -485,32 +452,8 @@ object RelationalQueries {
       .select(least(col("p"), col("user_id")).as("u"),
         greatest(col("p"), col("user_id")).as("v"))
       .distinct()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("deg"))
-    // orient low-(deg,id) → high-(deg,id); key nodes by that total order
-    val du = deg.select(col("x").as("u"), col("deg").as("ud"))
-    val dv = deg.select(col("x").as("v"), col("deg").as("vd"))
-    val ori = und.join(broadcast(du), "u").join(broadcast(dv), "v")
-      .select(
-        when(col("ud") < col("vd") ||
-          (col("ud") === col("vd") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(col("ud") < col("vd") ||
-          (col("ud") === col("vd") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("b"),
-        when(col("ud") < col("vd") ||
-          (col("ud") === col("vd") && col("u") < col("v")), col("vd"))
-          .otherwise(col("ud")).as("bd"))
-    val e1 = ori.select(col("a"), col("b").as("b1"), col("bd").as("bd1"))
-    val e2 = ori.select(col("a"), col("b").as("b2"), col("bd").as("bd2"))
-    val wedges = e1.join(e2, Seq("a"))
-      .filter(col("bd1") < col("bd2") ||
-        (col("bd1") === col("bd2") && col("b1") < col("b2")))
-    val closing = ori.select(col("a").as("b1"), col("b").as("b2"))
-    val tris = wedges.join(closing, Seq("b1", "b2"))
-      .select(col("a"), col("b1"), col("b2"))
-    tris.select(explode(array(col("a"), col("b1"), col("b2"))).as("user_id"))
-      .groupBy("user_id").agg(count(lit(1)).as("triangles"))
+    graft.operators.Graph.triangleCounts(und)
+      .select(col("node").as("user_id"), col("triangles"))
   }
 
   val g2Sql: String =
@@ -958,26 +901,16 @@ object RelationalQueries {
     * express (every frame re-evaluation would be O(n²)); the reference's
     * moving-average smoothing generalised to exponential decay.
     *
-    * Shape: ONE shuffle on user_id, then a per-group ordered linear fold
-    * (sort_array + higher-order aggregate) — same per-key-fold class as
-    * the w10 FSM replay, so at 100 TB it scales with the largest single
-    * key, not the table. α = 1/4 and 1−α = 3/4 are exact binary
-    * fractions and the fold performs the identical IEEE multiply-add
-    * sequence in both engines (Exact.scala rule: rational arithmetic
-    * only, no transcendentals), so the result hash-matches bit-exactly.
-    * Seed is the group's first value (DuckDB list_reduce's implicit
-    * init), folded over elements 2..n. */
+    * The fold shape and exactness contract (binary-fraction α, identical
+    * IEEE multiply-add sequence, per-key-fold scaling) live in
+    * [[graft.operators.FeatureHistory.ema]]; DuckDB's list_reduce seeds
+    * from the first element exactly as the operator does. */
   def w12Ema(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("value")))).as("seq"))
-      .select(col("user_id"), size(col("seq")).as("n"),
-        aggregate(
-          expr("slice(seq, 2, size(seq) - 1)"),
-          element_at(col("seq"), 1).getField("value"),
-          (acc, x) => acc * lit(0.75) + x.getField("value") * lit(0.25))
-          .as("ema"))
+    graft.operators.FeatureHistory.ema(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      valueCol = "value", alpha = 0.25)
 
   val w12Sql: String =
     """SELECT user_id, COUNT(*) AS n,

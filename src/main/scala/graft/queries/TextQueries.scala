@@ -737,56 +737,12 @@ object TextQueries {
 
   /** LM1 (beyond-ref: corpus bigram language model + per-document LM
     * quality score — the CCNet/Gopher "train an LM on the corpus, score
-    * each document against it" filter): add-1-smoothed bigram
-    * probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) learned from the
-    * whole corpus, then per document the bigram count, the NOVEL-bigram
-    * count (corpus count 1 — unique to this doc, a fluency/noise
-    * signal), and the mean smoothed probability.
-    *
-    * Deliberately LOG-FREE: perplexity's ln() is a transcendental whose
-    * last ulp differs between libm implementations, so a cross-entropy
-    * sum cannot hash-match across engines (Exact.scala rules). Every
-    * number here is integer counts → ONE exact int→double cast → ONE
-    * correctly-rounded IEEE division — bit-identical in both engines —
-    * and the per-doc mean routes through DECIMAL(28,10) so Spark's
-    * partial-aggregation order cannot matter. Mean smoothed probability
-    * ranks documents for filtering just like perplexity does (both are
-    * monotone in how "expected" the doc's bigrams are), without the
-    * transcendental.
-    *
-    * Scale shape (100 TB): the model is VOCAB-bounded, not corpus-bound —
-    * c2 collapses map-side to distinct (w1,w2) pairs before its shuffle,
-    * c1 folds c2 again (strictly smaller), V is one scalar. The only
-    * full-corpus shuffle is the bigram-stream equi-join on (w1,w2);
-    * head-word skew there (stopword bigrams) is exactly the AQE
-    * skew-join case, and c1 broadcasts. No window over the token
-    * stream — the t8 window form would sort the full corpus per term. */
-  def lm1BigramScore(s: SparkSession, d: String): DataFrame = {
-    val docsT = Tables.documents(s, d)
-      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("t"))
-    val bigrams = docsT
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(2, size(t)),
-          |  i -> struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))
-          |""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val vocab = docsT.select(explode(col("t")).as("term"))
-      .agg(countDistinct(col("term")).as("v"))
-    bigrams
-      .join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("p",
-        (col("c2") + lit(1)).cast("double") /
-          (col("c1") + col("v")).cast("double"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("novel_bigrams"),
-        (sum(Exact.dec10(col("p"))).cast("double") / count(lit(1))).as("avg_p"))
-  }
+    * each document against it" filter). The vocab-bounded model shape
+    * and the log-free exactness rationale live in
+    * [[graft.operators.TextAnalysis.bigramLmScores]]; the oracle below
+    * replays the identical count→cast→divide→DECIMAL-mean chain. */
+  def lm1BigramScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
 
   val lm1Sql: String =
     """WITH tok AS (

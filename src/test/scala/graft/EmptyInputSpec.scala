@@ -69,5 +69,39 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "n_tok"),
       "doc_id", "n_tok", seqLen = 16)
     assert(packed.count() == 0)
+    val lm = TextAnalysis.bigramLmScores(noDocs, "doc_id", "text")
+    assert(lm.count() == 0 &&
+      lm.columns.toSeq == Seq("doc_id", "n_bigrams", "novel_bigrams", "avg_p"))
+  }
+
+  test("graph family: empty edge lists -> empty ranks/counts, right columns") {
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val noNodes = Seq.empty[Long].toDF("node")
+    val pr = Graph.pageRank(noEdges, noNodes)
+    assert(pr.count() == 0 && pr.columns.toSeq == Seq("node", "pr"))
+    val tri = Graph.triangleCounts(Seq.empty[(Long, Long)].toDF("u", "v"))
+    assert(tri.count() == 0 && tri.columns.toSeq == Seq("node", "triangles"))
+  }
+
+  test("ema: empty input -> empty; single row -> seed value unchanged") {
+    val e0 = FeatureHistory.ema(
+      Seq.empty[(Long, Long, Double)].toDF("k", "t", "x"),
+      keyCols = Seq("k"), orderCols = Seq("t"), valueCol = "x", alpha = 0.25)
+    assert(e0.count() == 0 && e0.columns.toSeq == Seq("k", "n", "ema"))
+    val e1 = FeatureHistory.ema(
+      Seq((1L, 1L, 42.0)).toDF("k", "t", "x"),
+      keyCols = Seq("k"), orderCols = Seq("t"), valueCol = "x", alpha = 0.25)
+    assert(e1.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq == Seq((1L, 1, 42.0)))
+  }
+
+  test("ema: hand-computed fold matches (alpha = 1/2, out-of-order input)") {
+    // rows arrive unordered; fold must follow t: 1,2,3 -> 1.0, 2.0, 3.0
+    // ema = ((1.0*0.5 + 2.0*0.5) = 1.5)*0.5 + 3.0*0.5 = 2.25
+    val r = FeatureHistory.ema(
+      Seq((1L, 3L, 3.0), (1L, 1L, 1.0), (1L, 2L, 2.0)).toDF("k", "t", "x"),
+      keyCols = Seq("k"), orderCols = Seq("t"), valueCol = "x", alpha = 0.5)
+      .collect()
+    assert(r.length == 1 && r(0).getInt(1) == 3 && r(0).getDouble(2) == 2.25)
   }
 }

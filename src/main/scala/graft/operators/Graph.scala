@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives over edge-list DataFrames — the
   * centrality/structure companions to [[Dedup.dupClusters]]'s connected
@@ -37,9 +38,15 @@ object Graph {
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val out = edges.groupBy("src").agg(sum(col("w")).as("o"))
+    // The normalized edge table is the LOOP INVARIANT — every iteration
+    // joins against it, and without a persist each round's plan re-runs
+    // the full edge build (scan+groupBy+join) from scratch: iters× the
+    // work at 100 TB. MEMORY_AND_DISK so a trillion-edge table spills
+    // instead of evicting. The canonical iterative-algorithm cache.
     val e = edges.join(out, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("o").cast("double")).as("ratio"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nn = nodes.agg(count(lit(1)).as("n"))
     val pr0 = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
@@ -73,11 +80,14 @@ object Graph {
     val dv = deg.select(col("x").as("v"), col("deg").as("vd"))
     val fwd = col("ud") < col("vd") ||
       (col("ud") === col("vd") && col("u") < col("v"))
+    // oriented edges feed THREE plan legs (both wedge sides + closure);
+    // persist or each leg re-runs the scan+degree+orientation chain
     val ori = und.join(broadcast(du), "u").join(broadcast(dv), "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"),
         when(fwd, col("vd")).otherwise(col("ud")).as("bd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val e1 = ori.select(col("a"), col("b").as("b1"), col("bd").as("bd1"))
     val e2 = ori.select(col("a"), col("b").as("b2"), col("bd").as("bd2"))
     val wedges = e1.join(e2, Seq("a"))

@@ -69,7 +69,8 @@ object Bpe {
     *         stays CACHED (vocab-bounded); call
     *         `model.vocabSeqs.unpersist()` when done with the model.
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            vocabParts: Int = 8): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     val words = docs
@@ -81,6 +82,14 @@ object Bpe {
       .withColumn("s", concat(
         expr("filter(split(w, ''), x -> x <> '')"), array(lit(EndOfWord))))
       .select("w", "f", "s")
+      // coalesce the vocab-bounded table: every merge round runs 2 jobs
+      // over it, and at shuffle-partition width (32+) the rounds pay
+      // 32 mostly-empty tasks of scheduling overhead each — measured
+      // ~1 s/round of pure overhead in pipe7. The corpus-scale collapse
+      // above keeps full map-side width; only the reduce/round side
+      // narrows. Heaps' law keeps vocab ≪ corpus at any sf; raise
+      // vocabParts for billion-word vocabs.
+      .coalesce(vocabParts)
       .cache() // vocab-bounded: the corpus-scale pass is behind us
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to numMerges) {

@@ -1213,6 +1213,44 @@ object RelationalQueries {
       |  ON epoch_us(p.ts) BETWEEN epoch_us(i.ts) - 300000000
       |                        AND epoch_us(i.ts) + 300000000""".stripMargin
 
+  /** J9 (full outer join — completing the join family beside inner/
+    * broadcast/semi/anti/range/as-of/interval): the reconciliation
+    * query — per-(user, day) click activity full-outer-joined against
+    * purchase activity, so days with only one side still surface
+    * (funnel drop-off on either end). Spark's using-columns full outer
+    * coalesces the keys natively; counts zero-fill.
+    *
+    * Shape: both sides pre-aggregate BEFORE the join (map-side partial
+    * collapse, then the join input is per-key rows, not raw events) and
+    * share the (user_id, day) shuffle key — at 100 TB the two exchanges
+    * co-partition and the full outer is a single sort-merge pass, never
+    * a row-level events×events join. */
+  def j9FullOuter(s: SparkSession, d: String): DataFrame = {
+    def daily(t: String, as: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as(as))
+    daily("click", "clicks")
+      .join(daily("purchase", "purchases"), Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("clicks"), lit(0L)).as("clicks"),
+        coalesce(col("purchases"), lit(0L)).as("purchases"))
+  }
+
+  val j9Sql: String =
+    """WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |                  COUNT(*) AS clicks
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      | p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |              COUNT(*) AS purchases
+      |       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |       COALESCE(c.day, p.day) AS day,
+      |       COALESCE(c.clicks, 0) AS clicks,
+      |       COALESCE(p.purchases, 0) AS purchases
+      |FROM c FULL OUTER JOIN p
+      |  ON c.user_id = p.user_id AND c.day = p.day""".stripMargin
+
   /** M10 (exact stratified sample, beyond-reference): exactly 10 docs per source — the k
     * smallest `(knuthHash32(doc_id), doc_id)` per stratum via
     * [[graft.operators.Splits.stratifiedExactK]]'s two-phase selection
@@ -1250,6 +1288,7 @@ object RelationalQueries {
     "j6_range_join"      -> (j6RangeJoin _),
     "j7_asof_join"       -> (j7AsofJoin _),
     "j8_interval_join"    -> (j8IntervalJoin _),
+    "j9_full_outer"       -> (j9FullOuter _),
     "m10_stratified_k"    -> (m10StratifiedK _),
     "a2_worst_state"     -> (a2WorstState _),
     "a5_pivot"           -> (a5Pivot _),
@@ -1302,6 +1341,7 @@ object RelationalQueries {
     "j6_range_join"      -> j6Sql,
     "j7_asof_join"       -> j7Sql,
     "j8_interval_join"    -> j8Sql,
+    "j9_full_outer"       -> j9Sql,
     "m10_stratified_k"    -> m10Sql,
     "a2_worst_state"     -> a2Sql,
     "a5_pivot"           -> a5Sql,

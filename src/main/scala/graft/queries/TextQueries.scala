@@ -370,11 +370,18 @@ object TextQueries {
     * the merge table, which shifts every token count. */
   def pipe7CleanTrainTokenize(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // The span-cleaned corpus feeds THREE consumers (BPE training's
+    // vocab collapse, the tokenize pass, the per-source doc counts);
+    // without a persist each one re-runs the full d7 span-removal chain
+    // — measured 3x the whole entry's cost. At 100 TB this is the
+    // standard "materialize the cleaned corpus once, then train and
+    // tokenize against it" stage (disk-backed, corpus-scale).
     val cleaned = graft.operators.Dedup
       .duplicateSpanRemoval(docs, "doc_id", "text", n = 20)
       .join(docs.select("doc_id", "source"), "doc_id")
       .filter(col("n_removed") * 5 < col("n_tok"))
       .select(col("doc_id"), col("source"), col("clean_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.operators.Bpe.train(cleaned, "clean_text", BpeRounds)
     graft.operators.Bpe
       .tokenCountsBySource(cleaned, "clean_text", "source", model)

@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * `runMain graft.tools.GraphLmScaleProbe <sfDir> [reps]`
   */
 object GraphLmScaleProbe {
-  private val targets = Seq("w12_ema", "lm1_bigram_score", "g1_pagerank",
-    "g2_triangles", "a19_histogram")
+  private val defaultTargets = Seq("w12_ema", "lm1_bigram_score",
+    "g1_pagerank", "g2_triangles", "a19_histogram")
+
+  /** Override the query list with GRAFT_PROBE_QUERIES=a,b,c (any
+    * registered name) — the generic timing harness for one-off
+    * regression bisects. */
+  private def targets: Seq[String] =
+    sys.env.get("GRAFT_PROBE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultTargets)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: GraphLmScaleProbe <sfDir> [reps]")

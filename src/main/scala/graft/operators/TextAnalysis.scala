@@ -172,7 +172,12 @@ object TextAnalysis {
           |  i -> struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))
           |""".stripMargin)).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the MODEL table: consumed by both the scoring join and the c1
+    // prefix fold — persist or both legs re-run the corpus-scale bigram
+    // explode+aggregate (vocab²-bounded, so this is the classic
+    // "materialize the trained model once" stage)
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = docsT.select(explode(col("t")).as("term"))
       .agg(countDistinct(col("term")).as("v"))

@@ -313,4 +313,51 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in SemDeDup:\n${p.take(3000)}")
   }
+
+  test("w12 EMA is exactly ONE exchange: the per-key fold shares the groupBy shuffle") {
+    val p = plan(RelationalQueries.w12Ema(spark, sf))
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
+  }
+
+  test("lm1 bigram LM: prefix counts broadcast; no cartesian beyond the 1-row scalar") {
+    // the c1 prefix table must reach the scoring join as a broadcast
+    // (vocab-bounded); the only nested-loop allowed is the single-row
+    // (V) scalar crossJoin. A CartesianProduct anywhere is the
+    // corpus x corpus disaster.
+    val p = plan(graft.queries.TextQueries.lm1BigramScore(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"c1 broadcast lost:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n${p.take(3000)}")
+  }
+
+  test("g2 triangles: every join equi-keyed — degree orientation never BNLJs") {
+    val p = plan(RelationalQueries.g2Triangles(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in triangle counting:\n${p.take(3000)}")
+  }
+
+  test("g1 PageRank: rank tables broadcast into every round's contribution join") {
+    // three rounds -> >= 3 BroadcastHashJoins against the persisted edge
+    // table; the 1-row node-count scalar is the only BNLJ allowed.
+    val p = plan(RelationalQueries.g1PageRank(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"rank broadcast lost:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n${p.take(3000)}")
+  }
+
+  test("j9 full outer joins pre-aggregated sides, never raw events x events") {
+    val p = plan(RelationalQueries.j9FullOuter(spark, sf))
+    assert(p.contains("FullOuter"), s"full outer missing:\n${p.take(2000)}")
+    // both inputs collapse per (user, day) BEFORE the join: partial+final
+    // aggregates on each side = at least 4 HashAggregates below it
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"pre-aggregation lost:\n${p.take(3000)}")
+  }
+
+  test("a19 histogram: the binning scan prunes to the value column alone") {
+    val p = plan(RelationalQueries.a19Histogram(spark, sf))
+    assert(p.contains("ReadSchema: struct<value:double>"),
+      s"histogram scan reads more than `value`:\n${p.take(3000)}")
+  }
 }

@@ -73,6 +73,14 @@ object Bench {
         val off = ((pass - 1) * nonSt.length) / 3
         (nonSt.drop(off) ++ nonSt.take(off)) ++ sts
       }
+      // Drop persisted tables between sweeps: several entries persist
+      // intra-query invariants (pipe7's cleaned corpus, lm1's bigram
+      // model, g1/g2's edge tables, BPE's vocab rounds), and the
+      // CacheManager dedupes by logical plan — without this, sweeps 2-3
+      // would read sweep 1's cache and their "reps" would measure
+      // cache hits, not query cost. Min-of-sweeps stays a WARM-JVM
+      // number, but every rep recomputes the declared plan.
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val times = order.map { case (name, fn) => name -> timeOne(fn) }
       System.err.println(f"[sweep $pass] ${(System.nanoTime() - t0) / 1e9}%.1f s total")

@@ -30,12 +30,17 @@ object Graph {
     * an oracle writing the literal 0.15 would mismatch forever).
     *
     * Scale shape: iteration state is one row per NODE; each round is a
-    * rank-table equi-join against the edge table (rank side broadcast
-    * when it fits — the standard Pregel decomposition) and a groupBy
-    * dst whose partial aggregation collapses map-side. Rounds are a
-    * fixed constant, not data-dependent. */
+    * rank-table equi-join against the edge table (the standard Pregel
+    * decomposition) and a groupBy dst whose partial aggregation
+    * collapses map-side. Rounds are a fixed constant, not
+    * data-dependent. `broadcastRanks` hard-hints the rank side of each
+    * round's join — right when nodes ≪ edges (the common social-graph
+    * shape); set it false for billion-node graphs so the rounds run as
+    * ordinary co-partitioned shuffle joins instead of collecting a
+    * node-sized table to the driver. */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
-               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+               damping: Double = 0.85, teleport: Double = 0.15,
+               broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val out = edges.groupBy("src").agg(sum(col("w")).as("o"))
     // The normalized edge table is the LOOP INVARIANT — every iteration
@@ -51,8 +56,9 @@ object Graph {
     val pr0 = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
     (1 to iters).foldLeft(pr0) { (pr, _) =>
+      val rankSide = pr.withColumnRenamed("node", "src")
       val contrib = e
-        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
         .select(col("dst").as("node"), (col("pr") * col("ratio")).as("c"))
         .groupBy("node")
         .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
@@ -72,8 +78,12 @@ object Graph {
     * O(√m) — wedge volume O(m^1.5) worst-case instead of Σdeg², the
     * difference between a skewed social graph finishing and not
     * finishing at 100 TB. All joins equi-keyed; all arithmetic integer.
-    * Returns `(node, triangles)` for nodes in ≥1 triangle. */
-  def triangleCounts(und: DataFrame): DataFrame = {
+    * `broadcastDegrees` hard-hints the node-sized degree tables into
+    * the orientation join — set it false for billion-node graphs (the
+    * fallback is a plain shuffle join on the same keys, not a plan
+    * change). Returns `(node, triangles)` for nodes in ≥1 triangle. */
+  def triangleCounts(und: DataFrame,
+                     broadcastDegrees: Boolean = true): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("deg"))
     val du = deg.select(col("x").as("u"), col("deg").as("ud"))
@@ -82,7 +92,9 @@ object Graph {
       (col("ud") === col("vd") && col("u") < col("v"))
     // oriented edges feed THREE plan legs (both wedge sides + closure);
     // persist or each leg re-runs the scan+degree+orientation chain
-    val ori = und.join(broadcast(du), "u").join(broadcast(dv), "v")
+    val ori = und
+      .join(if (broadcastDegrees) broadcast(du) else du, "u")
+      .join(if (broadcastDegrees) broadcast(dv) else dv, "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"),

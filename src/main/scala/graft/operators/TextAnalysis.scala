@@ -150,8 +150,12 @@ object TextAnalysis {
     * last ulp differs between libm implementations, so a cross-entropy
     * sum can never hash-match across engines. Every number here is
     * integer counts → one exact int→double cast → one correctly-rounded
-    * IEEE division, and the per-doc mean routes through DECIMAL(28,10)
-    * (order-independent). Mean smoothed probability ranks documents for
+    * IEEE division, and the per-doc mean sums FLOOR(p·10¹⁰) as BIGINT
+    * (order-independent AND tie-free: p = (c2+1)/(c1+V) can be exactly
+    * dyadic — e.g. 1/2048 — which lands on a .5 boundary of the 10⁻¹⁰
+    * grid where a DECIMAL cast's HALF_UP (Spark) and half-even (DuckDB)
+    * disagree; floor cannot tie on identical inputs — the same lesson
+    * as Graph.pageRank). Mean smoothed probability ranks documents for
     * filtering just like perplexity does — both are monotone in how
     * "expected" the doc's bigrams are — without the transcendental.
     *
@@ -191,7 +195,7 @@ object TextAnalysis {
       .groupBy(idCol).agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("c2") === 1, 1L).otherwise(0L)).as("novel_bigrams"),
-        (sum(col("p").cast("decimal(28,10)")).cast("double") / count(lit(1)))
-          .as("avg_p"))
+        (sum(floor(col("p") * lit(1e10)).cast("long")).cast("double") /
+          lit(1e10) / count(lit(1))).as("avg_p"))
   }
 }

@@ -502,15 +502,21 @@ object RelationalQueries {
     * the exchange; the bins axis is a broadcast 20-row range. Binning
     * arithmetic ((x−lo)/(hi−lo)·20, floored, clamped) is the same IEEE
     * sequence in both engines — floor is tie-free on identical inputs
-    * (the g1 lesson). */
+    * (the g1 lesson). Degenerate guards: NULL values are excluded (they
+    * would otherwise ride LEAST's null-skipping into the top bin), and
+    * a single-valued column (hi = lo, division 0/0 → NaN, where Spark's
+    * long-cast floor says 0 but DuckDB's NaN-is-greatest LEAST says 19)
+    * short-circuits every row to bin 0 on both engines. */
   def a19Histogram(s: SparkSession, d: String): DataFrame = {
-    val st = Tables.events(s, d)
-      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val counts = Tables.events(s, d).crossJoin(broadcast(st))
-      .select(least(floor((col("value") - col("lo")) /
-        (col("hi") - col("lo")) * lit(20.0)), lit(19.0)).cast("long").as("bin"))
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+    val st = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val counts = ev.crossJoin(broadcast(st))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("value") - col("lo")) /
+          (col("hi") - col("lo")) * lit(20.0)), lit(19.0)).cast("long"))
+        .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    val bins = Tables.events(s, d).sparkSession.range(20)
+    val bins = s.range(20)
       .select(col("id").as("bin")).crossJoin(broadcast(st))
       .select(col("bin"),
         (col("lo") + col("bin").cast("double") * (col("hi") - col("lo")) /
@@ -520,10 +526,13 @@ object RelationalQueries {
   }
 
   val a19Sql: String =
-    """WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
-      | c AS (SELECT CAST(LEAST(FLOOR((value - lo) / (hi - lo) * 20.0e0),
-      |                         19.0e0) AS BIGINT) AS bin, COUNT(*) AS cnt
-      |       FROM events CROSS JOIN st GROUP BY 1),
+    """WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+      | st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ev),
+      | c AS (SELECT CASE WHEN hi = lo THEN 0
+      |              ELSE CAST(LEAST(FLOOR((value - lo) / (hi - lo) * 20.0e0),
+      |                              19.0e0) AS BIGINT) END AS bin,
+      |              COUNT(*) AS cnt
+      |       FROM ev CROSS JOIN st GROUP BY 1),
       | bins AS (SELECT i AS bin, lo + CAST(i AS DOUBLE) * (hi - lo) / 20.0e0
       |            AS bin_lo
       |          FROM range(20) r(i) CROSS JOIN st)

@@ -275,7 +275,7 @@ object TextQueries {
     graft.operators.Bpe.tokenCountsBySource(docs, "text", "source", model)
   }
 
-  private val BpeRounds = 6
+  private[graft] val BpeRounds = 6
 
   /** The 6-round training chain as MATERIALIZED CTEs ending in
     * `seqs{BpeRounds}` (w, f, s) and per-round `best{r}` — shared by
@@ -368,20 +368,26 @@ object TextQueries {
     * ~60 stages, every one hash-gated through the final accounting: a
     * wrong winner in span removal shifts the cleaned text, which shifts
     * the merge table, which shifts every token count. */
-  def pipe7CleanTrainTokenize(s: SparkSession, d: String): DataFrame = {
+  /** pipe7's span-cleaned corpus, shared with tools.Pipe7Profile so the
+    * profiler can never drift from the benched pipeline. The persist is
+    * load-bearing: the cleaned corpus feeds THREE consumers (BPE
+    * training's vocab collapse, the tokenize pass, the per-source doc
+    * counts); without it each one re-runs the full d7 span-removal
+    * chain — measured 3x the whole entry's cost. At 100 TB this is the
+    * standard "materialize the cleaned corpus once, then train and
+    * tokenize against it" stage (disk-backed, corpus-scale). */
+  private[graft] def pipe7Cleaned(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // The span-cleaned corpus feeds THREE consumers (BPE training's
-    // vocab collapse, the tokenize pass, the per-source doc counts);
-    // without a persist each one re-runs the full d7 span-removal chain
-    // — measured 3x the whole entry's cost. At 100 TB this is the
-    // standard "materialize the cleaned corpus once, then train and
-    // tokenize against it" stage (disk-backed, corpus-scale).
-    val cleaned = graft.operators.Dedup
+    graft.operators.Dedup
       .duplicateSpanRemoval(docs, "doc_id", "text", n = 20)
       .join(docs.select("doc_id", "source"), "doc_id")
       .filter(col("n_removed") * 5 < col("n_tok"))
       .select(col("doc_id"), col("source"), col("clean_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def pipe7CleanTrainTokenize(s: SparkSession, d: String): DataFrame = {
+    val cleaned = pipe7Cleaned(s, d)
     val model = graft.operators.Bpe.train(cleaned, "clean_text", BpeRounds)
     graft.operators.Bpe
       .tokenCountsBySource(cleaned, "clean_text", "source", model)
@@ -771,8 +777,8 @@ object TextQueries {
       |SELECT doc_id, COUNT(*) AS n_bigrams,
       |       CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |         AS novel_bigrams,
-      |       CAST(SUM(CAST(p AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
-      |         AS avg_p
+      |       CAST(SUM(CAST(FLOOR(p * 1.0e10) AS BIGINT)) AS DOUBLE)
+      |         / 1.0e10 / COUNT(*) AS avg_p
       |FROM p GROUP BY doc_id""".stripMargin
 
   /** SKETCH2 — Count-Min heavy hitters gated against exact counts (the

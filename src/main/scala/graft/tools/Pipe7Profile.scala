@@ -27,16 +27,12 @@ object Pipe7Profile {
       graft.queries.TextQueries.all("pipe7_clean_train_tokenize")(spark, dir).collect()
     }
     spark.sharedState.cacheManager.clearCache()
-    val docs = graft.Tables.documents(spark, dir)
-    val cleaned = graft.operators.Dedup
-      .duplicateSpanRemoval(docs, "doc_id", "text", n = 20)
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .filter(col("n_removed") * 5 < col("n_tok"))
-      .select(col("doc_id"), col("source"), col("clean_text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the SAME builder pipe7 uses — the profiler cannot drift from it
+    val cleaned = graft.queries.TextQueries.pipe7Cleaned(spark, dir)
     t("d7-materialize")(cleaned.count())
     val model = t("bpe-train")(
-      graft.operators.Bpe.train(cleaned, "clean_text", 6))
+      graft.operators.Bpe.train(cleaned, "clean_text",
+        graft.queries.TextQueries.BpeRounds))
     t("tokenize")(
       graft.operators.Bpe
         .tokenCountsBySource(cleaned, "clean_text", "source", model)

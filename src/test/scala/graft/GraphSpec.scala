@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Graph
+
+/** Hand-computed invariants for the graph primitives — closed-form
+  * structures where the right answer is knowable without the engine. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("triangles: K4 has 4 triangles, every node in exactly 3") {
+    // undirected complete graph on {1,2,3,4}: C(4,3)=4 triangles; each
+    // node lies in C(3,2)=3 of them
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    val r = Graph.triangleCounts(und).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: a path graph has none; one chord closes exactly one") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(Graph.triangleCounts(path).count() == 0)
+    val chord = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("u", "v")
+    val r = Graph.triangleCounts(chord).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pageRank: a symmetric 2-cycle is the fixed point 1/2, 1/2 exactly") {
+    // pr = 0.15/2 + 0.85*(0.5) = 0.5 at every round — closed under the
+    // iteration, so 3 rounds must return exactly 0.5 (IEEE-exact: all
+    // operands are binary fractions)
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val r = Graph.pageRank(edges, nodes).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r == Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("pageRank: hub of an in-star outranks the leaves; ranks positive") {
+    // leaves 2..5 each point at hub 1; hub is dangling (leaky variant)
+    val edges = (2L to 5L).map(l => (l, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = (1L to 5L).toDF("node")
+    val r = Graph.pageRank(edges, nodes).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r.values.forall(_ > 0.0))
+    assert((2L to 5L).forall(l => r(1L) > r(l)))
+    // leaves never receive mass: rank = teleport share exactly
+    assert((2L to 5L).forall(l => r(l) == 0.15 / 5))
+  }
+
+  test("pageRank: broadcastRanks=false gives the identical result") {
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val a = Graph.pageRank(edges, nodes).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    val b = Graph.pageRank(edges, nodes, broadcastRanks = false).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(a == b)
+  }
+}

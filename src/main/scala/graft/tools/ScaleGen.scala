@@ -25,12 +25,13 @@ import org.apache.spark.sql.functions._
   *   - embeddings: copies i>0 add i·1e-4 to every component — avoids
   *     exact ties in top-k ordering while keeping the cosine geometry.
   *
-  * events.ts stays int64 nanos on disk (NOT a parquet timestamp): the
-  * source carries TIMESTAMP(NANOS) which [[graft.Tables.load]] reads via
-  * nanosAsLong and divides by 1000 — writing a timestamp type here would
-  * break that contract. Timestamps are NOT shifted: a 10× fleet in the
-  * same month means 10× rows per time bucket, which is the aggregation
-  * pressure the probe wants to measure.
+  * events.ts is copied through in whatever physical rendition the
+  * source carries (originally TIMESTAMP(NANOS)-as-int64, TIMESTAMP
+  * (MICROS) since the round-9 regen) — [[graft.Tables.load]] is
+  * schema-adaptive either way (SchemaDriftSpec). Timestamps are NOT
+  * shifted: a 10× fleet in the same month means 10× rows per time
+  * bucket, which is the aggregation pressure the probe wants to
+  * measure.
   */
 object ScaleGen {
 

@@ -944,6 +944,61 @@ object TextQueries {
        |FROM s""".stripMargin
   }
 
+  /** E11 (beyond-ref: hard-negative mining) — the contrastive-training
+    * data op: for each query vector (the vec_id%7 eval slice), the top-2
+    * most-similar corpus vectors with a DIFFERENT label. High-cosine
+    * wrong-label neighbors are exactly the "hard negatives" a
+    * contrastive or reranker trainer wants; the same scan also audits
+    * label quality (a too-similar wrong-label pair is often a labeling
+    * error).
+    *
+    * Scale shape = decon2's: the query set broadcasts (eval ≪ corpus by
+    * construction), the corpus is scanned ONCE with no shuffle, and the
+    * non-equi label-mismatch predicate rides the broadcast
+    * nested-loop — at corpus scale that is optimal because every
+    * (query, candidate) pair must be scored anyway; a huge QUERY set
+    * would switch to the e2/e4 bucketed paths instead. Scoring uses the
+    * native codegen cosine ([[graft.plans.GraftExpressions.cosine]]),
+    * index-ordered like DuckDB's list_dot_product (the e3 contract);
+    * output is rank-only with a vec_id tiebreak, so the hash gate is
+    * independent of float printing. */
+  def e11HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d).filter(
+      graft.plans.GraftExpressions.arrayDot(col("embedding"), col("embedding")) > 0)
+    val q = base.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    base.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("nv"))
+      .join(broadcast(q), col("qlabel") =!= col("nlabel"))
+      .select(col("qid"), col("nid"),
+        graft.plans.GraftExpressions.cosine(col("qv"), col("nv")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("qid", "rank", "nid")
+  }
+
+  val e11Sql: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[],
+      |                                  embedding::DOUBLE[]) > 0),
+      | q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe
+      |       FROM v WHERE vec_id % 7 = 0),
+      | p AS (SELECT q.qid, v.vec_id AS nid,
+      |         list_dot_product(q.qe, v.e)
+      |           / (sqrt(list_dot_product(q.qe, q.qe))
+      |              * sqrt(list_dot_product(v.e, v.e))) AS score
+      |       FROM q JOIN v ON q.qlabel <> v.label)
+      |SELECT qid, rank, nid
+      |FROM (SELECT qid, nid,
+      |        CAST(row_number() OVER (PARTITION BY qid
+      |             ORDER BY score DESC, nid) AS BIGINT) AS rank
+      |      FROM p)
+      |WHERE rank <= 2""".stripMargin
+
   /** E2 LSH-bucketed ANN (random hyperplanes, 4 tables): the 100 TB
     * scale path. Fully oracled since round 9: [[e2Sql]] re-derives the
     * signatures in DuckDB from the SAME plane matrix
@@ -2222,6 +2277,7 @@ object TextQueries {
     "e1_cosine_knn"    -> (e1CosineKnn _),
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
+    "e11_hard_negatives" -> (e11HardNegatives _),
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "e9_ivfpq"         -> (e9IvfPq _),
     "e10_pq_refine"    -> (e10PqRefine _),
@@ -2275,6 +2331,7 @@ object TextQueries {
     "e9_ivfpq"         -> e9Sql,
     "e10_pq_refine"    -> e10Sql,
     "e3_native_dot"    -> e3Sql,
+    "e11_hard_negatives" -> e11Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,
     "e7_design_recall" -> e7Sql,

@@ -1272,6 +1272,41 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  /** LAKE7 — format-agnostic lake layer: the same partitioned write /
+    * pruned read / aggregate path as lake1-lake3, through ORC instead
+    * of parquet (both columnar formats ship in Spark; a real lake mixes
+    * them during migrations). The read applies a partition-pruning
+    * filter (category = 'click') so the entry also gates that ORC scans
+    * prune directories the way parquet scans do; the oracle restates
+    * the aggregate off the original table — a row lost or duplicated in
+    * the ORC round trip, or a partition mis-pruned, breaks the hash.
+    * Timestamps are excluded from the round trip on purpose: the lake
+    * content here is the id/user/value payload (ORC session-tz
+    * timestamp semantics differ from parquet's and deserve their own
+    * migration story, not a silent dependency). */
+  def lake7Orc(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, "lake7_orc")
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .withColumn("category", col("event_type"))
+      .write.mode("overwrite").partitionBy("category").orc(dir)
+    s.read.orc(dir)
+      .filter(col("category") === "click")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"),
+        Exact.dsum(col("value")).as("value_sum"))
+  }
+
+  val lake7Sql: String =
+    s"""SELECT event_type AS category, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |  ${Exact.dsumSql("value")} AS value_sum
+       |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin
+
   /** LAKE5 — TARGETED DELETE end to end ([[graft.sources.LakeMaintenance
     * .deleteWhere]], the right-to-be-forgotten / bad-batch-recall op):
     * the events lake partitioned by category, every row of the
@@ -1789,6 +1824,7 @@ object DomainQueries {
     "lake1_pruned_scan" -> (lake1PrunedScan _),
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
     "lake3_compaction"  -> (lake3Compaction _),
+    "lake7_orc"         -> (lake7Orc _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -1850,6 +1886,7 @@ object DomainQueries {
     "lake1_pruned_scan" -> lake1Sql,
     "lake2_bucketed_join" -> lake2Sql,
     "lake3_compaction"  -> lake3Sql,
+    "lake7_orc"         -> lake7Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

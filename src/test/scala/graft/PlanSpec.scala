@@ -355,6 +355,23 @@ class PlanSpec extends SparkSpec {
       s"pre-aggregation lost:\n${p.take(3000)}")
   }
 
+  test("e11 hard negatives: query set broadcasts, corpus scan never shuffles") {
+    // the label-mismatch predicate is non-equi BY DESIGN — it must ride
+    // a BroadcastNestedLoopJoin with the (small) query side as the
+    // build, and the corpus side must reach it with no Exchange: at
+    // corpus scale the one full scan IS the cost floor, a shuffle on
+    // top of it is pure waste.
+    val p = plan(graft.queries.TextQueries.e11HardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"broadcast NL lost:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n${p.take(3000)}")
+  }
+
+  test("lake7 ORC read prunes partitions: the category filter never scans other dirs") {
+    val p = plan(graft.queries.DomainQueries.lake7Orc(spark, sf))
+    assert(p.contains("PartitionFilters") && p.contains("category"),
+      s"ORC partition pruning lost:\n${p.take(3000)}")
+  }
+
   test("a19 histogram: the binning scan prunes to the value column alone") {
     val p = plan(RelationalQueries.a19Histogram(spark, sf))
     assert(p.contains("ReadSchema: struct<value:double>"),

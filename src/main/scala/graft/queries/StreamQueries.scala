@@ -260,6 +260,40 @@ object StreamQueries {
   def st3FileStream(s: SparkSession, d: String): DataFrame =
     sessionDrain(s, d, "st3")
 
+  /** ST8 — W12-as-a-stream: the recursive per-key EMA fold under
+    * flatMapGroupsWithState ([[StreamAggs.emaStates]]), drained over
+    * the shared file feed and checked against the batch w12 fold's
+    * oracle restricted to the feed slice. This extends batch/stream
+    * parity beyond windowed aggregations to ORDER-SENSITIVE state:
+    * the stream sorts within each micro-batch and relies on the feed's
+    * time-split chunking for cross-batch order (the contract documented
+    * on emaStates). Each batch emits the running (n, ema) per touched
+    * key; the final value is the max-n row per key. */
+  def st8EmaStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = Tables.events(s, d).filter(feedSlice)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_id"), col("value"))
+    val out = fileFeedDrain(s, "st8", slice,
+      Seq(StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("value", DoubleType)),
+      us => s"""{"ts_us":$us,"user_id":-1,"event_id":-1,"value":0.0}""",
+      df => StreamAggs.emaStates(
+        df.select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_id"), col("value"))))
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc)
+    out.filter(col("user_id") >= 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n", "ema")
+  }
+
+  val st8Sql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      | list_reduce(list(value ORDER BY ts, event_id),
+      |             (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ema
+      |FROM events WHERE user_id % 4 = 0 GROUP BY user_id""".stripMargin
+
   /** ST4 — STREAMING exact dedup: `dropDuplicatesWithinWatermark` on the
     * normalized text fingerprint over a file-streamed document feed —
     * the 100 TB streaming-ingest dedup shape, where the dedup state is
@@ -441,7 +475,8 @@ object StreamQueries {
     "st4_stream_dedup"    -> (st4StreamDedup _),
     "st5_rocksdb_session" -> (st5RocksdbSession _),
     "st6_restart_recovery" -> (st6RestartRecovery _),
-    "st7_stream_static_join" -> (st7StreamStaticJoin _)
+    "st7_stream_static_join" -> (st7StreamStaticJoin _),
+    "st8_ema_stream"      -> (st8EmaStream _)
   )
 
   /** Parity on purpose: the streaming queries answer to the batch twins'
@@ -487,6 +522,7 @@ object StreamQueries {
     // st6 = st1 through a kill-and-restart checkpoint recovery: the
     // union of both runs' sinks must still be exactly the session set
     "st6_restart_recovery" -> st1Sql,
-    "st7_stream_static_join" -> st7Sql
+    "st7_stream_static_join" -> st7Sql,
+    "st8_ema_stream"      -> st8Sql
   )
 }

@@ -45,4 +45,49 @@ object StreamAggs {
     * batch, which is the point: one definition, two execution modes. */
   def tidyFilterStream(events: DataFrame, predicate: Column): DataFrame =
     graft.operators.Tidy(events).filter(predicate)
+
+  case class EmaIn(ts_us: Long, user_id: Long, event_id: Long, value: Double)
+  case class EmaState(n: Long, ema: Double)
+  case class EmaOut(user_id: Long, n: Long, ema: Double)
+
+  /** W12 as a stream: per-key running EMA via flatMapGroupsWithState —
+    * the RECURSIVE-window class (state_i = f(state_{i−1}, x_i)) that
+    * windowed aggregations cannot express; the streaming twin of
+    * [[graft.operators.FeatureHistory.ema]] (α = 1/4, seed = first
+    * value, identical IEEE fold).
+    *
+    * Order contract: an EMA is order-SENSITIVE, so streaming parity
+    * with the batch fold needs (a) rows sorted by (ts_us, event_id)
+    * WITHIN each micro-batch (done here — the per-group iterator is
+    * unordered) and (b) a feed whose micro-batches are time-monotone
+    * per key (the file feed's time-split chunks guarantee it; a
+    * production feed gets it from log-structured arrival). State is one
+    * (n, ema) pair per key — O(keys), no sample buffers. Emits the
+    * running state after each batch that touched the key; the reader
+    * keeps the max-n row per key for the final value. */
+  def emaStates(events: DataFrame, alpha: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("ts_us"), col("user_id"), col("event_id"), col("value"))
+      .as[EmaIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EmaIn],
+         state: org.apache.spark.sql.streaming.GroupState[EmaState]) =>
+          val rows = it.toSeq.sortBy(r => (r.ts_us, r.event_id))
+          if (rows.isEmpty) Iterator.empty
+          else {
+            var (n, ema) = state.getOption
+              .map(s => (s.n, s.ema)).getOrElse((0L, 0.0))
+            rows.foreach { r =>
+              ema = if (n == 0) r.value
+                    else ema * (1.0 - alpha) + r.value * alpha
+              n += 1
+            }
+            state.update(EmaState(n, ema))
+            Iterator(EmaOut(uid, n, ema))
+          }
+      }.toDF()
+  }
 }

@@ -33,9 +33,19 @@ object Bench {
     // reps are now separated by a full sweep (~30 s at sf0.1), longer
     // than any observed stall, so a time-localized stall can hit at most
     // one rep of any query.
+    // Execute the query's OWN physical plan and count at the RDD layer:
+    // a DataFrame.count() wraps the tree in a new Aggregate that Catalyst
+    // re-optimizes — unique-key left joins get ELIMINATED and unreferenced
+    // computed columns pruned (the d7 probe trap, SCALING.md), so
+    // count-forced timings under-measured any query whose expensive work
+    // feeds a join-eliminable or prunable column (g1's three PageRank
+    // rounds collapsed to a node-table scan). toRdd materializes every
+    // result row on the executors with zero driver transfer beyond task
+    // counts — each rep now pays the declared plan's full cost.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     // Streaming entries (st*) run LAST within each sweep: they leave

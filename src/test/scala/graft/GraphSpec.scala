@@ -27,15 +27,20 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("pageRank: a symmetric 2-cycle is the fixed point 1/2, 1/2 exactly") {
-    // pr = 0.15/2 + 0.85*(0.5) = 0.5 at every round — closed under the
-    // iteration, so 3 rounds must return exactly 0.5 (IEEE-exact: all
-    // operands are binary fractions)
+  test("pageRank: a symmetric 2-cycle stays at the 1/2, 1/2 fixed point") {
+    // pr = 0.15/2 + 0.85*0.5 = 0.5 mathematically at every round. NOT
+    // IEEE-exact by construction — 0.15 and 0.85 are not binary
+    // fractions, and the double sum 0.075 + 0.425 lands on 0.5 only
+    // through the final rounding — so assert symmetry exactly (both
+    // nodes run the identical expression) and the value within an ulp
+    // budget, not bit equality: a harmless reassociation in pageRank's
+    // rank expression may move the last ulp.
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
     val nodes = Seq(1L, 2L).toDF("node")
     val r = Graph.pageRank(edges, nodes).collect()
       .map(x => (x.getLong(0), x.getDouble(1))).toMap
-    assert(r == Map(1L -> 0.5, 2L -> 0.5))
+    assert(r(1L) == r(2L))
+    assert(math.abs(r(1L) - 0.5) < 1e-12, s"drifted from fixed point: $r")
   }
 
   test("pageRank: hub of an in-star outranks the leaves; ranks positive") {

@@ -355,15 +355,22 @@ class PlanSpec extends SparkSpec {
       s"pre-aggregation lost:\n${p.take(3000)}")
   }
 
-  test("e11 hard negatives: query set broadcasts, corpus scan never shuffles") {
+  test("e11 hard negatives: query set broadcasts, ONE pair shuffle, map-side top-k") {
     // the label-mismatch predicate is non-equi BY DESIGN — it must ride
     // a BroadcastNestedLoopJoin with the (small) query side as the
-    // build, and the corpus side must reach it with no Exchange: at
-    // corpus scale the one full scan IS the cost floor, a shuffle on
-    // top of it is pure waste.
+    // build. The pinned shape: exactly ONE non-broadcast Exchange in
+    // the whole plan (the rank window's qid partitioning — the corpus
+    // reaches the join shuffle-free), and a WindowGroupLimit BELOW that
+    // exchange so the |corpus|x|queries| pair stream collapses to
+    // top-k-per-query on the map side before it moves.
     val p = plan(graft.queries.TextQueries.e11HardNegatives(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), s"broadcast NL lost:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n${p.take(3000)}")
+    val nEx = "Exchange".r.findAllIn(p).size -
+      "BroadcastExchange".r.findAllIn(p).size
+    assert(nEx == 1, s"expected 1 non-broadcast Exchange, found $nEx:\n${p.take(3000)}")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"map-side top-k (WindowGroupLimit below the exchange) lost:\n${p.take(3000)}")
   }
 
   test("lake7 ORC read prunes partitions: the category filter never scans other dirs") {

@@ -133,7 +133,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, xs) => s"\"" + f + "\":" + f"${xs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"top10":$top10,"families":$fams,"sf":"$sfDir","note":"compact tail line; full per-query map precedes"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"top10":$top10,"families":$fams,"sf":"$sfDir","note":"compact tail line; full per-query map precedes. Action is queryExecution.toRdd.count (round 9): earlier rounds' DataFrame.count let Catalyst join-eliminate/prune benched work, so r9+ values are higher-but-honest vs r8 and earlier (see SCALING.md methodology corrections)"}""")
     spark.stop()
   }
 

@@ -49,6 +49,8 @@ object FeatureHistory {
   def ema(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
           valueCol: String, alpha: Double): DataFrame = {
     require(keyCols.nonEmpty && orderCols.nonEmpty)
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"ema: alpha must be in (0, 1], got $alpha")
     val seq = sort_array(collect_list(
       struct((orderCols :+ valueCol).map(col): _*)))
     df.groupBy(keyCols.map(col): _*)

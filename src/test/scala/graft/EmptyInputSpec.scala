@@ -95,6 +95,13 @@ class EmptyInputSpec extends SparkSpec {
       .toSeq == Seq((1L, 1, 42.0)))
   }
 
+  test("ema: out-of-range alpha fails loudly") {
+    val df = Seq((1L, 1L, 1.0)).toDF("k", "t", "x")
+    val e = intercept[IllegalArgumentException](
+      FeatureHistory.ema(df, Seq("k"), Seq("t"), "x", alpha = 1.5))
+    assert(e.getMessage.contains("alpha"))
+  }
+
   test("ema: hand-computed fold matches (alpha = 1/2, out-of-order input)") {
     // rows arrive unordered; fold must follow t: 1,2,3 -> 1.0, 2.0, 3.0
     // ema = ((1.0*0.5 + 2.0*0.5) = 1.5)*0.5 + 3.0*0.5 = 2.25

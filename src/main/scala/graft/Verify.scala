@@ -31,6 +31,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // several entries persist intra-query invariants (pipe7's
+        // cleaned corpus, lm1's bigram model, the graph edge tables);
+        // drop them once the result is written so 165 queries don't
+        // accumulate corpus-scale cached tables in one session
+        spark.sharedState.cacheManager.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

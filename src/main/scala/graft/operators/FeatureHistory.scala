@@ -45,7 +45,12 @@ object FeatureHistory {
     * Cross-engine exactness holds when `alpha` (and 1−alpha) are exact
     * binary fractions (1/2, 1/4, 1/8, …): the fold is then the identical
     * IEEE multiply-add sequence on any engine replaying it in the same
-    * order (Exact.scala rules). Returns keyCols + (n, ema). */
+    * order (Exact.scala rules). CONTRACT: `orderCols` must totally order
+    * the rows within each key (end in a unique column, the repo-wide
+    * window rule) — the struct sort incidentally breaks remaining ties
+    * by value, but an oracle ordering only by orderCols would not, so
+    * non-unique orderings give engine-dependent folds. Inputs must be
+    * non-null. Returns keyCols + (n, ema). */
   def ema(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
           valueCol: String, alpha: Double): DataFrame = {
     require(keyCols.nonEmpty && orderCols.nonEmpty)
@@ -56,7 +61,10 @@ object FeatureHistory {
     df.groupBy(keyCols.map(col): _*)
       .agg(seq.as("seq"))
       .select(keyCols.map(col) ++ Seq(
-        size(col("seq")).as("n"),
+        // long, not size()'s int: every other per-key count in the
+        // registry is 64-bit (COUNT(*) oracles, st8's stream twin), and
+        // a width-sensitive driver hash would flag int32 vs int64
+        size(col("seq")).cast("long").as("n"),
         aggregate(
           expr("slice(seq, 2, size(seq) - 1)"),
           element_at(col("seq"), 1).getField(valueCol),

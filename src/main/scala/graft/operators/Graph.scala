@@ -52,8 +52,12 @@ object Graph {
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("o").cast("double")).as("ratio"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val pr0 = nodes.crossJoin(broadcast(nn))
+    // nodes is as loop-invariant as e — the caller may pass an expensive
+    // derivation (g1's distinct over the full event scan) that would
+    // otherwise re-run in pr0 plus every round's left join
+    val nodesC = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = nodesC.agg(count(lit(1)).as("n"))
+    val pr0 = nodesC.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
     (1 to iters).foldLeft(pr0) { (pr, _) =>
       val rankSide = pr.withColumnRenamed("node", "src")
@@ -63,7 +67,7 @@ object Graph {
         .groupBy("node")
         .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
           lit(1e10)).as("sc"))
-      nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
+      nodesC.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
         .select(col("node"),
           (lit(teleport) / col("n").cast("double") +
             lit(damping) * coalesce(col("sc"), lit(0.0))).as("pr"))

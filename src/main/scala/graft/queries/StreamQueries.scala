@@ -271,7 +271,11 @@ object StreamQueries {
     * key; the final value is the max-n row per key. */
   def st8EmaStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val slice = Tables.events(s, d).filter(feedSlice)
+    // null guard: emaStates decodes into primitive fields (a NULL value
+    // would crash the stream where the batch fold yields NULL) — make
+    // the non-null contract explicit here and in the oracle predicate
+    val slice = Tables.events(s, d)
+      .filter(feedSlice && col("value").isNotNull && col("event_id").isNotNull)
       .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_id"), col("value"))
     val out = fileFeedDrain(s, "st8", slice,
@@ -292,7 +296,9 @@ object StreamQueries {
     """SELECT user_id, COUNT(*) AS n,
       | list_reduce(list(value ORDER BY ts, event_id),
       |             (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ema
-      |FROM events WHERE user_id % 4 = 0 GROUP BY user_id""".stripMargin
+      |FROM events
+      |WHERE user_id % 4 = 0 AND value IS NOT NULL AND event_id IS NOT NULL
+      |GROUP BY user_id""".stripMargin
 
   /** ST4 — STREAMING exact dedup: `dropDuplicatesWithinWatermark` on the
     * normalized text fingerprint over a file-streamed document feed —

@@ -753,7 +753,10 @@ object TextQueries {
     * each document against it" filter). The vocab-bounded model shape
     * and the log-free exactness rationale live in
     * [[graft.operators.TextAnalysis.bigramLmScores]]; the oracle below
-    * replays the identical count→cast→divide→DECIMAL-mean chain. */
+    * replays the identical count→cast→divide→floor-grid-mean chain
+    * (floor grid, NOT a DECIMAL cast — dyadic p values tie on the
+    * decimal grid's .5 boundaries, where engine rounding modes
+    * disagree). */
   def lm1BigramScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
 

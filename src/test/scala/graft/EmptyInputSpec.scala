@@ -91,8 +91,8 @@ class EmptyInputSpec extends SparkSpec {
     val e1 = FeatureHistory.ema(
       Seq((1L, 1L, 42.0)).toDF("k", "t", "x"),
       keyCols = Seq("k"), orderCols = Seq("t"), valueCol = "x", alpha = 0.25)
-    assert(e1.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      .toSeq == Seq((1L, 1, 42.0)))
+    assert(e1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq((1L, 1L, 42.0)))
   }
 
   test("ema: out-of-range alpha fails loudly") {
@@ -109,6 +109,6 @@ class EmptyInputSpec extends SparkSpec {
       Seq((1L, 3L, 3.0), (1L, 1L, 1.0), (1L, 2L, 2.0)).toDF("k", "t", "x"),
       keyCols = Seq("k"), orderCols = Seq("t"), valueCol = "x", alpha = 0.5)
       .collect()
-    assert(r.length == 1 && r(0).getInt(1) == 3 && r(0).getDouble(2) == 2.25)
+    assert(r.length == 1 && r(0).getLong(1) == 3L && r(0).getDouble(2) == 2.25)
   }
 }

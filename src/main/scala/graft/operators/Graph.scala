@@ -74,6 +74,45 @@ object Graph {
     }
   }
 
+  /** Synchronous label propagation (community detection) over a
+    * distinct undirected edge list `(u, v)` — the third graph primitive
+    * beside connected components (Dedup.dupClusters) and pageRank.
+    * Every node starts labelled with itself; each round it adopts the
+    * most frequent label among its neighbours, ties broken by SMALLEST
+    * label — all integer counts and total-order tie-breaks, so the
+    * result is engine-exact with no float contract at all. Rounds are a
+    * fixed constant (synchronous LPA can oscillate on bipartite-ish
+    * structure; a fixed horizon makes the output deterministic rather
+    * than convergence-dependent — the standard bounded-LPA trade).
+    *
+    * Scale shape: one persisted bidirectional edge table; each round is
+    * an edge⋈label equi-join (label side broadcast when nodes ≪ edges;
+    * `broadcastLabels=false` for billion-node graphs), a (node,label)
+    * count whose partial aggregation collapses map-side, and a
+    * row_number winner per node. Nodes are derived from the edge list,
+    * so every node has ≥1 neighbour by construction. Returns
+    * `(node, lbl)`. */
+  def labelPropagation(und: DataFrame, rounds: Int = 3,
+                       broadcastLabels: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val bi = und.select(col("u").as("x"), col("v").as("y"))
+      .union(und.select(col("v").as("x"), col("u").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lbl0 = bi.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foldLeft(lbl0) { (lbl, _) =>
+      val labelSide = lbl.withColumnRenamed("node", "y")
+      val counts = bi
+        .join(if (broadcastLabels) broadcast(labelSide) else labelSide, "y")
+        .groupBy(col("x").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+  }
+
   /** Per-node triangle counts over a distinct undirected edge list
     * `(u, v)` with u < v. Degree orientation is THE scale design:
     * orient every edge from its lower-(degree,id) endpoint to its

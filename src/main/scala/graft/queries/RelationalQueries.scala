@@ -491,6 +491,58 @@ object RelationalQueries {
       |      UNION ALL SELECT b2 FROM tris)
       |GROUP BY 1""".stripMargin
 
+  /** G3 (beyond-ref: label-propagation community detection) — the third
+    * graph primitive beside g1's PageRank and g2's triangles, over the
+    * same consecutive-actor interaction graph. Fully integer-exact
+    * (counts + smallest-label tie-breaks), fixed 3 synchronous rounds —
+    * [[graft.operators.Graph.labelPropagation]] carries the algorithm
+    * and scale shape; the oracle unrolls the 3 rounds as MATERIALIZED
+    * CTEs. */
+  def g3Communities(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val und = ev
+      .withColumn("p", lag(col("user_id"), 1).over(w))
+      .filter(col("p").isNotNull && col("p") =!= col("user_id"))
+      .select(least(col("p"), col("user_id")).as("u"),
+        greatest(col("p"), col("user_id")).as("v"))
+      .distinct()
+    graft.operators.Graph.labelPropagation(und, rounds = 3)
+      .select(col("node").as("user_id"), col("lbl").as("community"))
+  }
+
+  val g3Sql: String = {
+    def step(prev: String, k: Int): String =
+      s""" c$k AS MATERIALIZED (
+         |  SELECT b.x AS node, l.lbl, COUNT(*) AS c
+         |  FROM bi b JOIN $prev l ON l.node = b.y GROUP BY 1, 2),
+         | l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, lbl) AS rn
+         |    FROM c$k)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH lagd AS (
+       |  SELECT user_id AS c,
+       |         LAG(user_id) OVER (PARTITION BY event_type
+       |                            ORDER BY ts, event_id) AS p
+       |  FROM events),
+       | und AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(p, c) AS u, GREATEST(p, c) AS v
+       |  FROM lagd WHERE p IS NOT NULL AND p <> c),
+       | bi AS MATERIALIZED (
+       |  SELECT u AS x, v AS y FROM und
+       |  UNION ALL SELECT v, u FROM und),
+       | l0 AS MATERIALIZED (
+       |  SELECT DISTINCT x AS node, x AS lbl FROM bi),
+       |${step("l0", 1)},
+       |${step("l1", 2)},
+       |${step("l2", 3)}
+       |SELECT node AS user_id, lbl AS community FROM l3""".stripMargin
+  }
+
   /** A19 (beyond-ref: equi-width histogram) — the summariseData
     * distribution-plot aggregation as a first-class operator: 20 bins
     * over [min,max] of events.value, zero-filled so every bin row
@@ -1308,6 +1360,7 @@ object RelationalQueries {
     "g1_pagerank"        -> (g1PageRank _),
     "g2_triangles"       -> (g2Triangles _),
     "a19_histogram"      -> (a19Histogram _),
+    "g3_communities"     -> (g3Communities _),
     "a9_daily_spacing"   -> (a9DailySpacing _),
     "a13_gap_stats"      -> (a13GapStats _),
     "a14_distinct_stats" -> (a14DistinctStats _),
@@ -1361,6 +1414,7 @@ object RelationalQueries {
     "g1_pagerank"        -> g1Sql,
     "g2_triangles"       -> g2Sql,
     "a19_histogram"      -> a19Sql,
+    "g3_communities"     -> g3Sql,
     "a9_daily_spacing"   -> a9Sql,
     "a13_gap_stats"      -> a13Sql,
     "a14_distinct_stats" -> a14Sql,

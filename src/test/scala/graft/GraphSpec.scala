@@ -55,6 +55,26 @@ class GraphSpec extends SparkSpec {
     assert((2L to 5L).forall(l => r(l) == 0.15 / 5))
   }
 
+  test("labelPropagation: two disjoint triangles collapse to their min node") {
+    // round-by-round by hand: in {1,2,3}, node 1 sees {2,3} (tie -> 2),
+    // nodes 2,3 see label 1; rounds 2-3 wash the 2 back out -> all 1.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val r = Graph.labelPropagation(und, rounds = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: a single edge oscillates — the documented sync-LPA bound") {
+    // 1-2: each round the two nodes swap labels; after an ODD horizon
+    // they hold each other's — deterministic BECAUSE the horizon is
+    // fixed, which is exactly the bounded-LPA trade the docblock states
+    val r = Graph.labelPropagation(Seq((1L, 2L)).toDF("u", "v"), rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("pageRank: broadcastRanks=false gives the identical result") {
     val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L),
       (1L, 3L, 1L)).toDF("src", "dst", "w")

@@ -1272,6 +1272,48 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  /** LAKE8 — snapshot versioning / TIME TRAVEL end to end
+    * ([[graft.sources.LakeMaintenance.commitVersion]]/readVersion):
+    * commit v1 (one user cohort), commit v2 as an APPEND carrying v1's
+    * manifest forward (a second cohort), then — with both commits on
+    * disk — read BOTH versions and aggregate each. The v1 read after
+    * v2's commit must see only v1's file set (snapshot isolation, the
+    * reproducible-training-run property); the oracle restates both
+    * snapshots' content from the source table, so a version leaking
+    * newer files, losing carried ones, or double-counting an appended
+    * row breaks the hash. */
+  private val lake8RunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def lake8TimeTravel(s: SparkSession, d: String): DataFrame = {
+    // fresh lake per invocation: versions are immutable BY CONTRACT
+    // (commitVersion fails loudly on re-commit), and Bench re-runs every
+    // declared query three times in one session
+    val dir = qtmp(s, s"lake8_lake_${lake8RunId.incrementAndGet()}")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    graft.sources.LakeMaintenance.commitVersion(
+      s, dir, ev.filter(col("user_id") % 3 === 0), version = 1)
+    graft.sources.LakeMaintenance.commitVersion(
+      s, dir, ev.filter(col("user_id") % 3 === 1), version = 2,
+      carryFrom = Some(1))
+    def agg(v: Int): DataFrame =
+      graft.sources.LakeMaintenance.readVersion(s, dir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .select(lit(v.toLong).as("version"), col("event_type"), col("n"),
+          col("id_sum"))
+    agg(1).unionByName(agg(2))
+  }
+
+  val lake8Sql: String =
+    """SELECT 1 AS version, event_type, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events WHERE user_id % 3 = 0 GROUP BY 2
+      |UNION ALL
+      |SELECT 2, event_type, COUNT(*),
+      |  CAST(SUM(event_id) AS BIGINT)
+      |FROM events WHERE user_id % 3 IN (0, 1) GROUP BY 2""".stripMargin
+
   /** LAKE7 — format-agnostic lake layer: the same partitioned write /
     * pruned read / aggregate path as lake1-lake3, through ORC instead
     * of parquet (both columnar formats ship in Spark; a real lake mixes
@@ -1825,6 +1867,7 @@ object DomainQueries {
     "lake2_bucketed_join" -> (lake2BucketedJoin _),
     "lake3_compaction"  -> (lake3Compaction _),
     "lake7_orc"         -> (lake7Orc _),
+    "lake8_time_travel" -> (lake8TimeTravel _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -1887,6 +1930,7 @@ object DomainQueries {
     "lake2_bucketed_join" -> lake2Sql,
     "lake3_compaction"  -> lake3Sql,
     "lake7_orc"         -> lake7Sql,
+    "lake8_time_travel" -> lake8Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

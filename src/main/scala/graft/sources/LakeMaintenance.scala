@@ -176,6 +176,73 @@ object LakeMaintenance {
       .toDF("partition", "rows_remaining")
   }
 
+  /** Manifest-based snapshot versioning — time travel for reproducible
+    * training runs (the Delta/Iceberg core idea at its minimum viable
+    * shape): every commit writes its data files under an immutable
+    * per-version directory and publishes an ATOMIC manifest (write tmp
+    * + rename) listing every file visible at that version; readers
+    * resolve a manifest, never a directory listing, so a version is a
+    * frozen file SET regardless of later commits. Append commits carry
+    * the previous manifest's files forward; a compaction/delete commit
+    * would list replacement files instead — either way old versions
+    * stay readable until their files are vacuumed.
+    *
+    * Scale notes: the manifest is O(files) driver-side text — exactly
+    * what production table formats do (Iceberg manifests/avro, Delta
+    * json log); data moves only through executor-side parquet writes.
+    * Readers pay one small-file read before the parquet scan, and the
+    * scan itself is an explicit file list (no directory listing storm).
+    */
+  def commitVersion(spark: SparkSession, dir: String, df: DataFrame,
+                    version: Int, carryFrom: Option[Int] = None): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(root, s"data/v$version")
+    require(!fs.exists(dataDir),
+      s"version $version already has data files — versions are immutable")
+    df.write.parquet(dataDir.toString)
+    val newFiles = fs.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(p => s"data/v$version/${p.getName}").sorted
+    val carried = carryFrom.map(v => manifestFiles(fs, root, v))
+      .getOrElse(Seq.empty)
+    val mDir = new Path(root, "_manifests")
+    fs.mkdirs(mDir)
+    val tmp = new Path(mDir, s".v$version.list.tmp")
+    val out = fs.create(tmp, true)
+    out.write(((carried ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    // the rename IS the commit: until it succeeds the version does not
+    // exist, after it the file set can never change
+    require(fs.rename(tmp, new Path(mDir, s"v$version.list")),
+      s"manifest commit failed for v$version")
+  }
+
+  /** The frozen snapshot at `version` — an explicit-file-list scan. */
+  def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = manifestFiles(fs, root, version)
+      .map(rel => new Path(root, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path, version: Int): Seq[String] = {
+    val m = new Path(root, s"_manifests/v$version.list")
+    require(fs.exists(m), s"no committed manifest for version $version")
+    val in = fs.open(m)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
   /** (partition, files_src, files_dest) per partition directory. */
   def compactionStats(spark: SparkSession, srcDir: String,
                       destDir: String): DataFrame = {

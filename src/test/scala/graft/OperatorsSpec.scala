@@ -416,4 +416,28 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).select("a", "b").collect().map(_.toSeq).toSet
       == df.collect().map(_.toSeq).toSet)
   }
+
+  test("lake versioning: snapshots are frozen, versions immutable, misses loud") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance._
+    val dir = java.nio.file.Files.createTempDirectory("lakever").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    commitVersion(spark, dir, v1, version = 1)
+    // snapshot BEFORE the next commit...
+    val before = readVersion(spark, dir, 1).collect().map(_.toSeq).toSet
+    commitVersion(spark, dir, Seq((3L, "c")).toDF("id", "tag"),
+      version = 2, carryFrom = Some(1))
+    // ...and AFTER it: the v1 file set must be identical (time travel)
+    val after = readVersion(spark, dir, 1).collect().map(_.toSeq).toSet
+    assert(before == after && before == v1.collect().map(_.toSeq).toSet)
+    assert(readVersion(spark, dir, 2).count() == 3)
+    // versions are immutable: re-committing v1 fails loudly
+    val e1 = intercept[IllegalArgumentException](
+      commitVersion(spark, dir, v1, version = 1))
+    assert(e1.getMessage.contains("immutable"))
+    // reading an uncommitted version fails loudly, not empty
+    val e2 = intercept[IllegalArgumentException](
+      readVersion(spark, dir, 9))
+    assert(e2.getMessage.contains("no committed manifest"))
+  }
 }

@@ -96,8 +96,13 @@ object Graph {
                        broadcastLabels: Boolean = true): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     import org.apache.spark.sql.expressions.Window
-    val bi = und.select(col("u").as("x"), col("v").as("y"))
-      .union(und.select(col("v").as("x"), col("u").as("y")))
+    // one scan, both directions: a union of two selects over `und`
+    // would embed the caller's (possibly expensive, unpersisted) edge
+    // derivation twice in the materialization plan
+    val bi = und.select(explode(array(
+        struct(col("u").as("x"), col("v").as("y")),
+        struct(col("v").as("x"), col("u").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lbl0 = bi.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))

@@ -1272,6 +1272,8 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  private val lake8RunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** LAKE8 — snapshot versioning / TIME TRAVEL end to end
     * ([[graft.sources.LakeMaintenance.commitVersion]]/readVersion):
     * commit v1 (one user cohort), commit v2 as an APPEND carrying v1's
@@ -1282,8 +1284,6 @@ object DomainQueries {
     * snapshots' content from the source table, so a version leaking
     * newer files, losing carried ones, or double-counting an appended
     * row breaks the hash. */
-  private val lake8RunId = new java.util.concurrent.atomic.AtomicInteger(0)
-
   def lake8TimeTravel(s: SparkSession, d: String): DataFrame = {
     // fresh lake per invocation: versions are immutable BY CONTRACT
     // (commitVersion fails loudly on re-commit), and Bench re-runs every

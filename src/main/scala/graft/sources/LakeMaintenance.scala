@@ -198,8 +198,14 @@ object LakeMaintenance {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDir = new Path(root, s"data/v$version")
-    require(!fs.exists(dataDir),
-      s"version $version already has data files — versions are immutable")
+    // immutability is defined by the COMMITTED manifest, not the data
+    // dir: a crash between the parquet write and the manifest rename
+    // leaves an orphaned data dir for a version that (per the commit
+    // contract below) never existed — a retry must clean it and
+    // proceed, not wedge the version forever
+    require(!fs.exists(new Path(root, s"_manifests/v$version.list")),
+      s"version $version is already committed — versions are immutable")
+    fs.delete(dataDir, true)
     df.write.parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
@@ -218,13 +224,18 @@ object LakeMaintenance {
       s"manifest commit failed for v$version")
   }
 
-  /** The frozen snapshot at `version` — an explicit-file-list scan. */
+  /** The frozen snapshot at `version` — an explicit-file-list scan.
+    * mergeSchema: carried and newly-committed files may differ in
+    * schema (an append commit after a column was added); without the
+    * merge, whichever file's footer wins inference would silently drop
+    * the evolved columns from the snapshot — the lake6 evolution
+    * semantics apply to versioned reads too. */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = manifestFiles(fs, root, version)
       .map(rel => new Path(root, rel).toString)
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,

@@ -439,5 +439,15 @@ class OperatorsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       readVersion(spark, dir, 9))
     assert(e2.getMessage.contains("no committed manifest"))
+    // crash recovery: an orphaned data dir with NO manifest (the
+    // between-write-and-rename crash window) must not wedge the
+    // version — the retry cleans it and commits
+    val orphan = new java.io.File(dir, "data/v3")
+    orphan.mkdirs()
+    java.nio.file.Files.write(new java.io.File(orphan, "part-junk").toPath,
+      "junk".getBytes("UTF-8"))
+    commitVersion(spark, dir, Seq((9L, "z")).toDF("id", "tag"),
+      version = 3, carryFrom = Some(2))
+    assert(readVersion(spark, dir, 3).count() == 4)
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
@@ -61,6 +62,28 @@ object Bpe {
 
   /** Learn `numMerges` BPE merges from the corpus.
     *
+    * Two execution paths, same algorithm, same output:
+    *   - LOCAL (the common case): after the corpus-scale collapse, the
+    *     distinct-word table is Heaps-bounded — if its estimated heap
+    *     footprint fits `localVocabBytes`, collect (w, f, s) ONCE and
+    *     run every merge round in tight driver-local Scala with
+    *     incrementally-maintained pair counts (the reference learn_bpe
+    *     optimization). This removes the 2-Spark-jobs-per-merge driver
+    *     synchronization that made 10k-merge training hours of pure
+    *     scheduler fixed cost: measured 1,000 merges in ~2 s locally vs
+    *     ~17 min extrapolated for the distributed rounds (SCALING.md).
+    *     The vocab table is control-plane state here, exactly like
+    *     KMeans' centroids — collecting it is not a driver-side
+    *     data-plane loop.
+    *   - DISTRIBUTED: vocabs above the bound (billion-word corpora where
+    *     even the distinct-word table is tens of GB) keep the per-round
+    *     Spark jobs, whose exchanges are vocab-bounded.
+    * Both paths share the exact tie-break total order — (count DESC,
+    * left ASC, right ASC) under UTF-8 binary string comparison (what
+    * Spark's orderBy on StringType does) — so the learned merges are a
+    * pure function of the corpus regardless of path; BpeSpec pins
+    * path-equality on a nontrivial corpus.
+    *
     * @return merges — (rank, left, right, freq): the learned merge table
     *         in training order; vocabSeqs — (w, f, s): every distinct
     *         word with its frequency and FINAL symbol sequence (the
@@ -70,7 +93,8 @@ object Bpe {
     *         `model.vocabSeqs.unpersist()` when done with the model.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            vocabParts: Int = 8): BpeModel = {
+            vocabParts: Int = 8,
+            localVocabBytes: Long = 256L << 20): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     val words = docs
@@ -91,6 +115,34 @@ object Bpe {
       // vocabParts for billion-word vocabs.
       .coalesce(vocabParts)
       .cache() // vocab-bounded: the corpus-scale pass is behind us
+
+    // Size the vocab (materializes the cache — this job replaces the
+    // first round's implicit materialization, so it costs nothing
+    // extra). Heap estimate: each 1-char symbol String is ~48 B on a
+    // 64-bit JVM and a word of c chars carries c+1 of them plus the
+    // word string and tuple overhead — 64 B/char + 160 B/word is
+    // deliberately conservative (over-estimating keeps oversized vocabs
+    // on the distributed path, which is the safe failure mode).
+    val stats = seqs.agg(
+      count(lit(1)).as("n"), sum(length(col("w"))).as("chars")).head()
+    val nWords = stats.getLong(0)
+    val totalChars = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val estBytes = nWords * 160L + totalChars * 64L
+
+    if (estBytes <= localVocabBytes) {
+      val vocab = seqs.select("w", "f", "s").collect().map { r =>
+        (r.getString(0), r.getLong(1),
+          r.getSeq[String](2).toArray)
+      }
+      seqs.unpersist(false)
+      val (merges, finalVocab) = trainLocal(vocab, numMerges)
+      import spark.implicits._
+      return BpeModel(
+        merges.toSeq.toDF("rank", "lhs", "rhs", "freq"),
+        finalVocab.toSeq.map { case (w, f, s) => (w, f, s.toSeq) }
+          .toDF("w", "f", "s"))
+    }
+
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to numMerges) {
       val best = seqs.filter(size(col("s")) >= 2)
@@ -106,13 +158,19 @@ object Bpe {
       val (a, b, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((r, a, b, cnt))
-      // cache-swap per round: materialize the merged table, THEN drop
-      // the previous round's cache — otherwise round r rebuilds the
-      // whole r-deep UDF chain from the base (O(numMerges²) total, and
-      // the reference trains 10k+ merges, not 6)
+      // lineage-truncating swap per round: localCheckpoint(eager) both
+      // MATERIALIZES the merged table (so round r never rebuilds the
+      // r-deep UDF chain) and REPLACES its logical plan with a flat
+      // LogicalRDD. A plain cache-swap keeps execution O(1) per round
+      // but leaves the ANALYZED plan r layers deep, and the per-round
+      // plan-time work (analysis, cache-manager canonicalization, AQE
+      // plan-string events) grows O(r²) overall — measured: 25 merges
+      // took 19+ MINUTES of pure plan-time CPU under cache-swap vs
+      // seconds with truncation. At cluster scale localCheckpoint is
+      // executor-memory-resident (lost on executor failure — retrain);
+      // swap in reliable checkpoint() if that matters.
       val next = seqs.withColumn("s", mergeUdf(col("s"), lit(a), lit(b)))
-        .cache()
-      next.count()
+        .localCheckpoint(true)
       seqs.unpersist(false)
       seqs = next
     }
@@ -120,6 +178,119 @@ object Bpe {
     BpeModel(
       merges.toSeq.toDF("rank", "lhs", "rhs", "freq"),
       seqs.select("w", "f", "s"))
+  }
+
+  /** UTF-8 binary "less than" — the comparison Spark's orderBy applies
+    * to StringType (UTF8String.binaryCompare), re-stated locally so the
+    * local path's tie-breaks match the distributed path byte-for-byte
+    * (Java String.compareTo is UTF-16 code-unit order, which disagrees
+    * with code-point order for supplementary characters). */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The merge-apply kernel, shared in spirit with [[mergeUdf]]: greedy
+    * left-to-right non-overlapping replacement of adjacent (a, b). */
+  private def mergeSeq(seq: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    val n = seq.length
+    while (i < n) {
+      if (i + 1 < n && seq(i) == a && seq(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += seq(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge rounds over the collected vocab table —
+    * identical algorithm to the distributed rounds (overlapping pair
+    * counts weighted by word frequency, greedy left-to-right apply,
+    * (count DESC, left ASC, right ASC) argmax under UTF-8 order) with
+    * pair counts maintained INCREMENTALLY: round r re-counts only the
+    * words that contain the merged pair, so 10k merges cost O(total
+    * affected symbols), not O(rounds × vocab) — the optimization the
+    * reference learn_bpe applies for the same reason. */
+  private[graft] def trainLocal(
+      vocab: Array[(String, Long, Array[String])], numMerges: Int)
+      : (ArrayBuffer[(Int, String, String, Long)],
+         Array[(String, Long, Array[String])]) = {
+    val n = vocab.length
+    val seqs = new Array[Array[String]](n)
+    val freqs = new Array[Long](n)
+    var i = 0
+    while (i < n) { seqs(i) = vocab(i)._3; freqs(i) = vocab(i)._2; i += 1 }
+
+    // counts: overlapping adjacent-pair totals weighted by word freq.
+    // where: which word indices currently CONTAIN each pair (membership
+    // only — occurrence multiplicity lives in counts).
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def applyDelta(idx: Int, s: Array[String], sign: Long): Unit = {
+      val f = freqs(idx) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        j += 1
+      }
+      val seen = mutable.HashSet.empty[(String, String)]
+      var k = 0
+      while (k + 1 < s.length) {
+        val p = (s(k), s(k + 1))
+        if (seen.add(p)) {
+          if (sign > 0) where.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+          else where.get(p).foreach { set =>
+            set -= idx
+            if (set.isEmpty) where.remove(p)
+          }
+        }
+        k += 1
+      }
+    }
+
+    i = 0
+    while (i < n) { applyDelta(i, seqs(i), 1L); i += 1 }
+
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= numMerges) {
+      require(counts.nonEmpty,
+        s"corpus exhausted after ${r - 1} merges (every word is one symbol)")
+      var bestPair: (String, String) = null
+      var bestCnt = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (c > bestCnt ||
+            (c == bestCnt && (utf8Less(p._1, bestPair._1) ||
+              (p._1 == bestPair._1 && utf8Less(p._2, bestPair._2))))) {
+          bestPair = p; bestCnt = c
+        }
+      }
+      merges += ((r, bestPair._1, bestPair._2, bestCnt))
+      val affected = where.get(bestPair).map(_.toArray).getOrElse(Array.empty)
+      var t = 0
+      while (t < affected.length) {
+        val idx = affected(t)
+        applyDelta(idx, seqs(idx), -1L)
+        seqs(idx) = mergeSeq(seqs(idx), bestPair._1, bestPair._2)
+        applyDelta(idx, seqs(idx), 1L)
+        t += 1
+      }
+      r += 1
+    }
+    (merges, Array.tabulate(n)(j => (vocab(j)._1, freqs(j), seqs(j))))
   }
 
   /** Tokenize the corpus under a trained model: per-word token counts

@@ -392,6 +392,32 @@ class TextOpsSpec extends SparkSpec {
     assert(m.vocabSeqs.collect().head.getSeq[String](2) == Seq("aa", "aa</w>"))
   }
 
+  test("Bpe.train: local and distributed paths learn identical merges and vocab") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // nontrivial corpus with repeated runs, shared prefixes/suffixes and
+    // deliberate frequency ties so the (count DESC, lhs ASC, rhs ASC)
+    // tie-break order is actually exercised on both paths
+    val rnd = new scala.util.Random(42)
+    val syll = Vector("ab", "ba", "aab", "bb", "a", "cab", "abc")
+    val docs = (1L to 40L).map { id =>
+      val words = (0 until 12).map(_ =>
+        (0 until (1 + rnd.nextInt(3))).map(_ => syll(rnd.nextInt(syll.size))).mkString)
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val local = Bpe.train(docs, "text", numMerges = 25)
+    val dist = Bpe.train(docs, "text", numMerges = 25, localVocabBytes = 0L)
+    val lm = local.merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    val dm = dist.merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(lm == dm, "merge tables diverge between paths")
+    val lv = local.vocabSeqs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1).toSeq
+    val dv = dist.vocabSeqs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1).toSeq
+    assert(lv == dv, "final vocab sequences diverge between paths")
+    dist.vocabSeqs.unpersist()
+  }
+
   test("Bpe.tokenCountsBySource: vocab hits via broadcast, out-of-vocab fallback") {
     import spark.implicits._
     import graft.operators.Bpe

@@ -383,11 +383,18 @@ object Dedup {
     * both exchanges carry (gram, doc, start) rows; span coverage then
     * re-keys by doc id — slim long pairs — and the rebuild is a narrow
     * array fold per document (positions x spans, bounded by doc
-    * length^2/n). The gram key here is the token string itself; a
-    * 100 TB run maps it through a >= 128-bit fingerprint first (64-bit
-    * birthday-collides by ~2^32 grams) — a pure shuffle-width
-    * optimization with identical semantics in the collision-free
-    * regime the dedup contract already assumes.
+    * length^2/n). Both exchanges carry a 128-bit GRAM FINGERPRINT, not
+    * the gram text: the occurrence projection maps each ~n-token window
+    * string through two independently-seeded xxhash64 lanes (16-byte
+    * struct key) BEFORE any shuffle, so shuffle width per occurrence is
+    * fixed regardless of n. 128 bits because a 64-bit key
+    * birthday-collides by ~2^32 grams — a count a 100 TB corpus
+    * exceeds; semantics are identical in the collision-free regime the
+    * dedup contract already assumes. Measured (D7ShuffleProbe, sf0.1
+    * and 10x): total pipeline shuffle bytes drop 2.3-2.4x vs raw-string
+    * keys at wall-time parity — less than the raw 130B->16B key ratio
+    * because lz4 compressed the repeated gram text well and the
+    * doc-keyed exchanges are unchanged (SCALING.md round-10 entry).
     *
     * @return (`idCol`, n_tok, n_removed, clean_text) — one row per doc
     *         with >= `n` tokens (shorter docs have no window; callers
@@ -403,9 +410,17 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
         .as(Seq("s", "gram")))
-    val winners = occ.groupBy("gram")
+      // 128-bit fingerprint projection — narrow, pre-shuffle (docblock).
+      // Two FLAT long columns, not a struct: fixed-width primitive
+      // grouping keys stay on HashAggregate's fast row-based hash map,
+      // where a struct (or the raw string) key falls back to the slower
+      // BytesToBytesMap path.
+      .select(col("id"), col("s"),
+        xxhash64(col("gram")).as("g1"),
+        xxhash64(lit("graft/d7"), col("gram")).as("g2"))
+    val winners = occ.groupBy("g1", "g2")
       .agg(min(struct(col("id"), col("s"))).as("w"))
-    val dupSpans = occ.join(winners, "gram")
+    val dupSpans = occ.join(winners, Seq("g1", "g2"))
       .filter(!(col("id") === col("w.id") && col("s") === col("w.s")))
       .groupBy("id").agg(collect_list(col("s")).as("ss"))
     arr.join(dupSpans, Seq("id"), "left")

@@ -302,6 +302,10 @@ class PlanSpec extends SparkSpec {
       "SortAggregate".r.findAllIn(p).size +
       "ObjectHashAggregate".r.findAllIn(p).size >= 4,
       s"winner/span aggregates lost their partial stage:\n${p.take(3000)}")
+    // round-10: the gram exchanges must key on the 128-bit xxhash64
+    // fingerprint (two flat longs), never the raw ~130-byte gram text
+    assert(p.contains("xxhash64"),
+      s"gram fingerprint projection missing from the plan:\n${p.take(3000)}")
   }
 
   test("pipe6 SemDeDup: the in-cluster pair join is cluster-keyed, never all-pairs") {

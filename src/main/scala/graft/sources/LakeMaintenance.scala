@@ -193,18 +193,33 @@ object LakeMaintenance {
     * Readers pay one small-file read before the parquet scan, and the
     * scan itself is an explicit file list (no directory listing storm).
     */
+  /** Single-writer assumption: commits are guarded by a check-then-act
+    * existence test (re-checked immediately before the rename), which
+    * is race-free for one committer but NOT for two concurrent
+    * committers of the SAME version — RawLocalFileSystem's rename
+    * atomically replaces an existing destination, so a lost race could
+    * silently overwrite a committed manifest. Production table formats
+    * close this window with the store's conditional-put / atomic
+    * create-exclusive; this minimum-viable shape documents the
+    * maintenance-window contract instead: one committer per table. */
   def commitVersion(spark: SparkSession, dir: String, df: DataFrame,
                     version: Int, carryFrom: Option[Int] = None): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDir = new Path(root, s"data/v$version")
+    val finalManifest = new Path(root, s"_manifests/v$version.list")
     // immutability is defined by the COMMITTED manifest, not the data
     // dir: a crash between the parquet write and the manifest rename
     // leaves an orphaned data dir for a version that (per the commit
     // contract below) never existed — a retry must clean it and
     // proceed, not wedge the version forever
-    require(!fs.exists(new Path(root, s"_manifests/v$version.list")),
+    require(!fs.exists(finalManifest),
       s"version $version is already committed — versions are immutable")
+    // a vacuumed version's number is burned: its tombstone proves it
+    // existed, and re-committing it would resurrect a version readers
+    // may have already observed as deleted
+    require(!fs.exists(new Path(root, s"_manifests/v$version.vacuumed")),
+      s"version $version was vacuumed — version numbers are never reused")
     fs.delete(dataDir, true)
     df.write.parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir).map(_.getPath)
@@ -219,9 +234,89 @@ object LakeMaintenance {
     out.write(((carried ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
     out.close()
     // the rename IS the commit: until it succeeds the version does not
-    // exist, after it the file set can never change
-    require(fs.rename(tmp, new Path(mDir, s"v$version.list")),
+    // exist, after it the file set can never change. Re-check the
+    // destination right before renaming — narrows (does not close, see
+    // docblock) the concurrent-committer overwrite window
+    require(!fs.exists(finalManifest),
+      s"version $version was committed concurrently — single-writer contract violated")
+    require(fs.rename(tmp, finalManifest),
       s"manifest commit failed for v$version")
+  }
+
+  /** Delete data files referenced by NO retained version's manifest —
+    * the missing half of the versioning contract ("old versions stay
+    * readable until their files are vacuumed"). Non-retained COMMITTED
+    * versions lose their manifest and gain a `.vacuumed` tombstone, so
+    * a later read fails loudly with "was vacuumed" (not the ambiguous
+    * "no committed manifest") and the version number can never be
+    * recommitted. Orphaned data files from crashed commits (data dir,
+    * no manifest) are removed too. Retained versions' files are
+    * untouched — the spec pins byte-identity across a vacuum.
+    *
+    * Driver-side O(files) listing + set difference, like the manifests
+    * themselves — control plane, not data plane. Same single-writer /
+    * maintenance-window contract as [[commitVersion]]: do not vacuum
+    * concurrently with an in-flight commit (its not-yet-published data
+    * dir looks orphaned).
+    *
+    * @return (kind, path) rows for every deleted artifact — kinds:
+    *         `data_file`, `manifest` (replaced by a tombstone). */
+  def vacuum(spark: SparkSession, dir: String,
+             retainVersions: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    require(retainVersions.nonEmpty,
+      "vacuum: retainVersions must name at least one version")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new Path(root, "_manifests")
+    val committed = (if (fs.exists(mDir)) fs.listStatus(mDir) else Array.empty)
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+\\.list") =>
+        s.stripPrefix("v").stripSuffix(".list").toInt }
+      .toSet
+    retainVersions.foreach(v => require(committed.contains(v),
+      s"vacuum: retained version $v is not committed (committed: " +
+        s"${committed.toSeq.sorted.mkString(",")})"))
+    val referenced = retainVersions
+      .flatMap(v => manifestFiles(fs, root, v)).toSet
+    val deleted = Seq.newBuilder[(String, String)]
+    // sweep data/v* dirs: a dir with NO referenced files goes entirely
+    // (its _SUCCESS/.crc sidecars included); a dir that retained
+    // versions still reference loses only unreferenced part- files
+    // (plus their checksum sidecars) — manifests list part- files only,
+    // so sidecars must never be judged by manifest membership or a
+    // vacuum would strip retained versions' checksums
+    val dataRoot = new Path(root, "data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
+      .filter(_.isDirectory).foreach { vd =>
+        val files = fs.listStatus(vd.getPath)
+        def rel(name: String) = s"data/${vd.getPath.getName}/$name"
+        val anyReferenced =
+          files.exists(f => referenced.contains(rel(f.getPath.getName)))
+        if (!anyReferenced) {
+          files.filter(_.isFile).foreach(f =>
+            deleted += (("data_file", rel(f.getPath.getName))))
+          require(fs.delete(vd.getPath, true),
+            s"vacuum: delete ${vd.getPath} failed")
+        } else files.foreach { f =>
+          val name = f.getPath.getName
+          if (name.startsWith("part-") && !referenced.contains(rel(name))) {
+            require(fs.delete(f.getPath, false),
+              s"vacuum: delete ${rel(name)} failed")
+            deleted += (("data_file", rel(name)))
+            fs.delete(new Path(vd.getPath, s".$name.crc"), false)
+          }
+        }
+      }
+    // tombstone non-retained committed versions
+    (committed -- retainVersions).toSeq.sorted.foreach { v =>
+      val out = fs.create(new Path(mDir, s"v$v.vacuumed"), true)
+      out.close()
+      require(fs.delete(new Path(mDir, s"v$v.list"), false),
+        s"vacuum: manifest delete failed for v$v")
+      deleted += (("manifest", s"_manifests/v$v.list"))
+    }
+    deleted.result().toDF("kind", "path")
   }
 
   /** The frozen snapshot at `version` — an explicit-file-list scan.
@@ -235,12 +330,20 @@ object LakeMaintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = manifestFiles(fs, root, version)
       .map(rel => new Path(root, rel).toString)
+    // a committed-empty version (zero-partition write, no carry) has no
+    // files to infer a schema from — spark.read.parquet() would throw
+    // an opaque path/schema error; name the real condition instead
+    require(files.nonEmpty,
+      s"version $version is an empty snapshot — its manifest lists no files")
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
                             root: Path, version: Int): Seq[String] = {
     val m = new Path(root, s"_manifests/v$version.list")
+    // the tombstone distinguishes "vacuumed away" from "never existed"
+    require(!fs.exists(new Path(root, s"_manifests/v$version.vacuumed")),
+      s"version $version was vacuumed — not retained by the last vacuum()")
     require(fs.exists(m), s"no committed manifest for version $version")
     val in = fs.open(m)
     val bytes = try {

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, size-aware repartitioning, typed
   * per-partition batch processing (the JVM analogue of pandas-batch
-  * UDFs) — is real and tested. The codec itself is STUBBED with a
-  * deterministic fake ([[FakeCodec]]): the container has no image/audio
-  * libraries, and at integration time only `decode` changes — swap
-  * [[FakeCodec]] for a real decoder binding, every stage signature stays
-  * identical.
+  * UDFs) — is real and tested. Codecs are a [[MediaCodec]] parameter:
+  * [[FakeCodec]] is the deterministic default (the x1-x3 oracle gates
+  * replay its arithmetic in SQL), [[ImageIoCodec]] is a REAL image
+  * binding over the JDK's javax.imageio (PNG/JPEG — no external
+  * libraries, spec-verified through the same mapPartitions stages);
+  * audio/video bindings would implement the same trait.
   */
 object Multimodal {
 
@@ -36,22 +37,80 @@ object Multimodal {
       stdIntensity: Double,
       histogram: Array[Long])   // 16-bin intensity histogram
 
-  /** Deterministic fake codec: "decodes" payload bytes to an intensity
-    * series derived from the byte stream. Real codec integration swaps
-    * this object only. */
-  object FakeCodec {
-    /** STUB — stands in for a real image/audio decode. */
-    def decode(payload: Array[Byte]): Array[Double] =
-      payload.map(b => (b & 0xFF).toDouble)
+  /** The codec seam: every pipeline stage is written against this
+    * trait, so swapping the deterministic fake for a real binding is a
+    * parameter, not a rewrite. Implementations must be Serializable —
+    * they ride the mapPartitions closures to the executors. */
+  trait MediaCodec extends Serializable {
+    /** payload bytes → intensity series (decoded domain). */
+    def decode(payload: Array[Byte]): Array[Double]
 
-    /** STUB frame-sampler: every `stride`-th decoded value. */
+    /** intensity series → payload bytes (inverse of decode, used by the
+      * resize stage's re-encode). */
+    def encode(values: Array[Double]): Array[Byte]
+
+    /** every `stride`-th decoded value. */
     def sampleFrames(decoded: Array[Double], stride: Int): Array[Double] =
       decoded.indices.collect { case i if i % stride == 0 => decoded(i) }.toArray
 
-    /** STUB resize: linear rebin to n values. */
+    /** linear rebin to n values. */
     def resize(decoded: Array[Double], n: Int): Array[Double] =
       if (decoded.isEmpty) new Array[Double](n)
       else Array.tabulate(n)(i => decoded((i.toLong * decoded.length / n).toInt))
+  }
+
+  /** Deterministic fake codec: "decodes" payload bytes to an intensity
+    * series derived from the byte stream — the hash-gate default (x1-x3
+    * oracles replay it in SQL, so it must stay bit-deterministic). */
+  object FakeCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): Array[Double] =
+      payload.map(b => (b & 0xFF).toDouble)
+
+    def encode(values: Array[Double]): Array[Byte] =
+      values.map(v => v.toInt.max(0).min(255).toByte)
+  }
+
+  /** Real image binding over the JDK's javax.imageio (PNG/JPEG/BMP/GIF —
+    * no external libraries): decode reads the actual raster and emits
+    * row-major REC.601 luminance; encode writes an n×1 grayscale PNG.
+    * Proves the pipeline plumbing end-to-end on real images; the
+    * Multimodal oracle gates keep [[FakeCodec]] because their DuckDB
+    * side replays the fake's arithmetic in SQL. ImageIO.read returns
+    * null (not an exception) for an undecodable payload — fail loud. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIoCodec: payload is not a decodable image")
+      val out = new Array[Double](img.getWidth * img.getHeight)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          out(y * img.getWidth + x) =
+            0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def encode(values: Array[Double]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        math.max(values.length, 1), 1,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      values.zipWithIndex.foreach { case (v, i) =>
+        val g = v.round.toInt.max(0).min(255)
+        img.setRGB(i, 0, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
   }
 
   /** Size-aware layout: media payloads are wildly skewed (a 4 KB icon vs
@@ -65,13 +124,14 @@ object Multimodal {
   /** Decode + featurize, batched per partition (mapPartitions = the JVM
     * shape of a pandas-batch UDF: amortize any per-batch codec setup
     * across the whole partition iterator). */
-  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(ds: Dataset[MediaRow],
+                      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { rows =>
       // per-batch codec init would go here (model load, native ctx, ...)
       rows.map { r =>
-        val decoded = FakeCodec.decode(r.payload)
+        val decoded = codec.decode(r.payload)
         val n = decoded.length
         val mean = if (n == 0) 0.0 else decoded.sum / n
         val std =
@@ -92,24 +152,25 @@ object Multimodal {
     * codec round-trip; a real codec binding swaps [[FakeCodec]] only,
     * the stage shape — mapPartitions after [[repartitionBySize]] — is
     * the production one). */
-  def resizeMedia(ds: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
+  def resizeMedia(ds: Dataset[MediaRow], n: Int,
+                  codec: MediaCodec = FakeCodec): Dataset[MediaRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val resized = FakeCodec.resize(FakeCodec.decode(r.payload), n)
-        val bytes = resized.map(v => v.toInt.max(0).min(255).toByte)
+        val bytes = codec.encode(codec.resize(codec.decode(r.payload), n))
         r.copy(meta = r.meta.copy(width = n, height = 1), payload = bytes)
       }
     }
   }
 
   /** Frame-sampling stage: 1 row -> n frame rows (video -> frames). */
-  def sampleFrames(ds: Dataset[MediaRow], stride: Int): DataFrame = {
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int,
+                   codec: MediaCodec = FakeCodec): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.flatMap { r =>
-      val frames = FakeCodec.sampleFrames(FakeCodec.decode(r.payload), stride)
+      val frames = codec.sampleFrames(codec.decode(r.payload), stride)
       frames.zipWithIndex.map { case (v, i) => (r.id, i, v) }
     }.toDF("id", "frame_idx", "intensity")
   }

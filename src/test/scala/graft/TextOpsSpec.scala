@@ -249,6 +249,49 @@ class TextOpsSpec extends SparkSpec {
     assert(cOut.payload.forall(_ == 65.toByte))
   }
 
+  test("multimodal: ImageIoCodec decodes a real PNG through the batched stages") {
+    import spark.implicits._
+    // build a real 4x2 PNG in memory: left half black, right half white
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4)
+        img.setRGB(x, y, if (x < 2) 0x000000 else 0xFFFFFF)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(Multimodal.MediaRow(1L,
+      Multimodal.MediaMeta("image", 4, 2, 0, 0L, "png"), png())).toDS()
+    // decode path: REC.601 luminance of the real raster — 4 black (0.0)
+    // and 4 white (255.0) pixels — through the same mapPartitions stage
+    val f = Multimodal.extractFeatures(
+      Multimodal.repartitionBySize(media, 2), Multimodal.ImageIoCodec)
+      .collect().head
+    assert(math.abs(f.meanIntensity - 127.5) < 1e-9 && f.histogram(0) == 4L &&
+      f.histogram(15) == 4L,
+      s"luminance decode wrong: mean=${f.meanIntensity}")
+    // resize path (X3's shape): re-encoded payload is itself a real,
+    // decodable PNG at the target geometry with the resampled pixels
+    val resized = Multimodal.resizeMedia(media, 4, Multimodal.ImageIoCodec)
+      .collect().head
+    assert(resized.meta.width == 4 && resized.meta.height == 1)
+    // nearest-index rebin over the row-major flattened raster
+    // [0,0,255,255, 0,0,255,255] at stride 2 picks indices 0,2,4,6
+    val back = Multimodal.ImageIoCodec.decode(resized.payload)
+    assert(back.length == 4 &&
+      back.zip(Seq(0.0, 255.0, 0.0, 255.0))
+        .forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      s"resized PNG round-trip wrong: ${back.toSeq}")
+    // an undecodable payload fails loudly, not as garbage features
+    val junk = Seq(Multimodal.MediaRow(2L,
+      Multimodal.MediaMeta("image", 0, 0, 0, 0L, "?"),
+      Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(junk, Multimodal.ImageIoCodec).collect())
+    assert(e.getMessage != null)
+  }
+
   test("redact scrubs URLs before emails (no half-redacted URL query strings)") {
     import spark.implicits._
     val r = Seq("visit https://a.b/c?u=x@y.zz and mail q@r.ss please")

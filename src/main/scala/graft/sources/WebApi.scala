@@ -194,14 +194,52 @@ class OsdbApiScan(requiredSchema: StructType, options: Map[String, String],
 
   /** The listing fetch: metadata-scale (≤ cap events, no datapoints),
     * exactly what the reference's getEvents() pulls to its driver — the
-    * heavy per-event payloads stay on the executors. Accepts both the
-    * API's JSON-array shape and an NDJSON cache file. */
+    * heavy per-event payloads stay on the executors. Accepts three
+    * listing shapes: the DRF-paginated object
+    * `{"count": N, "next": url|null, "results": [...]}` — pages are
+    * FOLLOWED via their `next` links until exhausted or the cap is
+    * reached (never a fetch past the cap; the reference client fetches
+    * one response and iterates it — webApiConnection.py:104-117 — with
+    * its commented-out main showing the DRF `results` envelope,
+    * webApiConnection.py:399 — so a multi-page database silently
+    * truncates there; following `next` is the complete-listing shape),
+    * a plain JSON array, and an NDJSON cache file. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val payload = ApiTransport.create(options).get(listingUrl)
+    val transport = ApiTransport.create(options)
+    val payload = transport.get(listingUrl)
     val mapper = new ObjectMapper()
     val trimmed = payload.trim
+    // the DRF envelope vs a single-object NDJSON first line: only a
+    // top-level object WITH a results array is a page (readTree parses
+    // the first complete JSON value and ignores any NDJSON tail)
+    def isDrfPage(s: String): Boolean = s.startsWith("{") && {
+      try {
+        val n = mapper.readTree(s)
+        n.has("results") && n.get("results").isArray
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => false
+      }
+    }
     val events: Seq[String] =
-      if (trimmed.startsWith("[")) {
+      if (isDrfPage(trimmed)) {
+        val buf = mutable.ArrayBuffer.empty[String]
+        var url = listingUrl
+        var page = trimmed
+        var done = false
+        while (!done) {
+          val root = mapper.readTree(page)
+          require(root.has("results") && root.get("results").isArray,
+            s"paginated listing at $url has no results array")
+          root.get("results").elements().asScala
+            .takeWhile(_ => buf.length < cap)
+            .foreach(e => buf += e.toString)
+          val next = root.get("next")
+          if (buf.length >= cap || next == null || next.isNull ||
+            next.asText.isEmpty) done = true
+          else { url = next.asText; page = transport.get(url).trim }
+        }
+        buf.toSeq
+      } else if (trimmed.startsWith("[")) {
         // Unparseable listing payloads degrade to ONE opaque record so the
         // executor-side PERMISSIVE parser yields its all-null row — same
         // decode-error tolerance as the S1/S2 readers, never a plan abort.

@@ -113,6 +113,41 @@ class WebApiSourceSpec extends SparkSpec {
       s"datapoint fetches survived column pruning: $urls")
   }
 
+  test("DRF-paginated listing follows next links up to the cap, never past it") {
+    val dir = Files.createTempDirectory("webapi_paged").toString
+    // three pages of 2/2/1 events chained by next links
+    write(dir, s"$base/events/",
+      s"""{"count":5,"next":"$base/events/?page=2","results":[${ev("1", "3", "A")},${ev("2", "3", "A")}]}""")
+    write(dir, s"$base/events/?page=2",
+      s"""{"count":5,"next":"$base/events/?page=3","results":[${ev("3", "3", "A")},${ev("4", "3", "A")}]}""")
+    write(dir, s"$base/events/?page=3",
+      s"""{"count":5,"next":null,"results":[${ev("5", "3", "A")}]}""")
+
+    // full read: all pages followed, all 5 events
+    RecordingFileTransport.reset()
+    assert(read(dir).select("id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("1", "2", "3", "4", "5"))
+    // planInputPartitions may run more than once per action — compare
+    // the DISTINCT fetched URLs, which must be exactly the three pages
+    assert(RecordingFileTransport.requested()
+      .filter(_.contains("/events/")).distinct.size == 3,
+      "expected all three pages fetched")
+
+    // cap inside page 2: page 3 must never be requested
+    RecordingFileTransport.reset()
+    assert(read(dir, "maxEvents" -> "3").count() == 3)
+    val urls = RecordingFileTransport.requested()
+    assert(urls.contains(s"$base/events/?page=2"))
+    assert(!urls.contains(s"$base/events/?page=3"),
+      s"fetched a page past the cap: $urls")
+
+    // LIMIT pushdown folds into the same cap: limit 2 stops at page 1
+    RecordingFileTransport.reset()
+    assert(read(dir).limit(2).collect().length == 2)
+    assert(!RecordingFileTransport.requested().exists(_.contains("page=2")),
+      "limit pushdown did not stop the pagination at page 1")
+  }
+
   test("corrupt listing element becomes an all-null row, not a task failure") {
     val dir = Files.createTempDirectory("webapi_corrupt").toString
     write(dir, s"$base/events/",

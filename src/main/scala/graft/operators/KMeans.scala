@@ -47,9 +47,12 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  def lloyd(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+  def lloyd(vectors: DataFrame, idCol: String, vecCol: String, k: Int = 0,
             iters: Int = 2, quantScale: Int = 1024): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    // k = 0 derives ceil(√N) — the measured SemDeDup/IVF balance point
+    // (Similarity.sqrtKnob docblock; pipe6's k-both-ways decade probe):
+    // one count() job, control plane like the seed TakeOrdered below
+    val kk = if (k >= 1) k else Similarity.sqrtKnob(vectors.count())
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(quantScale > 0 && (quantScale & (quantScale - 1)) == 0,
       s"quantScale must be a positive power of two (exact double " +
@@ -62,9 +65,9 @@ object KMeans {
 
     // Seeds: the k lowest-id vectors (TakeOrdered — k rows to the
     // driver, never a full sort).
-    val seedRows = q.orderBy(col(idCol)).limit(k).collect()
-    require(seedRows.length == k,
-      s"corpus has only ${seedRows.length} vectors, need >= $k seeds")
+    val seedRows = q.orderBy(col(idCol)).limit(kk).collect()
+    require(seedRows.length == kk,
+      s"corpus has only ${seedRows.length} vectors, need >= $kk seeds")
     var cents: Array[Array[Double]] =
       seedRows.map(_.getSeq[Long](1).map(_.toDouble).toArray)
 

@@ -389,15 +389,32 @@ object Similarity {
     * Like the reference corpus there, the CENTROID table is the only
     * driver-side state; the inverted lists themselves never leave the
     * executors. */
+  /** The measured scaling law for the partition knobs (SCALING.md, two
+    * decades both ways): cluster/list count ∝ √N balances the O(N·k)
+    * assignment term against the O(N²/k) in-bucket pairing term at
+    * O(N^1.5). `nlist = 0` / `k = 0` callers get this derivation
+    * automatically (one count() job at call time — control plane,
+    * beside the operators' existing eager sample jobs); the pinned gate
+    * entries pass their fixed literals and are untouched. */
+  def sqrtKnob(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def ivfKnn(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
-             k: Int, nlist: Int = 16, nprobe: Int = 4,
+             k: Int, nlist: Int = 0, nprobe: Int = 4,
              sampleSize: Int = 2048, iters: Int = 5, seed: Long = 42L,
              listShards: Int = 8): DataFrame = {
-    require(nprobe <= nlist, "nprobe cannot exceed nlist")
+    // nlist = 0 derives the measured ceil(√N) law ([[sqrtKnob]]);
+    // explicit mismatches stay loud, the derived value clamps nprobe
+    // (a 9-vector corpus derives nlist 3 < the default nprobe 4)
+    val nl =
+      if (nlist > 0) {
+        require(nprobe <= nlist, "nprobe cannot exceed nlist"); nlist
+      } else sqrtKnob(vectors.count())
+    val np = math.min(nprobe, nl)
     val spark = vectors.sparkSession
     val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfKnn")
-    val centroids = sphericalLloyd(sample, nlist, dim, iters)
+    val centroids = sphericalLloyd(sample, nl, dim, iters)
 
     // ---- assign + probe (closure-captured centroids: tight JIT loop,
     // no multi-MB literal codegen)
@@ -412,7 +429,7 @@ object Similarity {
         while (j < m) { d += arr(j) * cs(c)(j); j += 1 }
         (c, d)
       }
-      scored.sortBy { case (c, d) => (-d, c) }.take(nprobe).map(_._1)
+      scored.sortBy { case (c, d) => (-d, c) }.take(np).map(_._1)
     }
     val lists = base
       .select(col("id"), col("v"), col("nrm"), assignUdf(col("v")).as("lst"),
@@ -467,13 +484,18 @@ object Similarity {
                m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
                sampleSize: Int = 2048, iters: Int = 5,
                listShards: Int = 8): DataFrame = {
-    require(nprobe <= nlist, "nprobe cannot exceed nlist")
+    // nlist = 0 derives ceil(√N) like [[ivfKnn]] (see [[sqrtKnob]])
+    val nl =
+      if (nlist > 0) {
+        require(nprobe <= nlist, "nprobe cannot exceed nlist"); nlist
+      } else sqrtKnob(vectors.count())
+    val np = math.min(nprobe, nl)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val spark = vectors.sparkSession
     val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfPqKnn")
-    val coarse = sphericalLloyd(sample, nlist, dim, iters)
+    val coarse = sphericalLloyd(sample, nl, dim, iters)
     // zero-pad ragged sample vectors to dim before slicing: copyOfRange
     // throws when from > length, and ivfKnn's contract (strideInit)
     // says shorter vectors zero-pad
@@ -497,7 +519,7 @@ object Similarity {
         while (j < mm) { d += arr(j) * cs(c)(j); j += 1 }
         (c, d)
       }
-      scored.sortBy { case (c, d) => (-d, c) }.take(nprobe).map(_._1)
+      scored.sortBy { case (c, d) => (-d, c) }.take(np).map(_._1)
     }
     // unit-normalize (zero-norm degrades to the raw vector — scores 0
     // everywhere, never NaN), then per-subspace argmin-L2 codes PACKED
@@ -591,7 +613,7 @@ object Similarity {
     * other). */
   def ivfPqRefineKnn(vectors: DataFrame, idCol: String, vecCol: String,
                      dim: Int, k: Int, kShortlist: Int,
-                     nlist: Int = 16, nprobe: Int = 4,
+                     nlist: Int = 0, nprobe: Int = 4,
                      m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
                      sampleSize: Int = 2048, iters: Int = 5,
                      listShards: Int = 8): DataFrame = {

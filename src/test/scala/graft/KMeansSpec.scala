@@ -55,6 +55,41 @@ class KMeansSpec extends SparkSpec {
     assert(joined.forall(r => r.getAs[Int]("cluster") == r.getAs[Int]("planted")))
   }
 
+  test("unspecified knobs derive ceil(sqrt(N)): lloyd k and ivfKnn nlist") {
+    import graft.operators.Similarity
+    // the derivation itself (the measured nlist/k ∝ √N law)
+    assert(Similarity.sqrtKnob(500) == 23)   // 22² = 484 < 500
+    assert(Similarity.sqrtKnob(484) == 22)
+    assert(Similarity.sqrtKnob(1) == 1 && Similarity.sqrtKnob(0) == 1)
+
+    // lloyd with k unspecified == lloyd with k = ceil(√30) = 6 explicit
+    val derived = KMeans.lloyd(blobs, "vec_id", "embedding", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val explicit = KMeans.lloyd(blobs, "vec_id", "embedding", k = 6, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(derived == explicit, "derived-k lloyd diverges from explicit ceil(√N)")
+
+    // ivfKnn with nlist unspecified == explicit ceil(√30) = 6; the
+    // default nprobe 4 still fits, so results must be identical.
+    // (Separate non-zero fixture: blobs plants an exact zero vector,
+    // and ivfKnn's cosine contract requires non-zero norms.)
+    import spark.implicits._
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array((1.0 + i % 7 / 8.0).toFloat, (i % 5 / 4.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dIvf = Similarity.ivfKnn(vecs, "vec_id", "embedding", dim = 2, k = 2)
+      .collect().map(_.toSeq).toSet
+    val eIvf = Similarity.ivfKnn(vecs, "vec_id", "embedding", dim = 2, k = 2,
+        nlist = 6).collect().map(_.toSeq).toSet
+    assert(dIvf == eIvf, "derived-nlist ivfKnn diverges from explicit ceil(√N)")
+
+    // a corpus smaller than the default nprobe clamps instead of dying
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfKnn(tiny, "vec_id", "embedding", dim = 2, k = 1)
+      .count() > 0)
+  }
+
   test("rejects non-power-of-two quantScale and k > corpus") {
     import spark.implicits._
     val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -9,6 +11,15 @@ import org.apache.spark.storage.StorageLevel
   * components. Everything is expressed as equi-keyed joins + aggregates
   * so Catalyst plans ordinary shuffles (AQE-skew-splittable); no driver
   * state beyond Catalyst itself.
+  *
+  * Cache ownership: each operator persists its loop-invariant tables
+  * (the rounds' plans reference them `iters`× — without the persist
+  * every execution re-runs the edge build per round). The persists must
+  * OUTLIVE the returned plan's execution, so the operator cannot drop
+  * them itself; callers that manage long-lived sessions pass `caches`
+  * (every persisted DataFrame is appended) and unpersist after
+  * consuming the result — the [[Bpe.BpeModel.vocabSeqs]] ownership
+  * pattern, as a parameter because these results are plain DataFrames.
   *
   * Cross-engine exactness contract (Exact.scala rules): inputs are
   * integer counts, every derived double is an int→double cast followed
@@ -40,7 +51,8 @@ object Graph {
     * node-sized table to the driver. */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
                damping: Double = 0.85, teleport: Double = 0.15,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRanks: Boolean = true,
+               caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val out = edges.groupBy("src").agg(sum(col("w")).as("o"))
     // The normalized edge table is the LOOP INVARIANT — every iteration
@@ -52,10 +64,12 @@ object Graph {
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("o").cast("double")).as("ratio"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += e)
     // nodes is as loop-invariant as e — the caller may pass an expensive
     // derivation (g1's distinct over the full event scan) that would
     // otherwise re-run in pr0 plus every round's left join
     val nodesC = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += nodesC)
     val nn = nodesC.agg(count(lit(1)).as("n"))
     val pr0 = nodesC.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
@@ -93,7 +107,8 @@ object Graph {
     * so every node has ≥1 neighbour by construction. Returns
     * `(node, lbl)`. */
   def labelPropagation(und: DataFrame, rounds: Int = 3,
-                       broadcastLabels: Boolean = true): DataFrame = {
+                       broadcastLabels: Boolean = true,
+                       caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     import org.apache.spark.sql.expressions.Window
     // one scan, both directions: a union of two selects over `und`
@@ -104,6 +119,7 @@ object Graph {
         struct(col("v").as("x"), col("u").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += bi)
     val lbl0 = bi.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     (1 to rounds).foldLeft(lbl0) { (lbl, _) =>
@@ -131,7 +147,8 @@ object Graph {
     * fallback is a plain shuffle join on the same keys, not a plan
     * change). Returns `(node, triangles)` for nodes in ≥1 triangle. */
   def triangleCounts(und: DataFrame,
-                     broadcastDegrees: Boolean = true): DataFrame = {
+                     broadcastDegrees: Boolean = true,
+                     caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("deg"))
     val du = deg.select(col("x").as("u"), col("deg").as("ud"))
@@ -148,6 +165,7 @@ object Graph {
         when(fwd, col("v")).otherwise(col("u")).as("b"),
         when(fwd, col("vd")).otherwise(col("ud")).as("bd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += ori)
     val e1 = ori.select(col("a"), col("b").as("b1"), col("bd").as("bd1"))
     val e2 = ori.select(col("a"), col("b").as("b2"), col("bd").as("bd2"))
     val wedges = e1.join(e2, Seq("a"))

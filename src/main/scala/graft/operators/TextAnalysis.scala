@@ -167,7 +167,9 @@ object TextAnalysis {
     * bigrams) is exactly the AQE skew-join case, and the prefix table
     * broadcasts. No window over the token stream — that would sort the
     * full corpus per term. */
-  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+                     caches: Option[scala.collection.mutable.Buffer[DataFrame]] =
+                       None): DataFrame = {
     val docsT = docs.select(col(idCol), tokens(lower(col(textCol))).as("t"))
     val bigrams = docsT
       .filter(size(col("t")) >= 2)
@@ -179,9 +181,12 @@ object TextAnalysis {
     // the MODEL table: consumed by both the scoring join and the c1
     // prefix fold — persist or both legs re-run the corpus-scale bigram
     // explode+aggregate (vocab²-bounded, so this is the classic
-    // "materialize the trained model once" stage)
+    // "materialize the trained model once" stage). The persist must
+    // outlive the result's execution — long-lived sessions pass
+    // `caches` and unpersist after consuming (Graph-object contract).
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += c2)
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = docsT.select(explode(col("t")).as("term"))
       .agg(countDistinct(col("term")).as("v"))

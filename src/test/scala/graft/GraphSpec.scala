@@ -85,4 +85,27 @@ class GraphSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getDouble(1))).toMap
     assert(a == b)
   }
+
+  test("caches handle: every persisted loop invariant is released after unpersist") {
+    import org.apache.spark.storage.StorageLevel
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val buf = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    Graph.pageRank(edges, Seq(1L, 2L, 3L).toDF("node"),
+      caches = Some(buf)).collect()
+    Graph.labelPropagation(und, caches = Some(buf)).collect()
+    Graph.triangleCounts(und, caches = Some(buf)).collect()
+    graft.operators.TextAnalysis.bigramLmScores(
+      Seq((1L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      caches = Some(buf)).collect()
+    // pageRank registers 2 (edge invariant + nodes), LPA 1, triangles 1,
+    // bigram LM 1 — all persisted while in use, all gone after release
+    assert(buf.size == 5, s"expected 5 tracked caches, got ${buf.size}")
+    assert(buf.forall(_.storageLevel != StorageLevel.NONE),
+      "tracked frames must still be persisted after execution")
+    buf.foreach(_.unpersist(true))
+    assert(buf.forall(_.storageLevel == StorageLevel.NONE),
+      "unpersisting the handles must release every cache")
+  }
 }

@@ -1314,6 +1314,101 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT)
       |FROM events WHERE user_id % 3 IN (0, 1) GROUP BY 2""".stripMargin
 
+  private val lake9RunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** LAKE9 — vacuum end to end
+    * ([[graft.sources.LakeMaintenance.vacuum]], the round-10 missing
+    * half of lake8's versioning contract): commit v1 (cohort A), v2 as
+    * an APPEND carrying v1 (cohort B), and v3 (a doomed cohort C), then
+    * vacuum retaining ONLY v2. v3's data files and the v1/v3 manifests
+    * must go (the result pins manifests_deleted = 2); v1's FILES must
+    * SURVIVE because v2's manifest still references them. The retained
+    * snapshot is then aggregated — a vacuum that deletes carried files
+    * loses cohort A's rows, one that misses v3's files leaves the count
+    * wrong, and either breaks the hash. The loud-read-of-vacuumed-
+    * version half of the contract is spec-pinned (OperatorsSpec), where
+    * exception semantics belong. */
+  def lake9Vacuum(s: SparkSession, d: String): DataFrame = {
+    // fresh lake per invocation, like lake8: versions are immutable and
+    // vacuumed version numbers are burned — Bench re-runs every entry
+    val dir = qtmp(s, s"lake9_lake_${lake9RunId.incrementAndGet()}")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    graft.sources.LakeMaintenance.commitVersion(
+      s, dir, ev.filter(col("user_id") % 3 === 0), version = 1)
+    graft.sources.LakeMaintenance.commitVersion(
+      s, dir, ev.filter(col("user_id") % 3 === 1), version = 2,
+      carryFrom = Some(1))
+    graft.sources.LakeMaintenance.commitVersion(
+      s, dir, ev.filter(col("user_id") % 3 === 2), version = 3)
+    val deleted = graft.sources.LakeMaintenance.vacuum(s, dir, Seq(2))
+    val manifestsGone = deleted.filter(col("kind") === "manifest").count()
+    graft.sources.LakeMaintenance.readVersion(s, dir, 2)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("manifests_deleted", lit(manifestsGone))
+  }
+
+  val lake9Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(2 AS BIGINT) AS manifests_deleted
+      |FROM events WHERE user_id % 3 IN (0, 1) GROUP BY 1""".stripMargin
+
+  /** S4B — DRF-PAGINATED listing through the same [[graft.sources
+    * .WebApi]] connector (the round-10 pagination fix, oracled): the
+    * ub==4 fixture slice is split across THREE chained
+    * `{"count", "next", "results"}` pages — only page 1 sits at the
+    * filtered listing URL; pages 2 and 3 are reachable ONLY by
+    * following `next` links. The oracle restates the whole slice, so a
+    * connector that stops at the first response (the reference
+    * client's behavior) is missing two-thirds of its rows and breaks
+    * the hash. Filter pushdown still gates the entry: only the
+    * `?user=4` page chain is staged. */
+  def s4bPagedListing(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(qtmp(s, "s4b_paged"))
+    base.mkdirs()
+    val apiBase = "http://osdb.fixture/api"
+    val listing = OsdbFixture.ev(s, d).filter(col("ub") === 4)
+      .select(
+        col("e").cast("string").as("id"),
+        col("ub").cast("string").as("userId"),
+        col("type_str").as("type"),
+        col("sub_type").as("subType"))
+    val stage = new java.io.File(base, "_stage_listing")
+    listing.coalesce(1).write.mode("overwrite").json(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file in staged JSON dir $stage"))
+    val lines = Vector.newBuilder[String]
+    java.nio.file.Files.readAllLines(part.toPath)
+      .forEach(l => if (l.nonEmpty) lines += l)
+    val all = lines.result()
+    val pages = all.grouped(math.max(1, (all.size + 2) / 3)).toSeq
+    def pageUrl(i: Int): String =
+      if (i == 0) s"$apiBase/events/?user=4"
+      else s"$apiBase/events/?user=4&page=${i + 1}"
+    pages.zipWithIndex.foreach { case (g, i) =>
+      val next =
+        if (i == pages.size - 1) "null" else "\"" + pageUrl(i + 1) + "\""
+      java.nio.file.Files.write(
+        new java.io.File(base,
+          graft.sources.WebApi.cacheKey(pageUrl(i))).toPath,
+        s"""{"count":${all.size},"next":$next,"results":[${g.mkString(",")}]}"""
+          .getBytes("UTF-8"))
+    }
+    graft.sources.WebApi.readEvents(s, Map(
+        "baseUrl" -> apiBase, "transport" -> "file",
+        "fixtureDir" -> base.getAbsolutePath))
+      .filter(col("userId") === "4")
+      .groupBy("type")
+      .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("id_sum"))
+  }
+
+  val s4bSql: String = sqlBase +
+    """SELECT type_str AS type, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum
+      |FROM ev WHERE ub = 4 GROUP BY 1""".stripMargin
+
   /** LAKE7 — format-agnostic lake layer: the same partitioned write /
     * pruned read / aggregate path as lake1-lake3, through ORC instead
     * of parquet (both columnar formats ship in Spark; a real lake mixes
@@ -1868,6 +1963,8 @@ object DomainQueries {
     "lake3_compaction"  -> (lake3Compaction _),
     "lake7_orc"         -> (lake7Orc _),
     "lake8_time_travel" -> (lake8TimeTravel _),
+    "lake9_vacuum"      -> (lake9Vacuum _),
+    "s4b_paged_listing" -> (s4bPagedListing _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -1931,6 +2028,8 @@ object DomainQueries {
     "lake3_compaction"  -> lake3Sql,
     "lake7_orc"         -> lake7Sql,
     "lake8_time_travel" -> lake8Sql,
+    "lake9_vacuum"      -> lake9Sql,
+    "s4b_paged_listing" -> s4bSql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

@@ -5,7 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Synthetic N× scale-up of a driver testdata dir (SCALING.md probe).
   *
-  * `runMain graft.tools.ScaleGen <srcDir> <outDir> [factor]`
+  * `runMain graft.tools.ScaleGen <srcDir> <outDir> [factor] [tables]`
+  *
+  * `tables` (optional, comma-separated) restricts the regen to named
+  * tables — a 100x documents-only regen takes seconds where the full
+  * eight-table expansion (lineitem x 8 partitions at 60M rows) takes
+  * many minutes. Key spans still derive from the source tables, so a
+  * partial regen keeps FK arithmetic consistent with a later full one.
   *
   * Each fact table is unioned `factor` times with entity keys shifted by
   * copy-index × key-range, so FK relationships hold across copies
@@ -40,6 +46,9 @@ object ScaleGen {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,11 +74,12 @@ object ScaleGen {
       shift(withCopy, col("__c").cast("long")).drop("__c")
     }
 
-    def write(df: DataFrame, name: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      System.err.println(s"[scalegen] wrote $name x$factor")
-    }
+    def write(df: => DataFrame, name: String, parts: Int): Unit =
+      if (wanted(name)) {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        System.err.println(s"[scalegen] wrote $name x$factor")
+      } else System.err.println(s"[scalegen] skipped $name")
 
     // key ranges derive from the source so the tool works at any sf
     def span(df: DataFrame, key: String): Long =

@@ -1314,6 +1314,36 @@ object DomainQueries {
       |  CAST(SUM(event_id) AS BIGINT)
       |FROM events WHERE user_id % 3 IN (0, 1) GROUP BY 2""".stripMargin
 
+  /** RPT1 — the report layer's category index as a distributed
+    * aggregate ([[graft.report.Summarise.indexSummary]], the
+    * reference's summary_index bucketing at summariseData.py:168-180):
+    * Tonic-Clonic seizures must land in BOTH tcSeizures and
+    * allSeizures, the rest partition by type — the oracle restates the
+    * four buckets (with the deliberate tc ⊂ all overlap) from the
+    * fixture formulas, so a mis-bucketed event, a lost duplicate
+    * membership, or a wrong per-event dp count breaks the hash. The
+    * HTML rendering itself is ReportSpec's (byte-level SVG/structure
+    * pins belong in specs, not row hashes). Shape-only fixture
+    * (arrays=false): the index never needs sample arrays. */
+  def rpt1SummaryIndex(s: SparkSession, d: String): DataFrame =
+    graft.report.Summarise.indexSummary(
+        OsdbFixture.nested(s, d, arrays = false))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(col("id").cast("long")).as("id_sum"),
+        sum(col("n_dp")).as("dp_sum"))
+
+  val rpt1Sql: String = sqlBase +
+    """SELECT category, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS id_sum,
+      |  CAST(SUM(n_dp) AS BIGINT) AS dp_sum
+      |FROM (
+      |  SELECT 'tcSeizures' AS category, e, n_dp FROM ev
+      |    WHERE k % 3 = 0 AND k % 5 < 2
+      |  UNION ALL SELECT 'allSeizures', e, n_dp FROM ev WHERE k % 3 = 0
+      |  UNION ALL SELECT 'falseAlarms', e, n_dp FROM ev WHERE k % 3 = 1
+      |  UNION ALL SELECT 'otherEvents', e, n_dp FROM ev WHERE k % 3 = 2
+      |) GROUP BY 1""".stripMargin
+
   private val lake9RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** LAKE9 — vacuum end to end
@@ -1965,6 +1995,7 @@ object DomainQueries {
     "lake8_time_travel" -> (lake8TimeTravel _),
     "lake9_vacuum"      -> (lake9Vacuum _),
     "s4b_paged_listing" -> (s4bPagedListing _),
+    "rpt1_summary_index" -> (rpt1SummaryIndex _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -2030,6 +2061,7 @@ object DomainQueries {
     "lake8_time_travel" -> lake8Sql,
     "lake9_vacuum"      -> lake9Sql,
     "s4b_paged_listing" -> s4bSql,
+    "rpt1_summary_index" -> rpt1Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

@@ -113,6 +113,59 @@ object Multimodal {
     }
   }
 
+  /** Real audio binding over the JDK's javax.sound.sampled (PCM WAV —
+    * no external libraries): decode parses the actual RIFF container
+    * and emits the first channel's samples normalized to [-1, 1];
+    * encode writes 16-bit mono PCM WAV at 16 kHz. The audio twin of
+    * [[ImageIoCodec]] — proves the same pipeline stages end-to-end on
+    * real audio payloads; compressed codecs (mp3/ogg) would plug in as
+    * further [[MediaCodec]] implementations with their decoder libs. */
+  object WavCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): Array[Double] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"WavCodec: only 16-bit signed PCM supported, got $fmt")
+        val bytes = in.readAllBytes()
+        val frame = fmt.getFrameSize
+        val out = new Array[Double](bytes.length / frame)
+        val be = fmt.isBigEndian
+        var i = 0
+        while (i < out.length) {
+          val o = i * frame
+          val s =
+            if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xFF)).toShort
+            else ((bytes(o + 1) << 8) | (bytes(o) & 0xFF)).toShort
+          out(i) = s / 32768.0
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    def encode(values: Array[Double]): Array[Byte] = {
+      val pcm = new Array[Byte](values.length * 2)
+      var i = 0
+      while (i < values.length) {
+        val s = math.round(values(i).max(-1.0).min(1.0) * 32767.0).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, values.length.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+  }
+
   /** Size-aware layout: media payloads are wildly skewed (a 4 KB icon vs
     * a 40 MB clip), so repartition by a payload-size-salted key before
     * the expensive decode stage — no 2 GB partitions, no straggler task

@@ -292,6 +292,28 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("multimodal: WavCodec round-trips real PCM WAV through the frame-sample stage") {
+    import spark.implicits._
+    // a 100-sample ramp encoded as a REAL 16-bit mono RIFF/WAV container
+    val ramp = Array.tabulate(100)(i => (i - 50) / 64.0)
+    val wav = Multimodal.WavCodec.encode(ramp)
+    // RIFF magic proves a genuine container, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val back = Multimodal.WavCodec.decode(wav)
+    assert(back.length == 100 &&
+      back.zip(ramp).forall { case (a, b) => math.abs(a - b) <= 1.0 / 32767 },
+      "16-bit PCM round trip exceeded quantization error")
+    // through the same distributed stage the fake codec uses: video/audio
+    // frame sampling — every 10th decoded sample, executor-side
+    val media = Seq(Multimodal.MediaRow(1L,
+      Multimodal.MediaMeta("audio", 0, 0, 16000, 0L, "wav"), wav)).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 10, Multimodal.WavCodec)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    assert(frames.length == 10)
+    frames.foreach { case (idx, v) =>
+      assert(math.abs(v - ramp(idx * 10)) <= 1.0 / 32767) }
+  }
+
   test("redact scrubs URLs before emails (no half-redacted URL query strings)") {
     import spark.implicits._
     val r = Seq("visit https://a.b/c?u=x@y.zz and mail q@r.ss please")

@@ -45,6 +45,8 @@ object BpeScaleProbe {
       graft.operators.Bpe.train(docs, "text", 1000))
     t("local-5000-merges")(
       graft.operators.Bpe.train(docs, "text", 5000).merges.count())
+    t("local-10000-merges")(
+      graft.operators.Bpe.train(docs, "text", 10000).merges.count())
 
     val dist = t(s"distributed-$distMerges-merges")(
       graft.operators.Bpe.train(docs, "text", distMerges,

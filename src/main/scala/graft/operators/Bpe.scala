@@ -46,7 +46,27 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
-  case class BpeModel(merges: DataFrame, vocabSeqs: DataFrame)
+  case class BpeModel(merges: DataFrame, vocabSeqs: DataFrame,
+                      backing: Option[org.apache.spark.rdd.RDD[_]] = None) {
+    /** Release the model's executor-side storage: the vocabSeqs cache
+      * (local path: no-op — the table is a local relation) and, on the
+      * distributed path, the final round's localCheckpoint RDD, which
+      * `Dataset.unpersist` cannot reach (checkpoint storage is not
+      * registered with the cache manager). */
+    def release(): Unit = {
+      vocabSeqs.unpersist()
+      backing.foreach(_.unpersist(false))
+    }
+  }
+
+  /** The RDD behind a localCheckpoint'ed frame — the handle needed to
+    * actually FREE a checkpoint (its storage bypasses the cache
+    * manager, so Dataset.unpersist is a silent no-op there). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 
   private val mergeUdf = udf { (seq: Seq[String], a: String, b: String) =>
     val out = ArrayBuffer.empty[String]
@@ -89,8 +109,9 @@ object Bpe {
     *         word with its frequency and FINAL symbol sequence (the
     *         trained tokenizer's lookup table — broadcast it to
     *         tokenize the corpus, [[tokenCountsBySource]]). vocabSeqs
-    *         stays CACHED (vocab-bounded); call
-    *         `model.vocabSeqs.unpersist()` when done with the model.
+    *         stays resident (vocab-bounded — a local relation on the
+    *         local path, checkpoint storage on the distributed one);
+    *         call `model.release()` when done with the model.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             vocabParts: Int = 8,
@@ -144,6 +165,11 @@ object Bpe {
     }
 
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    // the previous round's checkpoint storage — freed once the next
+    // round has materialized (see checkpointRdd: Dataset.unpersist
+    // cannot release checkpoint blocks, so without this handle a
+    // 10k-merge run accumulates O(numMerges) vocab copies)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     for (r <- 1 to numMerges) {
       val best = seqs.filter(size(col("s")) >= 2)
         .select(col("f"), explode(expr(
@@ -171,13 +197,16 @@ object Bpe {
       // swap in reliable checkpoint() if that matters.
       val next = seqs.withColumn("s", mergeUdf(col("s"), lit(a), lit(b)))
         .localCheckpoint(true)
-      seqs.unpersist(false)
+      seqs.unpersist(false) // frees round 1's cache()d base (no-op later)
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = checkpointRdd(next)
       seqs = next
     }
     import spark.implicits._
     BpeModel(
       merges.toSeq.toDF("rank", "lhs", "rhs", "freq"),
-      seqs.select("w", "f", "s"))
+      seqs.select("w", "f", "s"),
+      backing = prevCkpt)
   }
 
   /** UTF-8 binary "less than" — the comparison Spark's orderBy applies

@@ -51,7 +51,10 @@ object KMeans {
             iters: Int = 2, quantScale: Int = 1024): DataFrame = {
     // k = 0 derives ceil(√N) — the measured SemDeDup/IVF balance point
     // (Similarity.sqrtKnob docblock; pipe6's k-both-ways decade probe):
-    // one count() job, control plane like the seed TakeOrdered below
+    // one count() job, control plane like the seed TakeOrdered below.
+    // ONLY 0 is the derive sentinel — a negative k is a caller bug and
+    // must stay loud, not silently cluster with a derived k.
+    require(k >= 0, s"k must be >= 1, or 0 to derive ceil(sqrt(N)); got $k")
     val kk = if (k >= 1) k else Similarity.sqrtKnob(vectors.count())
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(quantScale > 0 && (quantScale & (quantScale - 1)) == 0,

@@ -83,18 +83,34 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       require(img != null, "ImageIoCodec: payload is not a decodable image")
       val out = new Array[Double](img.getWidth * img.getHeight)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          out(y * img.getWidth + x) =
-            0.299 * ((rgb >> 16) & 0xFF) +
-              0.587 * ((rgb >> 8) & 0xFF) +
-              0.114 * (rgb & 0xFF)
-          x += 1
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+        // grayscale: read the raster SAMPLES verbatim — getRGB would
+        // route gray through the linear CS_GRAY color space and gamma-
+        // shift every mid-range value (dark counts collapse to 0)
+        val raster = img.getRaster
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            out(y * img.getWidth + x) = raster.getSample(x, y, 0).toDouble
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+      } else {
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            out(y * img.getWidth + x) =
+              0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
       }
       out
     }
@@ -103,9 +119,11 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(
         math.max(values.length, 1), 1,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      // raster setSample stores the gray byte verbatim (setRGB would
+      // sRGB->linear convert and destroy dark values — see decode)
+      val raster = img.getRaster
       values.zipWithIndex.foreach { case (v, i) =>
-        val g = v.round.toInt.max(0).min(255)
-        img.setRGB(i, 0, (g << 16) | (g << 8) | g)
+        raster.setSample(i, 0, 0, v.round.toInt.max(0).min(255))
       }
       val buf = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", buf)

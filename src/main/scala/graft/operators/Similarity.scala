@@ -405,11 +405,19 @@ object Similarity {
              listShards: Int = 8): DataFrame = {
     // nlist = 0 derives the measured ceil(√N) law ([[sqrtKnob]]);
     // explicit mismatches stay loud, the derived value clamps nprobe
-    // (a 9-vector corpus derives nlist 3 < the default nprobe 4)
+    // (a 9-vector corpus derives nlist 3 < the default nprobe 4).
+    // Negative nlist is a caller bug, not a derive request. The derived
+    // value also clamps to sampleSize: the quantizer trains on a
+    // sampleSize sample, so strideInit would cap the centroid count
+    // there anyway — clamping HERE keeps nl honest (and np consistent
+    // with the real list count). Above N = sampleSize² the √N law
+    // needs a larger sampleSize, which is the caller's scale dial.
+    require(nlist >= 0,
+      s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
     val nl =
       if (nlist > 0) {
         require(nprobe <= nlist, "nprobe cannot exceed nlist"); nlist
-      } else sqrtKnob(vectors.count())
+      } else math.min(sqrtKnob(vectors.count()), sampleSize)
     val np = math.min(nprobe, nl)
     val spark = vectors.sparkSession
     val base = normed(vectors, idCol, vecCol)
@@ -484,11 +492,14 @@ object Similarity {
                m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
                sampleSize: Int = 2048, iters: Int = 5,
                listShards: Int = 8): DataFrame = {
-    // nlist = 0 derives ceil(√N) like [[ivfKnn]] (see [[sqrtKnob]])
+    // nlist = 0 derives ceil(√N) like [[ivfKnn]] (see [[sqrtKnob]]);
+    // same negative-is-a-bug guard and sampleSize clamp as there
+    require(nlist >= 0,
+      s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
     val nl =
       if (nlist > 0) {
         require(nprobe <= nlist, "nprobe cannot exceed nlist"); nlist
-      } else sqrtKnob(vectors.count())
+      } else math.min(sqrtKnob(vectors.count()), sampleSize)
     val np = math.min(nprobe, nl)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m

@@ -55,6 +55,8 @@ object Summarise {
   private def esc(s: String): String =
     if (s == null) "-"
     else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      // quotes too: escaped values land in attribute contexts (href)
+      .replace("\"", "&quot;")
 
   /** Polyline chart of a series (missing values < 0 are skipped — the
     * reference's -1 sentinel convention). Pure string assembly. */
@@ -216,7 +218,15 @@ object Summarise {
   def writeReport(nested: DataFrame, dps: Dataset[FlatDp],
                   outDir: String): DataFrame = {
     val spark = nested.sparkSession
-    val pages = writeEventPages(dps, outDir).toDF()
+    import spark.implicits._
+    // FORCE the page writes now: writeEventPages' side effect lives in
+    // a lazy mapGroups — without this collect, an index could publish
+    // links to pages that were never rendered (and a caller running two
+    // actions on the result would render every page twice). The page
+    // metadata is the same per-event order as the index rows collected
+    // below, so localizing it adds no new driver-size class.
+    val pageRows = writeEventPages(dps, outDir).collect().toSeq
+    val pages = pageRows.toDF("eventId", "path", "nBytes")
     val idxRows = indexSummary(nested)
       .select("category", "id", "userId", "type", "subType", "n_dp")
       .collect()

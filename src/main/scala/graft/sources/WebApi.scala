@@ -223,6 +223,14 @@ class OsdbApiScan(requiredSchema: StructType, options: Map[String, String],
     val events: Seq[String] =
       if (isDrfPage(trimmed)) {
         val buf = mutable.ArrayBuffer.empty[String]
+        // bounded follow: a cycling `next` link or an endless chain of
+        // empty-results pages (broken proxy, buggy server) must fail
+        // loudly, not hang planning forever. Every useful page carries
+        // >= 1 event, so 2*cap + 64 pages is beyond any legitimate
+        // chain that respects the cap.
+        val seen = mutable.Set(listingUrl)
+        val maxPages = 2 * cap + 64
+        var nPages = 1
         var url = listingUrl
         var page = trimmed
         var done = false
@@ -236,7 +244,16 @@ class OsdbApiScan(requiredSchema: StructType, options: Map[String, String],
           val next = root.get("next")
           if (buf.length >= cap || next == null || next.isNull ||
             next.asText.isEmpty) done = true
-          else { url = next.asText; page = transport.get(url).trim }
+          else {
+            url = next.asText
+            require(seen.add(url),
+              s"listing pagination cycle: $url already fetched")
+            nPages += 1
+            require(nPages <= maxPages,
+              s"listing pagination exceeded $maxPages pages before the " +
+                s"$cap-event cap — endless empty-page chain?")
+            page = transport.get(url).trim
+          }
         }
         buf.toSeq
       } else if (trimmed.startsWith("[")) {

@@ -56,7 +56,7 @@ object BpeScaleProbe {
       .collect().map(_.toSeq).toSeq
     val dm = dist.merges.orderBy("rank").collect().map(_.toSeq).toSeq
     System.err.println(s"[bpe] first-$distMerges merge tables equal: ${lm == dm}")
-    dist.vocabSeqs.unpersist()
+    dist.release()
     spark.stop()
   }
 }

@@ -290,6 +290,12 @@ class TextOpsSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException](
       Multimodal.extractFeatures(junk, Multimodal.ImageIoCodec).collect())
     assert(e.getMessage != null)
+    // MID-RANGE grayscale must round-trip exactly: setRGB/getRGB on
+    // TYPE_BYTE_GRAY gamma-shifts every mid value (10 collapses to 0) —
+    // the codec reads/writes raster samples verbatim instead
+    val mids = Array(0.0, 10.0, 100.0, 200.0, 255.0)
+    val rt = Multimodal.ImageIoCodec.decode(Multimodal.ImageIoCodec.encode(mids))
+    assert(rt.toSeq == mids.toSeq, s"gray mid-values shifted: ${rt.toSeq}")
   }
 
   test("multimodal: WavCodec round-trips real PCM WAV through the frame-sample stage") {
@@ -480,7 +486,20 @@ class TextOpsSpec extends SparkSpec {
     val dv = dist.vocabSeqs.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1).toSeq
     assert(lv == dv, "final vocab sequences diverge between paths")
-    dist.vocabSeqs.unpersist()
+    // storage hygiene: the per-round localCheckpoints must already be
+    // freed (only the final round's backing survives training), and
+    // release() frees that too — Dataset.unpersist alone cannot (it is
+    // a no-op on checkpoint storage, which is why BpeModel carries the
+    // RDD handle)
+    assert(dist.backing.nonEmpty, "distributed model lost its backing handle")
+    val persisted = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
+    dist.release()
+    local.release()
+    val after = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
+    assert(after < persisted,
+      s"release() freed nothing ($persisted -> $after persisted RDDs)")
   }
 
   test("Bpe.tokenCountsBySource: vocab hits via broadcast, out-of-vocab fallback") {

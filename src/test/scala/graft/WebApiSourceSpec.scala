@@ -148,6 +148,21 @@ class WebApiSourceSpec extends SparkSpec {
       "limit pushdown did not stop the pagination at page 1")
   }
 
+  test("paginated listing with a cycling next link fails loudly instead of hanging") {
+    val dir = Files.createTempDirectory("webapi_cycle").toString
+    // page 2's next points back at page 2: without the visited-URL
+    // guard, planning would fetch it forever
+    write(dir, s"$base/events/",
+      s"""{"count":9,"next":"$base/events/?page=2","results":[${ev("1", "3", "A")}]}""")
+    write(dir, s"$base/events/?page=2",
+      s"""{"count":9,"next":"$base/events/?page=2","results":[${ev("2", "3", "A")}]}""")
+    val e = intercept[Throwable](read(dir).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pagination cycle")),
+      s"expected a pagination-cycle error, got: ${messages(e)}")
+  }
+
   test("corrupt listing element becomes an all-null row, not a task failure") {
     val dir = Files.createTempDirectory("webapi_corrupt").toString
     write(dir, s"$base/events/",

@@ -50,6 +50,14 @@ object Summarise {
           .when(col("type") === "False Alarm", array(lit("falseAlarms")))
           .otherwise(array(lit("otherEvents")))))
 
+  /** Per-user rollup (userSummary.template's data table): event counts
+    * by category per user — the same distributed aggregate class as
+    * [[indexSummary]]. */
+  def userSummary(nested: DataFrame): DataFrame =
+    indexSummary(nested)
+      .groupBy("userId", "category")
+      .agg(count(lit(1)).as("n"), sum(col("n_dp")).as("dp_sum"))
+
   // ------------------------------------------------------------- SVG layer
 
   private def esc(s: String): String =
@@ -77,6 +85,35 @@ object Summarise {
       s"""<rect width="$w" height="$h" fill="#fafafa"/>""" +
       s"""<polyline fill="none" stroke="$stroke" stroke-width="1.5" points="${pts.mkString(" ")}"/>""" +
       "</svg>"
+  }
+
+  /** Multi-series polyline chart with a text legend — the SVG analog
+    * of plotAnalysisGraph's stacked series (eventAnalyser.py:513-552).
+    * All series share one y-scale (the reference overlays them too);
+    * missing values < 0 are skipped per series. */
+  def svgMultiline(series: Seq[(String, String, Seq[Double])],
+                   w: Int, h: Int, title: String = ""): String = {
+    val present = series.flatMap(_._3).filter(_ >= 0)
+    val (lo, hi) =
+      if (present.isEmpty) (0.0, 1.0)
+      else (math.min(present.min, 0.0),
+        math.max(present.max, present.min + 1e-9))
+    val lines = series.map { case (_, color, vals) =>
+      val pts = vals.zipWithIndex.collect {
+        case (v, i) if v >= 0 =>
+          val x = if (vals.size <= 1) 0.0 else i.toDouble * w / (vals.size - 1)
+          val y = h - (v - lo) / (hi - lo) * h
+          f"$x%.1f,$y%.1f"
+      }
+      s"""<polyline fill="none" stroke="$color" stroke-width="1.5" points="${pts.mkString(" ")}"/>"""
+    }
+    val legend = series.zipWithIndex.map { case ((label, color, _), i) =>
+      s"""<text x="6" y="${14 + i * 14}" fill="$color" font-size="11">${esc(label)}</text>"""
+    }
+    s"""<svg viewBox="0 0 $w $h" width="$w" height="$h" role="img">""" +
+      s"""<title>${esc(title)}</title>""" +
+      s"""<rect width="$w" height="$h" fill="#fafafa"/>""" +
+      lines.mkString + legend.mkString + "</svg>"
   }
 
   /** Spectral-history heatmap (slices × frequency bins), grayscale by
@@ -117,9 +154,15 @@ object Summarise {
   case class EventPage(eventId: String, path: String, nBytes: Long)
 
   /** The per-event summary page (index.html.template's data table +
-    * the rawData/HR/spectral-history plots as inline SVG). */
+    * the reference's five plots as inline SVG: rawData, HR, the
+    * analysis graph's two panels — spectrum/ROI powers and ROI ratio
+    * with alarm state, eventAnalyser.py:513-552 — and the mean power
+    * spectrum, :554-600, plus the spectral-history heatmap). */
   def renderEventHtml(eventId: String, userId: String, typeStr: String,
                       nDp: Int, dpMeans: Seq[Double], hrs: Seq[Double],
+                      specPowers: Seq[Double], roiPowers: Seq[Double],
+                      roiRatios: Seq[Double], alarms: Seq[Double],
+                      meanSpectrum: Seq[Double],
                       spec: Array[Array[Double]]): String = {
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>Event ${esc(eventId)}</title>
@@ -137,6 +180,16 @@ object Summarise {
        |${svgPolyline(dpMeans, 600, 120, "#1f77b4", "acceleration")}
        |<h2>Heart rate (bpm)</h2>
        |${svgPolyline(hrs, 600, 120, "#d62728", "heart rate")}
+       |<h2>Spectrum / ROI powers</h2>
+       |${svgMultiline(Seq(
+           ("Spectrum Power", "#1f77b4", specPowers),
+           ("ROI Power", "#ff7f0e", roiPowers)), 600, 140, "powers")}
+       |<h2>ROI ratio &amp; alarm state</h2>
+       |${svgMultiline(Seq(
+           ("ROI Ratio", "#2ca02c", roiRatios),
+           ("Alarm State", "#d62728", alarms)), 600, 140, "roi ratio")}
+       |<h2>Mean power spectrum</h2>
+       |${svgPolyline(meanSpectrum, 600, 120, "#9467bd", "spectrum")}
        |<h2>Spectral history</h2>
        |${svgHeatmap(spec, 600, 180, "spectral history")}
        |</body></html>
@@ -159,13 +212,35 @@ object Summarise {
         else d.rawData.sum / d.rawData.length
       }.toSeq
       val hrs = sorted.map(_.hr).toSeq
+      // the analysis series: the REAL osdAlg kernels per datapoint
+      // (P4-P7), exactly what the reference's analysisLst carries
+      def series(f: Array[Double] => Double): Seq[Double] = sorted.map { d =>
+        if (d.rawData == null || d.rawData.isEmpty) -1.0 else f(d.rawData)
+      }.toSeq
+      val specPowers = series(graft.functions.Signal.specPower(_))
+      val roiPowers = series(graft.functions.Signal.roiPower(_))
+      val roiRatios = series(graft.functions.Signal.spectrumRatio(_))
+      val alarms = series(graft.functions.Signal.alarmState(_).toDouble)
+      // mean |X_k|^2 spectrum over present datapoints (plotSpectrumGraph)
+      val specs = sorted.collect {
+        case d if d.rawData != null && d.rawData.nonEmpty =>
+          val (re, im) = graft.functions.Signal.dft(d.rawData)
+          Array.tabulate(re.length / 2)(i => re(i) * re(i) + im(i) * im(i))
+      }
+      val meanSpectrum =
+        if (specs.isEmpty) Seq.empty[Double]
+        else {
+          val n = specs.map(_.length).min
+          (0 until n).map(i => specs.map(_(i)).sum / specs.length)
+        }
       val acc = sorted.flatMap(d =>
         if (d.rawData == null) Array.empty[Double] else d.rawData)
       val spec = Spectrogram.spectralHistory(acc, cfg)
       val html = renderEventHtml(eventId,
         sorted.headOption.map(_.userId).getOrElse("-"),
         sorted.headOption.map(_.typeStr).getOrElse("-"),
-        sorted.length, dpMeans, hrs, spec)
+        sorted.length, dpMeans, hrs, specPowers, roiPowers, roiRatios,
+        alarms, meanSpectrum, spec)
       val dir = new org.apache.hadoop.fs.Path(outDir, s"Event_${eventId}_summary")
       val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
       fs.mkdirs(dir)
@@ -205,6 +280,30 @@ object Summarise {
        |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
        |td,th{border:1px solid #999;padding:4px 10px}</style></head><body>
        |<h1>Database Summary</h1>
+       |<p><a href="users.html">Per-user summary</a></p>
+       |${sections.mkString("\n")}
+       |</body></html>
+       |""".stripMargin
+  }
+
+  /** The per-user summary page (userSummary.template's shape): one
+    * table per user, category × (events, datapoints). */
+  def renderUsersHtml(rows: Seq[(String, String, Long, Long)]): String = {
+    val users = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val sections = users.map { case (u, rs) =>
+      s"""<h2>User ${esc(u)}</h2>
+         |<table><tr><th>Category</th><th>Events</th><th>Datapoints</th></tr>
+         |${rs.sortBy(_._2).map { case (_, cat, n, dp) =>
+             s"<tr><td>${esc(cat)}</td><td>$n</td><td>$dp</td></tr>"
+           }.mkString("\n")}
+         |</table>""".stripMargin
+    }
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>OSDB User Summary</title>
+       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 10px}</style></head><body>
+       |<h1>User Analysis Summary</h1>
+       |<p><a href="index.html">Back to the event index</a></p>
        |${sections.mkString("\n")}
        |</body></html>
        |""".stripMargin
@@ -233,13 +332,19 @@ object Summarise {
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getString(4), r.getLong(5)))
       .toSeq
-    val html = renderIndexHtml(idxRows)
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, "index.html"), true)
-    out.write(html.getBytes("UTF-8"))
-    out.close()
+    def put(name: String, html: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+      out.write(html.getBytes("UTF-8"))
+      out.close()
+    }
+    put("index.html", renderIndexHtml(idxRows))
+    put("users.html", renderUsersHtml(
+      userSummary(nested).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq))
     pages
   }
 }

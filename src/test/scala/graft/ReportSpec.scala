@@ -58,13 +58,32 @@ class ReportSpec extends SparkSpec {
       new java.io.File(new java.net.URI(
         pages.head.getString(1)).getPath).toPath), "UTF-8")
     assert(html.startsWith("<!DOCTYPE html>") && html.contains("</html>"))
-    assert("<svg ".r.findAllIn(html).size == 3, "expected 3 inline charts")
+    // the reference's five plots + the spectral-history heatmap
+    assert("<svg ".r.findAllIn(html).size == 6, "expected 6 inline charts")
     assert(html.contains(s"Event ${pages.head.getString(0)} Summary"))
+    assert(html.contains("ROI Ratio") && html.contains("Spectrum Power"),
+      "analysis panels missing their legends")
     // the driver-side index links every category section
     val idx = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(outDir, "index.html")), "UTF-8")
     Seq("tcSeizures", "allSeizures", "falseAlarms", "otherEvents")
       .foreach(c => assert(idx.contains(c), s"index missing section $c"))
     assert(idx.contains("_summary/index.html\""), "index rows carry page links")
+    // the per-user summary page exists and is linked
+    assert(idx.contains("users.html"))
+    val users = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "users.html")), "UTF-8")
+    assert(users.contains("User Analysis Summary") && users.contains("<h2>User "))
+  }
+
+  test("svgMultiline: every series draws and carries its legend label") {
+    val m = Summarise.svgMultiline(Seq(
+      ("a", "#111111", Seq(1.0, 2.0)), ("b", "#222222", Seq(2.0, -1.0, 4.0))),
+      100, 50)
+    assert("<polyline".r.findAllIn(m).size == 2)
+    assert(m.contains(">a</text>") && m.contains(">b</text>"))
+    // series b skips its sentinel: one polyline has exactly 2 points
+    assert(m.split("points=\"").exists(
+      s => s.takeWhile(_ != '"').trim.split(" ").length == 2))
   }
 }

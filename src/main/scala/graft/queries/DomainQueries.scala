@@ -1344,6 +1344,27 @@ object DomainQueries {
       |  UNION ALL SELECT 'otherEvents', e, n_dp FROM ev WHERE k % 3 = 2
       |) GROUP BY 1""".stripMargin
 
+  /** RPT2 — the per-user summary rollup
+    * ([[graft.report.Summarise.userSummary]], userSummary.template's
+    * data): (user, category) event + datapoint counts, sharing rpt1's
+    * bucketing (so the tc ⊂ all overlap must hold PER USER too). */
+  def rpt2UserSummary(s: SparkSession, d: String): DataFrame =
+    graft.report.Summarise.userSummary(
+      OsdbFixture.nested(s, d, arrays = false))
+
+  val rpt2Sql: String = sqlBase +
+    """SELECT userId, category, COUNT(*) AS n, CAST(SUM(n_dp) AS BIGINT) AS dp_sum
+      |FROM (
+      |  SELECT CAST(u AS VARCHAR) AS userId, 'tcSeizures' AS category, n_dp
+      |    FROM ev WHERE k % 3 = 0 AND k % 5 < 2
+      |  UNION ALL SELECT CAST(u AS VARCHAR), 'allSeizures', n_dp
+      |    FROM ev WHERE k % 3 = 0
+      |  UNION ALL SELECT CAST(u AS VARCHAR), 'falseAlarms', n_dp
+      |    FROM ev WHERE k % 3 = 1
+      |  UNION ALL SELECT CAST(u AS VARCHAR), 'otherEvents', n_dp
+      |    FROM ev WHERE k % 3 = 2
+      |) GROUP BY 1, 2""".stripMargin
+
   private val lake9RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** LAKE9 — vacuum end to end
@@ -1996,6 +2017,7 @@ object DomainQueries {
     "lake9_vacuum"      -> (lake9Vacuum _),
     "s4b_paged_listing" -> (s4bPagedListing _),
     "rpt1_summary_index" -> (rpt1SummaryIndex _),
+    "rpt2_user_summary" -> (rpt2UserSummary _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -2062,6 +2084,7 @@ object DomainQueries {
     "lake9_vacuum"      -> lake9Sql,
     "s4b_paged_listing" -> s4bSql,
     "rpt1_summary_index" -> rpt1Sql,
+    "rpt2_user_summary" -> rpt2Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

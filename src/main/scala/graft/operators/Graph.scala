@@ -110,7 +110,6 @@ object Graph {
                        broadcastLabels: Boolean = true,
                        caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
-    import org.apache.spark.sql.expressions.Window
     // one scan, both directions: a union of two selects over `und`
     // would embed the caller's (possibly expensive, unpersisted) edge
     // derivation twice in the materialization plan
@@ -128,9 +127,15 @@ object Graph {
         .join(if (broadcastLabels) broadcast(labelSide) else labelSide, "y")
         .groupBy(col("x").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+      // winner = most frequent label, ties to SMALLEST label — as an
+      // argmax AGGREGATE (max of (c, -lbl) lexicographic), not a
+      // row_number window: same winner on every input, but the
+      // per-round exchange feeds a hash aggregate instead of a full
+      // per-node SORT (labels are non-negative node ids, so -lbl
+      // cannot overflow)
+      counts.groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("node"), (-col("w.nl")).as("lbl"))
     }
   }
 

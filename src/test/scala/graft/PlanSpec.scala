@@ -388,4 +388,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<value:double>"),
       s"histogram scan reads more than `value`:\n${p.take(3000)}")
   }
+
+  test("LPA rounds aggregate their winners — no per-node sort window in the plan") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = plan(graft.operators.Graph.labelPropagation(und, rounds = 3))
+    // the round-10 argmax rewrite: winner selection must plan as hash
+    // aggregates (map-side partials), never a Window (whose per-node
+    // sort is the term that grows with graph size)
+    assert(!p.contains("Window"),
+      s"LPA winner selection regressed to a window:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size +
+      "ObjectHashAggregate".r.findAllIn(p).size >= 6,
+      s"expected partial+final aggregates per round:\n${p.take(3000)}")
+  }
 }

@@ -102,6 +102,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(e.getMessage.contains("alpha"))
   }
 
+  test("round-10 additions: empty inputs stay shaped or loud") {
+    // derived-knob ANN on an empty corpus: the trainer's stated loud
+    // failure, reached through the nlist-derivation path
+    val eEmpty = intercept[IllegalArgumentException](
+      Similarity.ivfKnn(noVecs, "vec_id", "embedding", dim = 4, k = 3))
+    assert(eEmpty.getMessage.contains("non-zero vector"))
+    // negative knobs are caller bugs, never derive sentinels
+    val eNeg = intercept[IllegalArgumentException](
+      Similarity.ivfKnn(noVecs, "vec_id", "embedding", dim = 4, k = 3,
+        nlist = -2))
+    assert(eNeg.getMessage.contains("nlist"))
+    val eNegK = intercept[IllegalArgumentException](
+      KMeans.lloyd(noVecs, "vec_id", "embedding", k = -1))
+    assert(eNegK.getMessage.contains("derive"))
+    // report over zero datapoints: no pages, but both index pages exist
+    val out = java.nio.file.Files.createTempDirectory("emptyreport").toString
+    val noNested = Seq.empty[(String, String, String, String, String, Long)]
+      .toDF("id", "userId", "type", "subType", "dataSourceName", "n_dp")
+    val noDps = spark.emptyDataset[graft.operators.Flatten.FlatDp]
+    assert(graft.report.Summarise.writeReport(noNested, noDps, out).count() == 0)
+    assert(new java.io.File(out, "index.html").isFile &&
+      new java.io.File(out, "users.html").isFile)
+    // vacuum with no retained versions is a stated mistake
+    val lakeDir = java.nio.file.Files.createTempDirectory("emptyvac").toString
+    val eVac = intercept[IllegalArgumentException](
+      graft.sources.LakeMaintenance.vacuum(spark, lakeDir, Seq.empty))
+    assert(eVac.getMessage.contains("at least one"))
+  }
+
   test("ema: hand-computed fold matches (alpha = 1/2, out-of-order input)") {
     // rows arrive unordered; fold must follow t: 1,2,3 -> 1.0, 2.0, 3.0
     // ema = ((1.0*0.5 + 2.0*0.5) = 1.5)*0.5 + 3.0*0.5 = 2.25

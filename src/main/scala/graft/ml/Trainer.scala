@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.EpochFeatures
+import graft.operators.FeatureExtract.EpochRow
+
+/** The in-engine model-training stage — the boundary the reference
+  * crosses into TensorFlow/PyTorch (`user_tools/nnTraining2/
+  * nnTrainer.py:61-137`, `cnnModel.py:43-76`), re-expressed with the
+  * trainer Spark itself ships: the P12 epoch feature vectors feed a
+  * distributed MLlib logistic-regression seizure classifier, and the
+  * trained model plugs back into the replay path as an [[graft
+  * .streaming.NnAlg]] scorer — train on the cluster, deploy into the
+  * same FSM the reference's testRunner drives.
+  *
+  * This is deliberately NOT a CNN port: the reference's network
+  * architecture is a modeling choice outside a query engine; what the
+  * engine owes the pipeline is (a) distributed feature assembly in the
+  * exact P12 basis, (b) a distributed, deterministic trainer with no
+  * driver-side data pass, and (c) a scorer closure cheap enough to ride
+  * the streaming replay. MLlib's LBFGS logistic regression gives all
+  * three with zero new dependencies; a production deployment would swap
+  * the `score` closure for its served model exactly as [[graft
+  * .streaming.NnAlg]]'s docblock describes.
+  *
+  * Scale shape: assembly is a narrow projection (map lookups in fixed
+  * feature order → one Vector column); LBFGS iterations are
+  * treeAggregate passes over the epochs — partial gradients collapse
+  * map-side, driver state is the coefficient vector (|features| + 1
+  * doubles). No collect of training data, ever. */
+object Trainer {
+
+  /** Epoch rows → (eventId, label, features Vector) in the FIXED P12
+    * feature order ([[EpochFeatures.FeatureNames]]): absent map entries
+    * are a fail-loud condition, not silent zeros — a renamed feature
+    * must break training, not quietly degrade it. Label: seizure
+    * type (1) → 1.0, everything else → 0.0 (the reference's binary
+    * nnTraining target). */
+  def assembleFeatures(epochs: Dataset[EpochRow]): DataFrame = {
+    val names = EpochFeatures.FeatureNames
+    val arr = array(names.map(n =>
+      when(element_at(col("features"), n).isNull,
+        raise_error(lit(s"epoch features missing '$n'")))
+        .otherwise(element_at(col("features"), n))): _*)
+    epochs.toDF()
+      .select(col("eventId"), col("type"),
+        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
+        array_to_vector(arr).as("features"))
+  }
+
+  /** Deterministic distributed LBFGS logistic regression over the
+    * assembled epochs. Standardization on (the feature scales span
+    * orders of magnitude between power bands and ratios). */
+  def trainLogistic(assembled: DataFrame, maxIter: Int = 50,
+                    regParam: Double = 0.01): LogisticRegressionModel =
+    new LogisticRegression()
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setStandardization(true)
+      .fit(assembled)
+
+  /** Per-epoch probabilities + per-EVENT rollup (max epoch probability,
+    * the reference's event-level "did the detector fire" reduction that
+    * A4's metrics consume). */
+  def scoreEvents(model: LogisticRegressionModel,
+                  assembled: DataFrame): DataFrame = {
+    val scored = model.transform(assembled)
+      .select(col("eventId"), col("label"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("p_seizure"))
+    scored.groupBy("eventId")
+      .agg(max("label").as("label"), max("p_seizure").as("p_max"),
+        count(lit(1)).as("n_epochs"))
+  }
+
+  /** The trained model as an [[graft.streaming.NnAlg]] scorer: the
+    * buffer's magnitude window runs through the SAME P12 kernel
+    * (magnitude-only basis — y and z zero, exactly how a
+    * magnitude-mode device reports) and the model's probability comes
+    * back. UNIT SEAM: the NnBuffer emits its window in G (the
+    * reference's mG→1000 conversion, NnAlg.scala accData2vector) while
+    * the P12 training features are computed over mG sample values —
+    * the scorer converts back so train- and serve-time features share
+    * one basis. Serializable closure: coefficients ride to executors,
+    * not the model object graph. */
+  def scorer(model: LogisticRegressionModel,
+             sampleFreq: Double = 25.0): Array[Double] => Double = {
+    val coef = model.coefficients.toArray
+    val intercept = model.intercept
+    val names = EpochFeatures.FeatureNames
+    (vecG: Array[Double]) => {
+      val vec = vecG.map(_ * 1000.0) // G -> mG (see docblock)
+      val zeros = new Array[Double](vec.length)
+      val f = EpochFeatures.epochFeatures(vec, zeros, zeros, sampleFreq)
+      var z = intercept
+      var i = 0
+      while (i < coef.length) {
+        z += coef(i) * f.getOrElse(names(i),
+          throw new IllegalArgumentException(s"missing feature ${names(i)}"))
+        i += 1
+      }
+      1.0 / (1.0 + math.exp(-z))
+    }
+  }
+
+  /** AUROC over the per-epoch scores — the exact Mann-Whitney rank
+    * statistic. The rank pass sorts the DISTINCT-score table (ties get
+    * their average rank through the score groupBy first), so the one
+    * global-window sort is score-cardinality-bounded — an evaluation
+    * utility's budget, not a corpus-scale plan. */
+  def auroc(scored: DataFrame, probCol: String = "p_seizure",
+            labelCol: String = "label"): Double = {
+    val byScore = scored.groupBy(col(probCol).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("npos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val ranked = byScore
+      .withColumn("cumN", sum("n").over(w))
+      .withColumn("avgRank", col("cumN") - (col("n") - 1) / 2.0)
+      .agg(sum(col("avgRank") * col("npos")).as("rankSumPos"),
+        sum("npos").as("nPos"), sum("n").as("nAll"))
+      .head()
+    val nPos = ranked.getDouble(1)
+    val nAll = ranked.getLong(2).toDouble
+    val nNeg = nAll - nPos
+    require(nPos > 0 && nNeg > 0, "AUROC needs both classes present")
+    (ranked.getDouble(0) - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+  }
+}

@@ -32,13 +32,24 @@ object Replay {
 
   /** Batch replay: per-event time-ordered FSM run. algSpecs name
     * algorithms per [[AlgRegistry]] ("osd:V2", "hr:MODE_SIMPLE", ...). */
-  def replayBatch(dps: Dataset[ReplayDp], algSpecs: Seq[String]): Dataset[ReplayOut] = {
+  def replayBatch(dps: Dataset[ReplayDp], algSpecs: Seq[String]): Dataset[ReplayOut] =
+    replayBatchWith(dps, algSpecs.map(s => () => AlgRegistry.create(s)))
+
+  /** Batch replay with EXPLICIT algorithm factories — the deployment
+    * seam for algorithms that do not live in the static registry, e.g.
+    * a just-trained model scorer ([[graft.ml.Trainer.scorer]]) wrapped
+    * in an [[NnAlg]]. The factory closure serializes with the task
+    * (model coefficients ride along), which a registry lookup on the
+    * executors could not guarantee on a real cluster. Output rows are
+    * labelled by each algorithm's own `name`, as ever. */
+  def replayBatchWith(dps: Dataset[ReplayDp],
+                      algs: Seq[() => SdAlg]): Dataset[ReplayOut] = {
     val spark = dps.sparkSession
     import spark.implicits._
     dps.groupByKey(_.eventId).flatMapGroups { (eventId, it) =>
       val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
-      algSpecs.iterator.flatMap { spec =>
-        val alg = AlgRegistry.create(spec)
+      algs.iterator.flatMap { factory =>
+        val alg = factory()
         alg.reset()
         sorted.iterator
           .filter(_.alarmStateRecorded != 5L) // F11 manual-alarm skip

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Trainer
+import graft.operators.FeatureExtract
+import graft.sources.SimulatedEvents
+import graft.sources.SimulatedEvents.{Component, EventSpec}
+import graft.streaming.{NnAlg, NnSettings, Replay}
+
+/** The in-engine training stage (graft.ml.Trainer): P12 feature
+  * assembly → distributed logistic regression → event scoring → the
+  * trained model deployed back into the NnAlg replay FSM — the full
+  * train/deploy loop the reference runs through nnTrainer.py +
+  * testRunner, on a planted-separable simulated corpus. */
+class TrainerSpec extends SparkSpec {
+
+  /** 16 seizure events (3-6 Hz tremor bursts over gravity, varying
+    * amplitude/freq/phase by index) + 16 normal (gravity with a slow
+    * sway) — separable in the ROI bands by construction, exactly the
+    * physics the detector exploits. */
+  private lazy val corpus = {
+    val specs = (0 until 16).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 5.0, 55.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    SimulatedEvents(spark, specs)
+  }
+
+  private lazy val epochs = FeatureExtract.extract(corpus,
+    FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.0))
+
+  test("assembleFeatures: fixed P12 order, binary label, loud on a missing feature") {
+    import spark.implicits._
+    val a = Trainer.assembleFeatures(epochs)
+    assert(a.columns.toSeq == Seq("eventId", "type", "label", "features"))
+    val labels = a.select("eventId", "label").distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(labels.filter(_._1.startsWith("SZ")).values.forall(_ == 1.0))
+    assert(labels.filter(_._1.startsWith("OK")).values.forall(_ == 0.0))
+    val n = graft.functions.EpochFeatures.FeatureNames.size
+    assert(a.select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+      .size == n)
+    // a hole in the feature map must fail loudly, not train silently
+    val holed = epochs.toDF()
+      .withColumn("features", map_filter(col("features"),
+        (k, _) => k =!= graft.functions.EpochFeatures.FeatureNames.head))
+      .as[FeatureExtract.EpochRow](epochs.encoder)
+    val e = intercept[Exception](
+      Trainer.assembleFeatures(holed).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("train/score/deploy: separable corpus learns, replay FSM fires on seizures only") {
+    val assembled = Trainer.assembleFeatures(epochs).cache()
+    // event-disjoint split: train on even-indexed events, hold out odd
+    val trainDf = assembled.filter(expr("CAST(substring(eventId, 3) AS INT) % 2 = 0"))
+    val heldOut = assembled.filter(expr("CAST(substring(eventId, 3) AS INT) % 2 = 1"))
+    val model = Trainer.trainLogistic(trainDf)
+
+    // held-out epoch AUROC: planted separability must be learnable
+    val scored = model.transform(heldOut)
+      .select(col("eventId"), col("label"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("p_seizure"))
+    val a = Trainer.auroc(scored)
+    assert(a > 0.97, s"held-out AUROC only $a")
+
+    // event-level rollup: every held-out event classifies correctly at 0.5
+    val events = Trainer.scoreEvents(model, heldOut).collect()
+    events.foreach { r =>
+      val correct = (r.getDouble(1) == 1.0) == (r.getDouble(2) >= 0.5)
+      assert(correct, s"event ${r.getString(0)}: label=${r.getDouble(1)} " +
+        s"p_max=${r.getDouble(2)}")
+    }
+
+    // deploy: the trained scorer inside the SAME alarm FSM the
+    // reference replays — seizure events must reach ALARM, normals not
+    val scorerFn = Trainer.scorer(model)
+    def replayAlarms(eventId: String): Long = {
+      import spark.implicits._
+      val dps = corpus.filter(_.eventId == eventId)
+        .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr,
+          alarmStateRecorded = 0L, d.rawData, d.rawData3D, d.seq))
+      Replay.replayBatchWith(dps, Seq(
+          () => new NnAlg(NnSettings(bufferSamples = 125), scorerFn)))
+        .filter(col("alarmState") === 2).count()
+    }
+    assert(replayAlarms("SZ1") > 0, "trained detector never alarmed on a seizure")
+    assert(replayAlarms("OK1") == 0, "trained detector false-alarmed on normal")
+    assembled.unpersist()
+  }
+}

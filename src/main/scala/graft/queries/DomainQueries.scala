@@ -1365,6 +1365,37 @@ object DomainQueries {
       |    FROM ev WHERE k % 3 = 2
       |) GROUP BY 1, 2""".stripMargin
 
+  /** ML1 — the evaluation half of the training stage
+    * ([[graft.ml.Trainer.auroc]]): exact Mann-Whitney AUROC with
+    * average ranks for ties, over a deterministic fixture scoring
+    * (p = k mod 13 — 13 distinct scores, heavy ties, both classes in
+    * every tie group). Every intermediate is integers and exact binary
+    * halves, so the one final division is IEEE-identical across
+    * engines; ×1e9 floor makes the hash integer. The TRAINER itself is
+    * spec-gated (TrainerSpec's planted-separable corpus) — LBFGS float
+    * accumulation is not a cross-engine contract, but the metric that
+    * judges it is. */
+  def ml1Auroc(s: SparkSession, d: String): DataFrame = {
+    val scored = OsdbFixture.ev(s, d).select(
+      (col("k") % 13).cast("double").as("p"),
+      when(col("k") % 3 === 0, 1.0).otherwise(0.0).as("label"))
+    val a = graft.ml.Trainer.auroc(scored, "p", "label")
+    import s.implicits._
+    Seq(math.floor(a * 1e9).toLong).toDF("auroc_x1e9")
+  }
+
+  val ml1Sql: String = sqlBase +
+    """SELECT CAST(FLOOR(1e9 * (rsp - npos * (npos + 1) / 2.0)
+      |                  / (npos * (nall - npos))) AS BIGINT) AS auroc_x1e9
+      |FROM (
+      |  SELECT SUM((cumN - (n - 1) / 2.0) * npos) AS rsp,
+      |         SUM(npos) AS npos, SUM(n) AS nall
+      |  FROM (
+      |    SELECT p, n, npos, SUM(n) OVER (ORDER BY p) AS cumN
+      |    FROM (SELECT CAST(k % 13 AS DOUBLE) AS p, COUNT(*) AS n,
+      |                 SUM(CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END) AS npos
+      |          FROM ev GROUP BY 1)))""".stripMargin
+
   private val lake9RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** LAKE9 — vacuum end to end
@@ -2018,6 +2049,7 @@ object DomainQueries {
     "s4b_paged_listing" -> (s4bPagedListing _),
     "rpt1_summary_index" -> (rpt1SummaryIndex _),
     "rpt2_user_summary" -> (rpt2UserSummary _),
+    "ml1_auroc"         -> (ml1Auroc _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -2085,6 +2117,7 @@ object DomainQueries {
     "s4b_paged_listing" -> s4bSql,
     "rpt1_summary_index" -> rpt1Sql,
     "rpt2_user_summary" -> rpt2Sql,
+    "ml1_auroc"         -> ml1Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

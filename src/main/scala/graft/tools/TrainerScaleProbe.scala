@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decade probe for the round-10 training stage (graft.ml.Trainer):
+  * feature assembly + LBFGS logistic regression over the w5/p12 epoch
+  * path's output. Labels come from the fixture's type column — the
+  * probe measures COST SHAPE (treeAggregate passes over epochs), not
+  * model quality (that is TrainerSpec's planted-separable corpus).
+  *
+  * `runMain graft.tools.TrainerScaleProbe <sfDir> [reps]`
+  */
+object TrainerScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val epochs = graft.operators.FeatureExtract.extract(
+      graft.queries.OsdbFixture.flatDps(spark, dir,
+        col("e") % 80 === 0 && col("has_raw")),
+      graft.operators.FeatureExtract.Config(
+        window = 250, step = 125, highPassHz = 0.0))
+    val assembled = graft.ml.Trainer.assembleFeatures(epochs).cache()
+    val n = assembled.count()
+    System.err.println(s"[trainer] epochs=$n")
+
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val model = graft.ml.Trainer.trainLogistic(assembled, maxIter = 20)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[trainer] fit rep $i: $dt%.2f s (coef[0]=${model.coefficients(0)}%.4g)")
+    }
+    val t0 = System.nanoTime()
+    val model = graft.ml.Trainer.trainLogistic(assembled, maxIter = 20)
+    graft.ml.Trainer.scoreEvents(model, assembled).count()
+    System.err.println(
+      f"[trainer] fit+score: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -105,10 +105,22 @@ object Signal {
     * capped at nSamp-1, then / nSamp / 2 (quirk preserved). */
   def specPower(x: Array[Double], sampleFreq: Double = 25.0,
                 freqCutoff: Double = 12.5): Double = {
-    val n = x.length
+    if (x.length == 0) return 0.0
+    val (re, im) = dft(x)
+    specPowerFromDft(re, im, sampleFreq, freqCutoff)
+  }
+
+  /** [[specPower]] over a precomputed DFT — for consumers deriving
+    * several band quantities from ONE transform (the report layer's
+    * analysis series compute spec/roi/ratio/alarm/spectrum per
+    * datapoint; recomputing the O(n²) DFT per quantity was a measured
+    * ~7× CPU tax on that path). */
+  def specPowerFromDft(re: Array[Double], im: Array[Double],
+                       sampleFreq: Double = 25.0,
+                       freqCutoff: Double = 12.5): Double = {
+    val n = re.length
     if (n == 0) return 0.0
     val nCut = freq2bin(freqCutoff, freqRes(n, sampleFreq))
-    val (re, im) = dft(x)
     var p = 0.0
     var i = 1
     val hi = math.min(nCut, n - 1)
@@ -119,13 +131,21 @@ object Signal {
   /** P5 getRoiPower: mean |X_k|^2 over bins [fMin, fMax) in Hz. */
   def roiPower(x: Array[Double], sampleFreq: Double = 25.0,
                fMin: Double = 3.0, fMax: Double = 8.0): Double = {
-    val n = x.length
+    if (x.length == 0) return 0.0
+    val (re, im) = dft(x)
+    roiPowerFromDft(re, im, sampleFreq, fMin, fMax)
+  }
+
+  /** [[roiPower]] over a precomputed DFT (see [[specPowerFromDft]]). */
+  def roiPowerFromDft(re: Array[Double], im: Array[Double],
+                      sampleFreq: Double = 25.0,
+                      fMin: Double = 3.0, fMax: Double = 8.0): Double = {
+    val n = re.length
     if (n == 0) return 0.0
     val fr = freqRes(n, sampleFreq)
     val nMin = freq2bin(fMin, fr)
     val nMax = freq2bin(fMax, fr)
     if (nMax <= nMin) return 0.0
-    val (re, im) = dft(x)
     var p = 0.0
     var i = nMin
     while (i < nMax) { p += magnitudeSq(re(i), im(i)); i += 1 }

@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -81,29 +80,62 @@ object Trainer {
   /** The trained model as an [[graft.streaming.NnAlg]] scorer: the
     * buffer's magnitude window runs through the SAME P12 kernel
     * (magnitude-only basis — y and z zero, exactly how a
-    * magnitude-mode device reports) and the model's probability comes
-    * back. UNIT SEAM: the NnBuffer emits its window in G (the
-    * reference's mG→1000 conversion, NnAlg.scala accData2vector) while
-    * the P12 training features are computed over mG sample values —
-    * the scorer converts back so train- and serve-time features share
-    * one basis. Serializable closure: coefficients ride to executors,
-    * not the model object graph. */
+    * magnitude-mode device reports; 3-axis-trained models only
+    * coincide with this basis when the signal rides one axis, so
+    * train on the magnitude basis for 3D devices) and the model's
+    * probability comes back.
+    *
+    * TRAIN/SERVE BASIS CONTRACT — the closure ENFORCES what it can and
+    * the caller passes the training `cfg` for the rest:
+    *   - units: the NnBuffer emits its window in G (the reference's
+    *     mG→1000 conversion, NnAlg.scala accData2vector) while the P12
+    *     training features are mG — converted back here;
+    *   - window length: a serve window that differs from the trained
+    *     `cfg.window` silently shifts every spectral feature's bin
+    *     layout — fail-loud require (set NnSettings.bufferSamples to
+    *     cfg.window);
+    *   - high-pass: a model trained with `cfg.highPassHz > 0` saw
+    *     DC-free windows (mean features ~0); serving it raw gravity
+    *     saturates the sigmoid — the same filter runs here per window
+    *     (per-window filtfilt vs training's whole-record pass is the
+    *     documented serve-time edge approximation).
+    * Serializable closure: coefficients ride to executors, not the
+    * model object graph; feature lookup is ONE pass over the map into
+    * a preindexed array (the naive per-name getOrElse was O(n²) string
+    * comparisons per score call in the replay hot path). */
   def scorer(model: LogisticRegressionModel,
-             sampleFreq: Double = 25.0): Array[Double] => Double = {
+             cfg: graft.operators.FeatureExtract.Config =
+               graft.operators.FeatureExtract.Config(highPassHz = 0.0))
+      : Array[Double] => Double = {
     val coef = model.coefficients.toArray
     val intercept = model.intercept
-    val names = EpochFeatures.FeatureNames
+    val nameIdx: Map[String, Int] =
+      EpochFeatures.FeatureNames.zipWithIndex.toMap
+    require(coef.length == nameIdx.size,
+      s"model has ${coef.length} coefficients for ${nameIdx.size} P12 features")
+    val window = cfg.window
+    val highPassHz = cfg.highPassHz
+    val sampleFreq = cfg.sampleFreq
     (vecG: Array[Double]) => {
-      val vec = vecG.map(_ * 1000.0) // G -> mG (see docblock)
+      require(vecG.length == window,
+        s"serve window ${vecG.length} != trained window $window — " +
+          "set NnSettings.bufferSamples to the training Config.window")
+      var vec = vecG.map(_ * 1000.0) // G -> mG (see docblock)
+      if (highPassHz > 0) {
+        val bq = graft.functions.Filters.butterHighPass(highPassHz, sampleFreq)
+        vec = graft.functions.Filters.filtfilt(bq, vec)
+      }
       val zeros = new Array[Double](vec.length)
       val f = EpochFeatures.epochFeatures(vec, zeros, zeros, sampleFreq)
+      val fv = new Array[Double](coef.length)
+      val seen = new Array[Boolean](coef.length)
+      f.foreach { case (k, v) =>
+        nameIdx.get(k).foreach { i => fv(i) = v; seen(i) = true }
+      }
+      require(seen.forall(identity), "epoch features missing P12 entries")
       var z = intercept
       var i = 0
-      while (i < coef.length) {
-        z += coef(i) * f.getOrElse(names(i),
-          throw new IllegalArgumentException(s"missing feature ${names(i)}"))
-        i += 1
-      }
+      while (i < coef.length) { z += coef(i) * fv(i); i += 1 }
       1.0 / (1.0 + math.exp(-z))
     }
   }
@@ -124,6 +156,9 @@ object Trainer {
       .agg(sum(col("avgRank") * col("npos")).as("rankSumPos"),
         sum("npos").as("nPos"), sum("n").as("nAll"))
       .head()
+    // an EMPTY scored frame aggregates to one all-NULL row — reach the
+    // loud message, not an unboxing NPE
+    require(!ranked.isNullAt(2), "AUROC needs a non-empty scored frame")
     val nPos = ranked.getDouble(1)
     val nAll = ranked.getLong(2).toDouble
     val nNeg = nAll - nPos

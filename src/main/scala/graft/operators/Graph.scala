@@ -102,10 +102,11 @@ object Graph {
     * Scale shape: one persisted bidirectional edge table; each round is
     * an edge⋈label equi-join (label side broadcast when nodes ≪ edges;
     * `broadcastLabels=false` for billion-node graphs), a (node,label)
-    * count whose partial aggregation collapses map-side, and a
-    * row_number winner per node. Nodes are derived from the edge list,
-    * so every node has ≥1 neighbour by construction. Returns
-    * `(node, lbl)`. */
+    * count whose partial aggregation collapses map-side, and an ARGMAX
+    * AGGREGATE winner per node (max of (count, -label) — no per-node
+    * sort window anywhere in the round; PlanSpec pins it). Nodes are
+    * derived from the edge list, so every node has ≥1 neighbour by
+    * construction. Returns `(node, lbl)`. */
   def labelPropagation(und: DataFrame, rounds: Int = 3,
                        broadcastLabels: Boolean = true,
                        caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {

@@ -1385,8 +1385,12 @@ object DomainQueries {
   }
 
   val ml1Sql: String = sqlBase +
-    """SELECT CAST(FLOOR(1e9 * (rsp - npos * (npos + 1) / 2.0)
-      |                  / (npos * (nall - npos))) AS BIGINT) AS auroc_x1e9
+    // parenthesization matters: the Spark side computes floor(1e9 * a)
+    // with a = num/den already divided — the SQL must divide FIRST too
+    // ((1e9*num)/den has a different rounding path and can floor one
+    // integer apart when 1e9*num exceeds 2^53)
+    """SELECT CAST(FLOOR(1e9 * ((rsp - npos * (npos + 1) / 2.0)
+      |                  / (npos * (nall - npos)))) AS BIGINT) AS auroc_x1e9
       |FROM (
       |  SELECT SUM((cumN - (n - 1) / 2.0) * npos) AS rsp,
       |         SUM(npos) AS npos, SUM(n) AS nall

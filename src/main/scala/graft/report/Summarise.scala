@@ -94,10 +94,11 @@ object Summarise {
   def svgMultiline(series: Seq[(String, String, Seq[Double])],
                    w: Int, h: Int, title: String = ""): String = {
     val present = series.flatMap(_._3).filter(_ >= 0)
-    val (lo, hi) =
-      if (present.isEmpty) (0.0, 1.0)
-      else (math.min(present.min, 0.0),
-        math.max(present.max, present.min + 1e-9))
+    // fixed zero baseline: the analysis series are non-negative powers/
+    // ratios/states, and a shared zero anchor is what makes the
+    // overlaid series comparable (unlike svgPolyline's per-series span)
+    val lo = 0.0
+    val hi = if (present.isEmpty) 1.0 else math.max(present.max, 1e-9)
     val lines = series.map { case (_, color, vals) =>
       val pts = vals.zipWithIndex.collect {
         case (v, i) if v >= 0 =>
@@ -213,20 +214,29 @@ object Summarise {
       }.toSeq
       val hrs = sorted.map(_.hr).toSeq
       // the analysis series: the REAL osdAlg kernels per datapoint
-      // (P4-P7), exactly what the reference's analysisLst carries
-      def series(f: Array[Double] => Double): Seq[Double] = sorted.map { d =>
-        if (d.rawData == null || d.rawData.isEmpty) -1.0 else f(d.rawData)
-      }.toSeq
-      val specPowers = series(graft.functions.Signal.specPower(_))
-      val roiPowers = series(graft.functions.Signal.roiPower(_))
-      val roiRatios = series(graft.functions.Signal.spectrumRatio(_))
-      val alarms = series(graft.functions.Signal.alarmState(_).toDouble)
-      // mean |X_k|^2 spectrum over present datapoints (plotSpectrumGraph)
-      val specs = sorted.collect {
-        case d if d.rawData != null && d.rawData.nonEmpty =>
-          val (re, im) = graft.functions.Signal.dft(d.rawData)
-          Array.tabulate(re.length / 2)(i => re(i) * re(i) + im(i) * im(i))
+      // (P4-P7), exactly what the reference's analysisLst carries.
+      // ONE DFT per datapoint serves all five quantities (the FromDft
+      // overloads) — the naive per-kernel form recomputed the O(n²)
+      // transform 7× per datapoint.
+      import graft.functions.Signal
+      val analysis = sorted.map { d =>
+        if (d.rawData == null || d.rawData.isEmpty) None
+        else {
+          val (re, im) = Signal.dft(d.rawData)
+          val spec = Signal.specPowerFromDft(re, im)
+          val roi = Signal.roiPowerFromDft(re, im)
+          val ratio = if (spec > 900.0) 10.0 * roi / spec else 0.0
+          val alarm = if (ratio > 57.0) 1.0 else 0.0
+          Some((spec, roi, ratio, alarm,
+            Array.tabulate(re.length / 2)(i => Signal.magnitudeSq(re(i), im(i)))))
+        }
       }
+      val specPowers = analysis.map(_.fold(-1.0)(_._1)).toSeq
+      val roiPowers = analysis.map(_.fold(-1.0)(_._2)).toSeq
+      val roiRatios = analysis.map(_.fold(-1.0)(_._3)).toSeq
+      val alarms = analysis.map(_.fold(-1.0)(_._4)).toSeq
+      // mean |X_k|^2 spectrum over present datapoints (plotSpectrumGraph)
+      val specs = analysis.flatten.map(_._5)
       val meanSpectrum =
         if (specs.isEmpty) Seq.empty[Double]
         else {
@@ -341,10 +351,16 @@ object Summarise {
       out.close()
     }
     put("index.html", renderIndexHtml(idxRows))
-    put("users.html", renderUsersHtml(
-      userSummary(nested).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-          r.getLong(3))).toSeq))
+    // the per-user rollup is derivable from the idxRows already in
+    // hand — re-running userSummary would re-execute the distributed
+    // index scan a second time for a page's worth of counts ([[
+    // userSummary]] stays the public aggregate for query-side use)
+    val userRows = idxRows
+      .groupBy(r => (r._3, r._1)) // (userId, category)
+      .map { case ((u, cat), rs) =>
+        (u, cat, rs.size.toLong, rs.map(_._6).sum) }
+      .toSeq
+    put("users.html", renderUsersHtml(userRows))
     pages
   }
 }

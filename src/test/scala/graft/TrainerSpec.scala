@@ -101,4 +101,39 @@ class TrainerSpec extends SparkSpec {
     assert(replayAlarms("OK1") == 0, "trained detector false-alarmed on normal")
     assembled.unpersist()
   }
+
+  test("scorer basis contract: window mismatch loud; high-pass config respected; model save/load stable") {
+    val cfg = FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.5)
+    val hpEpochs = FeatureExtract.extract(corpus, cfg)
+    val assembled = Trainer.assembleFeatures(hpEpochs).cache()
+    val model = Trainer.trainLogistic(assembled)
+
+    // wrong serve window is a loud contract violation, not silent skew
+    val fn = Trainer.scorer(model, cfg)
+    val e = intercept[IllegalArgumentException](fn(new Array[Double](750)))
+    assert(e.getMessage.contains("serve window"))
+
+    // the high-pass-trained scorer still separates the classes through
+    // the per-window serve-time filter (seizure window scores above a
+    // normal window)
+    def window(eventId: String): Array[Double] = {
+      val dp = corpus.filter(d => d.eventId == eventId && d.seq == 6L)
+        .head()
+      dp.rawData.map(_ / 1000.0) // the buffer's G-scale convention
+    }
+    val pSz = fn(window("SZ3"))
+    val pOk = fn(window("OK3"))
+    assert(pSz > pOk,
+      s"high-pass scorer lost separability: seizure $pSz vs normal $pOk")
+
+    // persistence: MLlib save/load reproduces the scorer bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("lrmodel").toString + "/m"
+    model.save(dir)
+    val loaded = org.apache.spark.ml.classification.LogisticRegressionModel
+      .load(dir)
+    val fn2 = Trainer.scorer(loaded, cfg)
+    val w = window("SZ5")
+    assert(fn(w) == fn2(w), "reloaded model scores differ")
+    assembled.unpersist()
+  }
 }

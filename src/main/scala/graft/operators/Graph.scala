@@ -48,11 +48,17 @@ object Graph {
     * round's join — right when nodes ≪ edges (the common social-graph
     * shape); set it false for billion-node graphs so the rounds run as
     * ordinary co-partitioned shuffle joins instead of collecting a
-    * node-sized table to the driver. */
+    * node-sized table to the driver. The request is additionally
+    * GUARDED by `maxBroadcastNodes`: even with broadcastRanks=true, a
+    * node table above the bound falls back to the shuffle join — the
+    * footgun where a caller broadcasts a billion-row rank table is
+    * designed out (the node count comes from one count() job the
+    * teleport term needs anyway). */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
                damping: Double = 0.85, teleport: Double = 0.15,
                broadcastRanks: Boolean = true,
-               caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
+               caches: Option[mutable.Buffer[DataFrame]] = None,
+               maxBroadcastNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val out = edges.groupBy("src").agg(sum(col("w")).as("o"))
     // The normalized edge table is the LOOP INVARIANT — every iteration
@@ -70,13 +76,15 @@ object Graph {
     // otherwise re-run in pr0 plus every round's left join
     val nodesC = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     caches.foreach(_ += nodesC)
+    val nCount = nodesC.count()
+    val doBroadcast = broadcastRanks && nCount <= maxBroadcastNodes
     val nn = nodesC.agg(count(lit(1)).as("n"))
     val pr0 = nodesC.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
     (1 to iters).foldLeft(pr0) { (pr, _) =>
       val rankSide = pr.withColumnRenamed("node", "src")
       val contrib = e
-        .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
+        .join(if (doBroadcast) broadcast(rankSide) else rankSide, "src")
         .select(col("dst").as("node"), (col("pr") * col("ratio")).as("c"))
         .groupBy("node")
         .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
@@ -109,7 +117,8 @@ object Graph {
     * construction. Returns `(node, lbl)`. */
   def labelPropagation(und: DataFrame, rounds: Int = 3,
                        broadcastLabels: Boolean = true,
-                       caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
+                       caches: Option[mutable.Buffer[DataFrame]] = None,
+                       maxBroadcastNodes: Long = 10000000L): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     // one scan, both directions: a union of two selects over `und`
     // would embed the caller's (possibly expensive, unpersisted) edge
@@ -122,10 +131,14 @@ object Graph {
     caches.foreach(_ += bi)
     val lbl0 = bi.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    // same maxBroadcastNodes guard as pageRank: the label table is
+    // node-sized every round, so one distinct-count job decides the
+    // join shape once, loudly designed rather than silently collected
+    val doBroadcast = broadcastLabels && lbl0.count() <= maxBroadcastNodes
     (1 to rounds).foldLeft(lbl0) { (lbl, _) =>
       val labelSide = lbl.withColumnRenamed("node", "y")
       val counts = bi
-        .join(if (broadcastLabels) broadcast(labelSide) else labelSide, "y")
+        .join(if (doBroadcast) broadcast(labelSide) else labelSide, "y")
         .groupBy(col("x").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       // winner = most frequent label, ties to SMALLEST label — as an
@@ -154,9 +167,16 @@ object Graph {
     * change). Returns `(node, triangles)` for nodes in ≥1 triangle. */
   def triangleCounts(und: DataFrame,
                      broadcastDegrees: Boolean = true,
-                     caches: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
+                     caches: Option[mutable.Buffer[DataFrame]] = None,
+                     maxBroadcastNodes: Long = 10000000L): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += deg)
+    // degree table is node-sized: same broadcast guard as pageRank/LPA
+    // (the persist above keeps the guard's count from re-running the
+    // degree build, which the orientation join needs twice anyway)
+    val doBroadcast = broadcastDegrees && deg.count() <= maxBroadcastNodes
     val du = deg.select(col("x").as("u"), col("deg").as("ud"))
     val dv = deg.select(col("x").as("v"), col("deg").as("vd"))
     val fwd = col("ud") < col("vd") ||
@@ -164,8 +184,8 @@ object Graph {
     // oriented edges feed THREE plan legs (both wedge sides + closure);
     // persist or each leg re-runs the scan+degree+orientation chain
     val ori = und
-      .join(if (broadcastDegrees) broadcast(du) else du, "u")
-      .join(if (broadcastDegrees) broadcast(dv) else dv, "v")
+      .join(if (doBroadcast) broadcast(du) else du, "u")
+      .join(if (doBroadcast) broadcast(dv) else dv, "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"),

@@ -86,6 +86,32 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("maxBroadcastNodes guard: above the bound the rounds run without broadcast, same results") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    def prMap(maxB: Long) =
+      Graph.pageRank(edges, nodes, maxBroadcastNodes = maxB)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(prMap(2L) == prMap(10L), "guard changed pageRank results")
+    // the guarded plan drops the RANK-side broadcast hints (the 1-row
+    // teleport aggregate stays deliberately broadcast on both plans)
+    def hints(maxB: Long): Int =
+      "strategy=broadcast".r.findAllIn(
+        Graph.pageRank(edges, nodes, maxBroadcastNodes = maxB)
+          .queryExecution.optimizedPlan.toString).size
+    assert(hints(2L) < hints(10L),
+      s"guard did not remove rank-side broadcast hints (${hints(2L)} vs ${hints(10L)})")
+    def lpaMap(maxB: Long) =
+      Graph.labelPropagation(und, maxBroadcastNodes = maxB)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpaMap(2L) == lpaMap(10L), "guard changed LPA results")
+    def triMap(maxB: Long) =
+      Graph.triangleCounts(und, maxBroadcastNodes = maxB)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(triMap(2L) == triMap(10L), "guard changed triangle results")
+  }
+
   test("caches handle: every persisted loop invariant is released after unpersist") {
     import org.apache.spark.storage.StorageLevel
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
@@ -99,9 +125,10 @@ class GraphSpec extends SparkSpec {
     graft.operators.TextAnalysis.bigramLmScores(
       Seq((1L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text",
       caches = Some(buf)).collect()
-    // pageRank registers 2 (edge invariant + nodes), LPA 1, triangles 1,
-    // bigram LM 1 — all persisted while in use, all gone after release
-    assert(buf.size == 5, s"expected 5 tracked caches, got ${buf.size}")
+    // pageRank registers 2 (edge invariant + nodes), LPA 1, triangles 2
+    // (degrees + oriented edges), bigram LM 1 — all persisted while in
+    // use, all gone after release
+    assert(buf.size == 6, s"expected 6 tracked caches, got ${buf.size}")
     assert(buf.forall(_.storageLevel != StorageLevel.NONE),
       "tracked frames must still be persisted after execution")
     buf.foreach(_.unpersist(true))

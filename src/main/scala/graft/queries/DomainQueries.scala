@@ -1441,6 +1441,46 @@ object DomainQueries {
       |  CAST(2 AS BIGINT) AS manifests_deleted
       |FROM events WHERE user_id % 3 IN (0, 1) GROUP BY 1""".stripMargin
 
+  private val lake10RunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** LAKE10 — ATOMIC targeted delete through the versioned lake
+    * ([[graft.sources.LakeMaintenance.deleteWhereVersioned]], the
+    * manifest-commit answer to lake5's documented delete+rename
+    * window): commit v1, delete one user cohort into v2 with
+    * file-level pruning, then read BOTH versions — v2 must hold
+    * exactly the survivors while v1 still holds everything (snapshot
+    * isolation through a delete, the recall-a-bad-batch-without-
+    * losing-history operation). The oracle restates both snapshots
+    * from the source table; a row leaking between versions, a survivor
+    * lost from a rewritten file, or a carried file dropped from the
+    * manifest all break the hash. */
+  def lake10VersionedDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = qtmp(s, s"lake10_lake_${lake10RunId.incrementAndGet()}")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    graft.sources.LakeMaintenance.commitVersion(s, dir,
+      ev.repartition(4, col("user_id")), version = 1)
+    graft.sources.LakeMaintenance.deleteWhereVersioned(
+      s, dir, fromVersion = 1, newVersion = 2,
+      predicate = col("user_id") % 5 === 2)
+    def agg(v: Int): DataFrame =
+      graft.sources.LakeMaintenance.readVersion(s, dir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .select(lit(v.toLong).as("version"), col("event_type"), col("n"),
+          col("id_sum"))
+    agg(1).unionByName(agg(2))
+  }
+
+  val lake10Sql: String =
+    """SELECT 1 AS version, event_type, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY 2
+      |UNION ALL
+      |SELECT 2, event_type, COUNT(*),
+      |  CAST(SUM(event_id) AS BIGINT)
+      |FROM events WHERE user_id % 5 <> 2 GROUP BY 2""".stripMargin
+
   /** S4B — DRF-PAGINATED listing through the same [[graft.sources
     * .WebApi]] connector (the round-10 pagination fix, oracled): the
     * ub==4 fixture slice is split across THREE chained
@@ -2054,6 +2094,7 @@ object DomainQueries {
     "rpt1_summary_index" -> (rpt1SummaryIndex _),
     "rpt2_user_summary" -> (rpt2UserSummary _),
     "ml1_auroc"         -> (ml1Auroc _),
+    "lake10_versioned_delete" -> (lake10VersionedDelete _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
     "lake6_schema_evolution" -> (lake6SchemaEvolution _),
@@ -2122,6 +2163,7 @@ object DomainQueries {
     "rpt1_summary_index" -> rpt1Sql,
     "rpt2_user_summary" -> rpt2Sql,
     "ml1_auroc"         -> ml1Sql,
+    "lake10_versioned_delete" -> lake10Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,
     "lake6_schema_evolution" -> lake6Sql,

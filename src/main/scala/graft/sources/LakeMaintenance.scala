@@ -206,13 +206,81 @@ object LakeMaintenance {
                     version: Int, carryFrom: Option[Int] = None): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataDir = new Path(root, s"data/v$version")
+    commitVersionWithCarried(spark, dir, df, version,
+      carryFrom.map(v => manifestFiles(fs, root, v)).getOrElse(Seq.empty))
+  }
+
+  /** Targeted delete INSIDE the versioned lake — the atomic answer to
+    * [[deleteWhere]]'s documented delete+rename window: survivors of
+    * the AFFECTED FILES ONLY are rewritten into the new version's data
+    * dir, unaffected files are carried forward by reference, and the
+    * manifest rename is the commit — readers see `fromVersion` or
+    * `newVersion`, never a half-swapped directory. This is the Delta/
+    * Iceberg delete shape at this lake's minimum viable size:
+    * file-level pruning via `input_file_name()` provenance (one
+    * column-pruned find pass; the file list is driver-side O(files)
+    * control plane like the manifests), then one survivor write.
+    *
+    * NULL predicate rows are KEPT, exactly as in [[deleteWhere]].
+    * The old version stays readable until [[vacuum]] reclaims it.
+    *
+    * @return (kind, n) counts: files_carried / files_rewritten /
+    *         rows_deleted. */
+  def deleteWhereVersioned(spark: SparkSession, dir: String,
+                           fromVersion: Int, newVersion: Int,
+                           predicate: Column): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = manifestFiles(fs, root, fromVersion)
+    // absolute-URI → manifest-relative mapping by file name (part file
+    // names embed a UUID; a collision would silently mis-carry a file,
+    // so it is a loud require, not an assumption)
+    val byName = rels.groupBy(r => new Path(r).getName)
+    byName.foreach { case (n, rs) =>
+      require(rs.size == 1, s"duplicate part-file name across versions: $n")
+    }
+    val snap = readVersion(spark, dir, fromVersion)
+      .withColumn("__src", input_file_name())
+    val matches = coalesce(predicate, lit(false))
+    val affectedNames = snap.filter(matches).select("__src").distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val (affectedRels, carriedRels) =
+      rels.partition(r => affectedNames.contains(new Path(r).getName))
+    val rowsDeleted =
+      if (affectedRels.isEmpty) 0L
+      else {
+        val survivors = snap
+          .filter(!matches &&
+            udf((p: String) => affectedNames.contains(new Path(p).getName))
+              .apply(col("__src")))
+          .drop("__src")
+        val deleted = snap.filter(matches).count()
+        commitVersionWithCarried(spark, dir, survivors, newVersion, carriedRels)
+        deleted
+      }
+    if (affectedRels.isEmpty)
+      commitVersionWithCarried(spark, dir,
+        spark.emptyDataFrame, newVersion, carriedRels, writeData = false)
+    Seq(("files_carried", carriedRels.size.toLong),
+      ("files_rewritten", affectedRels.size.toLong),
+      ("rows_deleted", rowsDeleted)).toDF("kind", "n")
+  }
+
+  /** [[commitVersion]] with an explicit carried-file list (the delete
+    * commit's "unaffected files by reference" shape); `writeData=false`
+    * publishes a carry-only manifest with no new files. */
+  private def commitVersionWithCarried(spark: SparkSession, dir: String,
+                                       df: DataFrame, version: Int,
+                                       carried: Seq[String],
+                                       writeData: Boolean = true): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalManifest = new Path(root, s"_manifests/v$version.list")
     // immutability is defined by the COMMITTED manifest, not the data
     // dir: a crash between the parquet write and the manifest rename
-    // leaves an orphaned data dir for a version that (per the commit
-    // contract below) never existed — a retry must clean it and
-    // proceed, not wedge the version forever
+    // leaves an orphaned data dir for a version that never existed — a
+    // retry must clean it and proceed, not wedge the version forever
     require(!fs.exists(finalManifest),
       s"version $version is already committed — versions are immutable")
     // a vacuumed version's number is burned: its tombstone proves it
@@ -220,13 +288,16 @@ object LakeMaintenance {
     // may have already observed as deleted
     require(!fs.exists(new Path(root, s"_manifests/v$version.vacuumed")),
       s"version $version was vacuumed — version numbers are never reused")
+    val dataDir = new Path(root, s"data/v$version")
     fs.delete(dataDir, true)
-    df.write.parquet(dataDir.toString)
-    val newFiles = fs.listStatus(dataDir).map(_.getPath)
-      .filter(_.getName.startsWith("part-"))
-      .map(p => s"data/v$version/${p.getName}").sorted
-    val carried = carryFrom.map(v => manifestFiles(fs, root, v))
-      .getOrElse(Seq.empty)
+    val newFiles =
+      if (!writeData) Seq.empty
+      else {
+        df.write.parquet(dataDir.toString)
+        fs.listStatus(dataDir).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(p => s"data/v$version/${p.getName}").sorted.toSeq
+      }
     val mDir = new Path(root, "_manifests")
     fs.mkdirs(mDir)
     val tmp = new Path(mDir, s".v$version.list.tmp")
@@ -236,7 +307,7 @@ object LakeMaintenance {
     // the rename IS the commit: until it succeeds the version does not
     // exist, after it the file set can never change. Re-check the
     // destination right before renaming — narrows (does not close, see
-    // docblock) the concurrent-committer overwrite window
+    // commitVersion docblock) the concurrent-committer overwrite window
     require(!fs.exists(finalManifest),
       s"version $version was committed concurrently — single-writer contract violated")
     require(fs.rename(tmp, finalManifest),

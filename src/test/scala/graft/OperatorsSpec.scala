@@ -451,6 +451,55 @@ class OperatorsSpec extends SparkSpec {
     assert(readVersion(spark, dir, 3).count() == 4)
   }
 
+  test("versioned delete: affected files rewritten, carried files byte-identical, old version intact") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance._
+    val dir = java.nio.file.Files.createTempDirectory("lakevdel").toString
+    // two source files in v1 (repartition(2) by a value split so the
+    // delete hits exactly one file's rows)
+    val v1df = Seq((1L, "keep"), (2L, "keep"), (3L, "kill"), (4L, "kill"))
+      .toDF("id", "tag").repartition(2, col("tag"))
+    commitVersion(spark, dir, v1df, version = 1)
+
+    def listing(rel: String): Map[String, Long] = {
+      val d = new java.io.File(dir, rel)
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.isFile)
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val v1files = listing("data/v1")
+
+    val stats = deleteWhereVersioned(spark, dir, fromVersion = 1,
+        newVersion = 2, predicate = col("tag") === "kill")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stats("rows_deleted") == 2L)
+    assert(stats("files_rewritten") >= 1L)
+
+    // new snapshot has only survivors; old snapshot is UNTOUCHED
+    assert(readVersion(spark, dir, 2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(readVersion(spark, dir, 1).count() == 4)
+    assert(listing("data/v1") == v1files, "v1 files changed during the delete")
+
+    // carried files are referenced BY NAME from v1's dir (no copy); and
+    // if nothing matches, the commit is carry-only (no new data files)
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v2.list")), "UTF-8")
+    if (stats("files_carried") > 0)
+      assert(m2.contains("data/v1/"), "carried files not referenced in place")
+    deleteWhereVersioned(spark, dir, 2, 3, col("tag") === "nomatch")
+    assert(listing("data/v3").isEmpty, "no-match delete wrote data files")
+    assert(readVersion(spark, dir, 3).count() == 2)
+
+    // NULL predicate rows are KEPT (the deleteWhere contract)
+    commitVersion(spark, dir,
+      Seq((9L, null.asInstanceOf[String]), (10L, "kill"))
+        .toDF("id", "tag"), version = 4)
+    deleteWhereVersioned(spark, dir, 4, 5, col("tag") === "kill")
+    assert(readVersion(spark, dir, 5).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("lake vacuum: retained bytes identical, vacuumed reads loud, numbers burned") {
     import spark.implicits._
     import graft.sources.LakeMaintenance._

@@ -498,6 +498,20 @@ class OperatorsSpec extends SparkSpec {
     deleteWhereVersioned(spark, dir, 4, 5, col("tag") === "kill")
     assert(readVersion(spark, dir, 5).select("id").collect()
       .map(_.getLong(0)).toSeq == Seq(9L))
+
+    // the full lifecycle: vacuum retaining only the post-delete v2 —
+    // v1's REWRITTEN (deleted-from) files are reclaimed, its CARRIED
+    // files survive because v2 references them in place, and the
+    // retained snapshot is unchanged
+    val v2rows = readVersion(spark, dir, 2).collect().map(_.toSeq).toSet
+    vacuum(spark, dir, Seq(2))
+    assert(readVersion(spark, dir, 2).collect().map(_.toSeq).toSet == v2rows,
+      "retained post-delete snapshot changed across vacuum")
+    if (stats("files_carried") > 0)
+      assert(listing("data/v1").nonEmpty,
+        "vacuum reclaimed files the retained version still references")
+    assert(listing("data/v1").size < v1files.size,
+      "vacuum reclaimed nothing from the rewritten version")
   }
 
   test("lake vacuum: retained bytes identical, vacuumed reads loud, numbers burned") {

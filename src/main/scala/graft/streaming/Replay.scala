@@ -83,7 +83,15 @@ object Replay {
     * micro-batch datapoints are ordered by time; cross-batch ordering is
     * the source's responsibility (the reference replays stored events in
     * order — true late data is handled upstream by the P14 validator). */
-  def replayStream(dps: Dataset[ReplayDp], algSpec: String): Dataset[ReplayOut] = {
+  def replayStream(dps: Dataset[ReplayDp], algSpec: String): Dataset[ReplayOut] =
+    replayStreamWith(dps, () => AlgRegistry.create(algSpec))
+
+  /** [[replayStream]] with an explicit factory — the same deployment
+    * seam as [[replayBatchWith]]: a trained-model scorer streams
+    * through the identical FSM/state machinery (TrainerSpec pins the
+    * stream == batch consistency law for a trained NnAlg). */
+  def replayStreamWith(dps: Dataset[ReplayDp],
+                       factory: () => SdAlg): Dataset[ReplayOut] = {
     val spark = dps.sparkSession
     import spark.implicits._
     dps.groupByKey(_.eventId)
@@ -94,7 +102,7 @@ object Replay {
             state.remove()
             Iterator.empty
           } else {
-            val alg = AlgRegistry.create(algSpec)
+            val alg = factory()
             state.getOption.foreach(s =>
               alg.restore(s.alarmState, s.alarmCount, s.hrHist))
             val outs = it.toArray.sortBy(d => (d.tsSec, d.seq)).iterator

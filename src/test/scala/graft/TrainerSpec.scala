@@ -102,6 +102,68 @@ class TrainerSpec extends SparkSpec {
     assembled.unpersist()
   }
 
+  private lazy val model0 = Trainer.trainLogistic(
+    Trainer.assembleFeatures(epochs))
+
+  test("trained scorer: FSM snapshot/restore mid-event equals the uninterrupted run") {
+    // the state law replayStreamWith relies on at micro-batch
+    // boundaries, exercised in-process (the full MemoryStream e2e is
+    // the gated test below — fMGWS state commits are 100s+ in this
+    // container per ReplaySpec's measurement)
+    val fn = Trainer.scorer(model0,
+      FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.0))
+    val dps = corpus.filter(_.eventId == "SZ7").collect()
+      .sortBy(d => (d.tsSec, d.seq))
+      .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr, 0L,
+        d.rawData, d.rawData3D, d.seq))
+    def mkAlg() = new NnAlg(NnSettings(bufferSamples = 125), fn)
+    val whole = mkAlg()
+    val uninterrupted = dps.map(dp => whole.processDp(dp).alarmState).toSeq
+    val a1 = mkAlg()
+    val first = dps.take(5).map(dp => a1.processDp(dp).alarmState).toSeq
+    val (st, cnt, hist) = a1.snapshot
+    val a2 = mkAlg()
+    a2.restore(st, cnt, hist)
+    val second = dps.drop(5).map(dp => a2.processDp(dp).alarmState).toSeq
+    assert(first ++ second == uninterrupted,
+      "snapshot/restore diverged from the uninterrupted FSM run")
+  }
+
+  // Same opt-in gate and reason as ReplaySpec's fMGWS e2e: this
+  // container serializes the Hadoop Configuration per state-store task
+  // and the micro-batches take minutes-to-tens-of-minutes (thread-dump
+  // verified: the stream thread burns CPU in
+  // SerializableConfiguration.writeObject). The state LAW it exercises
+  // is covered always-on by the snapshot/restore test above.
+  if (sys.env.contains("GRAFT_STREAMING_TESTS"))
+    test("trained scorer streams (replayStreamWith) with batch parity") {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val fn = Trainer.scorer(model0,
+        FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.0))
+      def factory() = new NnAlg(NnSettings(bufferSamples = 125), fn)
+      val dps = corpus.filter(d => d.eventId == "SZ1" || d.eventId == "OK1")
+        .collect().sortBy(d => (d.eventId, d.tsSec, d.seq))
+        .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr, 0L,
+          d.rawData, d.rawData3D, d.seq)).toSeq
+      val mem = MemoryStream[graft.streaming.ReplayDp]
+      val q = Replay.replayStreamWith(mem.toDS(), () => factory())
+        .writeStream.format("memory").queryName("trained_replay")
+        .outputMode("append").start()
+      try {
+        mem.addData(dps.take(8))
+        q.processAllAvailable()
+        mem.addData(dps.drop(8))
+        q.processAllAvailable()
+        val streamed = spark.table("trained_replay").as[Replay.ReplayOut]
+          .collect().map(r => (r.eventId, r.tsSec) -> r.alarmState).toMap
+        val batch = Replay.replayBatchWith(dps.toDS(), Seq(() => factory()))
+          .collect().map(r => (r.eventId, r.tsSec) -> r.alarmState).toMap
+        assert(streamed == batch)
+      } finally q.stop()
+    }
+
   test("scorer basis contract: window mismatch loud; high-pass config respected; model save/load stable") {
     val cfg = FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.5)
     val hpEpochs = FeatureExtract.extract(corpus, cfg)

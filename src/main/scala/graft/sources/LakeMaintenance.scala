@@ -120,7 +120,12 @@ object LakeMaintenance {
     * staging dir (recoverable by hand — the stage is only cleaned after
     * every rename has been VERIFIED to succeed; a failed rename aborts
     * loudly with the survivors intact); true atomicity is what the
-    * transaction-log formats exist for.
+    * transaction-log formats exist for — and what this lake's OWN
+    * versioned layer provides: [[deleteWhereVersioned]] commits the
+    * same targeted delete as an atomic manifest rename with file-level
+    * pruning. Prefer it when the data lives in the versioned lake;
+    * this partitioned-directory variant remains for plain
+    * `partitionBy` layouts with no version history.
     *
     * NULL predicate rows are KEPT: "delete where v = 99" must not also
     * forget rows where v is unknown, so the survivor filter coalesces

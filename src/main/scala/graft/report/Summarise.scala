@@ -1,7 +1,8 @@
 package graft.report
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.operators.Flatten.FlatDp
 import graft.operators.Spectrogram
@@ -27,10 +28,68 @@ import graft.operators.Spectrogram
   * SVG replaces matplotlib deliberately: the charts are pure string
   * assembly over the already-computed numbers, so the report stage adds
   * ZERO dependencies and stays testable byte-for-byte. Executors open
-  * the output filesystem with a default Hadoop Configuration — correct
-  * for file:// and default-configured HDFS; an object-store deployment
-  * would broadcast the session's hadoopConfiguration entries. */
+  * the output filesystem with the SESSION's Hadoop configuration: the
+  * driver serializes the conf entries into the task closure
+  * ([[Summarise.HadoopConfBox]]) so object-store credentials / custom
+  * `fs.*` schemes set on the session reach the task-side writes.
+  *
+  * The INDEX is sharded: per-category pages of at most `pageSize` event
+  * rows, rendered and written ON THE EXECUTORS with prev/next links
+  * (the same bounded-pagination discipline as the Web API source's DRF
+  * `next` chain). The driver writes only the four-row category TOC —
+  * driver memory is O(partitions), flat in the number of events. */
 object Summarise {
+
+  // -------------------------------------------------------- path + conf safety
+
+  /** Filesystem-safe form of an (untrusted — Web API JSON originated)
+    * event id. Ids are embedded in output paths (`Event_<id>_summary`)
+    * and index hrefs; a raw '/', '\' or '..' segment would let an
+    * external record steer executor writes outside outDir. Safe chars
+    * pass through; every other UTF-8 byte escapes as `=XX` hex ('='
+    * itself too, so the mapping stays injective). '=' rather than the
+    * URL '%' deliberately: '%' is re-quoted/decoded inconsistently by
+    * `java.net.URI` vs Hadoop `Path`, so a percent-escaped name would
+    * not round-trip path→href; '=' is URI-path-legal and inert (it is
+    * what Hive partition dirs use). Used by BOTH the page writer and
+    * the index renderer so links always match paths. */
+  def sanitizeId(id: String): String = {
+    val s = if (id == null) "" else id
+    val ok = (c: Char) =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'
+    if (s.nonEmpty && s.forall(ok)) s
+    else {
+      val b = new StringBuilder
+      s.getBytes("UTF-8").foreach { byte =>
+        val c = (byte & 0xff).toChar
+        if (byte >= 0 && ok(c)) b.append(c)
+        else b.append(f"=${byte & 0xff}%02X")
+      }
+      if (b.isEmpty) "_" else b.toString
+    }
+  }
+
+  /** The session Hadoop configuration, shipped to tasks as plain
+    * (key, value) entries — `Configuration` itself is not
+    * `java.io.Serializable`. Rebuilt once per deserialized task
+    * (transient lazy), not once per record. */
+  final class HadoopConfBox(entries: Array[(String, String)]) extends Serializable {
+    @transient lazy val conf: org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
+
+  object HadoopConfBox {
+    def fromSession(spark: SparkSession): HadoopConfBox = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      new HadoopConfBox(buf.toArray)
+    }
+  }
 
   // ------------------------------------------------------------ index side
 
@@ -199,13 +258,15 @@ object Summarise {
 
   /** Render + WRITE one page per event, executor-side. Returns
     * (eventId, path, n_bytes) — the bounded metadata the index joins.
-    * Pages land at `outDir/Event_<id>_summary/index.html` (the
-    * reference's URL shape, summariseData.py:166). */
+    * Pages land at `outDir/Event_<sanitized-id>_summary/index.html` (the
+    * reference's URL shape, summariseData.py:166; ids sanitized because
+    * they are external data — see [[sanitizeId]]). */
   def writeEventPages(dps: Dataset[FlatDp], outDir: String,
                       cfg: Spectrogram.Config = Spectrogram.Config())
       : Dataset[EventPage] = {
     val spark = dps.sparkSession
     import spark.implicits._
+    val confBox = HadoopConfBox.fromSession(spark)
     dps.groupByKey(_.eventId).mapGroups { (eventId, it) =>
       val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       val dpMeans = sorted.map { d =>
@@ -251,8 +312,9 @@ object Summarise {
         sorted.headOption.map(_.typeStr).getOrElse("-"),
         sorted.length, dpMeans, hrs, specPowers, roiPowers, roiRatios,
         alarms, meanSpectrum, spec)
-      val dir = new org.apache.hadoop.fs.Path(outDir, s"Event_${eventId}_summary")
-      val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val dir = new org.apache.hadoop.fs.Path(
+        outDir, s"Event_${sanitizeId(eventId)}_summary")
+      val fs = dir.getFileSystem(confBox.conf)
       fs.mkdirs(dir)
       val p = new org.apache.hadoop.fs.Path(dir, "index.html")
       val out = fs.create(p, true)
@@ -263,104 +325,274 @@ object Summarise {
     }
   }
 
-  // ------------------------------------------------------------- index page
+  // ----------------------------------------------------- sharded index pages
 
-  /** The category index (summary_index.html.template): events grouped
-    * into the reference's four buckets with per-event rows linking to
-    * their pages. Driver-side BY DESIGN — the index is one bounded
-    * page; the heavy per-event work happened on the executors. */
-  def renderIndexHtml(rows: Seq[(String, String, String, String, String, Long)])
-      : String = {
-    val order = Seq("tcSeizures", "allSeizures", "falseAlarms", "otherEvents")
-    val byCat = rows.groupBy(_._1)
-    val sections = order.map { cat =>
-      val evs = byCat.getOrElse(cat, Seq.empty).sortBy(_._2)
-      s"""<h2>${esc(cat)} (${evs.size})</h2>
+  /** One index row (the reference's summary_index table row shape). */
+  case class IdxRow(category: String, id: String, userId: String,
+                    typeStr: String, subType: String, nDp: Long)
+
+  /** One written index/user shard: which category, which page, where,
+    * how many event rows, how many bytes. */
+  case class IndexShard(category: String, shard: Long, path: String,
+                        nRows: Long, nBytes: Long)
+
+  val CategoryOrder: Seq[String] =
+    Seq("tcSeizures", "allSeizures", "falseAlarms", "otherEvents")
+
+  /** Contiguous zero-based ordinal of each row within its group, with
+    * NO single-partition exchange: range-repartition on (group, order
+    * key) + local sort, one bounded O(partitions × groups) count
+    * collect, broadcast prefix offsets, per-partition local cumsum.
+    * This is the distributed-rank shape Spark's global `Window.orderBy`
+    * lacks. Emits (group, shardIdx, ordinalInShard, row); a shard holds
+    * at most `pageSize` rows (it can straddle two range partitions, so
+    * a groupByKey on (group, shard) follows — that shuffle moves only
+    * tiny index-row metadata).
+    *
+    * Returns the assigned dataset plus per-group totals (bounded:
+    * one entry per group — four categories, or one "" group for the
+    * user pages). */
+  private def shardAssign[T](ds: Dataset[T], groupOf: T => String,
+      rangeCols: Seq[Column], pageSize: Int)(implicit te: Encoder[T])
+      : (Dataset[(String, Long, Long, T)], Map[String, Long], Dataset[T]) = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val spark = ds.sparkSession
+    val ranged = ds.repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: (partition, group) counts, O(partitions + groups)
+    val counts: Array[((Int, String), Long)] = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = groupOf(r); m.update(g, m.getOrElse(g, 0L) + 1L)
+        }
+        m.iterator.map { case (g, n) => ((pid, g), n) }
+      }.collect()
+    val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val offsets: Map[(Int, String), Long] =
+      counts.sortBy(_._1._1).map { case ((pid, g), n) =>
+        val off = totals.getOrElse(g, 0L)
+        totals.update(g, off + n)
+        ((pid, g), off)
+      }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets)
+    implicit val enc: Encoder[(String, Long, Long, T)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong, te)
+    val assigned = spark.createDataset(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val seen = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val g = groupOf(r)
+          val k = seen.getOrElse(g, 0L)
+          seen.update(g, k + 1L)
+          val ord = bOff.value((pid, g)) + k
+          (g, ord / pageSize, ord % pageSize, r)
+        }
+      })
+    // the persisted range partition is what makes the count job and the
+    // assignment job see identical partition contents/order — the caller
+    // unpersists it after forcing the downstream write
+    (assigned, totals.toMap, ranged)
+  }
+
+  private def pageShell(title: String, nav: String, body: String): String =
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 10px}nav a{margin-right:1em}</style>
+       |</head><body>
+       |$nav
+       |$body
+       |</body></html>
+       |""".stripMargin
+
+  private def navLinks(cat: String, shard: Long, nShards: Long,
+                       fileOf: (String, Long) => String): String = {
+    val prev = if (shard > 0) s"""<a href="${fileOf(cat, shard - 1)}">&laquo; prev</a>""" else ""
+    val next = if (shard < nShards - 1) s"""<a href="${fileOf(cat, shard + 1)}">next &raquo;</a>""" else ""
+    s"""<nav><a href="index.html">Index</a>$prev$next
+       |<span>page ${shard + 1} of ${math.max(nShards, 1)}</span></nav>""".stripMargin
+  }
+
+  def indexShardFile(cat: String, shard: Long): String =
+    s"index_${cat}_$shard.html"
+  def userShardFile(shard: Long): String = s"users_$shard.html"
+
+  /** One category-index shard: at most pageSize event rows, id-ordered,
+    * each linking to its (sanitized-path) event page. */
+  def renderIndexShardHtml(cat: String, shard: Long, nShards: Long,
+                           total: Long, rows: Seq[IdxRow]): String = {
+    val body =
+      s"""<h1>Database Summary — ${esc(cat)} ($total events)</h1>
          |<table><tr><th>Event</th><th>User</th><th>Type</th><th>SubType</th>
          |<th>Source</th><th>Datapoints</th></tr>
-         |${evs.map { case (_, id, u, t, st, ndp) =>
-             s"""<tr><td><a href="Event_${esc(id)}_summary/index.html">${esc(id)}</a></td>""" +
-               s"<td>${esc(u)}</td><td>${esc(t)}</td><td>${esc(st)}</td>" +
-               s"<td>-</td><td>$ndp</td></tr>"
+         |${rows.map { r =>
+             s"""<tr><td><a href="Event_${sanitizeId(r.id)}_summary/index.html">${esc(r.id)}</a></td>""" +
+               s"<td>${esc(r.userId)}</td><td>${esc(r.typeStr)}</td><td>${esc(r.subType)}</td>" +
+               s"<td>-</td><td>${r.nDp}</td></tr>"
            }.mkString("\n")}
          |</table>""".stripMargin
-    }
-    s"""<!DOCTYPE html>
-       |<html><head><meta charset="utf-8"><title>OSDB Summary</title>
-       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
-       |td,th{border:1px solid #999;padding:4px 10px}</style></head><body>
-       |<h1>Database Summary</h1>
-       |<p><a href="users.html">Per-user summary</a></p>
-       |${sections.mkString("\n")}
-       |</body></html>
-       |""".stripMargin
+    pageShell(s"OSDB Summary — $cat", navLinks(cat, shard, nShards, (c, s) => indexShardFile(c, s)), body)
   }
 
-  /** The per-user summary page (userSummary.template's shape): one
-    * table per user, category × (events, datapoints). */
-  def renderUsersHtml(rows: Seq[(String, String, Long, Long)]): String = {
-    val users = rows.groupBy(_._1).toSeq.sortBy(_._1)
-    val sections = users.map { case (u, rs) =>
-      s"""<h2>User ${esc(u)}</h2>
-         |<table><tr><th>Category</th><th>Events</th><th>Datapoints</th></tr>
-         |${rs.sortBy(_._2).map { case (_, cat, n, dp) =>
-             s"<tr><td>${esc(cat)}</td><td>$n</td><td>$dp</td></tr>"
-           }.mkString("\n")}
-         |</table>""".stripMargin
-    }
-    s"""<!DOCTYPE html>
-       |<html><head><meta charset="utf-8"><title>OSDB User Summary</title>
-       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
-       |td,th{border:1px solid #999;padding:4px 10px}</style></head><body>
-       |<h1>User Analysis Summary</h1>
-       |<p><a href="index.html">Back to the event index</a></p>
-       |${sections.mkString("\n")}
-       |</body></html>
-       |""".stripMargin
+  /** One user-summary shard: whole users (category × counts tables),
+    * userId-ordered. */
+  def renderUserShardHtml(shard: Long, nShards: Long,
+                          users: Seq[(String, Seq[(String, Long, Long)])]): String = {
+    val body =
+      s"""<h1>User Analysis Summary</h1>
+         |${users.map { case (u, cats) =>
+             s"""<h2>User ${esc(u)}</h2>
+                |<table><tr><th>Category</th><th>Events</th><th>Datapoints</th></tr>
+                |${cats.sortBy(_._1).map { case (cat, n, dp) =>
+                    s"<tr><td>${esc(cat)}</td><td>$n</td><td>$dp</td></tr>"
+                  }.mkString("\n")}
+                |</table>""".stripMargin
+           }.mkString("\n")}""".stripMargin
+    pageShell("OSDB User Summary", navLinks("", shard, nShards, (_, s) => userShardFile(s)), body)
   }
 
-  /** End-to-end report: executor-rendered event pages + the driver-side
-    * category index. `nested` supplies the index metadata (the cheap
-    * shape — pass arrays=false fixtures / projected scans); `dps`
-    * supplies the per-event series. Returns the page-metadata table so
-    * callers can verify/aggregate it. */
-  def writeReport(nested: DataFrame, dps: Dataset[FlatDp],
-                  outDir: String): DataFrame = {
+  /** Executor-rendered category index shards. Each (category, shard)
+    * group — at most `pageSize` rows — renders and writes
+    * `index_<cat>_<n>.html` with prev/next links. The write is forced
+    * exactly once here (persist + count — a second action on the
+    * returned metadata reads the cache, not the renderer). Also returns
+    * per-category totals (bounded, 4 entries) for the TOC. */
+  def writeIndexShards(idx: Dataset[IdxRow], outDir: String, pageSize: Int)
+      : (Dataset[IndexShard], Map[String, Long]) = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val confBox = HadoopConfBox.fromSession(spark)
+    val (assigned, totals, ranged) =
+      shardAssign[IdxRow](idx, _.category, Seq(col("category"), col("id")), pageSize)
+    val nShards: Map[String, Long] =
+      totals.map { case (c, t) => c -> ((t + pageSize - 1) / pageSize) }
+    val shards = assigned
+      .groupByKey { case (cat, shard, _, _) => (cat, shard) }
+      .mapGroups { (key, it) =>
+        val (cat, shard) = key
+        val rows = it.toArray.sortBy(_._3).map(_._4)
+        val html = renderIndexShardHtml(cat, shard,
+          nShards.getOrElse(cat, 0L), totals.getOrElse(cat, 0L), rows.toSeq)
+        val p = new org.apache.hadoop.fs.Path(outDir, indexShardFile(cat, shard))
+        val fs = p.getFileSystem(confBox.conf)
+        val out = fs.create(p, true)
+        val bytes = html.getBytes("UTF-8")
+        out.write(bytes); out.close()
+        IndexShard(cat, shard, p.toString, rows.length.toLong, bytes.length.toLong)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shards.count()
+    ranged.unpersist(false)
+    (shards, totals)
+  }
+
+  /** Executor-rendered user-summary shards over the (userId, category)
+    * rollup: one row per user (≤4 category entries each), sharded by
+    * userId range — `users_<n>.html`, at most `pageSize` users per page. */
+  def writeUserShards(idx: Dataset[IdxRow], outDir: String, pageSize: Int)
+      : (Dataset[IndexShard], Long) = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val confBox = HadoopConfBox.fromSession(spark)
+    val perUser: Dataset[(String, Seq[(String, Long, Long)])] = idx
+      .groupByKey(_.userId)
+      .mapGroups { (u, it) =>
+        val cats = it.toSeq.groupBy(_.category).map { case (c, rs) =>
+          (c, rs.size.toLong, rs.map(_.nDp).sum)
+        }.toSeq
+        (u, cats)
+      }
+    val (assigned, totals, ranged) =
+      shardAssign(perUser, (_: (String, Seq[(String, Long, Long)])) => "",
+        Seq(col("_1")), pageSize)
+    val nUsers = totals.getOrElse("", 0L)
+    val nShards = (nUsers + pageSize - 1) / pageSize
+    val shards = assigned
+      .groupByKey { case (_, shard, _, _) => shard }
+      .mapGroups { (shard, it) =>
+        val users = it.toArray.sortBy(_._3).map(_._4)
+        val html = renderUserShardHtml(shard, nShards, users.toSeq)
+        val p = new org.apache.hadoop.fs.Path(outDir, userShardFile(shard))
+        val fs = p.getFileSystem(confBox.conf)
+        val out = fs.create(p, true)
+        val bytes = html.getBytes("UTF-8")
+        out.write(bytes); out.close()
+        IndexShard("users", shard, p.toString, users.length.toLong, bytes.length.toLong)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shards.count()
+    ranged.unpersist(false)
+    (shards, nShards)
+  }
+
+  /** The bounded TOC the driver writes: one row per category (name,
+    * total, link to shard 0) plus the user-summary link. O(1) driver
+    * memory regardless of event count. */
+  def renderTocHtml(totals: Map[String, Long], nUserShards: Long): String = {
+    val rows = CategoryOrder.map { cat =>
+      val t = totals.getOrElse(cat, 0L)
+      val cell =
+        if (t > 0) s"""<a href="${indexShardFile(cat, 0L)}">${esc(cat)}</a>"""
+        else esc(cat)
+      s"<tr><td>$cell</td><td>$t</td></tr>"
+    }
+    val usersLink =
+      if (nUserShards > 0)
+        s"""<p><a href="${userShardFile(0L)}">Per-user summary</a></p>"""
+      else "<p>Per-user summary: no users</p>"
+    pageShell("OSDB Summary", "",
+      s"""<h1>Database Summary</h1>
+         |$usersLink
+         |<table><tr><th>Category</th><th>Events</th></tr>
+         |${rows.mkString("\n")}</table>""".stripMargin)
+  }
+
+  /** End-to-end report: executor-rendered event pages + executor-
+    * rendered index/user shards + the driver's bounded category TOC.
+    * `nested` supplies the index metadata (the cheap shape — pass
+    * arrays=false fixtures / projected scans); `dps` supplies the
+    * per-event series. Returns the page-metadata table (persisted — the
+    * side-effecting render is forced exactly once here; re-running an
+    * action on the result reads the cache, not the renderer). */
+  def writeReport(nested: DataFrame, dps: Dataset[FlatDp], outDir: String,
+                  pageSize: Int = 1000): DataFrame = {
     val spark = nested.sparkSession
     import spark.implicits._
-    // FORCE the page writes now: writeEventPages' side effect lives in
-    // a lazy mapGroups — without this collect, an index could publish
-    // links to pages that were never rendered (and a caller running two
-    // actions on the result would render every page twice). The page
-    // metadata is the same per-event order as the index rows collected
-    // below, so localizing it adds no new driver-size class.
-    val pageRows = writeEventPages(dps, outDir).collect().toSeq
-    val pages = pageRows.toDF("eventId", "path", "nBytes")
-    val idxRows = indexSummary(nested)
-      .select("category", "id", "userId", "type", "subType", "n_dp")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getString(4), r.getLong(5)))
-      .toSeq
+    // FORCE the page writes through a persist: the side effect lives in
+    // a lazy mapGroups — without a one-time action an index could
+    // publish links to pages that were never rendered, and a caller
+    // running two actions on the result would render every page twice.
+    // count() is an O(1)-to-the-driver aggregate (the round-9 form
+    // collected the whole metadata table here).
+    val pages = writeEventPages(dps, outDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+    val idx = indexSummary(nested)
+      .select(col("category"), col("id"), col("userId"),
+        col("type").as("typeStr"), col("subType"), col("n_dp").as("nDp"))
+      .as[IdxRow]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (idxShards, totals) = writeIndexShards(idx, outDir, pageSize)
+    val (userShards, nUserShards) = writeUserShards(idx, outDir, pageSize)
+    // verification is a distributed aggregate over the (persisted)
+    // shard metadata — shard-count + row-sum — never a localized Seq
+    val idxStats = idxShards.agg(count(lit(1)), sum(col("nRows"))).head()
+    val written = idxStats.getLong(0)
+    val rowsOut = if (idxStats.isNullAt(1)) 0L else idxStats.getLong(1)
+    val expected = totals.values.sum
+    require(rowsOut == expected,
+      s"index shards carry $rowsOut rows, expected $expected across $written shards")
+    idxShards.unpersist(false)
+    userShards.unpersist(false)
+    idx.unpersist()
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    def put(name: String, html: String): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
-      out.write(html.getBytes("UTF-8"))
-      out.close()
-    }
-    put("index.html", renderIndexHtml(idxRows))
-    // the per-user rollup is derivable from the idxRows already in
-    // hand — re-running userSummary would re-execute the distributed
-    // index scan a second time for a page's worth of counts ([[
-    // userSummary]] stays the public aggregate for query-side use)
-    val userRows = idxRows
-      .groupBy(r => (r._3, r._1)) // (userId, category)
-      .map { case ((u, cat), rs) =>
-        (u, cat, rs.size.toLong, rs.map(_._6).sum) }
-      .toSeq
-    put("users.html", renderUsersHtml(userRows))
-    pages
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "index.html"), true)
+    out.write(renderTocHtml(totals, nUserShards).getBytes("UTF-8"))
+    out.close()
+    pages.toDF("eventId", "path", "nBytes")
   }
 }

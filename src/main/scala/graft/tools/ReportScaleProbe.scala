@@ -33,6 +33,39 @@ object ReportScaleProbe {
       System.err.println(
         f"[report] rep $i: $n pages in $dt%.2f s (${n / dt}%.0f pages/s)")
     }
+
+    // --- index-shard decade ladder: driver memory must stay FLAT ---
+    // The round-10 writeReport collected O(events) index rows to the
+    // driver; the sharded form's driver state is O(partitions + groups)
+    // count metadata only. Render real shard HTML for 10x-apart event
+    // counts and record used heap after GC — the two numbers should sit
+    // within noise of each other, not 10x apart.
+    import spark.implicits._
+    def usedHeapMb(): Double = {
+      System.gc(); Thread.sleep(200); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+    }
+    Seq(100000L, 1000000L).foreach { nEvents =>
+      val out = java.nio.file.Files.createTempDirectory("idxprobe").toString
+      val idx = spark.range(nEvents).select(
+        concat(lit("cat"), (col("id") % 4).cast("string")).as("category"),
+        format_string("ev%09d", col("id")).as("id"),
+        concat(lit("u"), (col("id") % 1000).cast("string")).as("userId"),
+        lit("Seizure").as("typeStr"), lit("other").as("subType"),
+        (col("id") % 40 + 1).as("nDp")).as[graft.report.Summarise.IdxRow]
+      val before = usedHeapMb()
+      val t0 = System.nanoTime()
+      val (shards, totals) =
+        graft.report.Summarise.writeIndexShards(idx, out, pageSize = 1000)
+      val nShards = shards.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val after = usedHeapMb()
+      shards.unpersist()
+      System.err.println(
+        f"[index] $nEvents%,d events -> $nShards shards (${totals.values.sum}%,d rows) " +
+          f"in $dt%.2f s; driver heap $before%.0f -> $after%.0f MB")
+    }
     spark.stop()
   }
 }

@@ -116,14 +116,19 @@ class EmptyInputSpec extends SparkSpec {
     val eNegK = intercept[IllegalArgumentException](
       KMeans.lloyd(noVecs, "vec_id", "embedding", k = -1))
     assert(eNegK.getMessage.contains("derive"))
-    // report over zero datapoints: no pages, but both index pages exist
+    // report over zero datapoints: no pages, no shards — but the
+    // bounded TOC still exists, names every category with count 0, and
+    // links nothing (there are no shard-0 pages to dangle to)
     val out = java.nio.file.Files.createTempDirectory("emptyreport").toString
     val noNested = Seq.empty[(String, String, String, String, String, Long)]
       .toDF("id", "userId", "type", "subType", "dataSourceName", "n_dp")
     val noDps = spark.emptyDataset[graft.operators.Flatten.FlatDp]
     assert(graft.report.Summarise.writeReport(noNested, noDps, out).count() == 0)
-    assert(new java.io.File(out, "index.html").isFile &&
-      new java.io.File(out, "users.html").isFile)
+    val toc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "index.html")), "UTF-8")
+    graft.report.Summarise.CategoryOrder.foreach(c => assert(toc.contains(c)))
+    assert(!toc.contains("index_"), "empty report must not link shard pages")
+    assert(!new java.io.File(out, "users_0.html").exists())
     // vacuum with no retained versions is a stated mistake
     val lakeDir = java.nio.file.Files.createTempDirectory("emptyvac").toString
     val eVac = intercept[IllegalArgumentException](

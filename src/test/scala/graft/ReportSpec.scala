@@ -63,17 +63,99 @@ class ReportSpec extends SparkSpec {
     assert(html.contains(s"Event ${pages.head.getString(0)} Summary"))
     assert(html.contains("ROI Ratio") && html.contains("Spectrum Power"),
       "analysis panels missing their legends")
-    // the driver-side index links every category section
+    // the driver-side TOC is bounded: one row per category + links to
+    // shard 0 of each non-empty category and to the user pages
     val idx = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(outDir, "index.html")), "UTF-8")
     Seq("tcSeizures", "allSeizures", "falseAlarms", "otherEvents")
-      .foreach(c => assert(idx.contains(c), s"index missing section $c"))
-    assert(idx.contains("_summary/index.html\""), "index rows carry page links")
-    // the per-user summary page exists and is linked
-    assert(idx.contains("users.html"))
+      .foreach(c => assert(idx.contains(c), s"TOC missing category $c"))
+    assert(idx.contains("users_0.html"), "TOC missing user-summary link")
+    // event links live in the executor-rendered shards, not the TOC
+    val shard0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "index_allSeizures_0.html")), "UTF-8")
+    assert(shard0.contains("_summary/index.html\""), "shard rows carry page links")
+    assert(shard0.contains("""<a href="index.html">Index</a>"""))
     val users = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(outDir, "users.html")), "UTF-8")
+      java.nio.file.Paths.get(outDir, "users_0.html")), "UTF-8")
     assert(users.contains("User Analysis Summary") && users.contains("<h2>User "))
+  }
+
+  test("index shards: N events > pageSize => k chained pages, ids partition in order") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("shards").toString
+    val nested = OsdbFixture.nested(spark, sf, arrays = false)
+    val idx = Summarise.indexSummary(nested)
+      .select(col("category"), col("id"), col("userId"),
+        col("type").as("typeStr"), col("subType"), col("n_dp").as("nDp"))
+      .as[Summarise.IdxRow]
+    val pageSize = 3
+    val (shards, totals) = Summarise.writeIndexShards(idx, outDir, pageSize)
+    val meta = shards.collect()
+    val expectedIds = idx.collect().groupBy(_.category)
+      .map { case (c, rs) => c -> rs.map(_.id).sorted.toSeq }
+    expectedIds.foreach { case (cat, ids) =>
+      val k = (ids.size + pageSize - 1) / pageSize
+      val catShards = meta.filter(_.category == cat).sortBy(_.shard)
+      assert(catShards.map(_.shard).toSeq == (0L until k.toLong),
+        s"$cat: expected $k contiguous shards")
+      assert(catShards.forall(_.nRows <= pageSize), s"$cat: oversize shard")
+      assert(catShards.map(_.nRows).sum == ids.size)
+      assert(totals(cat) == ids.size.toLong)
+      // ids across the shard chain reproduce the sorted category ids,
+      // and each page links prev/next exactly at the chain interior
+      val seen = (0 until k).flatMap { s =>
+        val html = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outDir, s"index_${cat}_$s.html")), "UTF-8")
+        assert(html.contains(s"index_${cat}_${s + 1}.html") == (s < k - 1),
+          s"$cat shard $s: bad next link")
+        assert(html.contains(s"index_${cat}_${s - 1}.html") == (s > 0),
+          s"$cat shard $s: bad prev link")
+        ">([^<>]+)</a></td>".r.findAllMatchIn(html).map(_.group(1)).toSeq
+      }
+      assert(seen == ids, s"$cat: shard chain does not reproduce sorted ids")
+    }
+    shards.unpersist()
+  }
+
+  test("sanitizeId: traversal-shaped external ids cannot escape outDir") {
+    import spark.implicits._
+    assert(Summarise.sanitizeId("123") == "123")
+    assert(!Summarise.sanitizeId("../../etc/passwd").contains("/"))
+    assert(Summarise.sanitizeId("a/b") != Summarise.sanitizeId("a=2Fb"),
+      "escape encoding must stay injective")
+    val outDir = java.nio.file.Files.createTempDirectory("evil").toString
+    val evil = "../pwned/x"
+    val dp = graft.operators.Flatten.FlatDp(evil, "u1", "Seizure", 1, 1000L,
+      0L, 0.0, 0.0, 60.0, 95.0, Array.fill(125)(1000.0), Array.empty, false, 0L)
+    val pages = Summarise.writeEventPages(Seq(dp).toDS(), outDir).collect()
+    assert(pages.length == 1)
+    val written = new java.io.File(new java.net.URI(pages.head.path).getPath)
+    assert(written.isFile)
+    val canonOut = new java.io.File(outDir).getCanonicalPath
+    assert(written.getCanonicalPath.startsWith(canonOut + "/"),
+      s"page escaped outDir: ${written.getCanonicalPath}")
+    assert(!new java.io.File(new java.io.File(outDir).getParent, "pwned").exists())
+    // the index href uses the SAME sanitized form, so links resolve
+    val href = s"Event_${Summarise.sanitizeId(evil)}_summary/index.html"
+    assert(written.getCanonicalPath.endsWith(href))
+    val html = Summarise.renderIndexShardHtml("allSeizures", 0, 1, 1,
+      Seq(Summarise.IdxRow("allSeizures", evil, "u1", "Seizure", "other", 1L)))
+    assert(html.contains(s"""href="$href""""), "index href != written path form")
+  }
+
+  test("session hadoopConfiguration reaches the task-side write path") {
+    import spark.implicits._
+    val key = "graft.test.fs.marker"
+    spark.sparkContext.hadoopConfiguration.set(key, "42")
+    try {
+      // the exact mechanism writeEventPages/writeIndexShards ship to
+      // tasks: entries serialized into the closure, conf rebuilt task-side
+      val box = Summarise.HadoopConfBox.fromSession(spark)
+      val seen = spark.range(2).mapPartitions { _ =>
+        Iterator(Option(box.conf.get(key)).getOrElse("absent"))
+      }.collect().toSet
+      assert(seen == Set("42"), s"task-side conf saw $seen")
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
   }
 
   test("svgMultiline: every series draws and carries its legend label") {

@@ -98,7 +98,14 @@ object Trainer {
     *     DC-free windows (mean features ~0); serving it raw gravity
     *     saturates the sigmoid — the same filter runs here per window
     *     (per-window filtfilt vs training's whole-record pass is the
-    *     documented serve-time edge approximation).
+    *     documented serve-time edge approximation);
+    *   - normalisation: `NnSettings.normalise` MUST be false — a
+    *     z-scored window destroys the unit contract silently (the ×1000
+    *     'conversion' of a zero-mean/unit-sd signal is meaningless) and
+    *     the closure cannot detect it from the values alone. Construct
+    *     the detector through [[deployedAlg]], which pairs this scorer
+    *     with the one NnSettings shape it is valid under, instead of
+    *     hand-assembling NnAlg(settings, scorer).
     * Serializable closure: coefficients ride to executors, not the
     * model object graph; feature lookup is ONE pass over the map into
     * a preindexed array (the naive per-name getOrElse was O(n²) string
@@ -116,13 +123,16 @@ object Trainer {
     val window = cfg.window
     val highPassHz = cfg.highPassHz
     val sampleFreq = cfg.sampleFreq
+    // biquad designed ONCE at closure build (its coefficients are pure
+    // arithmetic over (highPassHz, sampleFreq)), not per score call
+    val bq = if (highPassHz > 0)
+      graft.functions.Filters.butterHighPass(highPassHz, sampleFreq) else null
     (vecG: Array[Double]) => {
       require(vecG.length == window,
         s"serve window ${vecG.length} != trained window $window — " +
           "set NnSettings.bufferSamples to the training Config.window")
       var vec = vecG.map(_ * 1000.0) // G -> mG (see docblock)
-      if (highPassHz > 0) {
-        val bq = graft.functions.Filters.butterHighPass(highPassHz, sampleFreq)
+      if (bq != null) {
         vec = graft.functions.Filters.filtfilt(bq, vec)
       }
       val zeros = new Array[Double](vec.length)
@@ -140,29 +150,74 @@ object Trainer {
     }
   }
 
+  /** The trained model as a fully-assembled replay detector: [[scorer]]
+    * paired with the ONLY [[graft.streaming.NnSettings]] shape it is
+    * valid under — `bufferSamples` pinned to the training window and
+    * `normalise = false` (the train/serve unit contract the closure
+    * cannot enforce from values alone; see [[scorer]]). Alarm/threshold
+    * knobs pass through from `base`. */
+  def deployedAlg(model: LogisticRegressionModel,
+                  cfg: graft.operators.FeatureExtract.Config =
+                    graft.operators.FeatureExtract.Config(highPassHz = 0.0),
+                  base: graft.streaming.NnSettings = graft.streaming.NnSettings())
+      : graft.streaming.NnAlg =
+    new graft.streaming.NnAlg(
+      base.copy(bufferSamples = cfg.window, normalise = false),
+      scorer(model, cfg))
+
   /** AUROC over the per-epoch scores — the exact Mann-Whitney rank
-    * statistic. The rank pass sorts the DISTINCT-score table (ties get
-    * their average rank through the score groupBy first), so the one
-    * global-window sort is score-cardinality-bounded — an evaluation
-    * utility's budget, not a corpus-scale plan. */
+    * statistic (average ranks over ties), with a fully DISTRIBUTED rank
+    * pass. Real LR scores are ~all-distinct, so the distinct-score
+    * table is O(N) and the earlier `Window.orderBy(s)` form moved it
+    * through ONE sorted task — the single-partition exchange the
+    * round-10 audit flagged. Here the rank is two-phase instead:
+    * range-repartition the (score, n, npos) groups, collect only the
+    * O(partitions) per-partition row-count subtotals, broadcast the
+    * prefix offsets, and run the average-rank cumsum locally per
+    * partition — identical statistic, no task ever holds more than its
+    * partition's share. (TrainerScaleProbe's all-distinct ladder
+    * measures the two forms head-to-head.) */
   def auroc(scored: DataFrame, probCol: String = "p_seizure",
             labelCol: String = "label"): Double = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val byScore = scored.groupBy(col(probCol).as("s"))
-      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("npos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-    val ranked = byScore
-      .withColumn("cumN", sum("n").over(w))
-      .withColumn("avgRank", col("cumN") - (col("n") - 1) / 2.0)
-      .agg(sum(col("avgRank") * col("npos")).as("rankSumPos"),
-        sum("npos").as("nPos"), sum("n").as("nAll"))
-      .head()
-    // an EMPTY scored frame aggregates to one all-NULL row — reach the
-    // loud message, not an unboxing NPE
-    require(!ranked.isNullAt(2), "AUROC needs a non-empty scored frame")
-    val nPos = ranked.getDouble(1)
-    val nAll = ranked.getLong(2).toDouble
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("double")).as("npos"))
+      .select(col("s").cast("double"), col("n"), col("npos"))
+      .as[(Double, Long, Double)]
+    val ranged = byScore.repartitionByRange(col("s"))
+      .sortWithinPartitions("s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: per-partition row counts only, O(partitions)
+    val partN: Array[(Int, Long)] = ranged.rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator.single((pid, it.map(_._2).sum)))
+      .collect()
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partN.sortBy(_._1).map { case (pid, n) =>
+        val o = acc; acc += n; (pid, o)
+      }.toMap
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val (rankSumPos, nPos, nAll) = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var cum = bOff.value(pid)
+        var rs = 0.0; var np = 0.0; var na = 0L
+        it.foreach { case (_, n, npos) =>
+          cum += n
+          rs += (cum - (n - 1) / 2.0) * npos
+          np += npos; na += n
+        }
+        Iterator.single((rs, np, na))
+      }
+      .fold((0.0, 0.0, 0L)) { case ((a1, b1, c1), (a2, b2, c2)) =>
+        (a1 + a2, b1 + b2, c1 + c2)
+      }
+    ranged.unpersist(false)
+    require(nAll > 0, "AUROC needs a non-empty scored frame")
     val nNeg = nAll - nPos
     require(nPos > 0 && nNeg > 0, "AUROC needs both classes present")
-    (ranked.getDouble(0) - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+    (rankSumPos - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
   }
 }

@@ -46,6 +46,39 @@ object TrainerScaleProbe {
     graft.ml.Trainer.scoreEvents(model, assembled).count()
     System.err.println(
       f"[trainer] fit+score: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    // --- AUROC all-distinct ladder: two-phase rank vs the old global
+    // window. Continuous LR probabilities make every score distinct, so
+    // the distinct-score table is O(N) — the regime where the round-10
+    // Window.orderBy form funnels the whole table through one sorted
+    // task. Same statistic both ways; the probe records the divergence
+    // in wall time as N grows (and equality of the result).
+    def synth(n: Long) = spark.range(n).select(
+      (hash(col("id")).cast("double") / Int.MaxValue).as("p_seizure"),
+      (col("id") % 2).cast("double").as("label"))
+    def windowForm(df: org.apache.spark.sql.DataFrame): Double = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      val r = df.groupBy(col("p_seizure").as("s"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("npos"))
+        .withColumn("cumN", sum("n").over(w))
+        .withColumn("avgRank", col("cumN") - (col("n") - 1) / 2.0)
+        .agg(sum(col("avgRank") * col("npos")), sum("npos"), sum("n")).head()
+      val np = r.getDouble(1)
+      (r.getDouble(0) - np * (np + 1) / 2.0) / (np * (r.getLong(2) - np))
+    }
+    Seq(100000L, 1000000L, 10000000L).foreach { n =>
+      val df = synth(n).cache(); df.count()
+      val t1 = System.nanoTime()
+      val aNew = graft.ml.Trainer.auroc(df)
+      val dNew = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val aOld = windowForm(df)
+      val dOld = (System.nanoTime() - t2) / 1e9
+      df.unpersist()
+      System.err.println(
+        f"[auroc] $n%,d distinct scores: two-phase $dNew%.2f s vs window $dOld%.2f s " +
+          f"(equal=${aNew == aOld}, a=$aNew%.6f)")
+    }
     spark.stop()
   }
 }

@@ -86,15 +86,15 @@ class TrainerSpec extends SparkSpec {
     }
 
     // deploy: the trained scorer inside the SAME alarm FSM the
-    // reference replays — seizure events must reach ALARM, normals not
-    val scorerFn = Trainer.scorer(model)
+    // reference replays — seizure events must reach ALARM, normals not.
+    // deployedAlg is the contract-safe pairing (bufferSamples pinned to
+    // the training window, normalise forced false)
     def replayAlarms(eventId: String): Long = {
       import spark.implicits._
       val dps = corpus.filter(_.eventId == eventId)
         .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr,
           alarmStateRecorded = 0L, d.rawData, d.rawData3D, d.seq))
-      Replay.replayBatchWith(dps, Seq(
-          () => new NnAlg(NnSettings(bufferSamples = 125), scorerFn)))
+      Replay.replayBatchWith(dps, Seq(() => Trainer.deployedAlg(model)))
         .filter(col("alarmState") === 2).count()
     }
     assert(replayAlarms("SZ1") > 0, "trained detector never alarmed on a seizure")
@@ -104,6 +104,50 @@ class TrainerSpec extends SparkSpec {
 
   private lazy val model0 = Trainer.trainLogistic(
     Trainer.assembleFeatures(epochs))
+
+  test("auroc: distributed two-phase rank == global-window form, tie-heavy and hand cases") {
+    import spark.implicits._
+    // hand case: scores (.1,.1,.2), labels (0,1,1) -> ranks (1.5,1.5,3),
+    // rankSumPos = 4.5, AUROC = (4.5 - 3)/2 = 0.75
+    val tiny = Seq((0.1, 0.0), (0.1, 1.0), (0.2, 1.0))
+      .toDF("p_seizure", "label")
+    assert(Trainer.auroc(tiny) == 0.75)
+    // tie-heavy pseudo-random corpus: 37 distinct scores over 5000 rows,
+    // both classes inside most tie groups, scattered across 13 partitions
+    val rows = (0 until 5000).map { i =>
+      val s = ((i * 2654435761L) % 37).toDouble / 37.0
+      val label = if (((i * 40503) % 97 < 40) ^ (s > 0.5)) 1.0 else 0.0
+      (s, label)
+    }
+    val df = rows.toDF("p_seizure", "label").repartition(13)
+    val fast = Trainer.auroc(df)
+    // the round-10 single-partition Window.orderBy reference form,
+    // kept here as the equality baseline the rewrite must match
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val slow = df.groupBy(col("p_seizure").as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("npos"))
+      .withColumn("cumN", sum("n").over(w))
+      .withColumn("avgRank", col("cumN") - (col("n") - 1) / 2.0)
+      .agg(sum(col("avgRank") * col("npos")), sum("npos"), sum("n"))
+      .head()
+    val nPos = slow.getDouble(1)
+    val slowA = (slow.getDouble(0) - nPos * (nPos + 1) / 2.0) /
+      (nPos * (slow.getLong(2) - nPos))
+    assert(fast == slowA,
+      s"distributed rank $fast != window-form $slowA on tie-heavy data")
+    // all-distinct scores (the cardinality regime that killed the old
+    // form at scale): perfect separation must read exactly 1.0
+    val sep = (0 until 2000).map(i => (i / 2000.0, if (i >= 1000) 1.0 else 0.0))
+      .toDF("p_seizure", "label").repartition(7)
+    assert(Trainer.auroc(sep) == 1.0)
+    // degenerate guards stay loud
+    val e1 = intercept[IllegalArgumentException](
+      Trainer.auroc(Seq.empty[(Double, Double)].toDF("p_seizure", "label")))
+    assert(e1.getMessage.contains("non-empty"))
+    val e2 = intercept[IllegalArgumentException](
+      Trainer.auroc(Seq((0.5, 1.0)).toDF("p_seizure", "label")))
+    assert(e2.getMessage.contains("both classes"))
+  }
 
   test("trained scorer: FSM snapshot/restore mid-event equals the uninterrupted run") {
     // the state law replayStreamWith relies on at micro-batch

@@ -198,15 +198,20 @@ object LakeMaintenance {
     * Readers pay one small-file read before the parquet scan, and the
     * scan itself is an explicit file list (no directory listing storm).
     */
-  /** Single-writer assumption: commits are guarded by a check-then-act
-    * existence test (re-checked immediately before the rename), which
-    * is race-free for one committer but NOT for two concurrent
-    * committers of the SAME version — RawLocalFileSystem's rename
-    * atomically replaces an existing destination, so a lost race could
-    * silently overwrite a committed manifest. Production table formats
-    * close this window with the store's conditional-put / atomic
-    * create-exclusive; this minimum-viable shape documents the
-    * maintenance-window contract instead: one committer per table. */
+  /** Concurrent-committer safety: the manifest is published through
+    * CREATE-EXCLUSIVE (`fs.create(path, overwrite = false)`) — on
+    * filesystems with an atomic exclusive create (HDFS namenode,
+    * object-store conditional put) two committers of the SAME version
+    * cannot both win; the loser fails loudly with the already-committed
+    * message instead of silently replacing a published manifest (the
+    * old tmp+rename form lost exactly that race on RawLocalFileSystem,
+    * whose rename replaces an existing destination). On a store whose
+    * create(overwrite=false) is itself check-then-act (RawLocal), the
+    * race window shrinks to the create call — the documented
+    * single-writer maintenance contract covers the rest. A committer
+    * crash mid-publish leaves a manifest without its `#files=` footer;
+    * [[readVersion]] rejects it loudly as partial (and the version
+    * number stays claimed) rather than serving a truncated file set. */
   def commitVersion(spark: SparkSession, dir: String, df: DataFrame,
                     version: Int, carryFrom: Option[Int] = None): Unit = {
     val root = new Path(dir)
@@ -303,20 +308,32 @@ object LakeMaintenance {
           .filter(_.getName.startsWith("part-"))
           .map(p => s"data/v$version/${p.getName}").sorted.toSeq
       }
-    val mDir = new Path(root, "_manifests")
+    publishManifest(fs, new Path(root, "_manifests"), version,
+      carried ++ newFiles)
+  }
+
+  /** The commit point: CREATE-EXCLUSIVE the final manifest and write
+    * the full content in one call, closing with a `#files=<n>` footer.
+    * The exclusive create is the race arbiter (see [[commitVersion]]'s
+    * docblock); the footer is the completeness proof — a reader that
+    * finds a manifest without it knows a committer died mid-publish
+    * and fails loudly instead of reading a truncated file set. */
+  private[graft] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                       mDir: Path, version: Int,
+                                       files: Seq[String]): Unit = {
     fs.mkdirs(mDir)
-    val tmp = new Path(mDir, s".v$version.list.tmp")
-    val out = fs.create(tmp, true)
-    out.write(((carried ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
-    out.close()
-    // the rename IS the commit: until it succeeds the version does not
-    // exist, after it the file set can never change. Re-check the
-    // destination right before renaming — narrows (does not close, see
-    // commitVersion docblock) the concurrent-committer overwrite window
-    require(!fs.exists(finalManifest),
-      s"version $version was committed concurrently — single-writer contract violated")
-    require(fs.rename(tmp, finalManifest),
-      s"manifest commit failed for v$version")
+    val finalManifest = new Path(mDir, s"v$version.list")
+    val content =
+      (files ++ Seq(s"#files=${files.size}")).mkString("\n") + "\n"
+    val out =
+      try fs.create(finalManifest, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"version $version is already committed (create-exclusive " +
+              "lost the race) — versions are immutable", e)
+      }
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Delete data files referenced by NO retained version's manifest —
@@ -334,6 +351,18 @@ object LakeMaintenance {
     * maintenance-window contract as [[commitVersion]]: do not vacuum
     * concurrently with an in-flight commit (its not-yet-published data
     * dir looks orphaned).
+    *
+    * Crash recovery: the tombstone is created BEFORE the manifest is
+    * deleted — deliberately, because the tombstone is what burns the
+    * version number, and burning must survive a crash (the opposite
+    * order would let a crashed vacuum's version be silently
+    * recommitted). The cost is the intermediate state where BOTH files
+    * exist: reads of that version already answer "was vacuumed" (the
+    * tombstone check runs first) but its files are not yet reclaimed.
+    * RE-RUNNING vacuum with the same retain list heals it completely —
+    * the version is still in the committed set, so the tombstone is
+    * re-laid, the manifest deleted, and the now-unreferenced data dir
+    * swept.
     *
     * @return (kind, path) rows for every deleted artifact — kinds:
     *         `data_file`, `manifest` (replaced by a tombstone). */
@@ -429,8 +458,17 @@ object LakeMaintenance {
         .foreach(n => buf.write(chunk, 0, n))
       buf.toByteArray
     } finally in.close()
-    new String(bytes, "UTF-8").split("\n").toSeq
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
+    // footer check: a manifest missing its `#files=` trailer (or with a
+    // wrong count) is a committer crash mid-publish — reject loudly
+    // rather than serve a truncated file set as if it were the version
+    val (fileLines, footers) = lines.partition(!_.startsWith("#"))
+    require(
+      footers.lastOption.contains(s"#files=${fileLines.size}"),
+      s"manifest for version $version is partial/corrupt (committer " +
+        "crashed mid-publish?) — expected a matching '#files=' footer")
+    fileLines
   }
 
   /** (partition, files_src, files_dest) per partition directory. */

@@ -229,8 +229,10 @@ class OsdbApiScan(requiredSchema: StructType, options: Map[String, String],
         // >= 1 event, so 2*cap + 64 pages is beyond any legitimate
         // chain that respects the cap.
         val seen = mutable.Set(listingUrl)
-        val maxPages = 2 * cap + 64
-        var nPages = 1
+        // Long arithmetic: a cap near Int.MaxValue would overflow the
+        // Int product negative and fail the bound check on page 2
+        val maxPages = 2L * cap + 64L
+        var nPages = 1L
         var url = listingUrl
         var page = trimmed
         var done = false

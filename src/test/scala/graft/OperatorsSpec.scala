@@ -579,8 +579,67 @@ class OperatorsSpec extends SparkSpec {
     // condition, not throw a parquet path/schema error
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_manifests", "v4.list"),
-      "\n".getBytes("UTF-8"))
+      "#files=0\n".getBytes("UTF-8"))
     val e5 = intercept[IllegalArgumentException](readVersion(spark, dir, 4))
     assert(e5.getMessage.contains("empty snapshot"))
+  }
+
+  test("lake commit: create-exclusive race loses loudly; partial manifests rejected; half-vacuum heals") {
+    import spark.implicits._
+    import graft.sources.LakeMaintenance._
+    val dir = java.nio.file.Files.createTempDirectory("lakerace").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new org.apache.hadoop.fs.Path(dir, "_manifests")
+
+    // two committers of the SAME version: the second create-exclusive
+    // publish fails loudly — one winner, one loser, never a silent
+    // manifest replacement (the old tmp+rename form's race)
+    publishManifest(fs, mDir, 1, Seq("data/v1/part-a"))
+    val race = intercept[IllegalArgumentException](
+      publishManifest(fs, mDir, 1, Seq("data/v1/part-b")))
+    assert(race.getMessage.contains("already committed"))
+    val winner = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v1.list")), "UTF-8")
+    assert(winner.contains("part-a") && !winner.contains("part-b"),
+      "losing committer overwrote the winner's manifest")
+
+    // a manifest with no #files footer is a mid-publish crash: reads
+    // reject it loudly rather than serving a truncated file set
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", "v2.list"),
+      "data/v2/part-x\ndata/v2/part-y\n".getBytes("UTF-8"))
+    val partial = intercept[IllegalArgumentException](readVersion(spark, dir, 2))
+    assert(partial.getMessage.contains("partial/corrupt"))
+    // ...as is a footer whose count disagrees with the listed files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", "v2.list"),
+      "data/v2/part-x\n#files=2\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException](readVersion(spark, dir, 2))
+      .getMessage.contains("partial/corrupt"))
+
+    // half-vacuumed state (tombstone laid, manifest still present — the
+    // documented crash window): reads answer "was vacuumed", the number
+    // is burned, and RE-RUNNING vacuum heals completely
+    val dir2 = java.nio.file.Files.createTempDirectory("lakeheal").toString
+    commitVersion(spark, dir2, Seq((1L, "a")).toDF("id", "tag"), 1)
+    commitVersion(spark, dir2, Seq((2L, "b")).toDF("id", "tag"), 2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "_manifests", "v1.vacuumed"),
+      Array.empty[Byte])
+    assert(intercept[IllegalArgumentException](readVersion(spark, dir2, 1))
+      .getMessage.contains("was vacuumed"))
+    // in the half-vacuumed state BOTH files exist, so recommit trips the
+    // manifest-exists check first — either message is a correct refusal
+    val blocked = intercept[IllegalArgumentException](
+      commitVersion(spark, dir2, Seq((3L, "c")).toDF("id", "tag"), 1))
+    assert(blocked.getMessage.contains("immutable") ||
+      blocked.getMessage.contains("never reused"))
+    vacuum(spark, dir2, Seq(2))
+    assert(!new java.io.File(dir2, "_manifests/v1.list").exists(),
+      "re-run vacuum did not finish the half-vacuumed manifest delete")
+    assert(!new java.io.File(dir2, "data/v1").exists(),
+      "re-run vacuum did not reclaim the half-vacuumed data dir")
+    assert(readVersion(spark, dir2, 2).count() == 1)
   }
 }

@@ -76,11 +76,16 @@ object Graph {
     // otherwise re-run in pr0 plus every round's left join
     val nodesC = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     caches.foreach(_ += nodesC)
+    // ONE count job serves the broadcast guard AND the teleport terms:
+    // 1/n and teleport/n are driver-side double literals (the identical
+    // IEEE divisions the old per-row `lit(x)/col("n")` expressions
+    // performed), so every round's plan drops the former 1-row teleport
+    // aggregate + crossJoin subtree — no second count-shaped job exists
+    // to multiply (GraphSpec pins the per-operator job budget)
     val nCount = nodesC.count()
     val doBroadcast = broadcastRanks && nCount <= maxBroadcastNodes
-    val nn = nodesC.agg(count(lit(1)).as("n"))
-    val pr0 = nodesC.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    val pr0 = nodesC.select(col("node"),
+      lit(1.0 / nCount.toDouble).as("pr"))
     (1 to iters).foldLeft(pr0) { (pr, _) =>
       val rankSide = pr.withColumnRenamed("node", "src")
       val contrib = e
@@ -89,9 +94,9 @@ object Graph {
         .groupBy("node")
         .agg((sum(floor(col("c") * lit(1e10)).cast("long")).cast("double") /
           lit(1e10)).as("sc"))
-      nodesC.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
+      nodesC.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) / col("n").cast("double") +
+          (lit(teleport / nCount.toDouble) +
             lit(damping) * coalesce(col("sc"), lit(0.0))).as("pr"))
     }
   }
@@ -129,27 +134,35 @@ object Graph {
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     caches.foreach(_ += bi)
+    // lbl0 is as loop-invariant as bi (round 1 reads it directly and the
+    // guard below counts it): persisted, so the guard's count job IS the
+    // materialization round 1 reuses — the round-10 form recomputed the
+    // distinct once for the count and again inside round 1
     val lbl0 = bi.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += lbl0)
     // same maxBroadcastNodes guard as pageRank: the label table is
     // node-sized every round, so one distinct-count job decides the
     // join shape once, loudly designed rather than silently collected
     val doBroadcast = broadcastLabels && lbl0.count() <= maxBroadcastNodes
-    (1 to rounds).foldLeft(lbl0) { (lbl, _) =>
+    (1 to rounds).foldLeft(lbl0: DataFrame) { (lbl, _) =>
       val labelSide = lbl.withColumnRenamed("node", "y")
       val counts = bi
         .join(if (doBroadcast) broadcast(labelSide) else labelSide, "y")
         .groupBy(col("x").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       // winner = most frequent label, ties to SMALLEST label — as an
-      // argmax AGGREGATE (max of (c, -lbl) lexicographic), not a
+      // argmin AGGREGATE (lexicographic min of (-c, lbl)), not a
       // row_number window: same winner on every input, but the
       // per-round exchange feeds a hash aggregate instead of a full
-      // per-node SORT (labels are non-negative node ids, so -lbl
-      // cannot overflow)
+      // per-node SORT. The negation rides the COUNT (always a long),
+      // not the label, so string/any-orderable node ids keep their
+      // smallest-label tie-break instead of a silent null (the
+      // round-10 form negated the label itself)
       counts.groupBy("node")
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("w"))
-        .select(col("node"), (-col("w.nl")).as("lbl"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("w"))
+        .select(col("node"), col("w.lbl").as("lbl"))
     }
   }
 

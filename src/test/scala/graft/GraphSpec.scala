@@ -112,6 +112,57 @@ class GraphSpec extends SparkSpec {
     assert(triMap(2L) == triMap(10L), "guard changed triangle results")
   }
 
+  test("labelPropagation: string node ids keep the smallest-label tie-break") {
+    // same two-triangle structure as the numeric test, string-labelled:
+    // the argmin-of-(-count, label) winner must order ANY orderable id
+    // type (the round-10 form negated the label and nulled out strings)
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z")).toDF("u", "v")
+    val r = Graph.labelPropagation(und, rounds = 3).collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  /** Spark jobs launched by `body` (actions complete synchronously; the
+    * status tracker lags one listener-bus hop, hence the settle poll). */
+  private def jobsLaunched(body: => Unit): Int = {
+    val st = spark.sparkContext.statusTracker
+    def settled(): Int = {
+      var last = -1; var stable = 0
+      while (stable < 4) {
+        val now = st.getJobIdsForGroup(null).length
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(50)
+      }
+      last
+    }
+    val before = settled()
+    body
+    settled() - before
+  }
+
+  test("guard jobs cannot silently multiply: per-operator job budgets hold") {
+    // the broadcast guards are allowed exactly ONE count-shaped job
+    // each (pageRank's teleport count, LPA's lbl0 materialization,
+    // triangles' degree materialization) — a regression that adds
+    // per-round guard jobs busts these budgets loudly. Budgets are
+    // upper bounds including AQE's broadcast-stage jobs.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val jPr = jobsLaunched(Graph.pageRank(edges, nodes).collect())
+    val jLpa = jobsLaunched(Graph.labelPropagation(und).collect())
+    val jTri = jobsLaunched(Graph.triangleCounts(und).collect())
+    // measured on this host: pr=18, lpa=15, tri=13 — almost all AQE
+    // shuffle/broadcast stage jobs. +2 headroom absorbs planner noise;
+    // a per-round guard regression adds >= rounds jobs and busts it.
+    assert(jPr <= 20, s"pageRank launched $jPr jobs (guard multiplied?)")
+    assert(jLpa <= 17, s"labelPropagation launched $jLpa jobs")
+    assert(jTri <= 15, s"triangleCounts launched $jTri jobs")
+  }
+
   test("caches handle: every persisted loop invariant is released after unpersist") {
     import org.apache.spark.storage.StorageLevel
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
@@ -125,10 +176,10 @@ class GraphSpec extends SparkSpec {
     graft.operators.TextAnalysis.bigramLmScores(
       Seq((1L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text",
       caches = Some(buf)).collect()
-    // pageRank registers 2 (edge invariant + nodes), LPA 1, triangles 2
-    // (degrees + oriented edges), bigram LM 1 — all persisted while in
-    // use, all gone after release
-    assert(buf.size == 6, s"expected 6 tracked caches, got ${buf.size}")
+    // pageRank registers 2 (edge invariant + nodes), LPA 2 (bi + lbl0),
+    // triangles 2 (degrees + oriented edges), bigram LM 1 — all
+    // persisted while in use, all gone after release
+    assert(buf.size == 7, s"expected 7 tracked caches, got ${buf.size}")
     assert(buf.forall(_.storageLevel != StorageLevel.NONE),
       "tracked frames must still be persisted after execution")
     buf.foreach(_.unpersist(true))

@@ -400,12 +400,12 @@ object Similarity {
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   def ivfKnn(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
-             k: Int, nlist: Int = 0, nprobe: Int = 4,
+             k: Int, nlist: Int = 0, nprobe: Int = 0,
              sampleSize: Int = 2048, iters: Int = 5, seed: Long = 42L,
              listShards: Int = 8): DataFrame = {
     // nlist = 0 derives the measured ceil(√N) law ([[sqrtKnob]]);
     // explicit mismatches stay loud, the derived value clamps nprobe
-    // (a 9-vector corpus derives nlist 3 < the default nprobe 4).
+    // (a 9-vector corpus derives nlist 3 < the floor nprobe 4).
     // Negative nlist is a caller bug, not a derive request. The derived
     // value also clamps to sampleSize: the quantizer trains on a
     // sampleSize sample, so strideInit would cap the centroid count
@@ -414,11 +414,22 @@ object Similarity {
     // needs a larger sampleSize, which is the caller's scale dial.
     require(nlist >= 0,
       s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
+    require(nprobe >= 0,
+      s"nprobe must be >= 1, or 0 to derive max(4, ceil(sqrt(nlist))); got $nprobe")
     val nl =
       if (nlist > 0) {
-        require(nprobe <= nlist, "nprobe cannot exceed nlist"); nlist
+        if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
+        nlist
       } else math.min(sqrtKnob(vectors.count()), sampleSize)
-    val np = math.min(nprobe, nl)
+    // nprobe = 0 derives max(4, ceil(√nlist)) — the round-11 MEASURED
+    // correction to the derived path: with nlist ∝ √N and a FIXED
+    // nprobe the probed fraction shrinks as 1/√N and recall decays
+    // below the e7 design floor by 100× (0.889 at N = 200k). Growing
+    // nprobe ∝ √nlist = N^(1/4) holds the floor (0.988 at 200k,
+    // IvfScaleProbe recall ladder) at query cost N^(1/4)·N/nlist =
+    // O(N^0.75) — still decisively sublinear vs the O(N) brute scan.
+    val np = math.min(
+      if (nprobe > 0) nprobe else math.max(4, sqrtKnob(nl.toLong)), nl)
     val spark = vectors.sparkSession
     val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfKnn")
@@ -492,15 +503,21 @@ object Similarity {
                m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
                sampleSize: Int = 2048, iters: Int = 5,
                listShards: Int = 8): DataFrame = {
-    // nlist = 0 derives ceil(√N) like [[ivfKnn]] (see [[sqrtKnob]]);
-    // same negative-is-a-bug guard and sampleSize clamp as there
+    // nlist = 0 derives ceil(√N) and nprobe = 0 derives
+    // max(4, ceil(√nlist)), exactly like [[ivfKnn]] (see [[sqrtKnob]]
+    // and ivfKnn's measured N^(1/4) nprobe law); same negative-is-a-bug
+    // guards and sampleSize clamp as there
     require(nlist >= 0,
       s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
+    require(nprobe >= 0,
+      s"nprobe must be >= 1, or 0 to derive max(4, ceil(sqrt(nlist))); got $nprobe")
     val nl =
       if (nlist > 0) {
-        require(nprobe <= nlist, "nprobe cannot exceed nlist"); nlist
+        if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
+        nlist
       } else math.min(sqrtKnob(vectors.count()), sampleSize)
-    val np = math.min(nprobe, nl)
+    val np = math.min(
+      if (nprobe > 0) nprobe else math.max(4, sqrtKnob(nl.toLong)), nl)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val spark = vectors.sparkSession

@@ -90,6 +90,27 @@ class KMeansSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("derived-knob recall holds the e7 design floor on the planted fixture") {
+    import graft.operators.Similarity
+    // the e5/e7 recall gates pin FIXED knobs; this is the DERIVED path's
+    // gate: nlist = 0 → ceil(√500) = 23 lists on the sf0.01 planted-
+    // cluster embeddings, and recall@3 vs brute force must sit in the
+    // ≥ 0.90 design band the e7 docblock claims (IvfScaleProbe measures
+    // the same law at 10×/100× where brute force can only be sampled)
+    val emb = graft.queries.TextQueries
+      .e7PlantedEmbeddings(spark, "/root/testdata/sf0.01")
+    val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id").cache()
+    val nBf = bf.count()
+    val ivf = Similarity.ivfKnn(emb, "vec_id", "embedding", dim = 64, k = 3)
+      .select("vec_id", "neighbor_id")
+    val recall = ivf.join(bf, Seq("vec_id", "neighbor_id"))
+      .count().toDouble / nBf
+    bf.unpersist()
+    assert(recall >= 0.90,
+      f"derived-knob ivf recall $recall%.3f below the 0.90 e7 design floor")
+  }
+
   test("rejects non-power-of-two quantScale and k > corpus") {
     import spark.implicits._
     val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")

@@ -262,6 +262,29 @@ object Signal {
     out
   }
 
+  /** [[bandPower]]'s band total computed from an ALREADY-AVAILABLE DFT —
+    * the report page's one-DFT-per-datapoint discipline (its five
+    * analysis series and this band series share a single transform). */
+  def bandTotalFromDft(re: Array[Double], im: Array[Double],
+                       sampleFreq: Double, fMin: Double, fMax: Double): Double = {
+    val n = re.length
+    if (n == 0) return 0.0
+    val half = n / 2
+    val fr = freqRes(n, sampleFreq)
+    var total = 0.0
+    var k = 0
+    while (k <= half) {
+      val f = k * fr
+      if (f >= fMin && f <= fMax) {
+        var p = magnitudeSq(re(k), im(k)) / (n.toDouble * n)
+        if (k != 0 && !(n % 2 == 0 && k == half)) p *= 2
+        total += p
+      }
+      k += 1
+    }
+    total
+  }
+
   /** P10: total power and peak PSD over a band [fMin, fMax] in Hz. */
   def bandPower(x: Array[Double], sampleFreq: Double,
                 fMin: Double, fMax: Double): (Double, Double) = {

@@ -45,6 +45,8 @@ object DomainQueries {
   private val zcrUdf = udf((a: Seq[Double]) => Signal.zeroCrossingRate(a.toArray))
   private val meanUdf = udf((a: Seq[Double]) => Signal.mean(a.toArray))
   private val stdUdf = udf((a: Seq[Double]) => Signal.std(a.toArray))
+  private val skewUdf = udf((a: Seq[Double]) => Signal.skewness(a.toArray))
+  private val kurtUdf = udf((a: Seq[Double]) => Signal.kurtosis(a.toArray))
   private val znormArgmaxUdf = udf((a: Seq[Double]) => {
     // C15: z-normalise, return the index of the max |z| (strict >, so the
     // FIRST max wins — the tiebreak the oracle mirrors with ORDER BY i)
@@ -1400,6 +1402,79 @@ object DomainQueries {
       |                 SUM(CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END) AS npos
       |          FROM ev GROUP BY 1)))""".stripMargin
 
+  /** VIZ1 — dataVisualiser series parity (`user_tools/dataVisualiser/
+    * frequency_band_energy_plotter.py`, `skewness_kurtosis_plotter.py`,
+    * `std_and_max_acceleration_plotter.py`): the three standalone
+    * plotters' per-datapoint series as ONE stacked query over the
+    * existing P10/C14 kernels — the series themselves, so "the chart is
+    * one query away" stops being an argument and becomes a row hash.
+    *
+    * Exactness per series, each the established discipline for its
+    * value class: `band_total_x1000` runs [[Signal.bandPower]]'s real
+    * DFT over the tone fixture and answers p10's closed form (integer
+    * after the ×1000 bridge); `max_accel` is an integer max over the
+    * magnitude samples; `std` compares by IN-EVENT RANK (c14's trick —
+    * its values space widely); skewness/kurtosis are NEARLY CONSTANT
+    * across a fixture event (rank order there is float noise — measured:
+    * the rank form flipped ~40 kurt pairs), so they compare as ×1e6
+    * ROUND-GRID VALUES instead (round, not floor: a symmetric window's
+    * true skew is 0 and the kernel's accumulation lands at ±ε, which
+    * floor splits across the zero boundary — measured on 5 fixture dps), against the oracle's algebraically
+    * equal central-power-sum forms (skew = √n·c3/c2^1.5,
+    * kurt = n·c4/c2² − 3; paths differ by ~1e-12, six orders inside
+    * the grid). The report layer renders these exact series in its
+    * event pages (ReportSpec). */
+  def viz1DatavizSeries(s: SparkSession, d: String): DataFrame = {
+    val band = OsdbFixture.toneDps(s, d)
+      .select(col("e"), col("d"), lit("band_total_x1000").as("series"),
+        round(bandPowerUdf(col("rawData")).getItem(0) * 1000)
+          .cast("long").as("v"))
+    val stats = OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        expr("array_max(rawData)").as("mx"),
+        stdUdf(col("rawData")).as("sd"),
+        skewUdf(col("rawData")).as("sk"),
+        kurtUdf(col("rawData")).as("ku"))
+    def rankOf(c: String, name: String) = stats
+      .withColumn("v", row_number().over(
+        Window.partitionBy("e").orderBy(col(c).desc, col("d"))).cast("long"))
+      .select(col("e"), col("d"), lit(name).as("series"), col("v"))
+    def gridOf(c: String, name: String) = stats
+      .select(col("e"), col("d"), lit(name).as("series"),
+        round(col(c) * 1e6).cast("long").as("v"))
+    band
+      .unionByName(stats.select(col("e"), col("d"),
+        lit("max_accel").as("series"), col("mx").cast("long").as("v")))
+      .unionByName(rankOf("sd", "std_rank"))
+      .unionByName(gridOf("sk", "skew_x1e6"))
+      .unionByName(gridOf("ku", "kurt_x1e6"))
+  }
+
+  val viz1Sql: String = sqlBase +
+    """, cm AS (
+      |  SELECT s.e AS e, s.d AS d,
+      |         MAX(s.m) AS mx,
+      |         SUM((s.m - g.mn)*(s.m - g.mn)) AS c2,
+      |         SUM((s.m - g.mn)*(s.m - g.mn)*(s.m - g.mn)) AS c3,
+      |         SUM((s.m - g.mn)*(s.m - g.mn)*(s.m - g.mn)*(s.m - g.mn)) AS c4
+      |  FROM sampm s
+      |  JOIN (SELECT e, d, CAST(SUM(m) AS DOUBLE)/125.0 AS mn
+      |        FROM sampm GROUP BY e, d) g
+      |    ON s.e = g.e AND s.d = g.d
+      |  GROUP BY s.e, s.d)
+      |SELECT e, d, 'band_total_x1000' AS series, CAST(a1*a1*500 AS BIGINT) AS v
+      |FROM (SELECT e, d, 4*(1 + k % 3) AS a1 FROM dpx)
+      |UNION ALL SELECT e, d, 'max_accel', CAST(mx AS BIGINT) FROM cm
+      |UNION ALL SELECT e, d, 'std_rank',
+      |  CAST(row_number() OVER (PARTITION BY e ORDER BY c2 DESC, d) AS BIGINT)
+      |FROM cm
+      |UNION ALL SELECT e, d, 'skew_x1e6',
+      |  CAST(ROUND(1e6 * (SQRT(125.0) * c3 / POW(c2, 1.5))) AS BIGINT)
+      |FROM cm
+      |UNION ALL SELECT e, d, 'kurt_x1e6',
+      |  CAST(ROUND(1e6 * (125.0 * c4 / (c2*c2) - 3.0)) AS BIGINT)
+      |FROM cm""".stripMargin
+
   private val lake9RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** LAKE9 — vacuum end to end
@@ -2094,6 +2169,7 @@ object DomainQueries {
     "rpt1_summary_index" -> (rpt1SummaryIndex _),
     "rpt2_user_summary" -> (rpt2UserSummary _),
     "ml1_auroc"         -> (ml1Auroc _),
+    "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
     "lake4_zorder"      -> (lake4ZOrder _),
     "lake5_delete"      -> (lake5Delete _),
@@ -2163,6 +2239,7 @@ object DomainQueries {
     "rpt1_summary_index" -> rpt1Sql,
     "rpt2_user_summary" -> rpt2Sql,
     "ml1_auroc"         -> ml1Sql,
+    "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,
     "lake4_zorder"      -> lake4Sql,
     "lake5_delete"      -> lake5Sql,

@@ -146,6 +146,28 @@ object Summarise {
       "</svg>"
   }
 
+  /** Polyline over a SIGNED series (min-max y-scale, NaN = missing) —
+    * the skewness/kurtosis chart class, where negative values are data,
+    * not [[svgPolyline]]'s -1 missing sentinel. */
+  def svgSignedPolyline(series: Seq[Double], w: Int, h: Int,
+                        stroke: String = "#1f77b4", title: String = ""): String = {
+    val present = series.filter(v => !v.isNaN)
+    val (lo, hi) =
+      if (present.isEmpty) (0.0, 1.0)
+      else (present.min, math.max(present.max, present.min + 1e-9))
+    val pts = series.zipWithIndex.collect {
+      case (v, i) if !v.isNaN =>
+        val x = if (series.size <= 1) 0.0 else i.toDouble * w / (series.size - 1)
+        val y = h - (v - lo) / (hi - lo) * h
+        f"$x%.1f,$y%.1f"
+    }
+    s"""<svg viewBox="0 0 $w $h" width="$w" height="$h" role="img">""" +
+      s"""<title>${esc(title)}</title>""" +
+      s"""<rect width="$w" height="$h" fill="#fafafa"/>""" +
+      s"""<polyline fill="none" stroke="$stroke" stroke-width="1.5" points="${pts.mkString(" ")}"/>""" +
+      "</svg>"
+  }
+
   /** Multi-series polyline chart with a text legend — the SVG analog
     * of plotAnalysisGraph's stacked series (eventAnalyser.py:513-552).
     * All series share one y-scale (the reference overlays them too);
@@ -223,7 +245,12 @@ object Summarise {
                       specPowers: Seq[Double], roiPowers: Seq[Double],
                       roiRatios: Seq[Double], alarms: Seq[Double],
                       meanSpectrum: Seq[Double],
-                      spec: Array[Array[Double]]): String = {
+                      spec: Array[Array[Double]],
+                      bandTotals: Seq[Double] = Seq.empty,
+                      stds: Seq[Double] = Seq.empty,
+                      maxes: Seq[Double] = Seq.empty,
+                      skews: Seq[Double] = Seq.empty,
+                      kurts: Seq[Double] = Seq.empty): String = {
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>Event ${esc(eventId)}</title>
        |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
@@ -252,6 +279,16 @@ object Summarise {
        |${svgPolyline(meanSpectrum, 600, 120, "#9467bd", "spectrum")}
        |<h2>Spectral history</h2>
        |${svgHeatmap(spec, 600, 180, "spectral history")}
+       |<h2>Band energy (3&ndash;8 Hz)</h2>
+       |${svgPolyline(bandTotals, 600, 120, "#8c564b", "band energy")}
+       |<h2>Std &amp; max acceleration</h2>
+       |${svgMultiline(Seq(
+           ("Std Accel", "#1f77b4", stds),
+           ("Max Accel", "#ff7f0e", maxes)), 600, 140, "std/max accel")}
+       |<h2>Skewness</h2>
+       |${svgSignedPolyline(skews, 600, 120, "#2ca02c", "skewness")}
+       |<h2>Kurtosis</h2>
+       |${svgSignedPolyline(kurts, 600, 120, "#d62728", "kurtosis")}
        |</body></html>
        |""".stripMargin
   }
@@ -288,14 +325,24 @@ object Summarise {
           val roi = Signal.roiPowerFromDft(re, im)
           val ratio = if (spec > 900.0) 10.0 * roi / spec else 0.0
           val alarm = if (ratio > 57.0) 1.0 else 0.0
+          // dataVisualiser series (viz1's kernels): the band total rides
+          // the SAME transform; std/max/skew/kurt are O(n) time-domain
+          val band = Signal.bandTotalFromDft(re, im, 25.0, 3.0, 8.0)
           Some((spec, roi, ratio, alarm,
-            Array.tabulate(re.length / 2)(i => Signal.magnitudeSq(re(i), im(i)))))
+            Array.tabulate(re.length / 2)(i => Signal.magnitudeSq(re(i), im(i))),
+            band, Signal.std(d.rawData), d.rawData.max,
+            Signal.skewness(d.rawData), Signal.kurtosis(d.rawData)))
         }
       }
       val specPowers = analysis.map(_.fold(-1.0)(_._1)).toSeq
       val roiPowers = analysis.map(_.fold(-1.0)(_._2)).toSeq
       val roiRatios = analysis.map(_.fold(-1.0)(_._3)).toSeq
       val alarms = analysis.map(_.fold(-1.0)(_._4)).toSeq
+      val bandTotals = analysis.map(_.fold(-1.0)(_._6)).toSeq
+      val stds = analysis.map(_.fold(-1.0)(_._7)).toSeq
+      val maxes = analysis.map(_.fold(-1.0)(_._8)).toSeq
+      val skews = analysis.map(_.fold(Double.NaN)(_._9)).toSeq
+      val kurts = analysis.map(_.fold(Double.NaN)(_._10)).toSeq
       // mean |X_k|^2 spectrum over present datapoints (plotSpectrumGraph)
       val specs = analysis.flatten.map(_._5)
       val meanSpectrum =
@@ -311,7 +358,7 @@ object Summarise {
         sorted.headOption.map(_.userId).getOrElse("-"),
         sorted.headOption.map(_.typeStr).getOrElse("-"),
         sorted.length, dpMeans, hrs, specPowers, roiPowers, roiRatios,
-        alarms, meanSpectrum, spec)
+        alarms, meanSpectrum, spec, bandTotals, stds, maxes, skews, kurts)
       val dir = new org.apache.hadoop.fs.Path(
         outDir, s"Event_${sanitizeId(eventId)}_summary")
       val fs = dir.getFileSystem(confBox.conf)

@@ -58,11 +58,16 @@ class ReportSpec extends SparkSpec {
       new java.io.File(new java.net.URI(
         pages.head.getString(1)).getPath).toPath), "UTF-8")
     assert(html.startsWith("<!DOCTYPE html>") && html.contains("</html>"))
-    // the reference's five plots + the spectral-history heatmap
-    assert("<svg ".r.findAllIn(html).size == 6, "expected 6 inline charts")
+    // the reference's five plots + the spectral-history heatmap + the
+    // round-11 dataVisualiser series (band energy, std/max accel,
+    // skewness, kurtosis — viz1's kernels rendered in place)
+    assert("<svg ".r.findAllIn(html).size == 10, "expected 10 inline charts")
     assert(html.contains(s"Event ${pages.head.getString(0)} Summary"))
     assert(html.contains("ROI Ratio") && html.contains("Spectrum Power"),
       "analysis panels missing their legends")
+    assert(html.contains("Band energy") && html.contains("Std Accel") &&
+      html.contains("Max Accel") && html.contains("Skewness") &&
+      html.contains("Kurtosis"), "dataVisualiser series panels missing")
     // the driver-side TOC is bounded: one row per category + links to
     // shard 0 of each non-empty category and to the user pages
     val idx = new String(java.nio.file.Files.readAllBytes(

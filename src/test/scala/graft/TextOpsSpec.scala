@@ -320,6 +320,50 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(v - ramp(idx * 10)) <= 1.0 / 32767) }
   }
 
+  test("multimodal: COMMITTED binary fixtures run x2/x3's exact stages under the real codecs") {
+    import spark.implicits._
+    // fixtures produced OUTSIDE this codebase (python zlib/wave) and
+    // committed — interop proof, not a self-round-trip: the codecs must
+    // decode foreign containers, not just their own encodings. FakeCodec
+    // stays the SQL-replayed oracle side (x1-x3 unchanged).
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      require(in != null, s"missing committed fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    // gray4x2.png: 8-bit grayscale, row-major [0,60,120,255,10,100,200,30]
+    val pngPixels = Seq(0.0, 60.0, 120.0, 255.0, 10.0, 100.0, 200.0, 30.0)
+    val png = fixture("gray4x2.png")
+    assert(Multimodal.ImageIoCodec.decode(png).toSeq == pngPixels,
+      "foreign PNG decode != committed pixel values")
+    val imgMedia = Seq(Multimodal.MediaRow(1L,
+      Multimodal.MediaMeta("image", 4, 2, 0, 0L, "png"), png)).toDS()
+    // X2's stage (frame sampling, stride 3 -> indices 0,3,6)
+    val frames = Multimodal.sampleFrames(imgMedia, stride = 3,
+        Multimodal.ImageIoCodec)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(frames.toSeq == Seq((0, 0.0), (1, 255.0), (2, 200.0)))
+    // X3's stage (resize to 4 -> nearest-index rebin picks 0,2,4,6),
+    // re-encoded output is itself a decodable PNG
+    val resized = Multimodal.resizeMedia(imgMedia, 4,
+      Multimodal.ImageIoCodec).collect().head
+    assert(Multimodal.ImageIoCodec.decode(resized.payload).toSeq ==
+      Seq(0.0, 120.0, 10.0, 200.0))
+    // ramp100.wav: 16-bit PCM mono, sample i = 100*i - 5000
+    val wav = fixture("ramp100.wav")
+    val wavMedia = Seq(Multimodal.MediaRow(2L,
+      Multimodal.MediaMeta("audio", 0, 0, 16000, 0L, "wav"), wav)).toDS()
+    val audio = Multimodal.sampleFrames(wavMedia, stride = 10,
+        Multimodal.WavCodec)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(audio.length == 10)
+    audio.foreach { case (idx, v) =>
+      val want = (100.0 * (idx * 10) - 5000.0) / 32767.0
+      assert(math.abs(v - want) <= 1.0 / 32767,
+        s"foreign WAV sample $idx: got $v want $want")
+    }
+  }
+
   test("redact scrubs URLs before emails (no half-redacted URL query strings)") {
     import spark.implicits._
     val r = Seq("visit https://a.b/c?u=x@y.zz and mail q@r.ss please")

@@ -208,6 +208,82 @@ class TrainerSpec extends SparkSpec {
       } finally q.stop()
     }
 
+  // Same GRAFT_STREAMING_TESTS gate as above (fMGWS micro-batches are
+  // minutes-slow in this container). This is the verdict-item-7 proof:
+  // the TRAINED scorer's verdict stream survives a KILL-AND-RECOVER
+  // checkpoint restart under the RocksDB state store — q1 consumes half
+  // the feed and stops; the rest lands while no query runs; q2 resumes
+  // from the checkpoint, restoring each event's FSM registers AND the
+  // NnBuffer window (FsmState.hrHist carries it), and the full streamed
+  // verdict sequence equals the uninterrupted batch replay.
+  if (sys.env.contains("GRAFT_STREAMING_TESTS"))
+    test("trained scorer: RocksDB checkpoint restart preserves the verdict stream") {
+      import spark.implicits._
+      val fn = Trainer.scorer(model0,
+        FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.0))
+      def factory() = new NnAlg(NnSettings(bufferSamples = 125), fn)
+      val dps = corpus.filter(d => d.eventId == "SZ1" || d.eventId == "OK1")
+        .collect().sortBy(d => (d.tsSec, d.seq))
+        .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr, 0L,
+          d.rawData, d.rawData3D, d.seq)).toSeq
+      val base = java.nio.file.Files.createTempDirectory("trainedrestart").toFile
+      val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+      val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+      val outDir = new java.io.File(base, "out").getAbsolutePath
+      val schema = org.apache.spark.sql.Encoders
+        .product[graft.streaming.ReplayDp].schema
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      def writeChunk(name: String, rows: Seq[graft.streaming.ReplayDp],
+                     mtime: Long): Unit = {
+        val json = rows.toDS().toJSON.collect().mkString("\n")
+        val f = new java.io.File(srcDir, s"$name.json")
+        java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+        f.setLastModified(mtime)
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        def start() = {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(srcDir.getAbsolutePath)
+            .as[graft.streaming.ReplayDp]
+          Replay.replayStreamWith(stream, () => factory())
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+        }
+        // phase 1: half of each event's datapoints, then the KILL
+        val (h1, h2) = dps.partition(_.seq < 6L)
+        writeChunk("a", h1, t0)
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+        // phase 2 lands while the stream is DOWN; a NEW query recovers
+        writeChunk("b", h2, t0 + 10000)
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        val streamed = spark.read.parquet(outDir)
+          .select("eventId", "tsSec", "alarmState").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+        // batch truth over the SAME parsed feed (no JSON-precision skew)
+        val batch = Replay.replayBatchWith(
+            spark.read.schema(schema).json(srcDir.getAbsolutePath)
+              .as[graft.streaming.ReplayDp],
+            Seq(() => factory()))
+          .collect().map(r => (r.eventId, r.tsSec) -> r.alarmState).toMap
+        assert(streamed == batch,
+          "restart-recovered trained-scorer stream diverged from batch replay")
+        // the restart actually split the work: both phases emitted rows
+        assert(streamed.size == dps.size)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+
   test("scorer basis contract: window mismatch loud; high-pass config respected; model save/load stable") {
     val cfg = FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.5)
     val hpEpochs = FeatureExtract.extract(corpus, cfg)

@@ -208,15 +208,15 @@ class TrainerSpec extends SparkSpec {
       } finally q.stop()
     }
 
-  // Same GRAFT_STREAMING_TESTS gate as above (fMGWS micro-batches are
-  // minutes-slow in this container). This is the verdict-item-7 proof:
-  // the TRAINED scorer's verdict stream survives a KILL-AND-RECOVER
-  // checkpoint restart under the RocksDB state store — q1 consumes half
-  // the feed and stops; the rest lands while no query runs; q2 resumes
-  // from the checkpoint, restoring each event's FSM registers AND the
-  // NnBuffer window (FsmState.hrHist carries it), and the full streamed
-  // verdict sequence equals the uninterrupted batch replay.
-  if (sys.env.contains("GRAFT_STREAMING_TESTS"))
+  // Always-on (measured ~25 s — the RocksDB provider avoids the
+  // HDFS-backed store's per-task Configuration serialization that makes
+  // the OTHER fMGWS e2e minutes-slow here): the TRAINED scorer's
+  // verdict stream survives a KILL-AND-RECOVER checkpoint restart — q1
+  // consumes half the feed and stops; the rest lands while no query
+  // runs; q2 resumes from the checkpoint, restoring each event's FSM
+  // registers AND the NnBuffer window (FsmState.hrHist carries it), and
+  // the full streamed verdict sequence equals the uninterrupted batch
+  // replay.
     test("trained scorer: RocksDB checkpoint restart preserves the verdict stream") {
       import spark.implicits._
       val fn = Trainer.scorer(model0,
@@ -256,15 +256,30 @@ class TrainerSpec extends SparkSpec {
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
         }
+        // drain by polling COMMITTED sink rows, not processAllAvailable:
+        // with a ProcessingTimeTimeout registered the engine runs
+        // continuous no-data micro-batches to evaluate timeouts and the
+        // await-offset signal never fires (measured: 5,400 empty batch
+        // commits at ~4/s with the main thread parked in
+        // processAllAvailable) — the sink row count is the honest
+        // completion signal
+        def awaitRows(expected: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 300000L
+          def committed(): Long =
+            try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
+          while (committed() < expected &&
+            System.currentTimeMillis() < deadline) Thread.sleep(500)
+          assert(committed() >= expected, s"drain timed out before $expected rows")
+        }
         // phase 1: half of each event's datapoints, then the KILL
         val (h1, h2) = dps.partition(_.seq < 6L)
         writeChunk("a", h1, t0)
         val q1 = start()
-        try q1.processAllAvailable() finally q1.stop()
+        try awaitRows(h1.size.toLong) finally q1.stop()
         // phase 2 lands while the stream is DOWN; a NEW query recovers
         writeChunk("b", h2, t0 + 10000)
         val q2 = start()
-        try q2.processAllAvailable() finally q2.stop()
+        try awaitRows(dps.size.toLong) finally q2.stop()
         val streamed = spark.read.parquet(outDir)
           .select("eventId", "tsSec", "alarmState").collect()
           .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap

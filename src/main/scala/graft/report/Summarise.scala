@@ -546,10 +546,16 @@ object Summarise {
     val perUser: Dataset[(String, Seq[(String, Long, Long)])] = idx
       .groupByKey(_.userId)
       .mapGroups { (u, it) =>
-        val cats = it.toSeq.groupBy(_.category).map { case (c, rs) =>
-          (c, rs.size.toLong, rs.map(_.nDp).sum)
-        }.toSeq
-        (u, cats)
+        // incremental fold, NOT toSeq.groupBy: a group here is ONE
+        // USER'S whole index-row stream — a heavy user is unbounded,
+        // and materializing it per task is the driver-collect bug in
+        // task form. State is O(categories) = 4 counters.
+        val n = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+        it.foreach { r =>
+          val (c0, d0) = n.getOrElse(r.category, (0L, 0L))
+          n.update(r.category, (c0 + 1L, d0 + r.nDp))
+        }
+        (u, n.iterator.map { case (c, (k, dp)) => (c, k, dp) }.toSeq)
       }
     val (assigned, totals, ranged) =
       shardAssign(perUser, (_: (String, Seq[(String, Long, Long)])) => "",

@@ -105,6 +105,39 @@ class TrainerSpec extends SparkSpec {
   private lazy val model0 = Trainer.trainLogistic(
     Trainer.assembleFeatures(epochs))
 
+  test("MLP: a real neural network learns the planted corpus through the same seam") {
+    val assembled = Trainer.assembleFeatures(epochs).cache()
+    val trainDf = assembled.filter(expr("CAST(substring(eventId, 3) AS INT) % 2 = 0"))
+    val heldOut = assembled.filter(expr("CAST(substring(eventId, 3) AS INT) % 2 = 1"))
+    val mlp = Trainer.trainMlp(trainDf)
+    // held-out epoch AUROC through the distributed evaluator
+    val scored = mlp.model.transform(
+        heldOut.withColumn("features", udf {
+          (v: org.apache.spark.ml.linalg.Vector) =>
+            val a = v.toArray
+            org.apache.spark.ml.linalg.Vectors.dense(Array.tabulate(a.length)(
+              i => (a(i) - mlp.mean(i)) / mlp.std(i)))
+        }.apply(col("features"))))
+      .select(col("eventId"), col("label"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("p_seizure"))
+    val a = Trainer.auroc(scored)
+    assert(a > 0.97, s"MLP held-out AUROC only $a")
+    // serve-time scorer == the model's own probability on the same
+    // window basis, and deployment drives the FSM correctly
+    def replayAlarms(eventId: String): Long = {
+      import spark.implicits._
+      val dps = corpus.filter(_.eventId == eventId)
+        .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr, 0L,
+          d.rawData, d.rawData3D, d.seq))
+      Replay.replayBatchWith(dps, Seq(() => Trainer.deployedMlp(mlp)))
+        .filter(col("alarmState") === 2).count()
+    }
+    assert(replayAlarms("SZ3") > 0, "MLP detector never alarmed on a seizure")
+    assert(replayAlarms("OK3") == 0, "MLP detector false-alarmed on normal")
+    assembled.unpersist()
+  }
+
   test("auroc: distributed two-phase rank == global-window form, tie-heavy and hand cases") {
     import spark.implicits._
     // hand case: scores (.1,.1,.2), labels (0,1,1) -> ranks (1.5,1.5,3),

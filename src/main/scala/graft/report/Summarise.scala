@@ -58,15 +58,28 @@ object Summarise {
     val ok = (c: Char) =>
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'
-    if (s.nonEmpty && s.forall(ok)) s
-    else {
-      val b = new StringBuilder
-      s.getBytes("UTF-8").foreach { byte =>
-        val c = (byte & 0xff).toChar
-        if (byte >= 0 && ok(c)) b.append(c)
-        else b.append(f"=${byte & 0xff}%02X")
+    val esc =
+      if (s.nonEmpty && s.forall(ok)) s
+      else {
+        val b = new StringBuilder
+        s.getBytes("UTF-8").foreach { byte =>
+          val c = (byte & 0xff).toChar
+          if (byte >= 0 && ok(c)) b.append(c)
+          else b.append(f"=${byte & 0xff}%02X")
+        }
+        if (b.isEmpty) "_" else b.toString
       }
-      if (b.isEmpty) "_" else b.toString
+    // length cap: `Event_<id>_summary` must fit a 255-byte filename, so
+    // an oversized (hostile or just odd) external id truncates to a
+    // 64-char prefix + 16 hex chars of the ORIGINAL id's MD5 —
+    // deterministic, 64-bit collision-bounded, and the page writer and
+    // index href derive the identical name
+    if (esc.length <= 128) esc
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      esc.take(64) + "-" +
+        md.take(8).map(b => f"${b & 0xff}%02x").mkString
     }
   }
 

@@ -46,7 +46,7 @@ object ReportScaleProbe {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / 1048576.0
     }
-    Seq(100000L, 1000000L).foreach { nEvents =>
+    Seq(100000L, 1000000L, 10000000L).foreach { nEvents =>
       val out = java.nio.file.Files.createTempDirectory("idxprobe").toString
       val idx = spark.range(nEvents).select(
         concat(lit("cat"), (col("id") % 4).cast("string")).as("category"),

@@ -128,6 +128,13 @@ class ReportSpec extends SparkSpec {
     assert(!Summarise.sanitizeId("../../etc/passwd").contains("/"))
     assert(Summarise.sanitizeId("a/b") != Summarise.sanitizeId("a=2Fb"),
       "escape encoding must stay injective")
+    // oversized ids truncate deterministically under the filename cap,
+    // distinct ids stay distinct (64-bit hash suffix on the original)
+    val long1 = "x" * 300
+    val long2 = "x" * 299 + "y"
+    assert(Summarise.sanitizeId(long1).length <= 128 + 17)
+    assert(Summarise.sanitizeId(long1) == Summarise.sanitizeId(long1))
+    assert(Summarise.sanitizeId(long1) != Summarise.sanitizeId(long2))
     val outDir = java.nio.file.Files.createTempDirectory("evil").toString
     val evil = "../pwned/x"
     val dp = graft.operators.Flatten.FlatDp(evil, "u1", "Seizure", 1, 1000L,

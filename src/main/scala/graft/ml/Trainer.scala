@@ -285,21 +285,15 @@ object Trainer {
     val ranged = byScore.repartitionByRange(col("s"))
       .sortWithinPartitions("s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded collect: per-partition row counts only, O(partitions)
-    val partN: Array[(Int, Long)] = ranged.rdd
-      .mapPartitionsWithIndex((pid, it) =>
-        Iterator.single((pid, it.map(_._2).sum)))
-      .collect()
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      partN.sortBy(_._1).map { case (pid, n) =>
-        val o = acc; acc += n; (pid, o)
-      }.toMap
-    }
+    // bounded collect: per-partition ROW-WEIGHT subtotals, O(partitions)
+    // — the shared two-phase-rank core ([[graft.operators.TwoPhaseRank]];
+    // one global group, weight = the tie group's row count n)
+    val (offsets, _) = graft.operators.TwoPhaseRank
+      .prefixOffsets[(Double, Long, Double)](ranged, _ => "", _._2)
     val bOff = spark.sparkContext.broadcast(offsets)
     val (rankSumPos, nPos, nAll) = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        var cum = bOff.value(pid)
+        var cum = bOff.value.getOrElse((pid, ""), 0L)
         var rs = 0.0; var np = 0.0; var na = 0L
         it.foreach { case (_, n, npos) =>
           cum += n

@@ -71,14 +71,18 @@ object Summarise {
       }
     // length cap: `Event_<id>_summary` must fit a 255-byte filename, so
     // an oversized (hostile or just odd) external id truncates to a
-    // 64-char prefix + 16 hex chars of the ORIGINAL id's MD5 —
-    // deterministic, 64-bit collision-bounded, and the page writer and
-    // index href derive the identical name
+    // 64-char prefix + an `=h` marker + 16 LOWERCASE hex chars of the
+    // ORIGINAL id's MD5. The marker keeps the mapping injective against
+    // forgery: a pass-through id can never contain '=' (not in the safe
+    // set) and an escaped id's '=' is always followed by two UPPERCASE
+    // hex digits, so no other input can produce an "=h…" suffix and
+    // claim a capped id's page directory. Capped-vs-capped collisions
+    // are 64-bit-hash bounded.
     if (esc.length <= 128) esc
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
-      esc.take(64) + "-" +
+      esc.take(64) + "=h" +
         md.take(8).map(b => f"${b & 0xff}%02x").mkString
     }
   }
@@ -138,16 +142,17 @@ object Summarise {
       // quotes too: escaped values land in attribute contexts (href)
       .replace("\"", "&quot;")
 
-  /** Polyline chart of a series (missing values < 0 are skipped — the
-    * reference's -1 sentinel convention). Pure string assembly. */
-  def svgPolyline(series: Seq[Double], w: Int, h: Int,
-                  stroke: String = "#1f77b4", title: String = ""): String = {
-    val present = series.filter(_ >= 0)
+  /** The one polyline renderer behind both public charts — min-max
+    * y-scale over the PRESENT values, `missing` decides presence. */
+  private def polylineCore(series: Seq[Double], w: Int, h: Int,
+                           stroke: String, title: String,
+                           missing: Double => Boolean): String = {
+    val present = series.filterNot(missing)
     val (lo, hi) =
       if (present.isEmpty) (0.0, 1.0)
       else (present.min, math.max(present.max, present.min + 1e-9))
     val pts = series.zipWithIndex.collect {
-      case (v, i) if v >= 0 =>
+      case (v, i) if !missing(v) =>
         val x = if (series.size <= 1) 0.0 else i.toDouble * w / (series.size - 1)
         val y = h - (v - lo) / (hi - lo) * h
         f"$x%.1f,$y%.1f"
@@ -159,27 +164,18 @@ object Summarise {
       "</svg>"
   }
 
+  /** Polyline chart of a series (missing values < 0 are skipped — the
+    * reference's -1 sentinel convention). Pure string assembly. */
+  def svgPolyline(series: Seq[Double], w: Int, h: Int,
+                  stroke: String = "#1f77b4", title: String = ""): String =
+    polylineCore(series, w, h, stroke, title, v => v < 0)
+
   /** Polyline over a SIGNED series (min-max y-scale, NaN = missing) —
     * the skewness/kurtosis chart class, where negative values are data,
     * not [[svgPolyline]]'s -1 missing sentinel. */
   def svgSignedPolyline(series: Seq[Double], w: Int, h: Int,
-                        stroke: String = "#1f77b4", title: String = ""): String = {
-    val present = series.filter(v => !v.isNaN)
-    val (lo, hi) =
-      if (present.isEmpty) (0.0, 1.0)
-      else (present.min, math.max(present.max, present.min + 1e-9))
-    val pts = series.zipWithIndex.collect {
-      case (v, i) if !v.isNaN =>
-        val x = if (series.size <= 1) 0.0 else i.toDouble * w / (series.size - 1)
-        val y = h - (v - lo) / (hi - lo) * h
-        f"$x%.1f,$y%.1f"
-    }
-    s"""<svg viewBox="0 0 $w $h" width="$w" height="$h" role="img">""" +
-      s"""<title>${esc(title)}</title>""" +
-      s"""<rect width="$w" height="$h" fill="#fafafa"/>""" +
-      s"""<polyline fill="none" stroke="$stroke" stroke-width="1.5" points="${pts.mkString(" ")}"/>""" +
-      "</svg>"
-  }
+                        stroke: String = "#1f77b4", title: String = ""): String =
+    polylineCore(series, w, h, stroke, title, v => v.isNaN)
 
   /** Multi-series polyline chart with a text legend — the SVG analog
     * of plotAnalysisGraph's stacked series (eventAnalyser.py:513-552).
@@ -421,21 +417,9 @@ object Summarise {
       .sortWithinPartitions(rangeCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // bounded collect: (partition, group) counts, O(partitions + groups)
-    val counts: Array[((Int, String), Long)] = ranged.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { r =>
-          val g = groupOf(r); m.update(g, m.getOrElse(g, 0L) + 1L)
-        }
-        m.iterator.map { case (g, n) => ((pid, g), n) }
-      }.collect()
-    val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val offsets: Map[(Int, String), Long] =
-      counts.sortBy(_._1._1).map { case ((pid, g), n) =>
-        val off = totals.getOrElse(g, 0L)
-        totals.update(g, off + n)
-        ((pid, g), off)
-      }.toMap
+    // — the shared two-phase-rank core ([[graft.operators.TwoPhaseRank]])
+    val (offsets, totals) =
+      graft.operators.TwoPhaseRank.prefixOffsets[T](ranged, groupOf, _ => 1L)
     val bOff = spark.sparkContext.broadcast(offsets)
     implicit val enc: Encoder[(String, Long, Long, T)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong, te)

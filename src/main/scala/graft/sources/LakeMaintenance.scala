@@ -122,7 +122,8 @@ object LakeMaintenance {
     * loudly with the survivors intact); true atomicity is what the
     * transaction-log formats exist for — and what this lake's OWN
     * versioned layer provides: [[deleteWhereVersioned]] commits the
-    * same targeted delete as an atomic manifest rename with file-level
+    * same targeted delete as a create-exclusive manifest publication
+    * with file-level
     * pruning. Prefer it when the data lives in the versioned lake;
     * this partitioned-directory variant remains for plain
     * `partitionBy` layouts with no version history.
@@ -224,8 +225,9 @@ object LakeMaintenance {
     * [[deleteWhere]]'s documented delete+rename window: survivors of
     * the AFFECTED FILES ONLY are rewritten into the new version's data
     * dir, unaffected files are carried forward by reference, and the
-    * manifest rename is the commit — readers see `fromVersion` or
-    * `newVersion`, never a half-swapped directory. This is the Delta/
+    * manifest publication is the commit — readers see `fromVersion`,
+    * `newVersion`, or a loud mid-publish/partial error (never a
+    * half-swapped directory or a silently truncated file set). This is the Delta/
     * Iceberg delete shape at this lake's minimum viable size:
     * file-level pruning via `input_file_name()` provenance (one
     * column-pruned find pass; the file list is driver-side O(files)
@@ -288,7 +290,7 @@ object LakeMaintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalManifest = new Path(root, s"_manifests/v$version.list")
     // immutability is defined by the COMMITTED manifest, not the data
-    // dir: a crash between the parquet write and the manifest rename
+    // dir: a crash between the parquet write and the manifest publish
     // leaves an orphaned data dir for a version that never existed — a
     // retry must clean it and proceed, not wedge the version forever
     require(!fs.exists(finalManifest),
@@ -298,6 +300,31 @@ object LakeMaintenance {
     // may have already observed as deleted
     require(!fs.exists(new Path(root, s"_manifests/v$version.vacuumed")),
       s"version $version was vacuumed — version numbers are never reused")
+    // CLAIM the version BEFORE any destructive step: the create-exclusive
+    // claim file is the race arbiter for the DATA DIR (the manifest's
+    // own create-exclusive arbitrates publication, but by then a losing
+    // committer would already have deleted the winner's data dir). A
+    // loser fails here, loudly, having touched nothing. The claim also
+    // marks the commit in-flight for readers (see [[publishManifest]]).
+    // Crash window: a claim with no manifest is a crashed commit —
+    // remove the stale claim (after confirming no committer is running)
+    // and retry; the orphaned data dir is cleaned by the retry/vacuum.
+    val mDir = new Path(root, "_manifests")
+    fs.mkdirs(mDir)
+    val claim = new Path(mDir, s".v$version.claim")
+    try { fs.create(claim, false).close() }
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"version $version has an active claim — another committer is " +
+            "in flight, or a commit crashed (remove the stale " +
+            s"$claim after verifying no committer is running)", e)
+      case e: java.io.IOException if fs.exists(claim) =>
+        throw new IllegalArgumentException(
+          s"version $version has an active claim — another committer is " +
+            "in flight, or a commit crashed (remove the stale " +
+            s"$claim after verifying no committer is running)", e)
+    }
     val dataDir = new Path(root, s"data/v$version")
     fs.delete(dataDir, true)
     val newFiles =
@@ -308,8 +335,8 @@ object LakeMaintenance {
           .filter(_.getName.startsWith("part-"))
           .map(p => s"data/v$version/${p.getName}").sorted.toSeq
       }
-    publishManifest(fs, new Path(root, "_manifests"), version,
-      carried ++ newFiles)
+    publishManifest(fs, mDir, version, carried ++ newFiles)
+    fs.delete(claim, false)
   }
 
   /** The commit point: CREATE-EXCLUSIVE the final manifest and write
@@ -328,7 +355,14 @@ object LakeMaintenance {
     val out =
       try fs.create(finalManifest, false)
       catch {
-        case e: java.io.IOException =>
+        // ONLY already-exists maps to the race message — a disk-full /
+        // permission / transient-store IOException must surface as
+        // itself, not masquerade as "already committed"
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"version $version is already committed (create-exclusive " +
+              "lost the race) — versions are immutable", e)
+        case e: java.io.IOException if fs.exists(finalManifest) =>
           throw new IllegalArgumentException(
             s"version $version is already committed (create-exclusive " +
               "lost the race) — versions are immutable", e)
@@ -461,13 +495,24 @@ object LakeMaintenance {
     val lines = new String(bytes, "UTF-8").split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
     // footer check: a manifest missing its `#files=` trailer (or with a
-    // wrong count) is a committer crash mid-publish — reject loudly
-    // rather than serve a truncated file set as if it were the version
+    // wrong count) is incomplete — reject loudly rather than serve a
+    // truncated file set as if it were the version. The claim file
+    // disambiguates WHY it is incomplete: claim present = a committer
+    // is mid-publish right now (create-exclusive makes the manifest
+    // name visible before its bytes land — retry shortly); claim
+    // absent = the committer died. Manifests from before the footer
+    // format need a one-line migration (append `#files=<n>`).
     val (fileLines, footers) = lines.partition(!_.startsWith("#"))
-    require(
-      footers.lastOption.contains(s"#files=${fileLines.size}"),
-      s"manifest for version $version is partial/corrupt (committer " +
-        "crashed mid-publish?) — expected a matching '#files=' footer")
+    if (!footers.lastOption.contains(s"#files=${fileLines.size}")) {
+      val inFlight = fs.exists(new Path(root, s"_manifests/.v$version.claim"))
+      throw new IllegalArgumentException(
+        if (inFlight)
+          s"manifest for version $version is mid-publish (a committer " +
+            "holds the claim) — retry after the commit completes"
+        else
+          s"manifest for version $version is partial/corrupt (committer " +
+            "crashed mid-publish?) — expected a matching '#files=' footer")
+    }
     fileLines
   }
 

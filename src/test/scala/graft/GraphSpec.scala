@@ -142,25 +142,40 @@ class GraphSpec extends SparkSpec {
     settled() - before
   }
 
-  test("guard jobs cannot silently multiply: per-operator job budgets hold") {
-    // the broadcast guards are allowed exactly ONE count-shaped job
-    // each (pageRank's teleport count, LPA's lbl0 materialization,
-    // triangles' degree materialization) — a regression that adds
-    // per-round guard jobs busts these budgets loudly. Budgets are
-    // upper bounds including AQE's broadcast-stage jobs.
+  test("guard jobs cannot silently multiply: one action per guard, per call") {
+    // The invariant, pinned host-independently: an operator call runs
+    // exactly TWO Dataset actions — the guard's one count job and the
+    // caller's collect — regardless of the round count. A guard that
+    // slipped inside the fold would run rounds+1 actions. Counted by
+    // DISTINCT spark.sql.execution.root.id on job starts (every AQE
+    // stage job of one action shares its root execution id, so this is
+    // immune to the planner's stage-job decomposition — absolute job
+    // budgets were not).
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
       .toDF("src", "dst", "w")
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
-    val jPr = jobsLaunched(Graph.pageRank(edges, nodes).collect())
-    val jLpa = jobsLaunched(Graph.labelPropagation(und).collect())
-    val jTri = jobsLaunched(Graph.triangleCounts(und).collect())
-    // measured on this host: pr=18, lpa=15, tri=13 — almost all AQE
-    // shuffle/broadcast stage jobs. +2 headroom absorbs planner noise;
-    // a per-round guard regression adds >= rounds jobs and busts it.
-    assert(jPr <= 20, s"pageRank launched $jPr jobs (guard multiplied?)")
-    assert(jLpa <= 17, s"labelPropagation launched $jLpa jobs")
-    assert(jTri <= 15, s"triangleCounts launched $jTri jobs")
+    def actions(body: => Unit): Int = {
+      val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.root.id")))
+            .foreach(roots.add)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(800) }
+      finally spark.sparkContext.removeSparkListener(l)
+      roots.size
+    }
+    val aPr = actions(Graph.pageRank(edges, nodes, iters = 4).collect())
+    assert(aPr == 2, s"pageRank ran $aPr actions at 4 iters (want guard + collect)")
+    val aLpa = actions(Graph.labelPropagation(und, rounds = 4).collect())
+    assert(aLpa == 2, s"labelPropagation ran $aLpa actions (want guard + collect)")
+    val aTri = actions(Graph.triangleCounts(und).collect())
+    assert(aTri == 2, s"triangleCounts ran $aTri actions (want guard + collect)")
   }
 
   test("caches handle: every persisted loop invariant is released after unpersist") {

@@ -132,9 +132,14 @@ class ReportSpec extends SparkSpec {
     // distinct ids stay distinct (64-bit hash suffix on the original)
     val long1 = "x" * 300
     val long2 = "x" * 299 + "y"
-    assert(Summarise.sanitizeId(long1).length <= 128 + 17)
+    assert(Summarise.sanitizeId(long1).length <= 128 + 18)
     assert(Summarise.sanitizeId(long1) == Summarise.sanitizeId(long1))
     assert(Summarise.sanitizeId(long1) != Summarise.sanitizeId(long2))
+    // forgery: an id crafted to EQUAL a capped id's sanitized form must
+    // not map to the same page dir — its '=' re-escapes to =3D
+    val capped = Summarise.sanitizeId(long1)
+    assert(Summarise.sanitizeId(capped) != capped,
+      "a capped sanitized form must not be forgeable by a short id")
     val outDir = java.nio.file.Files.createTempDirectory("evil").toString
     val evil = "../pwned/x"
     val dp = graft.operators.Flatten.FlatDp(evil, "u1", "Seizure", 1, 1000L,

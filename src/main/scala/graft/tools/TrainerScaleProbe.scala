@@ -47,6 +47,13 @@ object TrainerScaleProbe {
     System.err.println(
       f"[trainer] fit+score: ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
+    // --- MLP (round-11): same treeAggregate shape as LR, one fit
+    val tm = System.nanoTime()
+    val mlp = graft.ml.Trainer.trainMlp(assembled, maxIter = 50)
+    System.err.println(
+      f"[trainer] mlp fit: ${(System.nanoTime() - tm) / 1e9}%.2f s " +
+        f"(layers ${mlp.model.getLayers.mkString("x")})")
+
     // --- AUROC all-distinct ladder: two-phase rank vs the old global
     // window. Continuous LR probabilities make every score distinct, so
     // the distinct-score table is O(N) — the regime where the round-10

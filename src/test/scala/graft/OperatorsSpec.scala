@@ -604,6 +604,28 @@ class OperatorsSpec extends SparkSpec {
     assert(winner.contains("part-a") && !winner.contains("part-b"),
       "losing committer overwrote the winner's manifest")
 
+    // the CLAIM arbitrates before any destructive step: with a claim
+    // planted (a concurrent committer, or a crashed one), commitVersion
+    // fails loudly having touched nothing — the winner's data dir
+    // survives; removing the stale claim unblocks the retry
+    val dirC = java.nio.file.Files.createTempDirectory("lakeclaim").toString
+    commitVersion(spark, dirC, Seq((1L, "a")).toDF("id", "tag"), 1)
+    new java.io.File(dirC, "_manifests").mkdirs()
+    val claimFile = new java.io.File(dirC, "_manifests/.v2.claim")
+    claimFile.createNewFile()
+    val dataBefore = new java.io.File(dirC, "data/v1").list().sorted.toSeq
+    val eClaim = intercept[IllegalArgumentException](
+      commitVersion(spark, dirC, Seq((2L, "b")).toDF("id", "tag"), 2))
+    assert(eClaim.getMessage.contains("active claim"))
+    assert(new java.io.File(dirC, "data/v1").list().sorted.toSeq == dataBefore,
+      "a claim-blocked committer must not touch existing data")
+    assert(!new java.io.File(dirC, "data/v2").exists(),
+      "a claim-blocked committer must not write data")
+    claimFile.delete()
+    commitVersion(spark, dirC, Seq((2L, "b")).toDF("id", "tag"), 2)
+    assert(readVersion(spark, dirC, 2).count() == 1)
+    assert(!claimFile.exists(), "a successful commit must release its claim")
+
     // a manifest with no #files footer is a mid-publish crash: reads
     // reject it loudly rather than serving a truncated file set
     java.nio.file.Files.write(

@@ -1402,6 +1402,51 @@ object DomainQueries {
       |                 SUM(CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END) AS npos
       |          FROM ev GROUP BY 1)))""".stripMargin
 
+  private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** RPT3 — the SHARDED index itself under the oracle gate: the
+    * round-11 pagination rewrite ([[graft.report.Summarise
+    * .writeIndexShards]] — two-phase distributed rank, ≤pageSize rows
+    * per executor-rendered page) emits per-shard metadata (category,
+    * shard, n_rows, first/last event id), and the oracle restates it
+    * from the fixture's bucketing with a plain ROW_NUMBER slice: a
+    * mis-sized shard, a row landing on the wrong page, or a chain that
+    * does not reproduce the per-category STRING id order breaks the
+    * hash. pageSize = 7 forces multi-shard chains at every sf. The
+    * final metadata localize is the gate instrument (O(shards) at
+    * fixture scale); production callers consume the distributed
+    * dataset [[graft.report.Summarise.writeIndexShards]] returns. */
+  def rpt3IndexShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val outDir = qtmp(s, s"rpt3_${rpt3RunId.incrementAndGet()}")
+    val idx = graft.report.Summarise.indexSummary(
+        OsdbFixture.nested(s, d, arrays = false))
+      .select(col("category"), col("id"), col("userId"),
+        col("type").as("typeStr"), col("subType"), col("n_dp").as("nDp"))
+      .as[graft.report.Summarise.IdxRow]
+    val (shards, _) =
+      graft.report.Summarise.writeIndexShards(idx, outDir, pageSize = 7)
+    val rows = shards.collect()
+    shards.unpersist()
+    rows.toSeq.toDF()
+      .select(col("category"), col("shard"), col("nRows").as("n_rows"),
+        col("loId").as("lo_id"), col("hiId").as("hi_id"))
+  }
+
+  val rpt3Sql: String = sqlBase +
+    """, catev AS (
+      |  SELECT 'tcSeizures' AS category, CAST(e AS VARCHAR) AS id FROM ev
+      |    WHERE k % 3 = 0 AND k % 5 < 2
+      |  UNION ALL SELECT 'allSeizures', CAST(e AS VARCHAR) FROM ev WHERE k % 3 = 0
+      |  UNION ALL SELECT 'falseAlarms', CAST(e AS VARCHAR) FROM ev WHERE k % 3 = 1
+      |  UNION ALL SELECT 'otherEvents', CAST(e AS VARCHAR) FROM ev WHERE k % 3 = 2)
+      |SELECT category, CAST((rn - 1) // 7 AS BIGINT) AS shard,
+      |       COUNT(*) AS n_rows, MIN(id) AS lo_id, MAX(id) AS hi_id
+      |FROM (SELECT category, id,
+      |        row_number() OVER (PARTITION BY category ORDER BY id) AS rn
+      |      FROM catev)
+      |GROUP BY 1, 2""".stripMargin
+
   /** VIZ1 — dataVisualiser series parity (`user_tools/dataVisualiser/
     * frequency_band_energy_plotter.py`, `skewness_kurtosis_plotter.py`,
     * `std_and_max_acceleration_plotter.py`): the three standalone
@@ -2169,6 +2214,7 @@ object DomainQueries {
     "rpt1_summary_index" -> (rpt1SummaryIndex _),
     "rpt2_user_summary" -> (rpt2UserSummary _),
     "ml1_auroc"         -> (ml1Auroc _),
+    "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
     "lake4_zorder"      -> (lake4ZOrder _),
@@ -2239,6 +2285,7 @@ object DomainQueries {
     "rpt1_summary_index" -> rpt1Sql,
     "rpt2_user_summary" -> rpt2Sql,
     "ml1_auroc"         -> ml1Sql,
+    "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,
     "lake4_zorder"      -> lake4Sql,

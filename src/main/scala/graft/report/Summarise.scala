@@ -388,9 +388,11 @@ object Summarise {
                     typeStr: String, subType: String, nDp: Long)
 
   /** One written index/user shard: which category, which page, where,
-    * how many event rows, how many bytes. */
+    * how many event rows (with the first/last row key — the shard-chain
+    * ordering witness rpt3 gates), how many bytes. */
   case class IndexShard(category: String, shard: Long, path: String,
-                        nRows: Long, nBytes: Long)
+                        nRows: Long, nBytes: Long,
+                        loId: String, hiId: String)
 
   val CategoryOrder: Seq[String] =
     Seq("tcSeizures", "allSeizures", "falseAlarms", "otherEvents")
@@ -524,7 +526,8 @@ object Summarise {
         val out = fs.create(p, true)
         val bytes = html.getBytes("UTF-8")
         out.write(bytes); out.close()
-        IndexShard(cat, shard, p.toString, rows.length.toLong, bytes.length.toLong)
+        IndexShard(cat, shard, p.toString, rows.length.toLong,
+          bytes.length.toLong, rows.head.id, rows.last.id)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     shards.count()
@@ -569,7 +572,8 @@ object Summarise {
         val out = fs.create(p, true)
         val bytes = html.getBytes("UTF-8")
         out.write(bytes); out.close()
-        IndexShard("users", shard, p.toString, users.length.toLong, bytes.length.toLong)
+        IndexShard("users", shard, p.toString, users.length.toLong,
+          bytes.length.toLong, users.head._1, users.last._1)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     shards.count()

@@ -206,13 +206,10 @@ class TrainerSpec extends SparkSpec {
       "snapshot/restore diverged from the uninterrupted FSM run")
   }
 
-  // Same opt-in gate and reason as ReplaySpec's fMGWS e2e: this
-  // container serializes the Hadoop Configuration per state-store task
-  // and the micro-batches take minutes-to-tens-of-minutes (thread-dump
-  // verified: the stream thread burns CPU in
-  // SerializableConfiguration.writeObject). The state LAW it exercises
-  // is covered always-on by the snapshot/restore test above.
-  if (sys.env.contains("GRAFT_STREAMING_TESTS"))
+  // ALWAYS-ON since round 11 (like ReplaySpec's fMGWS e2e): the
+  // historical minutes-slow behavior was substantially the
+  // processAllAvailable livelock under ProcessingTimeTimeout no-data
+  // batches — the poll-drain below completes in ~20 s.
     test("trained scorer streams (replayStreamWith) with batch parity") {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -228,11 +225,21 @@ class TrainerSpec extends SparkSpec {
       val q = Replay.replayStreamWith(mem.toDS(), () => factory())
         .writeStream.format("memory").queryName("trained_replay")
         .outputMode("append").start()
+      // drain by polling the sink (the restart test's discipline):
+      // processAllAvailable can livelock under ProcessingTimeTimeout's
+      // continuous no-data batches
+      def awaitRows(expected: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 600000L
+        while (spark.table("trained_replay").count() < expected &&
+          System.currentTimeMillis() < deadline) Thread.sleep(500)
+        assert(spark.table("trained_replay").count() >= expected,
+          s"drain timed out before $expected rows")
+      }
       try {
         mem.addData(dps.take(8))
-        q.processAllAvailable()
+        awaitRows(8L)
         mem.addData(dps.drop(8))
-        q.processAllAvailable()
+        awaitRows(dps.size.toLong)
         val streamed = spark.table("trained_replay").as[Replay.ReplayOut]
           .collect().map(r => (r.eventId, r.tsSec) -> r.alarmState).toMap
         val batch = Replay.replayBatchWith(dps.toDS(), Seq(() => factory()))

@@ -165,10 +165,12 @@ object Summarise {
   }
 
   /** Polyline chart of a series (missing values < 0 are skipped — the
-    * reference's -1 sentinel convention). Pure string assembly. */
+    * reference's -1 sentinel convention; NaN is missing too, matching
+    * the pre-refactor `_ >= 0` filter where NaN failed the comparison —
+    * one NaN datapoint must not blank the whole chart's scale). */
   def svgPolyline(series: Seq[Double], w: Int, h: Int,
                   stroke: String = "#1f77b4", title: String = ""): String =
-    polylineCore(series, w, h, stroke, title, v => v < 0)
+    polylineCore(series, w, h, stroke, title, v => v < 0 || v.isNaN)
 
   /** Polyline over a SIGNED series (min-max y-scale, NaN = missing) —
     * the skewness/kurtosis chart class, where negative values are data,

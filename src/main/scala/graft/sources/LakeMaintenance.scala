@@ -325,17 +325,33 @@ object LakeMaintenance {
             "in flight, or a commit crashed (remove the stale " +
             s"$claim after verifying no committer is running)", e)
     }
-    val dataDir = new Path(root, s"data/v$version")
-    fs.delete(dataDir, true)
-    val newFiles =
-      if (!writeData) Seq.empty
-      else {
-        df.write.parquet(dataDir.toString)
-        fs.listStatus(dataDir).map(_.getPath)
-          .filter(_.getName.startsWith("part-"))
-          .map(p => s"data/v$version/${p.getName}").sorted.toSeq
-      }
-    publishManifest(fs, mDir, version, carried ++ newFiles)
+    // Holding the claim: everything below releases it on ANY in-process
+    // failure (a transient write error must not wedge the version behind
+    // a stale claim — only a PROCESS CRASH leaves one, which is exactly
+    // the documented recovery case). First RE-CHECK committed/vacuumed
+    // UNDER the claim: a slow committer could have passed the early
+    // checks before the winner published and released — without this
+    // re-check it would delete the winner's PUBLISHED data dir.
+    try {
+      require(!fs.exists(finalManifest),
+        s"version $version was committed while this committer raced it " +
+          "— versions are immutable")
+      require(!fs.exists(new Path(root, s"_manifests/v$version.vacuumed")),
+        s"version $version was vacuumed — version numbers are never reused")
+      val dataDir = new Path(root, s"data/v$version")
+      fs.delete(dataDir, true)
+      val newFiles =
+        if (!writeData) Seq.empty
+        else {
+          df.write.parquet(dataDir.toString)
+          fs.listStatus(dataDir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+            .map(p => s"data/v$version/${p.getName}").sorted.toSeq
+        }
+      publishManifest(fs, mDir, version, carried ++ newFiles)
+    } catch {
+      case t: Throwable => fs.delete(claim, false); throw t
+    }
     fs.delete(claim, false)
   }
 
@@ -484,36 +500,46 @@ object LakeMaintenance {
     require(!fs.exists(new Path(root, s"_manifests/v$version.vacuumed")),
       s"version $version was vacuumed — not retained by the last vacuum()")
     require(fs.exists(m), s"no committed manifest for version $version")
-    val in = fs.open(m)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toByteArray
-    } finally in.close()
-    val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    def readLines(): Seq[String] = {
+      val in = fs.open(m)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+          .foreach(n => buf.write(chunk, 0, n))
+        buf.toByteArray
+      } finally in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    }
     // footer check: a manifest missing its `#files=` trailer (or with a
     // wrong count) is incomplete — reject loudly rather than serve a
-    // truncated file set as if it were the version. The claim file
-    // disambiguates WHY it is incomplete: claim present = a committer
-    // is mid-publish right now (create-exclusive makes the manifest
-    // name visible before its bytes land — retry shortly); claim
+    // truncated file set as if it were the version. A racing read of a
+    // HEALTHY in-flight publish can also see a footerless prefix, so an
+    // incomplete first read gets ONE re-read (the publish is a single
+    // small write — by the second read a live committer has finished or
+    // its claim is visible). Then the claim file disambiguates WHY it
+    // is still incomplete: claim present = mid-publish, retry; claim
     // absent = the committer died. Manifests from before the footer
     // format need a one-line migration (append `#files=<n>`).
-    val (fileLines, footers) = lines.partition(!_.startsWith("#"))
-    if (!footers.lastOption.contains(s"#files=${fileLines.size}")) {
-      val inFlight = fs.exists(new Path(root, s"_manifests/.v$version.claim"))
-      throw new IllegalArgumentException(
-        if (inFlight)
-          s"manifest for version $version is mid-publish (a committer " +
-            "holds the claim) — retry after the commit completes"
-        else
-          s"manifest for version $version is partial/corrupt (committer " +
-            "crashed mid-publish?) — expected a matching '#files=' footer")
+    def complete(lines: Seq[String]): Option[Seq[String]] = {
+      val (fileLines, footers) = lines.partition(!_.startsWith("#"))
+      if (footers.lastOption.contains(s"#files=${fileLines.size}"))
+        Some(fileLines)
+      else None
     }
-    fileLines
+    complete(readLines()).orElse { Thread.sleep(100); complete(readLines()) }
+      .getOrElse {
+        val inFlight =
+          fs.exists(new Path(root, s"_manifests/.v$version.claim"))
+        throw new IllegalArgumentException(
+          if (inFlight)
+            s"manifest for version $version is mid-publish (a committer " +
+              "holds the claim) — retry after the commit completes"
+          else
+            s"manifest for version $version is partial/corrupt (committer " +
+              "crashed mid-publish?) — expected a matching '#files=' footer")
+      }
   }
 
   /** (partition, files_src, files_dest) per partition directory. */

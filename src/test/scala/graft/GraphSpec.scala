@@ -124,24 +124,6 @@ class GraphSpec extends SparkSpec {
       "x" -> "x", "y" -> "x", "z" -> "x"))
   }
 
-  /** Spark jobs launched by `body` (actions complete synchronously; the
-    * status tracker lags one listener-bus hop, hence the settle poll). */
-  private def jobsLaunched(body: => Unit): Int = {
-    val st = spark.sparkContext.statusTracker
-    def settled(): Int = {
-      var last = -1; var stable = 0
-      while (stable < 4) {
-        val now = st.getJobIdsForGroup(null).length
-        if (now == last) stable += 1 else { stable = 0; last = now }
-        Thread.sleep(50)
-      }
-      last
-    }
-    val before = settled()
-    body
-    settled() - before
-  }
-
   test("guard jobs cannot silently multiply: one action per guard, per call") {
     // The invariant, pinned host-independently: an operator call runs
     // exactly TWO Dataset actions — the guard's one count job and the
@@ -157,18 +139,31 @@ class GraphSpec extends SparkSpec {
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
     def actions(body: => Unit): Int = {
       val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val anon = new java.util.concurrent.atomic.AtomicInteger
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           Option(js.properties)
             .flatMap(p => Option(p.getProperty("spark.sql.execution.root.id")))
-            .foreach(roots.add)
-        }
+            // an RDD-level action posts jobs with NO root execution id —
+            // count each one individually so a guard regression through
+            // .rdd.count() is visible, not invisible
+            .fold { anon.incrementAndGet(); () } (id => { roots.add(id); () })
       }
       spark.sparkContext.addSparkListener(l)
-      try { body; Thread.sleep(800) }
-      finally spark.sparkContext.removeSparkListener(l)
-      roots.size
+      try {
+        body
+        // listener bus is async: settle-poll the counter instead of a
+        // fixed sleep (flaky undercount under GC pressure)
+        val deadline = System.currentTimeMillis() + 10000L
+        var last = -1; var stable = 0
+        while (stable < 5 && System.currentTimeMillis() < deadline) {
+          val now = roots.size + anon.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          Thread.sleep(150)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      roots.size + anon.get
     }
     val aPr = actions(Graph.pageRank(edges, nodes, iters = 4).collect())
     assert(aPr == 2, s"pageRank ran $aPr actions at 4 iters (want guard + collect)")

@@ -122,19 +122,12 @@ class ReplaySpec extends SparkSpec {
     val q = Replay.replayStream(mem.toDS(), "osd:V0")
       .writeStream.format("memory").queryName("replay_out")
       .outputMode("append").start()
-    def awaitRows(expected: Long): Unit = {
-      val deadline = System.currentTimeMillis() + 600000L
-      while (spark.table("replay_out").count() < expected &&
-        System.currentTimeMillis() < deadline) Thread.sleep(300)
-      assert(spark.table("replay_out").count() >= expected,
-        s"drain timed out before $expected rows")
-    }
     try {
       // two micro-batches exercise the state save/restore path
       mem.addData(data.take(2))
-      awaitRows(2L)
+      awaitStreamRows(q, spark.table("replay_out").count(), 2L)
       mem.addData(data.drop(2))
-      awaitRows(data.size.toLong)
+      awaitStreamRows(q, spark.table("replay_out").count(), data.size.toLong)
       val streamed = spark.table("replay_out").as[Replay.ReplayOut].collect()
         .map(r => (r.eventId, r.tsSec) -> r.alarmState).toMap
       val batch = Replay.replayBatch(data.toDS(), Seq("osd:V0")).collect()

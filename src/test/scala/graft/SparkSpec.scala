@@ -8,6 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Drain a streaming query by polling committed sink rows — NOT
+    * `processAllAvailable`, which livelocks when a ProcessingTimeTimeout
+    * keeps the engine running no-data micro-batches (round-11 finding).
+    * Fails FAST on a dead query (surfaces its exception instead of
+    * burning the deadline on a count that will never move). */
+  protected def awaitStreamRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                count: => Long, expected: Long,
+                                timeoutMs: Long = 600000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (count < expected && System.currentTimeMillis() < deadline) {
+      q.exception.foreach(e => throw e)
+      Thread.sleep(300)
+    }
+    q.exception.foreach(e => throw e)
+    assert(count >= expected, s"drain timed out before $expected rows")
+  }
+
   override def afterAll(): Unit = super.afterAll()
 }
 

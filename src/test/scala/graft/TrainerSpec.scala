@@ -225,21 +225,11 @@ class TrainerSpec extends SparkSpec {
       val q = Replay.replayStreamWith(mem.toDS(), () => factory())
         .writeStream.format("memory").queryName("trained_replay")
         .outputMode("append").start()
-      // drain by polling the sink (the restart test's discipline):
-      // processAllAvailable can livelock under ProcessingTimeTimeout's
-      // continuous no-data batches
-      def awaitRows(expected: Long): Unit = {
-        val deadline = System.currentTimeMillis() + 600000L
-        while (spark.table("trained_replay").count() < expected &&
-          System.currentTimeMillis() < deadline) Thread.sleep(500)
-        assert(spark.table("trained_replay").count() >= expected,
-          s"drain timed out before $expected rows")
-      }
       try {
         mem.addData(dps.take(8))
-        awaitRows(8L)
+        awaitStreamRows(q, spark.table("trained_replay").count(), 8L)
         mem.addData(dps.drop(8))
-        awaitRows(dps.size.toLong)
+        awaitStreamRows(q, spark.table("trained_replay").count(), dps.size.toLong)
         val streamed = spark.table("trained_replay").as[Replay.ReplayOut]
           .collect().map(r => (r.eventId, r.tsSec) -> r.alarmState).toMap
         val batch = Replay.replayBatchWith(dps.toDS(), Seq(() => factory()))
@@ -296,30 +286,22 @@ class TrainerSpec extends SparkSpec {
             .option("checkpointLocation", ckpt)
             .outputMode("append").start()
         }
-        // drain by polling COMMITTED sink rows, not processAllAvailable:
-        // with a ProcessingTimeTimeout registered the engine runs
-        // continuous no-data micro-batches to evaluate timeouts and the
-        // await-offset signal never fires (measured: 5,400 empty batch
-        // commits at ~4/s with the main thread parked in
-        // processAllAvailable) — the sink row count is the honest
-        // completion signal
-        def awaitRows(expected: Long): Unit = {
-          val deadline = System.currentTimeMillis() + 300000L
-          def committed(): Long =
-            try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
-          while (committed() < expected &&
-            System.currentTimeMillis() < deadline) Thread.sleep(500)
-          assert(committed() >= expected, s"drain timed out before $expected rows")
-        }
+        // drain by polling COMMITTED sink rows (awaitStreamRows — see
+        // SparkSpec; processAllAvailable livelocks here, measured at
+        // 5,400 empty batch commits with the main thread parked)
+        def committed(): Long =
+          try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
         // phase 1: half of each event's datapoints, then the KILL
         val (h1, h2) = dps.partition(_.seq < 6L)
         writeChunk("a", h1, t0)
         val q1 = start()
-        try awaitRows(h1.size.toLong) finally q1.stop()
+        try awaitStreamRows(q1, committed(), h1.size.toLong, 300000L)
+        finally q1.stop()
         // phase 2 lands while the stream is DOWN; a NEW query recovers
         writeChunk("b", h2, t0 + 10000)
         val q2 = start()
-        try awaitRows(dps.size.toLong) finally q2.stop()
+        try awaitStreamRows(q2, committed(), dps.size.toLong, 300000L)
+        finally q2.stop()
         val streamed = spark.read.parquet(outDir)
           .select("eventId", "tsSec", "alarmState").collect()
           .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -33,6 +33,17 @@ class ReportSpec extends SparkSpec {
     // two present points -> one polyline with exactly two coordinate pairs
     assert(line.contains("<polyline") &&
       line.split("points=\"")(1).split("\"")(0).trim.split(" ").length == 2)
+    // NaN is missing too (the pre-round-11 `_ >= 0` semantics, pinned
+    // after a refactor regressed it): one NaN must not blank the chart
+    val withNaN = Summarise.svgPolyline(Seq(1.0, Double.NaN, 3.0), 100, 50)
+    assert(!withNaN.contains("NaN"), "NaN leaked into polyline points")
+    assert(withNaN.split("points=\"")(1).split("\"")(0)
+      .trim.split(" ").length == 2)
+    // signed variant: negatives are DATA, NaN is its missing sentinel
+    val signed = Summarise.svgSignedPolyline(
+      Seq(-2.0, Double.NaN, 2.0), 100, 50)
+    assert(!signed.contains("NaN") &&
+      signed.split("points=\"")(1).split("\"")(0).trim.split(" ").length == 2)
     val heat = Summarise.svgHeatmap(
       Array(Array(0.0, 2.0), Array(0.0, 0.0), Array(1.0, 4.0)), 90, 60)
     // cells appear only for the three nonzero values

@@ -306,6 +306,9 @@ object Trainer {
         (a1 + a2, b1 + b2, c1 + c2)
       }
     ranged.unpersist(false)
+    // the fold above is the only consumer — free the executor copies
+    // (unpersist, not destroy: harmless if the lineage ever re-runs)
+    bOff.unpersist(false)
     require(nAll > 0, "AUROC needs a non-empty scored frame")
     val nNeg = nAll - nPos
     require(nPos > 0 && nNeg > 0, "AUROC needs both classes present")

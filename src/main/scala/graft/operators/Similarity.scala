@@ -421,15 +421,21 @@ object Similarity {
         if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
         nlist
       } else math.min(sqrtKnob(vectors.count()), sampleSize)
-    // nprobe = 0 derives max(4, ceil(√nlist)) — the round-11 MEASURED
-    // correction to the derived path: with nlist ∝ √N and a FIXED
+    // nprobe = 0 on the DERIVED-nlist path grows max(4, ceil(√nlist)) —
+    // the round-11 MEASURED correction: with nlist ∝ √N and a FIXED
     // nprobe the probed fraction shrinks as 1/√N and recall decays
     // below the e7 design floor by 100× (0.889 at N = 200k). Growing
     // nprobe ∝ √nlist = N^(1/4) holds the floor (0.988 at 200k,
     // IvfScaleProbe recall ladder) at query cost N^(1/4)·N/nlist =
     // O(N^0.75) — still decisively sublinear vs the O(N) brute scan.
+    // An EXPLICIT nlist with unspecified nprobe keeps the long-standing
+    // fixed 4: a caller who pinned nlist owns the probe budget too, and
+    // deriving ⌈√nlist⌉ there would silently multiply query cost (e.g.
+    // nlist = 10000 → 100 probes) on a knob they never touched.
     val np = math.min(
-      if (nprobe > 0) nprobe else math.max(4, sqrtKnob(nl.toLong)), nl)
+      if (nprobe > 0) nprobe
+      else if (nlist > 0) 4
+      else math.max(4, sqrtKnob(nl.toLong)), nl)
     val spark = vectors.sparkSession
     val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfKnn")
@@ -503,10 +509,12 @@ object Similarity {
                m: Int = 4, ksub: Int = 16, pqIters: Int = 3,
                sampleSize: Int = 2048, iters: Int = 5,
                listShards: Int = 8): DataFrame = {
-    // nlist = 0 derives ceil(√N) and nprobe = 0 derives
+    // nlist = 0 derives ceil(√N), and on THAT path nprobe = 0 derives
     // max(4, ceil(√nlist)), exactly like [[ivfKnn]] (see [[sqrtKnob]]
-    // and ivfKnn's measured N^(1/4) nprobe law); same negative-is-a-bug
-    // guards and sampleSize clamp as there
+    // and ivfKnn's measured N^(1/4) nprobe law); an explicit nlist
+    // with nprobe = 0 keeps the fixed 4 (same rationale as ivfKnn —
+    // a pinned nlist must not silently inflate the probe budget).
+    // Same negative-is-a-bug guards and sampleSize clamp as there.
     require(nlist >= 0,
       s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
     require(nprobe >= 0,
@@ -517,7 +525,9 @@ object Similarity {
         nlist
       } else math.min(sqrtKnob(vectors.count()), sampleSize)
     val np = math.min(
-      if (nprobe > 0) nprobe else math.max(4, sqrtKnob(nl.toLong)), nl)
+      if (nprobe > 0) nprobe
+      else if (nlist > 0) 4
+      else math.max(4, sqrtKnob(nl.toLong)), nl)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val spark = vectors.sparkSession

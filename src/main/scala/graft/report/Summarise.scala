@@ -414,7 +414,8 @@ object Summarise {
     * user pages). */
   private def shardAssign[T](ds: Dataset[T], groupOf: T => String,
       rangeCols: Seq[Column], pageSize: Int)(implicit te: Encoder[T])
-      : (Dataset[(String, Long, Long, T)], Map[String, Long], Dataset[T]) = {
+      : (Dataset[(String, Long, Long, T)], Map[String, Long], Dataset[T],
+         org.apache.spark.broadcast.Broadcast[Map[(Int, String), Long]]) = {
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
     val spark = ds.sparkSession
     val ranged = ds.repartitionByRange(rangeCols: _*)
@@ -440,8 +441,10 @@ object Summarise {
       })
     // the persisted range partition is what makes the count job and the
     // assignment job see identical partition contents/order — the caller
-    // unpersists it after forcing the downstream write
-    (assigned, totals.toMap, ranged)
+    // unpersists it (and the offset broadcast) after forcing the
+    // downstream write; unpersist (not destroy) keeps a cache-evicted
+    // recompute legal — Spark re-ships an unpersisted broadcast lazily
+    (assigned, totals.toMap, ranged, bOff)
   }
 
   private def pageShell(title: String, nav: String, body: String): String =
@@ -512,7 +515,7 @@ object Summarise {
     val spark = idx.sparkSession
     import spark.implicits._
     val confBox = HadoopConfBox.fromSession(spark)
-    val (assigned, totals, ranged) =
+    val (assigned, totals, ranged, bOff) =
       shardAssign[IdxRow](idx, _.category, Seq(col("category"), col("id")), pageSize)
     val nShards: Map[String, Long] =
       totals.map { case (c, t) => c -> ((t + pageSize - 1) / pageSize) }
@@ -534,6 +537,7 @@ object Summarise {
       .persist(StorageLevel.MEMORY_AND_DISK)
     shards.count()
     ranged.unpersist(false)
+    bOff.unpersist(false)
     (shards, totals)
   }
 
@@ -559,7 +563,7 @@ object Summarise {
         }
         (u, n.iterator.map { case (c, (k, dp)) => (c, k, dp) }.toSeq)
       }
-    val (assigned, totals, ranged) =
+    val (assigned, totals, ranged, bOff) =
       shardAssign(perUser, (_: (String, Seq[(String, Long, Long)])) => "",
         Seq(col("_1")), pageSize)
     val nUsers = totals.getOrElse("", 0L)
@@ -580,6 +584,7 @@ object Summarise {
       .persist(StorageLevel.MEMORY_AND_DISK)
     shards.count()
     ranged.unpersist(false)
+    bOff.unpersist(false)
     (shards, nShards)
   }
 
@@ -611,7 +616,11 @@ object Summarise {
     * arrays=false fixtures / projected scans); `dps` supplies the
     * per-event series. Returns the page-metadata table (persisted — the
     * side-effecting render is forced exactly once here; re-running an
-    * action on the result reads the cache, not the renderer). */
+    * action on the result reads the cache, not the renderer). THE CALLER
+    * OWNS the returned frame's cache lifetime: call `.unpersist()` when
+    * done with the metadata, or repeated reports in a long-lived session
+    * accumulate cached partitions. (The persist cannot be dropped here —
+    * it is what makes the render exactly-once.) */
   def writeReport(nested: DataFrame, dps: Dataset[FlatDp], outDir: String,
                   pageSize: Int = 1000): DataFrame = {
     val spark = nested.sparkSession

@@ -383,7 +383,20 @@ object LakeMaintenance {
             s"version $version is already committed (create-exclusive " +
               "lost the race) — versions are immutable", e)
       }
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // If the write/close fails AFTER the exclusive create succeeded, a
+    // footerless manifest would be left behind while commitVersion's
+    // catch releases the claim — retries would then hit the pre-claim
+    // "already committed" require forever (a wedge the docblock promises
+    // can't happen). The exclusive create proves THIS committer owns the
+    // file, so deleting it before rethrowing is safe: no other committer
+    // can have created it, and readers reject the footerless prefix.
+    try {
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case t: Throwable =>
+        try fs.delete(finalManifest, false) catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   /** Delete data files referenced by NO retained version's manifest —
@@ -515,31 +528,47 @@ object LakeMaintenance {
     // footer check: a manifest missing its `#files=` trailer (or with a
     // wrong count) is incomplete — reject loudly rather than serve a
     // truncated file set as if it were the version. A racing read of a
-    // HEALTHY in-flight publish can also see a footerless prefix, so an
-    // incomplete first read gets ONE re-read (the publish is a single
-    // small write — by the second read a live committer has finished or
-    // its claim is visible). Then the claim file disambiguates WHY it
-    // is still incomplete: claim present = mid-publish, retry; claim
-    // absent = the committer died. Manifests from before the footer
-    // format need a one-line migration (append `#files=<n>`).
+    // HEALTHY in-flight publish can also see a footerless prefix; the
+    // claim file (created before the manifest, released after)
+    // disambiguates: claim present = a committer is mid-publish, so
+    // retry with backoff WHILE the claim exists (bounded — a committer
+    // that holds the claim longer than the budget is indistinguishable
+    // from a hung one, and the loud mid-publish error stays retriable);
+    // claim absent = the committer died, fail immediately after one
+    // re-read (the release itself races the footer write's visibility
+    // by one small window). Manifests from before the footer format
+    // need a one-line migration (append `#files=<n>`).
     def complete(lines: Seq[String]): Option[Seq[String]] = {
       val (fileLines, footers) = lines.partition(!_.startsWith("#"))
       if (footers.lastOption.contains(s"#files=${fileLines.size}"))
         Some(fileLines)
       else None
     }
-    complete(readLines()).orElse { Thread.sleep(100); complete(readLines()) }
-      .getOrElse {
-        val inFlight =
-          fs.exists(new Path(root, s"_manifests/.v$version.claim"))
-        throw new IllegalArgumentException(
-          if (inFlight)
-            s"manifest for version $version is mid-publish (a committer " +
-              "holds the claim) — retry after the commit completes"
-          else
-            s"manifest for version $version is partial/corrupt (committer " +
-              "crashed mid-publish?) — expected a matching '#files=' footer")
-      }
+    def claimHeld(): Boolean =
+      fs.exists(new Path(root, s"_manifests/.v$version.claim"))
+    var result = complete(readLines())
+    var attempt = 0
+    // 50ms * (2^6 - 1) ≈ 3.15s total backoff — a publish is one small
+    // exclusive-create write, so a committer that outlives this budget
+    // is indistinguishable from a hung one; the error stays retriable
+    val maxAttempts = 6
+    var sawClaim = false
+    while (result.isEmpty && attempt < maxAttempts &&
+           (attempt == 0 || claimHeld())) {
+      if (attempt > 0) sawClaim = true
+      Thread.sleep(50L << attempt) // 50,100,…,1600ms exponential backoff
+      result = complete(readLines())
+      attempt += 1
+    }
+    result.getOrElse {
+      throw new IllegalArgumentException(
+        if (claimHeld() || sawClaim)
+          s"manifest for version $version is mid-publish (a committer " +
+            "holds the claim) — retry after the commit completes"
+        else
+          s"manifest for version $version is partial/corrupt (committer " +
+            "crashed mid-publish?) — expected a matching '#files=' footer")
+    }
   }
 
   /** (partition, files_src, files_dest) per partition directory. */

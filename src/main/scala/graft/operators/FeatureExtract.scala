@@ -41,12 +41,21 @@ object FeatureExtract {
       highPassHz: Double = 0.5, // 0 disables
       sampleFreq: Double = 25.0)
 
-  def extract(dps: Dataset[FlatDp], cfg: Config = Config()): Dataset[EpochRow] = {
+  /** `validate = true` runs the P14 continuity pass
+    * ([[Flatten.validateGroupSorted]]) inside THIS group iteration —
+    * `extract(validateAndFill(dps))` semantics at ONE per-event shuffle
+    * instead of two (RunSequenceSpec pins the equality). The composed
+    * training pipeline ([[graft.ml.RunSequence]]) always wants both;
+    * standalone P14 callers keep [[Flatten.validateAndFill]]. */
+  def extract(dps: Dataset[FlatDp], cfg: Config = Config(),
+              validate: Boolean = false): Dataset[EpochRow] = {
     val spark = dps.sparkSession
     import spark.implicits._
     val n = Osdb.SamplesPerDatapoint
     dps.groupByKey(_.eventId).flatMapGroups { (eventId, it) =>
-      val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
+      val sorted0 = it.toArray.sortBy(d => (d.tsSec, d.seq))
+      val sorted =
+        if (validate) Flatten.validateGroupSorted(sorted0) else sorted0
       if (sorted.isEmpty) Iterator.empty
       else {
         val nDp = sorted.length

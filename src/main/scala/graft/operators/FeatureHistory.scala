@@ -20,15 +20,20 @@ object FeatureHistory {
                  orderCols: Seq[String] = Seq("tsSec", "startSample")): DataFrame = {
     require(n >= 1)
     val w = Window.partitionBy(partitionCol).orderBy(orderCols.map(col): _*)
-    var out = df
-    for (f <- featureCols) {
-      for (k <- 0 until n) {
-        val c = if (k == 0) col(f) else lag(col(f), k).over(w)
-        out = out.withColumn(s"${f}_t-$k", c)
-      }
-      out = out.withColumn(s"${f}_mean",
-        (0 until n).map(k => col(s"${f}_t-$k")).reduce(_ + _) / n)
+    // ONE projection, not a withColumn-per-column loop: the full P12
+    // basis is 144 features × (n lags + mean) derived columns, and the
+    // loop form nests one Project per column — O(cols²) analyzer work
+    // that stalls plan building long before execution. The mean restates
+    // the lag expressions instead of referencing the generated names;
+    // they canonicalize equal, so the physical Window computes each lag
+    // once either way.
+    def lagOf(f: String, k: Int): org.apache.spark.sql.Column =
+      if (k == 0) col(f) else lag(col(f), k).over(w)
+    val derived = featureCols.flatMap { f =>
+      (0 until n).map(k => lagOf(f, k).as(s"${f}_t-$k")) :+
+        ((0 until n).map(k => lagOf(f, k)).reduce(_ + _) / n).as(s"${f}_mean")
     }
+    val out = df.select(df.columns.map(col) ++ derived: _*)
     // rows with incomplete history have a null deepest lag
     val deepest = featureCols.map(f => col(s"${f}_t-${n - 1}").isNotNull)
     if (deepest.isEmpty) out else out.filter(deepest.reduce(_ && _))

@@ -61,49 +61,59 @@ object Flatten {
   def validateAndFill(dps: Dataset[FlatDp]): Dataset[FlatDp] = {
     val spark = dps.sparkSession
     import spark.implicits._
+    dps.groupByKey(_.eventId).flatMapGroups { (_, it) =>
+      validateGroupSorted(it.toArray.sortBy(d => (d.tsSec, d.seq))).iterator
+    }
+  }
+
+  /** The P14 core over ONE event's (tsSec, seq)-sorted datapoints —
+    * shared by [[validateAndFill]] and the fused validate+extract path
+    * ([[FeatureExtract.extract]] `validate = true`), so a pipeline that
+    * needs both pays ONE per-event shuffle instead of two. Output stays
+    * time-ordered: gap rows land strictly between their neighbours'
+    * timestamps, so re-sorting by (tsSec, seq) is a no-op
+    * (RunSequenceSpec pins fused == sequential). */
+  private[graft] def validateGroupSorted(sorted: Array[FlatDp]): Array[FlatDp] = {
     val tolMs = 2000L
     val dpMs = 5000L
-    dps.groupByKey(_.eventId).flatMapGroups { (_, it) =>
-      val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
-      val out = scala.collection.mutable.ArrayBuffer.empty[FlatDp]
-      var lastEndMs = Long.MinValue
-      // synthetic rows get their own strictly-decreasing negative seq so
-      // (tsSec, seq) stays unique within the event by construction, not
-      // by the implicit no-tsSec-collision property of gap arithmetic
-      var synthSeq = -1L
-      sorted.foreach { dp =>
-        val hasAcc = dp.rawData.nonEmpty || dp.rawData3D.nonEmpty
-        if (hasAcc) {
-          val endMs = dp.tsSec * 1000L
-          val startMs = endMs - dpMs
-          if (lastEndMs == Long.MinValue) {
-            out += dp; lastEndMs = endMs
-          } else {
-            val gapMs = startMs - lastEndMs
-            if (gapMs > tolMs) {
-              val nGap = (gapMs / dpMs).toInt
-              var i = 1
-              while (i <= nGap) {
-                val gapEnd = lastEndMs + dpMs * i
-                out += FlatDp(dp.eventId, dp.userId, dp.typeStr, dp.`type`,
-                  gapEnd / 1000L, 0L, 0.0, 0.0, -1.0, -1.0,
-                  new Array[Double](Osdb.SamplesPerDatapoint),
-                  Array.emptyDoubleArray, synthetic = true, seq = synthSeq)
-                synthSeq -= 1
-                i += 1
-              }
-              out += dp
-              lastEndMs = endMs
-            } else if (gapMs < -tolMs) {
-              // overlap: drop
-            } else {
-              out += dp; lastEndMs = endMs
+    val out = scala.collection.mutable.ArrayBuffer.empty[FlatDp]
+    var lastEndMs = Long.MinValue
+    // synthetic rows get their own strictly-decreasing negative seq so
+    // (tsSec, seq) stays unique within the event by construction, not
+    // by the implicit no-tsSec-collision property of gap arithmetic
+    var synthSeq = -1L
+    sorted.foreach { dp =>
+      val hasAcc = dp.rawData.nonEmpty || dp.rawData3D.nonEmpty
+      if (hasAcc) {
+        val endMs = dp.tsSec * 1000L
+        val startMs = endMs - dpMs
+        if (lastEndMs == Long.MinValue) {
+          out += dp; lastEndMs = endMs
+        } else {
+          val gapMs = startMs - lastEndMs
+          if (gapMs > tolMs) {
+            val nGap = (gapMs / dpMs).toInt
+            var i = 1
+            while (i <= nGap) {
+              val gapEnd = lastEndMs + dpMs * i
+              out += FlatDp(dp.eventId, dp.userId, dp.typeStr, dp.`type`,
+                gapEnd / 1000L, 0L, 0.0, 0.0, -1.0, -1.0,
+                new Array[Double](Osdb.SamplesPerDatapoint),
+                Array.emptyDoubleArray, synthetic = true, seq = synthSeq)
+              synthSeq -= 1
+              i += 1
             }
+            out += dp
+            lastEndMs = endMs
+          } else if (gapMs < -tolMs) {
+            // overlap: drop
+          } else {
+            out += dp; lastEndMs = endMs
           }
         }
       }
-      out.iterator
     }
+    out.toArray
   }
 
   /** S10: the reference's wide-CSV projection — M000..M124 magnitude,

@@ -182,12 +182,20 @@ object RunSequence {
       .select(col("id"), col("srcId"), col("fold"), col("nEp"))
     val folds = spark.range(cfg.k).select(col("id").as("f"))
 
+    // left-join the folds frame (like the guard stage) so a fold with
+    // ZERO matching events still emits an explicit (fold, stage, 0, 0)
+    // row — an oracle restating per-fold counts from closed forms always
+    // sees every (fold, stage) pair, never a missing-vs-zero mismatch on
+    // sparse fixtures
     def stageAgg(src: DataFrame, keep: Column, stage: String): DataFrame =
-      src.crossJoin(folds).filter(keep)
-        .groupBy(col("f"))
-        .agg(count(lit(1)).as("n_events"), sum("nEp").as("n_epochs"))
+      folds.join(
+          src.crossJoin(folds).filter(keep)
+            .groupBy(col("f"))
+            .agg(count(lit(1)).as("ne"), sum("nEp").as("nep")),
+          Seq("f"), "left")
         .select(col("f").as("fold"), lit(stage).as("stage"),
-          col("n_events"), col("n_epochs"))
+          coalesce(col("ne"), lit(0L)).as("n_events"),
+          coalesce(col("nep"), lit(0L)).as("n_epochs"))
 
     val train = stageAgg(evW, col("fold") =!= col("f"), "train")
     val trainAug = stageAgg(planW, col("fold") =!= col("f"), "train_aug")

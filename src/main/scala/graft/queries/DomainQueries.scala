@@ -1402,6 +1402,72 @@ object DomainQueries {
       |                 SUM(CASE WHEN k % 3 = 0 THEN 1.0 ELSE 0.0 END) AS npos
       |          FROM ev GROUP BY 1)))""".stripMargin
 
+  /** ML2 — the COMPOSED runSequence lineage under the oracle gate
+    * ([[graft.ml.RunSequence.skeleton]], the reference's headline
+    * workflow `user_tools/nnTraining2/runSequence.py:799,995-1224` as
+    * one Spark plan): select (F5) → fused flatten+validate (P14) →
+    * epoch features (P12) → lag history (W7) → k-fold slices (M2) →
+    * copy-augmentation plan (M3 + M7) → the F14 contamination guard,
+    * all read off as (fold, stage, n_events, n_epochs) rows.
+    *
+    * The counts come from the REAL composed frames — the per-event
+    * epoch counts are whatever the fused P14→P12→W7 lineage actually
+    * emits — while the oracle restates them from the fixture's closed
+    * forms: validated datapoint count = the kept-d span (interior
+    * skips gap-fill back to contiguity, leading/trailing skips
+    * shorten the record), epochs = validated dps (window = step =
+    * 125), history drop = historyN−1 = 2 per event, augment
+    * multiplier = 2 for seizures ×2 again for tonic-clonic, fold =
+    * knuthHash32(id) % 3. A lost gap-fill, a mis-dropped history row,
+    * a plan over/under-copy, or a fold leak (guard rows MUST be 0)
+    * each break the hash.
+    *
+    * Selection (type ≠ Unknown ∧ u % 2 = 0) keeps both seizure and
+    * false-alarm folds, both 3D-present (k%4≠1) and gap-fill
+    * (k%4=1) validation branches, and TC/non-TC augment paths, at
+    * ~1/3 of the fixture — the same workload class as p12 plus the
+    * history window and skeleton aggregates. */
+  def ml2RunSequence(s: SparkSession, d: String): DataFrame = {
+    val events = OsdbFixture.ev(s, d).select(
+      col("e").as("id"), col("u"),
+      col("type_str").as("type"), col("sub_type").as("subType"))
+    val dps = OsdbFixture.flatDps(s, d,
+      where = col("k") % 3 =!= 2 && col("u") % 2 === 0)
+    graft.ml.RunSequence.skeleton(
+      events, dps,
+      select = col("type") =!= "Unknown" && col("u") % 2 === 0,
+      foldOf = Exact.knuthHash32(col("id")) % 3)
+  }
+
+  val ml2Sql: String = sqlBase +
+    """, ndpp AS (
+      |  SELECT e, MAX(d) - MIN(d) + 1 AS ndp2
+      |  FROM dpx
+      |  WHERE (k % 4 <> 1 OR (k + d) % 7 <> 0)
+      |    AND k % 3 <> 2 AND u % 2 = 0
+      |  GROUP BY e),
+      |selml AS (
+      |  SELECT ev.e, ((ev.e * 2654435761) % 4294967296) % 3 AS fold,
+      |         GREATEST(ndp2 - 2, 0) AS nep,
+      |         CASE WHEN ev.label = 1 AND ev.sub_type = 'tonicClonic' THEN 4
+      |              WHEN ev.label = 1 THEN 2 ELSE 1 END AS mult
+      |  FROM ev JOIN ndpp ON ev.e = ndpp.e
+      |  WHERE ev.k % 3 <> 2 AND ev.u % 2 = 0),
+      |foldsml AS (SELECT unnest(range(0, 3)) AS f)
+      |SELECT f AS fold, 'train' AS stage, COUNT(*) AS n_events,
+      |       CAST(SUM(nep) AS BIGINT) AS n_epochs
+      |FROM selml, foldsml WHERE fold <> f GROUP BY f
+      |UNION ALL
+      |SELECT f, 'train_aug', CAST(SUM(mult) AS BIGINT),
+      |       CAST(SUM(mult * nep) AS BIGINT)
+      |FROM selml, foldsml WHERE fold <> f GROUP BY f
+      |UNION ALL
+      |SELECT f, 'test', COUNT(*), CAST(SUM(nep) AS BIGINT)
+      |FROM selml, foldsml WHERE fold = f GROUP BY f
+      |UNION ALL
+      |SELECT f, 'guard', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM foldsml""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2214,6 +2280,7 @@ object DomainQueries {
     "rpt1_summary_index" -> (rpt1SummaryIndex _),
     "rpt2_user_summary" -> (rpt2UserSummary _),
     "ml1_auroc"         -> (ml1Auroc _),
+    "ml2_run_sequence"  -> (ml2RunSequence _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2285,6 +2352,7 @@ object DomainQueries {
     "rpt1_summary_index" -> rpt1Sql,
     "rpt2_user_summary" -> rpt2Sql,
     "ml1_auroc"         -> ml1Sql,
+    "ml2_run_sequence"  -> ml2Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

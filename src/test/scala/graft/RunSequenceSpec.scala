@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.RunSequence
+import graft.operators.{FeatureExtract, Flatten}
+import graft.operators.Flatten.FlatDp
+import graft.sources.SimulatedEvents
+import graft.sources.SimulatedEvents.{Component, EventSpec}
+
+/** The composed §3.1 training pipeline (graft.ml.RunSequence): the
+  * invariants its docblocks claim, pinned —
+  *
+  *   - fused validate+extract ([[FeatureExtract.extract]]
+  *     `validate = true`) equals the sequential
+  *     `extract(validateAndFill(dps))` on a corpus with gaps,
+  *     overlaps, and accel-less datapoints;
+  *   - the augmentation plan is fold-invariant: slicing the full-table
+  *     plan by fold equals building the plan per fold;
+  *   - [[RunSequence.skeleton]] emits every (fold, stage) pair —
+  *     including explicit zero rows for folds with no events — and its
+  *     guard stage is 0 on a clean corpus, > 0 when an event id sits
+  *     in two folds;
+  *   - [[RunSequence.run]] fails loudly on fold contamination (F14)
+  *     and, on a planted-separable corpus, learns every fold
+  *     (held-out AUROC) with slice counts that match the skeleton's.
+  */
+class RunSequenceSpec extends SparkSpec {
+
+  // ------------------------------------------------------ fused P14+extract
+
+  private def dp(id: String, ts: Long, seq: Long, acc: Boolean): FlatDp = {
+    val a3 =
+      if (acc) Array.tabulate(375)(j => ((j % 7) + (ts % 13)).toDouble)
+      else Array.emptyDoubleArray
+    FlatDp(id, "u1", "Seizure", 1, ts, 0L, 0.0, 0.0,
+      60.0 + ts % 5, 95.0, Array.emptyDoubleArray, a3,
+      synthetic = false, seq = seq)
+  }
+
+  test("fused validate+extract == extract(validateAndFill(...)) with gaps/overlaps/skips") {
+    import spark.implicits._
+    val rows = Seq(
+      // A: interior accel-less dp -> skipped, 5 s hole -> one gap fill
+      dp("A", 1000, 0, acc = true), dp("A", 1005, 1, acc = false),
+      dp("A", 1010, 2, acc = true), dp("A", 1015, 3, acc = true),
+      // B: big gap -> two synthetic fills
+      dp("B", 2000, 0, acc = true), dp("B", 2015, 1, acc = true),
+      // C: overlapping dp -> dropped
+      dp("C", 3000, 0, acc = true), dp("C", 3005, 1, acc = true),
+      dp("C", 3007, 2, acc = true), dp("C", 3012, 3, acc = true),
+      // D: leading + trailing accel-less dps -> record shortens, no fill
+      dp("D", 4000, 0, acc = false), dp("D", 4005, 1, acc = true),
+      dp("D", 4010, 2, acc = true), dp("D", 4015, 3, acc = false))
+    val ds = spark.createDataset(rows)
+    val cfg = FeatureExtract.Config() // default 0.5 Hz high-pass on
+    def key(r: FeatureExtract.EpochRow) = (r.eventId, r.startSample)
+    val fused = FeatureExtract.extract(ds, cfg, validate = true)
+      .collect().sortBy(key)
+    val sequential = FeatureExtract.extract(Flatten.validateAndFill(ds), cfg)
+      .collect().sortBy(key)
+    assert(fused.length == sequential.length)
+    fused.zip(sequential).foreach { case (f, q) =>
+      assert(key(f) == key(q))
+      assert(f.tsSec == q.tsSec && f.`type` == q.`type` &&
+        f.hr == q.hr && f.o2sat == q.o2sat)
+      assert(f.features == q.features,
+        s"feature mismatch at ${key(f)}")
+    }
+    // and the validation actually did something on this corpus:
+    // A 3 kept + 1 fill, B 2 kept + 2 fills, C 3 kept (1 dropped), D 2 kept
+    val perEvent = fused.groupBy(_.eventId).view.mapValues(_.length).toMap
+    assert(perEvent == Map("A" -> 4, "B" -> 4, "C" -> 3, "D" -> 2))
+  }
+
+  // ----------------------------------------------------------- plan algebra
+
+  private def evFrame(rows: Seq[(String, String, String, Int)]) = {
+    import spark.implicits._
+    rows.toDF("id", "type", "subType", "fold0")
+  }
+
+  test("augment plan is fold-invariant: slice(full plan) == plan(slice)") {
+    val events = evFrame(Seq(
+      ("E0", "Seizure", "Tonic-Clonic", 0),
+      ("E1", "Seizure", "other", 1),
+      ("E2", "False Alarm", "Tonic-Clonic", 2),
+      ("E3", "Seizure", "tonic clonic", 0),
+      ("E4", "False Alarm", "other", 1)))
+    val cfg = RunSequence.Config()
+    val ev = RunSequence.selectedEvents(events, lit(true), col("fold0"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    (0 until cfg.k).foreach { f =>
+      val sliced = rowsOf(
+        RunSequence.augmentPlan(ev, cfg).filter(col("fold") =!= f))
+      val rebuilt = rowsOf(
+        RunSequence.augmentPlan(ev.filter(col("fold") =!= f), cfg))
+      assert(sliced == rebuilt, s"fold $f plan mismatch")
+    }
+    // documented multiplier semantics: seizure x2, x2 again if TC
+    val full = RunSequence.augmentPlan(ev, cfg)
+      .groupBy("srcId").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == Map("E0" -> 4L, "E1" -> 2L, "E2" -> 1L,
+      "E3" -> 4L, "E4" -> 1L))
+  }
+
+  // ------------------------------------------------------- skeleton + guard
+
+  /** Tiny 3D corpus: `nDp` contiguous datapoints per event, enough for
+    * epochs to survive the historyN=2 drop. */
+  private def miniDps(ids: Seq[String], nDp: Int = 4) = {
+    import spark.implicits._
+    spark.createDataset(for {
+      (id, i) <- ids.zipWithIndex
+      d <- 0 until nDp
+    } yield dp(id, 1000L + i * 10000L + d * 5L, d.toLong, acc = true))
+  }
+
+  test("skeleton: closed-form counts, explicit zero rows for an empty fold, guard 0") {
+    val events = evFrame(Seq(
+      ("E0", "Seizure", "Tonic-Clonic", 0),
+      ("E1", "False Alarm", "other", 1),
+      ("E2", "Seizure", "other", 0),
+      ("E3", "Unknown", "other", 1))) // excluded by select
+    val cfg = RunSequence.Config(historyN = 2,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    val sk = RunSequence.skeleton(
+      events, miniDps(Seq("E0", "E1", "E2", "E3")),
+      select = col("type") =!= "Unknown", foldOf = col("fold0"), cfg = cfg)
+    val rows = sk.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // every (fold, stage) pair present — 3 folds x 4 stages
+    assert(rows.size == 12)
+    // nEp per event = nDp - (historyN-1) = 3; plan mult: E0 TC seizure
+    // x4, E2 seizure x2, E1 x1
+    assert(rows((0L, "train")) == ((1L, 3L)))       // E1 only
+    assert(rows((1L, "train")) == ((2L, 6L)))       // E0, E2
+    assert(rows((2L, "train")) == ((3L, 9L)))       // all
+    assert(rows((0L, "test")) == ((2L, 6L)))
+    assert(rows((1L, "test")) == ((1L, 3L)))
+    assert(rows((2L, "test")) == ((0L, 0L)))        // empty fold: explicit 0s
+    assert(rows((0L, "train_aug")) == ((1L, 3L)))   // E1 x1
+    assert(rows((1L, "train_aug")) == ((6L, 18L)))  // E0 x4 + E2 x2
+    assert(rows((2L, "train_aug")) == ((7L, 21L)))
+    (0L until 3L).foreach(f => assert(rows((f, "guard")) == ((0L, 0L))))
+  }
+
+  private def skeletonOf(events: org.apache.spark.sql.DataFrame,
+                         dps: org.apache.spark.sql.Dataset[FlatDp],
+                         cfg: RunSequence.Config) =
+    RunSequence.skeleton(events, dps, col("type") =!= "Unknown",
+      col("fold0"), cfg)
+
+  test("F14: an event id in two folds trips the skeleton guard and run() fails loudly") {
+    val contaminated = evFrame(Seq(
+      ("E0", "Seizure", "other", 0),
+      ("E0", "Seizure", "other", 1), // same id, different fold
+      ("E1", "False Alarm", "other", 2)))
+    val cfg = RunSequence.Config(historyN = 2,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    val dps = miniDps(Seq("E0", "E1"))
+    val guard = skeletonOf(contaminated, dps, cfg)
+      .filter(col("stage") === "guard")
+      .agg(sum("n_events")).head().getLong(0)
+    assert(guard > 0, "guard stage failed to flag the cross-fold id")
+    val e = intercept[IllegalArgumentException] {
+      RunSequence.run(contaminated, dps, col("type") =!= "Unknown",
+        col("fold0"), cfg)
+    }
+    assert(e.getMessage.contains("leak"))
+  }
+
+  // --------------------------------------------------------------- full run
+
+  test("run(): planted-separable corpus learns every fold; counts match the skeleton") {
+    val n = 12
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val events = evFrame((0 until n).flatMap { i =>
+      Seq(
+        (s"SZ$i", "Seizure",
+          if (i % 4 == 0) "Tonic-Clonic" else "other", i % 3),
+        (s"OK$i", "False Alarm", "other", i % 3))
+    })
+    val cfg = RunSequence.Config(historyN = 2, maxIter = 30,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    val results = RunSequence.run(events, corpus, lit(true), col("fold0"), cfg)
+    assert(results.size == cfg.k)
+    val sk = skeletonOf(events, corpus, cfg).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    results.foreach { fr =>
+      assert(fr.heldOutAuroc > 0.9,
+        s"fold ${fr.fold}: held-out AUROC only ${fr.heldOutAuroc}")
+      assert(fr.nTrainEvents == sk((fr.fold.toLong, "train"))._1)
+      assert(fr.nTrainAugEvents == sk((fr.fold.toLong, "train_aug"))._1)
+      assert(fr.nTestEvents == sk((fr.fold.toLong, "test"))._1)
+      assert(fr.eventTp + fr.eventFp + fr.eventTn + fr.eventFn ==
+        fr.nTestEvents)
+      assert(sk((fr.fold.toLong, "guard")) == ((0L, 0L)))
+    }
+  }
+}

@@ -388,7 +388,18 @@ object Similarity {
     * when the vectors are ready, not while composing a deferred plan.
     * Like the reference corpus there, the CENTROID table is the only
     * driver-side state; the inverted lists themselves never leave the
-    * executors. */
+    * executors.
+    *
+    * KNOB CONTRACT (also [[ivfPqKnn]]): `nlist = 0, nprobe = 0` derives
+    * BOTH knobs (nlist = ⌈√N⌉, nprobe = max(4, ⌈√nlist⌉) — the measured
+    * N^(1/4) law, gated always-on by e7b). Pinning `nlist` explicitly
+    * while leaving `nprobe = 0` pins nprobe at the FIXED floor 4 — it
+    * does NOT derive ⌈√nlist⌉ (that would silently multiply query cost
+    * on a knob the caller never touched, e.g. nlist=10000 → 100
+    * probes). A caller who sets nlist = ⌈√N⌉ BY HAND therefore walks
+    * into the measured fixed-nprobe recall decay (0.889 at 200k
+    * vectors, below the 0.90 design floor) unless they also set
+    * nprobe — pin both knobs or neither. */
   /** The measured scaling law for the partition knobs (SCALING.md, two
     * decades both ways): cluster/list count ∝ √N balances the O(N·k)
     * assignment term against the O(N²/k) in-bucket pairing term at

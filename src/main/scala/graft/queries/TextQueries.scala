@@ -1497,6 +1497,39 @@ object TextQueries {
       |  ('ivf', CAST(100 AS BIGINT)),
       |  ('lsh', CAST(99 AS BIGINT))) t(method, recall_pct)""".stripMargin
 
+  /** E7B — the DERIVED-knob IVF path under an always-on recall gate:
+    * `nlist = 0, nprobe = 0` makes [[Similarity.ivfKnn]] derive
+    * nlist = ⌈√N⌉ and nprobe = max(4, ⌈√nlist⌉) — the measured
+    * N^(1/4) probe law (IvfScaleProbe, SCALING.md round 11: fixed
+    * nprobe=4 decays to 0.889 recall at 200k vectors; the derived
+    * growth holds 0.988). e7 pins only explicit literals
+    * (nlist=16, nprobe=4), so WITHOUT this entry a regression of the
+    * derivation itself — the law every √N-scaled deployment rides —
+    * would be invisible until someone re-ran the probe by hand.
+    * Same planted-cluster fixture and brute-force instrument as e7;
+    * everything is deterministic, so floor(100·recall@3) is a
+    * constant per dataset and the oracle states it (must sit ≥ 90,
+    * the design floor). */
+  def e7bDerivedRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = e7PlantedEmbeddings(s, d)
+    val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id")
+    val ivf = Similarity.ivfKnn(emb, "vec_id", "embedding", dim = 64, k = 3)
+      .select("vec_id", "neighbor_id")
+    ivf.join(bf, Seq("vec_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(bf.agg(count(lit(1)).as("n_bf"))))
+      .select(lit("ivf_derived").as("method"),
+        floor(col("hits") * 100 / col("n_bf")).cast("long").as("recall_pct"))
+  }
+
+  /** Constant measured once on the driver sf0.01 testdata (see
+    * [[e7bDerivedRecall]]); re-derive with
+    * `runMain graft.tools.PinProbe e7b_derived_recall <sfDir>` after a
+    * fixture regeneration. The pin must sit ≥ 90. */
+  val e7bSql: String =
+    """SELECT 'ivf_derived' AS method, CAST(100 AS BIGINT) AS recall_pct"""
+
   /** E8 — distributed k-means ([[graft.operators.KMeans.lloyd]]): two
     * Lloyd rounds, k=8, seeds = the 8 lowest vec_ids, vectors quantized
     * to a 2^10 integer grid so every distance and centroid sum is
@@ -2287,6 +2320,7 @@ object TextQueries {
     "e5_ann_recall"    -> (e5AnnRecall _),
     "e6_cos_neardup"   -> (e6CosNearDup _),
     "e7_design_recall" -> (e7DesignRecall _),
+    "e7b_derived_recall" -> (e7bDerivedRecall _),
     "e8_kmeans"        -> (e8Kmeans _),
     "x1_multimodal"    -> (x1Multimodal _),
     "x2_media_frames"  -> (x2MediaFrames _),
@@ -2338,6 +2372,7 @@ object TextQueries {
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,
     "e7_design_recall" -> e7Sql,
+    "e7b_derived_recall" -> e7bSql,
     "e8_kmeans"        -> e8Sql,
     "x1_multimodal"    -> x1Sql,
     "x2_media_frames"  -> x2Sql,

@@ -662,6 +662,99 @@ object DomainQueries {
       |  CAST(12 - CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dp
       |FROM base""".stripMargin
 
+  /** A6B — the testRunner detection-stats parity pivot
+    * (`user_tools/testRunner/results.py:99-243` saveResults2): per
+    * (algorithm, category) totals, correct counts, and the correct
+    * proportion — the last testRunner output not emitted verbatim.
+    * Algorithms are the real replay FSM over the w10 fixture plus the
+    * reference's extra `reported` column (the event's own recorded
+    * alarm state == ALARM, results.py:145-160 — realized here as the
+    * A2 worst-alarm-state rollup over the fixture datapoints).
+    * Categories are the reference's four type2index outputs
+    * (allSeizures / falseAlarms / otherEvents / nda — nda is absent
+    * from the fixture and must still emit an explicit zero row with a
+    * NULL proportion, exactly like the reference's empty output file)
+    * plus the TonicClonic rows it embeds in the allSeizures footer.
+    * TC membership uses the repo's established matcher (subType
+    * contains tonic AND clonic ⇒ fixture k%5<2 — the reference's
+    * literal 'tonic-clonic' substring would match zero fixture rows).
+    * `correct` = alarmed ⟺ type is Seizure; the proportion is ONE
+    * integer division (IEEE-identical across engines), NULL-guarded
+    * like C11. */
+  def a6bDetectionPivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fsm = Replay.detectionStats(
+        Replay.replayBatch(w10Dps(s, d), Seq("hr:MODE_SIMPLE")))
+      .select(col("eventId"), col("alg"),
+        (col("detected") === 1).as("alarmed"))
+    val reported = OsdbFixture.dps(s, d, arrays = false)
+      .groupBy(col("e").cast("string").as("eventId"))
+      .agg((max(col("alarm")) === 2).as("alarmed"))
+      .select(col("eventId"), lit("reported").as("alg"), col("alarmed"))
+    val evMeta = OsdbFixture.ev(s, d).select(
+      col("e").cast("string").as("eventId"),
+      col("type_str"),
+      (col("type_str") === "Seizure").as("expect"),
+      (col("k") % 3 === 0 && col("k") % 5 < 2).as("is_tc"))
+    val j = fsm.unionByName(reported).join(evMeta, Seq("eventId"))
+      .withColumn("correct", col("alarmed") === col("expect"))
+    val byType = j.withColumn("category",
+      when(col("type_str") === "Seizure", "allSeizures")
+        .when(col("type_str") === "False Alarm", "falseAlarms")
+        .otherwise("otherEvents"))
+    val tcRows = j.filter(col("is_tc"))
+      .withColumn("category", lit("tcSeizures"))
+    val agg = byType.unionByName(tcRows)
+      .groupBy("alg", "category")
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("nc"))
+    val frame = Seq("HrAlg-MODE_SIMPLE", "reported").flatMap(a =>
+      Seq("allSeizures", "falseAlarms", "otherEvents", "nda",
+        "tcSeizures").map(c => (a, c))).toDF("alg", "category")
+    // broadcast the aggregated (small) side — the LEFT of a left join
+    // cannot be the broadcast build side
+    frame.join(broadcast(agg), Seq("alg", "category"), "left")
+      .select(col("alg"), col("category"),
+        coalesce(col("nt"), lit(0L)).as("n_total"),
+        coalesce(col("nc"), lit(0L)).as("n_correct"),
+        when(coalesce(col("nt"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(col("nc").cast("double") / col("nt"))
+          .as("correct_prop"))
+  }
+
+  val a6bSql: String = sqlBase +
+    """, verd AS (
+      |  SELECT e, 'HrAlg-MODE_SIMPLE' AS alg, k % 6 >= 3 AS alarmed FROM ev
+      |  UNION ALL
+      |  SELECT e, 'reported', MAX(alarm) = 2 FROM dpx GROUP BY e),
+      |evm AS (
+      |  SELECT e, k % 3 = 0 AS expect,
+      |    CASE k % 3 WHEN 0 THEN 'allSeizures' WHEN 1 THEN 'falseAlarms'
+      |         ELSE 'otherEvents' END AS category,
+      |    k % 3 = 0 AND k % 5 < 2 AS is_tc
+      |  FROM ev),
+      |catrows AS (
+      |  SELECT v.alg, m.category, v.alarmed = m.expect AS correct
+      |  FROM verd v JOIN evm m ON v.e = m.e
+      |  UNION ALL
+      |  SELECT v.alg, 'tcSeizures', v.alarmed = m.expect
+      |  FROM verd v JOIN evm m ON v.e = m.e WHERE m.is_tc),
+      |aggd AS (
+      |  SELECT alg, category, COUNT(*) AS nt,
+      |         CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS nc
+      |  FROM catrows GROUP BY 1, 2),
+      |frame AS (
+      |  SELECT a.alg, c.category
+      |  FROM (VALUES ('HrAlg-MODE_SIMPLE'), ('reported')) a(alg)
+      |  CROSS JOIN (VALUES ('allSeizures'), ('falseAlarms'),
+      |              ('otherEvents'), ('nda'), ('tcSeizures')) c(category))
+      |SELECT f.alg, f.category,
+      |  COALESCE(nt, 0) AS n_total,
+      |  COALESCE(nc, 0) AS n_correct,
+      |  CASE WHEN COALESCE(nt, 0) = 0 THEN NULL
+      |       ELSE CAST(nc AS DOUBLE) / nt END AS correct_prop
+      |FROM frame f LEFT JOIN aggd USING (alg, category)""".stripMargin
+
   // --------------------------------------------------------- M: augmentation
 
   /** M4 (noise augmentation): per-source-event output cardinality —
@@ -2255,6 +2348,7 @@ object DomainQueries {
     "w6_spectrogram"    -> (w6Spectrogram _),
     "w8_nn_buffer"      -> (w8NnBuffer _),
     "w10_replay_fsm"    -> (w10ReplayFsm _),
+    "a6b_detection_pivot" -> (a6bDetectionPivot _),
     "m4_noise_aug"      -> (m4NoiseAug _),
     "m5_phase_aug"      -> (m5PhaseAug _),
     "m6_user_aug"       -> (m6UserAug _),
@@ -2327,6 +2421,7 @@ object DomainQueries {
     "w6_spectrogram"    -> w6Sql,
     "w8_nn_buffer"      -> w8Sql,
     "w10_replay_fsm"    -> w10Sql,
+    "a6b_detection_pivot" -> a6bSql,
     "m4_noise_aug"      -> m4Sql,
     "m5_phase_aug"      -> m5Sql,
     "m6_user_aug"       -> m6Sql,

@@ -390,6 +390,17 @@ object LakeMaintenance {
     // can't happen). The exclusive create proves THIS committer owns the
     // file, so deleting it before rethrowing is safe: no other committer
     // can have created it, and readers reject the footerless prefix.
+    //
+    // KNOWN WINDOW: close() can throw after the full content (footer
+    // included) became byte-visible, in which case a concurrent reader
+    // may already have successfully read version v before this delete.
+    // A retry that re-commits DIFFERENT content for v would break the
+    // immutability that reader observed. The contract is therefore:
+    // a caller retrying a failed commitVersion must re-submit the SAME
+    // logical content for the same version number (the normal retry
+    // shape — the DataFrame and version are the retry's inputs). The
+    // single-writer deployment assumption makes the window academic in
+    // practice, but it is a contract, not a guarantee the code enforces.
     try {
       try out.write(content.getBytes("UTF-8")) finally out.close()
     } catch {
@@ -561,13 +572,21 @@ object LakeMaintenance {
       attempt += 1
     }
     result.getOrElse {
-      throw new IllegalArgumentException(
-        if (claimHeld() || sawClaim)
-          s"manifest for version $version is mid-publish (a committer " +
-            "holds the claim) — retry after the commit completes"
-        else
-          s"manifest for version $version is partial/corrupt (committer " +
-            "crashed mid-publish?) — expected a matching '#files=' footer")
+      // One final complete read before choosing an error: a healthy
+      // publisher can write the footer and release the claim AFTER this
+      // reader's last re-read but BEFORE the loop's claimHeld() exit
+      // check — the release-vs-visibility window. Without this read the
+      // loop would throw "partial/corrupt" for a version that is now
+      // fully committed; one extra read closes the window.
+      complete(readLines()).getOrElse {
+        throw new IllegalArgumentException(
+          if (claimHeld() || sawClaim)
+            s"manifest for version $version is mid-publish (a committer " +
+              "holds the claim) — retry after the commit completes"
+          else
+            s"manifest for version $version is partial/corrupt (committer " +
+              "crashed mid-publish?) — expected a matching '#files=' footer")
+      }
     }
   }
 

@@ -213,9 +213,39 @@ object Summarise {
     * per-image max — the SVG twin of plotSpectralHistory's PNG. One
     * rect per cell; cells at zero are skipped (the background shows
     * through), so low-motion-zeroed slices render blank exactly like
-    * the reference's sdThresh gating. */
-  def svgHeatmap(img: Array[Array[Double]], w: Int, h: Int,
+    * the reference's sdThresh gating.
+    *
+    * GIANT-EVENT GUARD: never emit more columns than pixels. A
+    * 10⁶-sample event yields ~40,000 spectral slices at the default
+    * 25-sample step; at w=600 that is sub-pixel columns and ~2.4M
+    * <rect>s — a 184 MB page (GiantEventProbe, SCALING.md round 13).
+    * When slices > w, adjacent columns MAX-pool into ≤ w buckets —
+    * consistent with the per-image-max grayscale (peaks survive), and
+    * a no-op (bit-identical output) for every image that already fits,
+    * so the fixture renders and the ReportSpec pins are untouched. */
+  def svgHeatmap(img0: Array[Array[Double]], w: Int, h: Int,
                  title: String = ""): String = {
+    val img =
+      if (img0.length <= w) img0
+      else {
+        val pooled = Array.fill(w)(Array.empty[Double])
+        var s = 0
+        while (s < img0.length) {
+          val b = (s.toLong * w / img0.length).toInt
+          val row = img0(s)
+          if (pooled(b).isEmpty) pooled(b) = row.clone()
+          else {
+            var k = 0
+            val m = math.min(pooled(b).length, row.length)
+            while (k < m) {
+              if (row(k) > pooled(b)(k)) pooled(b)(k) = row(k)
+              k += 1
+            }
+          }
+          s += 1
+        }
+        pooled
+      }
     val slices = img.length
     val bins = if (slices == 0) 0 else img(0).length
     val peak = if (slices == 0) 0.0 else img.map(s => if (s.isEmpty) 0.0 else s.max).max
@@ -308,14 +338,96 @@ object Summarise {
     * (eventId, path, n_bytes) — the bounded metadata the index joins.
     * Pages land at `outDir/Event_<sanitized-id>_summary/index.html` (the
     * reference's URL shape, summariseData.py:166; ids sanitized because
-    * they are external data — see [[sanitizeId]]). */
+    * they are external data — see [[sanitizeId]]).
+    *
+    * `packed = true` switches to per-TASK page bundles: one
+    * `pages-<partition>.jsonl` NDJSON file per non-empty partition,
+    * each line `{"eventId": ..., "html": ...}`, read back with
+    * [[readPackedPages]]. A 10M-event report is then O(tasks) files
+    * instead of O(events) — object stores price LIST/HEAD per object,
+    * and 10M tiny objects is a metadata hostility no prefix layout
+    * fixes. Page CONTENT is identical in both modes (one shared render
+    * path); only the container changes. Returned paths are
+    * `<bundleFile>#<eventId>`. */
   def writeEventPages(dps: Dataset[FlatDp], outDir: String,
-                      cfg: Spectrogram.Config = Spectrogram.Config())
+                      cfg: Spectrogram.Config = Spectrogram.Config(),
+                      packed: Boolean = false)
       : Dataset[EventPage] = {
     val spark = dps.sparkSession
     import spark.implicits._
     val confBox = HadoopConfBox.fromSession(spark)
-    dps.groupByKey(_.eventId).mapGroups { (eventId, it) =>
+    val rendered = dps.groupByKey(_.eventId).mapGroups { (eventId, it) =>
+      (eventId, renderGroupHtml(eventId, it, cfg))
+    }
+    if (packed) {
+      rendered.mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(outDir, f"pages-$pid%05d.jsonl")
+          val fs = p.getFileSystem(confBox.conf)
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, true)
+          // materialize before close(): the returned iterator must not
+          // lazily write to a closed stream
+          val pages = try {
+            it.map { case (eventId, html) =>
+              val line = s"""{"eventId": ${jsonStr(eventId)}, "html": ${jsonStr(html)}}\n"""
+              out.write(line.getBytes("UTF-8"))
+              EventPage(eventId, s"$p#$eventId",
+                html.getBytes("UTF-8").length.toLong)
+            }.toArray
+          } finally out.close()
+          pages.iterator
+        }
+      }
+    } else rendered.map { case (eventId, html) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        outDir, s"Event_${sanitizeId(eventId)}_summary")
+      val fs = dir.getFileSystem(confBox.conf)
+      fs.mkdirs(dir)
+      val p = new org.apache.hadoop.fs.Path(dir, "index.html")
+      val out = fs.create(p, true)
+      val bytes = html.getBytes("UTF-8")
+      out.write(bytes)
+      out.close()
+      EventPage(eventId, p.toString, bytes.length.toLong)
+    }
+  }
+
+  /** The packed-bundle reader: (eventId, html) rows from the
+    * `pages-*.jsonl` files [[writeEventPages]] `packed = true` wrote —
+    * a plain distributed NDJSON scan, so a downstream server or
+    * archiver consumes bundles at the same parallelism they were
+    * written with. */
+  def readPackedPages(spark: SparkSession, outDir: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema("eventId STRING, html STRING")
+      .json(s"$outDir/pages-*.jsonl")
+
+  /** Minimal JSON string literal (RFC 8259 escapes) for the bundle
+    * lines — control chars, quote, and backslash. */
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"')
+    b.toString
+  }
+
+  /** One event's full page HTML from its (unsorted) datapoint group —
+    * the single render path both output modes share. */
+  private def renderGroupHtml(eventId: String, it: Iterator[FlatDp],
+                              cfg: Spectrogram.Config): String = {
       val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
       val dpMeans = sorted.map { d =>
         if (d.rawData == null || d.rawData.isEmpty) -1.0
@@ -365,22 +477,11 @@ object Summarise {
       val acc = sorted.flatMap(d =>
         if (d.rawData == null) Array.empty[Double] else d.rawData)
       val spec = Spectrogram.spectralHistory(acc, cfg)
-      val html = renderEventHtml(eventId,
+      renderEventHtml(eventId,
         sorted.headOption.map(_.userId).getOrElse("-"),
         sorted.headOption.map(_.typeStr).getOrElse("-"),
         sorted.length, dpMeans, hrs, specPowers, roiPowers, roiRatios,
         alarms, meanSpectrum, spec, bandTotals, stds, maxes, skews, kurts)
-      val dir = new org.apache.hadoop.fs.Path(
-        outDir, s"Event_${sanitizeId(eventId)}_summary")
-      val fs = dir.getFileSystem(confBox.conf)
-      fs.mkdirs(dir)
-      val p = new org.apache.hadoop.fs.Path(dir, "index.html")
-      val out = fs.create(p, true)
-      val bytes = html.getBytes("UTF-8")
-      out.write(bytes)
-      out.close()
-      EventPage(eventId, p.toString, bytes.length.toLong)
-    }
   }
 
   // ----------------------------------------------------- sharded index pages

@@ -23,15 +23,28 @@ object ReportScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to reps).foreach { i =>
-      val out = java.nio.file.Files.createTempDirectory("rptprobe").toString
-      val dps = graft.queries.OsdbFixture.flatDps(spark, dir,
-        col("e") % 20 === 0 && col("has_raw"))
-      val t0 = System.nanoTime()
-      val n = graft.report.Summarise.writeEventPages(dps, out).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(
-        f"[report] rep $i: $n pages in $dt%.2f s (${n / dt}%.0f pages/s)")
+    // both container modes: per-event dirs vs per-task bundles — same
+    // render path, so pages/s should match and the FILE COUNT is the
+    // story (O(events) vs O(tasks): object-store metadata hostility)
+    Seq(false, true).foreach { packed =>
+      (1 to reps).foreach { i =>
+        val out = java.nio.file.Files.createTempDirectory("rptprobe").toString
+        val dps = graft.queries.OsdbFixture.flatDps(spark, dir,
+          col("e") % 20 === 0 && col("has_raw"))
+        val t0 = System.nanoTime()
+        val n = graft.report.Summarise
+          .writeEventPages(dps, out, packed = packed).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val nFiles = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) 1L
+            else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          walk(new java.io.File(out))
+        }
+        System.err.println(
+          f"[report] packed=$packed rep $i: $n pages in $dt%.2f s " +
+            f"(${n / dt}%.0f pages/s, $nFiles files)")
+      }
     }
 
     // --- index-shard decade ladder: driver memory must stay FLAT ---

@@ -52,6 +52,54 @@ class ReportSpec extends SparkSpec {
     assert(Summarise.svgHeatmap(Array.empty, 10, 10).contains("<svg"))
   }
 
+  test("svgHeatmap giant-event guard: columns max-pool to <= width, peaks survive") {
+    // 1200 slices into w=40: at most 40 columns' worth of rects, and the
+    // single planted peak must survive pooling as the darkest cell
+    val img = Array.tabulate(1200)(s =>
+      Array(1.0, if (s == 777) 100.0 else 2.0))
+    val heat = Summarise.svgHeatmap(img, 40, 20)
+    val rects = "<rect x=".r.findAllIn(heat).size
+    assert(rects <= 40 * 2 && rects > 0, s"$rects rects for 40px")
+    // peak cell: value 100 of per-image max 100 -> shade 0
+    assert(heat.contains("rgb(0,0,0)"), "pooled peak lost")
+    // fits-in-width images are untouched: every cell still renders
+    val small = Array.tabulate(30)(s => Array(1.0 + s, 2.0))
+    assert("<rect x=".r.findAllIn(Summarise.svgHeatmap(small, 40, 20)).size
+      == 60)
+  }
+
+  test("packed pages: O(tasks) bundle files, content identical to per-event mode") {
+    val dps = OsdbFixture.flatDps(spark, sf, col("e") % 40 === 0)
+    val looseDir = java.nio.file.Files.createTempDirectory("pagesLoose").toString
+    val packDir = java.nio.file.Files.createTempDirectory("pagesPacked").toString
+    val loose = Summarise.writeEventPages(dps, looseDir).collect()
+    val packed = Summarise.writeEventPages(dps, packDir, packed = true).collect()
+    assert(loose.length == packed.length && loose.nonEmpty)
+    // container shape: one bundle per non-empty task, not one dir per event
+    val bundles = new java.io.File(packDir).listFiles()
+      .filter(_.getName.matches("pages-\\d+\\.jsonl"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(bundles.nonEmpty && bundles.length <= nPart,
+      s"${bundles.length} bundles for $nPart partitions")
+    assert(bundles.length < loose.length,
+      "packed mode did not reduce the file count on a >partitions corpus")
+    // round-trip: the distributed reader recovers every page, and each
+    // page's HTML is byte-identical to the per-event-mode file
+    val back = Summarise.readPackedPages(spark, packDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.keySet == loose.map(_.eventId).toSet)
+    loose.foreach { p =>
+      val f = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(new java.net.URI(p.path).getPath).toPath), "UTF-8")
+      assert(back(p.eventId) == f, s"packed html differs for ${p.eventId}")
+    }
+    // metadata contract: bundle#eventId paths, true byte sizes
+    packed.foreach { p =>
+      assert(p.path.contains(".jsonl#"), p.path)
+      assert(p.nBytes == back(p.eventId).getBytes("UTF-8").length.toLong)
+    }
+  }
+
   test("writeReport: executor-rendered pages + index, end to end on the fixture") {
     val outDir = java.nio.file.Files.createTempDirectory("report").toString
     val nested = OsdbFixture.nested(spark, sf, arrays = false)

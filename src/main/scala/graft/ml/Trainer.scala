@@ -189,9 +189,19 @@ object Trainer {
     * MLP has no built-in standardization and the P12 features span
     * orders of magnitude (band powers vs ratios), so features are
     * z-scaled here (one distributed Summarizer pass; σ=0 → 1) and the
-    * (mean, std) ride with the model — [[scorerMlp]] replays them. */
-  def trainMlp(assembled: DataFrame, hidden: Seq[Int] = Seq(16),
-               maxIter: Int = 200, seed: Long = 42L): MlpModel = {
+    * (mean, std) ride with the model — [[scorerMlp]] replays them.
+    *
+    * Defaults are MEASURED, not guessed (MlpProbe, SCALING.md round
+    * 13, partially-overlapping planted corpus with an event-disjoint
+    * held-out split): held-out AUROC plateaus by maxIter ≈ 100 for
+    * both tested architectures (200 spends 1.5-2× the fit time for
+    * ≤ 0.004 more), so the budget default is 100. The reference's
+    * best nets are 5-layer (`documentation/ResultsSummary.md` V0.09+);
+    * the measured `Seq(64, 32, 16)` twin gained +0.005-0.01 AUROC over
+    * `Seq(16)` at equal-or-lower fit cost, so the 5-layer shape is the
+    * default — pass `Seq(16)` for the minimal adequate net. */
+  def trainMlp(assembled: DataFrame, hidden: Seq[Int] = Seq(64, 32, 16),
+               maxIter: Int = 100, seed: Long = 42L): MlpModel = {
     import org.apache.spark.ml.stat.Summarizer
     val nF = EpochFeatures.FeatureNames.size
     val row = assembled

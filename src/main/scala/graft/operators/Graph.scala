@@ -119,7 +119,18 @@ object Graph {
     * AGGREGATE winner per node (max of (count, -label) — no per-node
     * sort window anywhere in the round; PlanSpec pins it). Nodes are
     * derived from the edge list, so every node has ≥1 neighbour by
-    * construction. Returns `(node, lbl)`. */
+    * construction. Returns `(node, lbl)`.
+    *
+    * ROUND 1 IS SPECIAL-CASED (round-13 G3Profile: the round-invariant
+    * setup was ~1 s of g3's 2.8 s at sf0.1): the initial labeling is
+    * the identity (every node labelled with itself), so round 1's
+    * edge⋈label join is a rename — `bi ⋈ lbl0` on y with lbl = node
+    * yields exactly (x, y) — and the whole lbl0 table (a node-sized
+    * distinct + persist + broadcast build) never needs to exist. Round
+    * 1 aggregates the edge table directly; the round-1 OUTPUT then
+    * becomes the persisted node-sized table whose count drives the
+    * broadcast-shape guard for rounds 2+. One distinct exchange and
+    * one broadcast build fewer at ANY scale, same labels. */
   def labelPropagation(und: DataFrame, rounds: Int = 3,
                        broadcastLabels: Boolean = true,
                        caches: Option[mutable.Buffer[DataFrame]] = None,
@@ -134,35 +145,37 @@ object Graph {
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     caches.foreach(_ += bi)
-    // lbl0 is as loop-invariant as bi (round 1 reads it directly and the
-    // guard below counts it): persisted, so the guard's count job IS the
-    // materialization round 1 reuses — the round-10 form recomputed the
-    // distinct once for the count and again inside round 1
-    val lbl0 = bi.select(col("x").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    caches.foreach(_ += lbl0)
-    // same maxBroadcastNodes guard as pageRank: the label table is
-    // node-sized every round, so one distinct-count job decides the
-    // join shape once, loudly designed rather than silently collected
-    val doBroadcast = broadcastLabels && lbl0.count() <= maxBroadcastNodes
-    (1 to rounds).foldLeft(lbl0: DataFrame) { (lbl, _) =>
-      val labelSide = lbl.withColumnRenamed("node", "y")
-      val counts = bi
-        .join(if (doBroadcast) broadcast(labelSide) else labelSide, "y")
-        .groupBy(col("x").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      // winner = most frequent label, ties to SMALLEST label — as an
-      // argmin AGGREGATE (lexicographic min of (-c, lbl)), not a
-      // row_number window: same winner on every input, but the
-      // per-round exchange feeds a hash aggregate instead of a full
-      // per-node SORT. The negation rides the COUNT (always a long),
-      // not the label, so string/any-orderable node ids keep their
-      // smallest-label tie-break instead of a silent null (the
-      // round-10 form negated the label itself)
+    // winner = most frequent label, ties to SMALLEST label — as an
+    // argmin AGGREGATE (lexicographic min of (-c, lbl)), not a
+    // row_number window: same winner on every input, but the
+    // per-round exchange feeds a hash aggregate instead of a full
+    // per-node SORT. The negation rides the COUNT (always a long),
+    // not the label, so string/any-orderable node ids keep their
+    // smallest-label tie-break instead of a silent null (the
+    // round-10 form negated the label itself)
+    def winner(counts: DataFrame): DataFrame =
       counts.groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("w"))
         .select(col("node"), col("w.lbl").as("lbl"))
+    // round 1 against the identity labeling: counts come straight off
+    // the edge table — no label join, no lbl0
+    val l1 = winner(bi
+      .groupBy(col("x").as("node"), col("y").as("lbl"))
+      .agg(count(lit(1)).as("c")))
+    if (rounds == 1) return l1
+    val l1p = l1.persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += l1p)
+    // same maxBroadcastNodes guard as pageRank: the label table is
+    // node-sized every round, so one count job decides the join shape
+    // once, loudly designed rather than silently collected — and that
+    // count job IS l1's materialization, which rounds 2+ reuse
+    val doBroadcast = broadcastLabels && l1p.count() <= maxBroadcastNodes
+    (2 to rounds).foldLeft(l1p: DataFrame) { (lbl, _) =>
+      val labelSide = lbl.withColumnRenamed("node", "y")
+      winner(bi
+        .join(if (doBroadcast) broadcast(labelSide) else labelSide, "y")
+        .groupBy(col("x").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c")))
     }
   }
 

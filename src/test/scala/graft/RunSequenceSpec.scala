@@ -73,6 +73,19 @@ class RunSequenceSpec extends SparkSpec {
     assert(perEvent == Map("A" -> 4, "B" -> 4, "C" -> 3, "D" -> 2))
   }
 
+  test("fused validate+extract plans ONE per-event shuffle; sequential plans two") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      dp("A", 1000, 0, acc = true), dp("A", 1005, 1, acc = true)))
+    val cfg = FeatureExtract.Config()
+    def exchanges(df: org.apache.spark.sql.Dataset[_]) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val fused = exchanges(FeatureExtract.extract(ds, cfg, validate = true))
+    val seq = exchanges(FeatureExtract.extract(Flatten.validateAndFill(ds), cfg))
+    assert(fused == 1, s"fused path: expected exactly 1 Exchange, found $fused")
+    assert(seq == 2, s"sequential path: expected 2 Exchanges, found $seq")
+  }
+
   // ----------------------------------------------------------- plan algebra
 
   private def evFrame(rows: Seq[(String, String, String, Int)]) = {

@@ -72,8 +72,11 @@ object RunSequence {
   /** Per-fold outcome: the held-out A4 confusion cells + ml1 AUROC and
     * the trained model itself (deployable through [[Trainer]]'s seam
     * when trained on the P12 basis; the history basis is the
-    * reference's training CSV shape and is evaluated in-engine). */
-  case class FoldResult(
+    * reference's training CSV shape and is evaluated in-engine).
+    * Generic in the model family — the reference's runSequence swaps
+    * network architectures through one config knob
+    * (`nnConfig.json`'s modelClass), and [[runWith]] is that knob. */
+  case class FoldResult[M](
       fold: Int,
       nTrainEvents: Long,
       nTrainAugEvents: Long,
@@ -83,7 +86,7 @@ object RunSequence {
       eventFp: Long,
       eventTn: Long,
       eventFn: Long,
-      model: org.apache.spark.ml.classification.LogisticRegressionModel)
+      model: M)
 
   /** C4 type→id as a Column (flattenData.py:13-27; the Column twin of
     * [[graft.operators.Flatten.type2id]]). */
@@ -214,12 +217,55 @@ object RunSequence {
     train.unionByName(trainAug).unionByName(test).unionByName(guard)
   }
 
-  /** The full composed run: everything [[skeleton]] stages, plus the
-    * per-fold LBFGS training pass and held-out evaluation — the
-    * reference's runSequence loop with the file handoffs replaced by
-    * one persisted lineage. Fails loudly on fold contamination. */
+  /** The full composed run with the DEFAULT model family (LBFGS
+    * logistic regression) — see [[runWith]] for the seam itself. */
   def run(events: DataFrame, dps: Dataset[FlatDp], select: Column,
-          foldOf: Column, cfg: Config = Config()): Seq[FoldResult] = {
+          foldOf: Column, cfg: Config = Config())
+      : Seq[FoldResult[org.apache.spark.ml.classification.LogisticRegressionModel]] =
+    runWith(events, dps, select, foldOf, cfg)(
+      train => Trainer.trainLogistic(train, cfg.maxIter, cfg.regParam),
+      (m, test) => m.transform(test)
+        .select(col("eventId"), col("label"),
+          element_at(vector_to_array(col("probability")), 2)
+            .as("p_seizure")))
+
+  /** The MLP family for [[runWith]] — [[Trainer.trainMlp]] fit on the
+    * fold's training slice, its stored (mean, std) z-scaling replayed
+    * on the held-out slice at score time (the train/serve scaling
+    * contract [[Trainer.scorerMlp]] documents). */
+  def mlpFamily(hidden: Seq[Int] = Seq(64, 32, 16), maxIter: Int = 100)
+      : (DataFrame => Trainer.MlpModel,
+         (Trainer.MlpModel, DataFrame) => DataFrame) = {
+    val fit = (train: DataFrame) => Trainer.trainMlp(train, hidden, maxIter)
+    val score = (m: Trainer.MlpModel, test: DataFrame) => {
+      val mean = m.mean; val std = m.std
+      val scaleUdf = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+        val a = v.toArray
+        org.apache.spark.ml.linalg.Vectors.dense(
+          Array.tabulate(a.length)(i => (a(i) - mean(i)) / std(i)))
+      }
+      m.model.transform(
+          test.withColumn("features", scaleUdf(col("features"))))
+        .select(col("eventId"), col("label"),
+          element_at(vector_to_array(col("probability")), 2)
+            .as("p_seizure"))
+    }
+    (fit, score)
+  }
+
+  /** The full composed run: everything [[skeleton]] stages, plus the
+    * per-fold training pass and held-out evaluation — the reference's
+    * runSequence loop with the file handoffs replaced by one persisted
+    * lineage and the model architecture swapped through `fit`/`score`
+    * exactly like the reference's modelClass knob (nnConfig.json →
+    * `cnnModel.py` vs `deepEpiCnnModel_torch.py`). `fit` sees the
+    * fold's assembled (eventId, label, features) training frame;
+    * `score` must return (eventId, label, p_seizure) for the held-out
+    * slice. Fails loudly on fold contamination. */
+  def runWith[M](events: DataFrame, dps: Dataset[FlatDp], select: Column,
+                 foldOf: Column, cfg: Config = Config())(
+                 fit: DataFrame => M,
+                 score: (M, DataFrame) => DataFrame): Seq[FoldResult[M]] = {
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
@@ -254,11 +300,8 @@ object RunSequence {
             fplan.select(col("id").as("augId"), col("srcId")),
             assembled("eventId") === col("srcId"))
           .select(col("augId").as("eventId"), col("label"), col("features"))
-        val model = Trainer.trainLogistic(train, cfg.maxIter, cfg.regParam)
-        val scored = model.transform(test)
-          .select(col("eventId"), col("label"),
-            element_at(vector_to_array(col("probability")), 2)
-              .as("p_seizure"))
+        val model = fit(train)
+        val scored = score(model, test)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val auroc = Trainer.auroc(scored)

@@ -203,7 +203,6 @@ object Trainer {
   def trainMlp(assembled: DataFrame, hidden: Seq[Int] = Seq(64, 32, 16),
                maxIter: Int = 100, seed: Long = 42L): MlpModel = {
     import org.apache.spark.ml.stat.Summarizer
-    val nF = EpochFeatures.FeatureNames.size
     val row = assembled
       .select(Summarizer.metrics("mean", "std").summary(col("features"))
         .as("s"))
@@ -211,6 +210,10 @@ object Trainer {
     val mean = row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
     val std = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
       .map(s => if (s == 0.0 || s.isNaN) 1.0 else s)
+    // input width from the DATA, not the P12 constant — the W7 history
+    // basis (and any caller-assembled frame) is wider than P12, and a
+    // hardcoded input layer fails at eval time with a dgemm mismatch
+    val nF = mean.length
     val scaleUdf = udf { (v: org.apache.spark.ml.linalg.Vector) =>
       val a = v.toArray
       org.apache.spark.ml.linalg.Vectors.dense(

@@ -1561,6 +1561,57 @@ object DomainQueries {
       |SELECT f, 'guard', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
       |FROM foldsml""".stripMargin
 
+  /** The ml3 network: FIXED small-integer weights (3 filters × width
+    * 4) so that, over the fixture's integer magnitude samples, every
+    * intermediate of the real CNN forward pass — conv sums, ReLU'd
+    * max-pool, dense logit — is an exact integer (|logit| ≪ 2^53) and
+    * the cross-engine compare is a plain hash. ONE source of truth:
+    * [[ml3Sql]] is GENERATED from this object's weights, so the Spark
+    * plan and the DuckDB restatement cannot drift. */
+  private val ml3Net: graft.ml.Cnn.CnnModel = {
+    val nf = 3; val w = 4
+    graft.ml.Cnn.CnnModel(nf, w, window = 125,
+      filters = Array.tabulate(nf * w)(i =>
+        (((i / w) * 7 + (i % w) * 3) % 5 - 2).toDouble),
+      filterBias = Array.tabulate(nf)(f => (f - 1).toDouble),
+      dense = Array.tabulate(nf)(f => ((f * 3) % 5 - 2).toDouble),
+      bias = 1.0, mean = 0.0, std = 1.0)
+  }
+
+  /** ML3 — the 1-D CNN forward pass under the oracle gate
+    * ([[graft.ml.Cnn.logitCol]], the architecture boundary the
+    * round-12 verdict listed as missing #2, `user_tools/nnTraining2/
+    * cnnModel.py:43-76`): conv → ReLU → global max-pool → dense logit
+    * over every present magnitude window, as native codegen'd column
+    * expressions. The TRAINER is spec-gated (CnnSpec's
+    * planted-separable corpus — LBFGS float accumulation is not a
+    * cross-engine contract); the architecture the training optimizes
+    * IS gated here, bit-exactly, via [[ml3Net]]'s integer weights. */
+  def ml3CnnForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.Cnn.logitCol(ml3Net, col("rawData"))
+          .cast("long").as("logit"))
+
+  val ml3Sql: String = {
+    val m = ml3Net
+    val pools = (0 until m.nFilters).map { f =>
+      val terms = (0 until m.width).map(j =>
+        s"(${m.filters(f * m.width + j).toLong})*xs[t+$j]")
+        .mkString(" + ")
+      s"GREATEST(0, list_max([${m.filterBias(f).toLong} + $terms " +
+        s"for t in range(1, ${m.window - m.width + 2})])) AS p$f"
+    }
+    val dense = (0 until m.nFilters)
+      .map(f => s"(${m.dense(f).toLong})*p$f").mkString(" + ")
+    sqlBase +
+      s""", xsml AS (
+         |  SELECT e, d, list(m ORDER BY i) AS xs FROM sampm GROUP BY e, d),
+         |poolml AS (SELECT e, d, ${pools.mkString(", ")} FROM xsml)
+         |SELECT e, d, CAST(${m.bias.toLong} + $dense AS BIGINT) AS logit
+         |FROM poolml""".stripMargin
+  }
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2375,6 +2426,7 @@ object DomainQueries {
     "rpt2_user_summary" -> (rpt2UserSummary _),
     "ml1_auroc"         -> (ml1Auroc _),
     "ml2_run_sequence"  -> (ml2RunSequence _),
+    "ml3_cnn_forward"   -> (ml3CnnForward _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2448,6 +2500,7 @@ object DomainQueries {
     "rpt2_user_summary" -> rpt2Sql,
     "ml1_auroc"         -> ml1Sql,
     "ml2_run_sequence"  -> ml2Sql,
+    "ml3_cnn_forward"   -> ml3Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

@@ -189,6 +189,42 @@ class RunSequenceSpec extends SparkSpec {
 
   // --------------------------------------------------------------- full run
 
+  test("runWith(mlpFamily): the architecture seam swaps in a neural net per fold") {
+    val n = 6
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val events = evFrame((0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 3),
+        (s"OK$i", "False Alarm", "other", i % 3))
+    })
+    val cfg = RunSequence.Config(historyN = 2,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    val (fit, score) = RunSequence.mlpFamily(hidden = Seq(16), maxIter = 60)
+    val results = RunSequence.runWith(
+      events, corpus, lit(true), col("fold0"), cfg)(fit, score)
+    assert(results.size == cfg.k)
+    results.foreach { fr =>
+      assert(fr.heldOutAuroc > 0.9,
+        s"fold ${fr.fold}: MLP held-out AUROC only ${fr.heldOutAuroc}")
+      assert(fr.model.model.getLayers.head ==
+        graft.functions.EpochFeatures.FeatureNames.size * (cfg.historyN + 1))
+    }
+  }
+
   test("run(): planted-separable corpus learns every fold; counts match the skeleton") {
     val n = 12
     val specs = (0 until n).flatMap { i =>

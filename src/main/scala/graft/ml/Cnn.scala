@@ -98,30 +98,18 @@ object Cnn {
   }
 
   /** The forward pass as a native Catalyst column over an
-    * `array<double>` window — `transform`/`aggregate`-free unrolled
-    * adds (width is known at plan build), `array_max` for the pool, so
-    * the whole thing stays inside whole-stage codegen. NULL for a
-    * window shorter than the filter (nothing to convolve). */
-  def logitCol(m: CnnModel, win: Column): Column = {
-    val scaled: Column => Column =
-      if (m.mean == 0.0 && m.std == 1.0) identity
-      else v => (v - lit(m.mean)) / lit(m.std)
-    val nPos = size(win) - m.width + 1 // conv positions, 1-based below
-    val pools = (0 until m.nFilters).map { f =>
-      val conv = transform(sequence(lit(1), nPos), t =>
-        (0 until m.width).foldLeft(lit(m.filterBias(f)): Column) {
-          (acc, j) =>
-            acc + lit(m.filters(f * m.width + j)) *
-              scaled(element_at(win, t + j))
-        })
-      greatest(lit(0.0), array_max(conv))
-    }
-    val logit = pools.zipWithIndex
-      .foldLeft(lit(m.bias): Column) { case (acc, (pf, f)) =>
-        acc + lit(m.dense(f)) * pf
-      }
-    when(size(win) >= m.width, logit)
-  }
+    * `array<double>` window
+    * ([[org.apache.spark.sql.graft.Conv1dMaxPoolLogit]], codegen'd
+    * tight loop — NOT composed from `transform`/`array_max`, whose
+    * interpreted lambda dispatch measured ~280–1200× slower;
+    * CnnScaleProbe has the numbers). Accumulation order matches
+    * [[forward]] bit-for-bit. NULL for a window shorter than the
+    * filter (nothing to convolve). */
+  def logitCol(m: CnnModel, win: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.conv1dLogit(
+      win, m.nFilters, m.width,
+      m.filters.toSeq, m.filterBias.toSeq, m.dense.toSeq,
+      m.bias, m.mean, m.std)
 
   /** One distributed loss/gradient evaluation: a `treeAggregate` over
     * `(label, window)` rows against the broadcast parameter vector.

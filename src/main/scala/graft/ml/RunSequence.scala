@@ -280,7 +280,68 @@ object RunSequence {
       .join(ev.select(col("srcId"), col("fold")),
         col("eventId") === col("srcId"))
       .select(col("eventId"), col("fold"), col("label"), col("features"))
+    try foldLoop(ev, assembled, cfg, "features", fit, score)
+    finally ev.unpersist(false)
+  }
+
+  /** The RAW-WINDOW basis run — the reference's convolutional
+    * modelClass path (`deepEpiCnnModel_torch.py` trains on M8
+    * dp2vector buffers, not the P12 CSV): select → P14 validate → M8
+    * sliding buffers ([[graft.streaming.NnBuffer.dp2vectors]]) →
+    * per-fold fit/score through the same seam, guard, and A4/ml1
+    * metrics as [[runWith]]. `fit` sees (eventId, label,
+    * window: array<double>); [[cnnFamily]] is the intended occupant.
+    * `bufferSamples` is the trained input length (nnConfig.json's
+    * analysisPeriod × sampleFreq). */
+  def runWithWindows[M](events: DataFrame, dps: Dataset[FlatDp],
+                        select: Column, foldOf: Column,
+                        cfg: Config = Config(), bufferSamples: Int = 750)(
+                        fit: DataFrame => M,
+                        score: (M, DataFrame) => DataFrame): Seq[FoldResult[M]] = {
+    val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count()
+    val sel = dps.join(ev.select(col("srcId")),
+        dps("eventId") === col("srcId"), "left_semi")
+      .as[FlatDp](dps.encoder)
+    val vdf = graft.streaming.NnBuffer.dp2vectors(
+      graft.operators.Flatten.validateAndFill(sel), bufferSamples).toDF()
+    val assembled = vdf
+      .join(ev.select(col("srcId"), col("type"), col("fold")),
+        vdf("eventId") === col("srcId"))
+      .select(col("eventId"), col("fold"),
+        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
+        col("vec").as("window"))
+    try foldLoop(ev, assembled, cfg, "window", fit, score)
+    finally ev.unpersist(false)
+  }
+
+  /** The CNN family for [[runWithWindows]] — [[Cnn.train]] per fold on
+    * the raw-window slice, [[Cnn.scoreWindows]]' codegen'd forward pass
+    * on the held-out slice (the model's stored (mean, std) applies
+    * inside [[Cnn.logitCol]], the same train/serve scaling contract as
+    * [[mlpFamily]]). */
+  def cnnFamily(cnnCfg: Cnn.Config = Cnn.Config())
+      : (DataFrame => Cnn.CnnModel,
+         (Cnn.CnnModel, DataFrame) => DataFrame) = {
+    val fit = (train: DataFrame) => Cnn.train(train, cnnCfg)
+    val score = (m: Cnn.CnnModel, test: DataFrame) =>
+      Cnn.scoreWindows(m, test)
+        .select(col("eventId"), col("label"), col("p_seizure"))
+    (fit, score)
+  }
+
+  /** The shared per-fold loop: materialize the basis frame once, then
+    * per fold — F14 leak guard (fail loud), copy-replicate the training
+    * slice through the fold-invariant [[augmentPlan]], fit, score the
+    * held-out slice, A4 event metrics + ml1 AUROC. `dataCol` is the
+    * basis column the model family consumes ("features" vector or raw
+    * "window" array); everything else is basis-independent. */
+  private def foldLoop[M](ev: DataFrame, assembledIn: DataFrame,
+                          cfg: Config, dataCol: String,
+                          fit: DataFrame => M,
+                          score: (M, DataFrame) => DataFrame): Seq[FoldResult[M]] = {
+    val assembled = assembledIn.persist(StorageLevel.MEMORY_AND_DISK)
     assembled.count() // one materialization shared by every fold
     val plan = augmentPlan(ev, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     plan.count()
@@ -299,7 +360,7 @@ object RunSequence {
         val train = assembled.join(
             fplan.select(col("id").as("augId"), col("srcId")),
             assembled("eventId") === col("srcId"))
-          .select(col("augId").as("eventId"), col("label"), col("features"))
+          .select(col("augId").as("eventId"), col("label"), col(dataCol))
         val model = fit(train)
         val scored = score(model, test)
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -322,7 +383,6 @@ object RunSequence {
     } finally {
       assembled.unpersist(false)
       plan.unpersist(false)
-      ev.unpersist(false)
     }
   }
 }

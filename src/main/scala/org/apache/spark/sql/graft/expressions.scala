@@ -143,6 +143,133 @@ case class ArrayMag3D(child: Expression, mode: String = "V2")
     copy(child = newChild)
 }
 
+/** The CNN forward pass ([[graft.ml.Cnn]]: z-scale → Conv1D → ReLU →
+  * global max-pool → dense logit) as ONE native expression — the
+  * batch-scoring hot path and the ml3 oracle's compute.
+  *
+  * Why not compose it from built-ins: the natural composition
+  * (`transform(sequence(...), ...)` per filter + `array_max`) routes
+  * every conv position through ArrayTransform's interpreted lambda
+  * dispatch — measured 1.2–1.3k rows/s vs ~300k–1.6M rows/s for this
+  * kernel's codegen'd loop (CnnScaleProbe, round 13: 282× at 100k
+  * rows, 1225× at 2.5M). A Scala-UDF twin of `Cnn.forward` is
+  * throughput-comparable (0.7–1.1× across probe sizes — JIT handles
+  * the monomorphic kernel well); the native expression is kept because
+  * it stays inside whole-stage codegen (no Row boundary splitting the
+  * fused stage), needs no closure serialization, and is usable from
+  * SQL. At 100 TB the forward pass runs per epoch window; it must be
+  * a tight loop either way — the HOF form is the one that cannot ship.
+  *
+  * Exactness contract: accumulation order is IDENTICAL to
+  * `Cnn.forward`'s JVM loop — xs pre-scaled element-wise, j ascending
+  * within a filter, `c > best` max fold seeded at 0.0 (ReLU folded in),
+  * filters ascending into the logit — so column and closure scoring are
+  * bit-identical (CnnSpec pins it), and with integer weights every
+  * intermediate is integer-exact for the cross-engine oracle hash.
+  *
+  * NULL for a window shorter than the filter width (nothing to
+  * convolve), matching the composed form it replaces. Weights travel as
+  * `Seq` (value equality keeps expression canonicalization sane) and are
+  * bridged to arrays once per task via transient lazies. */
+case class Conv1dMaxPoolLogit(
+    child: Expression,
+    nFilters: Int,
+    width: Int,
+    filters: Seq[Double],
+    filterBias: Seq[Double],
+    dense: Seq[Double],
+    bias: Double,
+    mean: Double,
+    std: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(filters.length == nFilters * width &&
+    filterBias.length == nFilters && dense.length == nFilters,
+    "Conv1dMaxPoolLogit weight shapes inconsistent")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true // short windows yield NULL
+
+  override def prettyName: String = "conv1d_maxpool_logit"
+
+  @transient private lazy val fltA = filters.toArray
+  @transient private lazy val fbA = filterBias.toArray
+  @transient private lazy val dvA = dense.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val win = a.asInstanceOf[ArrayData]
+    val n = win.numElements()
+    if (n < width) null
+    else {
+      val xs = new Array[Double](n)
+      var i = 0
+      while (i < n) { xs(i) = (win.getDouble(i) - mean) / std; i += 1 }
+      val L = n - width + 1
+      var z = bias
+      var f = 0
+      while (f < nFilters) {
+        var best = 0.0
+        var t = 0
+        while (t < L) {
+          var c = fbA(f)
+          var j = 0
+          while (j < width) { c += fltA(f * width + j) * xs(t + j); j += 1 }
+          if (c > best) best = c
+          t += 1
+        }
+        z += dvA(f) * best
+        f += 1
+      }
+      z
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flt = ctx.addReferenceObj("cnnFilters", fltA, "double[]")
+      val fb = ctx.addReferenceObj("cnnFilterBias", fbA, "double[]")
+      val dv = ctx.addReferenceObj("cnnDense", dvA, "double[]")
+      val sc = ctx.addReferenceObj("cnnScalars",
+        Array(bias, mean, std), "double[]")
+      val n = ctx.freshName("n"); val xs = ctx.freshName("xs")
+      val i = ctx.freshName("i"); val L = ctx.freshName("L")
+      val z = ctx.freshName("z"); val f = ctx.freshName("f")
+      val best = ctx.freshName("best"); val t = ctx.freshName("t")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n < $width) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $xs[$i] = ($a.getDouble($i) - $sc[1]) / $sc[2];
+         |  }
+         |  int $L = $n - $width + 1;
+         |  double $z = $sc[0];
+         |  for (int $f = 0; $f < $nFilters; $f++) {
+         |    double $best = 0.0;
+         |    for (int $t = 0; $t < $L; $t++) {
+         |      double $c = $fb[$f];
+         |      for (int $j = 0; $j < $width; $j++) {
+         |        $c += $flt[$f * $width + $j] * $xs[$t + $j];
+         |      }
+         |      if ($c > $best) $best = $c;
+         |    }
+         |    $z += $dv[$f] * $best;
+         |  }
+         |  ${ev.value} = $z;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
   import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -155,6 +282,14 @@ object GraftSqlBridge {
 
   def arrayMag3D(a: Column, mode: String): Column =
     ExpressionUtils.column(ArrayMag3D(ExpressionUtils.expression(a), mode))
+
+  def conv1dLogit(win: Column, nFilters: Int, width: Int,
+                  filters: Seq[Double], filterBias: Seq[Double],
+                  dense: Seq[Double], bias: Double,
+                  mean: Double, std: Double): Column =
+    ExpressionUtils.column(Conv1dMaxPoolLogit(
+      ExpressionUtils.expression(win), nFilters, width,
+      filters, filterBias, dense, bias, mean, std))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

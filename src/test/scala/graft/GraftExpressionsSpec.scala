@@ -160,4 +160,45 @@ class GraftExpressionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(got - expected) < 1e-15)
   }
+
+  test("conv1d_maxpool_logit compiles under codegen with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(3)
+      val m = graft.ml.Cnn.CnnModel(3, 5, 32,
+        filters = Array.fill(15)(rnd.nextGaussian()),
+        filterBias = Array.fill(3)(rnd.nextGaussian() * 0.1),
+        dense = Array.fill(3)(rnd.nextGaussian()),
+        bias = 0.2, mean = 10.0, std = 4.0)
+      // range-based window construction, same rationale as array_dot:
+      // keep the input out of LocalTableScan so doGenCode must run
+      val winCol = array((0 until 32).map(j =>
+        ((col("id") * 7 + j) % 37).cast("double")): _*)
+      val df = spark.range(50).select(col("id"), winCol.as("w"))
+        .select(col("id"), graft.ml.Cnn.logitCol(m, col("w")).as("z"))
+      val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val codegenStages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("conv1d_maxpool_logit") => w
+      }
+      assert(codegenStages.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(1500))
+      // codegen path == JVM loop bit-for-bit
+      (0 until 50).foreach { i =>
+        val win = Array.tabulate(32)(j => ((i * 7 + j) % 37).toDouble)
+        assert(java.lang.Double.doubleToLongBits(rows(i.toLong)) ==
+          java.lang.Double.doubleToLongBits(graft.ml.Cnn.forward(m, win)))
+      }
+      // short window: NULL under codegen too
+      val nul = spark.range(1)
+        .select(array(lit(1.0), lit(2.0)).as("w"))
+        .select(graft.ml.Cnn.logitCol(m, col("w")))
+        .collect().head
+      assert(nul.isNullAt(0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

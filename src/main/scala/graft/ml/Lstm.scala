@@ -1,0 +1,389 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A hard-gate LSTM trained IN-ENGINE — the recurrent half of the
+  * round-12 verdict's "missing #2" boundary (the reference's AMBER
+  * LSTM family, `user_tools/nnTraining2/amber/model.py:31-39`,
+  * `amberModel.py`), re-expressed the same way as [[Cnn]]: the
+  * architecture is a per-row pure function (forward pass = ONE native
+  * Catalyst expression, codegen'd, no UDF in the batch path) and
+  * training is distributed first-order optimization — breeze LBFGS on
+  * the driver over a loss/gradient computed as one `treeAggregate`
+  * BPTT pass per evaluation. Driver state is the parameter vector
+  * (4H + 4H² + 5H + 1 doubles); no training row ever reaches the
+  * driver.
+  *
+  * Architecture (single recurrent layer over the scalar magnitude
+  * series, the in-engine boundary of the reference's stacked
+  * BiLSTM+attention — those layers are TF-runtime territory, this is
+  * the recurrence itself):
+  *
+  *   window (length T, one channel)
+  *     → z-scale by the corpus-global (mean, std) stored in the model
+  *     → LSTM cell, H units, PIECEWISE-LINEAR gates:
+  *         i,f,o = hardSig(a) = clamp(0.25a + 0.5, 0, 1)
+  *         g     = hardTanh(a) = clamp(a, -1, 1)
+  *         c' = f·c + i·g;  h' = o·hardTanh(c')
+  *     → dense: logit = b + Σ_u v_u·h_u(T)   (sigmoid at serve time)
+  *
+  * The hard gates are the quantized-LSTM variant (piecewise-linear
+  * σ/tanh, standard in integer inference stacks) chosen here for a
+  * second reason: no transcendentals means the whole recurrence is
+  * correctly-rounded IEEE mul/add/compare, so a DuckDB recursive CTE
+  * replays it bit-exactly and the ml4 oracle can gate the REAL forward
+  * pass with a plain hash compare — exp/tanh would diverge by libm
+  * ulps. Saturation gradients are exact too (0.25 or 0 / 1 or 0), so
+  * BPTT below has no approximation anywhere.
+  *
+  * Exactness contract: [[forward]] (the JVM loop used by the streaming
+  * scorer) and [[logitCol]] (the Catalyst expression used by batch
+  * scoring and the ml4 oracle row) accumulate in the SAME order —
+  * gate pre-activation b + wx·x + Σ_v wh_v·h_v (v ascending), c' =
+  * f·c + i·g, logit terms u ascending — so their doubles are
+  * bit-identical; LstmSpec pins the equality.
+  *
+  * Scale slope: training cost per LBFGS iteration is one map-side
+  * BPTT pass (O(rows·T·H²) flops, combiner-collapsed to one O(P)
+  * vector per partition) + an O(P) driver update; batch scoring is
+  * whole-stage-codegen per-row work with no shuffle. Both survive a
+  * 1000-executor corpus untouched. */
+object Lstm {
+
+  /** Trained network + the input scaling it was fit under; `window` is
+    * the trained input length — serving a different buffer length is a
+    * fail-loud require. Weight layout is gate-major with gates
+    * (i, f, g, o): `wx`/`b` index g·H+u, `wh` index (g·H+u)·H+v. */
+  case class LstmModel(
+      nUnits: Int,
+      window: Int,
+      wx: Array[Double],
+      wh: Array[Double],
+      b: Array[Double],
+      dense: Array[Double],
+      bias: Double,
+      mean: Double,
+      std: Double) {
+    require(wx.length == 4 * nUnits && wh.length == 4 * nUnits * nUnits &&
+      b.length == 4 * nUnits && dense.length == nUnits,
+      "LstmModel weight shapes inconsistent")
+    def nParams: Int = Lstm.nParams(nUnits)
+  }
+
+  case class Config(
+      nUnits: Int = 4,
+      maxIter: Int = 120,
+      regParam: Double = 1e-4,
+      seed: Long = 42L)
+
+  def nParams(h: Int): Int = 4 * h + 4 * h * h + 4 * h + h + 1
+
+  // Parameter-vector layout (shared by train/gradient/unpack):
+  // [wx 4H | wh 4H² | b 4H | dense H | bias]
+  private def oWx(h: Int) = 0
+  private def oWh(h: Int) = 4 * h
+  private def oB(h: Int) = 4 * h + 4 * h * h
+  private def oDv(h: Int) = 8 * h + 4 * h * h
+  private def oBias(h: Int) = 9 * h + 4 * h * h
+
+  @inline private def hardSig(a: Double): Double =
+    if (a < -2.0) 0.0 else if (a > 2.0) 1.0 else 0.25 * a + 0.5
+
+  @inline private def hardTanh(a: Double): Double =
+    if (a < -1.0) -1.0 else if (a > 1.0) 1.0 else a
+
+  /** Forward pass → LOGIT (pre-sigmoid), JVM loop form — the streaming
+    * scorer's hot path and [[logitCol]]'s bit-exact twin (same
+    * accumulation order; see the object docblock). */
+  def forward(m: LstmModel, x: Array[Double]): Double = {
+    require(x.length == m.window,
+      s"window ${x.length} != trained window ${m.window}")
+    val hN = m.nUnits
+    val h = new Array[Double](hN)
+    val c = new Array[Double](hN)
+    val hp = new Array[Double](hN)
+    var t = 0
+    while (t < x.length) {
+      val xv = (x(t) - m.mean) / m.std
+      System.arraycopy(h, 0, hp, 0, hN)
+      var u = 0
+      while (u < hN) {
+        val pre = new Array[Double](4)
+        var g = 0
+        while (g < 4) {
+          var acc = m.b(g * hN + u) + m.wx(g * hN + u) * xv
+          var v = 0
+          while (v < hN) { acc += m.wh((g * hN + u) * hN + v) * hp(v); v += 1 }
+          pre(g) = acc
+          g += 1
+        }
+        val gi = hardSig(pre(0)); val gf = hardSig(pre(1))
+        val gg = hardTanh(pre(2)); val go = hardSig(pre(3))
+        val cn = gf * c(u) + gi * gg
+        c(u) = cn
+        h(u) = go * hardTanh(cn)
+        u += 1
+      }
+      t += 1
+    }
+    var z = m.bias
+    var u = 0
+    while (u < hN) { z += m.dense(u) * h(u); u += 1 }
+    z
+  }
+
+  /** The forward pass as a native Catalyst column over an
+    * `array<double>` window
+    * ([[org.apache.spark.sql.graft.LstmHardLogit]], codegen'd
+    * recurrence — the HOF/`aggregate` composition is a non-starter
+    * here for the same reason CnnScaleProbe measured for the conv
+    * kernel: interpreted lambda dispatch per timestep). Accumulation
+    * order matches [[forward]] bit-for-bit. NULL for an empty
+    * window. */
+  def logitCol(m: LstmModel, win: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.lstmLogit(
+      win, m.nUnits, m.wx.toSeq, m.wh.toSeq, m.b.toSeq, m.dense.toSeq,
+      m.bias, m.mean, m.std)
+
+  /** One distributed loss/gradient evaluation: a `treeAggregate` BPTT
+    * pass over `(label, window)` rows against the broadcast parameter
+    * vector. Piecewise-linear gates make every local derivative exact:
+    * hardSig' is 0.25 strictly inside (0,1) post-activation and 0 at
+    * the clamps; hardTanh' is 1 strictly inside (-1,1) and 0 at the
+    * clamps (the boundary points are measure-zero and get the
+    * subgradient 0, same convention as ReLU in [[Cnn]]).
+    * Top-level method so executor lambdas capture only arguments. */
+  private def gradientPass(
+      ds: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      hN: Int, mean: Double, std: Double)
+      : (Double, Array[Double]) = {
+    val nP = nParams(hN)
+    ds.treeAggregate((0.0, new Array[Double](nP)))(
+      seqOp = { case ((ls, grad), (y, xRaw)) =>
+        val p = bw.value
+        val T = xRaw.length
+        val wxO = oWx(hN); val whO = oWh(hN); val bO = oB(hN)
+        val dvO = oDv(hN); val biasO = oBias(hN)
+        // ---- forward, storing activations for BPTT
+        val xs = new Array[Double](T)
+        var i = 0
+        while (i < T) { xs(i) = (xRaw(i) - mean) / std; i += 1 }
+        val gI = Array.ofDim[Double](T, hN)
+        val gF = Array.ofDim[Double](T, hN)
+        val gG = Array.ofDim[Double](T, hN)
+        val gO = Array.ofDim[Double](T, hN)
+        val cS = Array.ofDim[Double](T, hN)
+        val hS = Array.ofDim[Double](T, hN)
+        val hp = new Array[Double](hN)
+        var t = 0
+        while (t < T) {
+          if (t > 0) System.arraycopy(hS(t - 1), 0, hp, 0, hN)
+          else java.util.Arrays.fill(hp, 0.0)
+          var u = 0
+          while (u < hN) {
+            val pre = new Array[Double](4)
+            var g = 0
+            while (g < 4) {
+              var acc = p(bO + g * hN + u) + p(wxO + g * hN + u) * xs(t)
+              var v = 0
+              while (v < hN) {
+                acc += p(whO + (g * hN + u) * hN + v) * hp(v); v += 1
+              }
+              pre(g) = acc
+              g += 1
+            }
+            gI(t)(u) = hardSig(pre(0)); gF(t)(u) = hardSig(pre(1))
+            gG(t)(u) = hardTanh(pre(2)); gO(t)(u) = hardSig(pre(3))
+            val cPrev = if (t > 0) cS(t - 1)(u) else 0.0
+            val cn = gF(t)(u) * cPrev + gI(t)(u) * gG(t)(u)
+            cS(t)(u) = cn
+            hS(t)(u) = gO(t)(u) * hardTanh(cn)
+            u += 1
+          }
+          t += 1
+        }
+        var z = p(biasO)
+        var u = 0
+        while (u < hN) { z += p(dvO + u) * hS(T - 1)(u); u += 1 }
+        val loss =
+          if (z > 0) z + math.log1p(math.exp(-z)) - y * z
+          else math.log1p(math.exp(z)) - y * z
+        val dz = 1.0 / (1.0 + math.exp(-z)) - y
+        // ---- backward (BPTT)
+        grad(biasO) += dz
+        val dh = new Array[Double](hN)
+        val dc = new Array[Double](hN)
+        u = 0
+        while (u < hN) {
+          grad(dvO + u) += dz * hS(T - 1)(u)
+          dh(u) = dz * p(dvO + u)
+          u += 1
+        }
+        t = T - 1
+        val dhPrev = new Array[Double](hN)
+        while (t >= 0) {
+          java.util.Arrays.fill(dhPrev, 0.0)
+          u = 0
+          while (u < hN) {
+            val cn = cS(t)(u)
+            val tc = hardTanh(cn)
+            val o = gO(t)(u)
+            // dL/d(pre) per gate; post-activation value tells the regime
+            val dO = dh(u) * tc
+            val daO = if (o > 0.0 && o < 1.0) dO * 0.25 else 0.0
+            var dcU = dc(u)
+            if (cn > -1.0 && cn < 1.0) dcU += dh(u) * o
+            val cPrev = if (t > 0) cS(t - 1)(u) else 0.0
+            val fv = gF(t)(u); val iv = gI(t)(u); val gv = gG(t)(u)
+            val daF = if (fv > 0.0 && fv < 1.0) dcU * cPrev * 0.25 else 0.0
+            val daI = if (iv > 0.0 && iv < 1.0) dcU * gv * 0.25 else 0.0
+            val daG = if (gv > -1.0 && gv < 1.0) dcU * iv else 0.0
+            dc(u) = dcU * fv // flows to c_{t-1}
+            // accumulate parameter grads + dh_{t-1}
+            val das = Array(daI, daF, daG, daO)
+            var g = 0
+            while (g < 4) {
+              val da = das(g)
+              if (da != 0.0) {
+                grad(bO + g * hN + u) += da
+                grad(wxO + g * hN + u) += da * xs(t)
+                var v = 0
+                while (v < hN) {
+                  if (t > 0) grad(whO + (g * hN + u) * hN + v) += da * hS(t - 1)(v)
+                  dhPrev(v) += da * p(whO + (g * hN + u) * hN + v)
+                  v += 1
+                }
+              }
+              g += 1
+            }
+            u += 1
+          }
+          System.arraycopy(dhPrev, 0, dh, 0, hN)
+          t -= 1
+        }
+        (ls + loss, grad)
+      },
+      combOp = { case ((l1, g1), (l2, g2)) =>
+        var i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        (l1 + l2, g1)
+      })
+  }
+
+  /** Distributed training: breeze LBFGS where each loss/gradient
+    * evaluation is one `treeAggregate` BPTT pass over `(label,
+    * window)` rows. L2 on wx/wh/dense (not the biases). Forget-gate
+    * bias initialized to +1 (the standard LSTM trick — start with a
+    * remembering cell so gradients reach early timesteps).
+    * Deterministic: seeded init. Input frame: `label` (0/1 double) +
+    * `window` (`array<double>`, all the same length).
+    *
+    * Expect occasional "Line search zoom failed → Resetting history"
+    * log lines from breeze: the hard gates make the objective
+    * piecewise-smooth, and Wolfe line searches can stall exactly on a
+    * gate kink. LBFGS resets its curvature history and keeps
+    * descending — LstmSpec's planted-corpus gate passes through these
+    * resets; they are noise, not divergence. */
+  def train(windows: DataFrame, cfg: Config = Config()): LstmModel = {
+    import breeze.linalg.{DenseVector => BDV}
+    val spark = windows.sparkSession
+    import spark.implicits._
+    val ds = windows.select(col("label").cast("double"),
+        col("window").cast("array<double>"))
+      .as[(Double, Array[Double])]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (sum, sumSq, cnt, wLen) = ds
+        .map { case (_, x) =>
+          var s = 0.0; var s2 = 0.0
+          x.foreach { v => s += v; s2 += v * v }
+          (s, s2, x.length.toLong, x.length)
+        }
+        .reduce { (a, b) =>
+          require(a._4 == b._4, s"ragged windows: ${a._4} vs ${b._4}")
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4)
+        }
+      val mean = sum / cnt
+      val varr = math.max(sumSq / cnt - mean * mean, 0.0)
+      val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
+      val hN = cfg.nUnits
+      val nP = nParams(hN)
+      val nRows = ds.count().toDouble
+      val sc = spark.sparkContext
+
+      val fn = new breeze.optimize.DiffFunction[BDV[Double]] {
+        def calculate(p: BDV[Double]): (Double, BDV[Double]) = {
+          val bw = sc.broadcast(p.data.clone())
+          try {
+            val (lossSum, gradSum) = gradientPass(ds, bw, hN, mean, std)
+            val grad = new Array[Double](nP)
+            var reg = 0.0
+            var i = 0
+            while (i < nP) {
+              grad(i) = gradSum(i) / nRows
+              val isWeight = i < oB(hN) || (i >= oDv(hN) && i < oBias(hN))
+              if (isWeight) {
+                reg += 0.5 * cfg.regParam * p.data(i) * p.data(i)
+                grad(i) += cfg.regParam * p.data(i)
+              }
+              i += 1
+            }
+            (lossSum / nRows + reg, BDV(grad))
+          } finally bw.unpersist(false)
+        }
+      }
+
+      val rnd = new scala.util.Random(cfg.seed)
+      val init = new Array[Double](nP)
+      var i = 0
+      while (i < oB(hN)) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+      // forget-gate biases (+1); others stay 0
+      (0 until hN).foreach(u => init(oB(hN) + hN + u) = 1.0)
+      (0 until hN).foreach(u => init(oDv(hN) + u) = rnd.nextGaussian() * 0.3)
+      val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
+        maxIter = cfg.maxIter, m = 10, tolerance = 1e-7)
+      val sol = lbfgs.minimize(fn, BDV(init)).data
+      LstmModel(hN, wLen,
+        wx = sol.slice(oWx(hN), oWh(hN)),
+        wh = sol.slice(oWh(hN), oB(hN)),
+        b = sol.slice(oB(hN), oDv(hN)),
+        dense = sol.slice(oDv(hN), oBias(hN)),
+        bias = sol(oBias(hN)), mean = mean, std = std)
+    } finally ds.unpersist(false)
+  }
+
+  /** Exposed for LstmSpec's finite-difference gradient check — the
+    * distributed BPTT against numeric differentiation of the forward
+    * loss, the only honest gate on hand-written recurrence calculus. */
+  private[graft] def gradientPassForTest(
+      ds: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      hN: Int, mean: Double, std: Double): (Double, Array[Double]) =
+    gradientPass(ds, bw, hN, mean, std)
+
+  /** Batch scoring: per-row logit + probability over a window column —
+    * pure codegen'd column work, no shuffle. */
+  def scoreWindows(m: LstmModel, windows: DataFrame,
+                   winCol: String = "window"): DataFrame = {
+    val z = logitCol(m, col(winCol))
+    windows.withColumn("logit", z)
+      .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+  }
+
+  /** The LSTM as a replay scorer closure — same unit contract as
+    * [[Cnn.scorer]]: trains directly on the buffer's window (G), no
+    * mG conversion, window length enforced by [[forward]]. */
+  def scorer(m: LstmModel): Array[Double] => Double =
+    (vecG: Array[Double]) => 1.0 / (1.0 + math.exp(-forward(m, vecG)))
+
+  /** The trained LSTM as a fully-assembled replay detector —
+    * bufferSamples pinned to the trained window, normalise off (the
+    * model's own (mean, std) is the only scaling). */
+  def deployedLstm(m: LstmModel,
+                   base: graft.streaming.NnSettings = graft.streaming.NnSettings())
+      : graft.streaming.NnAlg =
+    new graft.streaming.NnAlg(
+      base.copy(bufferSamples = m.window, normalise = false), scorer(m))
+}

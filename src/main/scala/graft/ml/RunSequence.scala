@@ -331,6 +331,22 @@ object RunSequence {
     (fit, score)
   }
 
+  /** The LSTM family for [[runWithWindows]] — the recurrent
+    * modelClass (the reference's AMBER path, `user_tools/nnTraining2/
+    * amber/model.py`): [[Lstm.train]] per fold on the raw-window
+    * slice, [[Lstm.scoreWindows]]' codegen'd forward pass on the
+    * held-out slice; same train/serve scaling contract as
+    * [[cnnFamily]]. */
+  def lstmFamily(lstmCfg: Lstm.Config = Lstm.Config())
+      : (DataFrame => Lstm.LstmModel,
+         (Lstm.LstmModel, DataFrame) => DataFrame) = {
+    val fit = (train: DataFrame) => Lstm.train(train, lstmCfg)
+    val score = (m: Lstm.LstmModel, test: DataFrame) =>
+      Lstm.scoreWindows(m, test)
+        .select(col("eventId"), col("label"), col("p_seizure"))
+    (fit, score)
+  }
+
   /** The shared per-fold loop: materialize the basis frame once, then
     * per fold — F14 leak guard (fail loud), copy-replicate the training
     * slice through the fold-invariant [[augmentPlan]], fit, score the

@@ -1612,6 +1612,100 @@ object DomainQueries {
          |FROM poolml""".stripMargin
   }
 
+  /** The ml4 network: FIXED quarter-grid weights (H = 2 units) so
+    * that, over the fixture's integer magnitude samples scaled by the
+    * EXACT dyadic (m − 1000)/64, the hard-gate recurrence is pure IEEE
+    * mul/add/compare with the same operation order on both engines —
+    * bit-identical doubles out of a 125-step recursion, no grid bridge
+    * needed. ONE source of truth: [[ml4Sql]] is GENERATED from this
+    * object's weights. */
+  private val ml4Net: graft.ml.Lstm.LstmModel = {
+    val h = 2
+    graft.ml.Lstm.LstmModel(h, window = 125,
+      wx = Array.tabulate(4 * h)(j => ((j * 5) % 7 - 3) * 0.25),
+      wh = Array.tabulate(4 * h * h)(j => ((j * 3) % 5 - 2) * 0.25),
+      b = Array.tabulate(4 * h)(j => ((j * 2) % 3 - 1) * 0.25),
+      dense = Array(1.0, -1.0),
+      bias = 0.25, mean = 1000.0, std = 64.0)
+  }
+
+  /** ML4 — the hard-gate LSTM forward pass under the oracle gate
+    * ([[graft.ml.Lstm.logitCol]], the RECURRENT half of the round-12
+    * verdict's missing #2; the reference's AMBER LSTM family,
+    * `user_tools/nnTraining2/amber/model.py:31-39`): z-scale →
+    * 125-step LSTM cell → dense logit over every present magnitude
+    * window, as one native codegen'd expression. The TRAINER is
+    * spec-gated (LstmSpec: finite-difference BPTT check +
+    * planted-separable corpus); the architecture the training
+    * optimizes IS gated here via [[ml4Net]], with the oracle replaying
+    * the recurrence as a DuckDB recursive CTE — feasible only because
+    * the hard gates are piecewise-linear (no libm transcendentals to
+    * diverge by ulps). */
+  def ml4LstmForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.Lstm.logitCol(ml4Net, col("rawData")).as("logit"))
+
+  val ml4Sql: String = {
+    val m = ml4Net
+    val H = m.nUnits
+    def L(d: Double): String = if (d < 0) s"($d)" else d.toString
+    // gate pre-activation: b + wx*x + wh0*h0 + wh1*h1 (left-assoc,
+    // matching the expression's accumulation order exactly)
+    def pre(g: Int, u: Int): String = {
+      val whTerms = (0 until H)
+        .map(v => s"${L(m.wh((g * H + u) * H + v))}*h$v").mkString(" + ")
+      s"${L(m.b(g * H + u))} + ${L(m.wx(g * H + u))}*x + $whTerms"
+    }
+    def sig(a: String): String =
+      s"CASE WHEN $a < -2.0 THEN 0.0 WHEN $a > 2.0 THEN 1.0 ELSE 0.25*$a + 0.5 END"
+    def tnh(a: String): String =
+      s"CASE WHEN $a < -1.0 THEN -1.0 WHEN $a > 1.0 THEN 1.0 ELSE $a END"
+    val preCols = (for (g <- 0 until 4; u <- 0 until H)
+      yield s"${pre(g, u)} AS a${g}_$u").mkString(",\n      |        ")
+    val gateCols = (0 until H).map { u =>
+      s"${sig(s"a0_$u")} AS gi$u, ${sig(s"a1_$u")} AS gf$u, " +
+        s"${tnh(s"a2_$u")} AS gg$u, ${sig(s"a3_$u")} AS go$u"
+    }.mkString(",\n      |        ")
+    val cnCols = (0 until H)
+      .map(u => s"gf$u*c$u + gi$u*gg$u AS cn$u").mkString(", ")
+    val hOut = (0 until H)
+      .map(u => s"go$u * (${tnh(s"cn$u")}) AS h$u").mkString(",\n      |       ")
+    val cOut = (0 until H).map(u => s"cn$u AS c$u").mkString(", ")
+    val stateInit = (0 until H)
+      .map(u => s"CAST(0.0 AS DOUBLE) AS h$u").mkString(", ") + ", " +
+      (0 until H).map(u => s"CAST(0.0 AS DOUBLE) AS c$u").mkString(", ")
+    val stateCarry = (0 until H)
+      .map(u => s"s.h$u AS h$u").mkString(", ") + ", " +
+      (0 until H).map(u => s"s.c$u AS c$u").mkString(", ")
+    val logit = s"${L(m.bias)} + " +
+      (0 until H).map(u => s"${L(m.dense(u))}*h$u").mkString(" + ")
+    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", edml4 AS (SELECT e, d FROM sampm WHERE i = 0),
+         |lstm AS (
+         |  SELECT e, d, 0 AS t, $stateInit FROM edml4
+         |  UNION ALL
+         |  SELECT e, d, t,
+         |       $hOut,
+         |       $cOut
+         |  FROM (
+         |    SELECT *, $cnCols FROM (
+         |      SELECT *,
+         |        $gateCols
+         |      FROM (
+         |        SELECT *,
+         |        $preCols
+         |        FROM (
+         |          SELECT s.e AS e, s.d AS d, s.t + 1 AS t,
+         |                 $stateCarry,
+         |                 (p.m - 1000.0)/64.0 AS x
+         |          FROM lstm s JOIN sampm p
+         |            ON p.e = s.e AND p.d = s.d AND p.i = s.t
+         |          WHERE s.t < ${m.window}))))
+         |)
+         |SELECT e, d, $logit AS logit FROM lstm WHERE t = ${m.window}""".stripMargin
+  }
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2427,6 +2521,7 @@ object DomainQueries {
     "ml1_auroc"         -> (ml1Auroc _),
     "ml2_run_sequence"  -> (ml2RunSequence _),
     "ml3_cnn_forward"   -> (ml3CnnForward _),
+    "ml4_lstm_forward"  -> (ml4LstmForward _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2501,6 +2596,7 @@ object DomainQueries {
     "ml1_auroc"         -> ml1Sql,
     "ml2_run_sequence"  -> ml2Sql,
     "ml3_cnn_forward"   -> ml3Sql,
+    "ml4_lstm_forward"  -> ml4Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

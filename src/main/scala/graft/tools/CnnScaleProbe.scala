@@ -132,6 +132,54 @@ object CnnScaleProbe {
     System.err.println(
       f"[cnn] native vs udf: ${tUdf / tNative}%.2fx; native vs hof (rows/s): " +
         f"${(scoreRows / tNative) / (hofRows / tHof)}%.0fx")
+
+    // ---- 3. the recurrent twin (graft.ml.Lstm): same two claims.
+    // Scoring is O(T·H²) per row vs the CNN's O(nf·L·w) — at H=4 and
+    // T=125 comparable flops, so rows/s should land in the same decade.
+    import graft.ml.Lstm
+    val lm = {
+      val rnd = new scala.util.Random(13)
+      val h = 4
+      Lstm.LstmModel(h, W,
+        wx = Array.fill(4 * h)(rnd.nextGaussian() * 0.5),
+        wh = Array.fill(4 * h * h)(rnd.nextGaussian() * 0.3),
+        b = Array.fill(4 * h)(rnd.nextGaussian() * 0.2),
+        dense = Array.fill(h)(rnd.nextGaussian()),
+        bias = 0.1, mean = 900.0, std = 80.0)
+    }
+    def timeL(what: String)(mk: => DataFrame): Double = {
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk.agg(sum("z")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = reps.min
+      System.err.println(
+        f"[lstm] score/$what%-7s n=$scoreRows%8d: $s%6.2f s (${scoreRows / s}%,.0f rows/s)")
+      s
+    }
+    val tLNative = timeL("native") {
+      sdf.select(Lstm.logitCol(lm, col("window")).as("z"))
+    }
+    val lstmUdf = udf { (w: Seq[Double]) => Lstm.forward(lm, w.toArray) }
+    val tLUdf = timeL("udf") {
+      sdf.select(lstmUdf(col("window")).as("z"))
+    }
+    System.err.println(f"[lstm] native vs udf: ${tLUdf / tLNative}%.2fx")
+    Lstm.train(windows(500), Lstm.Config(maxIter = 3)) // warmup
+    val ltimes = Seq(base.toLong, base * 10L).map { n =>
+      val df = windows(n).persist()
+      df.count()
+      val t0 = System.nanoTime()
+      Lstm.train(df, Lstm.Config(nUnits = 4, maxIter = iters))
+      val s = (System.nanoTime() - t0) / 1e9
+      df.unpersist()
+      System.err.println(f"[lstm] train n=$n%7d maxIter=$iters: $s%7.2f s")
+      s
+    }
+    System.err.println(
+      f"[lstm] training decade exponent: ${math.log10(ltimes(1) / ltimes(0))}%.2f")
+
     sdf.unpersist()
     spark.stop()
   }

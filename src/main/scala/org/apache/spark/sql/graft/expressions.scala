@@ -270,6 +270,161 @@ case class Conv1dMaxPoolLogit(
     copy(child = newChild)
 }
 
+/** The hard-gate LSTM forward pass ([[graft.ml.Lstm]]: z-scale →
+  * recurrent cell over the window → dense logit) as ONE native
+  * expression — the recurrent twin of [[Conv1dMaxPoolLogit]] and the
+  * ml4 oracle's compute. The reference's recurrent family is the AMBER
+  * LSTM (`user_tools/nnTraining2/amber/model.py:31-39`); this is its
+  * in-engine boundary, same contract as the CNN: architecture as a
+  * per-row pure function, training elsewhere ([[graft.ml.Lstm.train]]).
+  *
+  * PIECEWISE-LINEAR gates by design (the "hard" quantized-LSTM variant,
+  * standard in integer inference stacks): hardSig(a) = clamp(0.25a +
+  * 0.5, 0, 1), hardTanh(x) = clamp(x, -1, 1). No transcendentals means
+  * every op is a correctly-rounded IEEE mul/add/compare — which is what
+  * lets a DuckDB recursive CTE replay the recurrence BIT-EXACTLY
+  * (ml4's gate) where exp/tanh would diverge by libm ulps. Clamps are
+  * comparison ladders (a < lo, a > hi), NEVER min/max intrinsics: the
+  * ladder passes the original datum through untouched (±0.0 included)
+  * and reads identically in both engines.
+  *
+  * Accumulation order is the cross-engine contract, mirrored by
+  * `Lstm.forward` and the generated SQL: gate pre-activation
+  * b + wx·x + Σ_v wh_v·h_v (v ascending), c' = f·c + i·g,
+  * h' = o·hardTanh(c'), logit = bias + Σ_u dense_u·h_u (u ascending).
+  * Weight layout is gate-major (i, f, g, o): wx/b index g·H+u,
+  * wh index (g·H+u)·H+v. NULL for an empty window. */
+case class LstmHardLogit(
+    child: Expression,
+    nUnits: Int,
+    wx: Seq[Double],
+    wh: Seq[Double],
+    b: Seq[Double],
+    dense: Seq[Double],
+    bias: Double,
+    mean: Double,
+    std: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(wx.length == 4 * nUnits && wh.length == 4 * nUnits * nUnits &&
+    b.length == 4 * nUnits && dense.length == nUnits,
+    "LstmHardLogit weight shapes inconsistent")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true // empty windows yield NULL
+
+  override def prettyName: String = "lstm_hard_logit"
+
+  @transient private lazy val wxA = wx.toArray
+  @transient private lazy val whA = wh.toArray
+  @transient private lazy val bA = b.toArray
+  @transient private lazy val dvA = dense.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val win = a.asInstanceOf[ArrayData]
+    val n = win.numElements()
+    if (n == 0) null
+    else {
+      val H = nUnits
+      val h = new Array[Double](H)
+      val c = new Array[Double](H)
+      val hp = new Array[Double](H)
+      var t = 0
+      while (t < n) {
+        val x = (win.getDouble(t) - mean) / std
+        System.arraycopy(h, 0, hp, 0, H)
+        var u = 0
+        while (u < H) {
+          val pre = new Array[Double](4)
+          var g = 0
+          while (g < 4) {
+            var acc = bA(g * H + u) + wxA(g * H + u) * x
+            var v = 0
+            while (v < H) { acc += whA((g * H + u) * H + v) * hp(v); v += 1 }
+            pre(g) = acc
+            g += 1
+          }
+          val gi = if (pre(0) < -2.0) 0.0 else if (pre(0) > 2.0) 1.0 else 0.25 * pre(0) + 0.5
+          val gf = if (pre(1) < -2.0) 0.0 else if (pre(1) > 2.0) 1.0 else 0.25 * pre(1) + 0.5
+          val gg = if (pre(2) < -1.0) -1.0 else if (pre(2) > 1.0) 1.0 else pre(2)
+          val go = if (pre(3) < -2.0) 0.0 else if (pre(3) > 2.0) 1.0 else 0.25 * pre(3) + 0.5
+          val cn = gf * c(u) + gi * gg
+          c(u) = cn
+          val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+          h(u) = go * tc
+          u += 1
+        }
+        t += 1
+      }
+      var z = bias
+      var u = 0
+      while (u < H) { z += dvA(u) * h(u); u += 1 }
+      z
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wxR = ctx.addReferenceObj("lstmWx", wxA, "double[]")
+      val whR = ctx.addReferenceObj("lstmWh", whA, "double[]")
+      val bR = ctx.addReferenceObj("lstmB", bA, "double[]")
+      val dvR = ctx.addReferenceObj("lstmDense", dvA, "double[]")
+      val sc = ctx.addReferenceObj("lstmScalars",
+        Array(bias, mean, std), "double[]")
+      val H = nUnits
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val cS = ctx.freshName("c"); val hp = ctx.freshName("hp")
+      val t = ctx.freshName("t"); val x = ctx.freshName("x")
+      val u = ctx.freshName("u"); val pre = ctx.freshName("pre")
+      val g = ctx.freshName("g"); val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v"); val gi = ctx.freshName("gi")
+      val gf = ctx.freshName("gf"); val gg = ctx.freshName("gg")
+      val go = ctx.freshName("go"); val cn = ctx.freshName("cn")
+      val tc = ctx.freshName("tc"); val z = ctx.freshName("z")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $h = new double[$H];
+         |  double[] $cS = new double[$H];
+         |  double[] $hp = new double[$H];
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    double $x = ($a.getDouble($t) - $sc[1]) / $sc[2];
+         |    System.arraycopy($h, 0, $hp, 0, $H);
+         |    for (int $u = 0; $u < $H; $u++) {
+         |      double[] $pre = new double[4];
+         |      for (int $g = 0; $g < 4; $g++) {
+         |        double $acc = $bR[$g * $H + $u] + $wxR[$g * $H + $u] * $x;
+         |        for (int $v = 0; $v < $H; $v++) {
+         |          $acc += $whR[($g * $H + $u) * $H + $v] * $hp[$v];
+         |        }
+         |        $pre[$g] = $acc;
+         |      }
+         |      double $gi = $pre[0] < -2.0 ? 0.0 : ($pre[0] > 2.0 ? 1.0 : 0.25 * $pre[0] + 0.5);
+         |      double $gf = $pre[1] < -2.0 ? 0.0 : ($pre[1] > 2.0 ? 1.0 : 0.25 * $pre[1] + 0.5);
+         |      double $gg = $pre[2] < -1.0 ? -1.0 : ($pre[2] > 1.0 ? 1.0 : $pre[2]);
+         |      double $go = $pre[3] < -2.0 ? 0.0 : ($pre[3] > 2.0 ? 1.0 : 0.25 * $pre[3] + 0.5);
+         |      double $cn = $gf * $cS[$u] + $gi * $gg;
+         |      $cS[$u] = $cn;
+         |      double $tc = $cn < -1.0 ? -1.0 : ($cn > 1.0 ? 1.0 : $cn);
+         |      $h[$u] = $go * $tc;
+         |    }
+         |  }
+         |  double $z = $sc[0];
+         |  for (int $u = 0; $u < $H; $u++) $z += $dvR[$u] * $h[$u];
+         |  ${ev.value} = $z;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
   import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -290,6 +445,14 @@ object GraftSqlBridge {
     ExpressionUtils.column(Conv1dMaxPoolLogit(
       ExpressionUtils.expression(win), nFilters, width,
       filters, filterBias, dense, bias, mean, std))
+
+  def lstmLogit(win: Column, nUnits: Int,
+                wx: Seq[Double], wh: Seq[Double], b: Seq[Double],
+                dense: Seq[Double], bias: Double,
+                mean: Double, std: Double): Column =
+    ExpressionUtils.column(LstmHardLogit(
+      ExpressionUtils.expression(win), nUnits, wx, wh, b, dense,
+      bias, mean, std))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

@@ -161,6 +161,49 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-15)
   }
 
+  test("lstm_hard_logit compiles under codegen with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(9)
+      val h = 3
+      val m = graft.ml.Lstm.LstmModel(h, 24,
+        wx = Array.fill(4 * h)(rnd.nextGaussian() * 0.5),
+        wh = Array.fill(4 * h * h)(rnd.nextGaussian() * 0.3),
+        b = Array.fill(4 * h)(rnd.nextGaussian() * 0.2),
+        dense = Array.fill(h)(rnd.nextGaussian()),
+        bias = 0.1, mean = 12.0, std = 9.0)
+      // range-based window construction keeps the input out of
+      // LocalTableScan so doGenCode must run
+      val winCol = array((0 until 24).map(j =>
+        ((col("id") * 5 + j) % 29).cast("double")): _*)
+      val df = spark.range(40).select(col("id"), winCol.as("w"))
+        .select(col("id"), graft.ml.Lstm.logitCol(m, col("w")).as("z"))
+      val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val codegenStages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("lstm_hard_logit") => w
+      }
+      assert(codegenStages.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(1500))
+      // codegen path == JVM loop bit-for-bit
+      (0 until 40).foreach { i =>
+        val win = Array.tabulate(24)(j => ((i * 5 + j) % 29).toDouble)
+        assert(java.lang.Double.doubleToLongBits(rows(i.toLong)) ==
+          java.lang.Double.doubleToLongBits(graft.ml.Lstm.forward(m, win)))
+      }
+      // empty window: NULL under codegen too
+      val nul = spark.range(1)
+        .select(array().cast("array<double>").as("w"))
+        .select(graft.ml.Lstm.logitCol(m, col("w")))
+        .collect().head
+      assert(nul.isNullAt(0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("conv1d_maxpool_logit compiles under codegen with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")

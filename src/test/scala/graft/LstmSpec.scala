@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Lstm
+import graft.sources.SimulatedEvents
+import graft.sources.SimulatedEvents.{Component, EventSpec}
+import graft.streaming.Replay
+
+/** The in-engine hard-gate LSTM ([[graft.ml.Lstm]]) — the RECURRENT
+  * half of the round-12 verdict's missing-#2 architecture boundary
+  * (the reference's AMBER family):
+  *
+  *   - the Catalyst forward pass ([[Lstm.logitCol]]) is BIT-IDENTICAL
+  *     to the JVM loop ([[Lstm.forward]]) the streaming scorer runs —
+  *     pinned on float weights/windows where nothing is integer-exact;
+  *   - the hand-written BPTT gradient matches finite differences of
+  *     the forward loss (the only honest gate on recurrence calculus);
+  *   - LBFGS-over-treeAggregate training learns a planted-separable
+  *     raw-window corpus (held-out, event-disjoint);
+  *   - the trained net deploys into the SAME replay FSM as LR/MLP/CNN
+  *     and the serve-time window contract is fail-loud.
+  */
+class LstmSpec extends SparkSpec {
+
+  /** Same planted physics as CnnSpec: seizure = 3-6 Hz tremor burst
+    * over gravity; normal = slow sway — consumed as RAW windows. */
+  private lazy val corpus = {
+    val specs = (0 until 16).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 5.0, 55.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    SimulatedEvents(spark, specs)
+  }
+
+  private lazy val windows = {
+    val vecs = graft.streaming.NnBuffer.dp2vectors(corpus, bufferSamples = 125)
+    vecs.toDF().select(
+      col("eventId"),
+      when(col("eventId").startsWith("SZ"), 1.0).otherwise(0.0).as("label"),
+      col("vec").as("window"))
+  }
+
+  private def randomModel(seed: Int, h: Int, win: Int): Lstm.LstmModel = {
+    val rnd = new scala.util.Random(seed)
+    Lstm.LstmModel(h, win,
+      wx = Array.fill(4 * h)(rnd.nextGaussian() * 0.6),
+      wh = Array.fill(4 * h * h)(rnd.nextGaussian() * 0.4),
+      b = Array.fill(4 * h)(rnd.nextGaussian() * 0.2),
+      dense = Array.fill(h)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian() * 0.2,
+      mean = 0.41, std = 1.37)
+  }
+
+  test("logitCol == forward bit-exactly (float weights, float windows)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val win = 40
+    val m = randomModel(5, h = 3, win = win)
+    val rows = (0 until 20).map(i =>
+      (i, Array.fill(win)(rnd.nextGaussian() * 2 + 0.3)))
+    val df = rows.toDF("i", "window")
+    val got = df.select(col("i"), Lstm.logitCol(m, col("window")).as("z"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, x) =>
+      val want = Lstm.forward(m, x)
+      assert(got(i) == want, // exact ==, not a tolerance: same op order
+        s"row $i: column ${got(i)} != jvm $want")
+    }
+  }
+
+  test("empty window: logitCol is NULL; wrong serve length is loud") {
+    import spark.implicits._
+    val m = randomModel(6, h = 2, win = 8)
+    val df = Seq(Array.empty[Double]).toDF("window")
+    assert(df.select(Lstm.logitCol(m, col("window"))).head().isNullAt(0))
+    val e = intercept[IllegalArgumentException](
+      Lstm.scorer(m)(new Array[Double](5)))
+    assert(e.getMessage.contains("trained window"))
+    val p = Lstm.scorer(m)(new Array[Double](8))
+    assert(p >= 0.0 && p <= 1.0)
+    assert(Lstm.deployedLstm(m).name == "NnAlg")
+  }
+
+  test("BPTT gradient == finite differences of the forward loss") {
+    val hN = 2
+    val T = 7
+    val nP = Lstm.nParams(hN)
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 6).map(i =>
+      ((i % 2).toDouble, Array.fill(T)(rnd.nextGaussian())))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val p0 = Array.fill(nP)(rnd.nextGaussian() * 0.4)
+
+    def lossAt(p: Array[Double]): Double = {
+      val bw = spark.sparkContext.broadcast(p)
+      try Lstm.gradientPassForTest(rdd, bw, hN, 0.0, 1.0)._1
+      finally bw.unpersist(false)
+    }
+    val bw0 = spark.sparkContext.broadcast(p0)
+    val (_, grad) =
+      try Lstm.gradientPassForTest(rdd, bw0, hN, 0.0, 1.0)
+      finally bw0.unpersist(false)
+
+    val eps = 1e-6
+    (0 until nP).foreach { j =>
+      val pp = p0.clone(); pp(j) += eps
+      val pm = p0.clone(); pm(j) -= eps
+      val fd = (lossAt(pp) - lossAt(pm)) / (2 * eps)
+      val err = math.abs(fd - grad(j)) / math.max(1.0, math.abs(grad(j)))
+      assert(err < 1e-4,
+        s"param $j: BPTT ${grad(j)} vs FD $fd (rel err $err)")
+    }
+  }
+
+  test("train: planted raw-window corpus learns (held-out, event-disjoint)") {
+    val trainDf = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 0"))
+    val heldOut = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 1"))
+    val model = Lstm.train(trainDf, Lstm.Config(nUnits = 4, maxIter = 100))
+    assert(model.window == 125)
+    val scored = Lstm.scoreWindows(model, heldOut)
+      .select(col("eventId"), col("label"), col("p_seizure"))
+    val a = graft.ml.Trainer.auroc(scored)
+    assert(a > 0.9, s"LSTM held-out AUROC only $a")
+
+    // batch (column) and serve (closure) scoring agree bit-exactly
+    val closure = Lstm.scorer(model)
+    val one = heldOut.limit(3).collect()
+    val colScores = Lstm.scoreWindows(model, heldOut.limit(3))
+      .select("p_seizure").collect().map(_.getDouble(0))
+    one.map(_.getAs[Seq[Double]]("window").toArray).map(closure)
+      .zip(colScores).foreach { case (c, s) => assert(c == s) }
+
+    // deploy: the trained LSTM inside the same alarm FSM as LR/MLP/CNN
+    def replayAlarms(eventId: String): Long = {
+      import spark.implicits._
+      val dps = corpus.filter(_.eventId == eventId)
+        .map(d => graft.streaming.ReplayDp(d.eventId, d.tsSec, d.hr, 0L,
+          d.rawData, d.rawData3D, d.seq))
+      Replay.replayBatchWith(dps, Seq(() => Lstm.deployedLstm(model)))
+        .filter(col("alarmState") === 2).count()
+    }
+    assert(replayAlarms("SZ3") > 0, "LSTM detector never alarmed on a seizure")
+    assert(replayAlarms("OK3") == 0, "LSTM detector false-alarmed on normal")
+  }
+}

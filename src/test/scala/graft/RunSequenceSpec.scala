@@ -261,6 +261,42 @@ class RunSequenceSpec extends SparkSpec {
     }
   }
 
+  test("runWithWindows(lstmFamily): the recurrent modelClass path learns raw windows per fold") {
+    val n = 6
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val events = evFrame((0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 3),
+        (s"OK$i", "False Alarm", "other", i % 3))
+    })
+    val (fit, score) = RunSequence.lstmFamily(
+      graft.ml.Lstm.Config(nUnits = 4, maxIter = 60))
+    val results = RunSequence.runWithWindows(
+      events, corpus, lit(true), col("fold0"),
+      RunSequence.Config(), bufferSamples = 125)(fit, score)
+    assert(results.size == 3)
+    results.foreach { fr =>
+      assert(fr.heldOutAuroc > 0.85,
+        s"fold ${fr.fold}: LSTM held-out AUROC only ${fr.heldOutAuroc}")
+      assert(fr.model.window == 125)
+      assert(fr.nTestEvents > 0)
+    }
+  }
+
   test("run(): planted-separable corpus learns every fold; counts match the skeleton") {
     val n = 12
     val specs = (0 until n).flatMap { i =>

@@ -1706,6 +1706,55 @@ object DomainQueries {
          |SELECT e, d, $logit AS logit FROM lstm WHERE t = ${m.window}""".stripMargin
   }
 
+  private val ml5K = 5
+  private val ml5Q = 0.6
+
+  /** ML5 — the k-fold ensemble combiner under the oracle gate
+    * ([[graft.ml.Ensemble]], the reference's tunable-sensitivity
+    * predictor, `user_tools/nnTraining2/ensemblePredictor.py:28-87`):
+    * per event, five synthetic fold scores (integer fixture
+    * arithmetic), combined by BOTH the Harrell-Davis quantile and the
+    * reference's simple linear-interpolation quantile at q = 0.6. The
+    * beta-mass weights are computed ONCE on the driver and embedded as
+    * shortest-round-trip literals in both plans (one source of truth).
+    * The combined score compares on the ×1e6 ROUND grid (the viz1
+    * discipline), NOT as raw doubles: the weighted sum is a
+    * multiply-accumulate chain, and DuckDB's compiled a·b+c can
+    * contract to FMA where Java never does — measured 1-ulp diffs
+    * (~1e-12 absolute at these magnitudes, six orders inside the
+    * grid). The ml4 recurrence dodges this because its per-step values
+    * round through clamp COMPARISONS, not a long dot product. */
+  def ml5Ensemble(s: SparkSession, d: String): DataFrame = {
+    val scores = array((0 until ml5K).map(f =>
+      ((col("e") * 13 + (f + 1) * 29) % 97).cast("double")): _*)
+    OsdbFixture.ev(s, d).select(col("e"),
+      round(graft.ml.Ensemble.harrellDavisCol(scores, ml5K, ml5Q) * 1e6)
+        .cast("long").as("p_hd_x1e6"),
+      round(graft.ml.Ensemble.simpleQuantileCol(scores, ml5K, ml5Q) * 1e6)
+        .cast("long").as("p_q_x1e6"))
+  }
+
+  val ml5Sql: String = {
+    val w = graft.ml.Ensemble.hdWeights(ml5K, ml5Q)
+    val elems = (0 until ml5K)
+      .map(f => s"CAST((e*13 + ${(f + 1) * 29}) % 97 AS DOUBLE)")
+      .mkString(", ")
+    val hd = (1 until ml5K).foldLeft(s"${w(0)}*s[1]") { (acc, i) =>
+      s"$acc + ${w(i)}*s[${i + 1}]"
+    }
+    val pos = (ml5K - 1) * ml5Q
+    val lo = math.floor(pos).toInt
+    val frac = pos - lo
+    val sq =
+      if (frac == 0.0 || lo + 1 >= ml5K) s"s[${lo + 1}]*1.0"
+      else s"s[${lo + 1}]*${1 - frac} + s[${lo + 2}]*$frac"
+    sqlBase +
+      s""", ml5s AS (SELECT e, list_sort([$elems]) AS s FROM ev)
+         |SELECT e, CAST(round(($hd) * 1000000.0) AS BIGINT) AS p_hd_x1e6,
+         |       CAST(round(($sq) * 1000000.0) AS BIGINT) AS p_q_x1e6
+         |FROM ml5s""".stripMargin
+  }
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2522,6 +2571,7 @@ object DomainQueries {
     "ml2_run_sequence"  -> (ml2RunSequence _),
     "ml3_cnn_forward"   -> (ml3CnnForward _),
     "ml4_lstm_forward"  -> (ml4LstmForward _),
+    "ml5_ensemble"      -> (ml5Ensemble _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2597,6 +2647,7 @@ object DomainQueries {
     "ml2_run_sequence"  -> ml2Sql,
     "ml3_cnn_forward"   -> ml3Sql,
     "ml4_lstm_forward"  -> ml4Sql,
+    "ml5_ensemble"      -> ml5Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

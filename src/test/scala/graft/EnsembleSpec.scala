@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Ensemble
+
+/** The k-fold ensemble combiner ([[graft.ml.Ensemble]], the
+  * reference's Spahr-methodology tunable-sensitivity predictor):
+  * weight correctness, column-vs-driver bit-exactness, the loud
+  * wrong-cardinality guard, quantile tunability, and the full
+  * scoreEnsemble pass over per-model scoring closures. */
+class EnsembleSpec extends SparkSpec {
+
+  test("Harrell-Davis weights: sum to 1, non-negative, median symmetric") {
+    for (n <- Seq(3, 5, 10); q <- Seq(0.25, 0.5, 0.6, 0.9)) {
+      val w = Ensemble.hdWeights(n, q)
+      assert(w.length == n)
+      assert(math.abs(w.sum - 1.0) < 1e-12, s"n=$n q=$q sum=${w.sum}")
+      assert(w.forall(_ >= 0.0))
+    }
+    // q = 0.5 weights are symmetric: reversing the order statistics
+    // cannot change the median estimate
+    val w5 = Ensemble.hdWeights(5, 0.5)
+    (0 until 5).foreach(i => assert(math.abs(w5(i) - w5(4 - i)) < 1e-12))
+  }
+
+  test("harrellDavisCol == driver fold bit-exactly; quantile is tunable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val n = 5
+    val rows = (0 until 40).map(i => (i, Array.fill(n)(rnd.nextDouble())))
+    val df = rows.toDF("i", "scores")
+    for (q <- Seq(0.3, 0.6)) {
+      val got = df.select(col("i"),
+          Ensemble.harrellDavisCol(col("scores"), n, q).as("p"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val w = Ensemble.hdWeights(n, q)
+      rows.foreach { case (i, xs) =>
+        val s = xs.sorted
+        val want = (1 until n).foldLeft(w(0) * s(0))((acc, j) =>
+          acc + w(j) * s(j)) // same accumulation order as the column
+        assert(got(i) == want, s"row $i q=$q: ${got(i)} != $want")
+      }
+    }
+    // higher quantile → higher (or equal) combined score, every row
+    val p30 = df.select(Ensemble.harrellDavisCol(col("scores"), n, 0.3))
+      .collect().map(_.getDouble(0))
+    val p90 = df.select(Ensemble.harrellDavisCol(col("scores"), n, 0.9))
+      .collect().map(_.getDouble(0))
+    p30.zip(p90).foreach { case (lo, hi) => assert(hi >= lo) }
+  }
+
+  test("wrong model cardinality fails loudly, not silently") {
+    import spark.implicits._
+    val df = Seq(Array(0.1, 0.2, 0.3)).toDF("scores") // 3 scores, n=5
+    val e = intercept[Exception](
+      df.select(Ensemble.harrellDavisCol(col("scores"), 5, 0.6)).collect())
+    assert(e.getMessage.contains("expected 5 model scores") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("expected 5 model scores"))
+  }
+
+  test("scoreEnsemble: k scoring passes gather per event; HD combine matches") {
+    import spark.implicits._
+    val data = (0 until 20).map(i => (s"E$i", (i % 2).toDouble)).toDF("eventId", "label")
+    // three deterministic "models": model m scores event i as
+    // ((i*7 + m*13) % 10) / 10.0
+    val models = Seq(0, 1, 2)
+    val score = (m: Int, df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("eventId"), col("label"),
+        ((expr("CAST(substring(eventId, 2) AS INT)") * 7 + m * 13) % 10)
+          .cast("double").divide(10.0).as("p_seizure"))
+    val out = Ensemble.scoreEnsemble(models, score, data, q = 0.6)
+      .collect().map(r => r.getAs[String]("eventId") ->
+        (r.getAs[Int]("n_models"), r.getAs[Double]("p_ensemble"))).toMap
+    assert(out.size == 20)
+    val w = Ensemble.hdWeights(3, 0.6)
+    (0 until 20).foreach { i =>
+      val scores = models.map(m => ((i * 7 + m * 13) % 10) / 10.0).sorted
+      val want = (1 until 3).foldLeft(w(0) * scores(0))((acc, j) =>
+        acc + w(j) * scores(j))
+      val (nm, p) = out(s"E$i")
+      assert(nm == 3)
+      assert(math.abs(p - want) < 1e-15, s"E$i: $p != $want")
+    }
+  }
+}

@@ -217,6 +217,150 @@ object RunSequence {
     train.unionByName(trainAug).unionByName(test).unionByName(guard)
   }
 
+  /** Per-outer-fold nested-validation outcome: which candidate family
+    * the inner CV chose, every candidate's inner mean AUROC, and the
+    * winner's single evaluation on the untouched outer test slice. */
+  case class NestedResult[M](
+      outerFold: Int,
+      chosen: String,
+      innerMeanAuroc: Map[String, Double],
+      outer: FoldResult[M])
+
+  /** The deterministic relational skeleton of NESTED k-fold — the ml6
+    * oracle's frame, (outer_fold, inner_fold, stage, n_events) for
+    * stages `inner_train` / `inner_val` (the model-selection splits
+    * inside each outer-train slice), `outer_train` / `outer_test`
+    * (inner_fold = −1), and `guard` (event ids appearing in BOTH an
+    * outer fold's train and test slices — 0 unless the fold hash is
+    * non-functional, e.g. duplicated event ids). The reference's
+    * nestedKfold splitter (`user_tools/nnTraining2/splitData.py`,
+    * NESTED_KFOLD_README.md) materializes these slices as
+    * `outerfold{i}/fold{j}/` directory trees; here they are one
+    * relational frame the oracle restates from the fixture's closed
+    * forms. Both fold hashes are caller-owned Columns so the oracle
+    * can restate them. */
+  def nestedSkeleton(events: DataFrame, select: Column,
+                     outerFoldOf: Column, innerFoldOf: Column,
+                     outerK: Int, innerK: Int): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.filter(select).select(
+        col("id").cast("string").as("srcId"),
+        outerFoldOf.cast("long").as("ofold"),
+        innerFoldOf.cast("long").as("ifold"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count()
+    try {
+      val outer = spark.range(outerK).select(col("id").as("of"))
+      val inner = spark.range(innerK).select(col("id").as("inf"))
+      val pairs = outer.crossJoin(inner)
+      // inner stages: every (of, inf) pair always present (left join →
+      // explicit zeros, the ml2 zero-row discipline)
+      def innerAgg(keep: Column, stage: String): DataFrame =
+        pairs.join(
+            ev.crossJoin(pairs).filter(col("ofold") =!= col("of") && keep)
+              .groupBy(col("of"), col("inf"))
+              .agg(count(lit(1)).as("ne")),
+            Seq("of", "inf"), "left")
+          .select(col("of").as("outer_fold"), col("inf").as("inner_fold"),
+            lit(stage).as("stage"),
+            coalesce(col("ne"), lit(0L)).as("n_events"))
+      def outerAgg(keep: Column, stage: String): DataFrame =
+        outer.join(
+            ev.crossJoin(outer).filter(keep)
+              .groupBy(col("of")).agg(count(lit(1)).as("ne")),
+            Seq("of"), "left")
+          .select(col("of").as("outer_fold"), lit(-1L).as("inner_fold"),
+            lit(stage).as("stage"),
+            coalesce(col("ne"), lit(0L)).as("n_events"))
+      val innerTrain = innerAgg(col("ifold") =!= col("inf"), "inner_train")
+      val innerVal = innerAgg(col("ifold") === col("inf"), "inner_val")
+      val outerTrain = outerAgg(col("ofold") =!= col("of"), "outer_train")
+      val outerTest = outerAgg(col("ofold") === col("of"), "outer_test")
+      // guard as data: ids in both slices of the same outer fold
+      val trainIds = ev.crossJoin(outer)
+        .filter(col("ofold") =!= col("of"))
+        .select(col("of").as("gof"), col("srcId").as("trId"))
+      val testIds = ev.crossJoin(outer)
+        .filter(col("ofold") === col("of"))
+        .select(col("of").as("gof2"), col("srcId").as("teId"))
+      val guard = outer.join(
+          trainIds.join(testIds,
+              col("gof") === col("gof2") && col("trId") === col("teId"))
+            .groupBy(col("gof")).agg(count(lit(1)).as("ne")),
+          col("of") === col("gof"), "left")
+        .select(col("of").as("outer_fold"), lit(-1L).as("inner_fold"),
+          lit("guard").as("stage"),
+          coalesce(col("ne"), lit(0L)).as("n_events"))
+      innerTrain.unionByName(innerVal).unionByName(outerTrain)
+        .unionByName(outerTest).unionByName(guard)
+    } finally ev.unpersist(false)
+  }
+
+  /** NESTED k-fold validation — the reference's answer to
+    * selection-time leakage (NESTED_KFOLD_README.md: validation data
+    * that steers model selection must never be the data the final
+    * number is quoted on). Per outer fold o: every candidate family
+    * runs a full inner k-fold CV on the outer-train slice ONLY
+    * ([[runWith]] with the inner fold column); the candidate with the
+    * best inner mean AUROC (ties broken by name, deterministic) is
+    * retrained on the complete outer-train slice and evaluated exactly
+    * once on outer fold o — a slice no selection decision ever saw.
+    *
+    * Scale shape: outerK × |candidates| inner runs, each of which is
+    * [[runWith]]'s one-materialization lineage over the outer-train
+    * subset; nothing here adds a shuffle beyond what runWith already
+    * plans. */
+  def runNested[M](events: DataFrame, dps: Dataset[FlatDp], select: Column,
+                   outerFoldOf: Column, innerFoldOf: Column,
+                   outerK: Int, cfg: Config = Config())(
+                   candidates: Seq[(String, (DataFrame => M, (M, DataFrame) => DataFrame))])
+      : Seq[NestedResult[M]] = {
+    require(candidates.nonEmpty, "nested selection over zero candidates")
+    require(outerK >= 2, s"outerK must be >= 2: $outerK")
+    (0 until outerK).map { o =>
+      val innerSelect = select && outerFoldOf =!= o
+      val innerMean = candidates.map { case (name, (fit, score)) =>
+        val rs = runWith(events, dps, innerSelect, innerFoldOf, cfg)(fit, score)
+        name -> rs.map(_.heldOutAuroc).sum / rs.size
+      }.toMap
+      val chosen = innerMean.maxBy { case (n, a) => (a, n) }._1
+      val (fit, score) = candidates.find(_._1 == chosen).get._2
+      // winner retrains on the FULL outer-train slice, scores outer
+      // fold o once: the outer split as a 2-way fold column, run only
+      // on the test fold
+      val outerAsFold = when(outerFoldOf === o, 1L).otherwise(0L)
+      val outerRun = foldLoopOn(events, dps, select, outerAsFold,
+        cfg.copy(k = 2), Seq(1))(fit, score).head
+      NestedResult(o, chosen, innerMean, outerRun.copy(fold = o))
+    }
+  }
+
+  /** [[runWith]] restricted to an explicit subset of folds — the
+    * nested outer evaluation needs exactly one (train on fold ≠ f,
+    * test on fold f) pass without paying the other k−1 fits. */
+  private def foldLoopOn[M](events: DataFrame, dps: Dataset[FlatDp],
+                            select: Column, foldOf: Column, cfg: Config,
+                            folds: Seq[Int])(
+                            fit: DataFrame => M,
+                            score: (M, DataFrame) => DataFrame): Seq[FoldResult[M]] = {
+    val ev = selectedEvents(events, select, foldOf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count()
+    val names = EpochFeatures.FeatureNames
+    val histCols = names.flatMap(f =>
+      (0 until cfg.historyN).map(k => s"${f}_t-$k") :+ s"${f}_mean")
+    val hist = historyEpochs(ev, dps, cfg)
+    val assembled = hist.select(
+        col("eventId"),
+        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
+        array_to_vector(array(histCols.map(col): _*)).as("features"))
+      .join(ev.select(col("srcId"), col("fold")),
+        col("eventId") === col("srcId"))
+      .select(col("eventId"), col("fold"), col("label"), col("features"))
+    try foldLoop(ev, assembled, cfg, "features", fit, score, folds)
+    finally ev.unpersist(false)
+  }
+
   /** The full composed run with the DEFAULT model family (LBFGS
     * logistic regression) — see [[runWith]] for the seam itself. */
   def run(events: DataFrame, dps: Dataset[FlatDp], select: Column,
@@ -356,13 +500,15 @@ object RunSequence {
   private def foldLoop[M](ev: DataFrame, assembledIn: DataFrame,
                           cfg: Config, dataCol: String,
                           fit: DataFrame => M,
-                          score: (M, DataFrame) => DataFrame): Seq[FoldResult[M]] = {
+                          score: (M, DataFrame) => DataFrame,
+                          foldsToRun: Seq[Int] = Seq.empty): Seq[FoldResult[M]] = {
+    val folds = if (foldsToRun.nonEmpty) foldsToRun else 0 until cfg.k
     val assembled = assembledIn.persist(StorageLevel.MEMORY_AND_DISK)
     assembled.count() // one materialization shared by every fold
     val plan = augmentPlan(ev, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     plan.count()
     try {
-      (0 until cfg.k).map { f =>
+      folds.map { f =>
         val fplan = plan.filter(col("fold") =!= f)
         val test = assembled.filter(col("fold") === f)
         // F14 guard: no training id (original or synthetic) may reach

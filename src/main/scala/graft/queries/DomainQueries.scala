@@ -1755,6 +1755,55 @@ object DomainQueries {
          |FROM ml5s""".stripMargin
   }
 
+  /** ML6 — the NESTED k-fold skeleton under the oracle gate
+    * ([[graft.ml.RunSequence.nestedSkeleton]]; the reference's
+    * nestedKfold splitter, `user_tools/nnTraining2/splitData.py` +
+    * NESTED_KFOLD_README.md): outer 2-fold × inner 3-fold slice
+    * counts over the fixture events with label ≠ 2, knuth-hash fold
+    * assignment on both levels (caller-owned, restated verbatim by the
+    * oracle), explicit zero rows, inner_fold = −1 for the outer
+    * stages, and the duplicate-id guard emitted as data. */
+  def ml6NestedKfold(s: SparkSession, d: String): DataFrame = {
+    val ev = OsdbFixture.ev(s, d)
+      .select(col("e").cast("string").as("id"), col("e"), col("k"))
+    graft.ml.RunSequence.nestedSkeleton(
+      ev,
+      col("k") % 3 =!= 2,
+      ((col("e") * 2654435761L) % 4294967296L) % 2,
+      ((col("e") * 2246822519L) % 4294967296L) % 3,
+      outerK = 2, innerK = 3)
+  }
+
+  val ml6Sql: String = sqlBase +
+    """, nev AS (
+      |  SELECT e, ((e * 2654435761) % 4294967296) % 2 AS ofold,
+      |         ((e * 2246822519) % 4294967296) % 3 AS ifold
+      |  FROM ev WHERE k % 3 <> 2),
+      |ofr AS (SELECT unnest(range(0, 2)) AS onf),
+      |ifr AS (SELECT unnest(range(0, 3)) AS inf)
+      |SELECT onf AS outer_fold, inf AS inner_fold,
+      |       'inner_train' AS stage,
+      |       (SELECT COUNT(*) FROM nev WHERE ofold <> onf AND ifold <> inf)
+      |         AS n_events
+      |FROM ofr, ifr
+      |UNION ALL
+      |SELECT onf, inf, 'inner_val',
+      |       (SELECT COUNT(*) FROM nev WHERE ofold <> onf AND ifold = inf)
+      |FROM ofr, ifr
+      |UNION ALL
+      |SELECT onf, CAST(-1 AS BIGINT), 'outer_train',
+      |       (SELECT COUNT(*) FROM nev WHERE ofold <> onf)
+      |FROM ofr
+      |UNION ALL
+      |SELECT onf, CAST(-1 AS BIGINT), 'outer_test',
+      |       (SELECT COUNT(*) FROM nev WHERE ofold = onf)
+      |FROM ofr
+      |UNION ALL
+      |SELECT onf, CAST(-1 AS BIGINT), 'guard',
+      |       (SELECT COUNT(*) FROM nev t1 JOIN nev t2 ON t1.e = t2.e
+      |        WHERE t1.ofold <> onf AND t2.ofold = onf)
+      |FROM ofr""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2572,6 +2621,7 @@ object DomainQueries {
     "ml3_cnn_forward"   -> (ml3CnnForward _),
     "ml4_lstm_forward"  -> (ml4LstmForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
+    "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2648,6 +2698,7 @@ object DomainQueries {
     "ml3_cnn_forward"   -> ml3Sql,
     "ml4_lstm_forward"  -> ml4Sql,
     "ml5_ensemble"      -> ml5Sql,
+    "ml6_nested_kfold"  -> ml6Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

@@ -297,6 +297,105 @@ class RunSequenceSpec extends SparkSpec {
     }
   }
 
+  test("nestedSkeleton: slice counts, explicit zeros, guard trips on a duplicated id") {
+    import spark.implicits._
+    // 7 events, outer = id % 2, inner = id % 3, select = id < 6
+    val events = (0 until 7).map(i => (s"$i", i.toLong)).toDF("id", "n")
+    val out = RunSequence.nestedSkeleton(events, col("n") < 6,
+        col("n") % 2, col("n") % 3, outerK = 2, innerK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    // events 0..5: ofold = [0,1,0,1,0,1], ifold = [0,1,2,0,1,2]
+    assert(out((0L, -1L, "outer_train")) == 3) // 1,3,5
+    assert(out((0L, -1L, "outer_test")) == 3)
+    assert(out((1L, 0L, "inner_train")) == 2) // ofold=0 ∧ ifold≠0: 2,4
+    assert(out((1L, 0L, "inner_val")) == 1) // event 0
+    assert(out.keys.count(_._3 == "inner_train") == 6) // every (o,i) pair
+    out.filter(_._1._3 == "guard").values.foreach(v => assert(v == 0))
+
+    // a duplicated event id landing in BOTH slices of an outer fold
+    // (two rows, different fold hash) must surface in the guard
+    val dup = events.union(Seq(("0", 1L)).toDF("id", "n"))
+    val g = RunSequence.nestedSkeleton(dup, col("n") < 6,
+        col("n") % 2, col("n") % 3, outerK = 2, innerK = 3)
+      .filter(col("stage") === "guard" && col("n_events") > 0).count()
+    assert(g == 2, "duplicated id must trip the guard for both outer folds")
+  }
+
+  test("runNested: inner CV picks the real model; outer test never steers selection") {
+    val n = 12
+    // tremor stays in a NARROW band (4.0-4.2 Hz) so the seizure
+    // signature transfers across any fold split — this test exercises
+    // nested-selection mechanics, not out-of-distribution transfer
+    // (an i%2 fold split against the usual 3.0+(i%4)*0.8 sweep aligns
+    // fold parity with frequency parity and the outer slice becomes a
+    // genuinely unseen band: measured held-out AUROC 0.5)
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 4.0 + (i % 3) * 0.1, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    import spark.implicits._
+    // ofold and ifold are INDEPENDENT slices of the event index, and
+    // SZ/OK pairs share both — every slice keeps both classes
+    val events = (0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 2, (i / 2) % 2),
+        (s"OK$i", "False Alarm", "other", i % 2, (i / 2) % 2))
+    }.toDF("id", "type", "subType", "ofold", "ifold")
+    // candidate A: the real logistic family; candidate B: a coin-flip
+    // scorer (deterministic p from the event id hash — AUROC ≈ 0.5).
+    // Both share one model type (Option[LR]) so they fit one seam.
+    val candidates = Seq(
+      "logistic" -> (
+        (train: org.apache.spark.sql.DataFrame) =>
+          Option(graft.ml.Trainer.trainLogistic(train, 40, 0.01)),
+        (m: Option[org.apache.spark.ml.classification.LogisticRegressionModel],
+         test: org.apache.spark.sql.DataFrame) =>
+          m.get.transform(test).select(col("eventId"), col("label"),
+            org.apache.spark.sql.functions.element_at(
+              org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+              .as("p_seizure"))),
+      "coin_flip" -> (
+        (_: org.apache.spark.sql.DataFrame) =>
+          Option.empty[org.apache.spark.ml.classification.LogisticRegressionModel],
+        (_: Option[org.apache.spark.ml.classification.LogisticRegressionModel],
+         test: org.apache.spark.sql.DataFrame) =>
+          test.select(col("eventId"), col("label"),
+            (abs(hash(col("eventId"))) % 1000).cast("double")
+              .divide(1000.0).as("p_seizure"))))
+    val results = RunSequence.runNested(
+      events, corpus, lit(true), col("ofold"), col("ifold"),
+      outerK = 2, RunSequence.Config(k = 2))(candidates)
+    assert(results.size == 2)
+    results.foreach(r => info(s"nested outer ${r.outerFold}: " +
+      s"chosen=${r.chosen} inner=${r.innerMeanAuroc} " +
+      s"outerAuroc=${r.outer.heldOutAuroc}"))
+    results.foreach { r =>
+      assert(r.chosen == "logistic",
+        s"outer ${r.outerFold}: inner CV chose ${r.chosen} " +
+          s"(${r.innerMeanAuroc})")
+      assert(r.innerMeanAuroc("logistic") > r.innerMeanAuroc("coin_flip"))
+      assert(r.outer.heldOutAuroc > 0.9,
+        s"outer ${r.outerFold}: held-out AUROC ${r.outer.heldOutAuroc} " +
+          s"(train=${r.outer.nTrainEvents} aug=${r.outer.nTrainAugEvents} " +
+          s"test=${r.outer.nTestEvents} tp=${r.outer.eventTp} " +
+          s"fp=${r.outer.eventFp} tn=${r.outer.eventTn} fn=${r.outer.eventFn})")
+      assert(r.outer.nTestEvents > 0)
+    }
+  }
+
   test("run(): planted-separable corpus learns every fold; counts match the skeleton") {
     val n = 12
     val specs = (0 until n).flatMap { i =>

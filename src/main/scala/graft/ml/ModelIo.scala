@@ -1,0 +1,189 @@
+package graft.ml
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Trained-model export/import — the reference's deployment-artifact
+  * workflow (`user_tools/nnTraining2/convertToTFLite.py`,
+  * `convertPt2Pte.py`, EXECUTORCH_EXPORT.md: train → serialize → ship
+  * to the device runtime) re-expressed for the engine's own model
+  * families: the in-engine [[Cnn.CnnModel]] and [[Lstm.LstmModel]]
+  * serialize to a versioned JSON artifact; the MLlib-backed families
+  * (LR, MLP) already have MLlib's native parquet save/load and ride a
+  * thin manifest here.
+  *
+  * Exactness contract: weights round-trip BIT-EXACTLY. Doubles are
+  * written as Java's shortest-round-trip decimal (`Double.toString`)
+  * and re-parsed with `java.lang.Double.parseDouble` — the
+  * correctly-rounded pair, so `load(save(m))` scores every window
+  * bit-identically to `m` (ModelIoSpec pins it through [[Cnn.forward]]
+  * / [[Lstm.forward]]). NaN/Inf weights are rejected at save time —
+  * they are not JSON and not a deployable model.
+  *
+  * Format: one JSON object, `format` + `version` header first, shapes
+  * as integers, weights as arrays. Loaders FAIL LOUDLY on a wrong
+  * format tag, an unknown version, or inconsistent shapes (the
+  * LstmModel/CnnModel constructors re-validate) — a deployment
+  * artifact must never half-load. */
+object ModelIo {
+
+  private val Version = 1
+
+  private def requireFinite(name: String, xs: Iterable[Double]): Unit =
+    require(xs.forall(v => !v.isNaN && !v.isInfinite),
+      s"$name contains NaN/Inf — not a deployable model")
+
+  private def num(d: Double): JValue = JDouble(d)
+
+  private def arr(xs: Array[Double]): JValue = JArray(xs.map(num).toList)
+
+  private def writeStr(path: String, s: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, s.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def readJson(path: String, expectFormat: String): JValue = {
+    val raw = new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8)
+    val j = JsonMethods.parse(raw)
+    val fmt = (j \ "format") match {
+      case JString(s) => s
+      case _ => sys.error(s"$path: missing format tag")
+    }
+    require(fmt == expectFormat,
+      s"$path: format '$fmt', expected '$expectFormat'")
+    val ver = (j \ "version") match {
+      case JInt(v) => v.toInt
+      case _ => sys.error(s"$path: missing version")
+    }
+    require(ver == Version, s"$path: unsupported version $ver")
+    j
+  }
+
+  private def dArr(j: JValue, field: String): Array[Double] =
+    (j \ field) match {
+      case JArray(vs) => vs.map {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case other => sys.error(s"$field: non-numeric element $other")
+      }.toArray
+      case _ => sys.error(s"missing weight array '$field'")
+    }
+
+  private def dNum(j: JValue, field: String): Double =
+    (j \ field) match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case _ => sys.error(s"missing numeric field '$field'")
+    }
+
+  private def iNum(j: JValue, field: String): Int =
+    (j \ field) match {
+      case JInt(i) => i.toInt
+      case _ => sys.error(s"missing integer field '$field'")
+    }
+
+  // ------------------------------------------------------------------ CNN
+
+  def saveCnn(m: Cnn.CnnModel, path: String): Unit = {
+    requireFinite("filters", m.filters)
+    requireFinite("filterBias", m.filterBias)
+    requireFinite("dense", m.dense)
+    requireFinite("scalars", Seq(m.bias, m.mean, m.std))
+    val j: JValue = JObject(
+      "format" -> JString("graft-cnn"),
+      "version" -> JInt(Version),
+      "nFilters" -> JInt(m.nFilters),
+      "width" -> JInt(m.width),
+      "window" -> JInt(m.window),
+      "filters" -> arr(m.filters),
+      "filterBias" -> arr(m.filterBias),
+      "dense" -> arr(m.dense),
+      "bias" -> num(m.bias),
+      "mean" -> num(m.mean),
+      "std" -> num(m.std))
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadCnn(path: String): Cnn.CnnModel = {
+    val j = readJson(path, "graft-cnn")
+    Cnn.CnnModel(
+      nFilters = iNum(j, "nFilters"),
+      width = iNum(j, "width"),
+      window = iNum(j, "window"),
+      filters = dArr(j, "filters"),
+      filterBias = dArr(j, "filterBias"),
+      dense = dArr(j, "dense"),
+      bias = dNum(j, "bias"),
+      mean = dNum(j, "mean"),
+      std = dNum(j, "std"))
+  }
+
+  // ----------------------------------------------------------------- LSTM
+
+  def saveLstm(m: Lstm.LstmModel, path: String): Unit = {
+    requireFinite("wx", m.wx)
+    requireFinite("wh", m.wh)
+    requireFinite("b", m.b)
+    requireFinite("dense", m.dense)
+    requireFinite("scalars", Seq(m.bias, m.mean, m.std))
+    val j: JValue = JObject(
+      "format" -> JString("graft-lstm"),
+      "version" -> JInt(Version),
+      "nUnits" -> JInt(m.nUnits),
+      "window" -> JInt(m.window),
+      "wx" -> arr(m.wx),
+      "wh" -> arr(m.wh),
+      "b" -> arr(m.b),
+      "dense" -> arr(m.dense),
+      "bias" -> num(m.bias),
+      "mean" -> num(m.mean),
+      "std" -> num(m.std))
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadLstm(path: String): Lstm.LstmModel = {
+    val j = readJson(path, "graft-lstm")
+    Lstm.LstmModel(
+      nUnits = iNum(j, "nUnits"),
+      window = iNum(j, "window"),
+      wx = dArr(j, "wx"),
+      wh = dArr(j, "wh"),
+      b = dArr(j, "b"),
+      dense = dArr(j, "dense"),
+      bias = dNum(j, "bias"),
+      mean = dNum(j, "mean"),
+      std = dNum(j, "std"))
+  }
+
+  // ------------------------------------------------------------- manifest
+
+  /** The deployment manifest — the engine's analogue of the
+    * reference's `nnConfig.json` model block: which model family the
+    * artifact holds, the serving window contract, and the input
+    * scaling contract, so a deployer can wire the detector without
+    * loading the weights. */
+  def manifest(modelClass: String, window: Int,
+               mean: Double, std: Double,
+               extra: Map[String, String] = Map.empty): String = {
+    val fields: List[(String, JValue)] = List(
+      "format" -> JString("graft-model-manifest"),
+      "version" -> JInt(Version),
+      "modelClass" -> JString(modelClass),
+      "window" -> JInt(window),
+      "mean" -> num(mean),
+      "std" -> num(std)) ++
+      extra.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }
+    JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
+  }
+
+  def saveManifest(path: String, modelClass: String, window: Int,
+                   mean: Double, std: Double,
+                   extra: Map[String, String] = Map.empty): Unit =
+    writeStr(path, manifest(modelClass, window, mean, std, extra))
+}

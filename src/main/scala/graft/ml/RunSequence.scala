@@ -296,6 +296,51 @@ object RunSequence {
     } finally ev.unpersist(false)
   }
 
+  /** The pipeline AUDIT frame — the reference's
+    * `auditDataProcessing.py` (event-count consistency + seizure vs
+    * non-seizure class balance at every processing stage, train/test
+    * separation) as one relational frame: (fold, stage, n_seizure,
+    * n_other) for `selected` (fold = −1, the post-F5 corpus), and
+    * per-fold `train` / `train_aug` / `test`. Class drift between
+    * stages (a lost seizure event, an over-copied class) breaks the
+    * ml7 oracle hash; the train/test-separation half of the audit is
+    * [[skeleton]]'s guard stage and [[foldLoop]]'s fail-loud F14
+    * check. Cheap by construction: event-level counts only — the
+    * heavy epoch lineage is ml2's gate, not this one's. */
+  def auditFrame(events: DataFrame, select: Column, foldOf: Column,
+                 cfg: Config = Config()): DataFrame = {
+    val spark = events.sparkSession
+    val ev = selectedEvents(events, select, foldOf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count()
+    try {
+      val folds = spark.range(cfg.k).select(col("id").as("f"))
+      val planT = augmentPlan(ev, cfg)
+        .join(ev.select(col("srcId").as("psrc"), col("type")),
+          col("srcId") === col("psrc"))
+        .select(col("id"), col("fold"), col("type"))
+      def classAgg(src: DataFrame, keep: Column, stage: String): DataFrame =
+        folds.join(
+            src.crossJoin(folds).filter(keep).groupBy(col("f"))
+              .agg(sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
+                sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth")),
+            Seq("f"), "left")
+          .select(col("f").as("fold"), lit(stage).as("stage"),
+            coalesce(col("nsz"), lit(0L)).as("n_seizure"),
+            coalesce(col("noth"), lit(0L)).as("n_other"))
+      val selected = ev.agg(
+          sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
+          sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth"))
+        .select(lit(-1L).as("fold"), lit("selected").as("stage"),
+          coalesce(col("nsz"), lit(0L)).as("n_seizure"),
+          coalesce(col("noth"), lit(0L)).as("n_other"))
+      selected
+        .unionByName(classAgg(ev, col("fold") =!= col("f"), "train"))
+        .unionByName(classAgg(planT, col("fold") =!= col("f"), "train_aug"))
+        .unionByName(classAgg(ev, col("fold") === col("f"), "test"))
+    } finally ev.unpersist(false)
+  }
+
   /** NESTED k-fold validation — the reference's answer to
     * selection-time leakage (NESTED_KFOLD_README.md: validation data
     * that steers model selection must never be the data the final

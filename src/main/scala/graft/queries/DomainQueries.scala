@@ -1804,6 +1804,53 @@ object DomainQueries {
       |        WHERE t1.ofold <> onf AND t2.ofold = onf)
       |FROM ofr""".stripMargin
 
+  /** ML7 — the pipeline audit under the oracle gate
+    * ([[graft.ml.RunSequence.auditFrame]]; the reference's
+    * `user_tools/nnTraining2/auditDataProcessing.py`): per-stage
+    * seizure/non-seizure class counts over ml2's select + fold hash —
+    * `selected` (fold −1), per-fold `train`/`train_aug`/`test`. The
+    * augmented counts reuse ml2's multiplicity closed form (seizure
+    * ×2 oversample, tonic-clonic seizures ×4 after the TC copy of the
+    * oversampled rows). */
+  def ml7Audit(s: SparkSession, d: String): DataFrame = {
+    val ev = OsdbFixture.ev(s, d).select(
+      col("e").cast("string").as("id"),
+      col("type_str").as("type"),
+      col("sub_type").as("subType"),
+      col("e"), col("k"), col("u"))
+    graft.ml.RunSequence.auditFrame(ev,
+      col("k") % 3 =!= 2 && col("u") % 2 === 0,
+      ((col("e") * 2654435761L) % 4294967296L) % 3)
+  }
+
+  val ml7Sql: String = sqlBase +
+    """, aud AS (
+      |  SELECT e, ((e * 2654435761) % 4294967296) % 3 AS fold,
+      |         CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS sz,
+      |         CASE WHEN k % 3 = 0 AND k % 5 < 2 THEN 4
+      |              WHEN k % 3 = 0 THEN 2 ELSE 1 END AS mult
+      |  FROM ev WHERE k % 3 <> 2 AND u % 2 = 0),
+      |audf AS (SELECT unnest(range(0, 3)) AS f)
+      |SELECT CAST(-1 AS BIGINT) AS fold, 'selected' AS stage,
+      |       (SELECT COUNT(*) FROM aud WHERE sz = 1) AS n_seizure,
+      |       (SELECT COUNT(*) FROM aud WHERE sz = 0) AS n_other
+      |UNION ALL
+      |SELECT f, 'train',
+      |       (SELECT COUNT(*) FROM aud WHERE fold <> f AND sz = 1),
+      |       (SELECT COUNT(*) FROM aud WHERE fold <> f AND sz = 0)
+      |FROM audf
+      |UNION ALL
+      |SELECT f, 'train_aug',
+      |       (SELECT CAST(COALESCE(SUM(mult), 0) AS BIGINT)
+      |        FROM aud WHERE fold <> f AND sz = 1),
+      |       (SELECT COUNT(*) FROM aud WHERE fold <> f AND sz = 0)
+      |FROM audf
+      |UNION ALL
+      |SELECT f, 'test',
+      |       (SELECT COUNT(*) FROM aud WHERE fold = f AND sz = 1),
+      |       (SELECT COUNT(*) FROM aud WHERE fold = f AND sz = 0)
+      |FROM audf""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2622,6 +2669,7 @@ object DomainQueries {
     "ml4_lstm_forward"  -> (ml4LstmForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
+    "ml7_pipeline_audit" -> (ml7Audit _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2699,6 +2747,7 @@ object DomainQueries {
     "ml4_lstm_forward"  -> ml4Sql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
+    "ml7_pipeline_audit" -> ml7Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ml.{Cnn, Lstm, ModelIo}
+
+/** Model export/import ([[graft.ml.ModelIo]], the reference's
+  * deployment-artifact workflow): bit-exact weight round-trips,
+  * loud failures on wrong/corrupt artifacts, and the manifest. */
+class ModelIoSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("modelio").resolve(name).toString
+
+  private def randCnn(seed: Int): Cnn.CnnModel = {
+    val rnd = new scala.util.Random(seed)
+    Cnn.CnnModel(4, 7, 64,
+      filters = Array.fill(28)(rnd.nextGaussian()),
+      filterBias = Array.fill(4)(rnd.nextGaussian()),
+      dense = Array.fill(4)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian(), mean = rnd.nextGaussian() * 100,
+      std = math.abs(rnd.nextGaussian()) + 0.5)
+  }
+
+  private def randLstm(seed: Int): Lstm.LstmModel = {
+    val rnd = new scala.util.Random(seed)
+    val h = 3
+    Lstm.LstmModel(h, 48,
+      wx = Array.fill(4 * h)(rnd.nextGaussian()),
+      wh = Array.fill(4 * h * h)(rnd.nextGaussian()),
+      b = Array.fill(4 * h)(rnd.nextGaussian()),
+      dense = Array.fill(h)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian(), mean = 3.7, std = 2.1)
+  }
+
+  test("CNN artifact round-trips bit-exactly (weights AND scores)") {
+    val m = randCnn(11)
+    val p = tmp("cnn.json")
+    ModelIo.saveCnn(m, p)
+    val back = ModelIo.loadCnn(p)
+    assert(back.filters.toSeq == m.filters.toSeq)
+    assert(back.dense.toSeq == m.dense.toSeq)
+    assert(java.lang.Double.doubleToLongBits(back.mean) ==
+      java.lang.Double.doubleToLongBits(m.mean))
+    val rnd = new scala.util.Random(5)
+    (0 until 10).foreach { _ =>
+      val w = Array.fill(64)(rnd.nextGaussian() * 300 + 900)
+      assert(java.lang.Double.doubleToLongBits(Cnn.forward(back, w)) ==
+        java.lang.Double.doubleToLongBits(Cnn.forward(m, w)))
+    }
+  }
+
+  test("LSTM artifact round-trips bit-exactly (weights AND scores)") {
+    val m = randLstm(13)
+    val p = tmp("lstm.json")
+    ModelIo.saveLstm(m, p)
+    val back = ModelIo.loadLstm(p)
+    assert(back.wx.toSeq == m.wx.toSeq && back.wh.toSeq == m.wh.toSeq)
+    val rnd = new scala.util.Random(7)
+    (0 until 10).foreach { _ =>
+      val w = Array.fill(48)(rnd.nextGaussian() * 2)
+      assert(java.lang.Double.doubleToLongBits(Lstm.forward(back, w)) ==
+        java.lang.Double.doubleToLongBits(Lstm.forward(m, w)))
+    }
+  }
+
+  test("artifacts fail loudly: wrong format, bad version, NaN weights") {
+    val cnn = randCnn(3)
+    val pc = tmp("cnn2.json")
+    ModelIo.saveCnn(cnn, pc)
+    // a CNN artifact must not load as an LSTM
+    val e1 = intercept[Exception](ModelIo.loadLstm(pc))
+    assert(e1.getMessage.contains("format"))
+    // corrupt version
+    val raw = new String(Files.readAllBytes(Paths.get(pc)), "UTF-8")
+    val pv = tmp("cnn3.json")
+    Files.write(Paths.get(pv),
+      raw.replace("\"version\":1", "\"version\":99").getBytes("UTF-8"))
+    val e2 = intercept[Exception](ModelIo.loadCnn(pv))
+    assert(e2.getMessage.contains("version"))
+    // NaN weight refuses to serialize
+    val bad = cnn.copy(filters = cnn.filters.updated(0, Double.NaN))
+    val e3 = intercept[IllegalArgumentException](
+      ModelIo.saveCnn(bad, tmp("bad.json")))
+    assert(e3.getMessage.contains("NaN"))
+  }
+
+  test("deployed detector from a loaded artifact == the trained one") {
+    val m = randCnn(17)
+    val p = tmp("cnn4.json")
+    ModelIo.saveCnn(m, p)
+    val alg1 = Cnn.deployedCnn(m)
+    val alg2 = Cnn.deployedCnn(ModelIo.loadCnn(p))
+    val rnd = new scala.util.Random(9)
+    val w = Array.fill(64)(rnd.nextGaussian() * 300 + 900)
+    assert(Cnn.scorer(m)(w) == Cnn.scorer(ModelIo.loadCnn(p))(w))
+    assert(alg1.name == alg2.name)
+  }
+
+  test("manifest carries the serving contract") {
+    val s = ModelIo.manifest("cnn", 125, 912.5, 80.25,
+      Map("trainedOn" -> "sf0.01"))
+    assert(s.contains("\"modelClass\":\"cnn\""))
+    assert(s.contains("\"window\":125"))
+    assert(s.contains("\"trainedOn\":\"sf0.01\""))
+    val p = tmp("manifest.json")
+    ModelIo.saveManifest(p, "lstm", 250, 0.0, 1.0)
+    assert(new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+      .contains("\"graft-model-manifest\""))
+  }
+}

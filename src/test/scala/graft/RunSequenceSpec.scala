@@ -323,6 +323,26 @@ class RunSequenceSpec extends SparkSpec {
     assert(g == 2, "duplicated id must trip the guard for both outer folds")
   }
 
+  test("auditFrame: per-stage class counts, augment multiplicities, explicit zeros") {
+    val events = evFrame(Seq(
+      ("E0", "Seizure", "Tonic-Clonic", 0), // sz, TC: aug mult 4
+      ("E1", "Seizure", "other", 1), //        sz:     aug mult 2
+      ("E2", "False Alarm", "Tonic-Clonic", 2), //     aug mult 1 (not sz)
+      ("E3", "False Alarm", "other", 0)))
+    val out = graft.ml.RunSequence.auditFrame(
+        events, lit(true), col("fold0"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out((-1L, "selected")) == (2L, 2L))
+    assert(out((0L, "train")) == (1L, 1L)) // E1 sz + E2 fa
+    assert(out((0L, "test")) == (1L, 1L)) // E0 + E3
+    assert(out((0L, "train_aug")) == (2L, 1L)) // E1 x2, E2 x1
+    assert(out((1L, "train_aug")) == (4L, 2L)) // E0 x4, E2+E3 x1
+    assert(out((2L, "test")) == (0L, 1L)) // only E2; explicit sz zero
+    assert(out.size == 10) // 1 selected + 3 folds x 3 stages
+  }
+
   test("runNested: inner CV picks the real model; outer test never steers selection") {
     val n = 12
     // tremor stays in a NARROW band (4.0-4.2 Hz) so the seizure

@@ -1851,6 +1851,79 @@ object DomainQueries {
       |       (SELECT COUNT(*) FROM aud WHERE fold = f AND sz = 0)
       |FROM audf""".stripMargin
 
+  /** RPT5 — the results-analysis tool under the oracle gate
+    * ([[graft.report.ResultsAnalysis.analyze]]; the reference's
+    * `user_tools/nnTraining2/analyzeEventResults.py:123-255`):
+    * per-user TPR/FAR with sparse users folded to 'Other', per-subType
+    * TPR, and the combined tonic-clonic row, over a deterministic
+    * fixture "prediction" column ((e·13+7) mod 10 < 6). Rates are one
+    * integer division each — bit-identical cross-engine, compared
+    * raw. Thresholds 2/2 so the fixture actually exercises both the
+    * named-user and 'Other' branches; the TC pattern is
+    * fixture-adapted ('tonicclonic' — the engine default stays the
+    * tool's 'tonic-clonic'/'combined'). */
+  def rpt5ResultsAnalysis(s: SparkSession, d: String): DataFrame = {
+    val res = OsdbFixture.ev(s, d).filter(col("k") % 3 =!= 2).select(
+      col("e").cast("string").as("eventId"),
+      col("u").as("userId"),
+      when(col("k") % 3 === 0, 1).otherwise(0).as("label"),
+      when((col("e") * 13 + 7) % 10 < 6, 1).otherwise(0).as("prediction"),
+      col("sub_type").as("subType"))
+    graft.report.ResultsAnalysis.analyze(res, seizureThreshold = 2,
+      farThreshold = 2, tcPatterns = Seq("tonicclonic"))
+  }
+
+  val rpt5Sql: String = sqlBase +
+    """, res5 AS (
+      |  SELECT e, u, sub_type,
+      |         CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS label,
+      |         CASE WHEN (e * 13 + 7) % 10 < 6 THEN 1 ELSE 0 END AS pred
+      |  FROM ev WHERE k % 3 <> 2),
+      |sz5 AS (SELECT * FROM res5 WHERE label = 1),
+      |szc5 AS (SELECT u, COUNT(*) AS n FROM sz5 GROUP BY u),
+      |szg5 AS (SELECT CASE WHEN c.n < 2 THEN 'Other'
+      |                     ELSE CAST(s.u AS VARCHAR) END AS grp, s.pred
+      |         FROM sz5 s JOIN szc5 c ON s.u = c.u),
+      |ns5 AS (SELECT * FROM res5 WHERE label = 0),
+      |nsc5 AS (SELECT u, COUNT(*) AS n FROM ns5 GROUP BY u),
+      |nsg5 AS (SELECT CASE WHEN c.n < 2 THEN 'Other'
+      |                     ELSE CAST(s.u AS VARCHAR) END AS grp, s.pred
+      |         FROM ns5 s JOIN nsc5 c ON s.u = c.u)
+      |SELECT 'user_tpr' AS side, grp, COUNT(*) AS n_events,
+      |       CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_pred_pos,
+      |       CAST(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_pred_neg,
+      |       CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS rate
+      |FROM szg5 GROUP BY grp
+      |UNION ALL
+      |SELECT 'user_far', grp, COUNT(*),
+      |       CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*)
+      |FROM nsg5 GROUP BY grp
+      |UNION ALL
+      |SELECT 'subtype_tpr', sub_type, COUNT(*),
+      |       CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*)
+      |FROM sz5 WHERE sub_type IS NOT NULL GROUP BY sub_type
+      |UNION ALL
+      |SELECT 'tc_combined', 'tc_combined', COUNT(*),
+      |       CAST(COALESCE(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 0)
+      |         AS BIGINT),
+      |       CAST(COALESCE(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END), 0)
+      |         AS BIGINT),
+      |       CASE WHEN COUNT(*) > 0 THEN
+      |         CAST(COALESCE(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 0)
+      |           AS DOUBLE) / COUNT(*)
+      |       ELSE 0.0 END
+      |FROM sz5
+      |WHERE contains(lower(COALESCE(sub_type, '')), 'tonicclonic')""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2670,6 +2743,7 @@ object DomainQueries {
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
+    "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2748,6 +2822,7 @@ object DomainQueries {
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,
+    "rpt5_results_analysis" -> rpt5Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

@@ -63,6 +63,36 @@ object Trainer {
       .setStandardization(true)
       .fit(assembled)
 
+  /** SUBTYPE-WEIGHTED training — the reference's subtype-weighting
+    * integration (`user_tools/nnTraining2/
+    * SUBTYPE_WEIGHTING_INTEGRATION.py`, `subtypeWeights` in
+    * nnConfig's modelConfig: a WeightedRandomSampler steering the loss
+    * toward under-represented seizure subtypes). The Spark-native form
+    * is a per-sample weight column into MLlib's weighted LBFGS loss —
+    * no row copying (the M3/M7 plan replicates rows for INTEGER
+    * multiplicities; weighting covers the fractional case and
+    * composes with it). `assembled` needs (label, features, subType);
+    * matching is case-insensitive on the whole subType string, and a
+    * subtype not in the map weighs 1.0, both per the reference's
+    * `weights.get(subtype, 1.0)`. */
+  def trainLogisticWeighted(assembled: DataFrame,
+                            subtypeWeights: Map[String, Double],
+                            maxIter: Int = 50,
+                            regParam: Double = 0.01): LogisticRegressionModel = {
+    require(subtypeWeights.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
+      s"subtype weights must be positive finite: $subtypeWeights")
+    val st = lower(coalesce(col("subType"), lit("")))
+    val w = subtypeWeights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (name, wt)) => when(st === name.toLowerCase, wt).otherwise(acc)
+    }
+    new LogisticRegression()
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setStandardization(true)
+      .setWeightCol("__subtype_w")
+      .fit(assembled.withColumn("__subtype_w", w))
+  }
+
   /** Per-epoch probabilities + per-EVENT rollup (max epoch probability,
     * the reference's event-level "did the detector fire" reduction that
     * A4's metrics consume). */

@@ -355,4 +355,37 @@ class TrainerSpec extends SparkSpec {
     assert(fn(w) == fn2(w), "reloaded model scores differ")
     assembled.unpersist()
   }
+
+  test("subtype weighting: upweighting a minority subtype flips its decision region") {
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    // at x = +1: 4 tonic-clonic seizures vs 12 non-seizures — the
+    // unweighted loss writes the region off as negative; weight 10 on
+    // the TC subtype makes those 4 rows out-vote the 12
+    val rows =
+      (0 until 4).map(i => (s"tc$i", 1.0, Vectors.dense(1.0), "Tonic-Clonic")) ++
+      (0 until 12).map(i => (s"fa$i", 0.0, Vectors.dense(1.0), null: String)) ++
+      (0 until 20).map(i => (s"sz$i", 1.0, Vectors.dense(3.0), "other")) ++
+      (0 until 20).map(i => (s"ok$i", 0.0, Vectors.dense(-3.0), null: String))
+    val df = rows.toSeq.toDF("eventId", "label", "features", "subType")
+    def pAtOne(m: org.apache.spark.ml.classification.LogisticRegressionModel) =
+      m.transform(Seq(Tuple1(Vectors.dense(1.0))).toDF("features"))
+        .select(element_at(
+          org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+        .head().getDouble(0)
+    val unweighted = Trainer.trainLogistic(df, maxIter = 50, regParam = 0.001)
+    val weighted = Trainer.trainLogisticWeighted(df,
+      Map("Tonic-Clonic" -> 10.0), maxIter = 50, regParam = 0.001)
+    assert(pAtOne(unweighted) < 0.5,
+      s"unweighted already positive at x=1: ${pAtOne(unweighted)}")
+    assert(pAtOne(weighted) > 0.5,
+      s"weighted still negative at x=1: ${pAtOne(weighted)}")
+    // weights are positive-finite-only, and an unknown subtype is 1.0
+    intercept[IllegalArgumentException](
+      Trainer.trainLogisticWeighted(df, Map("x" -> -1.0)))
+    val neutral = Trainer.trainLogisticWeighted(df,
+      Map("NoSuchSubtype" -> 10.0), maxIter = 50, regParam = 0.001)
+    assert(math.abs(pAtOne(neutral) - pAtOne(unweighted)) < 1e-9,
+      "a weight map matching nothing must train identically")
+  }
 }

@@ -73,4 +73,47 @@ object Curate {
           col("event_fp").cast("double") / (col("event_fp") + col("event_tn")))
           .otherwise(0.0))
   }
+
+  /** Curator consistency check — the reference's
+    * `curator_tools/checkAlarmStates.py`: the event's top-level alarm
+    * state must be the MOST SEVERE of its datapoints' states (written
+    * because the dashboard's analysis was suspected of storing the
+    * wrong one). Returns the MISMATCH rows only: (eventId, stored,
+    * derived) where stored ≠ max(dp state) — an empty result is a
+    * clean database. One grouping shuffle + a broadcast-or-shuffle
+    * join back to the event row; nothing row-expanding. */
+  def checkAlarmStates(events: DataFrame, dps: DataFrame,
+                       eventIdCol: String = "eventId",
+                       storedCol: String = "osdAlarmState",
+                       dpStateCol: String = "alarmState"): DataFrame = {
+    val derived = dps.groupBy(col(eventIdCol))
+      .agg(max(col(dpStateCol)).as("derived"))
+    events.select(col(eventIdCol), col(storedCol).as("stored"))
+      .join(derived, Seq(eventIdCol))
+      .filter(col("stored") =!= col("derived"))
+  }
+
+  /** Curator multi-source merge — the reference's
+    * `curator_tools/merge_json.py`: union several event files where
+    * the FIRST source is the reference dataset; per event id, the
+    * reference's version wins, otherwise the version from the
+    * earliest source that has it (deterministic — a curator merging
+    * exports must never get a random winner). Sources must share a
+    * schema. One union + one groupBy(id) with `min_by` on the source
+    * index — map-side combinable, no window sort. Adds `src_index`
+    * (which source won) to the output. */
+  def mergePriority(sources: Seq[DataFrame], idCol: String): DataFrame = {
+    require(sources.nonEmpty, "merge of zero sources")
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), struct(lit(i).as("__src"),
+        struct(df.columns.map(col): _*).as("__row")).as("__cand"))
+    }.reduce(_ unionByName _)
+    val won = tagged.groupBy(col(idCol))
+      .agg(min_by(col("__cand"), col("__cand.__src")).as("__w"))
+    val inner = sources.head.columns
+    won.select(
+      Seq(col(s"__w.__src").as("src_index")) ++
+        inner.filter(_ != idCol).map(c => col(s"__w.__row.$c")) :+
+        col(idCol): _*)
+  }
 }

@@ -1924,6 +1924,58 @@ object DomainQueries {
       |FROM sz5
       |WHERE contains(lower(COALESCE(sub_type, '')), 'tonicclonic')""".stripMargin
 
+  /** CUR1 — the curator's alarm-state consistency check under the
+    * oracle gate ([[graft.operators.Curate.checkAlarmStates]];
+    * `curator_tools/checkAlarmStates.py`): the event's stored top-level
+    * state (here the fixture's d = 0 state — a plausibly-buggy
+    * dashboard convention, which is exactly the bug the tool was
+    * written to catch) vs the max over its datapoints; only the
+    * mismatch rows come back. */
+  def cur1AlarmCheck(s: SparkSession, d: String): DataFrame = {
+    val dpAlarms = OsdbFixture.dps(s, d, arrays = false)
+      .select(col("e").as("eventId"), col("alarm").as("alarmState"))
+    val events = OsdbFixture.ev(s, d).select(
+      col("e").as("eventId"),
+      when(col("k") % 9 < 4, col("k") % 9).otherwise(0L).as("osdAlarmState"))
+    graft.operators.Curate.checkAlarmStates(events, dpAlarms)
+      .select(col("eventId").as("e"), col("stored"), col("derived"))
+  }
+
+  val cur1Sql: String = sqlBase +
+    """, ca AS (
+      |  SELECT e, CASE WHEN k % 9 < 4 THEN k % 9 ELSE 0 END AS stored,
+      |         MAX(alarm) AS derived
+      |  FROM dpx GROUP BY e, k)
+      |SELECT e, stored, derived FROM ca WHERE stored <> derived""".stripMargin
+
+  /** CUR2 — the curator's reference-priority multi-source merge under
+    * the oracle gate ([[graft.operators.Curate.mergePriority]];
+    * `curator_tools/merge_json.py`: the first file is the reference
+    * dataset, its version of an event wins; otherwise the earliest
+    * source that has it): three overlapping fixture slices with
+    * source-distinct payloads so the winner is observable. */
+  def cur2MergePriority(s: SparkSession, d: String): DataFrame = {
+    val base = OsdbFixture.ev(s, d)
+    def src(cond: org.apache.spark.sql.Column, m: Long, a: Long) =
+      base.filter(cond).select(col("e"), (col("k") * m + a).as("v"))
+    graft.operators.Curate.mergePriority(Seq(
+        src(col("k") % 4 === 0, 3, 1),
+        src(col("k") % 3 === 0, 5, 2),
+        src(col("k") % 2 === 0, 7, 3)), "e")
+      .select(col("e"), col("src_index").cast("long").as("src_index"),
+        col("v"))
+  }
+
+  val cur2Sql: String = sqlBase +
+    """, mg0 AS (SELECT e, k*3+1 AS v, 0 AS si FROM ev WHERE k % 4 = 0),
+      |mg1 AS (SELECT e, k*5+2 AS v, 1 AS si FROM ev WHERE k % 3 = 0),
+      |mg2 AS (SELECT e, k*7+3 AS v, 2 AS si FROM ev WHERE k % 2 = 0),
+      |mgu AS (SELECT * FROM mg0 UNION ALL SELECT * FROM mg1
+      |        UNION ALL SELECT * FROM mg2)
+      |SELECT e, CAST(MIN(si) AS BIGINT) AS src_index,
+      |       arg_min(v, si) AS v
+      |FROM mgu GROUP BY e""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2744,6 +2796,8 @@ object DomainQueries {
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
     "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
+    "cur1_alarm_check"  -> (cur1AlarmCheck _),
+    "cur2_merge_priority" -> (cur2MergePriority _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2823,6 +2877,8 @@ object DomainQueries {
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,
     "rpt5_results_analysis" -> rpt5Sql,
+    "cur1_alarm_check"  -> cur1Sql,
+    "cur2_merge_priority" -> cur2Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

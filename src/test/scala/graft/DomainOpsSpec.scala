@@ -538,4 +538,30 @@ class DomainOpsSpec extends SparkSpec {
     assert(out(7).alarmState == 2)
     assert(out.last.alarmState == 2)
   }
+
+  test("checkAlarmStates: a clean database comes back empty; a wrong stored state surfaces") {
+    import spark.implicits._
+    val dps = Seq(("A", 0L), ("A", 2L), ("B", 1L), ("B", 1L))
+      .toDF("eventId", "alarmState")
+    val clean = Seq(("A", 2L), ("B", 1L)).toDF("eventId", "osdAlarmState")
+    assert(Curate.checkAlarmStates(clean, dps).count() == 0)
+    val dirty = Seq(("A", 0L), ("B", 1L)).toDF("eventId", "osdAlarmState")
+    val bad = Curate.checkAlarmStates(dirty, dps).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getString(0) == "A" &&
+      bad.head.getLong(1) == 0L && bad.head.getLong(2) == 2L)
+  }
+
+  test("mergePriority: the reference source wins; fallthrough is the earliest source") {
+    import spark.implicits._
+    val ref = Seq(("E1", "ref1"), ("E2", "ref2")).toDF("id", "payload")
+    val s1 = Seq(("E2", "s1-2"), ("E3", "s1-3")).toDF("id", "payload")
+    val s2 = Seq(("E3", "s2-3"), ("E4", "s2-4")).toDF("id", "payload")
+    val out = Curate.mergePriority(Seq(ref, s1, s2), "id").collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Int]("src_index"), r.getAs[String]("payload"))).toMap
+    assert(out == Map(
+      "E1" -> (0, "ref1"), "E2" -> (0, "ref2"),
+      "E3" -> (1, "s1-3"), "E4" -> (2, "s2-4")))
+  }
 }

@@ -89,9 +89,14 @@ object Ensemble {
     * union of k codegen'd scoring passes (no model ever leaves the
     * driver — weights travel inside each plan), one groupBy(eventId)
     * to gather the k scores, then the Harrell-Davis column. Returns
-    * (eventId, label, n_models, p_ensemble). The size guard inside
-    * [[harrellDavisCol]] makes a missing or duplicated model score
-    * fail loudly at the combine. */
+    * (eventId, label, n_models, p_ensemble).
+    *
+    * CONTRACT: `score` must return exactly ONE row per eventId
+    * (eventId, label, p_seizure) — a per-epoch scorer must roll up to
+    * the event first (the A4 max reduction). The size guard inside
+    * [[harrellDavisCol]] enforces it: k models × one row each, so a
+    * per-epoch leak, a missing model, or a duplicated score all fail
+    * loudly at the combine instead of silently shifting weights. */
   def scoreEnsemble[M](models: Seq[M],
                        score: (M, DataFrame) => DataFrame,
                        data: DataFrame,

@@ -60,6 +60,59 @@ class EnsembleSpec extends SparkSpec {
         e.getCause.getMessage.contains("expected 5 model scores"))
   }
 
+  test("e2e: the k runSequence fold models ensemble like ensemblePredictor.py") {
+    import graft.sources.SimulatedEvents
+    import graft.sources.SimulatedEvents.{Component, EventSpec}
+    import graft.ml.{Cnn, RunSequence}
+    import spark.implicits._
+    val n = 6
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 4.0 + (i % 3) * 0.1, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val events = (0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 3),
+        (s"OK$i", "False Alarm", "other", i % 3))
+    }.toDF("id", "type", "subType", "fold0")
+    val (fit, score) = RunSequence.cnnFamily(
+      Cnn.Config(nFilters = 3, width = 9, maxIter = 60))
+    val folds = RunSequence.runWithWindows(
+      events, corpus, lit(true), col("fold0"),
+      RunSequence.Config(), bufferSamples = 125)(fit, score)
+    assert(folds.size == 3)
+    // the reference's ensemblePredictor: every fold model scores the
+    // same evaluation windows; HD-combine per event
+    val evalWindows = graft.streaming.NnBuffer
+      .dp2vectors(corpus, bufferSamples = 125).toDF()
+      .select(col("eventId"),
+        when(col("eventId").startsWith("SZ"), 1.0).otherwise(0.0).as("label"),
+        col("vec").as("window"))
+    // scoreEnsemble's contract: ONE row per event per model — roll the
+    // per-window scores up to the event max first (the A4 reduction)
+    val out = Ensemble.scoreEnsemble[Cnn.CnnModel](
+      folds.map(_.model),
+      (m, df) => Cnn.scoreWindows(m, df)
+        .groupBy(col("eventId"))
+        .agg(max(col("label")).as("label"),
+          max(col("p_seizure")).as("p_seizure")),
+      evalWindows, q = 0.6)
+    val a = graft.ml.Trainer.auroc(out, probCol = "p_ensemble")
+    assert(a > 0.95, s"ensemble AUROC only $a")
+    assert(out.filter(col("n_models") =!= 3).count() == 0)
+  }
+
   test("scoreEnsemble: k scoring passes gather per event; HD combine matches") {
     import spark.implicits._
     val data = (0 until 20).map(i => (s"E$i", (i % 2).toDouble)).toDF("eventId", "label")

@@ -364,10 +364,26 @@ object RunSequence {
     require(outerK >= 2, s"outerK must be >= 2: $outerK")
     (0 until outerK).map { o =>
       val innerSelect = select && outerFoldOf =!= o
-      val innerMean = candidates.map { case (name, (fit, score)) =>
-        val rs = runWith(events, dps, innerSelect, innerFoldOf, cfg)(fit, score)
-        name -> rs.map(_.heldOutAuroc).sum / rs.size
-      }.toMap
+      // P14→P12→W7 is CANDIDATE-invariant: extract the outer-train
+      // slice's basis frame once and run every candidate's inner fold
+      // loop over it — |candidates|× fewer extract lineages, the same
+      // hoist the fold loop already does for folds
+      val innerEv = selectedEvents(events, innerSelect, innerFoldOf)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      innerEv.count()
+      val innerAssembled = assembledHistory(innerEv, dps, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      innerAssembled.count()
+      val innerMean =
+        try candidates.map { case (name, (fit, score)) =>
+          val rs = foldLoop(innerEv, innerAssembled, cfg, "features",
+            fit, score, ownAssembled = false)
+          name -> rs.map(_.heldOutAuroc).sum / rs.size
+        }.toMap
+        finally {
+          innerAssembled.unpersist(false)
+          innerEv.unpersist(false)
+        }
       val chosen = innerMean.maxBy { case (n, a) => (a, n) }._1
       val (fit, score) = candidates.find(_._1 == chosen).get._2
       // winner retrains on the FULL outer-train slice, scores outer
@@ -391,19 +407,27 @@ object RunSequence {
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
+    try foldLoop(ev, assembledHistory(ev, dps, cfg), cfg, "features",
+      fit, score, folds)
+    finally ev.unpersist(false)
+  }
+
+  /** The P12+W7 feature-history basis assembled to (eventId, fold,
+    * label, features) — candidate- and fold-invariant, so callers that
+    * loop (folds in [[foldLoop]], candidates in [[runNested]]) build
+    * it once and share the materialization. */
+  private def assembledHistory(ev: DataFrame, dps: Dataset[FlatDp],
+                               cfg: Config): DataFrame = {
     val names = EpochFeatures.FeatureNames
     val histCols = names.flatMap(f =>
       (0 until cfg.historyN).map(k => s"${f}_t-$k") :+ s"${f}_mean")
-    val hist = historyEpochs(ev, dps, cfg)
-    val assembled = hist.select(
+    historyEpochs(ev, dps, cfg).select(
         col("eventId"),
         when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
         array_to_vector(array(histCols.map(col): _*)).as("features"))
       .join(ev.select(col("srcId"), col("fold")),
         col("eventId") === col("srcId"))
       .select(col("eventId"), col("fold"), col("label"), col("features"))
-    try foldLoop(ev, assembled, cfg, "features", fit, score, folds)
-    finally ev.unpersist(false)
   }
 
   /** The full composed run with the DEFAULT model family (LBFGS
@@ -458,18 +482,8 @@ object RunSequence {
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
-    val names = EpochFeatures.FeatureNames
-    val histCols = names.flatMap(f =>
-      (0 until cfg.historyN).map(k => s"${f}_t-$k") :+ s"${f}_mean")
-    val hist = historyEpochs(ev, dps, cfg)
-    val assembled = hist.select(
-        col("eventId"),
-        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
-        array_to_vector(array(histCols.map(col): _*)).as("features"))
-      .join(ev.select(col("srcId"), col("fold")),
-        col("eventId") === col("srcId"))
-      .select(col("eventId"), col("fold"), col("label"), col("features"))
-    try foldLoop(ev, assembled, cfg, "features", fit, score)
+    try foldLoop(ev, assembledHistory(ev, dps, cfg), cfg, "features",
+      fit, score)
     finally ev.unpersist(false)
   }
 
@@ -546,10 +560,16 @@ object RunSequence {
                           cfg: Config, dataCol: String,
                           fit: DataFrame => M,
                           score: (M, DataFrame) => DataFrame,
-                          foldsToRun: Seq[Int] = Seq.empty): Seq[FoldResult[M]] = {
+                          foldsToRun: Seq[Int] = Seq.empty,
+                          ownAssembled: Boolean = true): Seq[FoldResult[M]] = {
     val folds = if (foldsToRun.nonEmpty) foldsToRun else 0 until cfg.k
-    val assembled = assembledIn.persist(StorageLevel.MEMORY_AND_DISK)
-    assembled.count() // one materialization shared by every fold
+    // ownAssembled = false: the caller persisted the frame and loops
+    // over this method (runNested's candidate loop) — taking ownership
+    // here would unpersist it between candidates and re-materialize
+    val assembled =
+      if (ownAssembled) assembledIn.persist(StorageLevel.MEMORY_AND_DISK)
+      else assembledIn
+    if (ownAssembled) assembled.count() // one materialization per loop
     val plan = augmentPlan(ev, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     plan.count()
     try {
@@ -588,7 +608,7 @@ object RunSequence {
         } finally scored.unpersist(false)
       }
     } finally {
-      assembled.unpersist(false)
+      if (ownAssembled) assembled.unpersist(false)
       plan.unpersist(false)
     }
   }

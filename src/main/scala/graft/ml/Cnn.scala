@@ -251,10 +251,18 @@ object Cnn {
   }
 
   /** Batch scoring: per-row logit + probability over a window column —
-    * pure codegen'd column work, no shuffle. */
+    * pure codegen'd column work, no shuffle. The serve-time window
+    * contract is enforced HERE, same as [[forward]]'s require: a
+    * wrong-length window fails loudly instead of convolving a
+    * different-length input into a confidently wrong score
+    * ([[logitCol]] itself stays permissive — the ml3 oracle applies it
+    * to raw fixture arrays). */
   def scoreWindows(m: CnnModel, windows: DataFrame,
                    winCol: String = "window"): DataFrame = {
-    val z = logitCol(m, col(winCol))
+    val z = when(size(col(winCol)) === m.window, logitCol(m, col(winCol)))
+      .otherwise(raise_error(concat(
+        lit("window "), size(col(winCol)).cast("string"),
+        lit(s" != trained window ${m.window}"))).cast("double"))
     windows.withColumn("logit", z)
       .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
   }

@@ -102,11 +102,10 @@ object Ensemble {
                        data: DataFrame,
                        q: Double = 0.6): DataFrame = {
     require(models.nonEmpty, "ensemble of zero models")
-    val scored = models.zipWithIndex.map { case (m, i) =>
-      score(m, data).select(
-        col("eventId"), col("label"),
-        col("p_seizure"), lit(i).as("model_i"))
-    }.reduce(_ unionByName _)
+    val scored = models.map(m =>
+        score(m, data).select(col("eventId"), col("label"),
+          col("p_seizure")))
+      .reduce(_ unionByName _)
     scored
       .groupBy(col("eventId"))
       .agg(first(col("label")).as("label"),

@@ -364,10 +364,17 @@ object Lstm {
     gradientPass(ds, bw, hN, mean, std)
 
   /** Batch scoring: per-row logit + probability over a window column —
-    * pure codegen'd column work, no shuffle. */
+    * pure codegen'd column work, no shuffle. The serve-time window
+    * contract is enforced HERE, same as [[forward]]'s require
+    * ([[logitCol]] stays permissive for the ml4 oracle): a
+    * wrong-length window fails loudly, never a silently-wrong score
+    * over a mismatched recurrence length. */
   def scoreWindows(m: LstmModel, windows: DataFrame,
                    winCol: String = "window"): DataFrame = {
-    val z = logitCol(m, col(winCol))
+    val z = when(size(col(winCol)) === m.window, logitCol(m, col(winCol)))
+      .otherwise(raise_error(concat(
+        lit("window "), size(col(winCol)).cast("string"),
+        lit(s" != trained window ${m.window}"))).cast("double"))
     windows.withColumn("logit", z)
       .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
   }

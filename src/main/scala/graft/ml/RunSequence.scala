@@ -362,62 +362,75 @@ object RunSequence {
       : Seq[NestedResult[M]] = {
     require(candidates.nonEmpty, "nested selection over zero candidates")
     require(outerK >= 2, s"outerK must be >= 2: $outerK")
-    (0 until outerK).map { o =>
-      val innerSelect = select && outerFoldOf =!= o
-      // P14→P12→W7 is CANDIDATE-invariant: extract the outer-train
-      // slice's basis frame once and run every candidate's inner fold
-      // loop over it — |candidates|× fewer extract lineages, the same
-      // hoist the fold loop already does for folds
-      val innerEv = selectedEvents(events, innerSelect, innerFoldOf)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      innerEv.count()
-      val innerAssembled = assembledHistory(innerEv, dps, cfg)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      innerAssembled.count()
-      val innerMean =
-        try candidates.map { case (name, (fit, score)) =>
-          val rs = foldLoop(innerEv, innerAssembled, cfg, "features",
-            fit, score, ownAssembled = false)
-          name -> rs.map(_.heldOutAuroc).sum / rs.size
-        }.toMap
-        finally {
-          innerAssembled.unpersist(false)
-          innerEv.unpersist(false)
-        }
-      val chosen = innerMean.maxBy { case (n, a) => (a, n) }._1
-      val (fit, score) = candidates.find(_._1 == chosen).get._2
-      // winner retrains on the FULL outer-train slice, scores outer
-      // fold o once: the outer split as a 2-way fold column, run only
-      // on the test fold
-      val outerAsFold = when(outerFoldOf === o, 1L).otherwise(0L)
-      val outerRun = foldLoopOn(events, dps, select, outerAsFold,
-        cfg.copy(k = 2), Seq(1))(fit, score).head
-      NestedResult(o, chosen, innerMean, outerRun.copy(fold = o))
+    // P14→P12→W7 is invariant to EVERYTHING the nested loop varies —
+    // candidate, inner fold, outer fold, and even the outer-train
+    // slicing (slices are subsets of the selected corpus) — so the
+    // whole nested run extracts features exactly ONCE; every
+    // train/score frame below is a projection/join over these two
+    // persisted frames
+    val evAll = events.filter(select).select(
+        col("id").cast("string").as("srcId"),
+        typeIdCol(col("type")).as("type"),
+        col("subType"),
+        outerFoldOf.cast("long").as("ofold"),
+        innerFoldOf.cast("long").as("ifold"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evAll.count()
+    val feats = assembledHistoryBase(evAll, dps, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    feats.count()
+    def withFold(evSlice: DataFrame): DataFrame =
+      feats.join(evSlice.select(col("srcId"), col("fold")),
+          feats("eventId") === col("srcId"))
+        .select(col("eventId"), col("fold"), col("label"), col("features"))
+    try {
+      (0 until outerK).map { o =>
+        val innerEv = evAll.filter(col("ofold") =!= o)
+          .select(col("srcId"), col("type"), col("subType"),
+            col("ifold").as("fold"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        innerEv.count()
+        val innerAssembled = withFold(innerEv)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        innerAssembled.count()
+        val innerMean =
+          try candidates.map { case (name, (fit, score)) =>
+            val rs = foldLoop(innerEv, innerAssembled, cfg, "features",
+              fit, score, ownAssembled = false)
+            name -> rs.map(_.heldOutAuroc).sum / rs.size
+          }.toMap
+          finally {
+            innerAssembled.unpersist(false)
+            innerEv.unpersist(false)
+          }
+        val chosen = innerMean.maxBy { case (n, a) => (a, n) }._1
+        val (fit, score) = candidates.find(_._1 == chosen).get._2
+        // winner retrains on the FULL outer-train slice, scores outer
+        // fold o once: the outer split as a 2-way fold column over the
+        // SAME persisted features, run only on the test fold
+        val outerEv = evAll.select(col("srcId"), col("type"),
+            col("subType"),
+            when(col("ofold") === o, 1L).otherwise(0L).as("fold"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        outerEv.count()
+        val outerRun =
+          try foldLoop(outerEv, withFold(outerEv), cfg.copy(k = 2),
+            "features", fit, score, Seq(1)).head
+          finally outerEv.unpersist(false)
+        NestedResult(o, chosen, innerMean, outerRun.copy(fold = o))
+      }
+    } finally {
+      feats.unpersist(false)
+      evAll.unpersist(false)
     }
   }
 
-  /** [[runWith]] restricted to an explicit subset of folds — the
-    * nested outer evaluation needs exactly one (train on fold ≠ f,
-    * test on fold f) pass without paying the other k−1 fits. */
-  private def foldLoopOn[M](events: DataFrame, dps: Dataset[FlatDp],
-                            select: Column, foldOf: Column, cfg: Config,
-                            folds: Seq[Int])(
-                            fit: DataFrame => M,
-                            score: (M, DataFrame) => DataFrame): Seq[FoldResult[M]] = {
-    val ev = selectedEvents(events, select, foldOf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ev.count()
-    try foldLoop(ev, assembledHistory(ev, dps, cfg), cfg, "features",
-      fit, score, folds)
-    finally ev.unpersist(false)
-  }
-
-  /** The P12+W7 feature-history basis assembled to (eventId, fold,
-    * label, features) — candidate- and fold-invariant, so callers that
-    * loop (folds in [[foldLoop]], candidates in [[runNested]]) build
-    * it once and share the materialization. */
-  private def assembledHistory(ev: DataFrame, dps: Dataset[FlatDp],
-                               cfg: Config): DataFrame = {
+  /** The P12+W7 feature-history basis assembled to (eventId, label,
+    * features) — fold-free, so loops over fold ASSIGNMENTS (inner vs
+    * outer, per-o 2-way splits) share one materialization and attach
+    * their fold column with a cheap join. */
+  private def assembledHistoryBase(ev: DataFrame, dps: Dataset[FlatDp],
+                                   cfg: Config): DataFrame = {
     val names = EpochFeatures.FeatureNames
     val histCols = names.flatMap(f =>
       (0 until cfg.historyN).map(k => s"${f}_t-$k") :+ s"${f}_mean")
@@ -425,10 +438,16 @@ object RunSequence {
         col("eventId"),
         when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
         array_to_vector(array(histCols.map(col): _*)).as("features"))
+  }
+
+  /** [[assembledHistoryBase]] with the caller's fold column joined on
+    * — [[runWith]]'s single-assignment shape. */
+  private def assembledHistory(ev: DataFrame, dps: Dataset[FlatDp],
+                               cfg: Config): DataFrame =
+    assembledHistoryBase(ev, dps, cfg)
       .join(ev.select(col("srcId"), col("fold")),
         col("eventId") === col("srcId"))
       .select(col("eventId"), col("fold"), col("label"), col("features"))
-  }
 
   /** The full composed run with the DEFAULT model family (LBFGS
     * logistic regression) — see [[runWith]] for the seam itself. */
@@ -450,19 +469,8 @@ object RunSequence {
       : (DataFrame => Trainer.MlpModel,
          (Trainer.MlpModel, DataFrame) => DataFrame) = {
     val fit = (train: DataFrame) => Trainer.trainMlp(train, hidden, maxIter)
-    val score = (m: Trainer.MlpModel, test: DataFrame) => {
-      val mean = m.mean; val std = m.std
-      val scaleUdf = udf { (v: org.apache.spark.ml.linalg.Vector) =>
-        val a = v.toArray
-        org.apache.spark.ml.linalg.Vectors.dense(
-          Array.tabulate(a.length)(i => (a(i) - mean(i)) / std(i)))
-      }
-      m.model.transform(
-          test.withColumn("features", scaleUdf(col("features"))))
-        .select(col("eventId"), col("label"),
-          element_at(vector_to_array(col("probability")), 2)
-            .as("p_seizure"))
-    }
+    val score = (m: Trainer.MlpModel, test: DataFrame) =>
+      Trainer.scoreMlpFrame(m, test) // ONE home for the scaling replay
     (fit, score)
   }
 

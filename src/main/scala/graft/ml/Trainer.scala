@@ -258,6 +258,26 @@ object Trainer {
     MlpModel(mlp, mean, std)
   }
 
+  /** Batch MLP scoring over an assembled (eventId, label, features)
+    * frame: replay the model's stored (mean, std) z-scaling, then the
+    * network's class-1 probability — THE one DataFrame-level home of
+    * the train/serve scaling contract (trainMlp fits it, this replays
+    * it; callers must not re-implement the UDF or they fork the
+    * contract). Returns (eventId, label, p_seizure). */
+  def scoreMlpFrame(m: MlpModel, assembled: DataFrame): DataFrame = {
+    val mean = m.mean; val std = m.std
+    val scaleUdf = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+      val a = v.toArray
+      org.apache.spark.ml.linalg.Vectors.dense(
+        Array.tabulate(a.length)(i => (a(i) - mean(i)) / std(i)))
+    }
+    m.model.transform(
+        assembled.withColumn("features", scaleUdf(col("features"))))
+      .select(col("eventId"), col("label"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("probability")), 2).as("p_seizure"))
+  }
+
   /** The MLP as a replay scorer — the SAME [[basisFn]] window→P12
     * pipeline as the LR [[scorer]], then the stored z-scaling, then
     * the network's class-1 probability. */

@@ -80,8 +80,12 @@ object Curate {
     * because the dashboard's analysis was suspected of storing the
     * wrong one). Returns the MISMATCH rows only: (eventId, stored,
     * derived) where stored ≠ max(dp state) — an empty result is a
-    * clean database. One grouping shuffle + a broadcast-or-shuffle
-    * join back to the event row; nothing row-expanding. */
+    * clean database. NULL-safe by design: a NULL stored state against
+    * a real dp max IS a mismatch (the likeliest corruption the tool
+    * hunts), and an event with no datapoints at all surfaces with a
+    * NULL derived — a plain inner join + `=!=` would silently pass
+    * exactly those rows. One grouping shuffle + the join back;
+    * nothing row-expanding. */
   def checkAlarmStates(events: DataFrame, dps: DataFrame,
                        eventIdCol: String = "eventId",
                        storedCol: String = "osdAlarmState",
@@ -89,8 +93,8 @@ object Curate {
     val derived = dps.groupBy(col(eventIdCol))
       .agg(max(col(dpStateCol)).as("derived"))
     events.select(col(eventIdCol), col(storedCol).as("stored"))
-      .join(derived, Seq(eventIdCol))
-      .filter(col("stored") =!= col("derived"))
+      .join(derived, Seq(eventIdCol), "left")
+      .filter(!(col("stored") <=> col("derived")))
   }
 
   /** Curator multi-source merge — the reference's
@@ -99,9 +103,12 @@ object Curate {
     * reference's version wins, otherwise the version from the
     * earliest source that has it (deterministic — a curator merging
     * exports must never get a random winner). Sources must share a
-    * schema. One union + one groupBy(id) with `min_by` on the source
-    * index — map-side combinable, no window sort. Adds `src_index`
-    * (which source won) to the output. */
+    * schema. One union + one groupBy(id) with `min_by` on
+    * (source index, row content hash) — map-side combinable, no
+    * window sort; the content-hash tiebreak keeps even a DUPLICATED
+    * id within one source deterministic across runs (identical-content
+    * duplicates tie harmlessly — either row is the same row). Adds
+    * `src_index` (which source won) to the output. */
   def mergePriority(sources: Seq[DataFrame], idCol: String): DataFrame = {
     require(sources.nonEmpty, "merge of zero sources")
     val tagged = sources.zipWithIndex.map { case (df, i) =>
@@ -109,7 +116,9 @@ object Curate {
         struct(df.columns.map(col): _*).as("__row")).as("__cand"))
     }.reduce(_ unionByName _)
     val won = tagged.groupBy(col(idCol))
-      .agg(min_by(col("__cand"), col("__cand.__src")).as("__w"))
+      .agg(min_by(col("__cand"),
+        struct(col("__cand.__src"), xxhash64(col("__cand.__row"))))
+        .as("__w"))
     val inner = sources.head.columns
     won.select(
       Seq(col(s"__w.__src").as("src_index")) ++

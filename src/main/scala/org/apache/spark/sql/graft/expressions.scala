@@ -168,7 +168,13 @@ case class ArrayMag3D(child: Expression, mode: String = "V2")
   * intermediate is integer-exact for the cross-engine oracle hash.
   *
   * NULL for a window shorter than the filter width (nothing to
-  * convolve), matching the composed form it replaces. Weights travel as
+  * convolve), matching the composed form it replaces. Null ELEMENTS
+  * read as 0.0 through ArrayData — the same permissive-SQL stance as
+  * [[ArrayDot]], documented rather than guarded because a per-element
+  * null check would cost a branch per sample in the hot loop; signal
+  * windows come from [[graft.streaming.NnBuffer.dp2vectors]]-class
+  * producers that never emit null samples, and pipelines ingesting
+  * untrusted arrays should validate upstream. Weights travel as
   * `Seq` (value equality keeps expression canonicalization sane) and are
   * bridged to arrays once per task via transient lazies. */
 case class Conv1dMaxPoolLogit(
@@ -293,7 +299,10 @@ case class Conv1dMaxPoolLogit(
   * b + wx·x + Σ_v wh_v·h_v (v ascending), c' = f·c + i·g,
   * h' = o·hardTanh(c'), logit = bias + Σ_u dense_u·h_u (u ascending).
   * Weight layout is gate-major (i, f, g, o): wx/b index g·H+u,
-  * wh index (g·H+u)·H+v. NULL for an empty window. */
+  * wh index (g·H+u)·H+v. NULL for an empty window; null ELEMENTS read
+  * as 0.0 through ArrayData (the [[ArrayDot]]/[[Conv1dMaxPoolLogit]]
+  * permissive-SQL stance — see the conv docblock for why this is
+  * documented, not guarded). */
 case class LstmHardLogit(
     child: Expression,
     nUnits: Int,

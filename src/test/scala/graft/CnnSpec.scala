@@ -123,6 +123,15 @@ class CnnSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Cnn.scorer(m)(new Array[Double](64)))
     assert(e.getMessage.contains("trained window"))
+    // the BATCH path enforces the same contract (scoreWindows raises,
+    // never convolves a wrong-length window into a wrong score)
+    import spark.implicits._
+    val be = intercept[Exception](
+      Cnn.scoreWindows(m, Seq(Array.fill(64)(1.0)).toDF("window"))
+        .collect())
+    val bmsg = be.getMessage +
+      Option(be.getCause).map(_.getMessage).getOrElse("")
+    assert(bmsg.contains("trained window"), bmsg.take(300))
     val alg = Cnn.deployedCnn(m)
     // the assembled detector's buffer matches the trained window by
     // construction — scoring a full buffer must NOT throw

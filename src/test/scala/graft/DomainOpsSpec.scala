@@ -550,6 +550,16 @@ class DomainOpsSpec extends SparkSpec {
     assert(bad.length == 1)
     assert(bad.head.getString(0) == "A" &&
       bad.head.getLong(1) == 0L && bad.head.getLong(2) == 2L)
+
+    // the tool's own quarry must not slip through the check: a NULL
+    // stored state against real dps, and an event with no dps at all
+    val nullStored = Seq(("A", null.asInstanceOf[java.lang.Long]),
+        ("C", java.lang.Long.valueOf(3L)))
+      .toDF("eventId", "osdAlarmState")
+    val res = Curate.checkAlarmStates(nullStored, dps).collect()
+      .map(r => r.getString(0)).toSet
+    assert(res == Set("A", "C"), // A: null vs 2; C: 3 vs no dps (null)
+      s"null-safe mismatches wrong: $res")
   }
 
   test("mergePriority: the reference source wins; fallthrough is the earliest source") {

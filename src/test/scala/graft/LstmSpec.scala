@@ -88,6 +88,13 @@ class LstmSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Lstm.scorer(m)(new Array[Double](5)))
     assert(e.getMessage.contains("trained window"))
+    // the BATCH path enforces the same contract
+    val be = intercept[Exception](
+      Lstm.scoreWindows(m, Seq(Array.fill(5)(1.0)).toDF("window"))
+        .collect())
+    val bmsg = be.getMessage +
+      Option(be.getCause).map(_.getMessage).getOrElse("")
+    assert(bmsg.contains("trained window"), bmsg.take(300))
     val p = Lstm.scorer(m)(new Array[Double](8))
     assert(p >= 0.0 && p <= 1.0)
     assert(Lstm.deployedLstm(m).name == "NnAlg")

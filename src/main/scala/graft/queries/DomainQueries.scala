@@ -1976,6 +1976,25 @@ object DomainQueries {
       |       arg_min(v, si) AS v
       |FROM mgu GROUP BY e""".stripMargin
 
+  /** FA1 — the false-alarm dashboard grouping under the oracle gate
+    * (`user_tools/dataSummariser/false_alarm_analysis.py:99-121`:
+    * events grouped by (type, userId, 1-day period), per-group event
+    * counts — the frame behind the per-user false-alarm-rate
+    * dashboard). Day buckets as integer epoch-day (wts div 86400),
+    * the exact restatement of pandas' `Grouper(freq='1D')` on an
+    * epoch-derived datetime. */
+  def fa1FalseAlarmPeriods(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.ev(s, d)
+      .groupBy(col("type_str").as("type"), col("u"),
+        expr("wts div 86400").as("day_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("type"), col("u"), col("day_bucket"), col("n_events"))
+
+  val fa1Sql: String = sqlBase +
+    """ SELECT type_str AS type, u, wts // 86400 AS day_bucket,
+      |       COUNT(*) AS n_events
+      |FROM ev GROUP BY 1, 2, 3""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2798,6 +2817,7 @@ object DomainQueries {
     "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
     "cur1_alarm_check"  -> (cur1AlarmCheck _),
     "cur2_merge_priority" -> (cur2MergePriority _),
+    "fa1_false_alarm_periods" -> (fa1FalseAlarmPeriods _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2879,6 +2899,7 @@ object DomainQueries {
     "rpt5_results_analysis" -> rpt5Sql,
     "cur1_alarm_check"  -> cur1Sql,
     "cur2_merge_priority" -> cur2Sql,
+    "fa1_false_alarm_periods" -> fa1Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

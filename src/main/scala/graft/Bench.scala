@@ -118,7 +118,19 @@ object Bench {
       s"\"" + k + "\":[" + repsByName(k).map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver's artifact keeps only a ~2 KB stdout tail, so the full
+    // per-query map above is truncated in BENCH_r*.json past ~40 queries
+    // (r13 verdict "What's wrong" #3). Persist the complete map to a
+    // stable repo file so round-over-round per-query regression auditing
+    // never depends on the tail capture. Best-effort: bench numbers are
+    // the contract, the file is a convenience.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // Tail-proofing: the driver keeps only ~2 KB of stdout tail, and the
     // full line above crossed 11 KB in round 7 — its head (total,
     // n_queries, the a*-m* half of the registry) fell off the artifact

@@ -111,19 +111,22 @@ object Cnn {
       m.filters.toSeq, m.filterBias.toSeq, m.dense.toSeq,
       m.bias, m.mean, m.std)
 
-  /** One distributed loss/gradient evaluation: a `treeAggregate` over
-    * `(label, window)` rows against the broadcast parameter vector.
+  /** One distributed loss/gradient evaluation: a map-side partial pass
+    * over `(label, weight, window)` rows against the broadcast
+    * parameter vector, combined DETERMINISTICALLY in partition-index
+    * order ([[DetAgg.lossGrad]] — `treeAggregate`'s completion-order
+    * final merge made training nondeterministic in final ulps).
     * A top-level object method so the executor lambdas capture ONLY
     * their arguments — an inner definition would drag the enclosing
     * optimizer instance (and its SparkContext) into the closure. */
   private def gradientPass(
-      ds: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       nf: Int, w: Int, mean: Double, std: Double)
       : (Double, Array[Double]) = {
     val nP = nf * w + 2 * nf + 1
-    ds.treeAggregate((0.0, new Array[Double](nP)))(
-      seqOp = { case ((ls, g), (y, x)) =>
+    val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
+        => (Double, Array[Double]) = { case ((ls, g), (y, wt, x)) =>
         val pp = bw.value
         val L = x.length - w + 1
         val xs = new Array[Double](x.length)
@@ -150,7 +153,10 @@ object Cnn {
         val loss =
           if (z > 0) z + math.log1p(math.exp(-z)) - y * z
           else math.log1p(math.exp(z)) - y * z
-        val dz = 1.0 / (1.0 + math.exp(-z)) - y
+        // Per-row weight (M13): scales the loss AND its whole gradient
+        // through dz. wt = 1.0 multiplies exactly (IEEE), so the
+        // unweighted path is bit-identical to the pre-weighting code.
+        val dz = wt * (1.0 / (1.0 + math.exp(-z)) - y)
         g(nP - 1) += dz
         f = 0
         while (f < nf) {
@@ -165,13 +171,14 @@ object Cnn {
           }
           f += 1
         }
-        (ls + loss, g)
-      },
-      combOp = { case ((l1, g1), (l2, g2)) =>
-        var i = 0
-        while (i < nP) { g1(i) += g2(i); i += 1 }
-        (l1 + l2, g1)
-      })
+        (ls + wt * loss, g)
+      }
+    DetAgg.lossGrad(
+      ds.mapPartitionsWithIndex { case (pi, it) =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(
+          (pi, it.foldLeft((0.0, new Array[Double](nP)))(seqOp)))
+      }, nP)
   }
 
   /** Distributed training: breeze LBFGS where each loss/gradient
@@ -179,33 +186,63 @@ object Cnn {
     * max-pool routes the gradient to its argmax position, ReLU gates
     * it, L2 on the weights (not the biases). Input frame: `label`
     * (0/1 double) + `window` (`array<double>`, all the same length).
-    * Deterministic: seeded init, fixed partitioning per run. */
-  def train(windows: DataFrame, cfg: Config = Config()): CnnModel = {
+    * Deterministic: seeded init, fixed partitioning per run.
+    *
+    * `weightCol` (M13, the reference's `subtypeWeights` knob applied to
+    * the conv family): an optional per-row positive weight multiplying
+    * that row's loss and gradient; the objective normalizes by the
+    * WEIGHT SUM, so all-1.0 weights reproduce the unweighted model
+    * bit-exactly (summing 1.0s is exact integer arithmetic < 2^53).
+    * Build it with [[Trainer.subtypeWeightCol]]. The z-scaling stats
+    * stay unweighted — weighting steers the LOSS, not the input
+    * normalization (same contract as MLlib's standardization). */
+  def train(windows: DataFrame, cfg: Config = Config(),
+            weightCol: Option[String] = None): CnnModel = {
     import breeze.linalg.{DenseVector => BDV}
     val spark = windows.sparkSession
     import spark.implicits._
+    val wCol = weightCol.map(col).getOrElse(lit(1.0))
     val ds = windows.select(col("label").cast("double"),
+        wCol.cast("double").as("__w"),
         col("window").cast("array<double>"))
-      .as[(Double, Array[Double])]
+      .as[(Double, Double, Array[Double])]
       .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (sum, sumSq, cnt, wLen) = ds
-        .map { case (_, x) =>
-          var s = 0.0; var s2 = 0.0
-          x.foreach { v => s += v; s2 += v * v }
-          (s, s2, x.length.toLong, x.length)
-        }
-        .reduce { (a, b) =>
-          require(a._4 == b._4, s"ragged windows: ${a._4} vs ${b._4}")
-          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4)
-        }
+      // Stats + weight-sum partials per partition, combined in
+      // partition-index order (DetAgg): `reduce`'s completion-order
+      // merge would make (mean, std, weight sum) — and therefore the
+      // trained model — nondeterministic in final ulps.
+      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.ordered(
+        ds.mapPartitionsWithIndex { case (pi, it) =>
+          var s = 0.0; var s2 = 0.0; var c = 0L; var len = -1; var ws = 0.0
+          it.foreach { case (_, wt, x) =>
+            require(len == -1 || len == x.length,
+              s"ragged windows: $len vs ${x.length}")
+            len = x.length
+            x.foreach { v => s += v; s2 += v * v }
+            c += x.length
+            ws += wt
+          }
+          if (c == 0) Iterator.empty
+          else Iterator.single((pi, (s, s2, c, len, ws)))
+        })((0.0, 0.0, 0L, -1, 0.0)) { (a, b) =>
+        require(a._4 == -1 || b._4 == -1 || a._4 == b._4,
+          s"ragged windows: ${a._4} vs ${b._4}")
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, math.max(a._4, b._4),
+          a._5 + b._5)
+      }
       val mean = sum / cnt
       val varr = math.max(sumSq / cnt - mean * mean, 0.0)
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
       val nf = cfg.nFilters; val w = cfg.width
       require(wLen >= w, s"window $wLen shorter than filter width $w")
       val nP = nf * w + 2 * nf + 1
-      val nRows = ds.count().toDouble
+      // Objective normalizer: the weight sum (== row count when
+      // unweighted — summing 1.0s is exact, so the unweighted model is
+      // bit-identical to the pre-weighting code).
+      val nRows = wSum
+      require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
+        s"weight sum must be positive finite: $nRows")
       val sc = spark.sparkContext
 
       val fn = new breeze.optimize.DiffFunction[BDV[Double]] {

@@ -1,0 +1,53 @@
+package graft.ml
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.rdd.RDD
+
+/** Deterministic replacement for `treeAggregate`/`reduce` over training
+  * partials. Spark's `reduce` (and `treeAggregate`'s final level) folds
+  * task results in COMPLETION order, and double addition is commutative
+  * but not associative — so two runs of the identical training job can
+  * produce models differing in final ulps. That made the "deterministic:
+  * seeded init" claim quietly false, and it breaks the M13 gate that
+  * all-1.0 weights reproduce the unweighted model BIT-exactly
+  * (CnnSpec/LstmSpec pin that identity).
+  *
+  * Here partials combine in PARTITION-INDEX order through a fixed
+  * two-level tree: groups of `fanout` partition partials fold
+  * index-ascending on executors (one shuffle of P tiny records — each a
+  * (loss, gradient) pair, O(nP) doubles), then the G = ceil(P/fanout)
+  * group partials fold group-ascending on the driver. Driver traffic per
+  * call is G·nP doubles — a few MB per LBFGS iteration even at 10⁵
+  * partitions with the CNN/LSTM parameter counts, same order as
+  * `treeAggregate`'s own final level. The group fold runs where the data
+  * is; only the already-reduced group partials cross to the driver —
+  * this is control-plane aggregation, not a data collect. */
+object DetAgg {
+
+  /** Fold per-partition partials in strict partition-index order.
+    * `perPartition` must emit AT MOST one `(partitionIndex, partial)`
+    * record per partition (empty partitions may emit none). `add` may
+    * mutate and return its left argument (the accumulator is always a
+    * fresh `zero`). */
+  def ordered[T: ClassTag](perPartition: RDD[(Int, T)], fanout: Int = 64)(
+      zero: => T)(add: (T, T) => T): T = {
+    val groups = perPartition
+      .map { case (i, v) => (i / fanout, (i, v)) }
+      .groupByKey()
+      .mapValues(it => it.toArray.sortBy(_._1).map(_._2).foldLeft(zero)(add))
+      .collect().sortBy(_._1)
+    groups.map(_._2).foldLeft(zero)(add)
+  }
+
+  /** The (loss, gradient) shape both model families aggregate: one
+    * partial per partition, summed index-ascending. */
+  def lossGrad(perPartition: RDD[(Int, (Double, Array[Double]))],
+               nP: Int): (Double, Array[Double]) =
+    ordered(perPartition)((0.0, new Array[Double](nP))) { (a, b) =>
+      val g = a._2
+      var i = 0
+      while (i < nP) { g(i) += b._2(i); i += 1 }
+      (a._1 + b._1, g)
+    }
+}

@@ -114,4 +114,39 @@ object Ensemble {
         size(col("scores")).as("n_models"),
         harrellDavisCol(col("scores"), models.size, q).as("p_ensemble"))
   }
+
+  /** The SINGLE-SCAN fast path for COLUMN-EXPRESSIBLE model families
+    * (CNN/LSTM/logistic — anything whose probability is a pure Column
+    * over the row, [[Cnn.logitCol]]-style). [[scoreEnsemble]]'s generic
+    * `(M, DataFrame) => DataFrame` seam forces k full corpus scans (k
+    * per-model passes unioned, then the gather exchange); here all k
+    * probabilities are emitted in ONE projection over ONE scan of
+    * `data`, the per-event/per-model rollup (the A4 max reduction —
+    * folded in, so callers pass per-EPOCH rows directly) happens in the
+    * single eventId exchange, and the Harrell-Davis combine reads the
+    * k per-model maxima. At 100 TB with k=5 this is 1/5 the scan IO of
+    * the generic path; PlanSpec pins the one-scan shape.
+    *
+    * `pCol(m)` must be the model's probability as a Column over `data`'s
+    * columns (e.g. `sigmoid(Cnn.logitCol(m, col("window")))`). Output
+    * schema matches [[scoreEnsemble]]: (eventId, label, n_models,
+    * p_ensemble); label rolls up by MAX (identical to `first` when the
+    * input is one row per event, the A4 convention per-epoch). */
+  def scoreEnsembleFused[M](models: Seq[M],
+                            pCol: M => Column,
+                            data: DataFrame,
+                            q: Double = 0.6): DataFrame = {
+    require(models.nonEmpty, "ensemble of zero models")
+    val k = models.size
+    val perModelMax = models.zipWithIndex.map { case (m, i) =>
+      max(pCol(m)).as(s"__p$i")
+    }
+    data
+      .groupBy(col("eventId"))
+      .agg(max(col("label")).as("label"), perModelMax: _*)
+      .select(col("eventId"), col("label"),
+        lit(k).as("n_models"),
+        harrellDavisCol(array((0 until k).map(i => col(s"__p$i")): _*),
+          k, q).as("p_ensemble"))
+  }
 }

@@ -155,13 +155,16 @@ object Lstm {
     * subgradient 0, same convention as ReLU in [[Cnn]]).
     * Top-level method so executor lambdas capture only arguments. */
   private def gradientPass(
-      ds: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       hN: Int, mean: Double, std: Double)
       : (Double, Array[Double]) = {
     val nP = nParams(hN)
-    ds.treeAggregate((0.0, new Array[Double](nP)))(
-      seqOp = { case ((ls, grad), (y, xRaw)) =>
+    // Partition partials combined in partition-index order
+    // ([[DetAgg.lossGrad]]): treeAggregate's completion-order final
+    // merge made training nondeterministic in final ulps.
+    val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
+        => (Double, Array[Double]) = { case ((ls, grad), (y, wt, xRaw)) =>
         val p = bw.value
         val T = xRaw.length
         val wxO = oWx(hN); val whO = oWh(hN); val bO = oB(hN)
@@ -210,7 +213,10 @@ object Lstm {
         val loss =
           if (z > 0) z + math.log1p(math.exp(-z)) - y * z
           else math.log1p(math.exp(z)) - y * z
-        val dz = 1.0 / (1.0 + math.exp(-z)) - y
+        // Per-row weight (M13): scales the loss AND its whole gradient
+        // through dz. wt = 1.0 multiplies exactly (IEEE), so the
+        // unweighted path is bit-identical to the pre-weighting code.
+        val dz = wt * (1.0 / (1.0 + math.exp(-z)) - y)
         // ---- backward (BPTT)
         grad(biasO) += dz
         val dh = new Array[Double](hN)
@@ -263,13 +269,14 @@ object Lstm {
           System.arraycopy(dhPrev, 0, dh, 0, hN)
           t -= 1
         }
-        (ls + loss, grad)
-      },
-      combOp = { case ((l1, g1), (l2, g2)) =>
-        var i = 0
-        while (i < g1.length) { g1(i) += g2(i); i += 1 }
-        (l1 + l2, g1)
-      })
+        (ls + wt * loss, grad)
+      }
+    DetAgg.lossGrad(
+      ds.mapPartitionsWithIndex { case (pi, it) =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(
+          (pi, it.foldLeft((0.0, new Array[Double](nP)))(seqOp)))
+      }, nP)
   }
 
   /** Distributed training: breeze LBFGS where each loss/gradient
@@ -285,32 +292,59 @@ object Lstm {
     * piecewise-smooth, and Wolfe line searches can stall exactly on a
     * gate kink. LBFGS resets its curvature history and keeps
     * descending — LstmSpec's planted-corpus gate passes through these
-    * resets; they are noise, not divergence. */
-  def train(windows: DataFrame, cfg: Config = Config()): LstmModel = {
+    * resets; they are noise, not divergence.
+    *
+    * `weightCol` (M13, the reference's `subtypeWeights` knob applied to
+    * the recurrent family): an optional per-row positive weight
+    * multiplying that row's loss and gradient; the objective normalizes
+    * by the WEIGHT SUM, so all-1.0 weights reproduce the unweighted
+    * model bit-exactly. Build it with [[Trainer.subtypeWeightCol]].
+    * The z-scaling stats stay unweighted (same contract as
+    * [[Cnn.train]]). */
+  def train(windows: DataFrame, cfg: Config = Config(),
+            weightCol: Option[String] = None): LstmModel = {
     import breeze.linalg.{DenseVector => BDV}
     val spark = windows.sparkSession
     import spark.implicits._
+    val wCol = weightCol.map(col).getOrElse(lit(1.0))
     val ds = windows.select(col("label").cast("double"),
+        wCol.cast("double").as("__w"),
         col("window").cast("array<double>"))
-      .as[(Double, Array[Double])]
+      .as[(Double, Double, Array[Double])]
       .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (sum, sumSq, cnt, wLen) = ds
-        .map { case (_, x) =>
-          var s = 0.0; var s2 = 0.0
-          x.foreach { v => s += v; s2 += v * v }
-          (s, s2, x.length.toLong, x.length)
-        }
-        .reduce { (a, b) =>
-          require(a._4 == b._4, s"ragged windows: ${a._4} vs ${b._4}")
-          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4)
-        }
+      // Stats + weight-sum partials per partition, combined in
+      // partition-index order (DetAgg) — same determinism reasoning as
+      // [[Cnn.train]].
+      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.ordered(
+        ds.mapPartitionsWithIndex { case (pi, it) =>
+          var s = 0.0; var s2 = 0.0; var c = 0L; var len = -1; var ws = 0.0
+          it.foreach { case (_, wt, x) =>
+            require(len == -1 || len == x.length,
+              s"ragged windows: $len vs ${x.length}")
+            len = x.length
+            x.foreach { v => s += v; s2 += v * v }
+            c += x.length
+            ws += wt
+          }
+          if (c == 0) Iterator.empty
+          else Iterator.single((pi, (s, s2, c, len, ws)))
+        })((0.0, 0.0, 0L, -1, 0.0)) { (a, b) =>
+        require(a._4 == -1 || b._4 == -1 || a._4 == b._4,
+          s"ragged windows: ${a._4} vs ${b._4}")
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, math.max(a._4, b._4),
+          a._5 + b._5)
+      }
       val mean = sum / cnt
       val varr = math.max(sumSq / cnt - mean * mean, 0.0)
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
       val hN = cfg.nUnits
       val nP = nParams(hN)
-      val nRows = ds.count().toDouble
+      // Objective normalizer: the weight sum (== row count when
+      // unweighted — summing 1.0s is exact integer arithmetic).
+      val nRows = wSum
+      require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
+        s"weight sum must be positive finite: $nRows")
       val sc = spark.sparkContext
 
       val fn = new breeze.optimize.DiffFunction[BDV[Double]] {
@@ -358,7 +392,7 @@ object Lstm {
     * distributed BPTT against numeric differentiation of the forward
     * loss, the only honest gate on hand-written recurrence calculus. */
   private[graft] def gradientPassForTest(
-      ds: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+      ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       hN: Int, mean: Double, std: Double): (Double, Array[Double]) =
     gradientPass(ds, bw, hN, mean, std)

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.EpochFeatures
@@ -78,19 +78,33 @@ object Trainer {
   def trainLogisticWeighted(assembled: DataFrame,
                             subtypeWeights: Map[String, Double],
                             maxIter: Int = 50,
-                            regParam: Double = 0.01): LogisticRegressionModel = {
-    require(subtypeWeights.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
-      s"subtype weights must be positive finite: $subtypeWeights")
-    val st = lower(coalesce(col("subType"), lit("")))
-    val w = subtypeWeights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
-      case (acc, (name, wt)) => when(st === name.toLowerCase, wt).otherwise(acc)
-    }
+                            regParam: Double = 0.01): LogisticRegressionModel =
     new LogisticRegression()
       .setMaxIter(maxIter)
       .setRegParam(regParam)
       .setStandardization(true)
       .setWeightCol("__subtype_w")
-      .fit(assembled.withColumn("__subtype_w", w))
+      .fit(assembled.withColumn("__subtype_w",
+        subtypeWeightCol(subtypeWeights)))
+
+  /** The subtype→weight map as a Column over `subType` — the ONE home
+    * for the reference's `weights.get(subtype, 1.0)` semantics, shared
+    * by every model family ([[trainLogisticWeighted]] feeds it to
+    * MLlib's weight column; [[Cnn.train]]/[[Lstm.train]] consume it as
+    * their per-row loss weight). Case-insensitive whole-string match;
+    * unknown subtypes weigh 1.0. */
+  def subtypeWeightCol(subtypeWeights: Map[String, Double]): Column = {
+    require(subtypeWeights.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
+      s"subtype weights must be positive finite: $subtypeWeights")
+    // Matching is case-insensitive, so two keys differing only by case
+    // ("Tonic" vs "tonic") would silently collapse to whichever sorts
+    // last in the when-chain — reject that loudly instead.
+    require(subtypeWeights.keys.map(_.toLowerCase).toSet.size == subtypeWeights.size,
+      s"case-colliding subtype weight keys: ${subtypeWeights.keys.mkString(", ")}")
+    val st = lower(coalesce(col("subType"), lit("")))
+    subtypeWeights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (name, wt)) => when(st === name.toLowerCase, wt).otherwise(acc)
+    }
   }
 
   /** Per-epoch probabilities + per-EVENT rollup (max epoch probability,

@@ -111,18 +111,26 @@ object Curate {
     * `src_index` (which source won) to the output. */
   def mergePriority(sources: Seq[DataFrame], idCol: String): DataFrame = {
     require(sources.nonEmpty, "merge of zero sources")
+    // Resolve source columns by exact name (backtick-quoted), and winner
+    // fields with getField — a column literally named "a.b" must not be
+    // parsed as nested-path access anywhere in this plan.
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
     val tagged = sources.zipWithIndex.map { case (df, i) =>
-      df.select(col(idCol), struct(lit(i).as("__src"),
-        struct(df.columns.map(col): _*).as("__row")).as("__cand"))
+      df.select(q(idCol), struct(lit(i).as("__src"),
+        struct(df.columns.map(c => q(c).as(c)): _*).as("__row")).as("__cand"))
     }.reduce(_ unionByName _)
-    val won = tagged.groupBy(col(idCol))
+    val won = tagged.groupBy(q(idCol))
       .agg(min_by(col("__cand"),
-        struct(col("__cand.__src"), xxhash64(col("__cand.__row"))))
+        struct(col("__cand").getField("__src"),
+          xxhash64(col("__cand").getField("__row"))))
         .as("__w"))
-    val inner = sources.head.columns
-    won.select(
-      Seq(col(s"__w.__src").as("src_index")) ++
-        inner.filter(_ != idCol).map(c => col(s"__w.__row.$c")) :+
-        col(idCol): _*)
+    // Emit columns in sources.head order — idCol stays in its original
+    // position instead of migrating to the end — with src_index appended
+    // last so existing consumers of the source schema see it unchanged.
+    val out = sources.head.columns.map { c =>
+      if (c == idCol) q(idCol)
+      else col("__w").getField("__row").getField(c).as(c)
+    } :+ col("__w").getField("__src").as("src_index")
+    won.select(out: _*)
   }
 }

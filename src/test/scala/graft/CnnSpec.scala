@@ -96,13 +96,20 @@ class CnnSpec extends SparkSpec {
     val a = graft.ml.Trainer.auroc(scored)
     assert(a > 0.95, s"CNN held-out AUROC only $a")
 
-    // batch (column) and serve (closure) scoring agree bit-exactly
-    val closure = Cnn.scorer(model)
-    val one = heldOut.limit(3).collect()
-    val colScores = Cnn.scoreWindows(model, heldOut.limit(3))
-      .select("p_seizure").collect().map(_.getDouble(0))
-    one.map(_.getAs[Seq[Double]]("window").toArray).map(closure)
-      .zip(colScores).foreach { case (c, s) => assert(c == s) }
+    // batch (column) and serve (closure) scoring agree: LOGITS bit-exact
+    // (+,*,max only — same accumulation order), sigmoid to 1 ulp
+    // (Math.exp may differ by an ulp between a JIT-intrinsified call
+    // site and the codegen'd one). One collect: limit() without an
+    // order can pick different rows per execution.
+    Cnn.scoreWindows(model, heldOut.limit(3))
+      .select(col("window"), col("logit"), col("p_seizure"))
+      .collect().foreach { r =>
+        val win = r.getAs[Seq[Double]]("window").toArray
+        assert(Cnn.forward(model, win) == r.getAs[Double]("logit"))
+        val pc = Cnn.scorer(model)(win)
+        assert(math.abs(pc - r.getAs[Double]("p_seizure")) <= math.ulp(pc),
+          s"closure $pc vs column ${r.getAs[Double]("p_seizure")}")
+      }
 
     // deploy: the trained CNN inside the same alarm FSM as LR/MLP
     def replayAlarms(eventId: String): Long = {
@@ -138,5 +145,39 @@ class CnnSpec extends SparkSpec {
     val p = Cnn.scorer(m)(new Array[Double](125))
     assert(p >= 0.0 && p <= 1.0)
     assert(alg.name == "NnAlg")
+  }
+
+  test("M13 subtype weighting: weighted loss flips the conflicted region; all-1.0 is bit-identical") {
+    import spark.implicits._
+    // IDENTICAL "spike" windows with CONFLICTING labels: 4 tonic-clonic
+    // seizures vs 12 non-seizures. The unweighted loss writes the
+    // pattern off (optimal p = 4/16); weight 10 on the TC subtype makes
+    // those rows out-vote the 12 (p = 40/52) — the same decision-region
+    // flip TrainerSpec pins for the LR family.
+    val spike = Array.tabulate(16)(i => if (i == 5) 3.0 else 0.0)
+    val pos = Array.fill(16)(2.0)
+    val neg = Array.fill(16)(-2.0)
+    val rows =
+      (0 until 4).map(i => (s"tc$i", 1.0, "Tonic-Clonic", spike)) ++
+      (0 until 12).map(i => (s"fa$i", 0.0, null: String, spike)) ++
+      (0 until 20).map(i => (s"sz$i", 1.0, "other", pos)) ++
+      (0 until 20).map(i => (s"ok$i", 0.0, null: String, neg))
+    val df = rows.toDF("eventId", "label", "subType", "window")
+    val wdf = df.withColumn("w",
+      graft.ml.Trainer.subtypeWeightCol(Map("Tonic-Clonic" -> 10.0)))
+    val cfg = Cnn.Config(nFilters = 2, width = 3, maxIter = 80)
+    val un = Cnn.train(df, cfg)
+    val wt = Cnn.train(wdf, cfg, weightCol = Some("w"))
+    assert(Cnn.scorer(un)(spike) < 0.5,
+      s"unweighted already positive on the spike: ${Cnn.scorer(un)(spike)}")
+    assert(Cnn.scorer(wt)(spike) > 0.5,
+      s"weighted still negative on the spike: ${Cnn.scorer(wt)(spike)}")
+    // neutral identity: an explicit all-1.0 weight column trains a
+    // BIT-IDENTICAL model (1.0 multiplies exactly; weight sum == count)
+    val id = Cnn.train(df.withColumn("w", lit(1.0)), cfg, weightCol = Some("w"))
+    assert(id.filters.sameElements(un.filters) &&
+      id.filterBias.sameElements(un.filterBias) &&
+      id.dense.sameElements(un.dense) && id.bias == un.bias,
+      "all-1.0 weights must reproduce the unweighted CNN bit-exactly")
   }
 }

@@ -137,4 +137,63 @@ class EnsembleSpec extends SparkSpec {
       assert(math.abs(p - want) < 1e-15, s"E$i: $p != $want")
     }
   }
+
+  test("scoreEnsembleFused == scoreEnsemble for column-expressible models; ONE scan") {
+    import spark.implicits._
+    import graft.ml.Cnn
+    // per-EPOCH rows (3 windows per event) so the fused path's folded-in
+    // A4 max rollup is exercised, not just the one-row-per-event case
+    val rnd = new scala.util.Random(17)
+    val rows = for (e <- 0 until 12; w <- 0 until 3) yield
+      (s"E$e", (e % 2).toDouble, Array.fill(20)(rnd.nextGaussian()))
+    val data = rows.toDF("eventId", "label", "window")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    data.count()
+    try {
+      val models = (0 until 3).map { s =>
+        val r = new scala.util.Random(s + 40)
+        Cnn.CnnModel(2, 5, 20,
+          filters = Array.fill(10)(r.nextGaussian()),
+          filterBias = Array.fill(2)(r.nextGaussian() * 0.1),
+          dense = Array.fill(2)(r.nextGaussian()),
+          bias = r.nextGaussian(), mean = 0.0, std = 1.0)
+      }
+      // generic path: per-model corpus scans, event-max rollup per model
+      val generic = Ensemble.scoreEnsemble[Cnn.CnnModel](models,
+        (m, df) => Cnn.scoreWindows(m, df)
+          .groupBy(col("eventId"))
+          .agg(max(col("label")).as("label"),
+            max(col("p_seizure")).as("p_seizure")),
+        data, q = 0.6)
+      // fused path: all k probabilities in ONE projection over ONE scan
+      val fused = Ensemble.scoreEnsembleFused[Cnn.CnnModel](models,
+        m => lit(1.0) / (lit(1.0) + exp(-Cnn.logitCol(m, col("window")))),
+        data, q = 0.6)
+      val g = generic.collect()
+        .map(r => r.getAs[String]("eventId") -> r.getAs[Double]("p_ensemble"))
+        .toMap
+      val f = fused.collect()
+        .map(r => r.getAs[String]("eventId") ->
+          (r.getAs[Int]("n_models"), r.getAs[Double]("p_ensemble"))).toMap
+      assert(f.size == 12 && g.size == 12)
+      f.foreach { case (e, (nm, p)) =>
+        assert(nm == 3)
+        assert(math.abs(p - g(e)) < 1e-12, s"$e: fused $p vs generic ${g(e)}")
+      }
+      // the whole point: the fused physical plan scans `data` ONCE (the
+      // generic path scans it k times). InMemoryTableScan count = 1.
+      // AQE's toString renders BOTH the final and the initial plan —
+      // count scans in the final plan only
+      def finalScans(df: org.apache.spark.sql.DataFrame): Int = {
+        val s = df.queryExecution.executedPlan.toString
+        val cut = s.indexOf("== Initial Plan ==")
+        val fin = if (cut >= 0) s.substring(0, cut) else s
+        "InMemoryTableScan".r.findAllIn(fin).length
+      }
+      val scans = finalScans(fused)
+      assert(scans == 1, s"fused ensemble should scan data once, saw $scans")
+      val gscans = finalScans(generic)
+      assert(gscans == models.size, s"generic path is the k-scan shape, saw $gscans")
+    } finally data.unpersist(false)
+  }
 }

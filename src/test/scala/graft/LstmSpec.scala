@@ -105,8 +105,10 @@ class LstmSpec extends SparkSpec {
     val T = 7
     val nP = Lstm.nParams(hN)
     val rnd = new scala.util.Random(3)
+    // NON-uniform per-row weights: the finite-difference gate then also
+    // verifies the M13 weighted-loss calculus, not just the recurrence
     val rows = (0 until 6).map(i =>
-      ((i % 2).toDouble, Array.fill(T)(rnd.nextGaussian())))
+      ((i % 2).toDouble, 0.5 + 0.25 * i, Array.fill(T)(rnd.nextGaussian())))
     val rdd = spark.sparkContext.parallelize(rows, 2)
     val p0 = Array.fill(nP)(rnd.nextGaussian() * 0.4)
 
@@ -143,13 +145,20 @@ class LstmSpec extends SparkSpec {
     val a = graft.ml.Trainer.auroc(scored)
     assert(a > 0.9, s"LSTM held-out AUROC only $a")
 
-    // batch (column) and serve (closure) scoring agree bit-exactly
-    val closure = Lstm.scorer(model)
-    val one = heldOut.limit(3).collect()
-    val colScores = Lstm.scoreWindows(model, heldOut.limit(3))
-      .select("p_seizure").collect().map(_.getDouble(0))
-    one.map(_.getAs[Seq[Double]]("window").toArray).map(closure)
-      .zip(colScores).foreach { case (c, s) => assert(c == s) }
+    // batch (column) and serve (closure) scoring agree: LOGITS bit-exact
+    // (+,*,clamp only — same accumulation order), sigmoid to 1 ulp
+    // (Math.exp may differ by an ulp between a JIT-intrinsified call
+    // site and the codegen'd one). One collect: limit() without an
+    // order can pick different rows per execution.
+    Lstm.scoreWindows(model, heldOut.limit(3))
+      .select(col("window"), col("logit"), col("p_seizure"))
+      .collect().foreach { r =>
+        val win = r.getAs[Seq[Double]]("window").toArray
+        assert(Lstm.forward(model, win) == r.getAs[Double]("logit"))
+        val pc = Lstm.scorer(model)(win)
+        assert(math.abs(pc - r.getAs[Double]("p_seizure")) <= math.ulp(pc),
+          s"closure $pc vs column ${r.getAs[Double]("p_seizure")}")
+      }
 
     // deploy: the trained LSTM inside the same alarm FSM as LR/MLP/CNN
     def replayAlarms(eventId: String): Long = {
@@ -162,5 +171,39 @@ class LstmSpec extends SparkSpec {
     }
     assert(replayAlarms("SZ3") > 0, "LSTM detector never alarmed on a seizure")
     assert(replayAlarms("OK3") == 0, "LSTM detector false-alarmed on normal")
+  }
+
+  test("M13 subtype weighting: weighted loss flips the conflicted region; all-1.0 is bit-identical") {
+    import spark.implicits._
+    // IDENTICAL "spike" windows with CONFLICTING labels: 4 tonic-clonic
+    // seizures vs 12 non-seizures. The unweighted loss writes the
+    // pattern off (optimal p = 4/16); weight 10 on the TC subtype makes
+    // those rows out-vote the 12 (p = 40/52) — the same decision-region
+    // flip TrainerSpec pins for the LR family.
+    val spike = Array.tabulate(16)(i => if (i == 5) 3.0 else 0.0)
+    val pos = Array.fill(16)(2.0)
+    val neg = Array.fill(16)(-2.0)
+    val rows =
+      (0 until 4).map(i => (s"tc$i", 1.0, "Tonic-Clonic", spike)) ++
+      (0 until 12).map(i => (s"fa$i", 0.0, null: String, spike)) ++
+      (0 until 20).map(i => (s"sz$i", 1.0, "other", pos)) ++
+      (0 until 20).map(i => (s"ok$i", 0.0, null: String, neg))
+    val df = rows.toDF("eventId", "label", "subType", "window")
+    val wdf = df.withColumn("w",
+      graft.ml.Trainer.subtypeWeightCol(Map("Tonic-Clonic" -> 10.0)))
+    val cfg = Lstm.Config(nUnits = 2, maxIter = 100)
+    val un = Lstm.train(df, cfg)
+    val wt = Lstm.train(wdf, cfg, weightCol = Some("w"))
+    assert(Lstm.scorer(un)(spike) < 0.5,
+      s"unweighted already positive on the spike: ${Lstm.scorer(un)(spike)}")
+    assert(Lstm.scorer(wt)(spike) > 0.5,
+      s"weighted still negative on the spike: ${Lstm.scorer(wt)(spike)}")
+    // neutral identity: an explicit all-1.0 weight column trains a
+    // BIT-IDENTICAL model (1.0 multiplies exactly; weight sum == count)
+    val id = Lstm.train(df.withColumn("w", lit(1.0)), cfg, weightCol = Some("w"))
+    assert(id.wx.sameElements(un.wx) && id.wh.sameElements(un.wh) &&
+      id.b.sameElements(un.b) && id.dense.sameElements(un.dense) &&
+      id.bias == un.bias,
+      "all-1.0 weights must reproduce the unweighted LSTM bit-exactly")
   }
 }

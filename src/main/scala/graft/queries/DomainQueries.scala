@@ -1995,6 +1995,55 @@ object DomainQueries {
       |       COUNT(*) AS n_events
       |FROM ev GROUP BY 1, 2, 3""".stripMargin
 
+  /** DASH1 — the data dashboard under the oracle gate
+    * (`user_tools/dataSummariser/dashboard.py`): the last uncovered
+    * dataSummariser tool, three of its steps composed as one frame —
+    *
+    *   1. `getNewEventsIdsLst` (dashboard.py:51-68): incoming event ids
+    *      not already in the database and not config-listed invalid —
+    *      an ANTI join (F4's pattern) against the existing lake plus an
+    *      anti semi-filter on the invalid list;
+    *   2. `getEventsDf`'s warning filter (dashboard.py:114-116):
+    *      keep Seizure/Fall events and anything whose alarm state is
+    *      not WARNING (1) — warnings only survive when seizure-tagged;
+    *   3. `getGroupedData` (dashboard.py:132-155): the dashboard table,
+    *      count per (type, userId, 1-day period) — fa1's day-bucket
+    *      restatement of pandas' `Grouper(freq='1D')`.
+    *
+    * Fixture slices: the "existing DB" is the k%3==0 ∪ k%7==2 slice,
+    * the invalid list is k%17==3, the event alarm state is cur1's
+    * stored-state formula. Scale shape: both the existing-id side and
+    * the invalid side join as broadcast-able id sets (at 100 TB the
+    * incoming batch anti-joins the lake's bucketed id column — F4's
+    * documented plan); the day-bucket rollup is one hash aggregate. */
+  def dash1NewEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = OsdbFixture.ev(s, d)
+    val existing = ev.filter(col("k") % 3 === 0 || col("k") % 7 === 2)
+      .select(col("e").as("ex_e"))
+    val invalid = ev.filter(col("k") % 17 === 3).select(col("e").as("inv_e"))
+    val alarmState = when(col("k") % 9 < 4, col("k") % 9).otherwise(0L)
+    ev.join(existing, col("e") === col("ex_e"), "left_anti")
+      .join(invalid, col("e") === col("inv_e"), "left_anti")
+      .withColumn("alarm_state", alarmState)
+      .filter(col("type_str") === "Seizure" || col("type_str") === "Fall" ||
+        col("alarm_state") =!= 1)
+      .groupBy(col("type_str").as("type"), col("u"),
+        expr("wts div 86400").as("day_bucket"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("type"), col("u"), col("day_bucket"), col("n_new"))
+  }
+
+  val dash1Sql: String = sqlBase +
+    """, dnew AS (
+      |  SELECT *, CASE WHEN k % 9 < 4 THEN k % 9 ELSE 0 END AS alarm_state
+      |  FROM ev
+      |  WHERE NOT (k % 3 = 0 OR k % 7 = 2) AND k % 17 <> 3)
+      |SELECT type_str AS type, u, wts // 86400 AS day_bucket,
+      |       COUNT(*) AS n_new
+      |FROM dnew
+      |WHERE type_str IN ('Seizure', 'Fall') OR alarm_state <> 1
+      |GROUP BY 1, 2, 3""".stripMargin
+
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** RPT3 — the SHARDED index itself under the oracle gate: the
@@ -2818,6 +2867,7 @@ object DomainQueries {
     "cur1_alarm_check"  -> (cur1AlarmCheck _),
     "cur2_merge_priority" -> (cur2MergePriority _),
     "fa1_false_alarm_periods" -> (fa1FalseAlarmPeriods _),
+    "dash1_new_events"  -> (dash1NewEvents _),
     "rpt3_index_shards" -> (rpt3IndexShards _),
     "viz1_dataviz_series" -> (viz1DatavizSeries _),
     "lake10_versioned_delete" -> (lake10VersionedDelete _),
@@ -2900,6 +2950,7 @@ object DomainQueries {
     "cur1_alarm_check"  -> cur1Sql,
     "cur2_merge_priority" -> cur2Sql,
     "fa1_false_alarm_periods" -> fa1Sql,
+    "dash1_new_events"  -> dash1Sql,
     "rpt3_index_shards" -> rpt3Sql,
     "viz1_dataviz_series" -> viz1Sql,
     "lake10_versioned_delete" -> lake10Sql,

@@ -341,6 +341,40 @@ object RunSequence {
     } finally ev.unpersist(false)
   }
 
+  /** A nested-selection candidate: a model family plus the BASIS it
+    * consumes — `"features"` (the P12+W7 history vectors) or
+    * `"window"` (raw M8 buffers). Model types are ERASED so families
+    * with different model classes (MLP vs CNN vs LSTM) can compete in
+    * ONE inner CV — the reference's model-selection surface spans both
+    * bases (`user_tools/nnTraining2/MODEL_SELECTION_GUIDE.md`,
+    * nnConfig's modelClass lists the feature-CSV families next to the
+    * conv/recurrent ones). Build with [[NestedCandidate.features]] /
+    * [[NestedCandidate.windows]]; the typed family tuples
+    * ([[mlpFamily]], [[cnnFamily]], [[lstmFamily]]) slot straight in. */
+  final case class NestedCandidate private (
+      name: String,
+      basis: String,
+      fit: DataFrame => Any,
+      score: (Any, DataFrame) => DataFrame)
+
+  object NestedCandidate {
+    private def erase[M](name: String, basis: String,
+        family: (DataFrame => M, (M, DataFrame) => DataFrame)): NestedCandidate =
+      NestedCandidate(name, basis,
+        family._1.asInstanceOf[DataFrame => Any],
+        (m, df) => family._2(m.asInstanceOf[M], df))
+
+    /** A candidate trained on the P12+W7 feature-history basis. */
+    def features[M](name: String)(
+        family: (DataFrame => M, (M, DataFrame) => DataFrame)): NestedCandidate =
+      erase(name, "features", family)
+
+    /** A candidate trained on the raw-window basis (M8 buffers). */
+    def windows[M](name: String)(
+        family: (DataFrame => M, (M, DataFrame) => DataFrame)): NestedCandidate =
+      erase(name, "window", family)
+  }
+
   /** NESTED k-fold validation — the reference's answer to
     * selection-time leakage (NESTED_KFOLD_README.md: validation data
     * that steers model selection must never be the data the final
@@ -354,20 +388,54 @@ object RunSequence {
     * Scale shape: outerK × |candidates| inner runs, each of which is
     * [[runWith]]'s one-materialization lineage over the outer-train
     * subset; nothing here adds a shuffle beyond what runWith already
-    * plans. */
+    * plans. Single-basis (features) typed convenience over
+    * [[runNestedBases]]. */
   def runNested[M](events: DataFrame, dps: Dataset[FlatDp], select: Column,
                    outerFoldOf: Column, innerFoldOf: Column,
                    outerK: Int, cfg: Config = Config())(
                    candidates: Seq[(String, (DataFrame => M, (M, DataFrame) => DataFrame))])
-      : Seq[NestedResult[M]] = {
+      : Seq[NestedResult[M]] =
+    runNestedBases(events, dps, select, outerFoldOf, innerFoldOf, outerK,
+      cfg)(candidates.map { case (n, fam) => NestedCandidate.features(n)(fam) })
+      .map(_.asInstanceOf[NestedResult[M]])
+
+  /** BASIS-POLYMORPHIC nested k-fold: candidates declare which basis
+    * they consume, and the inner CV arbitrates ACROSS bases — e.g. a
+    * features-basis MLP against a raw-window CNN/LSTM, the reference's
+    * full modelClass selection surface. Each basis in use is extracted
+    * and persisted exactly ONCE for the whole nested run (the
+    * extraction-invariance argument from the features path applies to
+    * the window basis verbatim: M8 buffer construction is a pure
+    * per-event function, invariant to candidate and to both fold
+    * assignments); per (outer fold × basis) the fold column attaches
+    * with one cheap join. Cost = the one-off second extraction when
+    * both bases are in play + outerK × |candidates| × innerK training
+    * passes — training, not extraction, stays the dominant term.
+    *
+    * Fold-column contract (fail-loud, not silent): `outerFoldOf` must
+    * evaluate into 0..outerK-1 and `innerFoldOf` into 0..cfg.k-1 on
+    * every selected event — an out-of-range inner fold would otherwise
+    * leave those events in EVERY inner training slice and no validation
+    * slice, silently skewing candidate selection. */
+  def runNestedBases(events: DataFrame, dps: Dataset[FlatDp], select: Column,
+                     outerFoldOf: Column, innerFoldOf: Column,
+                     outerK: Int, cfg: Config = Config(),
+                     bufferSamples: Int = 750)(
+                     candidates: Seq[NestedCandidate])
+      : Seq[NestedResult[Any]] = {
     require(candidates.nonEmpty, "nested selection over zero candidates")
     require(outerK >= 2, s"outerK must be >= 2: $outerK")
-    // P14→P12→W7 is invariant to EVERYTHING the nested loop varies —
+    val badBasis = candidates.filterNot(c =>
+      c.basis == "features" || c.basis == "window")
+    require(badBasis.isEmpty,
+      s"unknown candidate basis: ${badBasis.map(c => s"${c.name}=${c.basis}").mkString(", ")}")
+    require(candidates.map(_.name).distinct.size == candidates.size,
+      s"duplicate candidate names: ${candidates.map(_.name).mkString(", ")}")
+    // The two bases are invariant to EVERYTHING the nested loop varies —
     // candidate, inner fold, outer fold, and even the outer-train
-    // slicing (slices are subsets of the selected corpus) — so the
-    // whole nested run extracts features exactly ONCE; every
-    // train/score frame below is a projection/join over these two
-    // persisted frames
+    // slicing (slices are subsets of the selected corpus) — so each
+    // basis in use is extracted exactly ONCE; every train/score frame
+    // below is a projection/join over these persisted frames
     val evAll = events.filter(select).select(
         col("id").cast("string").as("srcId"),
         typeIdCol(col("type")).as("type"),
@@ -376,13 +444,29 @@ object RunSequence {
         innerFoldOf.cast("long").as("ifold"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     evAll.count()
-    val feats = assembledHistoryBase(evAll, dps, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    feats.count()
-    def withFold(evSlice: DataFrame): DataFrame =
-      feats.join(evSlice.select(col("srcId"), col("fold")),
-          feats("eventId") === col("srcId"))
-        .select(col("eventId"), col("fold"), col("label"), col("features"))
+    // fail-loud fold-range validation (one agg over the persisted frame)
+    val b = evAll.agg(min("ofold"), max("ofold"), min("ifold"), max("ifold"))
+      .head()
+    require(!b.isNullAt(0), "nested selection over an empty selected corpus")
+    require(b.getLong(0) >= 0 && b.getLong(1) < outerK,
+      s"outerFoldOf out of range 0..${outerK - 1}: saw [${b.getLong(0)}, ${b.getLong(1)}]")
+    require(b.getLong(2) >= 0 && b.getLong(3) < cfg.k,
+      s"innerFoldOf out of range 0..${cfg.k - 1} (inner fold count = cfg.k): " +
+        s"saw [${b.getLong(2)}, ${b.getLong(3)}]")
+    val inUse = candidates.map(_.basis).distinct
+    val bases: Map[String, DataFrame] = inUse.map { basis =>
+      val base =
+        if (basis == "features") assembledHistoryBase(evAll, dps, cfg)
+        else assembledWindowBase(evAll, dps, bufferSamples)
+      basis -> base.persist(StorageLevel.MEMORY_AND_DISK)
+    }.toMap
+    bases.values.foreach(_.count())
+    def withFold(basis: String, evSlice: DataFrame): DataFrame = {
+      val base = bases(basis)
+      base.join(evSlice.select(col("srcId"), col("fold")),
+          base("eventId") === col("srcId"))
+        .select(col("eventId"), col("fold"), col("label"), col(basis))
+    }
     try {
       (0 until outerK).map { o =>
         val innerEv = evAll.filter(col("ofold") =!= o)
@@ -390,37 +474,39 @@ object RunSequence {
             col("ifold").as("fold"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         innerEv.count()
-        val innerAssembled = withFold(innerEv)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        innerAssembled.count()
+        val innerAssembled = inUse.map(basis =>
+          basis -> withFold(basis, innerEv)
+            .persist(StorageLevel.MEMORY_AND_DISK)).toMap
+        innerAssembled.values.foreach(_.count())
         val innerMean =
-          try candidates.map { case (name, (fit, score)) =>
-            val rs = foldLoop(innerEv, innerAssembled, cfg, "features",
-              fit, score, ownAssembled = false)
-            name -> rs.map(_.heldOutAuroc).sum / rs.size
+          try candidates.map { c =>
+            val rs = foldLoop(innerEv, innerAssembled(c.basis), cfg, c.basis,
+              c.fit, c.score, ownAssembled = false)
+            c.name -> rs.map(_.heldOutAuroc).sum / rs.size
           }.toMap
           finally {
-            innerAssembled.unpersist(false)
+            innerAssembled.values.foreach(_.unpersist(false))
             innerEv.unpersist(false)
           }
         val chosen = innerMean.maxBy { case (n, a) => (a, n) }._1
-        val (fit, score) = candidates.find(_._1 == chosen).get._2
+        val winner = candidates.find(_.name == chosen).get
         // winner retrains on the FULL outer-train slice, scores outer
         // fold o once: the outer split as a 2-way fold column over the
-        // SAME persisted features, run only on the test fold
+        // SAME persisted basis, run only on the test fold
         val outerEv = evAll.select(col("srcId"), col("type"),
             col("subType"),
             when(col("ofold") === o, 1L).otherwise(0L).as("fold"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         outerEv.count()
         val outerRun =
-          try foldLoop(outerEv, withFold(outerEv), cfg.copy(k = 2),
-            "features", fit, score, Seq(1)).head
+          try foldLoop(outerEv, withFold(winner.basis, outerEv),
+            cfg.copy(k = 2), winner.basis, winner.fit, winner.score,
+            Seq(1)).head
           finally outerEv.unpersist(false)
-        NestedResult(o, chosen, innerMean, outerRun.copy(fold = o))
+        NestedResult[Any](o, chosen, innerMean, outerRun.copy(fold = o))
       }
     } finally {
-      feats.unpersist(false)
+      bases.values.foreach(_.unpersist(false))
       evAll.unpersist(false)
     }
   }
@@ -438,6 +524,26 @@ object RunSequence {
         col("eventId"),
         when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
         array_to_vector(array(histCols.map(col): _*)).as("features"))
+  }
+
+  /** The RAW-WINDOW basis assembled to (eventId, label, window) —
+    * fold-free like [[assembledHistoryBase]]: P14 validate → M8 sliding
+    * buffers, a pure per-event function invariant to fold assignments,
+    * so nested loops attach fold columns to ONE materialization.
+    * (The per-window rows of an event all carry its event-level label —
+    * the same convention as [[runWithWindows]].) */
+  private def assembledWindowBase(ev: DataFrame, dps: Dataset[FlatDp],
+                                  bufferSamples: Int): DataFrame = {
+    val sel = dps.join(ev.select(col("srcId")),
+        dps("eventId") === col("srcId"), "left_semi")
+      .as[FlatDp](dps.encoder)
+    val vdf = graft.streaming.NnBuffer.dp2vectors(
+      graft.operators.Flatten.validateAndFill(sel), bufferSamples).toDF()
+    vdf.join(ev.select(col("srcId").as("wsrc"), col("type")),
+        vdf("eventId") === col("wsrc"))
+      .select(col("eventId"),
+        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
+        col("vec").as("window"))
   }
 
   /** [[assembledHistoryBase]] with the caller's fold column joined on

@@ -458,4 +458,81 @@ class RunSequenceSpec extends SparkSpec {
       assert(sk((fr.fold.toLong, "guard")) == ((0L, 0L)))
     }
   }
+
+  test("runNestedBases: inner CV arbitrates ACROSS bases — a window-basis CNN beats a features-basis dud") {
+    val n = 12
+    // same narrow-band planted corpus as the runNested test (see that
+    // test's note on fold/frequency aliasing)
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 4.0 + (i % 3) * 0.1, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    import spark.implicits._
+    val events = (0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 2, (i / 2) % 2),
+        (s"OK$i", "False Alarm", "other", i % 2, (i / 2) % 2))
+    }.toDF("id", "type", "subType", "ofold", "ifold")
+    // features-basis candidate: a deterministic hash scorer (AUROC ~0.5)
+    // — the point is the ARBITRATION, so the features side must lose;
+    // window-basis candidate: the real CNN family
+    val dud = RunSequence.NestedCandidate.features[Unit]("dud_features")((
+      (_: org.apache.spark.sql.DataFrame) => (),
+      (_: Unit, test: org.apache.spark.sql.DataFrame) =>
+        test.select(col("eventId"), col("label"),
+          (abs(hash(col("eventId"))) % 1000).cast("double")
+            .divide(1000.0).as("p_seizure"))))
+    val cnn = RunSequence.NestedCandidate.windows("cnn_window")(
+      RunSequence.cnnFamily(
+        graft.ml.Cnn.Config(nFilters = 3, width = 9, maxIter = 60)))
+    val results = RunSequence.runNestedBases(
+      events, corpus, lit(true), col("ofold"), col("ifold"),
+      outerK = 2, RunSequence.Config(k = 2), bufferSamples = 125)(
+      Seq(dud, cnn))
+    assert(results.size == 2)
+    results.foreach { r =>
+      assert(r.chosen == "cnn_window",
+        s"outer ${r.outerFold}: inner CV chose ${r.chosen} (${r.innerMeanAuroc})")
+      assert(r.innerMeanAuroc("cnn_window") > r.innerMeanAuroc("dud_features"))
+      // the winner retrain ran on the WINDOW basis: the model is a CNN
+      // with the trained input length pinned to the buffer
+      assert(r.outer.model.asInstanceOf[graft.ml.Cnn.CnnModel].window == 125)
+      assert(r.outer.heldOutAuroc > 0.9,
+        s"outer ${r.outerFold}: held-out AUROC ${r.outer.heldOutAuroc}")
+    }
+  }
+
+  test("runNestedBases: out-of-range fold columns fail loudly") {
+    import spark.implicits._
+    val events = (0 until 8).map(i =>
+      (s"E$i", "Seizure", "other", i % 2, i % 3))
+      .toDF("id", "type", "subType", "ofold", "ifold")
+    val dud = RunSequence.NestedCandidate.features[Unit]("d")((
+      (_: org.apache.spark.sql.DataFrame) => (),
+      (_: Unit, t: org.apache.spark.sql.DataFrame) =>
+        t.select(col("eventId"), col("label"), lit(0.5).as("p_seizure"))))
+    // ifold reaches 2 but cfg.k = 2 — those events would sit in every
+    // inner training slice and no validation slice
+    val e = intercept[IllegalArgumentException](
+      RunSequence.runNestedBases(events, miniDps(Seq("E0")), lit(true),
+        col("ofold"), col("ifold"), outerK = 2,
+        RunSequence.Config(k = 2))(Seq(dud)))
+    assert(e.getMessage.contains("innerFoldOf out of range"))
+    val e2 = intercept[IllegalArgumentException](
+      RunSequence.runNestedBases(events, miniDps(Seq("E0")), lit(true),
+        col("ofold"), col("ifold") % 2, outerK = 2,
+        RunSequence.Config(k = 2))(Seq(dud.copy(basis = "nope"))))
+    assert(e2.getMessage.contains("unknown candidate basis"))
+  }
 }

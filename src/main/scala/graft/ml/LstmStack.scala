@@ -1,0 +1,560 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A STACKED two-layer hard-gate LSTM with a mean-pool head — the
+  * round-13 verdict's missing #1: the reference's amber family stacks
+  * recurrent layers and fuses a pooled representation
+  * (`user_tools/nnTraining2/amber/model.py`,
+  * `amber/enhanced_fusion_layer.py:14-22`); [[Lstm]] deliberately shipped
+  * the single recurrence first to prove the bit-exact-oracle discipline.
+  * This closes most of the remaining architecture gap under the SAME
+  * discipline:
+  *
+  *   window (length T, one channel)
+  *     → z-scale by the corpus-global (mean, std) stored in the model
+  *     → LSTM layer 1 (H1 units, hard gates) over the scalar series
+  *     → LSTM layer 2 (H2 units, hard gates) over layer 1's hidden
+  *       sequence h1(t) — the stacked recurrence
+  *     → MEAN POOL over time of layer 2's hidden states (the fusion
+  *       layer's pooled path; attention's softmax is transcendental and
+  *       would forfeit the bit-exact oracle — mean pooling is the
+  *       oracle-preserving member of the fusion family)
+  *     → dense: logit = b + Σ_u v_u·(s_u/T)   (sigmoid at serve time)
+  *
+  * Same exactness contract as [[Lstm]]: piecewise-linear gates mean the
+  * whole two-layer recurrence plus the pool accumulation is
+  * correctly-rounded IEEE mul/add/compare, so a DuckDB recursive CTE
+  * replays it bit-exactly (the ml4b oracle) — [[forward]] and
+  * [[logitCol]] accumulate in the SAME order (layer-2 gate
+  * pre-activation: b + Σ_j wx·h1_j (j ascending) + Σ_v wh·h2prev_v
+  * (v ascending); pool sum in t order; pooled division before the
+  * dense multiply, u ascending).
+  *
+  * Scale slope: training is one BPTT pass per LBFGS evaluation
+  * (O(rows·T·(H1²+H1·H2+H2²)) flops, partition partials combined in
+  * index order via [[DetAgg]]), driver state one parameter vector;
+  * batch scoring is per-row codegen with no shuffle. */
+object LstmStack {
+
+  /** Trained stacked network + input scaling; layer-2 input weights
+    * `wx2` are (gate-major unit, input-j): index (g·H2+u)·H1 + j. */
+  case class Lstm2Model(
+      h1: Int,
+      h2: Int,
+      window: Int,
+      wx1: Array[Double],
+      wh1: Array[Double],
+      b1: Array[Double],
+      wx2: Array[Double],
+      wh2: Array[Double],
+      b2: Array[Double],
+      dense: Array[Double],
+      bias: Double,
+      mean: Double,
+      std: Double) {
+    require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
+      b1.length == 4 * h1 && wx2.length == 4 * h2 * h1 &&
+      wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
+      dense.length == h2, "Lstm2Model weight shapes inconsistent")
+    def nParams: Int = LstmStack.nParams(h1, h2)
+  }
+
+  case class Config(
+      h1: Int = 4,
+      h2: Int = 3,
+      maxIter: Int = 120,
+      regParam: Double = 1e-4,
+      seed: Long = 42L)
+
+  def nParams(h1: Int, h2: Int): Int =
+    4 * h1 + 4 * h1 * h1 + 4 * h1 +
+      4 * h2 * h1 + 4 * h2 * h2 + 4 * h2 + h2 + 1
+
+  // Parameter-vector layout:
+  // [wx1 4H1 | wh1 4H1² | b1 4H1 | wx2 4H2H1 | wh2 4H2² | b2 4H2 | dense H2 | bias]
+  private def oWx1(h1: Int, h2: Int) = 0
+  private def oWh1(h1: Int, h2: Int) = 4 * h1
+  private def oB1(h1: Int, h2: Int) = 4 * h1 + 4 * h1 * h1
+  private def oWx2(h1: Int, h2: Int) = 8 * h1 + 4 * h1 * h1
+  private def oWh2(h1: Int, h2: Int) = 8 * h1 + 4 * h1 * h1 + 4 * h2 * h1
+  private def oB2(h1: Int, h2: Int) =
+    8 * h1 + 4 * h1 * h1 + 4 * h2 * h1 + 4 * h2 * h2
+  private def oDv(h1: Int, h2: Int) =
+    8 * h1 + 4 * h1 * h1 + 4 * h2 * h1 + 4 * h2 * h2 + 4 * h2
+  private def oBias(h1: Int, h2: Int) = oDv(h1, h2) + h2
+
+  @inline private def hardSig(a: Double): Double =
+    if (a < -2.0) 0.0 else if (a > 2.0) 1.0 else 0.25 * a + 0.5
+
+  @inline private def hardTanh(a: Double): Double =
+    if (a < -1.0) -1.0 else if (a > 1.0) 1.0 else a
+
+  /** One hard-gate cell step for a VECTOR input (layer 1 passes H=1
+    * inputs through the scalar fast path below; layer 2 uses this).
+    * Mutates (h, c) in place; `hp` is the previous hidden state. */
+  @inline private def cellStep(x: Array[Double], hp: Array[Double],
+      h: Array[Double], c: Array[Double], hN: Int, xN: Int,
+      wx: Array[Double], wxO: Int, wh: Array[Double], whO: Int,
+      b: Array[Double], bO: Int): Unit = {
+    var u = 0
+    while (u < hN) {
+      val pre = new Array[Double](4)
+      var g = 0
+      while (g < 4) {
+        var acc = b(bO + g * hN + u)
+        var j = 0
+        while (j < xN) { acc += wx(wxO + (g * hN + u) * xN + j) * x(j); j += 1 }
+        var v = 0
+        while (v < hN) { acc += wh(whO + (g * hN + u) * hN + v) * hp(v); v += 1 }
+        pre(g) = acc
+        g += 1
+      }
+      val gi = hardSig(pre(0)); val gf = hardSig(pre(1))
+      val gg = hardTanh(pre(2)); val go = hardSig(pre(3))
+      val cn = gf * c(u) + gi * gg
+      c(u) = cn
+      h(u) = go * hardTanh(cn)
+      u += 1
+    }
+  }
+
+  /** Forward pass → LOGIT (pre-sigmoid), JVM loop form — [[logitCol]]'s
+    * bit-exact twin. Layer-1 gate pre-activation keeps [[Lstm]]'s order
+    * (b + wx·x + Σ wh·h); layer-2's is b + Σ_j wx·h1_j + Σ_v wh·h2_v. */
+  def forward(m: Lstm2Model, x: Array[Double]): Double = {
+    require(x.length == m.window,
+      s"window ${x.length} != trained window ${m.window}")
+    val h1N = m.h1; val h2N = m.h2
+    val h1 = new Array[Double](h1N); val c1 = new Array[Double](h1N)
+    val hp1 = new Array[Double](h1N)
+    val h2 = new Array[Double](h2N); val c2 = new Array[Double](h2N)
+    val hp2 = new Array[Double](h2N)
+    val s = new Array[Double](h2N)
+    var t = 0
+    while (t < x.length) {
+      val xv = (x(t) - m.mean) / m.std
+      System.arraycopy(h1, 0, hp1, 0, h1N)
+      // layer 1 — scalar input, Lstm's exact accumulation order
+      var u = 0
+      while (u < h1N) {
+        val pre = new Array[Double](4)
+        var g = 0
+        while (g < 4) {
+          var acc = m.b1(g * h1N + u) + m.wx1(g * h1N + u) * xv
+          var v = 0
+          while (v < h1N) { acc += m.wh1((g * h1N + u) * h1N + v) * hp1(v); v += 1 }
+          pre(g) = acc
+          g += 1
+        }
+        val gi = hardSig(pre(0)); val gf = hardSig(pre(1))
+        val gg = hardTanh(pre(2)); val go = hardSig(pre(3))
+        val cn = gf * c1(u) + gi * gg
+        c1(u) = cn
+        h1(u) = go * hardTanh(cn)
+        u += 1
+      }
+      // layer 2 — vector input h1(t)
+      System.arraycopy(h2, 0, hp2, 0, h2N)
+      cellStep(h1, hp2, h2, c2, h2N, h1N, m.wx2, 0, m.wh2, 0, m.b2, 0)
+      // mean-pool accumulation, t order
+      u = 0
+      while (u < h2N) { s(u) += h2(u); u += 1 }
+      t += 1
+    }
+    var z = m.bias
+    var u = 0
+    while (u < h2N) { z += m.dense(u) * (s(u) / x.length); u += 1 }
+    z
+  }
+
+  /** The stacked forward pass as a native Catalyst column
+    * ([[org.apache.spark.sql.graft.LstmStackLogit]], codegen'd —
+    * same non-starter argument against HOF composition as [[Lstm]]).
+    * NULL for an empty window. */
+  def logitCol(m: Lstm2Model, win: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.lstmStackLogit(
+      win, m.h1, m.h2, m.wx1.toSeq, m.wh1.toSeq, m.b1.toSeq,
+      m.wx2.toSeq, m.wh2.toSeq, m.b2.toSeq, m.dense.toSeq,
+      m.bias, m.mean, m.std)
+
+  /** One distributed loss/gradient evaluation: per-partition BPTT
+    * through pool → layer 2 → layer 1, partials combined in
+    * partition-index order ([[DetAgg.lossGrad]]). Derivative regimes
+    * are exact (hard gates — see [[Lstm]]); the pool backpropagates
+    * dz·v_u/T into EVERY timestep's dh2. */
+  private def gradientPass(
+      ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
+      bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      h1N: Int, h2N: Int, mean: Double, std: Double)
+      : (Double, Array[Double]) = {
+    val nP = nParams(h1N, h2N)
+    val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
+        => (Double, Array[Double]) = { case ((ls, grad), (y, wt, xRaw)) =>
+      val p = bw.value
+      val T = xRaw.length
+      val wx1O = oWx1(h1N, h2N); val wh1O = oWh1(h1N, h2N)
+      val b1O = oB1(h1N, h2N); val wx2O = oWx2(h1N, h2N)
+      val wh2O = oWh2(h1N, h2N); val b2O = oB2(h1N, h2N)
+      val dvO = oDv(h1N, h2N); val biasO = oBias(h1N, h2N)
+      val xs = new Array[Double](T)
+      var i = 0
+      while (i < T) { xs(i) = (xRaw(i) - mean) / std; i += 1 }
+      // ---- forward, storing activations for both layers
+      val g1I = Array.ofDim[Double](T, h1N); val g1F = Array.ofDim[Double](T, h1N)
+      val g1G = Array.ofDim[Double](T, h1N); val g1O = Array.ofDim[Double](T, h1N)
+      val c1S = Array.ofDim[Double](T, h1N); val h1S = Array.ofDim[Double](T, h1N)
+      val g2I = Array.ofDim[Double](T, h2N); val g2F = Array.ofDim[Double](T, h2N)
+      val g2G = Array.ofDim[Double](T, h2N); val g2O = Array.ofDim[Double](T, h2N)
+      val c2S = Array.ofDim[Double](T, h2N); val h2S = Array.ofDim[Double](T, h2N)
+      val hp = new Array[Double](math.max(h1N, h2N))
+      val sPool = new Array[Double](h2N)
+      var t = 0
+      while (t < T) {
+        // layer 1
+        if (t > 0) System.arraycopy(h1S(t - 1), 0, hp, 0, h1N)
+        else java.util.Arrays.fill(hp, 0, h1N, 0.0)
+        var u = 0
+        while (u < h1N) {
+          val pre = new Array[Double](4)
+          var g = 0
+          while (g < 4) {
+            var acc = p(b1O + g * h1N + u) + p(wx1O + g * h1N + u) * xs(t)
+            var v = 0
+            while (v < h1N) {
+              acc += p(wh1O + (g * h1N + u) * h1N + v) * hp(v); v += 1
+            }
+            pre(g) = acc
+            g += 1
+          }
+          g1I(t)(u) = hardSig(pre(0)); g1F(t)(u) = hardSig(pre(1))
+          g1G(t)(u) = hardTanh(pre(2)); g1O(t)(u) = hardSig(pre(3))
+          val cPrev = if (t > 0) c1S(t - 1)(u) else 0.0
+          val cn = g1F(t)(u) * cPrev + g1I(t)(u) * g1G(t)(u)
+          c1S(t)(u) = cn
+          h1S(t)(u) = g1O(t)(u) * hardTanh(cn)
+          u += 1
+        }
+        // layer 2 (input = h1S(t))
+        if (t > 0) System.arraycopy(h2S(t - 1), 0, hp, 0, h2N)
+        else java.util.Arrays.fill(hp, 0, h2N, 0.0)
+        u = 0
+        while (u < h2N) {
+          val pre = new Array[Double](4)
+          var g = 0
+          while (g < 4) {
+            var acc = p(b2O + g * h2N + u)
+            var j = 0
+            while (j < h1N) {
+              acc += p(wx2O + (g * h2N + u) * h1N + j) * h1S(t)(j); j += 1
+            }
+            var v = 0
+            while (v < h2N) {
+              acc += p(wh2O + (g * h2N + u) * h2N + v) * hp(v); v += 1
+            }
+            pre(g) = acc
+            g += 1
+          }
+          g2I(t)(u) = hardSig(pre(0)); g2F(t)(u) = hardSig(pre(1))
+          g2G(t)(u) = hardTanh(pre(2)); g2O(t)(u) = hardSig(pre(3))
+          val cPrev = if (t > 0) c2S(t - 1)(u) else 0.0
+          val cn = g2F(t)(u) * cPrev + g2I(t)(u) * g2G(t)(u)
+          c2S(t)(u) = cn
+          h2S(t)(u) = g2O(t)(u) * hardTanh(cn)
+          sPool(u) += h2S(t)(u)
+          u += 1
+        }
+        t += 1
+      }
+      var z = p(biasO)
+      var u = 0
+      while (u < h2N) { z += p(dvO + u) * (sPool(u) / T); u += 1 }
+      val loss =
+        if (z > 0) z + math.log1p(math.exp(-z)) - y * z
+        else math.log1p(math.exp(z)) - y * z
+      val dz = wt * (1.0 / (1.0 + math.exp(-z)) - y)
+      // ---- backward
+      grad(biasO) += dz
+      // pool head: d pooled_u = dz·dense_u; d s_u = that / T, reaching
+      // EVERY timestep's dh2_u
+      val dsPool = new Array[Double](h2N)
+      u = 0
+      while (u < h2N) {
+        grad(dvO + u) += dz * (sPool(u) / T)
+        dsPool(u) = dz * p(dvO + u) / T
+        u += 1
+      }
+      // layer-2 BPTT; collects dh1 contributions per t
+      val dx1FromL2 = Array.ofDim[Double](T, h1N)
+      run2(p, grad, dsPool, dx1FromL2, T, h1N, h2N,
+        g2I, g2F, g2G, g2O, c2S, h1S, h2S, wx2O, wh2O, b2O)
+      // layer-1 BPTT
+      run1(p, grad, dx1FromL2, xs, T, h1N,
+        g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O)
+      (ls + wt * loss, grad)
+    }
+    DetAgg.lossGrad(
+      ds.mapPartitionsWithIndex { case (pi, it) =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(
+          (pi, it.foldLeft((0.0, new Array[Double](nP)))(seqOp)))
+      }, nP)
+  }
+
+  /** Layer-2 backward: dh2(t) = pool term (every t) + recurrent
+    * backflow; emits parameter grads and the dx (= dh1) contributions. */
+  private def run2(p: Array[Double], grad: Array[Double],
+      dsPool: Array[Double], dxOut: Array[Array[Double]],
+      T: Int, h1N: Int, h2N: Int,
+      gI: Array[Array[Double]], gF: Array[Array[Double]],
+      gG: Array[Array[Double]], gO: Array[Array[Double]],
+      cS: Array[Array[Double]], xIn: Array[Array[Double]],
+      hS: Array[Array[Double]],
+      wxO: Int, whO: Int, bO: Int): Unit = {
+    val dh = new Array[Double](h2N)
+    val dc = new Array[Double](h2N)
+    val dhPrev = new Array[Double](h2N)
+    var t = T - 1
+    while (t >= 0) {
+      var u = 0
+      while (u < h2N) { dh(u) += dsPool(u); u += 1 }
+      java.util.Arrays.fill(dhPrev, 0.0)
+      u = 0
+      while (u < h2N) {
+        val cn = cS(t)(u)
+        val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+        val o = gO(t)(u)
+        val dO = dh(u) * tc
+        val daO = if (o > 0.0 && o < 1.0) dO * 0.25 else 0.0
+        var dcU = dc(u)
+        if (cn > -1.0 && cn < 1.0) dcU += dh(u) * o
+        val cPrev = if (t > 0) cS(t - 1)(u) else 0.0
+        val fv = gF(t)(u); val iv = gI(t)(u); val gv = gG(t)(u)
+        val daF = if (fv > 0.0 && fv < 1.0) dcU * cPrev * 0.25 else 0.0
+        val daI = if (iv > 0.0 && iv < 1.0) dcU * gv * 0.25 else 0.0
+        val daG = if (gv > -1.0 && gv < 1.0) dcU * iv else 0.0
+        dc(u) = dcU * fv
+        val das = Array(daI, daF, daG, daO)
+        var g = 0
+        while (g < 4) {
+          val da = das(g)
+          if (da != 0.0) {
+            grad(bO + g * h2N + u) += da
+            var j = 0
+            while (j < h1N) {
+              grad(wxO + (g * h2N + u) * h1N + j) += da * xIn(t)(j)
+              dxOut(t)(j) += da * p(wxO + (g * h2N + u) * h1N + j)
+              j += 1
+            }
+            var v = 0
+            while (v < h2N) {
+              if (t > 0) grad(whO + (g * h2N + u) * h2N + v) += da * hS(t - 1)(v)
+              dhPrev(v) += da * p(whO + (g * h2N + u) * h2N + v)
+              v += 1
+            }
+          }
+          g += 1
+        }
+        u += 1
+      }
+      System.arraycopy(dhPrev, 0, dh, 0, h2N)
+      t -= 1
+    }
+  }
+
+  /** Layer-1 backward: dh1(t) = layer-2 input contribution + recurrent
+    * backflow; scalar input xs. */
+  private def run1(p: Array[Double], grad: Array[Double],
+      dhIn: Array[Array[Double]], xs: Array[Double], T: Int, h1N: Int,
+      gI: Array[Array[Double]], gF: Array[Array[Double]],
+      gG: Array[Array[Double]], gO: Array[Array[Double]],
+      cS: Array[Array[Double]], hS: Array[Array[Double]],
+      wxO: Int, whO: Int, bO: Int): Unit = {
+    val dh = new Array[Double](h1N)
+    val dc = new Array[Double](h1N)
+    val dhPrev = new Array[Double](h1N)
+    var t = T - 1
+    while (t >= 0) {
+      var u = 0
+      while (u < h1N) { dh(u) += dhIn(t)(u); u += 1 }
+      java.util.Arrays.fill(dhPrev, 0.0)
+      u = 0
+      while (u < h1N) {
+        val cn = cS(t)(u)
+        val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+        val o = gO(t)(u)
+        val dO = dh(u) * tc
+        val daO = if (o > 0.0 && o < 1.0) dO * 0.25 else 0.0
+        var dcU = dc(u)
+        if (cn > -1.0 && cn < 1.0) dcU += dh(u) * o
+        val cPrev = if (t > 0) cS(t - 1)(u) else 0.0
+        val fv = gF(t)(u); val iv = gI(t)(u); val gv = gG(t)(u)
+        val daF = if (fv > 0.0 && fv < 1.0) dcU * cPrev * 0.25 else 0.0
+        val daI = if (iv > 0.0 && iv < 1.0) dcU * gv * 0.25 else 0.0
+        val daG = if (gv > -1.0 && gv < 1.0) dcU * iv else 0.0
+        dc(u) = dcU * fv
+        val das = Array(daI, daF, daG, daO)
+        var g = 0
+        while (g < 4) {
+          val da = das(g)
+          if (da != 0.0) {
+            grad(bO + g * h1N + u) += da
+            grad(wxO + g * h1N + u) += da * xs(t)
+            var v = 0
+            while (v < h1N) {
+              if (t > 0) grad(whO + (g * h1N + u) * h1N + v) += da * hS(t - 1)(v)
+              dhPrev(v) += da * p(whO + (g * h1N + u) * h1N + v)
+              v += 1
+            }
+          }
+          g += 1
+        }
+        u += 1
+      }
+      System.arraycopy(dhPrev, 0, dh, 0, h1N)
+      t -= 1
+    }
+  }
+
+  /** Distributed training — same shape as [[Lstm.train]]: breeze LBFGS,
+    * one BPTT pass per evaluation, L2 on weight matrices (not biases),
+    * forget-gate biases of BOTH layers initialized to +1, deterministic
+    * seeded init, [[DetAgg]] combine. `weightCol` is the M13 per-row
+    * weight (see [[Lstm.train]]). */
+  def train(windows: DataFrame, cfg: Config = Config(),
+            weightCol: Option[String] = None): Lstm2Model = {
+    import breeze.linalg.{DenseVector => BDV}
+    val spark = windows.sparkSession
+    import spark.implicits._
+    val wCol = weightCol.map(col).getOrElse(lit(1.0))
+    val ds = windows.select(col("label").cast("double"),
+        wCol.cast("double").as("__w"),
+        col("window").cast("array<double>"))
+      .as[(Double, Double, Array[Double])]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.ordered(
+        ds.mapPartitionsWithIndex { case (pi, it) =>
+          var s = 0.0; var s2 = 0.0; var c = 0L; var len = -1; var ws = 0.0
+          it.foreach { case (_, wt, x) =>
+            require(len == -1 || len == x.length,
+              s"ragged windows: $len vs ${x.length}")
+            len = x.length
+            x.foreach { v => s += v; s2 += v * v }
+            c += x.length
+            ws += wt
+          }
+          if (c == 0) Iterator.empty
+          else Iterator.single((pi, (s, s2, c, len, ws)))
+        })((0.0, 0.0, 0L, -1, 0.0)) { (a, b) =>
+        require(a._4 == -1 || b._4 == -1 || a._4 == b._4,
+          s"ragged windows: ${a._4} vs ${b._4}")
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, math.max(a._4, b._4),
+          a._5 + b._5)
+      }
+      val mean = sum / cnt
+      val varr = math.max(sumSq / cnt - mean * mean, 0.0)
+      val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
+      val h1N = cfg.h1; val h2N = cfg.h2
+      val nP = nParams(h1N, h2N)
+      val nRows = wSum
+      require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
+        s"weight sum must be positive finite: $nRows")
+      val sc = spark.sparkContext
+
+      // L2 applies to the four weight matrices + dense, never biases
+      val wx1O = oWx1(h1N, h2N); val b1O = oB1(h1N, h2N)
+      val wx2O = oWx2(h1N, h2N); val b2O = oB2(h1N, h2N)
+      val dvO = oDv(h1N, h2N); val biasO = oBias(h1N, h2N)
+      def isWeight(i: Int): Boolean =
+        (i >= wx1O && i < b1O) || (i >= wx2O && i < b2O) ||
+          (i >= dvO && i < biasO)
+
+      val fn = new breeze.optimize.DiffFunction[BDV[Double]] {
+        def calculate(p: BDV[Double]): (Double, BDV[Double]) = {
+          val bw = sc.broadcast(p.data.clone())
+          try {
+            val (lossSum, gradSum) = gradientPass(ds, bw, h1N, h2N, mean, std)
+            val grad = new Array[Double](nP)
+            var reg = 0.0
+            var i = 0
+            while (i < nP) {
+              grad(i) = gradSum(i) / nRows
+              if (isWeight(i)) {
+                reg += 0.5 * cfg.regParam * p.data(i) * p.data(i)
+                grad(i) += cfg.regParam * p.data(i)
+              }
+              i += 1
+            }
+            (lossSum / nRows + reg, BDV(grad))
+          } finally bw.unpersist(false)
+        }
+      }
+
+      val rnd = new scala.util.Random(cfg.seed)
+      val init = new Array[Double](nP)
+      var i = 0
+      while (i < b1O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+      i = wx2O
+      while (i < b2O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+      // forget-gate biases (+1) in BOTH layers
+      (0 until h1N).foreach(u => init(b1O + h1N + u) = 1.0)
+      (0 until h2N).foreach(u => init(b2O + h2N + u) = 1.0)
+      (0 until h2N).foreach(u => init(dvO + u) = rnd.nextGaussian() * 0.3)
+      val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
+        maxIter = cfg.maxIter, m = 10, tolerance = 1e-7)
+      val sol = lbfgs.minimize(fn, BDV(init)).data
+      Lstm2Model(h1N, h2N, wLen,
+        wx1 = sol.slice(oWx1(h1N, h2N), oWh1(h1N, h2N)),
+        wh1 = sol.slice(oWh1(h1N, h2N), oB1(h1N, h2N)),
+        b1 = sol.slice(oB1(h1N, h2N), oWx2(h1N, h2N)),
+        wx2 = sol.slice(oWx2(h1N, h2N), oWh2(h1N, h2N)),
+        wh2 = sol.slice(oWh2(h1N, h2N), oB2(h1N, h2N)),
+        b2 = sol.slice(oB2(h1N, h2N), oDv(h1N, h2N)),
+        dense = sol.slice(oDv(h1N, h2N), oBias(h1N, h2N)),
+        bias = sol(biasO), mean = mean, std = std)
+    } finally ds.unpersist(false)
+  }
+
+  /** Exposed for LstmStackSpec's finite-difference gradient check. */
+  private[graft] def gradientPassForTest(
+      ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
+      bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      h1N: Int, h2N: Int, mean: Double, std: Double): (Double, Array[Double]) =
+    gradientPass(ds, bw, h1N, h2N, mean, std)
+
+  /** Batch scoring — fail-loud serve-time window contract, same as
+    * [[Lstm.scoreWindows]]. */
+  def scoreWindows(m: Lstm2Model, windows: DataFrame,
+                   winCol: String = "window"): DataFrame = {
+    val z = when(size(col(winCol)) === m.window, logitCol(m, col(winCol)))
+      .otherwise(raise_error(concat(
+        lit("window "), size(col(winCol)).cast("string"),
+        lit(s" != trained window ${m.window}"))).cast("double"))
+    windows.withColumn("logit", z)
+      .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+  }
+
+  /** Replay scorer closure — [[Lstm.scorer]]'s unit contract. */
+  def scorer(m: Lstm2Model): Array[Double] => Double =
+    (vecG: Array[Double]) => 1.0 / (1.0 + math.exp(-forward(m, vecG)))
+
+  /** The trained stacked LSTM as a replay detector. */
+  def deployedLstm2(m: Lstm2Model,
+                    base: graft.streaming.NnSettings = graft.streaming.NnSettings())
+      : graft.streaming.NnAlg =
+    new graft.streaming.NnAlg(
+      base.copy(bufferSamples = m.window, normalise = false), scorer(m))
+
+  /** The stacked-LSTM family for
+    * [[RunSequence.runWithWindows]]/[[RunSequence.NestedCandidate]]. */
+  def lstm2Family(cfg: Config = Config())
+      : (DataFrame => Lstm2Model, (Lstm2Model, DataFrame) => DataFrame) = {
+    val fit = (train: DataFrame) => LstmStack.train(train, cfg)
+    val score = (m: Lstm2Model, test: DataFrame) =>
+      scoreWindows(m, test)
+        .select(col("eventId"), col("label"), col("p_seizure"))
+    (fit, score)
+  }
+}

@@ -1706,6 +1706,139 @@ object DomainQueries {
          |SELECT e, d, $logit AS logit FROM lstm WHERE t = ${m.window}""".stripMargin
   }
 
+  /** The ml4b network: the STACKED two-layer hard-gate LSTM + mean-pool
+    * head ([[graft.ml.LstmStack]] — the round-13 verdict's missing #1)
+    * with FIXED quarter-grid weights, H1 = H2 = 2. Same exactness
+    * reasoning as [[ml4Net]]: dyadic weights over the exact dyadic
+    * (m − 1000)/64 input keep the whole two-layer recurrence AND the
+    * pool accumulation pure IEEE mul/add/compare; the single division
+    * s/T at the head is one op on both engines. ONE source of truth:
+    * [[ml4bSql]] is GENERATED from this object's weights. */
+  private val ml4bNet: graft.ml.LstmStack.Lstm2Model = {
+    val h1 = 2; val h2 = 2
+    graft.ml.LstmStack.Lstm2Model(h1, h2, window = 125,
+      wx1 = Array.tabulate(4 * h1)(j => ((j * 5) % 7 - 3) * 0.25),
+      wh1 = Array.tabulate(4 * h1 * h1)(j => ((j * 3) % 5 - 2) * 0.25),
+      b1 = Array.tabulate(4 * h1)(j => ((j * 2) % 3 - 1) * 0.25),
+      wx2 = Array.tabulate(4 * h2 * h1)(j => ((j * 7) % 5 - 2) * 0.25),
+      wh2 = Array.tabulate(4 * h2 * h2)(j => ((j * 3) % 7 - 3) * 0.25),
+      b2 = Array.tabulate(4 * h2)(j => ((j * 5) % 3 - 1) * 0.25),
+      dense = Array(1.0, -1.0),
+      bias = 0.25, mean = 1000.0, std = 64.0)
+  }
+
+  /** ML4B — the STACKED LSTM forward pass under the oracle gate
+    * ([[graft.ml.LstmStack.logitCol]]): z-scale → layer-1 hard-gate
+    * recurrence → layer-2 recurrence over layer 1's hidden sequence →
+    * mean-pool over time → dense logit, as one native codegen'd
+    * expression. The TRAINER is spec-gated (LstmStackSpec: two-layer
+    * BPTT == finite differences + planted corpus); the architecture is
+    * gated HERE via [[ml4bNet]], the oracle replaying BOTH layers plus
+    * the pool sums as one DuckDB recursive CTE — 10 state columns per
+    * (e, d) row, bit-exact because nothing transcendental ever runs. */
+  def ml4bLstmStackForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.LstmStack.logitCol(ml4bNet, col("rawData")).as("logit"))
+
+  val ml4bSql: String = {
+    val m = ml4bNet
+    val H1 = m.h1; val H2 = m.h2
+    def L(d: Double): String = if (d < 0) s"($d)" else d.toString
+    def sig(a: String): String =
+      s"CASE WHEN $a < -2.0 THEN 0.0 WHEN $a > 2.0 THEN 1.0 ELSE 0.25*$a + 0.5 END"
+    def tnh(a: String): String =
+      s"CASE WHEN $a < -1.0 THEN -1.0 WHEN $a > 1.0 THEN 1.0 ELSE $a END"
+    // layer-1 pre: b + wx*x + wh0*h1_0 + wh1*h1_1 (left-assoc = the
+    // expression's accumulation order)
+    def pre1(g: Int, u: Int): String = {
+      val whTerms = (0 until H1)
+        .map(v => s"${L(m.wh1((g * H1 + u) * H1 + v))}*h1_$v").mkString(" + ")
+      s"${L(m.b1(g * H1 + u))} + ${L(m.wx1(g * H1 + u))}*x + $whTerms"
+    }
+    // layer-2 pre: b2 + wx2 terms over h1n_j (j ascending) + wh2 terms
+    // over the CARRIED h2_v (v ascending)
+    def pre2(g: Int, u: Int): String = {
+      val wxTerms = (0 until H1)
+        .map(j => s"${L(m.wx2((g * H2 + u) * H1 + j))}*h1n_$j").mkString(" + ")
+      val whTerms = (0 until H2)
+        .map(v => s"${L(m.wh2((g * H2 + u) * H2 + v))}*h2_$v").mkString(" + ")
+      s"${L(m.b2(g * H2 + u))} + $wxTerms + $whTerms"
+    }
+    val pre1Cols = (for (g <- 0 until 4; u <- 0 until H1)
+      yield s"${pre1(g, u)} AS a1${g}_$u").mkString(",\n        ")
+    val gate1Cols = (0 until H1).map { u =>
+      s"${sig(s"a10_$u")} AS i1$u, ${sig(s"a11_$u")} AS f1$u, " +
+        s"${tnh(s"a12_$u")} AS g1$u, ${sig(s"a13_$u")} AS o1$u"
+    }.mkString(",\n        ")
+    val cn1Cols = (0 until H1)
+      .map(u => s"f1$u*c1_$u + i1$u*g1$u AS cn1_$u").mkString(", ")
+    val h1nCols = (0 until H1)
+      .map(u => s"o1$u * (${tnh(s"cn1_$u")}) AS h1n_$u").mkString(", ")
+    val pre2Cols = (for (g <- 0 until 4; u <- 0 until H2)
+      yield s"${pre2(g, u)} AS a2${g}_$u").mkString(",\n        ")
+    val gate2Cols = (0 until H2).map { u =>
+      s"${sig(s"a20_$u")} AS i2$u, ${sig(s"a21_$u")} AS f2$u, " +
+        s"${tnh(s"a22_$u")} AS g2$u, ${sig(s"a23_$u")} AS o2$u"
+    }.mkString(",\n        ")
+    val cn2Cols = (0 until H2)
+      .map(u => s"f2$u*c2_$u + i2$u*g2$u AS cn2_$u").mkString(", ")
+    val h2nCols = (0 until H2)
+      .map(u => s"o2$u * (${tnh(s"cn2_$u")}) AS h2n_$u").mkString(", ")
+    val outCols =
+      (0 until H1).map(u => s"h1n_$u AS h1_$u").mkString(", ") + ",\n       " +
+      (0 until H1).map(u => s"cn1_$u AS c1_$u").mkString(", ") + ",\n       " +
+      (0 until H2).map(u => s"h2n_$u AS h2_$u").mkString(", ") + ",\n       " +
+      (0 until H2).map(u => s"cn2_$u AS c2_$u").mkString(", ") + ",\n       " +
+      (0 until H2).map(u => s"s_$u + h2n_$u AS s_$u").mkString(", ")
+    val stateInit =
+      ((0 until H1).map(u => s"CAST(0.0 AS DOUBLE) AS h1_$u") ++
+        (0 until H1).map(u => s"CAST(0.0 AS DOUBLE) AS c1_$u") ++
+        (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS h2_$u") ++
+        (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS c2_$u") ++
+        (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS s_$u")).mkString(", ")
+    val stateCarry =
+      ((0 until H1).map(u => s"s.h1_$u AS h1_$u") ++
+        (0 until H1).map(u => s"s.c1_$u AS c1_$u") ++
+        (0 until H2).map(u => s"s.h2_$u AS h2_$u") ++
+        (0 until H2).map(u => s"s.c2_$u AS c2_$u") ++
+        (0 until H2).map(u => s"s.s_$u AS s_$u")).mkString(", ")
+    val logit = s"${L(m.bias)} + " + (0 until H2)
+      .map(u => s"${L(m.dense(u))}*(s_$u/${m.window}.0)").mkString(" + ")
+    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", edml4b AS (SELECT e, d FROM sampm WHERE i = 0),
+         |lstm2 AS (
+         |  SELECT e, d, 0 AS t, $stateInit FROM edml4b
+         |  UNION ALL
+         |  SELECT e, d, t,
+         |       $outCols
+         |  FROM (
+         |    SELECT *, $h2nCols FROM (
+         |      SELECT *, $cn2Cols FROM (
+         |        SELECT *,
+         |        $gate2Cols
+         |        FROM (
+         |          SELECT *,
+         |        $pre2Cols
+         |          FROM (
+         |            SELECT *, $h1nCols FROM (
+         |              SELECT *, $cn1Cols FROM (
+         |                SELECT *,
+         |        $gate1Cols
+         |                FROM (
+         |                  SELECT *,
+         |        $pre1Cols
+         |                  FROM (
+         |                    SELECT s.e AS e, s.d AS d, s.t + 1 AS t,
+         |                           $stateCarry,
+         |                           (p.m - 1000.0)/64.0 AS x
+         |                    FROM lstm2 s JOIN sampm p
+         |                      ON p.e = s.e AND p.d = s.d AND p.i = s.t
+         |                    WHERE s.t < ${m.window})))))))))
+         |)
+         |SELECT e, d, $logit AS logit FROM lstm2 WHERE t = ${m.window}""".stripMargin
+  }
+
   private val ml5K = 5
   private val ml5Q = 0.6
 
@@ -2860,6 +2993,7 @@ object DomainQueries {
     "ml2_run_sequence"  -> (ml2RunSequence _),
     "ml3_cnn_forward"   -> (ml3CnnForward _),
     "ml4_lstm_forward"  -> (ml4LstmForward _),
+    "ml4b_lstm_stack"   -> (ml4bLstmStackForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
@@ -2943,6 +3077,7 @@ object DomainQueries {
     "ml2_run_sequence"  -> ml2Sql,
     "ml3_cnn_forward"   -> ml3Sql,
     "ml4_lstm_forward"  -> ml4Sql,
+    "ml4b_lstm_stack"   -> ml4bSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,

@@ -434,6 +434,220 @@ case class LstmHardLogit(
     copy(child = newChild)
 }
 
+/** STACKED two-layer hard-gate LSTM + mean-pool head as ONE native
+  * expression — the amber family's stacked recurrence
+  * (`user_tools/nnTraining2/amber/model.py`,
+  * `amber/enhanced_fusion_layer.py:14-22`) under the same bit-exact
+  * discipline as [[LstmHardLogit]] (see that docblock for the hard-gate
+  * and clamp-ladder rationale — all of it applies per layer here).
+  * Layer 1 runs [[LstmHardLogit]]'s exact cell over the scalar series;
+  * layer 2 runs the same cell over layer 1's hidden sequence (gate
+  * pre-activation b + Σ_j wx·h1_j, j ascending, + Σ_v wh·h2prev_v,
+  * v ascending); the head MEAN-POOLS layer 2's hidden states over time
+  * (sum in t order, ONE division by T per unit) into the dense logit —
+  * the pool is the oracle-preserving member of the fusion-layer family
+  * (attention's softmax is transcendental). Mirrored bit-for-bit by
+  * `graft.ml.LstmStack.forward` and the ml4b recursive-CTE oracle. */
+case class LstmStackLogit(
+    child: Expression,
+    h1: Int,
+    h2: Int,
+    wx1: Seq[Double],
+    wh1: Seq[Double],
+    b1: Seq[Double],
+    wx2: Seq[Double],
+    wh2: Seq[Double],
+    b2: Seq[Double],
+    dense: Seq[Double],
+    bias: Double,
+    mean: Double,
+    std: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
+    b1.length == 4 * h1 && wx2.length == 4 * h2 * h1 &&
+    wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
+    dense.length == h2, "LstmStackLogit weight shapes inconsistent")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true // empty windows yield NULL
+
+  override def prettyName: String = "lstm_stack_logit"
+
+  @transient private lazy val wx1A = wx1.toArray
+  @transient private lazy val wh1A = wh1.toArray
+  @transient private lazy val b1A = b1.toArray
+  @transient private lazy val wx2A = wx2.toArray
+  @transient private lazy val wh2A = wh2.toArray
+  @transient private lazy val b2A = b2.toArray
+  @transient private lazy val dvA = dense.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val win = a.asInstanceOf[ArrayData]
+    val n = win.numElements()
+    if (n == 0) null
+    else {
+      val H1 = h1; val H2 = h2
+      val hA = new Array[Double](H1); val cA = new Array[Double](H1)
+      val hpA = new Array[Double](H1)
+      val hB = new Array[Double](H2); val cB = new Array[Double](H2)
+      val hpB = new Array[Double](H2)
+      val s = new Array[Double](H2)
+      var t = 0
+      while (t < n) {
+        val x = (win.getDouble(t) - mean) / std
+        System.arraycopy(hA, 0, hpA, 0, H1)
+        var u = 0
+        while (u < H1) {
+          val pre = new Array[Double](4)
+          var g = 0
+          while (g < 4) {
+            var acc = b1A(g * H1 + u) + wx1A(g * H1 + u) * x
+            var v = 0
+            while (v < H1) { acc += wh1A((g * H1 + u) * H1 + v) * hpA(v); v += 1 }
+            pre(g) = acc
+            g += 1
+          }
+          val gi = if (pre(0) < -2.0) 0.0 else if (pre(0) > 2.0) 1.0 else 0.25 * pre(0) + 0.5
+          val gf = if (pre(1) < -2.0) 0.0 else if (pre(1) > 2.0) 1.0 else 0.25 * pre(1) + 0.5
+          val gg = if (pre(2) < -1.0) -1.0 else if (pre(2) > 1.0) 1.0 else pre(2)
+          val go = if (pre(3) < -2.0) 0.0 else if (pre(3) > 2.0) 1.0 else 0.25 * pre(3) + 0.5
+          val cn = gf * cA(u) + gi * gg
+          cA(u) = cn
+          val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+          hA(u) = go * tc
+          u += 1
+        }
+        System.arraycopy(hB, 0, hpB, 0, H2)
+        u = 0
+        while (u < H2) {
+          val pre = new Array[Double](4)
+          var g = 0
+          while (g < 4) {
+            var acc = b2A(g * H2 + u)
+            var j = 0
+            while (j < H1) { acc += wx2A((g * H2 + u) * H1 + j) * hA(j); j += 1 }
+            var v = 0
+            while (v < H2) { acc += wh2A((g * H2 + u) * H2 + v) * hpB(v); v += 1 }
+            pre(g) = acc
+            g += 1
+          }
+          val gi = if (pre(0) < -2.0) 0.0 else if (pre(0) > 2.0) 1.0 else 0.25 * pre(0) + 0.5
+          val gf = if (pre(1) < -2.0) 0.0 else if (pre(1) > 2.0) 1.0 else 0.25 * pre(1) + 0.5
+          val gg = if (pre(2) < -1.0) -1.0 else if (pre(2) > 1.0) 1.0 else pre(2)
+          val go = if (pre(3) < -2.0) 0.0 else if (pre(3) > 2.0) 1.0 else 0.25 * pre(3) + 0.5
+          val cn = gf * cB(u) + gi * gg
+          cB(u) = cn
+          val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+          hB(u) = go * tc
+          s(u) += hB(u)
+          u += 1
+        }
+        t += 1
+      }
+      var z = bias
+      var u = 0
+      while (u < H2) { z += dvA(u) * (s(u) / n); u += 1 }
+      z
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wx1R = ctx.addReferenceObj("ls2Wx1", wx1A, "double[]")
+      val wh1R = ctx.addReferenceObj("ls2Wh1", wh1A, "double[]")
+      val b1R = ctx.addReferenceObj("ls2B1", b1A, "double[]")
+      val wx2R = ctx.addReferenceObj("ls2Wx2", wx2A, "double[]")
+      val wh2R = ctx.addReferenceObj("ls2Wh2", wh2A, "double[]")
+      val b2R = ctx.addReferenceObj("ls2B2", b2A, "double[]")
+      val dvR = ctx.addReferenceObj("ls2Dense", dvA, "double[]")
+      val sc = ctx.addReferenceObj("ls2Scalars",
+        Array(bias, mean, std), "double[]")
+      val H1v = h1; val H2v = h2
+      val n = ctx.freshName("n")
+      val hA = ctx.freshName("hA"); val cA = ctx.freshName("cA")
+      val hpA = ctx.freshName("hpA")
+      val hB = ctx.freshName("hB"); val cB = ctx.freshName("cB")
+      val hpB = ctx.freshName("hpB"); val sP = ctx.freshName("sP")
+      val t = ctx.freshName("t"); val x = ctx.freshName("x")
+      val u = ctx.freshName("u"); val pre = ctx.freshName("pre")
+      val g = ctx.freshName("g"); val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v"); val j = ctx.freshName("j")
+      val gi = ctx.freshName("gi"); val gf = ctx.freshName("gf")
+      val gg = ctx.freshName("gg"); val go = ctx.freshName("go")
+      val cn = ctx.freshName("cn"); val tc = ctx.freshName("tc")
+      val z = ctx.freshName("z")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $hA = new double[$H1v];
+         |  double[] $cA = new double[$H1v];
+         |  double[] $hpA = new double[$H1v];
+         |  double[] $hB = new double[$H2v];
+         |  double[] $cB = new double[$H2v];
+         |  double[] $hpB = new double[$H2v];
+         |  double[] $sP = new double[$H2v];
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    double $x = ($a.getDouble($t) - $sc[1]) / $sc[2];
+         |    System.arraycopy($hA, 0, $hpA, 0, $H1v);
+         |    for (int $u = 0; $u < $H1v; $u++) {
+         |      double[] $pre = new double[4];
+         |      for (int $g = 0; $g < 4; $g++) {
+         |        double $acc = $b1R[$g * $H1v + $u] + $wx1R[$g * $H1v + $u] * $x;
+         |        for (int $v = 0; $v < $H1v; $v++) {
+         |          $acc += $wh1R[($g * $H1v + $u) * $H1v + $v] * $hpA[$v];
+         |        }
+         |        $pre[$g] = $acc;
+         |      }
+         |      double $gi = $pre[0] < -2.0 ? 0.0 : ($pre[0] > 2.0 ? 1.0 : 0.25 * $pre[0] + 0.5);
+         |      double $gf = $pre[1] < -2.0 ? 0.0 : ($pre[1] > 2.0 ? 1.0 : 0.25 * $pre[1] + 0.5);
+         |      double $gg = $pre[2] < -1.0 ? -1.0 : ($pre[2] > 1.0 ? 1.0 : $pre[2]);
+         |      double $go = $pre[3] < -2.0 ? 0.0 : ($pre[3] > 2.0 ? 1.0 : 0.25 * $pre[3] + 0.5);
+         |      double $cn = $gf * $cA[$u] + $gi * $gg;
+         |      $cA[$u] = $cn;
+         |      double $tc = $cn < -1.0 ? -1.0 : ($cn > 1.0 ? 1.0 : $cn);
+         |      $hA[$u] = $go * $tc;
+         |    }
+         |    System.arraycopy($hB, 0, $hpB, 0, $H2v);
+         |    for (int $u = 0; $u < $H2v; $u++) {
+         |      double[] $pre = new double[4];
+         |      for (int $g = 0; $g < 4; $g++) {
+         |        double $acc = $b2R[$g * $H2v + $u];
+         |        for (int $j = 0; $j < $H1v; $j++) {
+         |          $acc += $wx2R[($g * $H2v + $u) * $H1v + $j] * $hA[$j];
+         |        }
+         |        for (int $v = 0; $v < $H2v; $v++) {
+         |          $acc += $wh2R[($g * $H2v + $u) * $H2v + $v] * $hpB[$v];
+         |        }
+         |        $pre[$g] = $acc;
+         |      }
+         |      double $gi = $pre[0] < -2.0 ? 0.0 : ($pre[0] > 2.0 ? 1.0 : 0.25 * $pre[0] + 0.5);
+         |      double $gf = $pre[1] < -2.0 ? 0.0 : ($pre[1] > 2.0 ? 1.0 : 0.25 * $pre[1] + 0.5);
+         |      double $gg = $pre[2] < -1.0 ? -1.0 : ($pre[2] > 1.0 ? 1.0 : $pre[2]);
+         |      double $go = $pre[3] < -2.0 ? 0.0 : ($pre[3] > 2.0 ? 1.0 : 0.25 * $pre[3] + 0.5);
+         |      double $cn = $gf * $cB[$u] + $gi * $gg;
+         |      $cB[$u] = $cn;
+         |      double $tc = $cn < -1.0 ? -1.0 : ($cn > 1.0 ? 1.0 : $cn);
+         |      $hB[$u] = $go * $tc;
+         |      $sP[$u] += $hB[$u];
+         |    }
+         |  }
+         |  double $z = $sc[0];
+         |  for (int $u = 0; $u < $H2v; $u++) $z += $dvR[$u] * ($sP[$u] / $n);
+         |  ${ev.value} = $z;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
   import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -462,6 +676,15 @@ object GraftSqlBridge {
     ExpressionUtils.column(LstmHardLogit(
       ExpressionUtils.expression(win), nUnits, wx, wh, b, dense,
       bias, mean, std))
+
+  def lstmStackLogit(win: Column, h1: Int, h2: Int,
+                     wx1: Seq[Double], wh1: Seq[Double], b1: Seq[Double],
+                     wx2: Seq[Double], wh2: Seq[Double], b2: Seq[Double],
+                     dense: Seq[Double], bias: Double,
+                     mean: Double, std: Double): Column =
+    ExpressionUtils.column(LstmStackLogit(
+      ExpressionUtils.expression(win), h1, h2, wx1, wh1, b1,
+      wx2, wh2, b2, dense, bias, mean, std))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

@@ -97,7 +97,7 @@ class CnnSpec extends SparkSpec {
     assert(a > 0.95, s"CNN held-out AUROC only $a")
 
     // batch (column) and serve (closure) scoring agree: LOGITS bit-exact
-    // (+,*,max only — same accumulation order), sigmoid to 1 ulp
+    // (+,*,max only — same accumulation order), sigmoid to a few ulps
     // (Math.exp may differ by an ulp between a JIT-intrinsified call
     // site and the codegen'd one). One collect: limit() without an
     // order can pick different rows per execution.
@@ -107,7 +107,7 @@ class CnnSpec extends SparkSpec {
         val win = r.getAs[Seq[Double]]("window").toArray
         assert(Cnn.forward(model, win) == r.getAs[Double]("logit"))
         val pc = Cnn.scorer(model)(win)
-        assert(math.abs(pc - r.getAs[Double]("p_seizure")) <= math.ulp(pc),
+        assert(math.abs(pc - r.getAs[Double]("p_seizure")) <= 4 * math.ulp(pc),
           s"closure $pc vs column ${r.getAs[Double]("p_seizure")}")
       }
 

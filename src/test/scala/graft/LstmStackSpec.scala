@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.LstmStack
+import graft.sources.SimulatedEvents
+import graft.sources.SimulatedEvents.{Component, EventSpec}
+
+/** The STACKED two-layer hard-gate LSTM + mean-pool head
+  * ([[graft.ml.LstmStack]] — the round-13 verdict's missing #1, the
+  * amber family's stacked recurrence + fusion pooling):
+  *
+  *   - the Catalyst forward pass ([[LstmStack.logitCol]]) is
+  *     BIT-IDENTICAL to the JVM loop ([[LstmStack.forward]]);
+  *   - the two-layer BPTT (pool → layer 2 → layer 1) matches finite
+  *     differences of the forward loss, under NON-uniform row weights;
+  *   - LBFGS training learns a planted-separable raw-window corpus
+  *     (held-out, event-disjoint) and deploys into the replay FSM;
+  *   - the serve-time window contract is fail-loud.
+  */
+class LstmStackSpec extends SparkSpec {
+
+  private def randomModel(seed: Int, h1: Int, h2: Int,
+                          win: Int): LstmStack.Lstm2Model = {
+    val rnd = new scala.util.Random(seed)
+    LstmStack.Lstm2Model(h1, h2, win,
+      wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.6),
+      wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+      b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+      wx2 = Array.fill(4 * h2 * h1)(rnd.nextGaussian() * 0.5),
+      wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.4),
+      b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+      dense = Array.fill(h2)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian() * 0.2,
+      mean = 0.41, std = 1.37)
+  }
+
+  test("logitCol == forward bit-exactly (float weights, float windows)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val win = 40
+    val m = randomModel(9, h1 = 3, h2 = 2, win = win)
+    val rows = (0 until 20).map(i =>
+      (i, Array.fill(win)(rnd.nextGaussian() * 2 + 0.3)))
+    val df = rows.toDF("i", "window")
+    val got = df.select(col("i"), LstmStack.logitCol(m, col("window")).as("z"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, x) =>
+      val want = LstmStack.forward(m, x)
+      assert(got(i) == want, // exact ==, not a tolerance: same op order
+        s"row $i: column ${got(i)} != jvm $want")
+    }
+  }
+
+  test("empty window: logitCol is NULL; wrong serve length is loud") {
+    import spark.implicits._
+    val m = randomModel(6, h1 = 2, h2 = 2, win = 8)
+    val df = Seq(Array.empty[Double]).toDF("window")
+    assert(df.select(LstmStack.logitCol(m, col("window"))).head().isNullAt(0))
+    val e = intercept[IllegalArgumentException](
+      LstmStack.scorer(m)(new Array[Double](5)))
+    assert(e.getMessage.contains("trained window"))
+    val be = intercept[Exception](
+      LstmStack.scoreWindows(m, Seq(Array.fill(5)(1.0)).toDF("window"))
+        .collect())
+    val bmsg = be.getMessage +
+      Option(be.getCause).map(_.getMessage).getOrElse("")
+    assert(bmsg.contains("trained window"), bmsg.take(300))
+    assert(LstmStack.deployedLstm2(m).name == "NnAlg")
+  }
+
+  test("two-layer BPTT gradient == finite differences (weighted rows)") {
+    val h1 = 2; val h2 = 2
+    val T = 6
+    val nP = LstmStack.nParams(h1, h2)
+    val rnd = new scala.util.Random(7)
+    // non-uniform weights: the FD gate covers the M13 weighted calculus
+    // through the stacked backward pass too
+    val rows = (0 until 6).map(i =>
+      ((i % 2).toDouble, 0.5 + 0.25 * i, Array.fill(T)(rnd.nextGaussian())))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val p0 = Array.fill(nP)(rnd.nextGaussian() * 0.4)
+
+    def lossAt(p: Array[Double]): Double = {
+      val bw = spark.sparkContext.broadcast(p)
+      try LstmStack.gradientPassForTest(rdd, bw, h1, h2, 0.0, 1.0)._1
+      finally bw.unpersist(false)
+    }
+    val bw0 = spark.sparkContext.broadcast(p0)
+    val (_, grad) =
+      try LstmStack.gradientPassForTest(rdd, bw0, h1, h2, 0.0, 1.0)
+      finally bw0.unpersist(false)
+
+    val eps = 1e-6
+    (0 until nP).foreach { j =>
+      val pp = p0.clone(); pp(j) += eps
+      val pm = p0.clone(); pm(j) -= eps
+      val fd = (lossAt(pp) - lossAt(pm)) / (2 * eps)
+      val err = math.abs(fd - grad(j)) / math.max(1.0, math.abs(grad(j)))
+      assert(err < 1e-4,
+        s"param $j: BPTT ${grad(j)} vs FD $fd (rel err $err)")
+    }
+  }
+
+  test("train: planted raw-window corpus learns (held-out, event-disjoint)") {
+    val specs = (0 until 16).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 5.0, 55.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val windows = graft.streaming.NnBuffer
+      .dp2vectors(corpus, bufferSamples = 125).toDF()
+      .select(col("eventId"),
+        when(col("eventId").startsWith("SZ"), 1.0).otherwise(0.0).as("label"),
+        col("vec").as("window"))
+    val trainDf = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 0"))
+    val heldOut = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 1"))
+    val model = LstmStack.train(trainDf,
+      LstmStack.Config(h1 = 3, h2 = 2, maxIter = 100))
+    assert(model.window == 125)
+    val scored = LstmStack.scoreWindows(model, heldOut)
+      .select(col("eventId"), col("label"), col("p_seizure"))
+    val a = graft.ml.Trainer.auroc(scored)
+    assert(a > 0.9, s"stacked LSTM held-out AUROC only $a")
+    // batch vs serve parity: logits bit-exact, sigmoid to a few ulps
+    LstmStack.scoreWindows(model, heldOut.limit(3))
+      .select(col("window"), col("logit"), col("p_seizure"))
+      .collect().foreach { r =>
+        val win = r.getAs[Seq[Double]]("window").toArray
+        assert(LstmStack.forward(model, win) == r.getAs[Double]("logit"))
+        val pc = LstmStack.scorer(model)(win)
+        assert(math.abs(pc - r.getAs[Double]("p_seizure")) <= 4 * math.ulp(pc))
+      }
+  }
+}

@@ -548,10 +548,17 @@ object LstmStack {
       base.copy(bufferSamples = m.window, normalise = false), scorer(m))
 
   /** The stacked-LSTM family for
-    * [[RunSequence.runWithWindows]]/[[RunSequence.NestedCandidate]]. */
-  def lstm2Family(cfg: Config = Config())
+    * [[RunSequence.runWithWindows]]/[[RunSequence.NestedCandidate]];
+    * `subtypeWeights` is the M13 knob (same contract as
+    * [[RunSequence.cnnFamily]]). */
+  def lstm2Family(cfg: Config = Config(),
+                  subtypeWeights: Map[String, Double] = Map.empty)
       : (DataFrame => Lstm2Model, (Lstm2Model, DataFrame) => DataFrame) = {
-    val fit = (train: DataFrame) => LstmStack.train(train, cfg)
+    val fit = (train: DataFrame) =>
+      if (subtypeWeights.isEmpty) LstmStack.train(train, cfg)
+      else LstmStack.train(
+        train.withColumn("__m13_w", Trainer.subtypeWeightCol(subtypeWeights)),
+        cfg, Some("__m13_w"))
     val score = (m: Lstm2Model, test: DataFrame) =>
       scoreWindows(m, test)
         .select(col("eventId"), col("label"), col("p_seizure"))

@@ -161,6 +161,51 @@ object ModelIo {
       std = dNum(j, "std"))
   }
 
+  // --------------------------------------------------------- stacked LSTM
+
+  def saveLstm2(m: LstmStack.Lstm2Model, path: String): Unit = {
+    requireFinite("wx1", m.wx1); requireFinite("wh1", m.wh1)
+    requireFinite("b1", m.b1); requireFinite("wx2", m.wx2)
+    requireFinite("wh2", m.wh2); requireFinite("b2", m.b2)
+    requireFinite("dense", m.dense)
+    requireFinite("scalars", Seq(m.bias, m.mean, m.std))
+    val j: JValue = JObject(
+      "format" -> JString("graft-lstm2"),
+      "version" -> JInt(Version),
+      "h1" -> JInt(m.h1),
+      "h2" -> JInt(m.h2),
+      "window" -> JInt(m.window),
+      "wx1" -> arr(m.wx1),
+      "wh1" -> arr(m.wh1),
+      "b1" -> arr(m.b1),
+      "wx2" -> arr(m.wx2),
+      "wh2" -> arr(m.wh2),
+      "b2" -> arr(m.b2),
+      "dense" -> arr(m.dense),
+      "bias" -> num(m.bias),
+      "mean" -> num(m.mean),
+      "std" -> num(m.std))
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadLstm2(path: String): LstmStack.Lstm2Model = {
+    val j = readJson(path, "graft-lstm2")
+    LstmStack.Lstm2Model(
+      h1 = iNum(j, "h1"),
+      h2 = iNum(j, "h2"),
+      window = iNum(j, "window"),
+      wx1 = dArr(j, "wx1"),
+      wh1 = dArr(j, "wh1"),
+      b1 = dArr(j, "b1"),
+      wx2 = dArr(j, "wx2"),
+      wh2 = dArr(j, "wh2"),
+      b2 = dArr(j, "b2"),
+      dense = dArr(j, "dense"),
+      bias = dNum(j, "bias"),
+      mean = dNum(j, "mean"),
+      std = dNum(j, "std"))
+  }
+
   // ------------------------------------------------------------- manifest
 
   /** The deployment manifest — the engine's analogue of the

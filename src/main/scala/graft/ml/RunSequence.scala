@@ -633,15 +633,31 @@ object RunSequence {
     finally ev.unpersist(false)
   }
 
+  /** The fold's training frame with the M13 weight column attached
+    * when `subtypeWeights` is non-empty — the shared plumbing of the
+    * weighted family constructors below. [[foldLoop]] carries `subType`
+    * into every training frame for exactly this. */
+  private def withSubtypeWeight(train: DataFrame,
+      subtypeWeights: Map[String, Double]): (DataFrame, Option[String]) =
+    if (subtypeWeights.isEmpty) (train, None)
+    else (train.withColumn("__m13_w",
+      Trainer.subtypeWeightCol(subtypeWeights)), Some("__m13_w"))
+
   /** The CNN family for [[runWithWindows]] — [[Cnn.train]] per fold on
     * the raw-window slice, [[Cnn.scoreWindows]]' codegen'd forward pass
     * on the held-out slice (the model's stored (mean, std) applies
     * inside [[Cnn.logitCol]], the same train/serve scaling contract as
-    * [[mlpFamily]]). */
-  def cnnFamily(cnnCfg: Cnn.Config = Cnn.Config())
+    * [[mlpFamily]]). `subtypeWeights` is the reference's nnConfig knob
+    * (M13) applied inside the composed run — an empty map trains
+    * bit-identically to the unweighted path. */
+  def cnnFamily(cnnCfg: Cnn.Config = Cnn.Config(),
+                subtypeWeights: Map[String, Double] = Map.empty)
       : (DataFrame => Cnn.CnnModel,
          (Cnn.CnnModel, DataFrame) => DataFrame) = {
-    val fit = (train: DataFrame) => Cnn.train(train, cnnCfg)
+    val fit = (train: DataFrame) => {
+      val (t, w) = withSubtypeWeight(train, subtypeWeights)
+      Cnn.train(t, cnnCfg, w)
+    }
     val score = (m: Cnn.CnnModel, test: DataFrame) =>
       Cnn.scoreWindows(m, test)
         .select(col("eventId"), col("label"), col("p_seizure"))
@@ -652,15 +668,36 @@ object RunSequence {
     * modelClass (the reference's AMBER path, `user_tools/nnTraining2/
     * amber/model.py`): [[Lstm.train]] per fold on the raw-window
     * slice, [[Lstm.scoreWindows]]' codegen'd forward pass on the
-    * held-out slice; same train/serve scaling contract as
+    * held-out slice; same train/serve scaling contract and M13 knob as
     * [[cnnFamily]]. */
-  def lstmFamily(lstmCfg: Lstm.Config = Lstm.Config())
+  def lstmFamily(lstmCfg: Lstm.Config = Lstm.Config(),
+                 subtypeWeights: Map[String, Double] = Map.empty)
       : (DataFrame => Lstm.LstmModel,
          (Lstm.LstmModel, DataFrame) => DataFrame) = {
-    val fit = (train: DataFrame) => Lstm.train(train, lstmCfg)
+    val fit = (train: DataFrame) => {
+      val (t, w) = withSubtypeWeight(train, subtypeWeights)
+      Lstm.train(t, lstmCfg, w)
+    }
     val score = (m: Lstm.LstmModel, test: DataFrame) =>
       Lstm.scoreWindows(m, test)
         .select(col("eventId"), col("label"), col("p_seizure"))
+    (fit, score)
+  }
+
+  /** The weighted-LR family — [[Trainer.trainLogisticWeighted]] through
+    * the same seam ([[run]]'s default family with the M13 knob). */
+  def logisticWeightedFamily(subtypeWeights: Map[String, Double],
+                             maxIter: Int = 50, regParam: Double = 0.01)
+      : (DataFrame => org.apache.spark.ml.classification.LogisticRegressionModel,
+         (org.apache.spark.ml.classification.LogisticRegressionModel, DataFrame) => DataFrame) = {
+    val fit = (train: DataFrame) =>
+      Trainer.trainLogisticWeighted(train, subtypeWeights, maxIter, regParam)
+    val score = (m: org.apache.spark.ml.classification.LogisticRegressionModel,
+                 test: DataFrame) =>
+      m.transform(test)
+        .select(col("eventId"), col("label"),
+          element_at(vector_to_array(col("probability")), 2)
+            .as("p_seizure"))
     (fit, score)
   }
 
@@ -698,10 +735,17 @@ object RunSequence {
           .count()
         require(leak == 0,
           s"fold $f: $leak training ids leak into the test slice")
+        // subType rides into the training frame (from the fold's event
+        // slice, keyed by source id) so weighted families can apply the
+        // M13 subtypeWeights knob — the reference passes it through
+        // nnConfig into this exact loop
         val train = assembled.join(
             fplan.select(col("id").as("augId"), col("srcId")),
             assembled("eventId") === col("srcId"))
-          .select(col("augId").as("eventId"), col("label"), col(dataCol))
+          .join(ev.select(col("srcId").as("stSrc"), col("subType")),
+            col("srcId") === col("stSrc"), "left")
+          .select(col("augId").as("eventId"), col("label"),
+            col("subType"), col(dataCol))
         val model = fit(train)
         val scored = score(model, test)
           .persist(StorageLevel.MEMORY_AND_DISK)

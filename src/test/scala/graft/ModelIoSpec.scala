@@ -108,4 +108,34 @@ class ModelIoSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
       .contains("\"graft-model-manifest\""))
   }
+
+  test("stacked-LSTM artifact round-trips bit-exactly (weights AND scores); wrong format loud") {
+    import graft.ml.LstmStack
+    val rnd = new scala.util.Random(17)
+    val h1 = 3; val h2 = 2
+    val m = LstmStack.Lstm2Model(h1, h2, 48,
+      wx1 = Array.fill(4 * h1)(rnd.nextGaussian()),
+      wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian()),
+      b1 = Array.fill(4 * h1)(rnd.nextGaussian()),
+      wx2 = Array.fill(4 * h2 * h1)(rnd.nextGaussian()),
+      wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian()),
+      b2 = Array.fill(4 * h2)(rnd.nextGaussian()),
+      dense = Array.fill(h2)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian(), mean = 3.7, std = 2.1)
+    val p = tmp("lstm2.json")
+    ModelIo.saveLstm2(m, p)
+    val back = ModelIo.loadLstm2(p)
+    assert(back.wx1.toSeq == m.wx1.toSeq && back.wh2.toSeq == m.wh2.toSeq)
+    val r2 = new scala.util.Random(9)
+    (0 until 10).foreach { _ =>
+      val w = Array.fill(48)(r2.nextGaussian() * 2)
+      assert(java.lang.Double.doubleToLongBits(LstmStack.forward(back, w)) ==
+        java.lang.Double.doubleToLongBits(LstmStack.forward(m, w)))
+    }
+    // a single-layer artifact must not half-load as a stacked one
+    val pl = tmp("lstm1.json")
+    ModelIo.saveLstm(randLstm(3), pl)
+    val e = intercept[Exception](ModelIo.loadLstm2(pl))
+    assert(e.getMessage.contains("graft-lstm2"))
+  }
 }

@@ -535,4 +535,52 @@ class RunSequenceSpec extends SparkSpec {
         RunSequence.Config(k = 2))(Seq(dud.copy(basis = "nope"))))
     assert(e2.getMessage.contains("unknown candidate basis"))
   }
+
+  test("M13 through the composed run: the fold loop hands subType to fit; the weight column resolves") {
+    // every fold's test slice holds BOTH classes (AUROC needs them)
+    val events = evFrame(Seq(
+      ("E0", "Seizure", "Tonic-Clonic", 0),
+      ("E1", "False Alarm", "other", 0),
+      ("E2", "Seizure", "other", 1),
+      ("E3", "False Alarm", "Tonic-Clonic", 1),
+      ("E4", "Seizure", "other", 2),
+      ("E5", "False Alarm", "other", 2)))
+    val cfg = RunSequence.Config(historyN = 2,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    @volatile var seenCols: Seq[String] = Nil
+    @volatile var tcWeighted = 0L
+    val fit = (train: org.apache.spark.sql.DataFrame) => {
+      seenCols = train.columns.toSeq
+      // the reference's nnConfig subtypeWeights knob must be derivable
+      // HERE, inside the composed loop — subType values flow with rows
+      tcWeighted = train.withColumn("w",
+          graft.ml.Trainer.subtypeWeightCol(Map("Tonic-Clonic" -> 10.0)))
+        .filter(col("w") === 10.0).count()
+      ()
+    }
+    val score = (_: Unit, test: org.apache.spark.sql.DataFrame) =>
+      test.select(col("eventId"), col("label"), lit(0.5).as("p_seizure"))
+    // the epoch label rides the DPS' type column, so the dp fixture
+    // must carry each event's true class (miniDps hardcodes Seizure)
+    val dps = {
+      import spark.implicits._
+      spark.createDataset(for {
+        (id, i) <- Seq("E0", "E1", "E2", "E3", "E4", "E5").zipWithIndex
+        d <- 0 until 4
+      } yield {
+        val base = dp(id, 1000L + i * 10000L + d * 5L, d.toLong, acc = true)
+        if (i % 2 == 0) base
+        else base.copy(typeStr = "False Alarm", `type` = 0)
+      })
+    }
+    val rs = RunSequence.runWith(events, dps,
+      lit(true), col("fold0"), cfg)(fit, score)
+    assert(rs.size == cfg.k)
+    assert(seenCols.contains("subType"),
+      s"fold training frame lost subType: $seenCols")
+    // the last fold trained (fold 2): training slice = folds 0+1 =
+    // E0 (seizure TC, x4), E1 (x1), E2 (seizure, x2), E3 (TC, x1);
+    // TC rows = E0's 4 copies + E3 = 5 events x 3 epochs each
+    assert(tcWeighted == 15L, s"TC-weighted epoch rows: $tcWeighted")
+  }
 }

@@ -39,7 +39,19 @@ import org.apache.spark.sql.functions._
 object LstmStack {
 
   /** Trained stacked network + input scaling; layer-2 input weights
-    * `wx2` are (gate-major unit, input-j): index (g·H2+u)·H1 + j. */
+    * `wx2` are (gate-major unit, input-j): index (g·H2+u)·H1 + j.
+    *
+    * `head` selects the fusion-pooling member: `"mean"` (mean pool over
+    * time) or `"attn"` — ADD-ONE-SMOOTHED HARD ATTENTION, the
+    * oracle-preserving analog of the amber family's dot-product
+    * attention pooling (`amber/model.py` `Attention()([x, x])`,
+    * `enhanced_fusion_layer.py`): per-step score s_t = attC + a·h2(t),
+    * weight w_t = hardSig(s_t), pooled_u = Σ_t w_t·h2_t(u) / (1 + Σ_t
+    * w_t). The +1 smoothing keeps the all-gates-closed case (Σw = 0)
+    * defined without an epsilon-vs-branch divergence — a constant that
+    * rides both engines identically; softmax attention is
+    * transcendental and would forfeit the bit-exact recursive-CTE
+    * oracle (ml4c gates this head exactly as ml4b gates the mean). */
   case class Lstm2Model(
       h1: Int,
       h2: Int,
@@ -53,12 +65,18 @@ object LstmStack {
       dense: Array[Double],
       bias: Double,
       mean: Double,
-      std: Double) {
+      std: Double,
+      head: String = "mean",
+      attA: Array[Double] = Array.emptyDoubleArray,
+      attC: Double = 0.0) {
     require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
       b1.length == 4 * h1 && wx2.length == 4 * h2 * h1 &&
       wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
       dense.length == h2, "Lstm2Model weight shapes inconsistent")
-    def nParams: Int = LstmStack.nParams(h1, h2)
+    require(head == "mean" || head == "attn", s"unknown head '$head'")
+    require(head == "mean" || attA.length == h2,
+      s"attn head needs ${h2} attention weights, got ${attA.length}")
+    def nParams: Int = LstmStack.nParams(h1, h2, head)
   }
 
   case class Config(
@@ -66,11 +84,13 @@ object LstmStack {
       h2: Int = 3,
       maxIter: Int = 120,
       regParam: Double = 1e-4,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      head: String = "mean")
 
-  def nParams(h1: Int, h2: Int): Int =
+  def nParams(h1: Int, h2: Int, head: String = "mean"): Int =
     4 * h1 + 4 * h1 * h1 + 4 * h1 +
-      4 * h2 * h1 + 4 * h2 * h2 + 4 * h2 + h2 + 1
+      4 * h2 * h1 + 4 * h2 * h2 + 4 * h2 + h2 + 1 +
+      (if (head == "attn") h2 + 1 else 0)
 
   // Parameter-vector layout:
   // [wx1 4H1 | wh1 4H1² | b1 4H1 | wx2 4H2H1 | wh2 4H2² | b2 4H2 | dense H2 | bias]
@@ -84,6 +104,9 @@ object LstmStack {
   private def oDv(h1: Int, h2: Int) =
     8 * h1 + 4 * h1 * h1 + 4 * h2 * h1 + 4 * h2 * h2 + 4 * h2
   private def oBias(h1: Int, h2: Int) = oDv(h1, h2) + h2
+  // attention-head params (present only when head == "attn")
+  private def oAttA(h1: Int, h2: Int) = oBias(h1, h2) + 1
+  private def oAttC(h1: Int, h2: Int) = oAttA(h1, h2) + h2
 
   @inline private def hardSig(a: Double): Double =
     if (a < -2.0) 0.0 else if (a > 2.0) 1.0 else 0.25 * a + 0.5
@@ -132,6 +155,7 @@ object LstmStack {
     val h2 = new Array[Double](h2N); val c2 = new Array[Double](h2N)
     val hp2 = new Array[Double](h2N)
     val s = new Array[Double](h2N)
+    var den = 0.0
     var t = 0
     while (t < x.length) {
       val xv = (x(t) - m.mean) / m.std
@@ -158,14 +182,27 @@ object LstmStack {
       // layer 2 — vector input h1(t)
       System.arraycopy(h2, 0, hp2, 0, h2N)
       cellStep(h1, hp2, h2, c2, h2N, h1N, m.wx2, 0, m.wh2, 0, m.b2, 0)
-      // mean-pool accumulation, t order
-      u = 0
-      while (u < h2N) { s(u) += h2(u); u += 1 }
+      // head accumulation, t order
+      if (m.head == "attn") {
+        var sc = m.attC
+        var u = 0
+        while (u < h2N) { sc += m.attA(u) * h2(u); u += 1 }
+        val w = hardSig(sc)
+        u = 0
+        while (u < h2N) { s(u) += w * h2(u); u += 1 }
+        den += w
+      } else {
+        var u = 0
+        while (u < h2N) { s(u) += h2(u); u += 1 }
+      }
       t += 1
     }
     var z = m.bias
     var u = 0
-    while (u < h2N) { z += m.dense(u) * (s(u) / x.length); u += 1 }
+    if (m.head == "attn")
+      while (u < h2N) { z += m.dense(u) * (s(u) / (1.0 + den)); u += 1 }
+    else
+      while (u < h2N) { z += m.dense(u) * (s(u) / x.length); u += 1 }
     z
   }
 
@@ -177,7 +214,8 @@ object LstmStack {
     org.apache.spark.sql.graft.GraftSqlBridge.lstmStackLogit(
       win, m.h1, m.h2, m.wx1.toSeq, m.wh1.toSeq, m.b1.toSeq,
       m.wx2.toSeq, m.wh2.toSeq, m.b2.toSeq, m.dense.toSeq,
-      m.bias, m.mean, m.std)
+      m.bias, m.mean, m.std,
+      attn = m.head == "attn", attA = m.attA.toSeq, attC = m.attC)
 
   /** One distributed loss/gradient evaluation: per-partition BPTT
     * through pool → layer 2 → layer 1, partials combined in
@@ -187,9 +225,11 @@ object LstmStack {
   private def gradientPass(
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
-      h1N: Int, h2N: Int, mean: Double, std: Double)
+      h1N: Int, h2N: Int, mean: Double, std: Double,
+      head: String)
       : (Double, Array[Double]) = {
-    val nP = nParams(h1N, h2N)
+    val nP = nParams(h1N, h2N, head)
+    val attn = head == "attn"
     val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
         => (Double, Array[Double]) = { case ((ls, grad), (y, wt, xRaw)) =>
       val p = bw.value
@@ -267,27 +307,82 @@ object LstmStack {
         }
         t += 1
       }
+      // ---- head forward (attn: scores/weights + smoothed accumulators)
+      val attAO = oAttA(h1N, h2N); val attCO = oAttC(h1N, h2N)
+      val wAtt = if (attn) new Array[Double](T) else null
+      val num = if (attn) new Array[Double](h2N) else null
+      var den = 0.0
+      if (attn) {
+        t = 0
+        while (t < T) {
+          var sc = p(attCO)
+          var u = 0
+          while (u < h2N) { sc += p(attAO + u) * h2S(t)(u); u += 1 }
+          val w = hardSig(sc); wAtt(t) = w
+          u = 0
+          while (u < h2N) { num(u) += w * h2S(t)(u); u += 1 }
+          den += w
+          t += 1
+        }
+      }
       var z = p(biasO)
       var u = 0
-      while (u < h2N) { z += p(dvO + u) * (sPool(u) / T); u += 1 }
+      if (attn) {
+        val denom = 1.0 + den
+        while (u < h2N) { z += p(dvO + u) * (num(u) / denom); u += 1 }
+      } else
+        while (u < h2N) { z += p(dvO + u) * (sPool(u) / T); u += 1 }
       val loss =
         if (z > 0) z + math.log1p(math.exp(-z)) - y * z
         else math.log1p(math.exp(z)) - y * z
       val dz = wt * (1.0 / (1.0 + math.exp(-z)) - y)
       // ---- backward
       grad(biasO) += dz
-      // pool head: d pooled_u = dz·dense_u; d s_u = that / T, reaching
-      // EVERY timestep's dh2_u
-      val dsPool = new Array[Double](h2N)
-      u = 0
-      while (u < h2N) {
-        grad(dvO + u) += dz * (sPool(u) / T)
-        dsPool(u) = dz * p(dvO + u) / T
-        u += 1
+      // head backward → per-timestep dh2 contributions + head grads
+      val dhHead = Array.ofDim[Double](T, h2N)
+      if (attn) {
+        val denom = 1.0 + den
+        val dpool = Array.tabulate(h2N)(u => dz * p(dvO + u))
+        val dnum = new Array[Double](h2N)
+        var dden = 0.0
+        u = 0
+        while (u < h2N) {
+          grad(dvO + u) += dz * (num(u) / denom)
+          dnum(u) = dpool(u) / denom
+          dden += -dpool(u) * num(u) / (denom * denom)
+          u += 1
+        }
+        t = 0
+        while (t < T) {
+          var dw = dden
+          u = 0
+          while (u < h2N) { dw += dnum(u) * h2S(t)(u); u += 1 }
+          val w = wAtt(t)
+          val ds = if (w > 0.0 && w < 1.0) 0.25 * dw else 0.0
+          grad(attCO) += ds
+          u = 0
+          while (u < h2N) {
+            grad(attAO + u) += ds * h2S(t)(u)
+            dhHead(t)(u) = dnum(u) * w + ds * p(attAO + u)
+            u += 1
+          }
+          t += 1
+        }
+      } else {
+        // mean pool: d pooled_u = dz·dense_u; d s_u = that / T,
+        // reaching EVERY timestep's dh2_u
+        u = 0
+        while (u < h2N) {
+          grad(dvO + u) += dz * (sPool(u) / T)
+          val c = dz * p(dvO + u) / T
+          var tt = 0
+          while (tt < T) { dhHead(tt)(u) = c; tt += 1 }
+          u += 1
+        }
       }
       // layer-2 BPTT; collects dh1 contributions per t
       val dx1FromL2 = Array.ofDim[Double](T, h1N)
-      run2(p, grad, dsPool, dx1FromL2, T, h1N, h2N,
+      run2(p, grad, dhHead, dx1FromL2, T, h1N, h2N,
         g2I, g2F, g2G, g2O, c2S, h1S, h2S, wx2O, wh2O, b2O)
       // layer-1 BPTT
       run1(p, grad, dx1FromL2, xs, T, h1N,
@@ -302,10 +397,10 @@ object LstmStack {
       }, nP)
   }
 
-  /** Layer-2 backward: dh2(t) = pool term (every t) + recurrent
+  /** Layer-2 backward: dh2(t) = head term (per t) + recurrent
     * backflow; emits parameter grads and the dx (= dh1) contributions. */
   private def run2(p: Array[Double], grad: Array[Double],
-      dsPool: Array[Double], dxOut: Array[Array[Double]],
+      dhHead: Array[Array[Double]], dxOut: Array[Array[Double]],
       T: Int, h1N: Int, h2N: Int,
       gI: Array[Array[Double]], gF: Array[Array[Double]],
       gG: Array[Array[Double]], gO: Array[Array[Double]],
@@ -318,7 +413,7 @@ object LstmStack {
     var t = T - 1
     while (t >= 0) {
       var u = 0
-      while (u < h2N) { dh(u) += dsPool(u); u += 1 }
+      while (u < h2N) { dh(u) += dhHead(t)(u); u += 1 }
       java.util.Arrays.fill(dhPrev, 0.0)
       u = 0
       while (u < h2N) {
@@ -457,25 +552,31 @@ object LstmStack {
       val varr = math.max(sumSq / cnt - mean * mean, 0.0)
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
       val h1N = cfg.h1; val h2N = cfg.h2
-      val nP = nParams(h1N, h2N)
+      val attn = cfg.head == "attn"
+      require(cfg.head == "mean" || attn, s"unknown head '${cfg.head}'")
+      val nP = nParams(h1N, h2N, cfg.head)
       val nRows = wSum
       require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
         s"weight sum must be positive finite: $nRows")
       val sc = spark.sparkContext
 
-      // L2 applies to the four weight matrices + dense, never biases
+      // L2 applies to the weight matrices + dense + attention weights,
+      // never biases
       val wx1O = oWx1(h1N, h2N); val b1O = oB1(h1N, h2N)
       val wx2O = oWx2(h1N, h2N); val b2O = oB2(h1N, h2N)
       val dvO = oDv(h1N, h2N); val biasO = oBias(h1N, h2N)
+      val attAO = oAttA(h1N, h2N); val attCO = oAttC(h1N, h2N)
       def isWeight(i: Int): Boolean =
         (i >= wx1O && i < b1O) || (i >= wx2O && i < b2O) ||
-          (i >= dvO && i < biasO)
+          (i >= dvO && i < biasO) ||
+          (attn && i >= attAO && i < attCO)
 
       val fn = new breeze.optimize.DiffFunction[BDV[Double]] {
         def calculate(p: BDV[Double]): (Double, BDV[Double]) = {
           val bw = sc.broadcast(p.data.clone())
           try {
-            val (lossSum, gradSum) = gradientPass(ds, bw, h1N, h2N, mean, std)
+            val (lossSum, gradSum) =
+              gradientPass(ds, bw, h1N, h2N, mean, std, cfg.head)
             val grad = new Array[Double](nP)
             var reg = 0.0
             var i = 0
@@ -502,6 +603,8 @@ object LstmStack {
       (0 until h1N).foreach(u => init(b1O + h1N + u) = 1.0)
       (0 until h2N).foreach(u => init(b2O + h2N + u) = 1.0)
       (0 until h2N).foreach(u => init(dvO + u) = rnd.nextGaussian() * 0.3)
+      if (attn)
+        (0 until h2N).foreach(u => init(attAO + u) = rnd.nextGaussian() * 0.3)
       val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
         maxIter = cfg.maxIter, m = 10, tolerance = 1e-7)
       val sol = lbfgs.minimize(fn, BDV(init)).data
@@ -513,7 +616,10 @@ object LstmStack {
         wh2 = sol.slice(oWh2(h1N, h2N), oB2(h1N, h2N)),
         b2 = sol.slice(oB2(h1N, h2N), oDv(h1N, h2N)),
         dense = sol.slice(oDv(h1N, h2N), oBias(h1N, h2N)),
-        bias = sol(biasO), mean = mean, std = std)
+        bias = sol(biasO), mean = mean, std = std,
+        head = cfg.head,
+        attA = if (attn) sol.slice(attAO, attCO) else Array.emptyDoubleArray,
+        attC = if (attn) sol(attCO) else 0.0)
     } finally ds.unpersist(false)
   }
 
@@ -521,8 +627,9 @@ object LstmStack {
   private[graft] def gradientPassForTest(
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
-      h1N: Int, h2N: Int, mean: Double, std: Double): (Double, Array[Double]) =
-    gradientPass(ds, bw, h1N, h2N, mean, std)
+      h1N: Int, h2N: Int, mean: Double, std: Double,
+      head: String = "mean"): (Double, Array[Double]) =
+    gradientPass(ds, bw, h1N, h2N, mean, std, head)
 
   /** Batch scoring — fail-loud serve-time window contract, same as
     * [[Lstm.scoreWindows]]. */

@@ -167,8 +167,8 @@ object ModelIo {
     requireFinite("wx1", m.wx1); requireFinite("wh1", m.wh1)
     requireFinite("b1", m.b1); requireFinite("wx2", m.wx2)
     requireFinite("wh2", m.wh2); requireFinite("b2", m.b2)
-    requireFinite("dense", m.dense)
-    requireFinite("scalars", Seq(m.bias, m.mean, m.std))
+    requireFinite("dense", m.dense); requireFinite("attA", m.attA)
+    requireFinite("scalars", Seq(m.bias, m.mean, m.std, m.attC))
     val j: JValue = JObject(
       "format" -> JString("graft-lstm2"),
       "version" -> JInt(Version),
@@ -184,12 +184,19 @@ object ModelIo {
       "dense" -> arr(m.dense),
       "bias" -> num(m.bias),
       "mean" -> num(m.mean),
-      "std" -> num(m.std))
+      "std" -> num(m.std),
+      "head" -> JString(m.head),
+      "attA" -> arr(m.attA),
+      "attC" -> num(m.attC))
     writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
   }
 
   def loadLstm2(path: String): LstmStack.Lstm2Model = {
     val j = readJson(path, "graft-lstm2")
+    val head = (j \ "head") match {
+      case JString(s) => s
+      case _ => sys.error("missing head field")
+    }
     LstmStack.Lstm2Model(
       h1 = iNum(j, "h1"),
       h2 = iNum(j, "h2"),
@@ -203,7 +210,10 @@ object ModelIo {
       dense = dArr(j, "dense"),
       bias = dNum(j, "bias"),
       mean = dNum(j, "mean"),
-      std = dNum(j, "std"))
+      std = dNum(j, "std"),
+      head = head,
+      attA = dArr(j, "attA"),
+      attC = dNum(j, "attC"))
   }
 
   // ------------------------------------------------------------- manifest

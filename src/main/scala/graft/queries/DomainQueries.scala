@@ -1741,8 +1741,15 @@ object DomainQueries {
       .select(col("e"), col("d"),
         graft.ml.LstmStack.logitCol(ml4bNet, col("rawData")).as("logit"))
 
-  val ml4bSql: String = {
-    val m = ml4bNet
+  /** Shared generator for the stacked-LSTM recursive-CTE oracles (ml4b
+    * mean head / ml4c attention head): BOTH layers' states, the head
+    * accumulators (pool sums; plus the attention denominator), replayed
+    * step-by-step with the expression's exact accumulation order.
+    * `edCte`/`cteName` keep the two oracles' CTE names distinct so the
+    * prefix stays shared. */
+  private def lstm2StackSql(m: graft.ml.LstmStack.Lstm2Model,
+                            edCte: String, cteName: String): String = {
+    val attn = m.head == "attn"
     val H1 = m.h1; val H2 = m.h2
     def L(d: Double): String = if (d < 0) s"($d)" else d.toString
     def sig(a: String): String =
@@ -1785,35 +1792,57 @@ object DomainQueries {
       .map(u => s"f2$u*c2_$u + i2$u*g2$u AS cn2_$u").mkString(", ")
     val h2nCols = (0 until H2)
       .map(u => s"o2$u * (${tnh(s"cn2_$u")}) AS h2n_$u").mkString(", ")
+    // head accumulators: s_u = Σ h2 (mean) or Σ w·h2 (attn, + den = Σ w)
+    val headState = (0 until H2).map(u => s"s_$u") ++
+      (if (attn) Seq("den") else Seq.empty)
+    val headOut =
+      if (attn)
+        (0 until H2).map(u => s"s_$u + wat*h2n_$u AS s_$u")
+          .mkString(", ") + ", den + wat AS den"
+      else (0 until H2).map(u => s"s_$u + h2n_$u AS s_$u").mkString(", ")
     val outCols =
       (0 until H1).map(u => s"h1n_$u AS h1_$u").mkString(", ") + ",\n       " +
       (0 until H1).map(u => s"cn1_$u AS c1_$u").mkString(", ") + ",\n       " +
       (0 until H2).map(u => s"h2n_$u AS h2_$u").mkString(", ") + ",\n       " +
       (0 until H2).map(u => s"cn2_$u AS c2_$u").mkString(", ") + ",\n       " +
-      (0 until H2).map(u => s"s_$u + h2n_$u AS s_$u").mkString(", ")
+      headOut
     val stateInit =
       ((0 until H1).map(u => s"CAST(0.0 AS DOUBLE) AS h1_$u") ++
         (0 until H1).map(u => s"CAST(0.0 AS DOUBLE) AS c1_$u") ++
         (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS h2_$u") ++
         (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS c2_$u") ++
-        (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS s_$u")).mkString(", ")
+        headState.map(s => s"CAST(0.0 AS DOUBLE) AS $s")).mkString(", ")
     val stateCarry =
       ((0 until H1).map(u => s"s.h1_$u AS h1_$u") ++
         (0 until H1).map(u => s"s.c1_$u AS c1_$u") ++
         (0 until H2).map(u => s"s.h2_$u AS h2_$u") ++
         (0 until H2).map(u => s"s.c2_$u AS c2_$u") ++
-        (0 until H2).map(u => s"s.s_$u AS s_$u")).mkString(", ")
-    val logit = s"${L(m.bias)} + " + (0 until H2)
-      .map(u => s"${L(m.dense(u))}*(s_$u/${m.window}.0)").mkString(" + ")
+        headState.map(s => s"s.$s AS $s")).mkString(", ")
+    // attention weight of the NEW h2 state: hardSig(attC + Σ a_u·h2n_u),
+    // left-assoc ascending — the expression's accumulation order
+    val watLevel =
+      if (attn) {
+        val score = s"${L(m.attC)} + " + (0 until H2)
+          .map(u => s"${L(m.attA(u))}*h2n_$u").mkString(" + ")
+        s"SELECT *, ${sig(s"($score)")} AS wat FROM (\n    "
+      } else ""
+    val watClose = if (attn) ")" else ""
+    val logit =
+      if (attn)
+        s"${L(m.bias)} + " + (0 until H2)
+          .map(u => s"${L(m.dense(u))}*(s_$u/(1.0 + den))").mkString(" + ")
+      else
+        s"${L(m.bias)} + " + (0 until H2)
+          .map(u => s"${L(m.dense(u))}*(s_$u/${m.window}.0)").mkString(" + ")
     sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""", edml4b AS (SELECT e, d FROM sampm WHERE i = 0),
-         |lstm2 AS (
-         |  SELECT e, d, 0 AS t, $stateInit FROM edml4b
+      s""", $edCte AS (SELECT e, d FROM sampm WHERE i = 0),
+         |$cteName AS (
+         |  SELECT e, d, 0 AS t, $stateInit FROM $edCte
          |  UNION ALL
          |  SELECT e, d, t,
          |       $outCols
          |  FROM (
-         |    SELECT *, $h2nCols FROM (
+         |    ${watLevel}SELECT *, $h2nCols FROM (
          |      SELECT *, $cn2Cols FROM (
          |        SELECT *,
          |        $gate2Cols
@@ -1832,12 +1861,38 @@ object DomainQueries {
          |                    SELECT s.e AS e, s.d AS d, s.t + 1 AS t,
          |                           $stateCarry,
          |                           (p.m - 1000.0)/64.0 AS x
-         |                    FROM lstm2 s JOIN sampm p
+         |                    FROM $cteName s JOIN sampm p
          |                      ON p.e = s.e AND p.d = s.d AND p.i = s.t
-         |                    WHERE s.t < ${m.window})))))))))
+         |                    WHERE s.t < ${m.window})))))))))$watClose
          |)
-         |SELECT e, d, $logit AS logit FROM lstm2 WHERE t = ${m.window}""".stripMargin
+         |SELECT e, d, $logit AS logit FROM $cteName WHERE t = ${m.window}""".stripMargin
   }
+
+  val ml4bSql: String = lstm2StackSql(ml4bNet, "edml4b", "lstm2")
+
+  /** The ml4c network: [[ml4bNet]] with the ADD-ONE-SMOOTHED HARD
+    * ATTENTION head ([[graft.ml.LstmStack]] `head = "attn"` — the
+    * oracle-preserving analog of the amber fusion attention,
+    * `amber/enhanced_fusion_layer.py`): per-step w_t = hardSig(attC +
+    * a·h2(t)), pooled = Σ w·h2 / (1 + Σ w). Quarter-grid attention
+    * params keep every op dyadic-rational; the single division per unit
+    * at the head is one IEEE op on both engines. */
+  private val ml4cNet: graft.ml.LstmStack.Lstm2Model =
+    ml4bNet.copy(head = "attn", attA = Array(0.5, -0.25), attC = 0.25)
+
+  /** ML4C — the attention-pooled stacked LSTM forward pass under the
+    * oracle gate: same two-layer recurrence as ml4b, head replaced by
+    * hard attention; the oracle's recursive CTE gains the attention
+    * weight column and the (numerator, denominator) accumulators —
+    * 11 state columns × 125 steps, still bit-exact (nothing
+    * transcendental). LstmStackSpec gates the TRAINING side of this
+    * head (two-layer BPTT + attention calculus == finite differences). */
+  def ml4cLstmAttnForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.LstmStack.logitCol(ml4cNet, col("rawData")).as("logit"))
+
+  val ml4cSql: String = lstm2StackSql(ml4cNet, "edml4c", "lstm2c")
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -2994,6 +3049,7 @@ object DomainQueries {
     "ml3_cnn_forward"   -> (ml3CnnForward _),
     "ml4_lstm_forward"  -> (ml4LstmForward _),
     "ml4b_lstm_stack"   -> (ml4bLstmStackForward _),
+    "ml4c_lstm_attn"    -> (ml4cLstmAttnForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
@@ -3078,6 +3134,7 @@ object DomainQueries {
     "ml3_cnn_forward"   -> ml3Sql,
     "ml4_lstm_forward"  -> ml4Sql,
     "ml4b_lstm_stack"   -> ml4bSql,
+    "ml4c_lstm_attn"    -> ml4cSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,

@@ -461,13 +461,18 @@ case class LstmStackLogit(
     dense: Seq[Double],
     bias: Double,
     mean: Double,
-    std: Double)
+    std: Double,
+    attn: Boolean = false,
+    attA: Seq[Double] = Seq.empty,
+    attC: Double = 0.0)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
     b1.length == 4 * h1 && wx2.length == 4 * h2 * h1 &&
     wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
     dense.length == h2, "LstmStackLogit weight shapes inconsistent")
+  require(!attn || attA.length == h2,
+    "LstmStackLogit attention weight shape inconsistent")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 
@@ -484,6 +489,7 @@ case class LstmStackLogit(
   @transient private lazy val wh2A = wh2.toArray
   @transient private lazy val b2A = b2.toArray
   @transient private lazy val dvA = dense.toArray
+  @transient private lazy val attAA = attA.toArray
 
   override protected def nullSafeEval(a: Any): Any = {
     val win = a.asInstanceOf[ArrayData]
@@ -496,6 +502,7 @@ case class LstmStackLogit(
       val hB = new Array[Double](H2); val cB = new Array[Double](H2)
       val hpB = new Array[Double](H2)
       val s = new Array[Double](H2)
+      var den = 0.0
       var t = 0
       while (t < n) {
         val x = (win.getDouble(t) - mean) / std
@@ -543,14 +550,29 @@ case class LstmStackLogit(
           cB(u) = cn
           val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
           hB(u) = go * tc
-          s(u) += hB(u)
           u += 1
+        }
+        if (attn) {
+          var sc = attC
+          u = 0
+          while (u < H2) { sc += attAA(u) * hB(u); u += 1 }
+          val w = if (sc < -2.0) 0.0 else if (sc > 2.0) 1.0 else 0.25 * sc + 0.5
+          u = 0
+          while (u < H2) { s(u) += w * hB(u); u += 1 }
+          den += w
+        } else {
+          u = 0
+          while (u < H2) { s(u) += hB(u); u += 1 }
         }
         t += 1
       }
       var z = bias
       var u = 0
-      while (u < H2) { z += dvA(u) * (s(u) / n); u += 1 }
+      if (attn) {
+        val denom = 1.0 + den
+        while (u < H2) { z += dvA(u) * (s(u) / denom); u += 1 }
+      } else
+        while (u < H2) { z += dvA(u) * (s(u) / n); u += 1 }
       z
     }
   }
@@ -564,8 +586,10 @@ case class LstmStackLogit(
       val wh2R = ctx.addReferenceObj("ls2Wh2", wh2A, "double[]")
       val b2R = ctx.addReferenceObj("ls2B2", b2A, "double[]")
       val dvR = ctx.addReferenceObj("ls2Dense", dvA, "double[]")
+      val attR = ctx.addReferenceObj("ls2AttA",
+        if (attn) attAA else new Array[Double](0), "double[]")
       val sc = ctx.addReferenceObj("ls2Scalars",
-        Array(bias, mean, std), "double[]")
+        Array(bias, mean, std, attC), "double[]")
       val H1v = h1; val H2v = h2
       val n = ctx.freshName("n")
       val hA = ctx.freshName("hA"); val cA = ctx.freshName("cA")
@@ -580,6 +604,9 @@ case class LstmStackLogit(
       val gg = ctx.freshName("gg"); val go = ctx.freshName("go")
       val cn = ctx.freshName("cn"); val tc = ctx.freshName("tc")
       val z = ctx.freshName("z")
+      val den = ctx.freshName("den")
+      val headStep = headStepCode(sc, attR, hB, sP, den, H2v)
+      val headLogit = headLogitCode(z, dvR, sP, den, n, H2v)
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
@@ -592,6 +619,7 @@ case class LstmStackLogit(
          |  double[] $cB = new double[$H2v];
          |  double[] $hpB = new double[$H2v];
          |  double[] $sP = new double[$H2v];
+         |  double $den = 0.0;
          |  for (int $t = 0; $t < $n; $t++) {
          |    double $x = ($a.getDouble($t) - $sc[1]) / $sc[2];
          |    System.arraycopy($hA, 0, $hpA, 0, $H1v);
@@ -634,15 +662,38 @@ case class LstmStackLogit(
          |      $cB[$u] = $cn;
          |      double $tc = $cn < -1.0 ? -1.0 : ($cn > 1.0 ? 1.0 : $cn);
          |      $hB[$u] = $go * $tc;
-         |      $sP[$u] += $hB[$u];
          |    }
+         |    $headStep
          |  }
          |  double $z = $sc[0];
-         |  for (int $u = 0; $u < $H2v; $u++) $z += $dvR[$u] * ($sP[$u] / $n);
+         |  $headLogit
          |  ${ev.value} = $z;
          |}
        """.stripMargin
     })
+
+  // The head's accumulate/readout code is chosen at CODEGEN time —
+  // `attn` is a plan constant, so only the selected branch is emitted.
+  private def headStepCode(sc: String, attR: String, hB: String, sP: String,
+      den: String, H2v: Int): String =
+    if (attn)
+      s"""{
+         |      double __as = $sc[3];
+         |      for (int __u = 0; __u < $H2v; __u++) __as += $attR[__u] * $hB[__u];
+         |      double __aw = __as < -2.0 ? 0.0 : (__as > 2.0 ? 1.0 : 0.25 * __as + 0.5);
+         |      for (int __u = 0; __u < $H2v; __u++) $sP[__u] += __aw * $hB[__u];
+         |      $den += __aw;
+         |    }""".stripMargin
+    else
+      s"for (int __u = 0; __u < $H2v; __u++) $sP[__u] += $hB[__u];"
+
+  private def headLogitCode(z: String, dvR: String, sP: String, den: String,
+      n: String, H2v: Int): String =
+    if (attn)
+      s"""double __dn = 1.0 + $den;
+         |  for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / __dn);""".stripMargin
+    else
+      s"for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / $n);"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -681,10 +732,13 @@ object GraftSqlBridge {
                      wx1: Seq[Double], wh1: Seq[Double], b1: Seq[Double],
                      wx2: Seq[Double], wh2: Seq[Double], b2: Seq[Double],
                      dense: Seq[Double], bias: Double,
-                     mean: Double, std: Double): Column =
+                     mean: Double, std: Double,
+                     attn: Boolean = false,
+                     attA: Seq[Double] = Seq.empty,
+                     attC: Double = 0.0): Column =
     ExpressionUtils.column(LstmStackLogit(
       ExpressionUtils.expression(win), h1, h2, wx1, wh1, b1,
-      wx2, wh2, b2, dense, bias, mean, std))
+      wx2, wh2, b2, dense, bias, mean, std, attn, attA, attC))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

@@ -145,4 +145,97 @@ class LstmStackSpec extends SparkSpec {
         assert(math.abs(pc - r.getAs[Double]("p_seizure")) <= 4 * math.ulp(pc))
       }
   }
+
+  test("attention head: logitCol == forward bit-exactly; BPTT == finite differences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val win = 30
+    val base = randomModel(12, h1 = 2, h2 = 2, win = win)
+    val m = base.copy(head = "attn",
+      attA = Array.fill(2)(rnd.nextGaussian() * 0.6),
+      attC = rnd.nextGaussian() * 0.3)
+    val rows = (0 until 15).map(i =>
+      (i, Array.fill(win)(rnd.nextGaussian() * 2 + 0.3)))
+    val df = rows.toDF("i", "window")
+    val got = df.select(col("i"), LstmStack.logitCol(m, col("window")).as("z"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, x) =>
+      assert(got(i) == LstmStack.forward(m, x),
+        s"row $i: column ${got(i)} != jvm ${LstmStack.forward(m, x)}")
+    }
+
+    // FD gate over the FULL attn parameter vector (incl. attA/attC),
+    // weighted rows — the only honest gate on the attention calculus
+    val h1 = 2; val h2 = 2
+    val T = 6
+    val nP = LstmStack.nParams(h1, h2, "attn")
+    val frows = (0 until 6).map(i =>
+      ((i % 2).toDouble, 0.5 + 0.25 * i, Array.fill(T)(rnd.nextGaussian())))
+    val rdd = spark.sparkContext.parallelize(frows, 2)
+    val p0 = Array.fill(nP)(rnd.nextGaussian() * 0.4)
+    def lossAt(p: Array[Double]): Double = {
+      val bw = spark.sparkContext.broadcast(p)
+      try LstmStack.gradientPassForTest(rdd, bw, h1, h2, 0.0, 1.0, "attn")._1
+      finally bw.unpersist(false)
+    }
+    val bw0 = spark.sparkContext.broadcast(p0)
+    val (_, grad) =
+      try LstmStack.gradientPassForTest(rdd, bw0, h1, h2, 0.0, 1.0, "attn")
+      finally bw0.unpersist(false)
+    val eps = 1e-6
+    (0 until nP).foreach { j =>
+      val pp = p0.clone(); pp(j) += eps
+      val pm = p0.clone(); pm(j) -= eps
+      val fd = (lossAt(pp) - lossAt(pm)) / (2 * eps)
+      val err = math.abs(fd - grad(j)) / math.max(1.0, math.abs(grad(j)))
+      assert(err < 1e-4,
+        s"param $j: BPTT ${grad(j)} vs FD $fd (rel err $err)")
+    }
+  }
+
+  test("attention head trains on the planted corpus; artifact round-trips") {
+    val specs = (0 until 12).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 45.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 5.0, 40.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 45.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val windows = graft.streaming.NnBuffer
+      .dp2vectors(corpus, bufferSamples = 125).toDF()
+      .select(col("eventId"),
+        when(col("eventId").startsWith("SZ"), 1.0).otherwise(0.0).as("label"),
+        col("vec").as("window"))
+    val trainDf = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 0"))
+    val heldOut = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 1"))
+    val model = LstmStack.train(trainDf,
+      LstmStack.Config(h1 = 3, h2 = 2, maxIter = 100, head = "attn"))
+    assert(model.head == "attn" && model.attA.length == 2)
+    val a = graft.ml.Trainer.auroc(
+      LstmStack.scoreWindows(model, heldOut)
+        .select(col("eventId"), col("label"), col("p_seizure")))
+    assert(a > 0.9, s"attn-head stacked LSTM held-out AUROC only $a")
+    // artifact round-trip carries the head + attention params bit-exactly
+    val p = java.nio.file.Files.createTempDirectory("lstm2attn")
+      .resolve("m.json").toString
+    graft.ml.ModelIo.saveLstm2(model, p)
+    val back = graft.ml.ModelIo.loadLstm2(p)
+    assert(back.head == "attn" && back.attA.toSeq == model.attA.toSeq &&
+      java.lang.Double.doubleToLongBits(back.attC) ==
+        java.lang.Double.doubleToLongBits(model.attC))
+    val w0 = heldOut.limit(1).collect()(0).getAs[Seq[Double]]("window").toArray
+    assert(java.lang.Double.doubleToLongBits(LstmStack.forward(back, w0)) ==
+      java.lang.Double.doubleToLongBits(LstmStack.forward(model, w0)))
+  }
 }

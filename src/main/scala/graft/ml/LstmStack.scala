@@ -52,6 +52,14 @@ object LstmStack {
     * rides both engines identically; softmax attention is
     * transcendental and would forfeit the bit-exact recursive-CTE
     * oracle (ml4c gates this head exactly as ml4b gates the mean). */
+  /** `bidir` makes layer 1 BIDIRECTIONAL (the amber
+    * `Bidirectional(LSTM(...))` wrapper): a second hard-gate cell with
+    * its OWN weights (wx1b/wh1b/b1b) runs the window back-to-front, and
+    * layer 2 consumes the per-step concatenation [h1fwd(t); h1bwd(t)]
+    * (input width 2·H1 — `wx2` sizes accordingly). Still pure IEEE
+    * mul/add/compare: the backward recurrence is just the forward cell
+    * over the reversed sequence, so the ml4d oracle replays it as a
+    * second recursive CTE walking the samples in reverse. */
   case class Lstm2Model(
       h1: Int,
       h2: Int,
@@ -68,15 +76,23 @@ object LstmStack {
       std: Double,
       head: String = "mean",
       attA: Array[Double] = Array.emptyDoubleArray,
-      attC: Double = 0.0) {
+      attC: Double = 0.0,
+      bidir: Boolean = false,
+      wx1b: Array[Double] = Array.emptyDoubleArray,
+      wh1b: Array[Double] = Array.emptyDoubleArray,
+      b1b: Array[Double] = Array.emptyDoubleArray) {
+    def x2Dim: Int = if (bidir) 2 * h1 else h1
     require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
-      b1.length == 4 * h1 && wx2.length == 4 * h2 * h1 &&
+      b1.length == 4 * h1 && wx2.length == 4 * h2 * x2Dim &&
       wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
       dense.length == h2, "Lstm2Model weight shapes inconsistent")
+    require(!bidir || (wx1b.length == 4 * h1 &&
+      wh1b.length == 4 * h1 * h1 && b1b.length == 4 * h1),
+      "Lstm2Model backward-direction weight shapes inconsistent")
     require(head == "mean" || head == "attn", s"unknown head '$head'")
     require(head == "mean" || attA.length == h2,
       s"attn head needs ${h2} attention weights, got ${attA.length}")
-    def nParams: Int = LstmStack.nParams(h1, h2, head)
+    def nParams: Int = LstmStack.nParams(h1, h2, head, bidir)
   }
 
   case class Config(
@@ -85,28 +101,44 @@ object LstmStack {
       maxIter: Int = 120,
       regParam: Double = 1e-4,
       seed: Long = 42L,
-      head: String = "mean")
+      head: String = "mean",
+      bidir: Boolean = false)
 
-  def nParams(h1: Int, h2: Int, head: String = "mean"): Int =
-    4 * h1 + 4 * h1 * h1 + 4 * h1 +
-      4 * h2 * h1 + 4 * h2 * h2 + 4 * h2 + h2 + 1 +
+  def nParams(h1: Int, h2: Int, head: String = "mean",
+              bidir: Boolean = false): Int = {
+    val dir = if (bidir) 2 else 1
+    val x2 = if (bidir) 2 * h1 else h1
+    dir * (4 * h1 + 4 * h1 * h1 + 4 * h1) +
+      4 * h2 * x2 + 4 * h2 * h2 + 4 * h2 + h2 + 1 +
       (if (head == "attn") h2 + 1 else 0)
+  }
 
   // Parameter-vector layout:
-  // [wx1 4H1 | wh1 4H1² | b1 4H1 | wx2 4H2H1 | wh2 4H2² | b2 4H2 | dense H2 | bias]
+  // [wx1 | wh1 | b1 | (wx1b | wh1b | b1b) | wx2 4H2·x2 | wh2 | b2 |
+  //  dense | bias | (attA | attC)]
+  private def l1Block(h1: Int) = 8 * h1 + 4 * h1 * h1
   private def oWx1(h1: Int, h2: Int) = 0
   private def oWh1(h1: Int, h2: Int) = 4 * h1
   private def oB1(h1: Int, h2: Int) = 4 * h1 + 4 * h1 * h1
-  private def oWx2(h1: Int, h2: Int) = 8 * h1 + 4 * h1 * h1
-  private def oWh2(h1: Int, h2: Int) = 8 * h1 + 4 * h1 * h1 + 4 * h2 * h1
-  private def oB2(h1: Int, h2: Int) =
-    8 * h1 + 4 * h1 * h1 + 4 * h2 * h1 + 4 * h2 * h2
-  private def oDv(h1: Int, h2: Int) =
-    8 * h1 + 4 * h1 * h1 + 4 * h2 * h1 + 4 * h2 * h2 + 4 * h2
-  private def oBias(h1: Int, h2: Int) = oDv(h1, h2) + h2
+  private def oWx1b(h1: Int, h2: Int) = l1Block(h1)
+  private def oWh1b(h1: Int, h2: Int) = l1Block(h1) + 4 * h1
+  private def oB1b(h1: Int, h2: Int) = l1Block(h1) + 4 * h1 + 4 * h1 * h1
+  private def oWx2(h1: Int, h2: Int, bidir: Boolean = false) =
+    (if (bidir) 2 else 1) * l1Block(h1)
+  private def x2DimOf(h1: Int, bidir: Boolean) = if (bidir) 2 * h1 else h1
+  private def oWh2(h1: Int, h2: Int, bidir: Boolean = false) =
+    oWx2(h1, h2, bidir) + 4 * h2 * x2DimOf(h1, bidir)
+  private def oB2(h1: Int, h2: Int, bidir: Boolean = false) =
+    oWh2(h1, h2, bidir) + 4 * h2 * h2
+  private def oDv(h1: Int, h2: Int, bidir: Boolean = false) =
+    oB2(h1, h2, bidir) + 4 * h2
+  private def oBias(h1: Int, h2: Int, bidir: Boolean = false) =
+    oDv(h1, h2, bidir) + h2
   // attention-head params (present only when head == "attn")
-  private def oAttA(h1: Int, h2: Int) = oBias(h1, h2) + 1
-  private def oAttC(h1: Int, h2: Int) = oAttA(h1, h2) + h2
+  private def oAttA(h1: Int, h2: Int, bidir: Boolean = false) =
+    oBias(h1, h2, bidir) + 1
+  private def oAttC(h1: Int, h2: Int, bidir: Boolean = false) =
+    oAttA(h1, h2, bidir) + h2
 
   @inline private def hardSig(a: Double): Double =
     if (a < -2.0) 0.0 else if (a > 2.0) 1.0 else 0.25 * a + 0.5
@@ -149,6 +181,7 @@ object LstmStack {
   def forward(m: Lstm2Model, x: Array[Double]): Double = {
     require(x.length == m.window,
       s"window ${x.length} != trained window ${m.window}")
+    if (m.bidir) return forwardBidir(m, x)
     val h1N = m.h1; val h2N = m.h2
     val h1 = new Array[Double](h1N); val c1 = new Array[Double](h1N)
     val hp1 = new Array[Double](h1N)
@@ -206,6 +239,90 @@ object LstmStack {
     z
   }
 
+  /** One direction of the layer-1 recurrence over the pre-scaled
+    * series: states written to `out(t)` at ORIGINAL time indices;
+    * `reverse = true` walks the samples back-to-front (the
+    * bidirectional wrapper's second pass). Accumulation order per step
+    * is the scalar cell's (b + wx·x + Σ wh·h, v ascending). */
+  private def dirPass(xs: Array[Double], wx: Array[Double],
+      wh: Array[Double], b: Array[Double], h1N: Int,
+      out: Array[Array[Double]], reverse: Boolean): Unit = {
+    val T = xs.length
+    val h = new Array[Double](h1N)
+    val c = new Array[Double](h1N)
+    val hp = new Array[Double](h1N)
+    var k = 0
+    while (k < T) {
+      val t = if (reverse) T - 1 - k else k
+      System.arraycopy(h, 0, hp, 0, h1N)
+      var u = 0
+      while (u < h1N) {
+        val pre = new Array[Double](4)
+        var g = 0
+        while (g < 4) {
+          var acc = b(g * h1N + u) + wx(g * h1N + u) * xs(t)
+          var v = 0
+          while (v < h1N) { acc += wh((g * h1N + u) * h1N + v) * hp(v); v += 1 }
+          pre(g) = acc
+          g += 1
+        }
+        val gi = hardSig(pre(0)); val gf = hardSig(pre(1))
+        val gg = hardTanh(pre(2)); val go = hardSig(pre(3))
+        val cn = gf * c(u) + gi * gg
+        c(u) = cn
+        h(u) = go * hardTanh(cn)
+        u += 1
+      }
+      System.arraycopy(h, 0, out(t), 0, h1N)
+      k += 1
+    }
+  }
+
+  /** Bidirectional forward: both layer-1 directions first (stored per
+    * original time index), then layer 2 over [h1fwd(t); h1bwd(t)] with
+    * the same head readout as the unidirectional path. */
+  private def forwardBidir(m: Lstm2Model, x: Array[Double]): Double = {
+    val T = x.length
+    val h1N = m.h1; val h2N = m.h2
+    val xs = Array.tabulate(T)(t => (x(t) - m.mean) / m.std)
+    val h1f = Array.ofDim[Double](T, h1N)
+    dirPass(xs, m.wx1, m.wh1, m.b1, h1N, h1f, reverse = false)
+    val h1b = Array.ofDim[Double](T, h1N)
+    dirPass(xs, m.wx1b, m.wh1b, m.b1b, h1N, h1b, reverse = true)
+    val h2 = new Array[Double](h2N); val c2 = new Array[Double](h2N)
+    val hp2 = new Array[Double](h2N)
+    val s = new Array[Double](h2N)
+    val x2 = new Array[Double](2 * h1N)
+    var den = 0.0
+    var t = 0
+    while (t < T) {
+      System.arraycopy(h1f(t), 0, x2, 0, h1N)
+      System.arraycopy(h1b(t), 0, x2, h1N, h1N)
+      System.arraycopy(h2, 0, hp2, 0, h2N)
+      cellStep(x2, hp2, h2, c2, h2N, 2 * h1N, m.wx2, 0, m.wh2, 0, m.b2, 0)
+      if (m.head == "attn") {
+        var sc = m.attC
+        var u = 0
+        while (u < h2N) { sc += m.attA(u) * h2(u); u += 1 }
+        val w = hardSig(sc)
+        u = 0
+        while (u < h2N) { s(u) += w * h2(u); u += 1 }
+        den += w
+      } else {
+        var u = 0
+        while (u < h2N) { s(u) += h2(u); u += 1 }
+      }
+      t += 1
+    }
+    var z = m.bias
+    var u = 0
+    if (m.head == "attn")
+      while (u < h2N) { z += m.dense(u) * (s(u) / (1.0 + den)); u += 1 }
+    else
+      while (u < h2N) { z += m.dense(u) * (s(u) / T); u += 1 }
+    z
+  }
+
   /** The stacked forward pass as a native Catalyst column
     * ([[org.apache.spark.sql.graft.LstmStackLogit]], codegen'd —
     * same non-starter argument against HOF composition as [[Lstm]]).
@@ -215,7 +332,9 @@ object LstmStack {
       win, m.h1, m.h2, m.wx1.toSeq, m.wh1.toSeq, m.b1.toSeq,
       m.wx2.toSeq, m.wh2.toSeq, m.b2.toSeq, m.dense.toSeq,
       m.bias, m.mean, m.std,
-      attn = m.head == "attn", attA = m.attA.toSeq, attC = m.attC)
+      attn = m.head == "attn", attA = m.attA.toSeq, attC = m.attC,
+      bidir = m.bidir, wx1b = m.wx1b.toSeq, wh1b = m.wh1b.toSeq,
+      b1b = m.b1b.toSeq)
 
   /** One distributed loss/gradient evaluation: per-partition BPTT
     * through pool → layer 2 → layer 1, partials combined in
@@ -226,18 +345,19 @@ object LstmStack {
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       h1N: Int, h2N: Int, mean: Double, std: Double,
-      head: String)
+      head: String, bidir: Boolean = false)
       : (Double, Array[Double]) = {
-    val nP = nParams(h1N, h2N, head)
+    val nP = nParams(h1N, h2N, head, bidir)
     val attn = head == "attn"
     val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
         => (Double, Array[Double]) = { case ((ls, grad), (y, wt, xRaw)) =>
       val p = bw.value
       val T = xRaw.length
       val wx1O = oWx1(h1N, h2N); val wh1O = oWh1(h1N, h2N)
-      val b1O = oB1(h1N, h2N); val wx2O = oWx2(h1N, h2N)
-      val wh2O = oWh2(h1N, h2N); val b2O = oB2(h1N, h2N)
-      val dvO = oDv(h1N, h2N); val biasO = oBias(h1N, h2N)
+      val b1O = oB1(h1N, h2N); val wx2O = oWx2(h1N, h2N, bidir)
+      val wh2O = oWh2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
+      val dvO = oDv(h1N, h2N, bidir); val biasO = oBias(h1N, h2N, bidir)
+      val xN = x2DimOf(h1N, bidir)
       val xs = new Array[Double](T)
       var i = 0
       while (i < T) { xs(i) = (xRaw(i) - mean) / std; i += 1 }
@@ -245,49 +365,48 @@ object LstmStack {
       val g1I = Array.ofDim[Double](T, h1N); val g1F = Array.ofDim[Double](T, h1N)
       val g1G = Array.ofDim[Double](T, h1N); val g1O = Array.ofDim[Double](T, h1N)
       val c1S = Array.ofDim[Double](T, h1N); val h1S = Array.ofDim[Double](T, h1N)
+      l1ForwardStore(p, xs, h1N, wx1O, wh1O, b1O,
+        g1I, g1F, g1G, g1O, c1S, h1S)
+      // backward direction (bidir): same cell over the REVERSED series,
+      // activations stored in PROCESSING order (r = 0 is sample T-1)
+      val xsRev = if (bidir) Array.tabulate(T)(r => xs(T - 1 - r)) else null
+      val g1Ib = if (bidir) Array.ofDim[Double](T, h1N) else null
+      val g1Fb = if (bidir) Array.ofDim[Double](T, h1N) else null
+      val g1Gb = if (bidir) Array.ofDim[Double](T, h1N) else null
+      val g1Ob = if (bidir) Array.ofDim[Double](T, h1N) else null
+      val c1Sb = if (bidir) Array.ofDim[Double](T, h1N) else null
+      val h1Sb = if (bidir) Array.ofDim[Double](T, h1N) else null
+      if (bidir)
+        l1ForwardStore(p, xsRev, h1N, oWx1b(h1N, h2N), oWh1b(h1N, h2N),
+          oB1b(h1N, h2N), g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb)
+      // layer-2 input sequence: h1fwd(t) (++ h1bwd(t) when bidir —
+      // h1bwd at ORIGINAL time t is the backward pass's r = T-1-t row)
+      val x2S =
+        if (bidir) Array.tabulate(T) { t =>
+          val row = new Array[Double](2 * h1N)
+          System.arraycopy(h1S(t), 0, row, 0, h1N)
+          System.arraycopy(h1Sb(T - 1 - t), 0, row, h1N, h1N)
+          row
+        }
+        else h1S
       val g2I = Array.ofDim[Double](T, h2N); val g2F = Array.ofDim[Double](T, h2N)
       val g2G = Array.ofDim[Double](T, h2N); val g2O = Array.ofDim[Double](T, h2N)
       val c2S = Array.ofDim[Double](T, h2N); val h2S = Array.ofDim[Double](T, h2N)
-      val hp = new Array[Double](math.max(h1N, h2N))
+      val hp = new Array[Double](h2N)
       val sPool = new Array[Double](h2N)
       var t = 0
       while (t < T) {
-        // layer 1
-        if (t > 0) System.arraycopy(h1S(t - 1), 0, hp, 0, h1N)
-        else java.util.Arrays.fill(hp, 0, h1N, 0.0)
-        var u = 0
-        while (u < h1N) {
-          val pre = new Array[Double](4)
-          var g = 0
-          while (g < 4) {
-            var acc = p(b1O + g * h1N + u) + p(wx1O + g * h1N + u) * xs(t)
-            var v = 0
-            while (v < h1N) {
-              acc += p(wh1O + (g * h1N + u) * h1N + v) * hp(v); v += 1
-            }
-            pre(g) = acc
-            g += 1
-          }
-          g1I(t)(u) = hardSig(pre(0)); g1F(t)(u) = hardSig(pre(1))
-          g1G(t)(u) = hardTanh(pre(2)); g1O(t)(u) = hardSig(pre(3))
-          val cPrev = if (t > 0) c1S(t - 1)(u) else 0.0
-          val cn = g1F(t)(u) * cPrev + g1I(t)(u) * g1G(t)(u)
-          c1S(t)(u) = cn
-          h1S(t)(u) = g1O(t)(u) * hardTanh(cn)
-          u += 1
-        }
-        // layer 2 (input = h1S(t))
         if (t > 0) System.arraycopy(h2S(t - 1), 0, hp, 0, h2N)
         else java.util.Arrays.fill(hp, 0, h2N, 0.0)
-        u = 0
+        var u = 0
         while (u < h2N) {
           val pre = new Array[Double](4)
           var g = 0
           while (g < 4) {
             var acc = p(b2O + g * h2N + u)
             var j = 0
-            while (j < h1N) {
-              acc += p(wx2O + (g * h2N + u) * h1N + j) * h1S(t)(j); j += 1
+            while (j < xN) {
+              acc += p(wx2O + (g * h2N + u) * xN + j) * x2S(t)(j); j += 1
             }
             var v = 0
             while (v < h2N) {
@@ -308,7 +427,7 @@ object LstmStack {
         t += 1
       }
       // ---- head forward (attn: scores/weights + smoothed accumulators)
-      val attAO = oAttA(h1N, h2N); val attCO = oAttC(h1N, h2N)
+      val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
       val wAtt = if (attn) new Array[Double](T) else null
       val num = if (attn) new Array[Double](h2N) else null
       var den = 0.0
@@ -380,13 +499,28 @@ object LstmStack {
           u += 1
         }
       }
-      // layer-2 BPTT; collects dh1 contributions per t
-      val dx1FromL2 = Array.ofDim[Double](T, h1N)
-      run2(p, grad, dhHead, dx1FromL2, T, h1N, h2N,
-        g2I, g2F, g2G, g2O, c2S, h1S, h2S, wx2O, wh2O, b2O)
-      // layer-1 BPTT
-      run1(p, grad, dx1FromL2, xs, T, h1N,
-        g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O)
+      // layer-2 BPTT; collects d(input) contributions per t
+      val dx1FromL2 = Array.ofDim[Double](T, xN)
+      run2(p, grad, dhHead, dx1FromL2, T, xN, h2N,
+        g2I, g2F, g2G, g2O, c2S, x2S, h2S, wx2O, wh2O, b2O)
+      if (bidir) {
+        // split the layer-2 input gradient into the two directions;
+        // the backward direction's BPTT runs in PROCESSING order
+        // (reversed time), so its dh slice reverses too
+        val dhF = Array.tabulate(T)(t =>
+          java.util.Arrays.copyOfRange(dx1FromL2(t), 0, h1N))
+        val dhB = Array.tabulate(T)(r =>
+          java.util.Arrays.copyOfRange(dx1FromL2(T - 1 - r), h1N, 2 * h1N))
+        run1(p, grad, dhF, xs, T, h1N,
+          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O)
+        run1(p, grad, dhB, xsRev, T, h1N,
+          g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb,
+          oWx1b(h1N, h2N), oWh1b(h1N, h2N), oB1b(h1N, h2N))
+      } else {
+        // layer-1 BPTT
+        run1(p, grad, dx1FromL2, xs, T, h1N,
+          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O)
+      }
       (ls + wt * loss, grad)
     }
     DetAgg.lossGrad(
@@ -397,11 +531,53 @@ object LstmStack {
       }, nP)
   }
 
+  /** Layer-1 forward with stored activations (one direction): the
+    * scalar hard-gate cell over `xsProc` (already in PROCESSING order —
+    * reversed for the bidirectional backward pass), gates/states into
+    * the given T×H1 buffers at processing indices. Accumulation order
+    * is the scalar cell's. */
+  private def l1ForwardStore(p: Array[Double], xsProc: Array[Double],
+      h1N: Int, wxO: Int, whO: Int, bO: Int,
+      gI: Array[Array[Double]], gF: Array[Array[Double]],
+      gG: Array[Array[Double]], gO: Array[Array[Double]],
+      cS: Array[Array[Double]], hS: Array[Array[Double]]): Unit = {
+    val T = xsProc.length
+    val hp = new Array[Double](h1N)
+    var t = 0
+    while (t < T) {
+      if (t > 0) System.arraycopy(hS(t - 1), 0, hp, 0, h1N)
+      else java.util.Arrays.fill(hp, 0.0)
+      var u = 0
+      while (u < h1N) {
+        val pre = new Array[Double](4)
+        var g = 0
+        while (g < 4) {
+          var acc = p(bO + g * h1N + u) + p(wxO + g * h1N + u) * xsProc(t)
+          var v = 0
+          while (v < h1N) {
+            acc += p(whO + (g * h1N + u) * h1N + v) * hp(v); v += 1
+          }
+          pre(g) = acc
+          g += 1
+        }
+        gI(t)(u) = hardSig(pre(0)); gF(t)(u) = hardSig(pre(1))
+        gG(t)(u) = hardTanh(pre(2)); gO(t)(u) = hardSig(pre(3))
+        val cPrev = if (t > 0) cS(t - 1)(u) else 0.0
+        val cn = gF(t)(u) * cPrev + gI(t)(u) * gG(t)(u)
+        cS(t)(u) = cn
+        hS(t)(u) = gO(t)(u) * hardTanh(cn)
+        u += 1
+      }
+      t += 1
+    }
+  }
+
   /** Layer-2 backward: dh2(t) = head term (per t) + recurrent
-    * backflow; emits parameter grads and the dx (= dh1) contributions. */
+    * backflow; emits parameter grads and the dx (= d input, width xN —
+    * h1 contributions, or the [fwd; bwd] concat when bidirectional). */
   private def run2(p: Array[Double], grad: Array[Double],
       dhHead: Array[Array[Double]], dxOut: Array[Array[Double]],
-      T: Int, h1N: Int, h2N: Int,
+      T: Int, xN: Int, h2N: Int,
       gI: Array[Array[Double]], gF: Array[Array[Double]],
       gG: Array[Array[Double]], gO: Array[Array[Double]],
       cS: Array[Array[Double]], xIn: Array[Array[Double]],
@@ -437,9 +613,9 @@ object LstmStack {
           if (da != 0.0) {
             grad(bO + g * h2N + u) += da
             var j = 0
-            while (j < h1N) {
-              grad(wxO + (g * h2N + u) * h1N + j) += da * xIn(t)(j)
-              dxOut(t)(j) += da * p(wxO + (g * h2N + u) * h1N + j)
+            while (j < xN) {
+              grad(wxO + (g * h2N + u) * xN + j) += da * xIn(t)(j)
+              dxOut(t)(j) += da * p(wxO + (g * h2N + u) * xN + j)
               j += 1
             }
             var v = 0
@@ -553,8 +729,9 @@ object LstmStack {
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
       val h1N = cfg.h1; val h2N = cfg.h2
       val attn = cfg.head == "attn"
+      val bidir = cfg.bidir
       require(cfg.head == "mean" || attn, s"unknown head '${cfg.head}'")
-      val nP = nParams(h1N, h2N, cfg.head)
+      val nP = nParams(h1N, h2N, cfg.head, bidir)
       val nRows = wSum
       require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
         s"weight sum must be positive finite: $nRows")
@@ -563,11 +740,14 @@ object LstmStack {
       // L2 applies to the weight matrices + dense + attention weights,
       // never biases
       val wx1O = oWx1(h1N, h2N); val b1O = oB1(h1N, h2N)
-      val wx2O = oWx2(h1N, h2N); val b2O = oB2(h1N, h2N)
-      val dvO = oDv(h1N, h2N); val biasO = oBias(h1N, h2N)
-      val attAO = oAttA(h1N, h2N); val attCO = oAttC(h1N, h2N)
+      val wx1bO = oWx1b(h1N, h2N); val b1bO = oB1b(h1N, h2N)
+      val wx2O = oWx2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
+      val dvO = oDv(h1N, h2N, bidir); val biasO = oBias(h1N, h2N, bidir)
+      val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
       def isWeight(i: Int): Boolean =
-        (i >= wx1O && i < b1O) || (i >= wx2O && i < b2O) ||
+        (i >= wx1O && i < b1O) ||
+          (bidir && i >= wx1bO && i < b1bO) ||
+          (i >= wx2O && i < b2O) ||
           (i >= dvO && i < biasO) ||
           (attn && i >= attAO && i < attCO)
 
@@ -576,7 +756,7 @@ object LstmStack {
           val bw = sc.broadcast(p.data.clone())
           try {
             val (lossSum, gradSum) =
-              gradientPass(ds, bw, h1N, h2N, mean, std, cfg.head)
+              gradientPass(ds, bw, h1N, h2N, mean, std, cfg.head, bidir)
             val grad = new Array[Double](nP)
             var reg = 0.0
             var i = 0
@@ -597,10 +777,15 @@ object LstmStack {
       val init = new Array[Double](nP)
       var i = 0
       while (i < b1O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+      if (bidir) {
+        i = wx1bO
+        while (i < b1bO) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+      }
       i = wx2O
       while (i < b2O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
-      // forget-gate biases (+1) in BOTH layers
+      // forget-gate biases (+1) in every recurrent block
       (0 until h1N).foreach(u => init(b1O + h1N + u) = 1.0)
+      if (bidir) (0 until h1N).foreach(u => init(b1bO + h1N + u) = 1.0)
       (0 until h2N).foreach(u => init(b2O + h2N + u) = 1.0)
       (0 until h2N).foreach(u => init(dvO + u) = rnd.nextGaussian() * 0.3)
       if (attn)
@@ -611,15 +796,22 @@ object LstmStack {
       Lstm2Model(h1N, h2N, wLen,
         wx1 = sol.slice(oWx1(h1N, h2N), oWh1(h1N, h2N)),
         wh1 = sol.slice(oWh1(h1N, h2N), oB1(h1N, h2N)),
-        b1 = sol.slice(oB1(h1N, h2N), oWx2(h1N, h2N)),
-        wx2 = sol.slice(oWx2(h1N, h2N), oWh2(h1N, h2N)),
-        wh2 = sol.slice(oWh2(h1N, h2N), oB2(h1N, h2N)),
-        b2 = sol.slice(oB2(h1N, h2N), oDv(h1N, h2N)),
-        dense = sol.slice(oDv(h1N, h2N), oBias(h1N, h2N)),
+        b1 = sol.slice(oB1(h1N, h2N), oB1(h1N, h2N) + 4 * h1N),
+        wx2 = sol.slice(wx2O, oWh2(h1N, h2N, bidir)),
+        wh2 = sol.slice(oWh2(h1N, h2N, bidir), b2O),
+        b2 = sol.slice(b2O, dvO),
+        dense = sol.slice(dvO, biasO),
         bias = sol(biasO), mean = mean, std = std,
         head = cfg.head,
         attA = if (attn) sol.slice(attAO, attCO) else Array.emptyDoubleArray,
-        attC = if (attn) sol(attCO) else 0.0)
+        attC = if (attn) sol(attCO) else 0.0,
+        bidir = bidir,
+        wx1b = if (bidir) sol.slice(wx1bO, oWh1b(h1N, h2N))
+               else Array.emptyDoubleArray,
+        wh1b = if (bidir) sol.slice(oWh1b(h1N, h2N), b1bO)
+               else Array.emptyDoubleArray,
+        b1b = if (bidir) sol.slice(b1bO, b1bO + 4 * h1N)
+              else Array.emptyDoubleArray)
     } finally ds.unpersist(false)
   }
 
@@ -628,8 +820,8 @@ object LstmStack {
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       h1N: Int, h2N: Int, mean: Double, std: Double,
-      head: String = "mean"): (Double, Array[Double]) =
-    gradientPass(ds, bw, h1N, h2N, mean, std, head)
+      head: String = "mean", bidir: Boolean = false): (Double, Array[Double]) =
+    gradientPass(ds, bw, h1N, h2N, mean, std, head, bidir)
 
   /** Batch scoring — fail-loud serve-time window contract, same as
     * [[Lstm.scoreWindows]]. */

@@ -168,6 +168,8 @@ object ModelIo {
     requireFinite("b1", m.b1); requireFinite("wx2", m.wx2)
     requireFinite("wh2", m.wh2); requireFinite("b2", m.b2)
     requireFinite("dense", m.dense); requireFinite("attA", m.attA)
+    requireFinite("wx1b", m.wx1b); requireFinite("wh1b", m.wh1b)
+    requireFinite("b1b", m.b1b)
     requireFinite("scalars", Seq(m.bias, m.mean, m.std, m.attC))
     val j: JValue = JObject(
       "format" -> JString("graft-lstm2"),
@@ -187,7 +189,11 @@ object ModelIo {
       "std" -> num(m.std),
       "head" -> JString(m.head),
       "attA" -> arr(m.attA),
-      "attC" -> num(m.attC))
+      "attC" -> num(m.attC),
+      "bidir" -> JBool(m.bidir),
+      "wx1b" -> arr(m.wx1b),
+      "wh1b" -> arr(m.wh1b),
+      "b1b" -> arr(m.b1b))
     writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
   }
 
@@ -213,7 +219,21 @@ object ModelIo {
       std = dNum(j, "std"),
       head = head,
       attA = dArr(j, "attA"),
-      attC = dNum(j, "attC"))
+      attC = dNum(j, "attC"),
+      // the bidir block arrived mid-version-1 (the r13 writer omitted
+      // it); an ABSENT block reads as the unidirectional model it was —
+      // a PRESENT-but-malformed one still fails loudly via dArr
+      bidir = (j \ "bidir") match {
+        case JBool(b) => b
+        case JNothing => false
+        case _ => sys.error("malformed bidir field (expected boolean)")
+      },
+      wx1b = if ((j \ "wx1b") == JNothing) Array.emptyDoubleArray
+             else dArr(j, "wx1b"),
+      wh1b = if ((j \ "wh1b") == JNothing) Array.emptyDoubleArray
+             else dArr(j, "wh1b"),
+      b1b = if ((j \ "b1b") == JNothing) Array.emptyDoubleArray
+             else dArr(j, "b1b"))
   }
 
   // ------------------------------------------------------------- manifest

@@ -1750,6 +1750,7 @@ object DomainQueries {
   private def lstm2StackSql(m: graft.ml.LstmStack.Lstm2Model,
                             edCte: String, cteName: String): String = {
     val attn = m.head == "attn"
+    if (m.bidir) return lstm2BidirSql(m, edCte, cteName)
     val H1 = m.h1; val H2 = m.h2
     def L(d: Double): String = if (d < 0) s"($d)" else d.toString
     def sig(a: String): String =
@@ -1868,6 +1869,170 @@ object DomainQueries {
          |SELECT e, d, $logit AS logit FROM $cteName WHERE t = ${m.window}""".stripMargin
   }
 
+  /** The BIDIRECTIONAL rendering: layer 1 becomes TWO recursive CTEs
+    * (forward over samples 0..W-1; backward over W-1..0, its own
+    * weights), joined per original timestep into the layer-2 + head
+    * recursion — layer 2's input at step t is [h1fwd(t); h1bwd(t)],
+    * where the backward state for original time t-1 (0-based) is the
+    * backward CTE's row W-t+1 (it has processed samples W-1 down to
+    * t-1 by then). Same clamp-ladder discipline throughout.
+    *
+    * The per-timestep concat CTE MUST be `AS MATERIALIZED`: DuckDB
+    * inlines single-reference CTEs, and this one is referenced from
+    * the layer-2 recursion's RECURSIVE part — inlined, BOTH layer-1
+    * recursions re-execute on every one of the W layer-2 iterations
+    * (measured 207 s vs 2.1 s at sf0.001, a W× blow-up that would
+    * time out the driver's gate at sf0.1). */
+  private def lstm2BidirSql(m: graft.ml.LstmStack.Lstm2Model,
+                            edCte: String, cteName: String): String = {
+    val attn = m.head == "attn"
+    val H1 = m.h1; val H2 = m.h2
+    val W = m.window
+    def L(d: Double): String = if (d < 0) s"($d)" else d.toString
+    def sig(a: String): String =
+      s"CASE WHEN $a < -2.0 THEN 0.0 WHEN $a > 2.0 THEN 1.0 ELSE 0.25*$a + 0.5 END"
+    def tnh(a: String): String =
+      s"CASE WHEN $a < -1.0 THEN -1.0 WHEN $a > 1.0 THEN 1.0 ELSE $a END"
+
+    // one layer-1 direction as a recursive CTE: states per processing
+    // step; `sampleIdx` maps the step counter to the sample index
+    def l1Cte(name: String, wx: Array[Double], wh: Array[Double],
+              b: Array[Double], sampleIdx: String): String = {
+      def pre(g: Int, u: Int): String = {
+        val whTerms = (0 until H1)
+          .map(v => s"${L(wh((g * H1 + u) * H1 + v))}*h1_$v").mkString(" + ")
+        s"${L(b(g * H1 + u))} + ${L(wx(g * H1 + u))}*x + $whTerms"
+      }
+      val preCols = (for (g <- 0 until 4; u <- 0 until H1)
+        yield s"${pre(g, u)} AS a1${g}_$u").mkString(",\n        ")
+      val gateCols = (0 until H1).map { u =>
+        s"${sig(s"a10_$u")} AS i1$u, ${sig(s"a11_$u")} AS f1$u, " +
+          s"${tnh(s"a12_$u")} AS g1$u, ${sig(s"a13_$u")} AS o1$u"
+      }.mkString(",\n        ")
+      val cnCols = (0 until H1)
+        .map(u => s"f1$u*c1_$u + i1$u*g1$u AS cn1_$u").mkString(", ")
+      val hnCols = (0 until H1)
+        .map(u => s"o1$u * (${tnh(s"cn1_$u")}) AS h1n_$u").mkString(", ")
+      val outCols = (0 until H1).map(u => s"h1n_$u AS h1_$u").mkString(", ") +
+        ", " + (0 until H1).map(u => s"cn1_$u AS c1_$u").mkString(", ")
+      val init = ((0 until H1).map(u => s"CAST(0.0 AS DOUBLE) AS h1_$u") ++
+        (0 until H1).map(u => s"CAST(0.0 AS DOUBLE) AS c1_$u")).mkString(", ")
+      val carry = ((0 until H1).map(u => s"s.h1_$u AS h1_$u") ++
+        (0 until H1).map(u => s"s.c1_$u AS c1_$u")).mkString(", ")
+      s"""$name AS (
+         |  SELECT e, d, 0 AS t, $init FROM $edCte
+         |  UNION ALL
+         |  SELECT e, d, t, $outCols
+         |  FROM (
+         |    SELECT *, $hnCols FROM (
+         |      SELECT *, $cnCols FROM (
+         |        SELECT *,
+         |        $gateCols
+         |        FROM (
+         |          SELECT *,
+         |        $preCols
+         |          FROM (
+         |            SELECT s.e AS e, s.d AS d, s.t + 1 AS t, $carry,
+         |                   (p.m - 1000.0)/64.0 AS x
+         |            FROM $name s JOIN sampm p
+         |              ON p.e = s.e AND p.d = s.d AND p.i = $sampleIdx
+         |            WHERE s.t < $W)))))
+         |)""".stripMargin
+    }
+
+    // layer-2 pre over the concat [hf; hb] + carried h2 (left-assoc:
+    // b2, wx2 terms j ascending over 2H1, wh2 terms v ascending)
+    val xDim = 2 * H1
+    def inName(j: Int): String = if (j < H1) s"hf_$j" else s"hb_${j - H1}"
+    def pre2(g: Int, u: Int): String = {
+      val wxTerms = (0 until xDim)
+        .map(j => s"${L(m.wx2((g * H2 + u) * xDim + j))}*${inName(j)}")
+        .mkString(" + ")
+      val whTerms = (0 until H2)
+        .map(v => s"${L(m.wh2((g * H2 + u) * H2 + v))}*h2_$v").mkString(" + ")
+      s"${L(m.b2(g * H2 + u))} + $wxTerms + $whTerms"
+    }
+    val pre2Cols = (for (g <- 0 until 4; u <- 0 until H2)
+      yield s"${pre2(g, u)} AS a2${g}_$u").mkString(",\n        ")
+    val gate2Cols = (0 until H2).map { u =>
+      s"${sig(s"a20_$u")} AS i2$u, ${sig(s"a21_$u")} AS f2$u, " +
+        s"${tnh(s"a22_$u")} AS g2$u, ${sig(s"a23_$u")} AS o2$u"
+    }.mkString(",\n        ")
+    val cn2Cols = (0 until H2)
+      .map(u => s"f2$u*c2_$u + i2$u*g2$u AS cn2_$u").mkString(", ")
+    val h2nCols = (0 until H2)
+      .map(u => s"o2$u * (${tnh(s"cn2_$u")}) AS h2n_$u").mkString(", ")
+    val headState = (0 until H2).map(u => s"s_$u") ++
+      (if (attn) Seq("den") else Seq.empty)
+    val headOut =
+      if (attn)
+        (0 until H2).map(u => s"s_$u + wat*h2n_$u AS s_$u")
+          .mkString(", ") + ", den + wat AS den"
+      else (0 until H2).map(u => s"s_$u + h2n_$u AS s_$u").mkString(", ")
+    val outCols =
+      (0 until H2).map(u => s"h2n_$u AS h2_$u").mkString(", ") + ",\n       " +
+      (0 until H2).map(u => s"cn2_$u AS c2_$u").mkString(", ") + ",\n       " +
+      headOut
+    val stateInit =
+      ((0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS h2_$u") ++
+        (0 until H2).map(u => s"CAST(0.0 AS DOUBLE) AS c2_$u") ++
+        headState.map(x => s"CAST(0.0 AS DOUBLE) AS $x")).mkString(", ")
+    val stateCarry =
+      ((0 until H2).map(u => s"s.h2_$u AS h2_$u") ++
+        (0 until H2).map(u => s"s.c2_$u AS c2_$u") ++
+        headState.map(x => s"s.$x AS $x")).mkString(", ")
+    val inCarry =
+      ((0 until H1).map(j => s"q.hf_$j AS hf_$j") ++
+        (0 until H1).map(j => s"q.hb_$j AS hb_$j")).mkString(", ")
+    val watLevel =
+      if (attn) {
+        val score = s"${L(m.attC)} + " + (0 until H2)
+          .map(u => s"${L(m.attA(u))}*h2n_$u").mkString(" + ")
+        s"SELECT *, ${sig(s"($score)")} AS wat FROM (\n    "
+      } else ""
+    val watClose = if (attn) ")" else ""
+    val logit =
+      if (attn)
+        s"${L(m.bias)} + " + (0 until H2)
+          .map(u => s"${L(m.dense(u))}*(s_$u/(1.0 + den))").mkString(" + ")
+      else
+        s"${L(m.bias)} + " + (0 until H2)
+          .map(u => s"${L(m.dense(u))}*(s_$u/$W.0)").mkString(" + ")
+    val fSel = (0 until H1).map(u => s"f.h1_$u AS hf_$u").mkString(", ")
+    val bSel = (0 until H1).map(u => s"bb.h1_$u AS hb_$u").mkString(", ")
+    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", $edCte AS (SELECT e, d FROM sampm WHERE i = 0),
+         |${l1Cte(cteName + "f", m.wx1, m.wh1, m.b1, "s.t")},
+         |${l1Cte(cteName + "b", m.wx1b, m.wh1b, m.b1b, s"$W - 1 - s.t")},
+         |${cteName}in AS MATERIALIZED (
+         |  SELECT f.e AS e, f.d AS d, f.t AS t, $fSel, $bSel
+         |  FROM ${cteName}f f JOIN ${cteName}b bb
+         |    ON bb.e = f.e AND bb.d = f.d AND bb.t = $W - f.t + 1
+         |  WHERE f.t >= 1),
+         |$cteName AS (
+         |  SELECT e, d, 0 AS t, $stateInit FROM $edCte
+         |  UNION ALL
+         |  SELECT e, d, t,
+         |       $outCols
+         |  FROM (
+         |    ${watLevel}SELECT *, $h2nCols FROM (
+         |      SELECT *, $cn2Cols FROM (
+         |        SELECT *,
+         |        $gate2Cols
+         |        FROM (
+         |          SELECT *,
+         |        $pre2Cols
+         |          FROM (
+         |            SELECT s.e AS e, s.d AS d, s.t + 1 AS t,
+         |                   $stateCarry,
+         |                   $inCarry
+         |            FROM $cteName s JOIN ${cteName}in q
+         |              ON q.e = s.e AND q.d = s.d AND q.t = s.t + 1
+         |            WHERE s.t < $W)))))$watClose
+         |)
+         |SELECT e, d, $logit AS logit FROM $cteName WHERE t = $W""".stripMargin
+  }
+
   val ml4bSql: String = lstm2StackSql(ml4bNet, "edml4b", "lstm2")
 
   /** The ml4c network: [[ml4bNet]] with the ADD-ONE-SMOOTHED HARD
@@ -1893,6 +2058,38 @@ object DomainQueries {
         graft.ml.LstmStack.logitCol(ml4cNet, col("rawData")).as("logit"))
 
   val ml4cSql: String = lstm2StackSql(ml4cNet, "edml4c", "lstm2c")
+
+  /** The ml4d network: the FULL amber shape in dyadic-grid form —
+    * BIDIRECTIONAL layer 1 (separate backward-direction weights),
+    * stacked layer 2 over the [fwd; bwd] concat, hard-attention head.
+    * `wx2` spans the doubled input width. */
+  private val ml4dNet: graft.ml.LstmStack.Lstm2Model = {
+    val h1 = 2; val h2 = 2
+    graft.ml.LstmStack.Lstm2Model(h1, h2, window = 125,
+      wx1 = ml4bNet.wx1, wh1 = ml4bNet.wh1, b1 = ml4bNet.b1,
+      wx2 = Array.tabulate(4 * h2 * 2 * h1)(j => ((j * 7) % 5 - 2) * 0.25),
+      wh2 = ml4bNet.wh2, b2 = ml4bNet.b2,
+      dense = Array(1.0, -1.0), bias = 0.25, mean = 1000.0, std = 64.0,
+      head = "attn", attA = Array(0.5, -0.25), attC = 0.25,
+      bidir = true,
+      wx1b = Array.tabulate(4 * h1)(j => ((j * 3) % 7 - 3) * 0.25),
+      wh1b = Array.tabulate(4 * h1 * h1)(j => ((j * 5) % 5 - 2) * 0.25),
+      b1b = Array.tabulate(4 * h1)(j => ((j * 7) % 3 - 1) * 0.25))
+  }
+
+  /** ML4D — the bidirectional stacked attention-pooled LSTM forward
+    * pass under the oracle gate: the COMPLETE amber architecture shape
+    * (Bidirectional(LSTM) → LSTM → attention fusion → dense) in its
+    * oracle-preserving hard-gate form. The oracle runs THREE recursive
+    * CTEs — forward layer-1, backward layer-1 (walking the samples in
+    * reverse), and the layer-2 + attention recursion over their joined
+    * per-timestep concatenation — all bit-exact. */
+  def ml4dLstmBidirForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.LstmStack.logitCol(ml4dNet, col("rawData")).as("logit"))
+
+  val ml4dSql: String = lstm2StackSql(ml4dNet, "edml4d", "lstm2d")
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -3050,6 +3247,7 @@ object DomainQueries {
     "ml4_lstm_forward"  -> (ml4LstmForward _),
     "ml4b_lstm_stack"   -> (ml4bLstmStackForward _),
     "ml4c_lstm_attn"    -> (ml4cLstmAttnForward _),
+    "ml4d_lstm_bidir"   -> (ml4dLstmBidirForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
@@ -3135,6 +3333,7 @@ object DomainQueries {
     "ml4_lstm_forward"  -> ml4Sql,
     "ml4b_lstm_stack"   -> ml4bSql,
     "ml4c_lstm_attn"    -> ml4cSql,
+    "ml4d_lstm_bidir"   -> ml4dSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,

@@ -464,15 +464,23 @@ case class LstmStackLogit(
     std: Double,
     attn: Boolean = false,
     attA: Seq[Double] = Seq.empty,
-    attC: Double = 0.0)
+    attC: Double = 0.0,
+    bidir: Boolean = false,
+    wx1b: Seq[Double] = Seq.empty,
+    wh1b: Seq[Double] = Seq.empty,
+    b1b: Seq[Double] = Seq.empty)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  private def x2Dim: Int = if (bidir) 2 * h1 else h1
   require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
-    b1.length == 4 * h1 && wx2.length == 4 * h2 * h1 &&
+    b1.length == 4 * h1 && wx2.length == 4 * h2 * x2Dim &&
     wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
     dense.length == h2, "LstmStackLogit weight shapes inconsistent")
   require(!attn || attA.length == h2,
     "LstmStackLogit attention weight shape inconsistent")
+  require(!bidir || (wx1b.length == 4 * h1 && wh1b.length == 4 * h1 * h1 &&
+    b1b.length == 4 * h1),
+    "LstmStackLogit backward-direction weight shapes inconsistent")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 
@@ -490,11 +498,15 @@ case class LstmStackLogit(
   @transient private lazy val b2A = b2.toArray
   @transient private lazy val dvA = dense.toArray
   @transient private lazy val attAA = attA.toArray
+  @transient private lazy val wx1bA = wx1b.toArray
+  @transient private lazy val wh1bA = wh1b.toArray
+  @transient private lazy val b1bA = b1b.toArray
 
   override protected def nullSafeEval(a: Any): Any = {
     val win = a.asInstanceOf[ArrayData]
     val n = win.numElements()
     if (n == 0) null
+    else if (bidir) evalBidir(win, n)
     else {
       val H1 = h1; val H2 = h2
       val hA = new Array[Double](H1); val cA = new Array[Double](H1)
@@ -577,6 +589,107 @@ case class LstmStackLogit(
     }
   }
 
+  /** Bidirectional eval: both layer-1 directions stored per original
+    * time index, layer 2 over the concatenation — mirrors
+    * `LstmStack.forwardBidir` bit-for-bit. */
+  private def evalBidir(win: ArrayData, n: Int): Any = {
+    val H1 = h1; val H2 = h2
+    val xs = Array.tabulate(n)(t => (win.getDouble(t) - mean) / std)
+    def dir(wx: Array[Double], wh: Array[Double], b: Array[Double],
+            reverse: Boolean): Array[Array[Double]] = {
+      val out = Array.ofDim[Double](n, H1)
+      val h = new Array[Double](H1); val c = new Array[Double](H1)
+      val hp = new Array[Double](H1)
+      var k = 0
+      while (k < n) {
+        val t = if (reverse) n - 1 - k else k
+        System.arraycopy(h, 0, hp, 0, H1)
+        var u = 0
+        while (u < H1) {
+          val pre = new Array[Double](4)
+          var g = 0
+          while (g < 4) {
+            var acc = b(g * H1 + u) + wx(g * H1 + u) * xs(t)
+            var v = 0
+            while (v < H1) { acc += wh((g * H1 + u) * H1 + v) * hp(v); v += 1 }
+            pre(g) = acc
+            g += 1
+          }
+          val gi = if (pre(0) < -2.0) 0.0 else if (pre(0) > 2.0) 1.0 else 0.25 * pre(0) + 0.5
+          val gf = if (pre(1) < -2.0) 0.0 else if (pre(1) > 2.0) 1.0 else 0.25 * pre(1) + 0.5
+          val gg = if (pre(2) < -1.0) -1.0 else if (pre(2) > 1.0) 1.0 else pre(2)
+          val go = if (pre(3) < -2.0) 0.0 else if (pre(3) > 2.0) 1.0 else 0.25 * pre(3) + 0.5
+          val cn = gf * c(u) + gi * gg
+          c(u) = cn
+          val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+          h(u) = go * tc
+          u += 1
+        }
+        System.arraycopy(h, 0, out(t), 0, H1)
+        k += 1
+      }
+      out
+    }
+    val hF = dir(wx1A, wh1A, b1A, reverse = false)
+    val hBk = dir(wx1bA, wh1bA, b1bA, reverse = true)
+    val xDim = 2 * H1
+    val hB = new Array[Double](H2); val cB = new Array[Double](H2)
+    val hpB = new Array[Double](H2)
+    val sP = new Array[Double](H2)
+    val x2 = new Array[Double](xDim)
+    var den = 0.0
+    var t = 0
+    while (t < n) {
+      System.arraycopy(hF(t), 0, x2, 0, H1)
+      System.arraycopy(hBk(t), 0, x2, H1, H1)
+      System.arraycopy(hB, 0, hpB, 0, H2)
+      var u = 0
+      while (u < H2) {
+        val pre = new Array[Double](4)
+        var g = 0
+        while (g < 4) {
+          var acc = b2A(g * H2 + u)
+          var j = 0
+          while (j < xDim) { acc += wx2A((g * H2 + u) * xDim + j) * x2(j); j += 1 }
+          var v = 0
+          while (v < H2) { acc += wh2A((g * H2 + u) * H2 + v) * hpB(v); v += 1 }
+          pre(g) = acc
+          g += 1
+        }
+        val gi = if (pre(0) < -2.0) 0.0 else if (pre(0) > 2.0) 1.0 else 0.25 * pre(0) + 0.5
+        val gf = if (pre(1) < -2.0) 0.0 else if (pre(1) > 2.0) 1.0 else 0.25 * pre(1) + 0.5
+        val gg = if (pre(2) < -1.0) -1.0 else if (pre(2) > 1.0) 1.0 else pre(2)
+        val go = if (pre(3) < -2.0) 0.0 else if (pre(3) > 2.0) 1.0 else 0.25 * pre(3) + 0.5
+        val cn = gf * cB(u) + gi * gg
+        cB(u) = cn
+        val tc = if (cn < -1.0) -1.0 else if (cn > 1.0) 1.0 else cn
+        hB(u) = go * tc
+        u += 1
+      }
+      if (attn) {
+        var sc = attC
+        var u2 = 0
+        while (u2 < H2) { sc += attAA(u2) * hB(u2); u2 += 1 }
+        val w = if (sc < -2.0) 0.0 else if (sc > 2.0) 1.0 else 0.25 * sc + 0.5
+        u2 = 0
+        while (u2 < H2) { sP(u2) += w * hB(u2); u2 += 1 }
+        den += w
+      } else {
+        var u2 = 0
+        while (u2 < H2) { sP(u2) += hB(u2); u2 += 1 }
+      }
+      t += 1
+    }
+    var z = bias
+    var u = 0
+    if (attn) {
+      val denom = 1.0 + den
+      while (u < H2) { z += dvA(u) * (sP(u) / denom); u += 1 }
+    } else
+      while (u < H2) { z += dvA(u) * (sP(u) / n); u += 1 }
+    z
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val wx1R = ctx.addReferenceObj("ls2Wx1", wx1A, "double[]")
@@ -588,6 +701,12 @@ case class LstmStackLogit(
       val dvR = ctx.addReferenceObj("ls2Dense", dvA, "double[]")
       val attR = ctx.addReferenceObj("ls2AttA",
         if (attn) attAA else new Array[Double](0), "double[]")
+      val wx1bR = ctx.addReferenceObj("ls2Wx1b",
+        if (bidir) wx1bA else new Array[Double](0), "double[]")
+      val wh1bR = ctx.addReferenceObj("ls2Wh1b",
+        if (bidir) wh1bA else new Array[Double](0), "double[]")
+      val b1bR = ctx.addReferenceObj("ls2B1b",
+        if (bidir) b1bA else new Array[Double](0), "double[]")
       val sc = ctx.addReferenceObj("ls2Scalars",
         Array(bias, mean, std, attC), "double[]")
       val H1v = h1; val H2v = h2
@@ -607,6 +726,97 @@ case class LstmStackLogit(
       val den = ctx.freshName("den")
       val headStep = headStepCode(sc, attR, hB, sP, den, H2v)
       val headLogit = headLogitCode(z, dvR, sP, den, n, H2v)
+      if (bidir) {
+        // bidirectional variant: both layer-1 directions stored per
+        // original time index (xs precomputed), layer 2 over the concat
+        val xsv = ctx.freshName("xs")
+        val hFv = ctx.freshName("hF"); val hBkv = ctx.freshName("hBk")
+        val x2v = ctx.freshName("x2")
+        def dirCode(out: String, wxR: String, whR: String, bR: String,
+                    rev: Boolean): String = {
+          val tExpr = if (rev) s"$n - 1 - __k" else "__k"
+          s"""{
+             |    double[] __h = new double[$H1v];
+             |    double[] __c = new double[$H1v];
+             |    double[] __hp = new double[$H1v];
+             |    for (int __k = 0; __k < $n; __k++) {
+             |      int __t = $tExpr;
+             |      System.arraycopy(__h, 0, __hp, 0, $H1v);
+             |      for (int __u = 0; __u < $H1v; __u++) {
+             |        double[] __pre = new double[4];
+             |        for (int __g = 0; __g < 4; __g++) {
+             |          double __acc = $bR[__g * $H1v + __u] + $wxR[__g * $H1v + __u] * $xsv[__t];
+             |          for (int __v = 0; __v < $H1v; __v++) {
+             |            __acc += $whR[(__g * $H1v + __u) * $H1v + __v] * __hp[__v];
+             |          }
+             |          __pre[__g] = __acc;
+             |        }
+             |        double __gi = __pre[0] < -2.0 ? 0.0 : (__pre[0] > 2.0 ? 1.0 : 0.25 * __pre[0] + 0.5);
+             |        double __gf = __pre[1] < -2.0 ? 0.0 : (__pre[1] > 2.0 ? 1.0 : 0.25 * __pre[1] + 0.5);
+             |        double __gg = __pre[2] < -1.0 ? -1.0 : (__pre[2] > 1.0 ? 1.0 : __pre[2]);
+             |        double __go = __pre[3] < -2.0 ? 0.0 : (__pre[3] > 2.0 ? 1.0 : 0.25 * __pre[3] + 0.5);
+             |        double __cn = __gf * __c[__u] + __gi * __gg;
+             |        __c[__u] = __cn;
+             |        double __tc = __cn < -1.0 ? -1.0 : (__cn > 1.0 ? 1.0 : __cn);
+             |        __h[__u] = __go * __tc;
+             |      }
+             |      System.arraycopy(__h, 0, $out[__t], 0, $H1v);
+             |    }
+             |  }""".stripMargin
+        }
+        val xDim = 2 * H1v
+        s"""
+           |int $n = $a.numElements();
+           |if ($n == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double[] $xsv = new double[$n];
+           |  for (int __t = 0; __t < $n; __t++) {
+           |    $xsv[__t] = ($a.getDouble(__t) - $sc[1]) / $sc[2];
+           |  }
+           |  double[][] $hFv = new double[$n][$H1v];
+           |  double[][] $hBkv = new double[$n][$H1v];
+           |  ${dirCode(hFv, wx1R, wh1R, b1R, rev = false)}
+           |  ${dirCode(hBkv, wx1bR, wh1bR, b1bR, rev = true)}
+           |  double[] $hB = new double[$H2v];
+           |  double[] $cB = new double[$H2v];
+           |  double[] $hpB = new double[$H2v];
+           |  double[] $sP = new double[$H2v];
+           |  double[] $x2v = new double[$xDim];
+           |  double $den = 0.0;
+           |  for (int $t = 0; $t < $n; $t++) {
+           |    System.arraycopy($hFv[$t], 0, $x2v, 0, $H1v);
+           |    System.arraycopy($hBkv[$t], 0, $x2v, $H1v, $H1v);
+           |    System.arraycopy($hB, 0, $hpB, 0, $H2v);
+           |    for (int $u = 0; $u < $H2v; $u++) {
+           |      double[] $pre = new double[4];
+           |      for (int $g = 0; $g < 4; $g++) {
+           |        double $acc = $b2R[$g * $H2v + $u];
+           |        for (int $j = 0; $j < $xDim; $j++) {
+           |          $acc += $wx2R[($g * $H2v + $u) * $xDim + $j] * $x2v[$j];
+           |        }
+           |        for (int $v = 0; $v < $H2v; $v++) {
+           |          $acc += $wh2R[($g * $H2v + $u) * $H2v + $v] * $hpB[$v];
+           |        }
+           |        $pre[$g] = $acc;
+           |      }
+           |      double $gi = $pre[0] < -2.0 ? 0.0 : ($pre[0] > 2.0 ? 1.0 : 0.25 * $pre[0] + 0.5);
+           |      double $gf = $pre[1] < -2.0 ? 0.0 : ($pre[1] > 2.0 ? 1.0 : 0.25 * $pre[1] + 0.5);
+           |      double $gg = $pre[2] < -1.0 ? -1.0 : ($pre[2] > 1.0 ? 1.0 : $pre[2]);
+           |      double $go = $pre[3] < -2.0 ? 0.0 : ($pre[3] > 2.0 ? 1.0 : 0.25 * $pre[3] + 0.5);
+           |      double $cn = $gf * $cB[$u] + $gi * $gg;
+           |      $cB[$u] = $cn;
+           |      double $tc = $cn < -1.0 ? -1.0 : ($cn > 1.0 ? 1.0 : $cn);
+           |      $hB[$u] = $go * $tc;
+           |    }
+           |    $headStep
+           |  }
+           |  double $z = $sc[0];
+           |  $headLogit
+           |  ${ev.value} = $z;
+           |}
+         """.stripMargin
+      } else
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
@@ -735,10 +945,15 @@ object GraftSqlBridge {
                      mean: Double, std: Double,
                      attn: Boolean = false,
                      attA: Seq[Double] = Seq.empty,
-                     attC: Double = 0.0): Column =
+                     attC: Double = 0.0,
+                     bidir: Boolean = false,
+                     wx1b: Seq[Double] = Seq.empty,
+                     wh1b: Seq[Double] = Seq.empty,
+                     b1b: Seq[Double] = Seq.empty): Column =
     ExpressionUtils.column(LstmStackLogit(
       ExpressionUtils.expression(win), h1, h2, wx1, wh1, b1,
-      wx2, wh2, b2, dense, bias, mean, std, attn, attA, attC))
+      wx2, wh2, b2, dense, bias, mean, std, attn, attA, attC,
+      bidir, wx1b, wh1b, b1b))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

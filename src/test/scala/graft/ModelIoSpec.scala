@@ -138,4 +138,38 @@ class ModelIoSpec extends SparkSpec {
     val e = intercept[Exception](ModelIo.loadLstm2(pl))
     assert(e.getMessage.contains("graft-lstm2"))
   }
+
+  test("pre-bidir v1 stacked artifact (no bidir block) loads as unidirectional") {
+    import graft.ml.LstmStack
+    val rnd = new scala.util.Random(23)
+    val h1 = 2; val h2 = 2
+    val m = LstmStack.Lstm2Model(h1, h2, 16,
+      wx1 = Array.fill(4 * h1)(rnd.nextGaussian()),
+      wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian()),
+      b1 = Array.fill(4 * h1)(rnd.nextGaussian()),
+      wx2 = Array.fill(4 * h2 * h1)(rnd.nextGaussian()),
+      wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian()),
+      b2 = Array.fill(4 * h2)(rnd.nextGaussian()),
+      dense = Array.fill(h2)(rnd.nextGaussian()),
+      bias = 0.1, mean = 0.0, std = 1.0)
+    val p = tmp("lstm2_prebidir.json")
+    ModelIo.saveLstm2(m, p)
+    // strip the bidir block — exactly what the r13 writer emitted
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stripped = txt
+      .replace(",\"bidir\":false", "")
+      .replace(",\"wx1b\":[]", "").replace(",\"wh1b\":[]", "")
+      .replace(",\"b1b\":[]", "")
+    assert(stripped != txt, "test must actually strip the bidir block")
+    val p2 = tmp("lstm2_prebidir_stripped.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2),
+      stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = ModelIo.loadLstm2(p2)
+    assert(!back.bidir && back.wx1b.isEmpty)
+    val w = Array.fill(16)(rnd.nextGaussian())
+    assert(java.lang.Double.doubleToLongBits(LstmStack.forward(back, w)) ==
+      java.lang.Double.doubleToLongBits(LstmStack.forward(m, w)))
+  }
 }

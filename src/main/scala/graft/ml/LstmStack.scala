@@ -59,7 +59,19 @@ object LstmStack {
     * (input width 2·H1 — `wx2` sizes accordingly). Still pure IEEE
     * mul/add/compare: the backward recurrence is just the forward cell
     * over the reversed sequence, so the ml4d oracle replays it as a
-    * second recursive CTE walking the samples in reverse. */
+    * second recursive CTE walking the samples in reverse.
+    *
+    * `head = "mha"` is the MULTI-HEAD + RESIDUAL fusion — the
+    * oracle-preserving analog of the reference's EnhancedFusionLayer
+    * (`amber/enhanced_fusion_layer.py:14-22`:
+    * `Add()([inputs, MultiHeadAttention()(inputs, inputs)])`): nHeads
+    * independent hard-attention pools over the SAME h2 sequence (head
+    * k scores with its own attA slice [k·H2, (k+1)·H2) and attCs(k),
+    * pools like "attn"), each read out by its own attD slice — PLUS
+    * the residual path, the untouched mean pool read out by `dense`
+    * exactly as head = "mean". The residual Add is linear, so folding
+    * it into the readout sum is the same function; attD = 0 reduces
+    * bit-exactly to the mean head. */
   case class Lstm2Model(
       h1: Int,
       h2: Int,
@@ -80,7 +92,10 @@ object LstmStack {
       bidir: Boolean = false,
       wx1b: Array[Double] = Array.emptyDoubleArray,
       wh1b: Array[Double] = Array.emptyDoubleArray,
-      b1b: Array[Double] = Array.emptyDoubleArray) {
+      b1b: Array[Double] = Array.emptyDoubleArray,
+      nHeads: Int = 1,
+      attCs: Array[Double] = Array.emptyDoubleArray,
+      attD: Array[Double] = Array.emptyDoubleArray) {
     def x2Dim: Int = if (bidir) 2 * h1 else h1
     require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
       b1.length == 4 * h1 && wx2.length == 4 * h2 * x2Dim &&
@@ -89,10 +104,14 @@ object LstmStack {
     require(!bidir || (wx1b.length == 4 * h1 &&
       wh1b.length == 4 * h1 * h1 && b1b.length == 4 * h1),
       "Lstm2Model backward-direction weight shapes inconsistent")
-    require(head == "mean" || head == "attn", s"unknown head '$head'")
-    require(head == "mean" || attA.length == h2,
+    require(head == "mean" || head == "attn" || head == "mha",
+      s"unknown head '$head'")
+    require(head != "attn" || attA.length == h2,
       s"attn head needs ${h2} attention weights, got ${attA.length}")
-    def nParams: Int = LstmStack.nParams(h1, h2, head, bidir)
+    require(head != "mha" || (nHeads >= 1 && attA.length == nHeads * h2 &&
+      attCs.length == nHeads && attD.length == nHeads * h2),
+      s"mha head needs $nHeads×$h2 attA, $nHeads attCs, $nHeads×$h2 attD")
+    def nParams: Int = LstmStack.nParams(h1, h2, head, bidir, nHeads)
   }
 
   case class Config(
@@ -102,20 +121,26 @@ object LstmStack {
       regParam: Double = 1e-4,
       seed: Long = 42L,
       head: String = "mean",
-      bidir: Boolean = false)
+      bidir: Boolean = false,
+      nHeads: Int = 2)
 
   def nParams(h1: Int, h2: Int, head: String = "mean",
-              bidir: Boolean = false): Int = {
+              bidir: Boolean = false, nHeads: Int = 1): Int = {
     val dir = if (bidir) 2 else 1
     val x2 = if (bidir) 2 * h1 else h1
     dir * (4 * h1 + 4 * h1 * h1 + 4 * h1) +
       4 * h2 * x2 + 4 * h2 * h2 + 4 * h2 + h2 + 1 +
-      (if (head == "attn") h2 + 1 else 0)
+      (head match {
+        case "attn" => h2 + 1
+        case "mha"  => nHeads * (2 * h2 + 1)
+        case _      => 0
+      })
   }
 
   // Parameter-vector layout:
   // [wx1 | wh1 | b1 | (wx1b | wh1b | b1b) | wx2 4H2·x2 | wh2 | b2 |
-  //  dense | bias | (attA | attC)]
+  //  dense | bias | (attn: attA | attC)
+  //                | (mha: attA nH·H2 | attCs nH | attD nH·H2)]
   private def l1Block(h1: Int) = 8 * h1 + 4 * h1 * h1
   private def oWx1(h1: Int, h2: Int) = 0
   private def oWh1(h1: Int, h2: Int) = 4 * h1
@@ -139,6 +164,12 @@ object LstmStack {
     oBias(h1, h2, bidir) + 1
   private def oAttC(h1: Int, h2: Int, bidir: Boolean = false) =
     oAttA(h1, h2, bidir) + h2
+  // mha-head params (head == "mha"): attA shares oAttA's start,
+  // head-major; then the nH head biases; then the nH readout slices
+  private def oMhaCs(h1: Int, h2: Int, bidir: Boolean, nH: Int) =
+    oAttA(h1, h2, bidir) + nH * h2
+  private def oMhaD(h1: Int, h2: Int, bidir: Boolean, nH: Int) =
+    oMhaCs(h1, h2, bidir, nH) + nH
 
   @inline private def hardSig(a: Double): Double =
     if (a < -2.0) 0.0 else if (a > 2.0) 1.0 else 0.25 * a + 0.5
@@ -178,6 +209,68 @@ object LstmStack {
   /** Forward pass → LOGIT (pre-sigmoid), JVM loop form — [[logitCol]]'s
     * bit-exact twin. Layer-1 gate pre-activation keeps [[Lstm]]'s order
     * (b + wx·x + Σ wh·h); layer-2's is b + Σ_j wx·h1_j + Σ_v wh·h2_v. */
+  /** Head accumulators + readout, shared by both forward paths. Step
+    * order per t (the IEEE order every engine replays): residual/mean
+    * sums first, then heads ascending (mha) or the single attention
+    * weight (attn). Readout order: bias, residual/mean terms u
+    * ascending, then per-head terms (k, u) ascending. */
+  private final class HeadState(m: Lstm2Model) {
+    private val h2N = m.h2
+    val s = new Array[Double](h2N) // mean pool sums / attn numerators
+    var den = 0.0                  // attn denominator
+    val num = if (m.head == "mha") new Array[Double](m.nHeads * h2N) else null
+    val dens = if (m.head == "mha") new Array[Double](m.nHeads) else null
+    def step(h2: Array[Double]): Unit = m.head match {
+      case "attn" =>
+        var sc = m.attC
+        var u = 0
+        while (u < h2N) { sc += m.attA(u) * h2(u); u += 1 }
+        val w = hardSig(sc)
+        u = 0
+        while (u < h2N) { s(u) += w * h2(u); u += 1 }
+        den += w
+      case "mha" =>
+        var u = 0
+        while (u < h2N) { s(u) += h2(u); u += 1 }
+        var k = 0
+        while (k < m.nHeads) {
+          var sc = m.attCs(k)
+          u = 0
+          while (u < h2N) { sc += m.attA(k * h2N + u) * h2(u); u += 1 }
+          val w = hardSig(sc)
+          u = 0
+          while (u < h2N) { num(k * h2N + u) += w * h2(u); u += 1 }
+          dens(k) += w
+          k += 1
+        }
+      case _ =>
+        var u = 0
+        while (u < h2N) { s(u) += h2(u); u += 1 }
+    }
+    def logit(T: Int): Double = {
+      var z = m.bias
+      var u = 0
+      m.head match {
+        case "attn" =>
+          while (u < h2N) { z += m.dense(u) * (s(u) / (1.0 + den)); u += 1 }
+        case "mha" =>
+          while (u < h2N) { z += m.dense(u) * (s(u) / T); u += 1 }
+          var k = 0
+          while (k < m.nHeads) {
+            val denom = 1.0 + dens(k)
+            u = 0
+            while (u < h2N) {
+              z += m.attD(k * h2N + u) * (num(k * h2N + u) / denom); u += 1
+            }
+            k += 1
+          }
+        case _ =>
+          while (u < h2N) { z += m.dense(u) * (s(u) / T); u += 1 }
+      }
+      z
+    }
+  }
+
   def forward(m: Lstm2Model, x: Array[Double]): Double = {
     require(x.length == m.window,
       s"window ${x.length} != trained window ${m.window}")
@@ -187,8 +280,7 @@ object LstmStack {
     val hp1 = new Array[Double](h1N)
     val h2 = new Array[Double](h2N); val c2 = new Array[Double](h2N)
     val hp2 = new Array[Double](h2N)
-    val s = new Array[Double](h2N)
-    var den = 0.0
+    val hs = new HeadState(m)
     var t = 0
     while (t < x.length) {
       val xv = (x(t) - m.mean) / m.std
@@ -215,28 +307,10 @@ object LstmStack {
       // layer 2 — vector input h1(t)
       System.arraycopy(h2, 0, hp2, 0, h2N)
       cellStep(h1, hp2, h2, c2, h2N, h1N, m.wx2, 0, m.wh2, 0, m.b2, 0)
-      // head accumulation, t order
-      if (m.head == "attn") {
-        var sc = m.attC
-        var u = 0
-        while (u < h2N) { sc += m.attA(u) * h2(u); u += 1 }
-        val w = hardSig(sc)
-        u = 0
-        while (u < h2N) { s(u) += w * h2(u); u += 1 }
-        den += w
-      } else {
-        var u = 0
-        while (u < h2N) { s(u) += h2(u); u += 1 }
-      }
+      hs.step(h2)
       t += 1
     }
-    var z = m.bias
-    var u = 0
-    if (m.head == "attn")
-      while (u < h2N) { z += m.dense(u) * (s(u) / (1.0 + den)); u += 1 }
-    else
-      while (u < h2N) { z += m.dense(u) * (s(u) / x.length); u += 1 }
-    z
+    hs.logit(x.length)
   }
 
   /** One direction of the layer-1 recurrence over the pre-scaled
@@ -291,36 +365,18 @@ object LstmStack {
     dirPass(xs, m.wx1b, m.wh1b, m.b1b, h1N, h1b, reverse = true)
     val h2 = new Array[Double](h2N); val c2 = new Array[Double](h2N)
     val hp2 = new Array[Double](h2N)
-    val s = new Array[Double](h2N)
+    val hs = new HeadState(m)
     val x2 = new Array[Double](2 * h1N)
-    var den = 0.0
     var t = 0
     while (t < T) {
       System.arraycopy(h1f(t), 0, x2, 0, h1N)
       System.arraycopy(h1b(t), 0, x2, h1N, h1N)
       System.arraycopy(h2, 0, hp2, 0, h2N)
       cellStep(x2, hp2, h2, c2, h2N, 2 * h1N, m.wx2, 0, m.wh2, 0, m.b2, 0)
-      if (m.head == "attn") {
-        var sc = m.attC
-        var u = 0
-        while (u < h2N) { sc += m.attA(u) * h2(u); u += 1 }
-        val w = hardSig(sc)
-        u = 0
-        while (u < h2N) { s(u) += w * h2(u); u += 1 }
-        den += w
-      } else {
-        var u = 0
-        while (u < h2N) { s(u) += h2(u); u += 1 }
-      }
+      hs.step(h2)
       t += 1
     }
-    var z = m.bias
-    var u = 0
-    if (m.head == "attn")
-      while (u < h2N) { z += m.dense(u) * (s(u) / (1.0 + den)); u += 1 }
-    else
-      while (u < h2N) { z += m.dense(u) * (s(u) / T); u += 1 }
-    z
+    hs.logit(T)
   }
 
   /** The stacked forward pass as a native Catalyst column
@@ -334,7 +390,9 @@ object LstmStack {
       m.bias, m.mean, m.std,
       attn = m.head == "attn", attA = m.attA.toSeq, attC = m.attC,
       bidir = m.bidir, wx1b = m.wx1b.toSeq, wh1b = m.wh1b.toSeq,
-      b1b = m.b1b.toSeq)
+      b1b = m.b1b.toSeq,
+      mha = m.head == "mha", nHeads = m.nHeads,
+      attCs = m.attCs.toSeq, attD = m.attD.toSeq)
 
   /** One distributed loss/gradient evaluation: per-partition BPTT
     * through pool → layer 2 → layer 1, partials combined in
@@ -345,10 +403,11 @@ object LstmStack {
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       h1N: Int, h2N: Int, mean: Double, std: Double,
-      head: String, bidir: Boolean = false)
+      head: String, bidir: Boolean = false, nHeads: Int = 1)
       : (Double, Array[Double]) = {
-    val nP = nParams(h1N, h2N, head, bidir)
+    val nP = nParams(h1N, h2N, head, bidir, nHeads)
     val attn = head == "attn"
+    val mha = head == "mha"
     val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
         => (Double, Array[Double]) = { case ((ls, grad), (y, wt, xRaw)) =>
       val p = bw.value
@@ -426,11 +485,17 @@ object LstmStack {
         }
         t += 1
       }
-      // ---- head forward (attn: scores/weights + smoothed accumulators)
+      // ---- head forward (attn/mha: scores/weights + smoothed
+      // accumulators; mha ALSO keeps the residual mean pool)
       val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
+      val mhaCsO = if (mha) oMhaCs(h1N, h2N, bidir, nHeads) else 0
+      val mhaDO = if (mha) oMhaD(h1N, h2N, bidir, nHeads) else 0
       val wAtt = if (attn) new Array[Double](T) else null
       val num = if (attn) new Array[Double](h2N) else null
       var den = 0.0
+      val wMha = if (mha) Array.ofDim[Double](nHeads, T) else null
+      val numM = if (mha) new Array[Double](nHeads * h2N) else null
+      val denM = if (mha) new Array[Double](nHeads) else null
       if (attn) {
         t = 0
         while (t < T) {
@@ -443,14 +508,43 @@ object LstmStack {
           den += w
           t += 1
         }
+      } else if (mha) {
+        t = 0
+        while (t < T) {
+          var k = 0
+          while (k < nHeads) {
+            var sc = p(mhaCsO + k)
+            var u = 0
+            while (u < h2N) { sc += p(attAO + k * h2N + u) * h2S(t)(u); u += 1 }
+            val w = hardSig(sc); wMha(k)(t) = w
+            u = 0
+            while (u < h2N) { numM(k * h2N + u) += w * h2S(t)(u); u += 1 }
+            denM(k) += w
+            k += 1
+          }
+          t += 1
+        }
       }
       var z = p(biasO)
       var u = 0
       if (attn) {
         val denom = 1.0 + den
         while (u < h2N) { z += p(dvO + u) * (num(u) / denom); u += 1 }
-      } else
+      } else {
         while (u < h2N) { z += p(dvO + u) * (sPool(u) / T); u += 1 }
+        if (mha) {
+          var k = 0
+          while (k < nHeads) {
+            val denom = 1.0 + denM(k)
+            u = 0
+            while (u < h2N) {
+              z += p(mhaDO + k * h2N + u) * (numM(k * h2N + u) / denom)
+              u += 1
+            }
+            k += 1
+          }
+        }
+      }
       val loss =
         if (z > 0) z + math.log1p(math.exp(-z)) - y * z
         else math.log1p(math.exp(z)) - y * z
@@ -488,8 +582,8 @@ object LstmStack {
           t += 1
         }
       } else {
-        // mean pool: d pooled_u = dz·dense_u; d s_u = that / T,
-        // reaching EVERY timestep's dh2_u
+        // mean pool (also mha's residual path): d pooled_u = dz·dense_u;
+        // d s_u = that / T, reaching EVERY timestep's dh2_u
         u = 0
         while (u < h2N) {
           grad(dvO + u) += dz * (sPool(u) / T)
@@ -497,6 +591,41 @@ object LstmStack {
           var tt = 0
           while (tt < T) { dhHead(tt)(u) = c; tt += 1 }
           u += 1
+        }
+        if (mha) {
+          // each head replays the attn-head calculus with its own
+          // slice, ACCUMULATING into dhHead on top of the residual
+          var k = 0
+          while (k < nHeads) {
+            val denom = 1.0 + denM(k)
+            val dnum = new Array[Double](h2N)
+            var dden = 0.0
+            u = 0
+            while (u < h2N) {
+              val dD = p(mhaDO + k * h2N + u)
+              grad(mhaDO + k * h2N + u) += dz * (numM(k * h2N + u) / denom)
+              dnum(u) = dz * dD / denom
+              dden += -dz * dD * numM(k * h2N + u) / (denom * denom)
+              u += 1
+            }
+            t = 0
+            while (t < T) {
+              var dw = dden
+              u = 0
+              while (u < h2N) { dw += dnum(u) * h2S(t)(u); u += 1 }
+              val w = wMha(k)(t)
+              val ds = if (w > 0.0 && w < 1.0) 0.25 * dw else 0.0
+              grad(mhaCsO + k) += ds
+              u = 0
+              while (u < h2N) {
+                grad(attAO + k * h2N + u) += ds * h2S(t)(u)
+                dhHead(t)(u) += dnum(u) * w + ds * p(attAO + k * h2N + u)
+                u += 1
+              }
+              t += 1
+            }
+            k += 1
+          }
         }
       }
       // layer-2 BPTT; collects d(input) contributions per t
@@ -729,9 +858,13 @@ object LstmStack {
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
       val h1N = cfg.h1; val h2N = cfg.h2
       val attn = cfg.head == "attn"
+      val mha = cfg.head == "mha"
       val bidir = cfg.bidir
-      require(cfg.head == "mean" || attn, s"unknown head '${cfg.head}'")
-      val nP = nParams(h1N, h2N, cfg.head, bidir)
+      require(cfg.head == "mean" || attn || mha,
+        s"unknown head '${cfg.head}'")
+      require(!mha || cfg.nHeads >= 1, s"nHeads must be >= 1: ${cfg.nHeads}")
+      val nH = if (mha) cfg.nHeads else 1
+      val nP = nParams(h1N, h2N, cfg.head, bidir, nH)
       val nRows = wSum
       require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
         s"weight sum must be positive finite: $nRows")
@@ -744,19 +877,25 @@ object LstmStack {
       val wx2O = oWx2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
       val dvO = oDv(h1N, h2N, bidir); val biasO = oBias(h1N, h2N, bidir)
       val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
+      val mhaCsO = oMhaCs(h1N, h2N, bidir, nH)
+      val mhaDO = oMhaD(h1N, h2N, bidir, nH)
       def isWeight(i: Int): Boolean =
         (i >= wx1O && i < b1O) ||
           (bidir && i >= wx1bO && i < b1bO) ||
           (i >= wx2O && i < b2O) ||
           (i >= dvO && i < biasO) ||
-          (attn && i >= attAO && i < attCO)
+          (attn && i >= attAO && i < attCO) ||
+          // mha: score weights + readout slices regularized, head
+          // biases (attCs) not — same bias convention as everywhere
+          (mha && ((i >= attAO && i < mhaCsO) ||
+            (i >= mhaDO && i < mhaDO + nH * h2N)))
 
       val fn = new breeze.optimize.DiffFunction[BDV[Double]] {
         def calculate(p: BDV[Double]): (Double, BDV[Double]) = {
           val bw = sc.broadcast(p.data.clone())
           try {
             val (lossSum, gradSum) =
-              gradientPass(ds, bw, h1N, h2N, mean, std, cfg.head, bidir)
+              gradientPass(ds, bw, h1N, h2N, mean, std, cfg.head, bidir, nH)
             val grad = new Array[Double](nP)
             var reg = 0.0
             var i = 0
@@ -790,6 +929,12 @@ object LstmStack {
       (0 until h2N).foreach(u => init(dvO + u) = rnd.nextGaussian() * 0.3)
       if (attn)
         (0 until h2N).foreach(u => init(attAO + u) = rnd.nextGaussian() * 0.3)
+      if (mha) {
+        (0 until nH * h2N).foreach { j =>
+          init(attAO + j) = rnd.nextGaussian() * 0.3
+          init(mhaDO + j) = rnd.nextGaussian() * 0.3
+        }
+      }
       val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
         maxIter = cfg.maxIter, m = 10, tolerance = 1e-7)
       val sol = lbfgs.minimize(fn, BDV(init)).data
@@ -803,7 +948,9 @@ object LstmStack {
         dense = sol.slice(dvO, biasO),
         bias = sol(biasO), mean = mean, std = std,
         head = cfg.head,
-        attA = if (attn) sol.slice(attAO, attCO) else Array.emptyDoubleArray,
+        attA = if (attn) sol.slice(attAO, attCO)
+               else if (mha) sol.slice(attAO, mhaCsO)
+               else Array.emptyDoubleArray,
         attC = if (attn) sol(attCO) else 0.0,
         bidir = bidir,
         wx1b = if (bidir) sol.slice(wx1bO, oWh1b(h1N, h2N))
@@ -811,7 +958,11 @@ object LstmStack {
         wh1b = if (bidir) sol.slice(oWh1b(h1N, h2N), b1bO)
                else Array.emptyDoubleArray,
         b1b = if (bidir) sol.slice(b1bO, b1bO + 4 * h1N)
-              else Array.emptyDoubleArray)
+              else Array.emptyDoubleArray,
+        nHeads = nH,
+        attCs = if (mha) sol.slice(mhaCsO, mhaDO) else Array.emptyDoubleArray,
+        attD = if (mha) sol.slice(mhaDO, mhaDO + nH * h2N)
+               else Array.emptyDoubleArray)
     } finally ds.unpersist(false)
   }
 
@@ -820,8 +971,9 @@ object LstmStack {
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       h1N: Int, h2N: Int, mean: Double, std: Double,
-      head: String = "mean", bidir: Boolean = false): (Double, Array[Double]) =
-    gradientPass(ds, bw, h1N, h2N, mean, std, head, bidir)
+      head: String = "mean", bidir: Boolean = false, nHeads: Int = 1)
+      : (Double, Array[Double]) =
+    gradientPass(ds, bw, h1N, h2N, mean, std, head, bidir, nHeads)
 
   /** Batch scoring — fail-loud serve-time window contract, same as
     * [[Lstm.scoreWindows]]. */

@@ -170,6 +170,7 @@ object ModelIo {
     requireFinite("dense", m.dense); requireFinite("attA", m.attA)
     requireFinite("wx1b", m.wx1b); requireFinite("wh1b", m.wh1b)
     requireFinite("b1b", m.b1b)
+    requireFinite("attCs", m.attCs); requireFinite("attD", m.attD)
     requireFinite("scalars", Seq(m.bias, m.mean, m.std, m.attC))
     val j: JValue = JObject(
       "format" -> JString("graft-lstm2"),
@@ -193,7 +194,10 @@ object ModelIo {
       "bidir" -> JBool(m.bidir),
       "wx1b" -> arr(m.wx1b),
       "wh1b" -> arr(m.wh1b),
-      "b1b" -> arr(m.b1b))
+      "b1b" -> arr(m.b1b),
+      "nHeads" -> JInt(m.nHeads),
+      "attCs" -> arr(m.attCs),
+      "attD" -> arr(m.attD))
     writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
   }
 
@@ -233,7 +237,14 @@ object ModelIo {
       wh1b = if ((j \ "wh1b") == JNothing) Array.emptyDoubleArray
              else dArr(j, "wh1b"),
       b1b = if ((j \ "b1b") == JNothing) Array.emptyDoubleArray
-             else dArr(j, "b1b"))
+             else dArr(j, "b1b"),
+      // the mha block arrived mid-version-1 too — same absent-default
+      // rule as the bidir block above
+      nHeads = if ((j \ "nHeads") == JNothing) 1 else iNum(j, "nHeads"),
+      attCs = if ((j \ "attCs") == JNothing) Array.emptyDoubleArray
+              else dArr(j, "attCs"),
+      attD = if ((j \ "attD") == JNothing) Array.emptyDoubleArray
+             else dArr(j, "attD"))
   }
 
   // ------------------------------------------------------------- manifest

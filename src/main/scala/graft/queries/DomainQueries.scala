@@ -1751,6 +1751,11 @@ object DomainQueries {
                             edCte: String, cteName: String): String = {
     val attn = m.head == "attn"
     if (m.bidir) return lstm2BidirSql(m, edCte, cteName)
+    // the mha head is rendered only by the bidirectional generator
+    // (ml4e's config); a unidir-mha oracle would need its head columns
+    // added here — fail loudly rather than emit the mean-head SQL
+    require(m.head != "mha",
+      "lstm2StackSql: mha head not implemented for the unidir renderer")
     val H1 = m.h1; val H2 = m.h2
     def L(d: Double): String = if (d < 0) s"($d)" else d.toString
     def sig(a: String): String =
@@ -1962,12 +1967,23 @@ object DomainQueries {
       .map(u => s"f2$u*c2_$u + i2$u*g2$u AS cn2_$u").mkString(", ")
     val h2nCols = (0 until H2)
       .map(u => s"o2$u * (${tnh(s"cn2_$u")}) AS h2n_$u").mkString(", ")
+    val mhaH = m.head == "mha"
+    val nH = m.nHeads
     val headState = (0 until H2).map(u => s"s_$u") ++
-      (if (attn) Seq("den") else Seq.empty)
+      (if (attn) Seq("den") else Seq.empty) ++
+      (if (mhaH)
+         (for (k <- 0 until nH; u <- 0 until H2) yield s"n${k}_$u") ++
+           (0 until nH).map(k => s"dn$k")
+       else Seq.empty)
     val headOut =
       if (attn)
         (0 until H2).map(u => s"s_$u + wat*h2n_$u AS s_$u")
           .mkString(", ") + ", den + wat AS den"
+      else if (mhaH)
+        ((0 until H2).map(u => s"s_$u + h2n_$u AS s_$u") ++
+          (for (k <- 0 until nH; u <- 0 until H2)
+            yield s"n${k}_$u + wat$k*h2n_$u AS n${k}_$u") ++
+          (0 until nH).map(k => s"dn$k + wat$k AS dn$k")).mkString(", ")
       else (0 until H2).map(u => s"s_$u + h2n_$u AS s_$u").mkString(", ")
     val outCols =
       (0 until H2).map(u => s"h2n_$u AS h2_$u").mkString(", ") + ",\n       " +
@@ -1989,12 +2005,27 @@ object DomainQueries {
         val score = s"${L(m.attC)} + " + (0 until H2)
           .map(u => s"${L(m.attA(u))}*h2n_$u").mkString(" + ")
         s"SELECT *, ${sig(s"($score)")} AS wat FROM (\n    "
+      } else if (mhaH) {
+        // every head's weight depends only on the NEW h2 state, so one
+        // SELECT level emits all of them
+        val wats = (0 until nH).map { k =>
+          val score = s"${L(m.attCs(k))} + " + (0 until H2)
+            .map(u => s"${L(m.attA(k * H2 + u))}*h2n_$u").mkString(" + ")
+          s"${sig(s"($score)")} AS wat$k"
+        }.mkString(", ")
+        s"SELECT *, $wats FROM (\n    "
       } else ""
-    val watClose = if (attn) ")" else ""
+    val watClose = if (attn || mhaH) ")" else ""
     val logit =
       if (attn)
         s"${L(m.bias)} + " + (0 until H2)
           .map(u => s"${L(m.dense(u))}*(s_$u/(1.0 + den))").mkString(" + ")
+      else if (mhaH)
+        s"${L(m.bias)} + " +
+          ((0 until H2).map(u => s"${L(m.dense(u))}*(s_$u/$W.0)") ++
+            (for (k <- 0 until nH; u <- 0 until H2)
+              yield s"${L(m.attD(k * H2 + u))}*(n${k}_$u/(1.0 + dn$k))"))
+            .mkString(" + ")
       else
         s"${L(m.bias)} + " + (0 until H2)
           .map(u => s"${L(m.dense(u))}*(s_$u/$W.0)").mkString(" + ")
@@ -2090,6 +2121,37 @@ object DomainQueries {
         graft.ml.LstmStack.logitCol(ml4dNet, col("rawData")).as("logit"))
 
   val ml4dSql: String = lstm2StackSql(ml4dNet, "edml4d", "lstm2d")
+
+  /** The ml4e network: ml4d's bidirectional stack with the
+    * MULTI-HEAD + RESIDUAL fusion head ([[graft.ml.LstmStack]]
+    * `head = "mha"` — the oracle-preserving analog of the reference's
+    * EnhancedFusionLayer, `amber/enhanced_fusion_layer.py:14-22`:
+    * `Add()([inputs, MultiHeadAttention()(inputs, inputs)])`): two
+    * hard-attention heads pool the h2 sequence independently, each
+    * read out by its own quarter-grid slice, plus the residual mean
+    * pool read out by `dense`. */
+  private val ml4eNet: graft.ml.LstmStack.Lstm2Model = {
+    val h2 = 2; val nH = 2
+    ml4dNet.copy(head = "mha", nHeads = nH,
+      attA = Array.tabulate(nH * h2)(j => ((j * 3) % 7 - 3) * 0.25),
+      attC = 0.0,
+      attCs = Array.tabulate(nH)(k => (k * 2 - 1) * 0.25),
+      attD = Array.tabulate(nH * h2)(j => ((j * 5) % 7 - 3) * 0.25))
+  }
+
+  /** ML4E — the multi-head + residual fusion readout under the oracle
+    * gate: ml4d's bidirectional stack, head replaced by the mha
+    * fusion. The oracle's layer-2 recursion carries the residual pool
+    * sums PLUS per-head (numerator, denominator) accumulator columns;
+    * every op stays piecewise-linear, so the whole
+    * Bidirectional(LSTM) → LSTM → multi-head attention ⊕ residual →
+    * dense line is bit-exact across engines. */
+  def ml4eLstmFusionForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.LstmStack.logitCol(ml4eNet, col("rawData")).as("logit"))
+
+  val ml4eSql: String = lstm2StackSql(ml4eNet, "edml4e", "lstm2e")
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -3248,6 +3310,7 @@ object DomainQueries {
     "ml4b_lstm_stack"   -> (ml4bLstmStackForward _),
     "ml4c_lstm_attn"    -> (ml4cLstmAttnForward _),
     "ml4d_lstm_bidir"   -> (ml4dLstmBidirForward _),
+    "ml4e_lstm_fusion"  -> (ml4eLstmFusionForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
@@ -3334,6 +3397,7 @@ object DomainQueries {
     "ml4b_lstm_stack"   -> ml4bSql,
     "ml4c_lstm_attn"    -> ml4cSql,
     "ml4d_lstm_bidir"   -> ml4dSql,
+    "ml4e_lstm_fusion"  -> ml4eSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,

@@ -468,7 +468,11 @@ case class LstmStackLogit(
     bidir: Boolean = false,
     wx1b: Seq[Double] = Seq.empty,
     wh1b: Seq[Double] = Seq.empty,
-    b1b: Seq[Double] = Seq.empty)
+    b1b: Seq[Double] = Seq.empty,
+    mha: Boolean = false,
+    nHeads: Int = 1,
+    attCs: Seq[Double] = Seq.empty,
+    attD: Seq[Double] = Seq.empty)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   private def x2Dim: Int = if (bidir) 2 * h1 else h1
@@ -478,6 +482,10 @@ case class LstmStackLogit(
     dense.length == h2, "LstmStackLogit weight shapes inconsistent")
   require(!attn || attA.length == h2,
     "LstmStackLogit attention weight shape inconsistent")
+  require(!(attn && mha), "LstmStackLogit: attn and mha are exclusive")
+  require(!mha || (nHeads >= 1 && attA.length == nHeads * h2 &&
+    attCs.length == nHeads && attD.length == nHeads * h2),
+    "LstmStackLogit multi-head shapes inconsistent")
   require(!bidir || (wx1b.length == 4 * h1 && wh1b.length == 4 * h1 * h1 &&
     b1b.length == 4 * h1),
     "LstmStackLogit backward-direction weight shapes inconsistent")
@@ -501,6 +509,67 @@ case class LstmStackLogit(
   @transient private lazy val wx1bA = wx1b.toArray
   @transient private lazy val wh1bA = wh1b.toArray
   @transient private lazy val b1bA = b1b.toArray
+  @transient private lazy val attCsA = attCs.toArray
+  @transient private lazy val attDA = attD.toArray
+
+  /** Interpreted head accumulation — shared by the unidirectional and
+    * bidirectional eval paths. Same step/readout order as
+    * `LstmStack.HeadState` (residual/mean first, then heads ascending). */
+  private final class HeadAcc {
+    val s = new Array[Double](h2)
+    var den = 0.0
+    val numM = if (mha) new Array[Double](nHeads * h2) else null
+    val denM = if (mha) new Array[Double](nHeads) else null
+    def step(hB: Array[Double]): Unit =
+      if (attn) {
+        var sc = attC
+        var u = 0
+        while (u < h2) { sc += attAA(u) * hB(u); u += 1 }
+        val w = if (sc < -2.0) 0.0 else if (sc > 2.0) 1.0 else 0.25 * sc + 0.5
+        u = 0
+        while (u < h2) { s(u) += w * hB(u); u += 1 }
+        den += w
+      } else {
+        var u = 0
+        while (u < h2) { s(u) += hB(u); u += 1 }
+        if (mha) {
+          var k = 0
+          while (k < nHeads) {
+            var sc = attCsA(k)
+            u = 0
+            while (u < h2) { sc += attAA(k * h2 + u) * hB(u); u += 1 }
+            val w = if (sc < -2.0) 0.0 else if (sc > 2.0) 1.0
+                    else 0.25 * sc + 0.5
+            u = 0
+            while (u < h2) { numM(k * h2 + u) += w * hB(u); u += 1 }
+            denM(k) += w
+            k += 1
+          }
+        }
+      }
+    def logit(n: Int): Double = {
+      var z = bias
+      var u = 0
+      if (attn) {
+        val denom = 1.0 + den
+        while (u < h2) { z += dvA(u) * (s(u) / denom); u += 1 }
+      } else {
+        while (u < h2) { z += dvA(u) * (s(u) / n); u += 1 }
+        if (mha) {
+          var k = 0
+          while (k < nHeads) {
+            val denom = 1.0 + denM(k)
+            u = 0
+            while (u < h2) {
+              z += attDA(k * h2 + u) * (numM(k * h2 + u) / denom); u += 1
+            }
+            k += 1
+          }
+        }
+      }
+      z
+    }
+  }
 
   override protected def nullSafeEval(a: Any): Any = {
     val win = a.asInstanceOf[ArrayData]
@@ -513,8 +582,7 @@ case class LstmStackLogit(
       val hpA = new Array[Double](H1)
       val hB = new Array[Double](H2); val cB = new Array[Double](H2)
       val hpB = new Array[Double](H2)
-      val s = new Array[Double](H2)
-      var den = 0.0
+      val hs = new HeadAcc
       var t = 0
       while (t < n) {
         val x = (win.getDouble(t) - mean) / std
@@ -564,28 +632,10 @@ case class LstmStackLogit(
           hB(u) = go * tc
           u += 1
         }
-        if (attn) {
-          var sc = attC
-          u = 0
-          while (u < H2) { sc += attAA(u) * hB(u); u += 1 }
-          val w = if (sc < -2.0) 0.0 else if (sc > 2.0) 1.0 else 0.25 * sc + 0.5
-          u = 0
-          while (u < H2) { s(u) += w * hB(u); u += 1 }
-          den += w
-        } else {
-          u = 0
-          while (u < H2) { s(u) += hB(u); u += 1 }
-        }
+        hs.step(hB)
         t += 1
       }
-      var z = bias
-      var u = 0
-      if (attn) {
-        val denom = 1.0 + den
-        while (u < H2) { z += dvA(u) * (s(u) / denom); u += 1 }
-      } else
-        while (u < H2) { z += dvA(u) * (s(u) / n); u += 1 }
-      z
+      hs.logit(n)
     }
   }
 
@@ -635,9 +685,8 @@ case class LstmStackLogit(
     val xDim = 2 * H1
     val hB = new Array[Double](H2); val cB = new Array[Double](H2)
     val hpB = new Array[Double](H2)
-    val sP = new Array[Double](H2)
+    val hs = new HeadAcc
     val x2 = new Array[Double](xDim)
-    var den = 0.0
     var t = 0
     while (t < n) {
       System.arraycopy(hF(t), 0, x2, 0, H1)
@@ -666,28 +715,10 @@ case class LstmStackLogit(
         hB(u) = go * tc
         u += 1
       }
-      if (attn) {
-        var sc = attC
-        var u2 = 0
-        while (u2 < H2) { sc += attAA(u2) * hB(u2); u2 += 1 }
-        val w = if (sc < -2.0) 0.0 else if (sc > 2.0) 1.0 else 0.25 * sc + 0.5
-        u2 = 0
-        while (u2 < H2) { sP(u2) += w * hB(u2); u2 += 1 }
-        den += w
-      } else {
-        var u2 = 0
-        while (u2 < H2) { sP(u2) += hB(u2); u2 += 1 }
-      }
+      hs.step(hB)
       t += 1
     }
-    var z = bias
-    var u = 0
-    if (attn) {
-      val denom = 1.0 + den
-      while (u < H2) { z += dvA(u) * (sP(u) / denom); u += 1 }
-    } else
-      while (u < H2) { z += dvA(u) * (sP(u) / n); u += 1 }
-    z
+    hs.logit(n)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -700,7 +731,11 @@ case class LstmStackLogit(
       val b2R = ctx.addReferenceObj("ls2B2", b2A, "double[]")
       val dvR = ctx.addReferenceObj("ls2Dense", dvA, "double[]")
       val attR = ctx.addReferenceObj("ls2AttA",
-        if (attn) attAA else new Array[Double](0), "double[]")
+        if (attn || mha) attAA else new Array[Double](0), "double[]")
+      val attCsR = ctx.addReferenceObj("ls2AttCs",
+        if (mha) attCsA else new Array[Double](0), "double[]")
+      val attDR = ctx.addReferenceObj("ls2AttD",
+        if (mha) attDA else new Array[Double](0), "double[]")
       val wx1bR = ctx.addReferenceObj("ls2Wx1b",
         if (bidir) wx1bA else new Array[Double](0), "double[]")
       val wh1bR = ctx.addReferenceObj("ls2Wh1b",
@@ -724,8 +759,12 @@ case class LstmStackLogit(
       val cn = ctx.freshName("cn"); val tc = ctx.freshName("tc")
       val z = ctx.freshName("z")
       val den = ctx.freshName("den")
-      val headStep = headStepCode(sc, attR, hB, sP, den, H2v)
-      val headLogit = headLogitCode(z, dvR, sP, den, n, H2v)
+      val numM = ctx.freshName("numM"); val denM = ctx.freshName("denM")
+      val headDecls = headDeclCode(sP, den, numM, denM, H2v)
+      val headStep =
+        headStepCode(sc, attR, attCsR, hB, sP, den, numM, denM, H2v)
+      val headLogit =
+        headLogitCode(z, dvR, attDR, sP, den, numM, denM, n, H2v)
       if (bidir) {
         // bidirectional variant: both layer-1 directions stored per
         // original time index (xs precomputed), layer 2 over the concat
@@ -781,9 +820,8 @@ case class LstmStackLogit(
            |  double[] $hB = new double[$H2v];
            |  double[] $cB = new double[$H2v];
            |  double[] $hpB = new double[$H2v];
-           |  double[] $sP = new double[$H2v];
            |  double[] $x2v = new double[$xDim];
-           |  double $den = 0.0;
+           |  $headDecls
            |  for (int $t = 0; $t < $n; $t++) {
            |    System.arraycopy($hFv[$t], 0, $x2v, 0, $H1v);
            |    System.arraycopy($hBkv[$t], 0, $x2v, $H1v, $H1v);
@@ -828,8 +866,7 @@ case class LstmStackLogit(
          |  double[] $hB = new double[$H2v];
          |  double[] $cB = new double[$H2v];
          |  double[] $hpB = new double[$H2v];
-         |  double[] $sP = new double[$H2v];
-         |  double $den = 0.0;
+         |  $headDecls
          |  for (int $t = 0; $t < $n; $t++) {
          |    double $x = ($a.getDouble($t) - $sc[1]) / $sc[2];
          |    System.arraycopy($hA, 0, $hpA, 0, $H1v);
@@ -884,8 +921,19 @@ case class LstmStackLogit(
 
   // The head's accumulate/readout code is chosen at CODEGEN time —
   // `attn` is a plan constant, so only the selected branch is emitted.
-  private def headStepCode(sc: String, attR: String, hB: String, sP: String,
-      den: String, H2v: Int): String =
+  private def headDeclCode(sP: String, den: String, numM: String,
+      denM: String, H2v: Int): String = {
+    val base = s"double[] $sP = new double[$H2v];\n  double $den = 0.0;"
+    if (mha)
+      base +
+        s"\n  double[] $numM = new double[${nHeads * H2v}];" +
+        s"\n  double[] $denM = new double[$nHeads];"
+    else base
+  }
+
+  private def headStepCode(sc: String, attR: String, attCsR: String,
+      hB: String, sP: String, den: String, numM: String, denM: String,
+      H2v: Int): String =
     if (attn)
       s"""{
          |      double __as = $sc[3];
@@ -894,14 +942,32 @@ case class LstmStackLogit(
          |      for (int __u = 0; __u < $H2v; __u++) $sP[__u] += __aw * $hB[__u];
          |      $den += __aw;
          |    }""".stripMargin
+    else if (mha)
+      s"""{
+         |      for (int __u = 0; __u < $H2v; __u++) $sP[__u] += $hB[__u];
+         |      for (int __k = 0; __k < $nHeads; __k++) {
+         |        double __as = $attCsR[__k];
+         |        for (int __u = 0; __u < $H2v; __u++) __as += $attR[__k * $H2v + __u] * $hB[__u];
+         |        double __aw = __as < -2.0 ? 0.0 : (__as > 2.0 ? 1.0 : 0.25 * __as + 0.5);
+         |        for (int __u = 0; __u < $H2v; __u++) $numM[__k * $H2v + __u] += __aw * $hB[__u];
+         |        $denM[__k] += __aw;
+         |      }
+         |    }""".stripMargin
     else
       s"for (int __u = 0; __u < $H2v; __u++) $sP[__u] += $hB[__u];"
 
-  private def headLogitCode(z: String, dvR: String, sP: String, den: String,
+  private def headLogitCode(z: String, dvR: String, attDR: String,
+      sP: String, den: String, numM: String, denM: String,
       n: String, H2v: Int): String =
     if (attn)
       s"""double __dn = 1.0 + $den;
          |  for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / __dn);""".stripMargin
+    else if (mha)
+      s"""for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / $n);
+         |  for (int __k = 0; __k < $nHeads; __k++) {
+         |    double __dn = 1.0 + $denM[__k];
+         |    for (int __u = 0; __u < $H2v; __u++) $z += $attDR[__k * $H2v + __u] * ($numM[__k * $H2v + __u] / __dn);
+         |  }""".stripMargin
     else
       s"for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / $n);"
 
@@ -949,11 +1015,15 @@ object GraftSqlBridge {
                      bidir: Boolean = false,
                      wx1b: Seq[Double] = Seq.empty,
                      wh1b: Seq[Double] = Seq.empty,
-                     b1b: Seq[Double] = Seq.empty): Column =
+                     b1b: Seq[Double] = Seq.empty,
+                     mha: Boolean = false,
+                     nHeads: Int = 1,
+                     attCs: Seq[Double] = Seq.empty,
+                     attD: Seq[Double] = Seq.empty): Column =
     ExpressionUtils.column(LstmStackLogit(
       ExpressionUtils.expression(win), h1, h2, wx1, wh1, b1,
       wx2, wh2, b2, dense, bias, mean, std, attn, attA, attC,
-      bidir, wx1b, wh1b, b1b))
+      bidir, wx1b, wh1b, b1b, mha, nHeads, attCs, attD))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

@@ -360,4 +360,146 @@ class LstmStackSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(LstmStack.forward(back, w0)) ==
       java.lang.Double.doubleToLongBits(LstmStack.forward(model, w0)))
   }
+
+  private def randomMha(seed: Int, h1: Int, h2: Int, win: Int,
+                        nHeads: Int, bidir: Boolean): LstmStack.Lstm2Model = {
+    val rnd = new scala.util.Random(seed)
+    val xDim = if (bidir) 2 * h1 else h1
+    LstmStack.Lstm2Model(h1, h2, win,
+      wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.6),
+      wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+      b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+      wx2 = Array.fill(4 * h2 * xDim)(rnd.nextGaussian() * 0.5),
+      wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.4),
+      b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+      dense = Array.fill(h2)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian() * 0.2,
+      mean = 0.41, std = 1.37,
+      head = "mha",
+      bidir = bidir,
+      wx1b = if (bidir) Array.fill(4 * h1)(rnd.nextGaussian() * 0.6)
+             else Array.emptyDoubleArray,
+      wh1b = if (bidir) Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4)
+             else Array.emptyDoubleArray,
+      b1b = if (bidir) Array.fill(4 * h1)(rnd.nextGaussian() * 0.2)
+            else Array.emptyDoubleArray,
+      nHeads = nHeads,
+      attA = Array.fill(nHeads * h2)(rnd.nextGaussian() * 0.6),
+      attCs = Array.fill(nHeads)(rnd.nextGaussian() * 0.3),
+      attD = Array.fill(nHeads * h2)(rnd.nextGaussian()))
+  }
+
+  test("mha head: logitCol == forward bit-exactly (unidir and bidir)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val win = 30
+    Seq(false, true).foreach { bd =>
+      val m = randomMha(60 + (if (bd) 1 else 0), h1 = 2, h2 = 2,
+        win = win, nHeads = 3, bidir = bd)
+      val rows = (0 until 12).map(i =>
+        (i, Array.fill(win)(rnd.nextGaussian() * 2 + 0.3)))
+      val got = rows.toDF("i", "window")
+        .select(col("i"), LstmStack.logitCol(m, col("window")).as("z"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      rows.foreach { case (i, x) =>
+        assert(got(i) == LstmStack.forward(m, x),
+          s"bidir=$bd row $i: column ${got(i)} != jvm ${LstmStack.forward(m, x)}")
+      }
+    }
+  }
+
+  test("mha head with zero readout slices reduces to the mean head (residual identity)") {
+    val win = 20
+    val m = randomMha(77, h1 = 2, h2 = 2, win = win, nHeads = 2,
+      bidir = false)
+    val zeroD = m.copy(attD = new Array[Double](m.nHeads * m.h2))
+    val meanTwin = m.copy(head = "mean", nHeads = 1,
+      attA = Array.emptyDoubleArray, attCs = Array.emptyDoubleArray,
+      attD = Array.emptyDoubleArray)
+    val rnd = new scala.util.Random(5)
+    (0 until 8).foreach { _ =>
+      val x = Array.fill(win)(rnd.nextGaussian())
+      assert(java.lang.Double.doubleToLongBits(LstmStack.forward(zeroD, x)) ==
+        java.lang.Double.doubleToLongBits(LstmStack.forward(meanTwin, x)),
+        "attD = 0 must leave exactly the residual mean-pool path")
+    }
+  }
+
+  test("mha + bidir BPTT == finite differences (the full fusion-layer config)") {
+    val h1 = 2; val h2 = 2; val nHeads = 2
+    val T = 5
+    val nP = LstmStack.nParams(h1, h2, "mha", bidir = true, nHeads = nHeads)
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 6).map(i =>
+      ((i % 2).toDouble, 0.5 + 0.25 * i, Array.fill(T)(rnd.nextGaussian())))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val p0 = Array.fill(nP)(rnd.nextGaussian() * 0.4)
+    def lossAt(p: Array[Double]): Double = {
+      val bw = spark.sparkContext.broadcast(p)
+      try LstmStack.gradientPassForTest(rdd, bw, h1, h2, 0.0, 1.0,
+        "mha", bidir = true, nHeads = nHeads)._1
+      finally bw.unpersist(false)
+    }
+    val bw0 = spark.sparkContext.broadcast(p0)
+    val (_, grad) =
+      try LstmStack.gradientPassForTest(rdd, bw0, h1, h2, 0.0, 1.0,
+        "mha", bidir = true, nHeads = nHeads)
+      finally bw0.unpersist(false)
+    val eps = 1e-6
+    (0 until nP).foreach { j =>
+      val pp = p0.clone(); pp(j) += eps
+      val pm = p0.clone(); pm(j) -= eps
+      val fd = (lossAt(pp) - lossAt(pm)) / (2 * eps)
+      val err = math.abs(fd - grad(j)) / math.max(1.0, math.abs(grad(j)))
+      assert(err < 1e-4,
+        s"param $j: BPTT ${grad(j)} vs FD $fd (rel err $err)")
+    }
+  }
+
+  test("mha training learns the planted corpus; artifact round-trips") {
+    val specs = (0 until 12).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 45.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 5.0, 40.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 45.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val windows = graft.streaming.NnBuffer
+      .dp2vectors(corpus, bufferSamples = 125).toDF()
+      .select(col("eventId"),
+        when(col("eventId").startsWith("SZ"), 1.0).otherwise(0.0).as("label"),
+        col("vec").as("window"))
+    val trainDf = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 0"))
+    val heldOut = windows.filter(
+      expr("CAST(substring(eventId, 3) AS INT) % 2 = 1"))
+    val model = LstmStack.train(trainDf,
+      LstmStack.Config(h1 = 2, h2 = 2, maxIter = 80, head = "mha",
+        nHeads = 2))
+    assert(model.head == "mha" && model.nHeads == 2 &&
+      model.attA.length == 4 && model.attCs.length == 2 &&
+      model.attD.length == 4)
+    val a = graft.ml.Trainer.auroc(
+      LstmStack.scoreWindows(model, heldOut)
+        .select(col("eventId"), col("label"), col("p_seizure")))
+    assert(a > 0.9, s"mha stacked LSTM held-out AUROC only $a")
+    val p = java.nio.file.Files.createTempDirectory("lstm2mha")
+      .resolve("m.json").toString
+    graft.ml.ModelIo.saveLstm2(model, p)
+    val back = graft.ml.ModelIo.loadLstm2(p)
+    assert(back.head == "mha" && back.nHeads == 2 &&
+      back.attD.toSeq == model.attD.toSeq)
+    val w0 = heldOut.limit(1).collect()(0).getAs[Seq[Double]]("window").toArray
+    assert(java.lang.Double.doubleToLongBits(LstmStack.forward(back, w0)) ==
+      java.lang.Double.doubleToLongBits(LstmStack.forward(model, w0)))
+  }
 }

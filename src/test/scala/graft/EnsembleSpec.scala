@@ -196,4 +196,61 @@ class EnsembleSpec extends SparkSpec {
       assert(gscans == models.size, s"generic path is the k-scan shape, saw $gscans")
     } finally data.unpersist(false)
   }
+
+  test("scoreEnsembleFused covers the full-amber stacked LSTM (bidir + mha): ONE scan") {
+    import spark.implicits._
+    import graft.ml.LstmStack
+    val rnd = new scala.util.Random(31)
+    val rows = for (e <- 0 until 8; w <- 0 until 2) yield
+      (s"E$e", (e % 2).toDouble, Array.fill(16)(rnd.nextGaussian()))
+    val data = rows.toDF("eventId", "label", "window")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    data.count()
+    try {
+      val models = (0 until 3).map { s =>
+        val r = new scala.util.Random(s + 80)
+        val h1 = 2; val h2 = 2; val nH = 2
+        LstmStack.Lstm2Model(h1, h2, 16,
+          wx1 = Array.fill(4 * h1)(r.nextGaussian() * 0.5),
+          wh1 = Array.fill(4 * h1 * h1)(r.nextGaussian() * 0.4),
+          b1 = Array.fill(4 * h1)(r.nextGaussian() * 0.2),
+          wx2 = Array.fill(4 * h2 * 2 * h1)(r.nextGaussian() * 0.5),
+          wh2 = Array.fill(4 * h2 * h2)(r.nextGaussian() * 0.4),
+          b2 = Array.fill(4 * h2)(r.nextGaussian() * 0.2),
+          dense = Array.fill(h2)(r.nextGaussian()),
+          bias = r.nextGaussian() * 0.2, mean = 0.0, std = 1.0,
+          head = "mha", bidir = true,
+          wx1b = Array.fill(4 * h1)(r.nextGaussian() * 0.5),
+          wh1b = Array.fill(4 * h1 * h1)(r.nextGaussian() * 0.4),
+          b1b = Array.fill(4 * h1)(r.nextGaussian() * 0.2),
+          nHeads = nH,
+          attA = Array.fill(nH * h2)(r.nextGaussian() * 0.5),
+          attCs = Array.fill(nH)(r.nextGaussian() * 0.3),
+          attD = Array.fill(nH * h2)(r.nextGaussian()))
+      }
+      val generic = Ensemble.scoreEnsemble[LstmStack.Lstm2Model](models,
+        (m, df) => LstmStack.scoreWindows(m, df)
+          .groupBy(col("eventId"))
+          .agg(max(col("label")).as("label"),
+            max(col("p_seizure")).as("p_seizure")),
+        data, q = 0.6)
+      val fused = Ensemble.scoreEnsembleFused[LstmStack.Lstm2Model](models,
+        m => lit(1.0) / (lit(1.0) + exp(-LstmStack.logitCol(m, col("window")))),
+        data, q = 0.6)
+      val g = generic.collect()
+        .map(r => r.getAs[String]("eventId") -> r.getAs[Double]("p_ensemble"))
+        .toMap
+      val f = fused.collect()
+        .map(r => r.getAs[String]("eventId") -> r.getAs[Double]("p_ensemble"))
+        .toMap
+      assert(f.size == 8 && g.size == 8)
+      f.foreach { case (e, p) =>
+        assert(math.abs(p - g(e)) < 1e-12, s"$e: fused $p vs generic ${g(e)}") }
+      val s = fused.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val fin = if (cut >= 0) s.substring(0, cut) else s
+      assert("InMemoryTableScan".r.findAllIn(fin).length == 1,
+        "full-amber fused ensemble should scan data once")
+    } finally data.unpersist(false)
+  }
 }

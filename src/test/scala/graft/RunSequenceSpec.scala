@@ -297,6 +297,45 @@ class RunSequenceSpec extends SparkSpec {
     }
   }
 
+  test("runWithWindows(lstm2Family, bidir + mha): the FULL amber shape rides the composed fold loop") {
+    val n = 6
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    val events = evFrame((0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 2),
+        (s"OK$i", "False Alarm", "other", i % 2))
+    })
+    val (fit, score) = graft.ml.LstmStack.lstm2Family(
+      graft.ml.LstmStack.Config(h1 = 2, h2 = 2, maxIter = 60,
+        head = "mha", bidir = true, nHeads = 2))
+    val results = RunSequence.runWithWindows(
+      events, corpus, lit(true), col("fold0"),
+      RunSequence.Config(k = 2), bufferSamples = 125)(fit, score)
+    assert(results.size == 2)
+    results.foreach { fr =>
+      val m = fr.model.asInstanceOf[graft.ml.LstmStack.Lstm2Model]
+      assert(m.bidir && m.head == "mha" && m.nHeads == 2 &&
+        m.window == 125)
+      assert(fr.heldOutAuroc > 0.85,
+        s"fold ${fr.fold}: full-amber held-out AUROC only ${fr.heldOutAuroc}")
+      assert(fr.nTestEvents > 0)
+    }
+  }
+
   test("nestedSkeleton: slice counts, explicit zeros, guard trips on a duplicated id") {
     import spark.implicits._
     // 7 events, outer = id % 2, inner = id % 3, select = id < 6

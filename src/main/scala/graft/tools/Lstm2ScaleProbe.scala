@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.LstmStack
+
+/** Stacked-LSTM variant cost ladder: measured rows/s for the codegen'd
+  * [[LstmStack.logitCol]] across the amber-shape axes (mean → attn →
+  * bidir → bidir+mha), plus one full-amber training point — the numbers
+  * behind the r14 SCALING claims that the bidir flag costs ~2× layer-1
+  * arithmetic and the mha head is noise next to the recurrence.
+  *
+  * Windows synthesized in-plan (same generator discipline as
+  * [[CnnScaleProbe]]).
+  *
+  * `runMain graft.tools.Lstm2ScaleProbe [scoreRows] [trainRows]`
+  */
+object Lstm2ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val scoreRows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val trainRows = args.lift(1).map(_.toLong).getOrElse(100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val W = 125
+    def windows(n: Long): DataFrame =
+      spark.range(n).select(
+        col("id"),
+        (col("id") % 2).cast("double").as("label"),
+        transform(sequence(lit(0), lit(W - 1)), t => {
+          val ph = pmod(col("id") * 2654435761L, lit(628)).cast("double") / 100.0
+          lit(900.0) +
+            lit(60.0) * sin(t.cast("double") / lit(8.0) + ph) +
+            when(col("id") % 2 === 1,
+              lit(80.0) * sin(t.cast("double") * lit(1.26) + ph))
+              .otherwise(lit(0.0))
+        }).as("window"))
+
+    val h1 = 4; val h2 = 3; val nH = 2
+    def model(head: String, bidir: Boolean): LstmStack.Lstm2Model = {
+      val rnd = new scala.util.Random(7)
+      val xDim = if (bidir) 2 * h1 else h1
+      LstmStack.Lstm2Model(h1, h2, W,
+        wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.4),
+        wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.3),
+        b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.1),
+        wx2 = Array.fill(4 * h2 * xDim)(rnd.nextGaussian() * 0.3),
+        wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.3),
+        b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.1),
+        dense = Array.fill(h2)(rnd.nextGaussian()),
+        bias = 0.1, mean = 900.0, std = 80.0,
+        head = head,
+        attA = head match {
+          case "attn" => Array.fill(h2)(rnd.nextGaussian() * 0.3)
+          case "mha"  => Array.fill(nH * h2)(rnd.nextGaussian() * 0.3)
+          case _      => Array.emptyDoubleArray
+        },
+        attC = if (head == "attn") 0.1 else 0.0,
+        bidir = bidir,
+        wx1b = if (bidir) Array.fill(4 * h1)(rnd.nextGaussian() * 0.4)
+               else Array.emptyDoubleArray,
+        wh1b = if (bidir) Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.3)
+               else Array.emptyDoubleArray,
+        b1b = if (bidir) Array.fill(4 * h1)(rnd.nextGaussian() * 0.1)
+              else Array.emptyDoubleArray,
+        nHeads = if (head == "mha") nH else 1,
+        attCs = if (head == "mha") Array.fill(nH)(0.1)
+                else Array.emptyDoubleArray,
+        attD = if (head == "mha") Array.fill(nH * h2)(rnd.nextGaussian())
+               else Array.emptyDoubleArray)
+    }
+
+    val sdf = windows(scoreRows).persist()
+    sdf.count()
+    val variants = Seq(
+      ("mean", false), ("attn", false),
+      ("mean", true), ("attn", true), ("mha", true))
+    variants.foreach { case (head, bd) =>
+      val m = model(head, bd)
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sdf.select(LstmStack.logitCol(m, col("window")).as("z"))
+          .agg(sum("z")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = reps.min
+      System.err.println(
+        f"[lstm2] score head=$head%-4s bidir=$bd%-5s n=$scoreRows%8d: " +
+          f"$s%6.2f s (${scoreRows / s}%,.0f rows/s)")
+    }
+    sdf.unpersist()
+
+    // one full-amber training point at fixed iterations (warm first)
+    val iters = 10
+    LstmStack.train(windows(500),
+      LstmStack.Config(h1 = 2, h2 = 2, maxIter = 2, head = "mha",
+        bidir = true, nHeads = nH))
+    val tdf = windows(trainRows).persist()
+    tdf.count()
+    val t0 = System.nanoTime()
+    LstmStack.train(tdf,
+      LstmStack.Config(h1 = 2, h2 = 2, maxIter = iters, head = "mha",
+        bidir = true, nHeads = nH))
+    System.err.println(
+      f"[lstm2] train full-amber (bidir+mha) n=$trainRows%8d " +
+        f"maxIter=$iters: ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    tdf.unpersist()
+    spark.stop()
+  }
+}

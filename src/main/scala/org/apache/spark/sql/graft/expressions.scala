@@ -975,6 +975,192 @@ case class LstmStackLogit(
     copy(child = newChild)
 }
 
+/** The conv front-end of the composed conv→recurrence architecture
+  * (`graft.ml.ConvFront` — valid 1-D conv → frozen-affine norm → ReLU →
+  * max-pool(2) per block, then a 1×1 channel mix to the scalar sequence
+  * the stacked LSTM consumes). Emits `array<double>`; nests inside
+  * [[LstmStackLogit]] so the whole composed model is ONE projection.
+  * Block structure is plan-time constant, so codegen unrolls per block
+  * with the channel/tap loops inside. Accumulation order matches
+  * `ConvFront.forward` exactly (b, then ci ascending × j ascending;
+  * mix c ascending). Empty input → NULL; an input too short for one
+  * surviving position → NULL (the serve-length guard is the caller's,
+  * same contract as the recurrent expressions). */
+case class ConvFrontSeq(
+    child: Expression,
+    shapes: Seq[(Int, Int, Int)], // (cIn, cOut, k) per block
+    ws: Seq[Seq[Double]],
+    bs: Seq[Seq[Double]],
+    scales: Seq[Seq[Double]],
+    shifts: Seq[Seq[Double]],
+    mix: Seq[Double],
+    mixBias: Double,
+    mean: Double,
+    std: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(shapes.nonEmpty && shapes.head._1 == 1,
+    "ConvFrontSeq input is single-channel")
+  require(shapes.sliding(2).forall(p => p.size < 2 || p(0)._2 == p(1)._1),
+    "ConvFrontSeq channel chain inconsistent")
+  require(shapes.indices.forall { i =>
+    val (ci, co, k) = shapes(i)
+    ws(i).length == co * ci * k && bs(i).length == co &&
+      scales(i).length == co && shifts(i).length == co
+  }, "ConvFrontSeq weight shapes inconsistent")
+  require(mix.length == shapes.last._2, "ConvFrontSeq mix width wrong")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "conv_front_seq"
+
+  @transient private lazy val wA = ws.map(_.toArray).toArray
+  @transient private lazy val bA = bs.map(_.toArray).toArray
+  @transient private lazy val scA = scales.map(_.toArray).toArray
+  @transient private lazy val shA = shifts.map(_.toArray).toArray
+  @transient private lazy val mixA = mix.toArray
+
+  private def outLenOf(n: Int): Int =
+    shapes.foldLeft(n)((t, s) => (t - s._3 + 1) / 2)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val win = a.asInstanceOf[ArrayData]
+    val n = win.numElements()
+    if (n == 0 || outLenOf(n) < 1) return null
+    var cur = Array(Array.tabulate(n)(t => (win.getDouble(t) - mean) / std))
+    var bi = 0
+    while (bi < shapes.length) {
+      val (cIn, cOut, k) = shapes(bi)
+      val nPos = cur(0).length - k + 1
+      val tOut = nPos / 2
+      val act = Array.ofDim[Double](cOut, nPos)
+      var o = 0
+      while (o < cOut) {
+        var t = 0
+        while (t < nPos) {
+          var acc = bA(bi)(o)
+          var ci = 0
+          while (ci < cIn) {
+            var j = 0
+            while (j < k) {
+              acc += wA(bi)((o * cIn + ci) * k + j) * cur(ci)(t + j); j += 1
+            }
+            ci += 1
+          }
+          val nm = scA(bi)(o) * acc + shA(bi)(o)
+          act(o)(t) = if (nm > 0.0) nm else 0.0
+          t += 1
+        }
+        o += 1
+      }
+      val out = Array.ofDim[Double](cOut, tOut)
+      o = 0
+      while (o < cOut) {
+        var tp = 0
+        while (tp < tOut) {
+          val x0 = act(o)(2 * tp); val x1 = act(o)(2 * tp + 1)
+          out(o)(tp) = if (x0 >= x1) x0 else x1
+          tp += 1
+        }
+        o += 1
+      }
+      cur = out
+      bi += 1
+    }
+    val tOut = cur(0).length
+    val y = new Array[Double](tOut)
+    var t = 0
+    while (t < tOut) {
+      var acc = mixBias
+      var c = 0
+      while (c < mixA.length) { acc += mixA(c) * cur(c)(t); c += 1 }
+      y(t) = acc
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wR = shapes.indices.map(i =>
+        ctx.addReferenceObj(s"cfW$i", wA(i), "double[]"))
+      val bR = shapes.indices.map(i =>
+        ctx.addReferenceObj(s"cfB$i", bA(i), "double[]"))
+      val scR = shapes.indices.map(i =>
+        ctx.addReferenceObj(s"cfSc$i", scA(i), "double[]"))
+      val shR = shapes.indices.map(i =>
+        ctx.addReferenceObj(s"cfSh$i", shA(i), "double[]"))
+      val mixR = ctx.addReferenceObj("cfMix", mixA, "double[]")
+      val sc = ctx.addReferenceObj("cfScalars",
+        Array(mixBias, mean, std), "double[]")
+      val n = ctx.freshName("n")
+      val cur = ctx.freshName("cur")
+      val y = ctx.freshName("y")
+      val ol = ctx.freshName("ol")
+      val tf = ctx.freshName("tf")
+      // per-block unrolled stage: cur (cIn × tCur) -> out (cOut × tOut)
+      val stages = shapes.indices.map { i =>
+        val (cIn, cOut, k) = shapes(i)
+        s"""{
+           |  int __nPos = $cur[0].length - $k + 1;
+           |  int __tOut = __nPos / 2;
+           |  double[][] __act = new double[$cOut][__nPos];
+           |  for (int __o = 0; __o < $cOut; __o++) {
+           |    for (int __t = 0; __t < __nPos; __t++) {
+           |      double __acc = ${bR(i)}[__o];
+           |      for (int __ci = 0; __ci < $cIn; __ci++) {
+           |        for (int __j = 0; __j < $k; __j++) {
+           |          __acc += ${wR(i)}[(__o * $cIn + __ci) * $k + __j] * $cur[__ci][__t + __j];
+           |        }
+           |      }
+           |      double __nm = ${scR(i)}[__o] * __acc + ${shR(i)}[__o];
+           |      __act[__o][__t] = __nm > 0.0 ? __nm : 0.0;
+           |    }
+           |  }
+           |  double[][] __out = new double[$cOut][__tOut];
+           |  for (int __o = 0; __o < $cOut; __o++) {
+           |    for (int __tp = 0; __tp < __tOut; __tp++) {
+           |      double __x0 = __act[__o][2 * __tp];
+           |      double __x1 = __act[__o][2 * __tp + 1];
+           |      __out[__o][__tp] = __x0 >= __x1 ? __x0 : __x1;
+           |    }
+           |  }
+           |  $cur = __out;
+           |}""".stripMargin
+      }.mkString("\n")
+      // plan-time outLen check mirrors outLenOf
+      val shrink = shapes.map(s => s"$ol = ($ol - ${s._3} + 1) / 2;")
+        .mkString(" ")
+      s"""
+         |int $n = $a.numElements();
+         |int $ol = $n; $shrink
+         |if ($n == 0 || $ol < 1) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[][] $cur = new double[1][$n];
+         |  for (int __t = 0; __t < $n; __t++) {
+         |    $cur[0][__t] = ($a.getDouble(__t) - $sc[1]) / $sc[2];
+         |  }
+         |  $stages
+         |  int $tf = $cur[0].length;
+         |  double[] $y = new double[$tf];
+         |  for (int __t = 0; __t < $tf; __t++) {
+         |    double __acc = $sc[0];
+         |    for (int __c = 0; __c < ${mix.length}; __c++) {
+         |      __acc += $mixR[__c] * $cur[__c][__t];
+         |    }
+         |    $y[__t] = __acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($y);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
   import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -1003,6 +1189,15 @@ object GraftSqlBridge {
     ExpressionUtils.column(LstmHardLogit(
       ExpressionUtils.expression(win), nUnits, wx, wh, b, dense,
       bias, mean, std))
+
+  def convFrontSeq(win: Column, shapes: Seq[(Int, Int, Int)],
+                   ws: Seq[Seq[Double]], bs: Seq[Seq[Double]],
+                   scales: Seq[Seq[Double]], shifts: Seq[Seq[Double]],
+                   mix: Seq[Double], mixBias: Double,
+                   mean: Double, std: Double): Column =
+    ExpressionUtils.column(ConvFrontSeq(
+      ExpressionUtils.expression(win), shapes, ws, bs, scales, shifts,
+      mix, mixBias, mean, std))
 
   def lstmStackLogit(win: Column, h1: Int, h2: Int,
                      wx1: Seq[Double], wh1: Seq[Double], b1: Seq[Double],

@@ -406,22 +406,51 @@ object LstmStack {
       head: String, bidir: Boolean = false, nHeads: Int = 1)
       : (Double, Array[Double]) = {
     val nP = nParams(h1N, h2N, head, bidir, nHeads)
-    val attn = head == "attn"
-    val mha = head == "mha"
     val seqOp: ((Double, Array[Double]), (Double, Double, Array[Double]))
         => (Double, Array[Double]) = { case ((ls, grad), (y, wt, xRaw)) =>
       val p = bw.value
       val T = xRaw.length
-      val wx1O = oWx1(h1N, h2N); val wh1O = oWh1(h1N, h2N)
-      val b1O = oB1(h1N, h2N); val wx2O = oWx2(h1N, h2N, bidir)
-      val wh2O = oWh2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
-      val dvO = oDv(h1N, h2N, bidir); val biasO = oBias(h1N, h2N, bidir)
-      val xN = x2DimOf(h1N, bidir)
       val xs = new Array[Double](T)
       var i = 0
       while (i < T) { xs(i) = (xRaw(i) - mean) / std; i += 1 }
+      (ls + rowGrad(p, 0, h1N, h2N, head, bidir, nHeads,
+        y, wt, xs, grad, null), grad)
+    }
+    DetAgg.lossGrad(
+      ds.mapPartitionsWithIndex { case (pi, it) =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(
+          (pi, it.foldLeft((0.0, new Array[Double](nP)))(seqOp)))
+      }, nP)
+  }
+
+  /** Per-row loss + gradient of the stacked network over an ALREADY
+    * prepared input sequence `xs` — normalization (or a conv front-end,
+    * [[ConvPipe]]) is the caller's job. Parameters read from
+    * p(off + ...) and gradients accumulate into grad(off + ...), so a
+    * composed model can place the stack's block inside a larger
+    * vector. When `dxOut` is non-null it receives d(loss)/d(xs(t)) —
+    * what a front-end backward consumes. Returns wt·loss. */
+  private[ml] def rowGrad(p: Array[Double], off: Int, h1N: Int, h2N: Int,
+      head: String, bidir: Boolean, nHeads: Int,
+      y: Double, wt: Double, xs: Array[Double],
+      grad: Array[Double], dxOut: Array[Double]): Double = {
+    val attn = head == "attn"
+    val mha = head == "mha"
+    val T = xs.length
+    val wx1O = off + oWx1(h1N, h2N); val wh1O = off + oWh1(h1N, h2N)
+    val b1O = off + oB1(h1N, h2N); val wx2O = off + oWx2(h1N, h2N, bidir)
+    val wh2O = off + oWh2(h1N, h2N, bidir)
+    val b2O = off + oB2(h1N, h2N, bidir)
+    val dvO = off + oDv(h1N, h2N, bidir)
+    val biasO = off + oBias(h1N, h2N, bidir)
+    val wx1bO = off + oWx1b(h1N, h2N); val wh1bO = off + oWh1b(h1N, h2N)
+    val b1bO = off + oB1b(h1N, h2N)
+    val xN = x2DimOf(h1N, bidir);
+    {
       // ---- forward, storing activations for both layers
-      val g1I = Array.ofDim[Double](T, h1N); val g1F = Array.ofDim[Double](T, h1N)
+      val g1I = Array.ofDim[Double](T, h1N)
+      val g1F = Array.ofDim[Double](T, h1N)
       val g1G = Array.ofDim[Double](T, h1N); val g1O = Array.ofDim[Double](T, h1N)
       val c1S = Array.ofDim[Double](T, h1N); val h1S = Array.ofDim[Double](T, h1N)
       l1ForwardStore(p, xs, h1N, wx1O, wh1O, b1O,
@@ -436,8 +465,8 @@ object LstmStack {
       val c1Sb = if (bidir) Array.ofDim[Double](T, h1N) else null
       val h1Sb = if (bidir) Array.ofDim[Double](T, h1N) else null
       if (bidir)
-        l1ForwardStore(p, xsRev, h1N, oWx1b(h1N, h2N), oWh1b(h1N, h2N),
-          oB1b(h1N, h2N), g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb)
+        l1ForwardStore(p, xsRev, h1N, wx1bO, wh1bO,
+          b1bO, g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb)
       // layer-2 input sequence: h1fwd(t) (++ h1bwd(t) when bidir —
       // h1bwd at ORIGINAL time t is the backward pass's r = T-1-t row)
       val x2S =
@@ -487,9 +516,10 @@ object LstmStack {
       }
       // ---- head forward (attn/mha: scores/weights + smoothed
       // accumulators; mha ALSO keeps the residual mean pool)
-      val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
-      val mhaCsO = if (mha) oMhaCs(h1N, h2N, bidir, nHeads) else 0
-      val mhaDO = if (mha) oMhaD(h1N, h2N, bidir, nHeads) else 0
+      val attAO = off + oAttA(h1N, h2N, bidir)
+      val attCO = off + oAttC(h1N, h2N, bidir)
+      val mhaCsO = if (mha) off + oMhaCs(h1N, h2N, bidir, nHeads) else 0
+      val mhaDO = if (mha) off + oMhaD(h1N, h2N, bidir, nHeads) else 0
       val wAtt = if (attn) new Array[Double](T) else null
       val num = if (attn) new Array[Double](h2N) else null
       var den = 0.0
@@ -641,23 +671,24 @@ object LstmStack {
         val dhB = Array.tabulate(T)(r =>
           java.util.Arrays.copyOfRange(dx1FromL2(T - 1 - r), h1N, 2 * h1N))
         run1(p, grad, dhF, xs, T, h1N,
-          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O)
+          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O, dxOut)
+        // the backward direction's input gradient lands in PROCESSING
+        // order; fold it back to original indices
+        val dxRev = if (dxOut != null) new Array[Double](T) else null
         run1(p, grad, dhB, xsRev, T, h1N,
           g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb,
-          oWx1b(h1N, h2N), oWh1b(h1N, h2N), oB1b(h1N, h2N))
+          wx1bO, wh1bO, b1bO, dxRev)
+        if (dxOut != null) {
+          var tt = 0
+          while (tt < T) { dxOut(tt) += dxRev(T - 1 - tt); tt += 1 }
+        }
       } else {
         // layer-1 BPTT
         run1(p, grad, dx1FromL2, xs, T, h1N,
-          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O)
+          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O, dxOut)
       }
-      (ls + wt * loss, grad)
+      wt * loss
     }
-    DetAgg.lossGrad(
-      ds.mapPartitionsWithIndex { case (pi, it) =>
-        if (it.isEmpty) Iterator.empty
-        else Iterator.single(
-          (pi, it.foldLeft((0.0, new Array[Double](nP)))(seqOp)))
-      }, nP)
   }
 
   /** Layer-1 forward with stored activations (one direction): the
@@ -765,12 +796,16 @@ object LstmStack {
 
   /** Layer-1 backward: dh1(t) = layer-2 input contribution + recurrent
     * backflow; scalar input xs. */
+  /** `dxOut` (optional): receives d(loss)/d(xs(t)) — the upstream
+    * gradient a front-end backward ([[ConvFront.rowBackward]])
+    * consumes; indices follow xs's PROCESSING order. */
   private def run1(p: Array[Double], grad: Array[Double],
       dhIn: Array[Array[Double]], xs: Array[Double], T: Int, h1N: Int,
       gI: Array[Array[Double]], gF: Array[Array[Double]],
       gG: Array[Array[Double]], gO: Array[Array[Double]],
       cS: Array[Array[Double]], hS: Array[Array[Double]],
-      wxO: Int, whO: Int, bO: Int): Unit = {
+      wxO: Int, whO: Int, bO: Int,
+      dxOut: Array[Double] = null): Unit = {
     val dh = new Array[Double](h1N)
     val dc = new Array[Double](h1N)
     val dhPrev = new Array[Double](h1N)
@@ -801,6 +836,7 @@ object LstmStack {
           if (da != 0.0) {
             grad(bO + g * h1N + u) += da
             grad(wxO + g * h1N + u) += da * xs(t)
+            if (dxOut != null) dxOut(t) += da * p(wxO + g * h1N + u)
             var v = 0
             while (v < h1N) {
               if (t > 0) grad(whO + (g * h1N + u) * h1N + v) += da * hS(t - 1)(v)
@@ -815,6 +851,102 @@ object LstmStack {
       System.arraycopy(dhPrev, 0, dh, 0, h1N)
       t -= 1
     }
+  }
+
+  /** L2-regularizable index ranges of the stack's parameter block
+    * (RELATIVE to its base): weight matrices + dense + attention
+    * score/readout weights — never biases. One source of truth for
+    * [[train]] and the composed [[ConvPipe]] trainer. */
+  private[ml] def stackWeightRanges(h1N: Int, h2N: Int, head: String,
+      bidir: Boolean, nHeads: Int): Seq[(Int, Int)] = {
+    val attn = head == "attn"; val mha = head == "mha"
+    Seq((oWx1(h1N, h2N), oB1(h1N, h2N))) ++
+      (if (bidir) Seq((oWx1b(h1N, h2N), oB1b(h1N, h2N))) else Nil) ++
+      Seq((oWx2(h1N, h2N, bidir), oB2(h1N, h2N, bidir)),
+        (oDv(h1N, h2N, bidir), oBias(h1N, h2N, bidir))) ++
+      (if (attn) Seq((oAttA(h1N, h2N, bidir), oAttC(h1N, h2N, bidir)))
+       else Nil) ++
+      (if (mha) Seq(
+        (oAttA(h1N, h2N, bidir), oMhaCs(h1N, h2N, bidir, nHeads)),
+        (oMhaD(h1N, h2N, bidir, nHeads),
+          oMhaD(h1N, h2N, bidir, nHeads) + nHeads * h2N))
+       else Nil)
+  }
+
+  /** Deterministic seeded init of the stack's parameter block:
+    * Gaussian·0.3 weights, forget-gate biases of every recurrent
+    * block at +1, zero elsewhere. */
+  private[ml] def stackInit(rnd: scala.util.Random, h1N: Int, h2N: Int,
+      head: String, bidir: Boolean, nHeads: Int): Array[Double] = {
+    val attn = head == "attn"; val mha = head == "mha"
+    val nP = nParams(h1N, h2N, head, bidir, nHeads)
+    val init = new Array[Double](nP)
+    val b1O = oB1(h1N, h2N); val b1bO = oB1b(h1N, h2N)
+    val wx1bO = oWx1b(h1N, h2N)
+    val wx2O = oWx2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
+    val dvO = oDv(h1N, h2N, bidir)
+    val attAO = oAttA(h1N, h2N, bidir)
+    val mhaDO = oMhaD(h1N, h2N, bidir, nHeads)
+    var i = 0
+    while (i < b1O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+    if (bidir) {
+      i = wx1bO
+      while (i < b1bO) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+    }
+    i = wx2O
+    while (i < b2O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
+    (0 until h1N).foreach(u => init(b1O + h1N + u) = 1.0)
+    if (bidir) (0 until h1N).foreach(u => init(b1bO + h1N + u) = 1.0)
+    (0 until h2N).foreach(u => init(b2O + h2N + u) = 1.0)
+    (0 until h2N).foreach(u => init(dvO + u) = rnd.nextGaussian() * 0.3)
+    if (attn)
+      (0 until h2N).foreach(u => init(attAO + u) = rnd.nextGaussian() * 0.3)
+    if (mha)
+      (0 until nHeads * h2N).foreach { j =>
+        init(attAO + j) = rnd.nextGaussian() * 0.3
+        init(mhaDO + j) = rnd.nextGaussian() * 0.3
+      }
+    init
+  }
+
+  /** Slice a solved parameter vector (stack block at `off`) back into
+    * an [[Lstm2Model]]. */
+  private[ml] def stackUnpack(sol: Array[Double], off: Int, h1N: Int,
+      h2N: Int, window: Int, mean: Double, std: Double, head: String,
+      bidir: Boolean, nHeads: Int): Lstm2Model = {
+    val attn = head == "attn"; val mha = head == "mha"
+    def sl(a: Int, b: Int) = sol.slice(off + a, off + b)
+    val wx2O = oWx2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
+    val dvO = oDv(h1N, h2N, bidir); val biasO = oBias(h1N, h2N, bidir)
+    val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
+    val b1bO = oB1b(h1N, h2N)
+    val mhaCsO = oMhaCs(h1N, h2N, bidir, nHeads)
+    val mhaDO = oMhaD(h1N, h2N, bidir, nHeads)
+    Lstm2Model(h1N, h2N, window,
+      wx1 = sl(oWx1(h1N, h2N), oWh1(h1N, h2N)),
+      wh1 = sl(oWh1(h1N, h2N), oB1(h1N, h2N)),
+      b1 = sl(oB1(h1N, h2N), oB1(h1N, h2N) + 4 * h1N),
+      wx2 = sl(wx2O, oWh2(h1N, h2N, bidir)),
+      wh2 = sl(oWh2(h1N, h2N, bidir), b2O),
+      b2 = sl(b2O, dvO),
+      dense = sl(dvO, biasO),
+      bias = sol(off + biasO), mean = mean, std = std,
+      head = head,
+      attA = if (attn) sl(attAO, attCO)
+             else if (mha) sl(attAO, mhaCsO)
+             else Array.emptyDoubleArray,
+      attC = if (attn) sol(off + attCO) else 0.0,
+      bidir = bidir,
+      wx1b = if (bidir) sl(oWx1b(h1N, h2N), oWh1b(h1N, h2N))
+             else Array.emptyDoubleArray,
+      wh1b = if (bidir) sl(oWh1b(h1N, h2N), b1bO)
+             else Array.emptyDoubleArray,
+      b1b = if (bidir) sl(b1bO, b1bO + 4 * h1N)
+            else Array.emptyDoubleArray,
+      nHeads = if (mha) nHeads else 1,
+      attCs = if (mha) sl(mhaCsO, mhaDO) else Array.emptyDoubleArray,
+      attD = if (mha) sl(mhaDO, mhaDO + nHeads * h2N)
+             else Array.emptyDoubleArray)
   }
 
   /** Distributed training — same shape as [[Lstm.train]]: breeze LBFGS,
@@ -871,24 +1003,10 @@ object LstmStack {
       val sc = spark.sparkContext
 
       // L2 applies to the weight matrices + dense + attention weights,
-      // never biases
-      val wx1O = oWx1(h1N, h2N); val b1O = oB1(h1N, h2N)
-      val wx1bO = oWx1b(h1N, h2N); val b1bO = oB1b(h1N, h2N)
-      val wx2O = oWx2(h1N, h2N, bidir); val b2O = oB2(h1N, h2N, bidir)
-      val dvO = oDv(h1N, h2N, bidir); val biasO = oBias(h1N, h2N, bidir)
-      val attAO = oAttA(h1N, h2N, bidir); val attCO = oAttC(h1N, h2N, bidir)
-      val mhaCsO = oMhaCs(h1N, h2N, bidir, nH)
-      val mhaDO = oMhaD(h1N, h2N, bidir, nH)
+      // never biases (ranges shared with ConvPipe via stackWeightRanges)
+      val wRanges = stackWeightRanges(h1N, h2N, cfg.head, bidir, nH)
       def isWeight(i: Int): Boolean =
-        (i >= wx1O && i < b1O) ||
-          (bidir && i >= wx1bO && i < b1bO) ||
-          (i >= wx2O && i < b2O) ||
-          (i >= dvO && i < biasO) ||
-          (attn && i >= attAO && i < attCO) ||
-          // mha: score weights + readout slices regularized, head
-          // biases (attCs) not — same bias convention as everywhere
-          (mha && ((i >= attAO && i < mhaCsO) ||
-            (i >= mhaDO && i < mhaDO + nH * h2N)))
+        wRanges.exists(r => i >= r._1 && i < r._2)
 
       val fn = new breeze.optimize.DiffFunction[BDV[Double]] {
         def calculate(p: BDV[Double]): (Double, BDV[Double]) = {
@@ -912,57 +1030,12 @@ object LstmStack {
         }
       }
 
-      val rnd = new scala.util.Random(cfg.seed)
-      val init = new Array[Double](nP)
-      var i = 0
-      while (i < b1O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
-      if (bidir) {
-        i = wx1bO
-        while (i < b1bO) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
-      }
-      i = wx2O
-      while (i < b2O) { init(i) = rnd.nextGaussian() * 0.3; i += 1 }
-      // forget-gate biases (+1) in every recurrent block
-      (0 until h1N).foreach(u => init(b1O + h1N + u) = 1.0)
-      if (bidir) (0 until h1N).foreach(u => init(b1bO + h1N + u) = 1.0)
-      (0 until h2N).foreach(u => init(b2O + h2N + u) = 1.0)
-      (0 until h2N).foreach(u => init(dvO + u) = rnd.nextGaussian() * 0.3)
-      if (attn)
-        (0 until h2N).foreach(u => init(attAO + u) = rnd.nextGaussian() * 0.3)
-      if (mha) {
-        (0 until nH * h2N).foreach { j =>
-          init(attAO + j) = rnd.nextGaussian() * 0.3
-          init(mhaDO + j) = rnd.nextGaussian() * 0.3
-        }
-      }
+      val init = stackInit(new scala.util.Random(cfg.seed),
+        h1N, h2N, cfg.head, bidir, nH)
       val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
         maxIter = cfg.maxIter, m = 10, tolerance = 1e-7)
       val sol = lbfgs.minimize(fn, BDV(init)).data
-      Lstm2Model(h1N, h2N, wLen,
-        wx1 = sol.slice(oWx1(h1N, h2N), oWh1(h1N, h2N)),
-        wh1 = sol.slice(oWh1(h1N, h2N), oB1(h1N, h2N)),
-        b1 = sol.slice(oB1(h1N, h2N), oB1(h1N, h2N) + 4 * h1N),
-        wx2 = sol.slice(wx2O, oWh2(h1N, h2N, bidir)),
-        wh2 = sol.slice(oWh2(h1N, h2N, bidir), b2O),
-        b2 = sol.slice(b2O, dvO),
-        dense = sol.slice(dvO, biasO),
-        bias = sol(biasO), mean = mean, std = std,
-        head = cfg.head,
-        attA = if (attn) sol.slice(attAO, attCO)
-               else if (mha) sol.slice(attAO, mhaCsO)
-               else Array.emptyDoubleArray,
-        attC = if (attn) sol(attCO) else 0.0,
-        bidir = bidir,
-        wx1b = if (bidir) sol.slice(wx1bO, oWh1b(h1N, h2N))
-               else Array.emptyDoubleArray,
-        wh1b = if (bidir) sol.slice(oWh1b(h1N, h2N), b1bO)
-               else Array.emptyDoubleArray,
-        b1b = if (bidir) sol.slice(b1bO, b1bO + 4 * h1N)
-              else Array.emptyDoubleArray,
-        nHeads = nH,
-        attCs = if (mha) sol.slice(mhaCsO, mhaDO) else Array.emptyDoubleArray,
-        attD = if (mha) sol.slice(mhaDO, mhaDO + nH * h2N)
-               else Array.emptyDoubleArray)
+      stackUnpack(sol, 0, h1N, h2N, wLen, mean, std, cfg.head, bidir, nH)
     } finally ds.unpersist(false)
   }
 

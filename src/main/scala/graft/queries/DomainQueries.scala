@@ -1888,8 +1888,18 @@ object DomainQueries {
     * recursions re-execute on every one of the W layer-2 iterations
     * (measured 207 s vs 2.1 s at sf0.001, a W× blow-up that would
     * time out the driver's gate at sf0.1). */
+  /** `src`/`xExpr` parameterize the recurrence's INPUT: default is the
+    * raw fixture samples with the inline scaling; the composed
+    * conv→recurrence oracle (ml4f) passes its conv-output CTE and
+    * `p.y`. `prefixCtes` is inserted (as ", name AS (...)" text) before
+    * the recursions — the conv chain goes there, and its OUTPUT CTE
+    * must be AS MATERIALIZED (both layer-1 recursions reference it
+    * from their recursive parts — the ml4d inlining lesson). */
   private def lstm2BidirSql(m: graft.ml.LstmStack.Lstm2Model,
-                            edCte: String, cteName: String): String = {
+                            edCte: String, cteName: String,
+                            src: String = "sampm",
+                            xExpr: String = "(p.m - 1000.0)/64.0",
+                            prefixCtes: String = ""): String = {
     val attn = m.head == "attn"
     val H1 = m.h1; val H2 = m.h2
     val W = m.window
@@ -1938,8 +1948,8 @@ object DomainQueries {
          |        $preCols
          |          FROM (
          |            SELECT s.e AS e, s.d AS d, s.t + 1 AS t, $carry,
-         |                   (p.m - 1000.0)/64.0 AS x
-         |            FROM $name s JOIN sampm p
+         |                   $xExpr AS x
+         |            FROM $name s JOIN $src p
          |              ON p.e = s.e AND p.d = s.d AND p.i = $sampleIdx
          |            WHERE s.t < $W)))))
          |)""".stripMargin
@@ -2031,8 +2041,8 @@ object DomainQueries {
           .map(u => s"${L(m.dense(u))}*(s_$u/$W.0)").mkString(" + ")
     val fSel = (0 until H1).map(u => s"f.h1_$u AS hf_$u").mkString(", ")
     val bSel = (0 until H1).map(u => s"bb.h1_$u AS hb_$u").mkString(", ")
-    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""", $edCte AS (SELECT e, d FROM sampm WHERE i = 0),
+    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") + prefixCtes +
+      s""", $edCte AS (SELECT e, d FROM $src WHERE i = 0),
          |${l1Cte(cteName + "f", m.wx1, m.wh1, m.b1, "s.t")},
          |${l1Cte(cteName + "b", m.wx1b, m.wh1b, m.b1b, s"$W - 1 - s.t")},
          |${cteName}in AS MATERIALIZED (
@@ -2152,6 +2162,105 @@ object DomainQueries {
         graft.ml.LstmStack.logitCol(ml4eNet, col("rawData")).as("logit"))
 
   val ml4eSql: String = lstm2StackSql(ml4eNet, "edml4e", "lstm2e")
+
+  /** The conv front-end ([[graft.ml.ConvFront]]) as NON-recursive CTE
+    * text feeding the recurrence oracles: normalize → per block
+    * (LEAD taps → conv+affine+ReLU activations → pair-MAX pool with a
+    * halved index) → the 1×1 channel mix. Term order matches the
+    * engine's accumulation exactly (b, then ci-major × j-minor taps,
+    * left-assoc; affine outside; mix c-ascending). The OUTPUT CTE is
+    * `AS MATERIALIZED` — both layer-1 recursions reference it from
+    * their recursive parts (the ml4d inlining lesson). */
+  private def convFrontCtes(cf: graft.ml.ConvFront.ConvFrontModel,
+                            outName: String): String = {
+    def L(d: Double): String = if (d < 0) s"($d)" else d.toString
+    val sb = new StringBuilder
+    sb.append(s", ${outName}n AS (SELECT e, d, i, " +
+      s"(m - ${L(cf.mean)})/${L(cf.std)} AS v FROM sampm " +
+      s"WHERE i < ${cf.window})")
+    var src = s"${outName}n"
+    var valCols: Seq[String] = Seq("v")
+    var tIn = cf.window
+    cf.blocks.zipWithIndex.foreach { case (bl, bi) =>
+      val k = bl.k
+      val nPos = tIn - k + 1
+      val leadCols = (0 until bl.cIn).flatMap { ci =>
+        val c = valCols(ci)
+        (1 until k).map(j =>
+          s"LEAD($c, $j) OVER (PARTITION BY e, d ORDER BY i) AS ${c}_$j")
+      }.mkString(", ")
+      sb.append(s", ${outName}l$bi AS (SELECT e, d, i, " +
+        valCols.mkString(", ") +
+        (if (leadCols.nonEmpty) ", " + leadCols else "") + s" FROM $src)")
+      def tap(ci: Int, j: Int): String =
+        if (j == 0) valCols(ci) else s"${valCols(ci)}_$j"
+      val actCols = (0 until bl.cOut).map { o =>
+        val terms = (for (ci <- 0 until bl.cIn; j <- 0 until k)
+          yield s"${L(bl.w((o * bl.cIn + ci) * k + j))}*${tap(ci, j)}")
+          .mkString(" + ")
+        val n = s"${L(bl.scale(o))}*(${L(bl.b(o))} + $terms) + " +
+          L(bl.shift(o))
+        s"CASE WHEN ($n) > 0.0 THEN ($n) ELSE 0.0 END AS a$o"
+      }.mkString(", ")
+      sb.append(s", ${outName}a$bi AS (SELECT e, d, i, $actCols " +
+        s"FROM ${outName}l$bi WHERE i < $nPos)")
+      val tOut = nPos / 2
+      val poolCols = (0 until bl.cOut).map(o => s"MAX(a$o) AS a$o")
+        .mkString(", ")
+      sb.append(s", ${outName}p$bi AS (SELECT e, d, i // 2 AS i, " +
+        s"$poolCols FROM ${outName}a$bi WHERE i < ${2 * tOut} " +
+        s"GROUP BY e, d, i // 2)")
+      src = s"${outName}p$bi"
+      valCols = (0 until bl.cOut).map(o => s"a$o")
+      tIn = tOut
+    }
+    val mixExpr = s"${L(cf.mixBias)} + " + cf.mix.zipWithIndex
+      .map { case (w, c) => s"${L(w)}*a$c" }.mkString(" + ")
+    sb.append(s", $outName AS MATERIALIZED " +
+      s"(SELECT e, d, i, $mixExpr AS y FROM $src)")
+    sb.toString
+  }
+
+  /** The ml4f pipe: the COMPLETE lstm_pipe line in dyadic-grid form —
+    * two conv blocks (1→2→2 channels, k=3, affine+ReLU+pool) feeding
+    * [[ml4eNet]]'s bidirectional multi-head-fusion stack over the
+    * pooled 29-step sequence (125 → 61 → 29). The stack consumes the
+    * conv output raw; the front end owns the input scaling. */
+  private val ml4fPipe: graft.ml.ConvPipe.ConvPipeModel = {
+    import graft.ml.ConvFront.{ConvBlock, ConvFrontModel}
+    val b0 = ConvBlock(1, 2, 3,
+      w = Array.tabulate(6)(j => ((j * 3) % 5 - 2) * 0.25),
+      b = Array.tabulate(2)(o => (o * 2 - 1) * 0.25),
+      scale = Array(1.25, 0.75),
+      shift = Array(0.25, -0.25))
+    val b1 = ConvBlock(2, 2, 3,
+      w = Array.tabulate(12)(j => ((j * 5) % 7 - 3) * 0.25),
+      b = Array.tabulate(2)(o => (1 - o * 2) * 0.25),
+      scale = Array(0.75, 1.25),
+      shift = Array(-0.25, 0.25))
+    val front = ConvFrontModel(125, Seq(b0, b1),
+      mix = Array(0.75, -0.5), mixBias = 0.25,
+      mean = 1000.0, std = 64.0)
+    graft.ml.ConvPipe.ConvPipeModel(front,
+      ml4eNet.copy(window = front.outLen, mean = 0.0, std = 1.0))
+  }
+
+  /** ML4F — the composed conv→recurrence forward pass under the oracle
+    * gate: Conv1D blocks → Bidirectional(LSTM) → LSTM → multi-head
+    * attention ⊕ residual → dense, the reference's complete lstm_pipe +
+    * fusion line, as ONE projection of two nested codegen'd
+    * expressions. The oracle chains the conv CTEs (window taps,
+    * piecewise-linear activations, pair-max pooling) into the
+    * three-recursion bidirectional oracle — bit-exact throughout
+    * because every op is IEEE mul/add/compare. */
+  def ml4fConvPipeForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.ConvPipe.logitCol(ml4fPipe, col("rawData")).as("logit"))
+
+  val ml4fSql: String = lstm2BidirSql(ml4fPipe.stack, "edml4f", "lstm2g",
+    src = "cfout", xExpr = "p.y",
+    prefixCtes = convFrontCtes(ml4fPipe.front, "cfout"))
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -3311,6 +3420,7 @@ object DomainQueries {
     "ml4c_lstm_attn"    -> (ml4cLstmAttnForward _),
     "ml4d_lstm_bidir"   -> (ml4dLstmBidirForward _),
     "ml4e_lstm_fusion"  -> (ml4eLstmFusionForward _),
+    "ml4f_conv_pipe"    -> (ml4fConvPipeForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
@@ -3398,6 +3508,7 @@ object DomainQueries {
     "ml4c_lstm_attn"    -> ml4cSql,
     "ml4d_lstm_bidir"   -> ml4dSql,
     "ml4e_lstm_fusion"  -> ml4eSql,
+    "ml4f_conv_pipe"    -> ml4fSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,

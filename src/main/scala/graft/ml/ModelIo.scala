@@ -247,6 +247,68 @@ object ModelIo {
              else dArr(j, "attD"))
   }
 
+  // ----------------------------------------------------- composed conv pipe
+
+  /** The composed conv→recurrence artifact: the conv front-end's block
+    * list inline + the stack block in the graft-lstm2 shape — one
+    * self-contained file, same bit-exact round-trip discipline. */
+  def saveConvPipe(m: ConvPipe.ConvPipeModel, path: String): Unit = {
+    m.front.blocks.zipWithIndex.foreach { case (bl, i) =>
+      requireFinite(s"block$i.w", bl.w); requireFinite(s"block$i.b", bl.b)
+      requireFinite(s"block$i.scale", bl.scale)
+      requireFinite(s"block$i.shift", bl.shift)
+    }
+    requireFinite("mix", m.front.mix)
+    requireFinite("frontScalars",
+      Seq(m.front.mixBias, m.front.mean, m.front.std))
+    val blocks = JArray(m.front.blocks.map { bl =>
+      JObject("cIn" -> JInt(bl.cIn), "cOut" -> JInt(bl.cOut),
+        "k" -> JInt(bl.k), "w" -> arr(bl.w), "b" -> arr(bl.b),
+        "scale" -> arr(bl.scale), "shift" -> arr(bl.shift))
+    }.toList)
+    // reuse the stack writer for its finiteness guards + field shape
+    val stackPath = path + ".stack"
+    saveLstm2(m.stack, stackPath)
+    val stackJson = JsonMethods.parse(new String(
+      Files.readAllBytes(Paths.get(stackPath)),
+      StandardCharsets.UTF_8))
+    Files.delete(Paths.get(stackPath))
+    val j: JValue = JObject(
+      "format" -> JString("graft-convpipe"),
+      "version" -> JInt(Version),
+      "window" -> JInt(m.front.window),
+      "blocks" -> blocks,
+      "mix" -> arr(m.front.mix),
+      "mixBias" -> num(m.front.mixBias),
+      "mean" -> num(m.front.mean),
+      "std" -> num(m.front.std),
+      "stack" -> stackJson)
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadConvPipe(path: String): ConvPipe.ConvPipeModel = {
+    val j = readJson(path, "graft-convpipe")
+    val blocks = (j \ "blocks") match {
+      case JArray(bs) => bs.map { b =>
+        ConvFront.ConvBlock(
+          cIn = iNum(b, "cIn"), cOut = iNum(b, "cOut"), k = iNum(b, "k"),
+          w = dArr(b, "w"), b = dArr(b, "b"),
+          scale = dArr(b, "scale"), shift = dArr(b, "shift"))
+      }
+      case _ => sys.error(s"$path: missing blocks array")
+    }
+    val front = ConvFront.ConvFrontModel(
+      window = iNum(j, "window"), blocks = blocks,
+      mix = dArr(j, "mix"), mixBias = dNum(j, "mixBias"),
+      mean = dNum(j, "mean"), std = dNum(j, "std"))
+    // route the embedded stack through the graft-lstm2 reader (format
+    // + shape validation) via a temp rendering
+    val stackPath = path + ".stack.tmp"
+    writeStr(stackPath, JsonMethods.compact(JsonMethods.render(j \ "stack")))
+    try ConvPipe.ConvPipeModel(front, loadLstm2(stackPath))
+    finally Files.delete(Paths.get(stackPath))
+  }
+
   // ------------------------------------------------------------- manifest
 
   /** The deployment manifest — the engine's analogue of the

@@ -139,6 +139,60 @@ class ModelIoSpec extends SparkSpec {
     assert(e.getMessage.contains("graft-lstm2"))
   }
 
+  test("composed conv-pipe artifact round-trips bit-exactly; wrong format loud") {
+    import graft.ml.{ConvFront, ConvPipe, LstmStack}
+    val rnd = new scala.util.Random(59)
+    val front = ConvFront.ConvFrontModel(24,
+      blocks = Seq(
+        ConvFront.ConvBlock(1, 2, 3,
+          w = Array.fill(6)(rnd.nextGaussian()),
+          b = Array.fill(2)(rnd.nextGaussian() * 0.1),
+          scale = Array.fill(2)(1.0 + rnd.nextGaussian() * 0.1),
+          shift = Array.fill(2)(rnd.nextGaussian() * 0.1)),
+        ConvFront.ConvBlock(2, 2, 3,
+          w = Array.fill(12)(rnd.nextGaussian()),
+          b = Array.fill(2)(rnd.nextGaussian() * 0.1),
+          scale = Array.fill(2)(1.0 + rnd.nextGaussian() * 0.1),
+          shift = Array.fill(2)(rnd.nextGaussian() * 0.1))),
+      mix = Array.fill(2)(rnd.nextGaussian()),
+      mixBias = rnd.nextGaussian() * 0.1, mean = 0.4, std = 1.3)
+    val h1 = 2; val h2 = 2; val nH = 2
+    val stack = LstmStack.Lstm2Model(h1, h2, front.outLen,
+      wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+      wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+      b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+      wx2 = Array.fill(4 * h2 * 2 * h1)(rnd.nextGaussian() * 0.5),
+      wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.4),
+      b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+      dense = Array.fill(h2)(rnd.nextGaussian()),
+      bias = 0.1, mean = 0.0, std = 1.0,
+      head = "mha", bidir = true,
+      wx1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+      wh1b = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+      b1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+      nHeads = nH,
+      attA = Array.fill(nH * h2)(rnd.nextGaussian() * 0.5),
+      attCs = Array.fill(nH)(rnd.nextGaussian() * 0.3),
+      attD = Array.fill(nH * h2)(rnd.nextGaussian()))
+    val m = ConvPipe.ConvPipeModel(front, stack)
+    val p = tmp("convpipe.json")
+    ModelIo.saveConvPipe(m, p)
+    val back = ModelIo.loadConvPipe(p)
+    assert(back.front.blocks.map(_.w.toSeq) ==
+      m.front.blocks.map(_.w.toSeq))
+    assert(back.stack.attD.toSeq == m.stack.attD.toSeq)
+    (0 until 10).foreach { _ =>
+      val w = Array.fill(24)(rnd.nextGaussian() * 2)
+      assert(java.lang.Double.doubleToLongBits(ConvPipe.forward(back, w)) ==
+        java.lang.Double.doubleToLongBits(ConvPipe.forward(m, w)))
+    }
+    // a stacked-LSTM artifact must not half-load as a composed pipe
+    val pl = tmp("lstm2_not_pipe.json")
+    ModelIo.saveLstm2(stack, pl)
+    val e = intercept[Exception](ModelIo.loadConvPipe(pl))
+    assert(e.getMessage.contains("graft-convpipe"))
+  }
+
   test("pre-bidir v1 stacked artifact (no bidir block) loads as unidirectional") {
     import graft.ml.LstmStack
     val rnd = new scala.util.Random(23)

@@ -116,6 +116,9 @@ object ConvFront {
     * x.length == window; any length with ≥1 surviving position works —
     * the serve guard belongs to the caller). */
   def forward(m: ConvFrontModel, x: Array[Double]): Array[Double] = {
+    require(m.blocks.foldLeft(x.length)((t, bl) => bl.outLen(t)) >= 1,
+      s"window ${x.length} collapses below one position through the " +
+        s"conv stack (model window ${m.window})")
     var cur = Array(Array.tabulate(x.length)(t => (x(t) - m.mean) / m.std))
     m.blocks.foreach { bl => cur = blockForward(bl, cur, null) }
     val tOut = cur(0).length

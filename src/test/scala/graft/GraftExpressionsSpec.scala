@@ -244,4 +244,75 @@ class GraftExpressionsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("conv_front_seq nested in bidir+mha lstm_stack_logit compiles under codegen with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(97)
+      val front = graft.ml.ConvFront.ConvFrontModel(24,
+        blocks = Seq(
+          graft.ml.ConvFront.ConvBlock(1, 2, 3,
+            w = Array.fill(6)(rnd.nextGaussian() * 0.5),
+            b = Array.fill(2)(rnd.nextGaussian() * 0.1),
+            scale = Array.fill(2)(1.0 + rnd.nextGaussian() * 0.1),
+            shift = Array.fill(2)(rnd.nextGaussian() * 0.1)),
+          graft.ml.ConvFront.ConvBlock(2, 2, 3,
+            w = Array.fill(12)(rnd.nextGaussian() * 0.5),
+            b = Array.fill(2)(rnd.nextGaussian() * 0.1),
+            scale = Array.fill(2)(1.0 + rnd.nextGaussian() * 0.1),
+            shift = Array.fill(2)(rnd.nextGaussian() * 0.1))),
+        mix = Array.fill(2)(rnd.nextGaussian()),
+        mixBias = 0.1, mean = 14.0, std = 8.0)
+      val h1 = 2; val h2 = 2; val nH = 2
+      val stack = graft.ml.LstmStack.Lstm2Model(h1, h2, front.outLen,
+        wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+        wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.3),
+        b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+        wx2 = Array.fill(4 * h2 * 2 * h1)(rnd.nextGaussian() * 0.5),
+        wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.3),
+        b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+        dense = Array.fill(h2)(rnd.nextGaussian()),
+        bias = 0.1, mean = 0.0, std = 1.0,
+        head = "mha", bidir = true,
+        wx1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+        wh1b = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.3),
+        b1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+        nHeads = nH,
+        attA = Array.fill(nH * h2)(rnd.nextGaussian() * 0.5),
+        attCs = Array.fill(nH)(rnd.nextGaussian() * 0.3),
+        attD = Array.fill(nH * h2)(rnd.nextGaussian()))
+      val m = graft.ml.ConvPipe.ConvPipeModel(front, stack)
+      // range-based window so doGenCode must run (no LocalTableScan)
+      val winCol = array((0 until 24).map(j =>
+        ((col("id") * 7 + j) % 31).cast("double")): _*)
+      val df = spark.range(30).select(col("id"), winCol.as("w"))
+        .select(col("id"),
+          graft.ml.ConvPipe.logitCol(m, col("w")).as("z"))
+      val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val codegenStages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("lstm_stack_logit") &&
+            w.toString.contains("conv_front_seq") => w
+      }
+      assert(codegenStages.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(1500))
+      (0 until 30).foreach { i =>
+        val win = Array.tabulate(24)(j => ((i * 7 + j) % 31).toDouble)
+        assert(java.lang.Double.doubleToLongBits(rows(i.toLong)) ==
+          java.lang.Double.doubleToLongBits(graft.ml.ConvPipe.forward(m, win)),
+          s"row $i")
+      }
+      // degenerate inputs stay NULL under codegen
+      val nul = spark.range(1)
+        .select(array((0 until 6).map(_ => lit(1.0)): _*)
+          .cast("array<double>").as("w"))
+        .select(graft.ml.ConvFront.seqCol(front, col("w")))
+        .collect().head
+      assert(nul.isNullAt(0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

@@ -94,6 +94,37 @@ object Lstm2ScaleProbe {
         f"[lstm2] score head=$head%-4s bidir=$bd%-5s n=$scoreRows%8d: " +
           f"$s%6.2f s (${scoreRows / s}%,.0f rows/s)")
     }
+    // the composed conv→recurrence pipe on the SAME windows: conv
+    // shrinks 125 → 29 recurrence steps, so despite the extra conv
+    // flops the composed forward should beat the bare bidir stack
+    locally {
+      val r = new scala.util.Random(21)
+      val front = graft.ml.ConvFront.ConvFrontModel(W,
+        blocks = Seq(
+          graft.ml.ConvFront.ConvBlock(1, 2, 3,
+            w = Array.fill(6)(r.nextGaussian() * 0.4),
+            b = Array.fill(2)(0.0),
+            scale = Array.fill(2)(1.0), shift = Array.fill(2)(0.0)),
+          graft.ml.ConvFront.ConvBlock(2, 2, 3,
+            w = Array.fill(12)(r.nextGaussian() * 0.4),
+            b = Array.fill(2)(0.0),
+            scale = Array.fill(2)(1.0), shift = Array.fill(2)(0.0))),
+        mix = Array.fill(2)(r.nextGaussian()), mixBias = 0.0,
+        mean = 900.0, std = 80.0)
+      val m = graft.ml.ConvPipe.ConvPipeModel(front,
+        model("mha", bidir = true).copy(window = front.outLen,
+          mean = 0.0, std = 1.0))
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sdf.select(graft.ml.ConvPipe.logitCol(m, col("window")).as("z"))
+          .agg(sum("z")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = reps.min
+      System.err.println(
+        f"[lstm2] score conv_pipe (125->29 steps, bidir+mha) n=$scoreRows%8d: " +
+          f"$s%6.2f s (${scoreRows / s}%,.0f rows/s)")
+    }
     sdf.unpersist()
 
     // one full-amber training point at fixed iterations (warm first)

@@ -82,6 +82,44 @@ class ConvPipeSpec extends SparkSpec {
       s"wrong failure: ${messages(e)}")
   }
 
+  test("convPipeFamily rides runWithWindows: the composed pipe per fold") {
+    val specs = (0 until 6).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 3.0 + (i % 4) * 0.8, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    import spark.implicits._
+    val events = (0 until 6).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 2),
+        (s"OK$i", "False Alarm", "other", i % 2))
+    }.toDF("id", "type", "subType", "fold0")
+    val (fit, score) = ConvPipe.convPipeFamily(ConvPipe.Config(
+      blocks = Seq(ConvPipe.BlockSpec(2, 3), ConvPipe.BlockSpec(2, 3)),
+      h1 = 2, h2 = 2, head = "mha", nHeads = 2, bidir = true,
+      maxIter = 60))
+    val results = graft.ml.RunSequence.runWithWindows(
+      events, corpus, lit(true), col("fold0"),
+      graft.ml.RunSequence.Config(k = 2), bufferSamples = 125)(fit, score)
+    assert(results.size == 2)
+    results.foreach { fr =>
+      val m = fr.model.asInstanceOf[ConvPipe.ConvPipeModel]
+      assert(m.front.window == 125 && m.stack.window == m.front.outLen)
+      assert(fr.heldOutAuroc > 0.85,
+        s"fold ${fr.fold}: composed-pipe held-out AUROC ${fr.heldOutAuroc}")
+    }
+  }
+
   test("end-to-end: the composed pipe learns the planted corpus and deploys") {
     val specs = (0 until 12).flatMap { i =>
       Seq(

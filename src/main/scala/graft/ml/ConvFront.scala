@@ -48,6 +48,12 @@ object ConvFront {
     def nParams: Int = cOut * cIn * k + 3 * cOut
   }
 
+  /** `window` is the PER-CHANNEL length; the raw input array is the
+    * INTERLEAVED multi-channel window of length [[inputLen]] =
+    * cIn0 · window, sample t of channel a at index t·cIn0 + a — the
+    * rawData3D interleave convention (C7's stride slice, so a
+    * 3-channel front consumes the X/Y/Z stream directly). cIn0 = 1 is
+    * the scalar magnitude window unchanged. */
   case class ConvFrontModel(
       window: Int,
       blocks: Seq[ConvBlock],
@@ -55,8 +61,8 @@ object ConvFront {
       mixBias: Double,
       mean: Double,
       std: Double) {
-    require(blocks.nonEmpty && blocks.head.cIn == 1,
-      "ConvFront input is the single-channel scaled window")
+    require(blocks.nonEmpty && blocks.head.cIn >= 1,
+      "ConvFront needs at least one input channel")
     require(blocks.sliding(2).forall(p =>
       p.size < 2 || p(0).cOut == p(1).cIn),
       "ConvFront channel chain inconsistent")
@@ -65,6 +71,21 @@ object ConvFront {
     def outLen: Int = blocks.foldLeft(window)((t, bl) => bl.outLen(t))
     require(outLen >= 1, s"window $window collapses to $outLen positions")
     def nParams: Int = blocks.map(_.nParams).sum + mix.length + 1
+    def cIn0: Int = blocks.head.cIn
+    /** raw-input array length contract (interleaved channels) */
+    def inputLen: Int = cIn0 * window
+  }
+
+  /** Scale + de-interleave the raw window into channel-major form:
+    * channel a sample t = x(t·cIn0 + a) — the ONE place the interleave
+    * convention lives (forward and backward share it). */
+  private def deinterleave(x: Array[Double], cIn0: Int,
+      mean: Double, std: Double): Array[Array[Double]] = {
+    require(x.length % cIn0 == 0,
+      s"input ${x.length} not a multiple of $cIn0 channels")
+    val tLen = x.length / cIn0
+    Array.tabulate(cIn0)(a =>
+      Array.tabulate(tLen)(t => (x(t * cIn0 + a) - mean) / std))
   }
 
   @inline private def relu(a: Double): Double = if (a > 0.0) a else 0.0
@@ -116,10 +137,11 @@ object ConvFront {
     * x.length == window; any length with ≥1 surviving position works —
     * the serve guard belongs to the caller). */
   def forward(m: ConvFrontModel, x: Array[Double]): Array[Double] = {
-    require(m.blocks.foldLeft(x.length)((t, bl) => bl.outLen(t)) >= 1,
+    require(x.length % m.cIn0 == 0 &&
+      m.blocks.foldLeft(x.length / m.cIn0)((t, bl) => bl.outLen(t)) >= 1,
       s"window ${x.length} collapses below one position through the " +
-        s"conv stack (model window ${m.window})")
-    var cur = Array(Array.tabulate(x.length)(t => (x(t) - m.mean) / m.std))
+        s"conv stack (model window ${m.window}, ${m.cIn0} channels)")
+    var cur = deinterleave(x, m.cIn0, m.mean, m.std)
     m.blocks.foreach { bl => cur = blockForward(bl, cur, null) }
     val tOut = cur(0).length
     val y = new Array[Double](tOut)
@@ -161,7 +183,7 @@ object ConvFront {
     // forward again, keeping every block's input and pre-pool acts
     val ins = new Array[Array[Array[Double]]](m.blocks.size + 1)
     val acts = new Array[Array[Array[Double]]](m.blocks.size)
-    ins(0) = Array(Array.tabulate(x.length)(t => (x(t) - m.mean) / m.std))
+    ins(0) = deinterleave(x, m.cIn0, m.mean, m.std)
     var bIdx = 0
     while (bIdx < m.blocks.size) {
       val bl = m.blocks(bIdx)

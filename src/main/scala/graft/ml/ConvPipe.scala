@@ -29,6 +29,11 @@ object ConvPipe {
 
   case class BlockSpec(cOut: Int, k: Int = 3)
 
+  /** `cIn` is the INPUT channel count (1 = scalar magnitude window;
+    * 3 = interleaved X/Y/Z, the rawData3D stride convention — the
+    * reference's multi-feature input towers, `amber/model.py:42-49`,
+    * in the composed single-tower form: the first conv block mixes
+    * the channels the way `build_model` fuses per-feature inputs). */
   case class Config(
       blocks: Seq[BlockSpec] = Seq(BlockSpec(3), BlockSpec(4)),
       h1: Int = 4,
@@ -36,6 +41,7 @@ object ConvPipe {
       head: String = "mha",
       nHeads: Int = 2,
       bidir: Boolean = true,
+      cIn: Int = 1,
       maxIter: Int = 120,
       regParam: Double = 1e-4,
       seed: Long = 42L)
@@ -55,14 +61,16 @@ object ConvPipe {
   def logitCol(m: ConvPipeModel, win: Column): Column =
     LstmStack.logitCol(m.stack, ConvFront.seqCol(m.front, win))
 
-  /** Fail-loud serve-length contract, like every scoring seam. */
+  /** Fail-loud serve-length contract, like every scoring seam. The
+    * expected array length is [[ConvFront.ConvFrontModel.inputLen]]
+    * (cIn0 · window — interleaved channels). */
   def scoreWindows(m: ConvPipeModel, windows: DataFrame,
                    winCol: String = "window"): DataFrame = {
-    val z = when(size(col(winCol)) === m.front.window,
+    val z = when(size(col(winCol)) === m.front.inputLen,
         logitCol(m, col(winCol)))
       .otherwise(raise_error(concat(
         lit("window "), size(col(winCol)).cast("string"),
-        lit(s" != trained window ${m.front.window}"))).cast("double"))
+        lit(s" != trained input length ${m.front.inputLen}"))).cast("double"))
     windows.withColumn("logit", z)
       .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
   }
@@ -76,7 +84,7 @@ object ConvPipe {
       base: graft.streaming.NnSettings = graft.streaming.NnSettings())
       : graft.streaming.NnAlg =
     new graft.streaming.NnAlg(
-      base.copy(bufferSamples = m.front.window, normalise = false),
+      base.copy(bufferSamples = m.front.inputLen, normalise = false),
       scorer(m))
 
   /** The (fit, score) family seam — slots into
@@ -99,8 +107,9 @@ object ConvPipe {
 
   // ------------------------------------------------------- param layout
 
-  private def shapesOf(blocks: Seq[BlockSpec]): Seq[(Int, Int, Int)] = {
-    var cIn = 1
+  private def shapesOf(blocks: Seq[BlockSpec],
+      cIn0: Int): Seq[(Int, Int, Int)] = {
+    var cIn = cIn0
     blocks.map { b => val s = (cIn, b.cOut, b.k); cIn = b.cOut; s }
   }
 
@@ -141,38 +150,23 @@ object ConvPipe {
       .as[(Double, Double, Array[Double])]
       .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.ordered(
-        ds.mapPartitionsWithIndex { case (pi, it) =>
-          var s = 0.0; var s2 = 0.0; var c = 0L; var len = -1; var ws = 0.0
-          it.foreach { case (_, wt, x) =>
-            require(len == -1 || len == x.length,
-              s"ragged windows: $len vs ${x.length}")
-            len = x.length
-            x.foreach { v => s += v; s2 += v * v }
-            c += x.length
-            ws += wt
-          }
-          if (c == 0) Iterator.empty
-          else Iterator.single((pi, (s, s2, c, len, ws)))
-        })((0.0, 0.0, 0L, -1, 0.0)) { (a, b) =>
-        require(a._4 == -1 || b._4 == -1 || a._4 == b._4,
-          s"ragged windows: ${a._4} vs ${b._4}")
-        (a._1 + b._1, a._2 + b._2, a._3 + b._3, math.max(a._4, b._4),
-          a._5 + b._5)
-      }
+      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.windowStats(ds)
       val mean = sum / cnt
       val varr = math.max(sumSq / cnt - mean * mean, 0.0)
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)
-      val shapes = shapesOf(cfg.blocks)
+      require(cfg.cIn >= 1 && wLen % cfg.cIn == 0,
+        s"input length $wLen not a multiple of ${cfg.cIn} channels")
+      val tLen = wLen / cfg.cIn // per-channel window length
+      val shapes = shapesOf(cfg.blocks, cfg.cIn)
       val nConv = convParamCount(shapes)
       val h1N = cfg.h1; val h2N = cfg.h2
       val mha = cfg.head == "mha"
       val nH = if (mha) cfg.nHeads else 1
       val nStack = LstmStack.nParams(h1N, h2N, cfg.head, cfg.bidir, nH)
       val nP = nConv + nStack
-      val outLen = shapes.foldLeft(wLen)((t, s) => (t - s._3 + 1) / 2)
+      val outLen = shapes.foldLeft(tLen)((t, s) => (t - s._3 + 1) / 2)
       require(outLen >= 2,
-        s"window $wLen collapses to $outLen positions through ${cfg.blocks}")
+        s"window $tLen collapses to $outLen positions through ${cfg.blocks}")
       val nRows = wSum
       require(nRows > 0 && !nRows.isNaN && !nRows.isInfinite,
         s"weight sum must be positive finite: $nRows")
@@ -201,7 +195,7 @@ object ConvPipe {
             // the RDD pass lives in gradientPass (an object method):
             // a closure defined HERE would capture this anonymous
             // DiffFunction and fail serialization
-            val (lossSum, gradSum) = gradientPass(ds, bw, cfg, wLen,
+            val (lossSum, gradSum) = gradientPass(ds, bw, cfg, tLen,
               mean, std)
             val grad = new Array[Double](nP)
             var reg = 0.0
@@ -242,7 +236,7 @@ object ConvPipe {
         maxIter = cfg.maxIter, m = 10, tolerance = 1e-7)
       val sol = lbfgs.minimize(fn, BDV(init)).data
       ConvPipeModel(
-        frontOf(sol, shapes, wLen, mean, std),
+        frontOf(sol, shapes, tLen, mean, std),
         LstmStack.stackUnpack(sol, nConv, h1N, h2N, outLen, 0.0, 1.0,
           cfg.head, cfg.bidir, nH))
     } finally ds.unpersist(false)
@@ -257,13 +251,14 @@ object ConvPipe {
     gradientPass(ds, bw, cfg, window, mean, std)
 
   /** One composed loss/gradient evaluation (recurrence rowGrad feeding
-    * the conv backward), partials combined in partition-index order. */
+    * the conv backward), partials combined in partition-index order.
+    * `window` is the PER-CHANNEL length (raw rows are cIn·window). */
   private def gradientPass(
       ds: org.apache.spark.rdd.RDD[(Double, Double, Array[Double])],
       bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
       cfg: Config, window: Int, mean: Double, std: Double)
       : (Double, Array[Double]) = {
-    val shapes = shapesOf(cfg.blocks)
+    val shapes = shapesOf(cfg.blocks, cfg.cIn)
     val nConv = convParamCount(shapes)
     val mha = cfg.head == "mha"
     val nH = if (mha) cfg.nHeads else 1

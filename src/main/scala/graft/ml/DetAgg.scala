@@ -50,4 +50,37 @@ object DetAgg {
       while (i < nP) { g(i) += b._2(i); i += 1 }
       (a._1 + b._1, g)
     }
+
+  /** The pre-training stats pass every gradient family shares
+    * ([[Cnn.train]]/[[Lstm.train]]/[[LstmStack.train]]/[[ConvPipe.train]]):
+    * per partition, (Σx, Σx², sample count, window length, Σweight),
+    * combined in partition-index order. A partition emits its partial
+    * whenever it saw ANY row — keying the skip on the SAMPLE count
+    * would silently drop the weights of a partition holding only
+    * zero-length windows and hide its length-0 from the ragged check;
+    * here such a partition emits len = 0, which collides loudly with
+    * every real window length at the combine. */
+  def windowStats(ds: RDD[(Double, Double, Array[Double])])
+      : (Double, Double, Long, Int, Double) =
+    ordered(
+      ds.mapPartitionsWithIndex { case (pi, it) =>
+        var s = 0.0; var s2 = 0.0; var c = 0L; var len = -1; var ws = 0.0
+        var rows = 0L
+        it.foreach { case (_, wt, x) =>
+          require(len == -1 || len == x.length,
+            s"ragged windows: $len vs ${x.length}")
+          len = x.length
+          x.foreach { v => s += v; s2 += v * v }
+          c += x.length
+          ws += wt
+          rows += 1
+        }
+        if (rows == 0L) Iterator.empty
+        else Iterator.single((pi, (s, s2, c, len, ws)))
+      })((0.0, 0.0, 0L, -1, 0.0)) { (a, b) =>
+      require(a._4 == -1 || b._4 == -1 || a._4 == b._4,
+        s"ragged windows: ${a._4} vs ${b._4}")
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, math.max(a._4, b._4),
+        a._5 + b._5)
+    }
 }

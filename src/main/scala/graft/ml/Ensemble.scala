@@ -141,12 +141,21 @@ object Ensemble {
     val perModelMax = models.zipWithIndex.map { case (m, i) =>
       max(pCol(m)).as(s"__p$i")
     }
+    // Fail-loud parity with the generic path: scoreEnsemble's
+    // collect_list DROPS a null probability and harrellDavisCol's size
+    // guard then fires; here max() ignores nulls too, so an all-null
+    // model column would otherwise slide a NULL element into a
+    // size-k array and p_ensemble would silently go NULL.
+    def pOrRaise(i: Int): Column =
+      coalesce(col(s"__p$i"), raise_error(concat(
+        lit(s"ensemble model $i produced no score for event "),
+        col("eventId").cast("string"))).cast("double"))
     data
       .groupBy(col("eventId"))
       .agg(max(col("label")).as("label"), perModelMax: _*)
       .select(col("eventId"), col("label"),
         lit(k).as("n_models"),
-        harrellDavisCol(array((0 until k).map(i => col(s"__p$i")): _*),
+        harrellDavisCol(array((0 until k).map(pOrRaise): _*),
           k, q).as("p_ensemble"))
   }
 }

@@ -316,25 +316,7 @@ object Lstm {
       // Stats + weight-sum partials per partition, combined in
       // partition-index order (DetAgg) — same determinism reasoning as
       // [[Cnn.train]].
-      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.ordered(
-        ds.mapPartitionsWithIndex { case (pi, it) =>
-          var s = 0.0; var s2 = 0.0; var c = 0L; var len = -1; var ws = 0.0
-          it.foreach { case (_, wt, x) =>
-            require(len == -1 || len == x.length,
-              s"ragged windows: $len vs ${x.length}")
-            len = x.length
-            x.foreach { v => s += v; s2 += v * v }
-            c += x.length
-            ws += wt
-          }
-          if (c == 0) Iterator.empty
-          else Iterator.single((pi, (s, s2, c, len, ws)))
-        })((0.0, 0.0, 0L, -1, 0.0)) { (a, b) =>
-        require(a._4 == -1 || b._4 == -1 || a._4 == b._4,
-          s"ragged windows: ${a._4} vs ${b._4}")
-        (a._1 + b._1, a._2 + b._2, a._3 + b._3, math.max(a._4, b._4),
-          a._5 + b._5)
-      }
+      val (sum, sumSq, cnt, wLen, wSum) = DetAgg.windowStats(ds)
       val mean = sum / cnt
       val varr = math.max(sumSq / cnt - mean * mean, 0.0)
       val std = if (varr == 0.0) 1.0 else math.sqrt(varr)

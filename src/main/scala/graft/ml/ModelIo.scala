@@ -51,18 +51,26 @@ object ModelIo {
     val raw = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)
     val j = JsonMethods.parse(raw)
+    checkHeader(j, path, expectFormat)
+    j
+  }
+
+  /** Format + version validation at the JValue level — shared by the
+    * file readers and the EMBEDDED blocks (a conv-pipe artifact carries
+    * its stack inline; it must pass the same header gate). */
+  private def checkHeader(j: JValue, where: String,
+                          expectFormat: String): Unit = {
     val fmt = (j \ "format") match {
       case JString(s) => s
-      case _ => sys.error(s"$path: missing format tag")
+      case _ => sys.error(s"$where: missing format tag")
     }
     require(fmt == expectFormat,
-      s"$path: format '$fmt', expected '$expectFormat'")
+      s"$where: format '$fmt', expected '$expectFormat'")
     val ver = (j \ "version") match {
       case JInt(v) => v.toInt
-      case _ => sys.error(s"$path: missing version")
+      case _ => sys.error(s"$where: missing version")
     }
-    require(ver == Version, s"$path: unsupported version $ver")
-    j
+    require(ver == Version, s"$where: unsupported version $ver")
   }
 
   private def dArr(j: JValue, field: String): Array[Double] =
@@ -163,7 +171,11 @@ object ModelIo {
 
   // --------------------------------------------------------- stacked LSTM
 
-  def saveLstm2(m: LstmStack.Lstm2Model, path: String): Unit = {
+  /** The graft-lstm2 rendering as a JValue — shared by the standalone
+    * writer and the conv-pipe embedder (no sidecar files: two
+    * concurrent saves of the same artifact path must not race on a
+    * shared temp name). */
+  private def lstm2Json(m: LstmStack.Lstm2Model): JValue = {
     requireFinite("wx1", m.wx1); requireFinite("wh1", m.wh1)
     requireFinite("b1", m.b1); requireFinite("wx2", m.wx2)
     requireFinite("wh2", m.wh2); requireFinite("b2", m.b2)
@@ -172,7 +184,7 @@ object ModelIo {
     requireFinite("b1b", m.b1b)
     requireFinite("attCs", m.attCs); requireFinite("attD", m.attD)
     requireFinite("scalars", Seq(m.bias, m.mean, m.std, m.attC))
-    val j: JValue = JObject(
+    JObject(
       "format" -> JString("graft-lstm2"),
       "version" -> JInt(Version),
       "h1" -> JInt(m.h1),
@@ -198,11 +210,20 @@ object ModelIo {
       "nHeads" -> JInt(m.nHeads),
       "attCs" -> arr(m.attCs),
       "attD" -> arr(m.attD))
-    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
   }
+
+  def saveLstm2(m: LstmStack.Lstm2Model, path: String): Unit =
+    writeStr(path, JsonMethods.compact(JsonMethods.render(lstm2Json(m))))
 
   def loadLstm2(path: String): LstmStack.Lstm2Model = {
     val j = readJson(path, "graft-lstm2")
+    lstm2Of(j, path)
+  }
+
+  /** The graft-lstm2 reader at the JValue level (header re-validated —
+    * shared by [[loadLstm2]] and the conv-pipe embedded-stack path). */
+  private def lstm2Of(j: JValue, where: String): LstmStack.Lstm2Model = {
+    checkHeader(j, where, "graft-lstm2")
     val head = (j \ "head") match {
       case JString(s) => s
       case _ => sys.error("missing head field")
@@ -266,13 +287,10 @@ object ModelIo {
         "k" -> JInt(bl.k), "w" -> arr(bl.w), "b" -> arr(bl.b),
         "scale" -> arr(bl.scale), "shift" -> arr(bl.shift))
     }.toList)
-    // reuse the stack writer for its finiteness guards + field shape
-    val stackPath = path + ".stack"
-    saveLstm2(m.stack, stackPath)
-    val stackJson = JsonMethods.parse(new String(
-      Files.readAllBytes(Paths.get(stackPath)),
-      StandardCharsets.UTF_8))
-    Files.delete(Paths.get(stackPath))
+    // reuse the stack renderer for its finiteness guards + field shape
+    // — embedded IN MEMORY (a sidecar temp file would race between two
+    // concurrent saves of the same artifact path)
+    val stackJson = lstm2Json(m.stack)
     val j: JValue = JObject(
       "format" -> JString("graft-convpipe"),
       "version" -> JInt(Version),
@@ -301,12 +319,9 @@ object ModelIo {
       window = iNum(j, "window"), blocks = blocks,
       mix = dArr(j, "mix"), mixBias = dNum(j, "mixBias"),
       mean = dNum(j, "mean"), std = dNum(j, "std"))
-    // route the embedded stack through the graft-lstm2 reader (format
-    // + shape validation) via a temp rendering
-    val stackPath = path + ".stack.tmp"
-    writeStr(stackPath, JsonMethods.compact(JsonMethods.render(j \ "stack")))
-    try ConvPipe.ConvPipeModel(front, loadLstm2(stackPath))
-    finally Files.delete(Paths.get(stackPath))
+    // the embedded stack passes the same graft-lstm2 header + shape
+    // validation as a standalone artifact — in memory, no temp file
+    ConvPipe.ConvPipeModel(front, lstm2Of(j \ "stack", s"$path#stack"))
   }
 
   // ------------------------------------------------------------- manifest

@@ -87,12 +87,22 @@ object Trainer {
       .fit(assembled.withColumn("__subtype_w",
         subtypeWeightCol(subtypeWeights)))
 
-  /** The subtype→weight map as a Column over `subType` — the ONE home
-    * for the reference's `weights.get(subtype, 1.0)` semantics, shared
-    * by every model family ([[trainLogisticWeighted]] feeds it to
-    * MLlib's weight column; [[Cnn.train]]/[[Lstm.train]] consume it as
-    * their per-row loss weight). Case-insensitive whole-string match;
-    * unknown subtypes weigh 1.0. */
+  /** The subtype→weight map as a Column over `subType` — the engine's
+    * RAW multiplier knob, shared by every model family
+    * ([[trainLogisticWeighted]] feeds it to MLlib's weight column;
+    * [[Cnn.train]]/[[Lstm.train]] consume it as their per-row loss
+    * weight). Case-insensitive whole-string match; unknown subtypes
+    * weigh 1.0.
+    *
+    * DELIBERATE deviation from the reference's sampler: this knob
+    * multiplies EVERY row whose subType matches, regardless of label,
+    * and carries no class-frequency base — it is the minimal
+    * composable weight column (an all-1.0 map is bit-identical to
+    * unweighted training, the M13 gate). The reference-faithful form —
+    * inverse-class-frequency base × subtype multiplier applied to
+    * class-1 rows only (`subtype_weighting.py`
+    * `create_subtype_weighted_sampler`) — is [[withSamplerWeights]],
+    * built ON this column. */
   def subtypeWeightCol(subtypeWeights: Map[String, Double]): Column = {
     require(subtypeWeights.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
       s"subtype weights must be positive finite: $subtypeWeights")
@@ -105,6 +115,42 @@ object Trainer {
     subtypeWeights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
       case (acc, (name, wt)) => when(st === name.toLowerCase, wt).otherwise(acc)
     }
+  }
+
+  /** The reference-FAITHFUL sampler weights
+    * (`user_tools/nnTraining2/subtype_weighting.py`
+    * `create_subtype_weighted_sampler`): every row gets the
+    * inverse-class-frequency base 1/count(label), then the subtype
+    * multiplier applies to CLASS-1 (seizure) rows only — a subType
+    * string shared by a non-seizure row is NOT multiplied. Returns
+    * `df` with the weight column appended; needs (label, subType).
+    *
+    * Scale shape: the class counts are one map-side-combined
+    * two-group aggregate collected to the driver (two longs —
+    * control-plane), then the weight itself is pure column work. */
+  def withSamplerWeights(df: DataFrame,
+                         subtypeWeights: Map[String, Double],
+                         outCol: String = "sampler_w"): DataFrame = {
+    val counts = df.groupBy(col("label").cast("int").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.keySet.subsetOf(Set(0, 1)),
+      s"sampler weights are binary-label semantics; got classes " +
+        s"${counts.keys.toSeq.sorted.mkString(", ")}")
+    require(counts.nonEmpty, "empty training frame")
+    val base = when(col("label").cast("int") === 1,
+        lit(1.0 / counts.getOrElse(1, 0L).toDouble))
+      .otherwise(lit(1.0 / counts.getOrElse(0, 0L).toDouble))
+    // class absent from the data → 1/0 = Inf would poison the loss;
+    // the guard fires only if a row of that class actually exists,
+    // which the when-branch structure already precludes — but a
+    // degenerate one-class corpus is a training bug worth failing on
+    require(counts.getOrElse(0, 0L) > 0 && counts.getOrElse(1, 0L) > 0,
+      s"single-class corpus (counts $counts): class-balanced sampler " +
+        "weights are undefined")
+    val mult = when(col("label").cast("int") === 1,
+      subtypeWeightCol(subtypeWeights)).otherwise(lit(1.0))
+    df.withColumn(outCol, base * mult)
   }
 
   /** Per-epoch probabilities + per-EVENT rollup (max epoch probability,

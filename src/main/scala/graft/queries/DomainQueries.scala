@@ -2175,11 +2175,20 @@ object DomainQueries {
                             outName: String): String = {
     def L(d: Double): String = if (d < 0) s"($d)" else d.toString
     val sb = new StringBuilder
+    // input: the scalar magnitude stream (sampm.m) for a 1-channel
+    // front; the X/Y/Z axis streams (samp3.vx/vy/vz — the engine's
+    // rawData3D de-interleave, channel a = stride-slice a) for cIn0=3
+    val chanSel = cf.cIn0 match {
+      case 1 => s"(m - ${L(cf.mean)})/${L(cf.std)} AS v0 FROM sampm"
+      case 3 => Seq("vx", "vy", "vz").zipWithIndex.map { case (c, a) =>
+        s"($c - ${L(cf.mean)})/${L(cf.std)} AS v$a"
+      }.mkString(", ") + " FROM samp3"
+      case n => sys.error(s"convFrontCtes: no fixture stream for $n channels")
+    }
     sb.append(s", ${outName}n AS (SELECT e, d, i, " +
-      s"(m - ${L(cf.mean)})/${L(cf.std)} AS v FROM sampm " +
-      s"WHERE i < ${cf.window})")
+      s"$chanSel WHERE i < ${cf.window})")
     var src = s"${outName}n"
-    var valCols: Seq[String] = Seq("v")
+    var valCols: Seq[String] = (0 until cf.cIn0).map(a => s"v$a")
     var tIn = cf.window
     cf.blocks.zipWithIndex.foreach { case (bl, bi) =>
       val k = bl.k
@@ -2261,6 +2270,53 @@ object DomainQueries {
   val ml4fSql: String = lstm2BidirSql(ml4fPipe.stack, "edml4f", "lstm2g",
     src = "cfout", xExpr = "p.y",
     prefixCtes = convFrontCtes(ml4fPipe.front, "cfout"))
+
+  /** The ml4g pipe: the MULTI-CHANNEL composed line — the reference's
+    * multi-feature input towers (`amber/model.py:42-49`: one input per
+    * feature, fused before the dense head) in the composed
+    * single-projection form: the first conv block takes the THREE
+    * de-interleaved X/Y/Z axis channels (cIn = 3 — C7's stride slice
+    * of rawData3D) and mixes them exactly where `build_model` fuses
+    * per-feature inputs, then the ml4f chain (second block →
+    * bidirectional multi-head-fusion stack over the pooled 29-step
+    * sequence). Axis values are ±1000 integers; /256 (a power of two)
+    * keeps the channel scaling exact. */
+  private val ml4gPipe: graft.ml.ConvPipe.ConvPipeModel = {
+    import graft.ml.ConvFront.{ConvBlock, ConvFrontModel}
+    val b0 = ConvBlock(3, 2, 3,
+      w = Array.tabulate(18)(j => ((j * 7) % 9 - 4) * 0.25),
+      b = Array.tabulate(2)(o => (o * 2 - 1) * 0.25),
+      scale = Array(0.75, 1.25),
+      shift = Array(0.25, -0.25))
+    val b1 = ConvBlock(2, 2, 3,
+      w = Array.tabulate(12)(j => ((j * 5) % 9 - 4) * 0.25),
+      b = Array.tabulate(2)(o => (1 - o * 2) * 0.25),
+      scale = Array(1.25, 0.75),
+      shift = Array(-0.25, 0.25))
+    val front = ConvFrontModel(125, Seq(b0, b1),
+      mix = Array(-0.5, 0.75), mixBias = -0.25,
+      mean = 0.0, std = 256.0)
+    graft.ml.ConvPipe.ConvPipeModel(front,
+      ml4eNet.copy(window = front.outLen, mean = 0.0, std = 1.0))
+  }
+
+  /** ML4G — the multi-channel composed conv→recurrence forward pass
+    * under the oracle gate: 3-channel Conv1D (X/Y/Z de-interleaved
+    * from the interleaved rawData3D) → conv block → Bidirectional
+    * (LSTM) → LSTM → multi-head attention ⊕ residual → dense, as ONE
+    * projection of two nested codegen'd expressions over the raw
+    * interleaved array. The oracle's first conv CTE reads the three
+    * axis streams (samp3.vx/vy/vz) as three value columns; everything
+    * downstream is the ml4f chain — bit-exact throughout (IEEE
+    * mul/add/compare only). */
+  def ml4gConv3dPipeForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_3d"))
+      .select(col("e"), col("d"),
+        graft.ml.ConvPipe.logitCol(ml4gPipe, col("rawData3D")).as("logit"))
+
+  val ml4gSql: String = lstm2BidirSql(ml4gPipe.stack, "edml4g", "lstm2i",
+    src = "cf3out", xExpr = "p.y",
+    prefixCtes = convFrontCtes(ml4gPipe.front, "cf3out"))
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -3421,6 +3477,7 @@ object DomainQueries {
     "ml4d_lstm_bidir"   -> (ml4dLstmBidirForward _),
     "ml4e_lstm_fusion"  -> (ml4eLstmFusionForward _),
     "ml4f_conv_pipe"    -> (ml4fConvPipeForward _),
+    "ml4g_conv3d_pipe"  -> (ml4gConv3dPipeForward _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
@@ -3509,6 +3566,7 @@ object DomainQueries {
     "ml4d_lstm_bidir"   -> ml4dSql,
     "ml4e_lstm_fusion"  -> ml4eSql,
     "ml4f_conv_pipe"    -> ml4fSql,
+    "ml4g_conv3d_pipe"  -> ml4gSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,

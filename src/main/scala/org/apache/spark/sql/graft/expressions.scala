@@ -999,8 +999,8 @@ case class ConvFrontSeq(
     std: Double)
     extends UnaryExpression with ImplicitCastInputTypes {
 
-  require(shapes.nonEmpty && shapes.head._1 == 1,
-    "ConvFrontSeq input is single-channel")
+  require(shapes.nonEmpty && shapes.head._1 >= 1,
+    "ConvFrontSeq needs at least one input channel")
   require(shapes.sliding(2).forall(p => p.size < 2 || p(0)._2 == p(1)._1),
     "ConvFrontSeq channel chain inconsistent")
   require(shapes.indices.forall { i =>
@@ -1021,14 +1021,20 @@ case class ConvFrontSeq(
   @transient private lazy val shA = shifts.map(_.toArray).toArray
   @transient private lazy val mixA = mix.toArray
 
+  /** input channel count; the raw array is INTERLEAVED (sample t of
+    * channel a at index t·cIn0 + a — the rawData3D convention) */
+  private def cIn0: Int = shapes.head._1
+
   private def outLenOf(n: Int): Int =
     shapes.foldLeft(n)((t, s) => (t - s._3 + 1) / 2)
 
   override protected def nullSafeEval(a: Any): Any = {
     val win = a.asInstanceOf[ArrayData]
     val n = win.numElements()
-    if (n == 0 || outLenOf(n) < 1) return null
-    var cur = Array(Array.tabulate(n)(t => (win.getDouble(t) - mean) / std))
+    if (n == 0 || n % cIn0 != 0 || outLenOf(n / cIn0) < 1) return null
+    val tLen = n / cIn0
+    var cur = Array.tabulate(cIn0)(ch =>
+      Array.tabulate(tLen)(t => (win.getDouble(t * cIn0 + ch) - mean) / std))
     var bi = 0
     while (bi < shapes.length) {
       val (cIn, cOut, k) = shapes(bi)
@@ -1132,15 +1138,19 @@ case class ConvFrontSeq(
       // plan-time outLen check mirrors outLenOf
       val shrink = shapes.map(s => s"$ol = ($ol - ${s._3} + 1) / 2;")
         .mkString(" ")
+      val tl = ctx.freshName("tl")
       s"""
          |int $n = $a.numElements();
-         |int $ol = $n; $shrink
-         |if ($n == 0 || $ol < 1) {
+         |int $tl = $n / $cIn0;
+         |int $ol = $tl; $shrink
+         |if ($n == 0 || $n % $cIn0 != 0 || $ol < 1) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[][] $cur = new double[1][$n];
-         |  for (int __t = 0; __t < $n; __t++) {
-         |    $cur[0][__t] = ($a.getDouble(__t) - $sc[1]) / $sc[2];
+         |  double[][] $cur = new double[$cIn0][$tl];
+         |  for (int __t = 0; __t < $tl; __t++) {
+         |    for (int __a = 0; __a < $cIn0; __a++) {
+         |      $cur[__a][__t] = ($a.getDouble(__t * $cIn0 + __a) - $sc[1]) / $sc[2];
+         |    }
          |  }
          |  $stages
          |  int $tf = $cur[0].length;

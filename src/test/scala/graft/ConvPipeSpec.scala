@@ -50,6 +50,66 @@ class ConvPipeSpec extends SparkSpec {
     assert(checked == nP)
   }
 
+  test("multi-channel (cIn=3): composed gradient == finite differences; column == JVM") {
+    import spark.implicits._
+    val cfg = ConvPipe.Config(
+      blocks = Seq(ConvPipe.BlockSpec(2, 3), ConvPipe.BlockSpec(2, 3)),
+      h1 = 2, h2 = 2, head = "mha", nHeads = 2, bidir = true, cIn = 3)
+    val T = 16 // per-channel; raw rows are interleaved 3·16 = 48
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 6).map(i =>
+      ((i % 2).toDouble, 0.5 + 0.25 * i, Array.fill(3 * T)(rnd.nextGaussian())))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    // block0: 2·3·3 + 3·2 = 24; block1: 2·2·3 + 3·2 = 18; mix 2+1 = 3
+    val nP = 24 + 18 + 3 +
+      graft.ml.LstmStack.nParams(2, 2, "mha", bidir = true, nHeads = 2)
+    val p0 = Array.fill(nP)(rnd.nextGaussian() * 0.4)
+    p0(18 + 2) = 1.1; p0(18 + 3) = 0.9 // block0 affine scales live
+    p0(24 + 18 - 4) = 1.05; p0(24 + 18 - 3) = 0.95
+    def evalAt(p: Array[Double]) = {
+      val bw = spark.sparkContext.broadcast(p)
+      try ConvPipe.gradientPassForTest(rdd, bw, cfg, T, 0.1, 1.3)
+      finally bw.unpersist(false)
+    }
+    val (_, grad) = evalAt(p0)
+    val eps = 1e-6
+    (0 until nP).foreach { j =>
+      val pp = p0.clone(); pp(j) += eps
+      val pm = p0.clone(); pm(j) -= eps
+      val fd = (evalAt(pp)._1 - evalAt(pm)._1) / (2 * eps)
+      val err = math.abs(fd - grad(j)) / math.max(1.0, math.abs(grad(j)))
+      assert(err < 1e-4, s"param $j: BPTT ${grad(j)} vs FD $fd (rel err $err)")
+    }
+    // the trained 3-channel model scores the interleaved column
+    // exactly like the chained JVM loops, and the serve-length guard
+    // speaks the INPUT length (3·T), not the per-channel window
+    val tiny = (0 until 8).map(i =>
+      (s"E$i", (i % 2).toDouble,
+        Array.fill(3 * T)(rnd.nextGaussian() + i % 2)))
+      .toDF("eventId", "label", "window")
+    val m = ConvPipe.train(tiny, cfg.copy(maxIter = 2))
+    assert(m.front.cIn0 == 3 && m.front.window == T &&
+      m.front.inputLen == 3 * T)
+    val probes = (0 until 8).map(i => (i, Array.fill(3 * T)(rnd.nextGaussian())))
+    val got = probes.toDF("i", "window")
+      .select(col("i"), ConvPipe.logitCol(m, col("window")).as("z"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    probes.foreach { case (i, x) =>
+      assert(got(i) == ConvPipe.forward(m, x),
+        s"row $i: column ${got(i)} != jvm ${ConvPipe.forward(m, x)}")
+    }
+    val e = intercept[Exception] {
+      ConvPipe.scoreWindows(m,
+        Seq((1, Array.fill(3 * T - 2)(0.5))).toDF("i", "window"))
+        .select("p_seizure").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains(s"trained input length ${3 * T}")),
+      s"wrong failure: ${messages(e)}")
+  }
+
   test("scoring: logitCol == chained JVM loops; serve-length fail-loud") {
     import spark.implicits._
     val cfg = ConvPipe.Config(
@@ -78,7 +138,7 @@ class ConvPipeSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("trained window")),
+    assert(messages(e).exists(_.contains("trained input length")),
       s"wrong failure: ${messages(e)}")
   }
 

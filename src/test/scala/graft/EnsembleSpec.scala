@@ -253,4 +253,23 @@ class EnsembleSpec extends SparkSpec {
         "full-amber fused ensemble should scan data once")
     } finally data.unpersist(false)
   }
+
+  test("scoreEnsembleFused: a null per-model probability fails loudly") {
+    import spark.implicits._
+    val data = Seq(("E0", 1.0, 2.0), ("E1", 0.0, -1.0))
+      .toDF("eventId", "label", "x")
+    // model 1's pCol yields NULL for x < 0 — max() would swallow it and
+    // p_ensemble would silently go NULL without the fused guard
+    val models = Seq(0, 1)
+    val fused = Ensemble.scoreEnsembleFused[Int](models,
+      i => if (i == 0) lit(0.5) * col("x")
+           else when(col("x") > 0, lit(0.25) * col("x")),
+      data, q = 0.6)
+    val e = intercept[Exception](fused.collect())
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("produced no score"),
+      s"expected the fail-loud ensemble guard, got: ${rootMsg(e)}")
+  }
 }

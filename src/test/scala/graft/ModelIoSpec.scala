@@ -178,6 +178,12 @@ class ModelIoSpec extends SparkSpec {
     val p = tmp("convpipe.json")
     ModelIo.saveConvPipe(m, p)
     val back = ModelIo.loadConvPipe(p)
+    // the stack is embedded IN MEMORY — no sidecar temp files may
+    // exist after save or load (two concurrent saves of one path used
+    // to race on path + ".stack")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + ".stack")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p + ".stack.tmp")))
     assert(back.front.blocks.map(_.w.toSeq) ==
       m.front.blocks.map(_.w.toSeq))
     assert(back.stack.attD.toSeq == m.stack.attD.toSeq)

@@ -388,4 +388,38 @@ class TrainerSpec extends SparkSpec {
     assert(math.abs(pAtOne(neutral) - pAtOne(unweighted)) < 1e-9,
       "a weight map matching nothing must train identically")
   }
+
+  test("sampler weights: class-frequency base, subtype multiplier on class 1 only") {
+    import spark.implicits._
+    // 3 seizures (2 TC, 1 other) + 6 non-seizures — one of which SHARES
+    // the 'Tonic-Clonic' subType string and must NOT be multiplied
+    // (subtype_weighting.py applies multipliers to the seizure mask only)
+    val rows = Seq(
+      ("s1", 1, "Tonic-Clonic"), ("s2", 1, "tonic-clonic"),
+      ("s3", 1, "other"),
+      ("n1", 0, "Tonic-Clonic"), ("n2", 0, null: String),
+      ("n3", 0, "other"), ("n4", 0, "other"),
+      ("n5", 0, null: String), ("n6", 0, "other"))
+    val df = rows.toDF("eventId", "label", "subType")
+    val w = Trainer.withSamplerWeights(df, Map("Tonic-Clonic" -> 2.0))
+      .select(col("eventId"), col("sampler_w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // base: 1/3 per seizure, 1/6 per non-seizure
+    assert(w("s1") == 2.0 / 3.0 && w("s2") == 2.0 / 3.0,
+      s"TC seizures should weigh (1/3)*2: $w")
+    assert(w("s3") == 1.0 / 3.0, s"non-TC seizure should weigh 1/3: $w")
+    assert(w("n1") == 1.0 / 6.0,
+      s"a NON-seizure sharing the TC subType must NOT be multiplied: $w")
+    assert(Seq("n2", "n3", "n4", "n5", "n6").forall(w(_) == 1.0 / 6.0), s"$w")
+    // single-class corpus fails loudly
+    intercept[IllegalArgumentException](
+      Trainer.withSamplerWeights(
+        rows.filter(_._2 == 1).toDF("eventId", "label", "subType"),
+        Map.empty))
+    // a third class fails loudly (binary-label semantics)
+    intercept[IllegalArgumentException](
+      Trainer.withSamplerWeights(
+        (rows :+ (("u1", 2, "x"))).toDF("eventId", "label", "subType"),
+        Map.empty))
+  }
 }

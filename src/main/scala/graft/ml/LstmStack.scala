@@ -247,34 +247,47 @@ object LstmStack {
         var u = 0
         while (u < h2N) { s(u) += h2(u); u += 1 }
     }
-    def logit(T: Int): Double = {
-      var z = m.bias
+    def logit(T: Int): Double = logitFor(T, m.bias, m.dense, 0, m.attD, 0)
+
+    /** One readout with an arbitrary (bias, dense row, attD row) — the
+      * binary head and every K-class row ([[forwardK]]) share this
+      * walk, so per-class accumulation order is identical. */
+    def logitFor(T: Int, b0: Double, dv: Array[Double], dvOff: Int,
+        aD: Array[Double], aDOff: Int): Double = {
+      var z = b0
       var u = 0
       m.head match {
         case "attn" =>
-          while (u < h2N) { z += m.dense(u) * (s(u) / (1.0 + den)); u += 1 }
+          while (u < h2N) { z += dv(dvOff + u) * (s(u) / (1.0 + den)); u += 1 }
         case "mha" =>
-          while (u < h2N) { z += m.dense(u) * (s(u) / T); u += 1 }
+          while (u < h2N) { z += dv(dvOff + u) * (s(u) / T); u += 1 }
           var k = 0
           while (k < m.nHeads) {
             val denom = 1.0 + dens(k)
             u = 0
             while (u < h2N) {
-              z += m.attD(k * h2N + u) * (num(k * h2N + u) / denom); u += 1
+              z += aD(aDOff + k * h2N + u) * (num(k * h2N + u) / denom)
+              u += 1
             }
             k += 1
           }
         case _ =>
-          while (u < h2N) { z += m.dense(u) * (s(u) / T); u += 1 }
+          while (u < h2N) { z += dv(dvOff + u) * (s(u) / T); u += 1 }
       }
       z
     }
   }
 
-  def forward(m: Lstm2Model, x: Array[Double]): Double = {
+  def forward(m: Lstm2Model, x: Array[Double]): Double =
+    headStateOf(m, x).logit(x.length)
+
+  /** The head accumulators after the full recurrence — shared by the
+    * binary readout ([[forward]]) and the K-class readout
+    * ([[forwardK]]): one recurrence evaluation, many readouts. */
+  private def headStateOf(m: Lstm2Model, x: Array[Double]): HeadState = {
     require(x.length == m.window,
       s"window ${x.length} != trained window ${m.window}")
-    if (m.bidir) return forwardBidir(m, x)
+    if (m.bidir) return headStateBidir(m, x)
     val h1N = m.h1; val h2N = m.h2
     val h1 = new Array[Double](h1N); val c1 = new Array[Double](h1N)
     val hp1 = new Array[Double](h1N)
@@ -310,7 +323,7 @@ object LstmStack {
       hs.step(h2)
       t += 1
     }
-    hs.logit(x.length)
+    hs
   }
 
   /** One direction of the layer-1 recurrence over the pre-scaled
@@ -352,10 +365,10 @@ object LstmStack {
     }
   }
 
-  /** Bidirectional forward: both layer-1 directions first (stored per
-    * original time index), then layer 2 over [h1fwd(t); h1bwd(t)] with
-    * the same head readout as the unidirectional path. */
-  private def forwardBidir(m: Lstm2Model, x: Array[Double]): Double = {
+  /** Bidirectional head state: both layer-1 directions first (stored
+    * per original time index), then layer 2 over [h1fwd(t); h1bwd(t)]
+    * with the same head accumulation as the unidirectional path. */
+  private def headStateBidir(m: Lstm2Model, x: Array[Double]): HeadState = {
     val T = x.length
     val h1N = m.h1; val h2N = m.h2
     val xs = Array.tabulate(T)(t => (x(t) - m.mean) / m.std)
@@ -376,7 +389,71 @@ object LstmStack {
       hs.step(h2)
       t += 1
     }
-    hs.logit(T)
+    hs
+  }
+
+  /** K-CLASS head over the stacked recurrence — the reference's
+    * `Dense(num_classes, softmax)` readout (`amber/model.py:66`) in
+    * argmax-serving form: softmax is monotone per row, so serving
+    * never needs a transcendental; class k's logit is the binary
+    * readout with (denseK row k, biasK(k), attDK row k). One
+    * [[HeadState]] evaluation feeds all K readouts. */
+  case class KHead(nClasses: Int, denseK: Array[Double],
+      biasK: Array[Double],
+      attDK: Array[Double] = Array.emptyDoubleArray) {
+    require(nClasses >= 2, s"K-class head needs >= 2 classes: $nClasses")
+    require(biasK.length == nClasses,
+      s"biasK length ${biasK.length} != $nClasses")
+  }
+
+  private def requireKShapes(m: Lstm2Model, kh: KHead): Unit = {
+    require(kh.denseK.length == kh.nClasses * m.h2,
+      s"denseK length ${kh.denseK.length} != ${kh.nClasses}*${m.h2}")
+    require(if (m.head == "mha")
+        kh.attDK.length == kh.nClasses * m.nHeads * m.h2
+      else kh.attDK.isEmpty,
+      s"attDK length ${kh.attDK.length} inconsistent with head '${m.head}'")
+  }
+
+  /** JVM twin of [[logitsKCol]]: all K class logits from one
+    * recurrence evaluation. */
+  def forwardK(m: Lstm2Model, kh: KHead, x: Array[Double]): Array[Double] = {
+    requireKShapes(m, kh)
+    val hs = headStateOf(m, x)
+    Array.tabulate(kh.nClasses)(c =>
+      hs.logitFor(x.length, kh.biasK(c), kh.denseK, c * m.h2,
+        kh.attDK, c * m.nHeads * m.h2))
+  }
+
+  /** The K-class forward pass as ONE native codegen'd column emitting
+    * `array<double>` of the K class logits — scan → project, no
+    * shuffle, the recurrence evaluated once for all classes. */
+  def logitsKCol(m: Lstm2Model, kh: KHead, win: Column): Column = {
+    requireKShapes(m, kh)
+    org.apache.spark.sql.graft.GraftSqlBridge.lstmStackLogit(
+      win, m.h1, m.h2, m.wx1.toSeq, m.wh1.toSeq, m.b1.toSeq,
+      m.wx2.toSeq, m.wh2.toSeq, m.b2.toSeq, m.dense.toSeq,
+      m.bias, m.mean, m.std,
+      attn = m.head == "attn", attA = m.attA.toSeq, attC = m.attC,
+      bidir = m.bidir, wx1b = m.wx1b.toSeq, wh1b = m.wh1b.toSeq,
+      b1b = m.b1b.toSeq,
+      mha = m.head == "mha", nHeads = m.nHeads,
+      attCs = m.attCs.toSeq, attD = m.attD.toSeq,
+      denseK = kh.denseK.toSeq, biasK = kh.biasK.toSeq,
+      attDK = kh.attDK.toSeq)
+  }
+
+  /** FIRST-max argmax over K logit columns (deterministic tie-break —
+    * the exact CASE ladder the oracle states). */
+  def argmaxCol(logits: Seq[Column]): Column = {
+    require(logits.nonEmpty)
+    def rec(c: Int): Column =
+      if (c == logits.size - 1) lit(c)
+      else when(
+        logits.drop(c + 1).foldLeft(lit(true))(
+          (acc, l) => acc && logits(c) >= l),
+        lit(c)).otherwise(rec(c + 1))
+    rec(0)
   }
 
   /** The stacked forward pass as a native Catalyst column

@@ -1895,11 +1895,18 @@ object DomainQueries {
     * the recursions — the conv chain goes there, and its OUTPUT CTE
     * must be AS MATERIALIZED (both layer-1 recursions reference it
     * from their recursive parts — the ml4d inlining lesson). */
+  /** `kHead`: when present, the final SELECT emits ALL K class logits
+    * (each class row through the same readout walk as the binary
+    * head — [[graft.ml.LstmStack.KHead]]) plus the first-max argmax
+    * `pred` as a CASE ladder; `confusion` further rolls the rows up to
+    * the (label, pred, n) confusion matrix (the A6 tie-in). */
   private def lstm2BidirSql(m: graft.ml.LstmStack.Lstm2Model,
                             edCte: String, cteName: String,
                             src: String = "sampm",
                             xExpr: String = "(p.m - 1000.0)/64.0",
-                            prefixCtes: String = ""): String = {
+                            prefixCtes: String = "",
+                            kHead: Option[graft.ml.LstmStack.KHead] = None,
+                            confusion: Boolean = false): String = {
     val attn = m.head == "attn"
     val H1 = m.h1; val H2 = m.h2
     val W = m.window
@@ -2026,19 +2033,24 @@ object DomainQueries {
         s"SELECT *, $wats FROM (\n    "
       } else ""
     val watClose = if (attn || mhaH) ")" else ""
-    val logit =
+    // one readout with an arbitrary (bias, dense row, attD row) — the
+    // binary logit and every K-class row share this walk (the exact
+    // order LstmStack.HeadState.logitFor replays)
+    def readout(b0: Double, dv: Int => Double,
+                aD: (Int, Int) => Double): String =
       if (attn)
-        s"${L(m.bias)} + " + (0 until H2)
-          .map(u => s"${L(m.dense(u))}*(s_$u/(1.0 + den))").mkString(" + ")
+        s"${L(b0)} + " + (0 until H2)
+          .map(u => s"${L(dv(u))}*(s_$u/(1.0 + den))").mkString(" + ")
       else if (mhaH)
-        s"${L(m.bias)} + " +
-          ((0 until H2).map(u => s"${L(m.dense(u))}*(s_$u/$W.0)") ++
+        s"${L(b0)} + " +
+          ((0 until H2).map(u => s"${L(dv(u))}*(s_$u/$W.0)") ++
             (for (k <- 0 until nH; u <- 0 until H2)
-              yield s"${L(m.attD(k * H2 + u))}*(n${k}_$u/(1.0 + dn$k))"))
+              yield s"${L(aD(k, u))}*(n${k}_$u/(1.0 + dn$k))"))
             .mkString(" + ")
       else
-        s"${L(m.bias)} + " + (0 until H2)
-          .map(u => s"${L(m.dense(u))}*(s_$u/$W.0)").mkString(" + ")
+        s"${L(b0)} + " + (0 until H2)
+          .map(u => s"${L(dv(u))}*(s_$u/$W.0)").mkString(" + ")
+    val logit = readout(m.bias, m.dense, (k, u) => m.attD(k * H2 + u))
     val fSel = (0 until H1).map(u => s"f.h1_$u AS hf_$u").mkString(", ")
     val bSel = (0 until H1).map(u => s"bb.h1_$u AS hb_$u").mkString(", ")
     sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") + prefixCtes +
@@ -2071,7 +2083,46 @@ object DomainQueries {
          |              ON q.e = s.e AND q.d = s.d AND q.t = s.t + 1
          |            WHERE s.t < $W)))))$watClose
          |)
-         |SELECT e, d, $logit AS logit FROM $cteName WHERE t = $W""".stripMargin
+         |${finalSelect(cteName, W, logit, readout, kHead, confusion)}""".stripMargin
+  }
+
+  /** The bidir renderer's tail: binary logit, K-class logits + argmax
+    * pred, or the (label, pred, n) confusion rollup. The pred ladder is
+    * FIRST-max (class c wins iff >= every later class) — byte-for-byte
+    * the comparison order of [[graft.ml.LstmStack.argmaxCol]]. */
+  private def finalSelect(cteName: String, W: Int, logit: String,
+      readout: (Double, Int => Double, (Int, Int) => Double) => String,
+      kHead: Option[graft.ml.LstmStack.KHead],
+      confusion: Boolean): String = kHead match {
+    case None =>
+      s"SELECT e, d, $logit AS logit FROM $cteName WHERE t = $W"
+    case Some(kh) =>
+      val K = kh.nClasses
+      val logitCols = (0 until K).map { c =>
+        val e = readout(kh.biasK(c),
+          u => kh.denseK(c * (kh.denseK.length / K) + u),
+          (k, u) => kh.attDK(
+            c * (kh.attDK.length / K) + k * (kh.denseK.length / K) + u))
+        s"$e AS logit_$c"
+      }.mkString(",\n       ")
+      def pred(c: Int): String =
+        if (c == K - 1) c.toString
+        else s"CASE WHEN " +
+          (c + 1 until K).map(d => s"logit_$c >= logit_$d")
+            .mkString(" AND ") + s" THEN $c ELSE ${pred(c + 1)} END"
+      val predSel =
+        s"""SELECT e, d, ${(0 until K).map(c => s"logit_$c").mkString(", ")},
+           |       ${pred(0)} AS pred
+           |FROM (SELECT e, d,
+           |       $logitCols
+           |      FROM $cteName WHERE t = $W)""".stripMargin
+      if (!confusion) predSel
+      else
+        s"""SELECT x.label AS label, q.pred AS pred, COUNT(*) AS n
+           |FROM ($predSel) q
+           |JOIN (SELECT DISTINCT e, d, label FROM dpx) x
+           |  ON x.e = q.e AND x.d = q.d
+           |GROUP BY 1, 2""".stripMargin
   }
 
   val ml4bSql: String = lstm2StackSql(ml4bNet, "edml4b", "lstm2")
@@ -2317,6 +2368,61 @@ object DomainQueries {
   val ml4gSql: String = lstm2BidirSql(ml4gPipe.stack, "edml4g", "lstm2i",
     src = "cf3out", xExpr = "p.y",
     prefixCtes = convFrontCtes(ml4gPipe.front, "cf3out"))
+
+  /** The ml4h K-class head: the reference's `Dense(num_classes,
+    * softmax)` readout (`amber/model.py:66` — C4's type2id has THREE
+    * classes: Seizure 1, False Alarm 0, Unknown 2) over [[ml4eNet]]'s
+    * bidirectional multi-head stack, in argmax-serving form (softmax
+    * is monotone per row, so no transcendental ever runs). Quarter-grid
+    * per-class readout rows. */
+  private val ml4hKHead: graft.ml.LstmStack.KHead = {
+    val h2 = 2; val nH = 2; val K = 3
+    graft.ml.LstmStack.KHead(K,
+      denseK = Array.tabulate(K * h2)(j => ((j * 5) % 7 - 3) * 0.25),
+      biasK = Array.tabulate(K)(c => (c - 1) * 0.25),
+      attDK = Array.tabulate(K * nH * h2)(j => ((j * 3) % 7 - 3) * 0.25))
+  }
+
+  /** ML4H — the MULTI-CLASS forward pass under the oracle gate: one
+    * codegen'd expression emits all K class logits from ONE recurrence
+    * evaluation; `pred` is the first-max argmax ladder. The oracle
+    * replays the same bidirectional recursion and reads each class
+    * through the identical per-class readout walk — bit-exact, so the
+    * K logit columns hash-match raw and the integer pred column is
+    * derivation-identical. */
+  def ml4hMulticlassForward(s: SparkSession, d: String): DataFrame = {
+    val logits = graft.ml.LstmStack.logitsKCol(
+      ml4eNet, ml4hKHead, col("rawData"))
+    val ls = (0 until 3).map(c =>
+      element_at(col("__lk"), c + 1).as(s"logit_$c"))
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .withColumn("__lk", logits)
+      .select(col("e") +: col("d") +: ls: _*)
+      .withColumn("pred", graft.ml.LstmStack.argmaxCol(
+        (0 until 3).map(c => col(s"logit_$c"))))
+  }
+
+  val ml4hSql: String = lstm2BidirSql(ml4eNet, "edml4h", "lstm2k",
+    kHead = Some(ml4hKHead))
+
+  /** A6C — the K-class confusion matrix (the A6 detection-stats tie-in
+    * for the multi-class head): fixture label × first-max pred →
+    * counts, ONE scan (label rides the same rows the logits are
+    * computed on — no join). Integer output; same recursion as ml4h
+    * underneath. */
+  def a6cMulticlassConfusion(s: SparkSession, d: String): DataFrame = {
+    val logits = graft.ml.LstmStack.logitsKCol(
+      ml4eNet, ml4hKHead, col("rawData"))
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .withColumn("__lk", logits)
+      .withColumn("pred", graft.ml.LstmStack.argmaxCol(
+        (0 until 3).map(c => element_at(col("__lk"), c + 1))))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val a6cSql: String = lstm2BidirSql(ml4eNet, "edml4h", "lstm2k",
+    kHead = Some(ml4hKHead), confusion = true)
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -2655,6 +2761,120 @@ object DomainQueries {
       |FROM dnew
       |WHERE type_str IN ('Seizure', 'Fall') OR alarm_state <> 1
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** RPT6 — `analyzeData.py` parity (`user_tools/nnTraining2/
+    * analyzeData.py:19-113`: per-event datapoint counts + global
+    * seizure/non-seizure totals over a pipeline CSV), as ONE rollup
+    * frame: per-event rows carry (type, dp count); the rollup total
+    * row carries the global statistics (total events, total
+    * datapoints, seizure/non-seizure event counts, avg dps/event —
+    * one exact division). The reference's seizure test ('1' in the
+    * type string) is the fixture's label == 1. One scan, one hash
+    * aggregate — scales as a pure map-side-combined rollup. */
+  def rpt6AnalyzeData(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d, arrays = false)
+      .rollup(col("e"))
+      .agg(
+        max(col("type_str")).as("type_str"),
+        count(lit(1)).as("n_dp"),
+        countDistinct(col("e")).as("n_events"),
+        countDistinct(when(col("label") === 1, col("e")))
+          .as("n_seizure_events"),
+        countDistinct(when(col("label") =!= 1, col("e")))
+          .as("n_non_seizure_events"))
+      .withColumn("avg_dp",
+        col("n_dp").cast("double") / col("n_events"))
+
+  val rpt6Sql: String = sqlBase +
+    """SELECT e, MAX(type_str) AS type_str, COUNT(*) AS n_dp,
+      |       COUNT(DISTINCT e) AS n_events,
+      |       COUNT(DISTINCT CASE WHEN label = 1 THEN e END)
+      |         AS n_seizure_events,
+      |       COUNT(DISTINCT CASE WHEN label <> 1 THEN e END)
+      |         AS n_non_seizure_events,
+      |       CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT e) AS avg_dp
+      |FROM dpx
+      |GROUP BY ROLLUP(e)""".stripMargin
+
+  /** RPT7 — `compare_your_models.py` parity
+    * (`user_tools/nnTraining2/compare_your_models.py` +
+    * `nnTrainer.calculate_selection_metric:697-751`): per candidate
+    * model, (TPR, FPR) from a thresholded score over the fixture
+    * events, then the selection metrics — F-beta over the
+    * (sensitivity, specificity) pair for β ∈ {0.25, 0.5, 1, 2, 4}
+    * (all powers of two, so β² is exact), Youden's J (TPR − FPR), and
+    * the per-β winner. TPR/FPR are single exact divisions of integer
+    * counts; the F-beta chain is a multiply-accumulate → ×1e6 ROUND
+    * grid (the ml5 FMA discipline); the winner ranks on the INTEGER
+    * grid with a model-id tiebreak, so the argmax can never flip on a
+    * float ulp. One scan builds all five models' confusion counts
+    * (conditional sums); the 25-row metric grid is a broadcast cross
+    * join against the one-row count frame — nothing here grows with
+    * the corpus except the first aggregate. */
+  def rpt7ModelCompare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val models = 0 until 5
+    val betas = Seq(0.25, 0.5, 1.0, 2.0, 4.0)
+    val perModel = models.flatMap { f =>
+      val pred = (col("e") * 13 + (f + 1) * 29) % 97 >= 50
+      Seq(
+        sum(when(pred && col("label") === 1, 1L).otherwise(0L)).as(s"tp$f"),
+        sum(when(pred && col("label") =!= 1, 1L).otherwise(0L)).as(s"fp$f"))
+    }
+    val aggCols = Seq(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("pos"),
+      sum(when(col("label") =!= 1, 1L).otherwise(0L)).as("neg")) ++ perModel
+    val counts = OsdbFixture.ev(s, d).agg(aggCols.head, aggCols.tail: _*)
+    val mb = models.flatMap(f => betas.map(b => (f, b)))
+      .toDF("model", "beta")
+    def pick(prefix: String): org.apache.spark.sql.Column =
+      models.tail.foldLeft(
+        when(col("model") === 0, col(s"${prefix}0"))) { (acc, f) =>
+        acc.when(col("model") === f, col(s"$prefix$f"))
+      }
+    val tpr = pick("tp").cast("double") / col("pos")
+    val fpr = pick("fp").cast("double") / col("neg")
+    val spec = lit(1.0) - fpr
+    val bsq = col("beta") * col("beta")
+    val fbeta = (lit(1.0) + bsq) * (tpr * spec) / (bsq * spec + tpr)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("beta"))
+      .orderBy(col("fbeta_x1e6").desc, col("model"))
+    counts.crossJoin(mb)
+      .select(col("model"), col("beta"),
+        tpr.as("tpr"), fpr.as("fpr"),
+        round(fbeta * 1e6).cast("long").as("fbeta_x1e6"),
+        (tpr - fpr).as("youden"))
+      .withColumn("winner", row_number().over(w) === 1)
+  }
+
+  val rpt7Sql: String = sqlBase +
+    """, fgrid AS (SELECT unnest(range(0, 5)) AS model),
+      |cnt AS (
+      |  SELECT f.model AS model,
+      |    SUM(CASE WHEN (e*13 + (f.model+1)*29) % 97 >= 50 AND label = 1
+      |        THEN 1 ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN (e*13 + (f.model+1)*29) % 97 >= 50 AND label <> 1
+      |        THEN 1 ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos,
+      |    SUM(CASE WHEN label <> 1 THEN 1 ELSE 0 END) AS neg
+      |  FROM ev, fgrid f
+      |  GROUP BY 1),
+      |grid AS (
+      |  SELECT model, beta,
+      |    CAST(tp AS DOUBLE)/pos AS tpr, CAST(fp AS DOUBLE)/neg AS fpr
+      |  FROM cnt, (SELECT unnest([0.25, 0.5, 1.0, 2.0, 4.0]) AS beta) b),
+      |met AS (
+      |  SELECT model, beta, tpr, fpr,
+      |    CAST(ROUND((1.0 + beta*beta) * (tpr * (1.0 - fpr))
+      |      / (beta*beta * (1.0 - fpr) + tpr) * 1000000.0) AS BIGINT)
+      |      AS fbeta_x1e6,
+      |    tpr - fpr AS youden
+      |  FROM grid)
+      |SELECT model, beta, tpr, fpr, fbeta_x1e6, youden,
+      |  ROW_NUMBER() OVER (PARTITION BY beta
+      |    ORDER BY fbeta_x1e6 DESC, model) = 1 AS winner
+      |FROM met""".stripMargin
 
   private val rpt3RunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -3478,10 +3698,14 @@ object DomainQueries {
     "ml4e_lstm_fusion"  -> (ml4eLstmFusionForward _),
     "ml4f_conv_pipe"    -> (ml4fConvPipeForward _),
     "ml4g_conv3d_pipe"  -> (ml4gConv3dPipeForward _),
+    "ml4h_multiclass"   -> (ml4hMulticlassForward _),
+    "a6c_multiclass_confusion" -> (a6cMulticlassConfusion _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
     "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
+    "rpt6_analyze_data" -> (rpt6AnalyzeData _),
+    "rpt7_model_compare" -> (rpt7ModelCompare _),
     "cur1_alarm_check"  -> (cur1AlarmCheck _),
     "cur2_merge_priority" -> (cur2MergePriority _),
     "fa1_false_alarm_periods" -> (fa1FalseAlarmPeriods _),
@@ -3567,10 +3791,14 @@ object DomainQueries {
     "ml4e_lstm_fusion"  -> ml4eSql,
     "ml4f_conv_pipe"    -> ml4fSql,
     "ml4g_conv3d_pipe"  -> ml4gSql,
+    "ml4h_multiclass"   -> ml4hSql,
+    "a6c_multiclass_confusion" -> a6cSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,
     "rpt5_results_analysis" -> rpt5Sql,
+    "rpt6_analyze_data" -> rpt6Sql,
+    "rpt7_model_compare" -> rpt7Sql,
     "cur1_alarm_check"  -> cur1Sql,
     "cur2_merge_priority" -> cur2Sql,
     "fa1_false_alarm_periods" -> fa1Sql,

@@ -472,10 +472,25 @@ case class LstmStackLogit(
     mha: Boolean = false,
     nHeads: Int = 1,
     attCs: Seq[Double] = Seq.empty,
-    attD: Seq[Double] = Seq.empty)
+    attD: Seq[Double] = Seq.empty,
+    denseK: Seq[Double] = Seq.empty,
+    biasK: Seq[Double] = Seq.empty,
+    attDK: Seq[Double] = Seq.empty)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   private def x2Dim: Int = if (bidir) 2 * h1 else h1
+
+  /** K-CLASS readout mode (the reference's Dense(num_classes) head):
+    * when `biasK` is non-empty, the expression emits ALL K class
+    * logits as array<double> from ONE recurrence evaluation — per
+    * class, the same readout as the binary head with (denseK row k,
+    * biasK(k), attDK row k) in place of (dense, bias, attD). Argmax
+    * serving needs no softmax (monotone per row), so K-class scoring
+    * stays IEEE mul/add/compare. `dense`/`bias`/`attD` are ignored in
+    * this mode. */
+  private def nClasses: Int = biasK.length
+  private def kMode: Boolean = nClasses > 0
+
   require(wx1.length == 4 * h1 && wh1.length == 4 * h1 * h1 &&
     b1.length == 4 * h1 && wx2.length == 4 * h2 * x2Dim &&
     wh2.length == 4 * h2 * h2 && b2.length == 4 * h2 &&
@@ -489,10 +504,14 @@ case class LstmStackLogit(
   require(!bidir || (wx1b.length == 4 * h1 && wh1b.length == 4 * h1 * h1 &&
     b1b.length == 4 * h1),
     "LstmStackLogit backward-direction weight shapes inconsistent")
+  require(!kMode || (denseK.length == nClasses * h2 &&
+    (if (mha) attDK.length == nClasses * nHeads * h2 else attDK.isEmpty)),
+    "LstmStackLogit K-class head shapes inconsistent")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType =
+    if (kMode) ArrayType(DoubleType, containsNull = false) else DoubleType
 
   override def nullable: Boolean = true // empty windows yield NULL
 
@@ -511,6 +530,9 @@ case class LstmStackLogit(
   @transient private lazy val b1bA = b1b.toArray
   @transient private lazy val attCsA = attCs.toArray
   @transient private lazy val attDA = attD.toArray
+  @transient private lazy val denseKA = denseK.toArray
+  @transient private lazy val biasKA = biasK.toArray
+  @transient private lazy val attDKA = attDK.toArray
 
   /** Interpreted head accumulation — shared by the unidirectional and
     * bidirectional eval paths. Same step/readout order as
@@ -547,21 +569,26 @@ case class LstmStackLogit(
           }
         }
       }
-    def logit(n: Int): Double = {
-      var z = bias
+    /** One readout with an arbitrary (bias, dense row, attD row) —
+      * the binary head and every K-class row share this walk, so the
+      * accumulation order is identical per class. */
+    private def logitFor(n: Int, b0: Double, dv: Array[Double],
+        dvOff: Int, aD: Array[Double], aDOff: Int): Double = {
+      var z = b0
       var u = 0
       if (attn) {
         val denom = 1.0 + den
-        while (u < h2) { z += dvA(u) * (s(u) / denom); u += 1 }
+        while (u < h2) { z += dv(dvOff + u) * (s(u) / denom); u += 1 }
       } else {
-        while (u < h2) { z += dvA(u) * (s(u) / n); u += 1 }
+        while (u < h2) { z += dv(dvOff + u) * (s(u) / n); u += 1 }
         if (mha) {
           var k = 0
           while (k < nHeads) {
             val denom = 1.0 + denM(k)
             u = 0
             while (u < h2) {
-              z += attDA(k * h2 + u) * (numM(k * h2 + u) / denom); u += 1
+              z += aD(aDOff + k * h2 + u) * (numM(k * h2 + u) / denom)
+              u += 1
             }
             k += 1
           }
@@ -569,6 +596,15 @@ case class LstmStackLogit(
       }
       z
     }
+
+    /** Scalar logit (binary head) or all K class logits (K-mode). */
+    def result(n: Int): Any =
+      if (kMode)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.tabulate(nClasses)(c =>
+            logitFor(n, biasKA(c), denseKA, c * h2,
+              attDKA, c * nHeads * h2)))
+      else logitFor(n, bias, dvA, 0, attDA, 0)
   }
 
   override protected def nullSafeEval(a: Any): Any = {
@@ -635,7 +671,7 @@ case class LstmStackLogit(
         hs.step(hB)
         t += 1
       }
-      hs.logit(n)
+      hs.result(n)
     }
   }
 
@@ -718,7 +754,7 @@ case class LstmStackLogit(
       hs.step(hB)
       t += 1
     }
-    hs.logit(n)
+    hs.result(n)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -763,8 +799,29 @@ case class LstmStackLogit(
       val headDecls = headDeclCode(sP, den, numM, denM, H2v)
       val headStep =
         headStepCode(sc, attR, attCsR, hB, sP, den, numM, denM, H2v)
-      val headLogit =
-        headLogitCode(z, dvR, attDR, sP, den, numM, denM, n, H2v)
+      // readout tail: scalar logit (binary) or K class logits (K-mode),
+      // each class row through the SAME per-class accumulation walk
+      val readout =
+        if (kMode) {
+          val dvKR = ctx.addReferenceObj("ls2DenseK", denseKA, "double[]")
+          val bKR = ctx.addReferenceObj("ls2BiasK", biasKA, "double[]")
+          val aDKR = ctx.addReferenceObj("ls2AttDK",
+            if (mha) attDKA else new Array[Double](0), "double[]")
+          val zk = ctx.freshName("zk")
+          val perClass = headLogitCode(z, dvKR, aDKR, sP, den, numM,
+            denM, n, H2v, dvOff = s"__cc * $H2v",
+            aDOff = s"__cc * ${nHeads * H2v}")
+          s"""double[] $zk = new double[$nClasses];
+             |  for (int __cc = 0; __cc < $nClasses; __cc++) {
+             |    double $z = $bKR[__cc];
+             |    $perClass
+             |    $zk[__cc] = $z;
+             |  }
+             |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($zk);""".stripMargin
+        } else
+          s"""double $z = $sc[0];
+             |  ${headLogitCode(z, dvR, attDR, sP, den, numM, denM, n, H2v)}
+             |  ${ev.value} = $z;""".stripMargin
       if (bidir) {
         // bidirectional variant: both layer-1 directions stored per
         // original time index (xs precomputed), layer 2 over the concat
@@ -849,9 +906,7 @@ case class LstmStackLogit(
            |    }
            |    $headStep
            |  }
-           |  double $z = $sc[0];
-           |  $headLogit
-           |  ${ev.value} = $z;
+           |  $readout
            |}
          """.stripMargin
       } else
@@ -912,9 +967,7 @@ case class LstmStackLogit(
          |    }
          |    $headStep
          |  }
-         |  double $z = $sc[0];
-         |  $headLogit
-         |  ${ev.value} = $z;
+         |  $readout
          |}
        """.stripMargin
     })
@@ -956,20 +1009,24 @@ case class LstmStackLogit(
     else
       s"for (int __u = 0; __u < $H2v; __u++) $sP[__u] += $hB[__u];"
 
+  /** `dvOff`/`aDOff` are Java index-offset expressions — "0" for the
+    * binary head; the per-class row offsets inside the K-mode class
+    * loop. Same accumulation order either way. */
   private def headLogitCode(z: String, dvR: String, attDR: String,
       sP: String, den: String, numM: String, denM: String,
-      n: String, H2v: Int): String =
+      n: String, H2v: Int, dvOff: String = "0",
+      aDOff: String = "0"): String =
     if (attn)
       s"""double __dn = 1.0 + $den;
-         |  for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / __dn);""".stripMargin
+         |  for (int __u = 0; __u < $H2v; __u++) $z += $dvR[$dvOff + __u] * ($sP[__u] / __dn);""".stripMargin
     else if (mha)
-      s"""for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / $n);
+      s"""for (int __u = 0; __u < $H2v; __u++) $z += $dvR[$dvOff + __u] * ($sP[__u] / $n);
          |  for (int __k = 0; __k < $nHeads; __k++) {
          |    double __dn = 1.0 + $denM[__k];
-         |    for (int __u = 0; __u < $H2v; __u++) $z += $attDR[__k * $H2v + __u] * ($numM[__k * $H2v + __u] / __dn);
+         |    for (int __u = 0; __u < $H2v; __u++) $z += $attDR[$aDOff + __k * $H2v + __u] * ($numM[__k * $H2v + __u] / __dn);
          |  }""".stripMargin
     else
-      s"for (int __u = 0; __u < $H2v; __u++) $z += $dvR[__u] * ($sP[__u] / $n);"
+      s"for (int __u = 0; __u < $H2v; __u++) $z += $dvR[$dvOff + __u] * ($sP[__u] / $n);"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1224,11 +1281,15 @@ object GraftSqlBridge {
                      mha: Boolean = false,
                      nHeads: Int = 1,
                      attCs: Seq[Double] = Seq.empty,
-                     attD: Seq[Double] = Seq.empty): Column =
+                     attD: Seq[Double] = Seq.empty,
+                     denseK: Seq[Double] = Seq.empty,
+                     biasK: Seq[Double] = Seq.empty,
+                     attDK: Seq[Double] = Seq.empty): Column =
     ExpressionUtils.column(LstmStackLogit(
       ExpressionUtils.expression(win), h1, h2, wx1, wh1, b1,
       wx2, wh2, b2, dense, bias, mean, std, attn, attA, attC,
-      bidir, wx1b, wh1b, b1b, mha, nHeads, attCs, attD))
+      bidir, wx1b, wh1b, b1b, mha, nHeads, attCs, attD,
+      denseK, biasK, attDK))
 
   /** Spark's own runtime-filter Bloom aggregate (the one injected by
     * `InjectRuntimeFilter`), exposed as a Column: builds partial Bloom

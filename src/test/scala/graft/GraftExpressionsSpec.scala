@@ -315,4 +315,78 @@ class GraftExpressionsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("3-channel conv_front_seq and K-class lstm_stack_logit compile under codegen with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(83)
+      // multi-channel front: 3 interleaved channels, per-channel T=16
+      val front = graft.ml.ConvFront.ConvFrontModel(16,
+        blocks = Seq(graft.ml.ConvFront.ConvBlock(3, 2, 3,
+          w = Array.fill(18)(rnd.nextGaussian() * 0.4),
+          b = Array.fill(2)(rnd.nextGaussian() * 0.1),
+          scale = Array.fill(2)(1.0 + rnd.nextGaussian() * 0.1),
+          shift = Array.fill(2)(rnd.nextGaussian() * 0.1))),
+        mix = Array.fill(2)(rnd.nextGaussian()),
+        mixBias = 0.1, mean = 3.0, std = 5.0)
+      val winCol = array((0 until 48).map(j =>
+        ((col("id") * 7 + j) % 31).cast("double")): _*)
+      val df = spark.range(20).select(col("id"), winCol.as("w"))
+        .select(col("id"),
+          graft.ml.ConvFront.seqCol(front, col("w")).as("seq"))
+      val rows = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val stages = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("conv_front_seq") => w
+      }
+      assert(stages.nonEmpty)
+      (0 until 20).foreach { i =>
+        val win = Array.tabulate(48)(j => ((i * 7 + j) % 31).toDouble)
+        assert(rows(i.toLong) ==
+          graft.ml.ConvFront.forward(front, win).toSeq, s"row $i")
+      }
+      // a non-multiple-of-cIn0 input is NULL under codegen too
+      assert(spark.range(1)
+        .select(array((0 until 47).map(j => lit(j.toDouble)): _*).as("w"))
+        .select(graft.ml.ConvFront.seqCol(front, col("w")))
+        .collect().head.isNullAt(0))
+
+      // K-class stacked readout under codegen
+      val h1 = 2; val h2 = 2
+      val m = graft.ml.LstmStack.Lstm2Model(h1, h2, 16,
+        wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+        wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.3),
+        b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+        wx2 = Array.fill(4 * h2 * h1)(rnd.nextGaussian() * 0.5),
+        wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.3),
+        b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+        dense = Array.fill(h2)(rnd.nextGaussian()),
+        bias = 0.1, mean = 2.0, std = 4.0)
+      val kh = graft.ml.LstmStack.KHead(3,
+        denseK = Array.fill(3 * h2)(rnd.nextGaussian()),
+        biasK = Array.fill(3)(rnd.nextGaussian() * 0.2))
+      val winCol2 = array((0 until 16).map(j =>
+        ((col("id") * 5 + j) % 23).cast("double")): _*)
+      val dfk = spark.range(20).select(col("id"), winCol2.as("w"))
+        .select(col("id"),
+          graft.ml.LstmStack.logitsKCol(m, kh, col("w")).as("lk"))
+      val rowsK = dfk.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val stagesK = dfk.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("lstm_stack_logit") => w
+      }
+      assert(stagesK.nonEmpty)
+      (0 until 20).foreach { i =>
+        val win = Array.tabulate(16)(j => ((i * 5 + j) % 23).toDouble)
+        assert(rowsK(i.toLong) ==
+          graft.ml.LstmStack.forwardK(m, kh, win).toSeq, s"row $i")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

@@ -52,6 +52,66 @@ class LstmStackSpec extends SparkSpec {
     }
   }
 
+  test("K-class head: logitsKCol == forwardK bit-exactly; argmax first-max; binary row == logit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val win = 24
+    val h1 = 2; val h2 = 2; val nH = 2; val K = 3
+    // the full-amber shape (bidir + mha) — the richest head state
+    val m = LstmStack.Lstm2Model(h1, h2, win,
+      wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.6),
+      wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+      b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+      wx2 = Array.fill(4 * h2 * 2 * h1)(rnd.nextGaussian() * 0.5),
+      wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.4),
+      b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+      dense = Array.fill(h2)(rnd.nextGaussian()),
+      bias = 0.2, mean = 0.1, std = 1.2,
+      head = "mha", bidir = true,
+      wx1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.6),
+      wh1b = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+      b1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+      nHeads = nH,
+      attA = Array.fill(nH * h2)(rnd.nextGaussian() * 0.5),
+      attCs = Array.fill(nH)(rnd.nextGaussian() * 0.3),
+      attD = Array.fill(nH * h2)(rnd.nextGaussian()))
+    val kh = LstmStack.KHead(K,
+      denseK = Array.fill(K * h2)(rnd.nextGaussian()),
+      biasK = Array.fill(K)(rnd.nextGaussian() * 0.3),
+      attDK = Array.fill(K * nH * h2)(rnd.nextGaussian()))
+    val rows = (0 until 15).map(i =>
+      (i, Array.fill(win)(rnd.nextGaussian() * 2)))
+    val got = rows.toDF("i", "window")
+      .select(col("i"),
+        LstmStack.logitsKCol(m, kh, col("window")).as("lk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (i, x) =>
+      val want = LstmStack.forwardK(m, kh, x)
+      assert(got(i) == want.toSeq,
+        s"row $i: column ${got(i)} != jvm ${want.toSeq}")
+    }
+    // a K row with the binary head's (dense, bias, attD) IS the binary
+    // logit — the readout walks are the same code path
+    val khB = LstmStack.KHead(2,
+      denseK = m.dense ++ kh.denseK.take(h2),
+      biasK = Array(m.bias, kh.biasK(0)),
+      attDK = m.attD ++ kh.attDK.take(nH * h2))
+    rows.take(5).foreach { case (_, x) =>
+      assert(LstmStack.forwardK(m, khB, x)(0) == LstmStack.forward(m, x))
+    }
+    // argmax: first-max tie-break
+    val am = Seq((2.0, 2.0, 1.0), (1.0, 3.0, 3.0), (0.0, 1.0, 2.0))
+      .toDF("a", "b", "c")
+      .select(LstmStack.argmaxCol(Seq(col("a"), col("b"), col("c"))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(am == Seq(0, 1, 2), s"first-max argmax wrong: $am")
+    // shape guards fail loudly
+    intercept[IllegalArgumentException](
+      LstmStack.logitsKCol(m,
+        LstmStack.KHead(3, Array.fill(5)(0.1), Array.fill(3)(0.0),
+          Array.fill(12)(0.1)), col("w")))
+  }
+
   test("empty window: logitCol is NULL; wrong serve length is loud") {
     import spark.implicits._
     val m = randomModel(6, h1 = 2, h2 = 2, win = 8)

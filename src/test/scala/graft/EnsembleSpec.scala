@@ -254,6 +254,83 @@ class EnsembleSpec extends SparkSpec {
     } finally data.unpersist(false)
   }
 
+  test("scoreEnsembleFused covers k composed conv pipes: ONE scan, == generic") {
+    import spark.implicits._
+    import graft.ml.{ConvFront, ConvPipe, LstmStack}
+    val rnd = new scala.util.Random(67)
+    val W = 24 // -> 11 -> 4 recurrence steps through two k=3 blocks
+    def pipe(seed: Int): ConvPipe.ConvPipeModel = {
+      val r = new scala.util.Random(seed)
+      val front = ConvFront.ConvFrontModel(W,
+        blocks = Seq(
+          ConvFront.ConvBlock(1, 2, 3,
+            w = Array.fill(6)(r.nextGaussian() * 0.5),
+            b = Array.fill(2)(r.nextGaussian() * 0.1),
+            scale = Array.fill(2)(1.0 + r.nextGaussian() * 0.1),
+            shift = Array.fill(2)(r.nextGaussian() * 0.1)),
+          ConvFront.ConvBlock(2, 2, 3,
+            w = Array.fill(12)(r.nextGaussian() * 0.5),
+            b = Array.fill(2)(r.nextGaussian() * 0.1),
+            scale = Array.fill(2)(1.0 + r.nextGaussian() * 0.1),
+            shift = Array.fill(2)(r.nextGaussian() * 0.1))),
+        mix = Array.fill(2)(r.nextGaussian()),
+        mixBias = 0.1, mean = 0.2, std = 1.4)
+      val h1 = 2; val h2 = 2; val nH = 2
+      ConvPipe.ConvPipeModel(front, LstmStack.Lstm2Model(h1, h2,
+        front.outLen,
+        wx1 = Array.fill(4 * h1)(r.nextGaussian() * 0.5),
+        wh1 = Array.fill(4 * h1 * h1)(r.nextGaussian() * 0.4),
+        b1 = Array.fill(4 * h1)(r.nextGaussian() * 0.2),
+        wx2 = Array.fill(4 * h2 * 2 * h1)(r.nextGaussian() * 0.5),
+        wh2 = Array.fill(4 * h2 * h2)(r.nextGaussian() * 0.4),
+        b2 = Array.fill(4 * h2)(r.nextGaussian() * 0.2),
+        dense = Array.fill(h2)(r.nextGaussian()),
+        bias = 0.1, mean = 0.0, std = 1.0,
+        head = "mha", bidir = true,
+        wx1b = Array.fill(4 * h1)(r.nextGaussian() * 0.5),
+        wh1b = Array.fill(4 * h1 * h1)(r.nextGaussian() * 0.4),
+        b1b = Array.fill(4 * h1)(r.nextGaussian() * 0.2),
+        nHeads = nH,
+        attA = Array.fill(nH * h2)(r.nextGaussian() * 0.5),
+        attCs = Array.fill(nH)(r.nextGaussian() * 0.3),
+        attD = Array.fill(nH * h2)(r.nextGaussian())))
+    }
+    val models = (0 until 3).map(s => pipe(s + 700))
+    val rows = for (e <- 0 until 8; w <- 0 until 2) yield
+      (s"E$e", (e % 2).toDouble, Array.fill(W)(rnd.nextGaussian()))
+    val data = rows.toDF("eventId", "label", "window")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    data.count()
+    try {
+      val generic = Ensemble.scoreEnsemble[ConvPipe.ConvPipeModel](models,
+        (m, df) => ConvPipe.scoreWindows(m, df)
+          .groupBy(col("eventId"))
+          .agg(max(col("label")).as("label"),
+            max(col("p_seizure")).as("p_seizure")),
+        data, q = 0.6)
+      val fused = Ensemble.scoreEnsembleFused[ConvPipe.ConvPipeModel](
+        models,
+        m => lit(1.0) / (lit(1.0) + exp(-ConvPipe.logitCol(m, col("window")))),
+        data, q = 0.6)
+      val g = generic.collect()
+        .map(r => r.getAs[String]("eventId") -> r.getAs[Double]("p_ensemble"))
+        .toMap
+      val f = fused.collect()
+        .map(r => r.getAs[String]("eventId") -> r.getAs[Double]("p_ensemble"))
+        .toMap
+      assert(f.size == 8 && g.size == 8)
+      f.foreach { case (e, p) =>
+        assert(math.abs(p - g(e)) < 1e-12, s"$e: fused $p vs generic ${g(e)}") }
+      // all k COMPOSED (conv_front_seq nested in lstm_stack_logit)
+      // probabilities in one projection over ONE scan
+      val s = fused.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val fin = if (cut >= 0) s.substring(0, cut) else s
+      assert("InMemoryTableScan".r.findAllIn(fin).length == 1,
+        "composed-pipe fused ensemble should scan data once")
+    } finally data.unpersist(false)
+  }
+
   test("scoreEnsembleFused: a null per-model probability fails loudly") {
     import spark.implicits._
     val data = Seq(("E0", 1.0, 2.0), ("E1", 0.0, -1.0))

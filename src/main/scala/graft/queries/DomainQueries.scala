@@ -1906,7 +1906,8 @@ object DomainQueries {
                             xExpr: String = "(p.m - 1000.0)/64.0",
                             prefixCtes: String = "",
                             kHead: Option[graft.ml.LstmStack.KHead] = None,
-                            confusion: Boolean = false): String = {
+                            confusion: Boolean = false,
+                            bodyOnly: Boolean = false): String = {
     val attn = m.head == "attn"
     val H1 = m.h1; val H2 = m.h2
     val W = m.window
@@ -2053,7 +2054,7 @@ object DomainQueries {
     val logit = readout(m.bias, m.dense, (k, u) => m.attD(k * H2 + u))
     val fSel = (0 until H1).map(u => s"f.h1_$u AS hf_$u").mkString(", ")
     val bSel = (0 until H1).map(u => s"bb.h1_$u AS hb_$u").mkString(", ")
-    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") + prefixCtes +
+    val body = prefixCtes +
       s""", $edCte AS (SELECT e, d FROM $src WHERE i = 0),
          |${l1Cte(cteName + "f", m.wx1, m.wh1, m.b1, "s.t")},
          |${l1Cte(cteName + "b", m.wx1b, m.wh1b, m.b1b, s"$W - 1 - s.t")},
@@ -2082,8 +2083,10 @@ object DomainQueries {
          |            FROM $cteName s JOIN ${cteName}in q
          |              ON q.e = s.e AND q.d = s.d AND q.t = s.t + 1
          |            WHERE s.t < $W)))))$watClose
-         |)
-         |${finalSelect(cteName, W, logit, readout, kHead, confusion)}""".stripMargin
+         |)""".stripMargin
+    if (bodyOnly) body
+    else sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") + body + "\n" +
+      finalSelect(cteName, W, logit, readout, kHead, confusion)
   }
 
   /** The bidir renderer's tail: binary logit, K-class logits + argmax
@@ -2423,6 +2426,107 @@ object DomainQueries {
 
   val a6cSql: String = lstm2BidirSql(ml4eNet, "edml4h", "lstm2k",
     kHead = Some(ml4hKHead), confusion = true)
+
+  /** The ml4i model: the N-TOWER fusion of `build_model`
+    * (`amber/model.py:42-66` + `enhanced_fusion_layer.py:14-22`) —
+    * three composed conv→recurrence towers, one per input feature
+    * (axis-selective first-block weights over the same interleaved
+    * rawData3D: tower a's block-0 kernel is zero on every channel but
+    * a), each pooled to its head-input vector; fusion = v + A·v (the
+    * single-token EnhancedFusionLayer collapsed to its linear form),
+    * then a ReLU dense layer and the scalar readout. All quarter/
+    * eighth-grid dyadic weights; the final value goes on the ×1e6
+    * ROUND grid (long fusion dot products — the ml5 FMA discipline). */
+  private val ml4iModel: graft.ml.TowerFusion.TowerFusionModel = {
+    import graft.ml.ConvFront.{ConvBlock, ConvFrontModel}
+    val towers = (0 until 3).map { a =>
+      val b0 = ConvBlock(3, 2, 3,
+        w = Array.tabulate(18) { idx =>
+          val ci = (idx / 3) % 3
+          if (ci == a) ((idx * 7) % 9 - 4) * 0.25 else 0.0
+        },
+        b = Array.tabulate(2)(o => (o * 2 - 1) * 0.25),
+        scale = Array(0.75, 1.25),
+        shift = Array(0.25, -0.25))
+      val b1 = ConvBlock(2, 2, 3,
+        w = Array.tabulate(12)(j => ((j * (3 + a)) % 9 - 4) * 0.25),
+        b = Array.tabulate(2)(o => (1 - o * 2) * 0.25),
+        scale = Array(1.25, 0.75),
+        shift = Array(-0.25, 0.25))
+      val front = ConvFrontModel(125, Seq(b0, b1),
+        mix = Array(0.75, -0.5), mixBias = 0.25,
+        mean = 0.0, std = 256.0)
+      graft.ml.ConvPipe.ConvPipeModel(front,
+        ml4eNet.copy(window = front.outLen, mean = 0.0, std = 1.0,
+          b1 = Array.tabulate(8)(j => ((j * (2 + a)) % 3 - 1) * 0.25)))
+    }
+    val d = towers.map(t =>
+      graft.ml.TowerFusion.pooledDim(t.stack)).sum // 3 × 6 = 18
+    graft.ml.TowerFusion.TowerFusionModel(
+      towers,
+      fuse = Array.tabulate(d * d)(j => ((j * 5) % 9 - 4) * 0.125),
+      w1 = Array.tabulate(4 * d)(j => ((j * 7) % 9 - 4) * 0.25),
+      b1 = Array.tabulate(4)(r => (r - 2) * 0.25),
+      w2 = Array.tabulate(4)(r => ((r * 3) % 5 - 2) * 0.5),
+      b2 = 0.25)
+  }
+
+  /** ML4I — the N-tower fused forward pass under the oracle gate:
+    * three tower projections (each ONE nested codegen'd
+    * K-mode recurrence over its axis) + one arithmetic projection,
+    * scan → project chain, no shuffle. The oracle chains THREE
+    * conv-CTE + three-recursion blocks and states the fusion
+    * arithmetic over the joined per-tower pooled components. */
+  def ml4iTowerFusion(s: SparkSession, d: String): DataFrame =
+    graft.ml.TowerFusion.withLogit(ml4iModel,
+        OsdbFixture.dps(s, d).filter(col("has_3d")), "rawData3D")
+      .select(col("e"), col("d"),
+        round(col("logit") * 1e6).cast("long").as("z_x1e6"))
+
+  val ml4iSql: String = {
+    def L(x: Double): String = if (x < 0) s"($x)" else x.toString
+    val m = ml4iModel
+    val bodies = m.towers.zipWithIndex.map { case (t, ti) =>
+      lstm2BidirSql(t.stack, s"edtf$ti", s"tf$ti",
+        src = s"tf${ti}c", xExpr = "p.y",
+        prefixCtes = convFrontCtes(t.front, s"tf${ti}c"),
+        bodyOnly = true)
+    }.mkString("")
+    val vExprs: Seq[String] = m.towers.zipWithIndex.flatMap { case (t, ti) =>
+      val h2 = t.stack.h2; val nH = t.stack.nHeads
+      val w = t.stack.window
+      val a = s"q$ti"
+      (0 until h2).map(u => s"$a.s_$u/$w.0") ++
+        (for (k <- 0 until nH; u <- 0 until h2)
+          yield s"$a.n${k}_$u/(1.0 + $a.dn$k)")
+    }
+    val vCols = vExprs.zipWithIndex
+      .map { case (e, i) => s"$e AS v$i" }.mkString(",\n         ")
+    val fusedCols = (0 until m.d).map { j =>
+      (0 until m.d).foldLeft(s"v$j")((acc, i) =>
+        s"$acc + ${L(m.fuse(j * m.d + i))}*v$i") + s" AS f$j"
+    }.mkString(",\n       ")
+    val zExpr = m.b1.indices.foldLeft(L(m.b2)) { (acc, r) =>
+      val h = (0 until m.d).foldLeft(L(m.b1(r)))((a2, j) =>
+        s"$a2 + ${L(m.w1(r * m.d + j))}*f$j")
+      s"$acc + ${L(m.w2(r))}*(CASE WHEN ($h) > 0.0 THEN ($h) ELSE 0.0 END)"
+    }
+    val joins = (1 until m.towers.size).map { ti =>
+      s"JOIN (SELECT * FROM tf$ti WHERE t = ${m.towers(ti).stack.window}) " +
+        s"q$ti ON q$ti.e = q0.e AND q$ti.d = q0.d"
+    }.mkString("\n      ")
+    sqlBase.replaceFirst("WITH ", "WITH RECURSIVE ") + bodies +
+      s"""
+         |SELECT e, d, CAST(ROUND(($zExpr) * 1000000.0) AS BIGINT) AS z_x1e6
+         |FROM (
+         |  SELECT e, d,
+         |       $fusedCols
+         |  FROM (
+         |    SELECT q0.e AS e, q0.d AS d,
+         |         $vCols
+         |    FROM (SELECT * FROM tf0 WHERE t = ${m.towers.head.stack.window}) q0
+         |      $joins))""".stripMargin
+  }
 
   private val ml5K = 5
   private val ml5Q = 0.6
@@ -3699,6 +3803,7 @@ object DomainQueries {
     "ml4f_conv_pipe"    -> (ml4fConvPipeForward _),
     "ml4g_conv3d_pipe"  -> (ml4gConv3dPipeForward _),
     "ml4h_multiclass"   -> (ml4hMulticlassForward _),
+    "ml4i_tower_fusion" -> (ml4iTowerFusion _),
     "a6c_multiclass_confusion" -> (a6cMulticlassConfusion _),
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
@@ -3792,6 +3897,7 @@ object DomainQueries {
     "ml4f_conv_pipe"    -> ml4fSql,
     "ml4g_conv3d_pipe"  -> ml4gSql,
     "ml4h_multiclass"   -> ml4hSql,
+    "ml4i_tower_fusion" -> ml4iSql,
     "a6c_multiclass_confusion" -> a6cSql,
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,

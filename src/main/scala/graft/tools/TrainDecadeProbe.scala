@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Cnn, Lstm}
+import graft.ml.{Cnn, ConvPipe, Lstm}
 
 /** The round-13 verdict's item 7: the CNN/LSTM training decade
   * exponents were measured to 1M rows; this probe adds the 10M-row
@@ -53,34 +53,50 @@ object TrainDecadeProbe {
       s
     }
 
-    // warmups (Janino + JIT for the whole gradient path)
-    Cnn.train(windows(500), Cnn.Config(maxIter = 3))
-    Lstm.train(windows(500), Lstm.Config(maxIter = 3))
+    // which sections run (3rd arg, comma-separated; default: all)
+    val parts = args.lift(2).getOrElse("cnn,lstm,pipe,sweep")
+      .split(",").map(_.trim).toSet
 
     // ---- 1M → 10M decade at fixed iterations
     val sizes = Seq(base, base * 10L)
-    val cnnT = sizes.map { n =>
-      val df = windows(n).persist(); df.count()
-      val s = timed(s"cnn  train n=$n maxIter=$iters")(
-        Cnn.train(df, Cnn.Config(maxIter = iters)))
-      df.unpersist(); s
+    def decade(name: String, train: DataFrame => Unit): Unit = {
+      val ts = sizes.map { n =>
+        val df = windows(n).persist(); df.count()
+        val s = timed(s"$name train n=$n")(train(df))
+        df.unpersist(); s
+      }
+      System.err.println(
+        f"[decade] $name exponent ${math.log10(ts(1) / ts(0))}%.2f")
     }
-    System.err.println(
-      f"[decade] cnn exponent ${math.log10(cnnT(1) / cnnT(0))}%.2f")
-    val lstmT = sizes.map { n =>
-      val df = windows(n).persist(); df.count()
-      val s = timed(s"lstm train n=$n maxIter=$iters")(
-        Lstm.train(df, Lstm.Config(nUnits = 4, maxIter = iters)))
-      df.unpersist(); s
+    if (parts("cnn")) {
+      Cnn.train(windows(500), Cnn.Config(maxIter = 3)) // warmup
+      decade("cnn", df => Cnn.train(df, Cnn.Config(maxIter = iters)))
     }
-    System.err.println(
-      f"[decade] lstm exponent ${math.log10(lstmT(1) / lstmT(0))}%.2f")
+    if (parts("lstm")) {
+      Lstm.train(windows(500), Lstm.Config(maxIter = 3)) // warmup
+      decade("lstm",
+        df => Lstm.train(df, Lstm.Config(nUnits = 4, maxIter = iters)))
+    }
+    // ConvPipe decade (round-15: the composed end-to-end backward —
+    // recurrence rowGrad feeding the conv backward — inherits the
+    // linear decade iff the exponent stays at-or-below 1.0). Fewer
+    // iterations than the bare families: the exponent is a ratio, so
+    // the iteration count cancels; the ml4f-ish small shape keeps the
+    // absolute time bounded.
+    if (parts("pipe")) {
+      val pipeCfg = ConvPipe.Config(
+        blocks = Seq(ConvPipe.BlockSpec(2, 3), ConvPipe.BlockSpec(2, 3)),
+        h1 = 2, h2 = 2, head = "mha", nHeads = 2, bidir = true,
+        maxIter = 3)
+      ConvPipe.train(windows(500), pipeCfg) // warmup
+      decade("pipe", df => ConvPipe.train(df, pipeCfg))
+    }
 
     // ---- partition sweep at fixed rows: DetAgg's only P-dependent
     // work is the group shuffle (P tiny records) + ceil(P/64) driver
     // folds — flat here means the combine is not the term that needs
     // a depth bump at cluster partition counts
-    Seq(32, 128, 512, 2048).foreach { p =>
+    if (parts("sweep")) Seq(32, 128, 512, 2048).foreach { p =>
       val df = windows(base).repartition(p).persist(); df.count()
       timed(s"cnn  train n=$base P=$p maxIter=$iters")(
         Cnn.train(df, Cnn.Config(maxIter = iters)))

@@ -124,31 +124,52 @@ object TowerFusion {
 
   /** Attach the fused logit to `df`: one staged column per tower (the
     * pooled vector, one nested codegen'd expression each), then the
-    * fusion/dense arithmetic as plain columns over those attributes.
-    * Returns `df` with `outCol` appended; the staged tower columns are
-    * dropped. */
+    * fusion/dense arithmetic staged LEVEL BY LEVEL — pooled components,
+    * fused vector, ReLU dense units — each level's expressions
+    * referencing the previous level's ATTRIBUTES only. Staging is not
+    * cosmetic: one monolithic z expression duplicates every fused(j)
+    * subtree into all H dense rows (and the ReLU's when() doubles each
+    * h) — a multi-thousand-node tree whose generated method blows past
+    * the JIT compile threshold and runs ~15× slow (measured 21.9 s vs
+    * 1.5 s at sf0.1). Per level, CollapseProject's non-cheap-alias
+    * guard keeps multiply-referenced definitions in their own
+    * projection, so every subtree is computed exactly once per row.
+    * Returns `df` with `outCol` appended; staged columns dropped. */
   def withLogit(m: TowerFusionModel, df: DataFrame, winCol: String,
                 outCol: String = "logit"): DataFrame = {
-    val staged = m.towers.zipWithIndex.foldLeft(df) { case (acc, (t, ti)) =>
+    val d = m.d
+    val nH = m.b1.length
+    val towers = m.towers.zipWithIndex.foldLeft(df) { case (acc, (t, ti)) =>
       acc.withColumn(s"__tfp$ti",
         LstmStack.logitsKCol(t.stack, unitKHead(t.stack),
           ConvFront.seqCol(t.front, col(winCol))))
     }
-    val v: Seq[Column] = m.towers.zipWithIndex.flatMap { case (t, ti) =>
+    // pooled components as scalar columns
+    val vDefs = m.towers.zipWithIndex.flatMap { case (t, ti) =>
       (0 until pooledDim(t.stack)).map(i =>
         element_at(col(s"__tfp$ti"), i + 1))
     }
-    val d = m.d
-    val fused: Seq[Column] = (0 until d).map { j =>
-      (0 until d).foldLeft(v(j))((acc, i) =>
-        acc + lit(m.fuse(j * d + i)) * v(i))
+    val withV = vDefs.zipWithIndex.foldLeft(towers) { case (acc, (c, j)) =>
+      acc.withColumn(s"__tfv$j", c)
     }
-    val z = m.b1.indices.foldLeft(lit(m.b2)) { (acc, r) =>
-      val h = (0 until d).foldLeft(lit(m.b1(r)))((a, j) =>
-        a + lit(m.w1(r * d + j)) * fused(j))
-      acc + lit(m.w2(r)) * when(h > 0.0, h).otherwise(lit(0.0))
+    // fused = v + A·v, one column per component
+    val withF = (0 until d).foldLeft(withV) { (acc, j) =>
+      acc.withColumn(s"__tff$j",
+        (0 until d).foldLeft(col(s"__tfv$j"): Column)((a2, i) =>
+          a2 + lit(m.fuse(j * d + i)) * col(s"__tfv$i")))
     }
-    staged.withColumn(outCol, z)
-      .drop(m.towers.indices.map(ti => s"__tfp$ti"): _*)
+    // ReLU dense units (the when() duplicates only this level's h)
+    val withH = (0 until nH).foldLeft(withF) { (acc, r) =>
+      val h = (0 until d).foldLeft(lit(m.b1(r)): Column)((a2, j) =>
+        a2 + lit(m.w1(r * d + j)) * col(s"__tff$j"))
+      acc.withColumn(s"__tfh$r", when(h > 0.0, h).otherwise(lit(0.0)))
+    }
+    val z = (0 until nH).foldLeft(lit(m.b2): Column)((acc, r) =>
+      acc + lit(m.w2(r)) * col(s"__tfh$r"))
+    withH.withColumn(outCol, z)
+      .drop(m.towers.indices.map(ti => s"__tfp$ti") ++
+        (0 until d).map(j => s"__tfv$j") ++
+        (0 until d).map(j => s"__tff$j") ++
+        (0 until nH).map(r => s"__tfh$r"): _*)
   }
 }

@@ -127,6 +127,75 @@ object Lstm2ScaleProbe {
     }
     sdf.unpersist()
 
+    // round-15 rows: the MULTI-CHANNEL pipe (ml4g shape — cIn=3 over
+    // interleaved 3-axis windows) and the N-TOWER fusion (ml4i shape —
+    // three axis-selective towers + the collapsed EnhancedFusionLayer)
+    locally {
+      def windows3d(n: Long): DataFrame =
+        spark.range(n).select(
+          col("id"),
+          transform(sequence(lit(0), lit(3 * W - 1)), j => {
+            val t = (j / 3).cast("double")
+            val a = (j % 3).cast("double")
+            val ph = pmod(col("id") * 2654435761L, lit(628))
+              .cast("double") / 100.0
+            lit(100.0) * a + lit(500.0) * sin(t / lit(8.0) + ph)
+          }).as("window"))
+      val s3 = windows3d(scoreRows).persist()
+      s3.count()
+      val r = new scala.util.Random(33)
+      def front3(axisOnly: Option[Int]) =
+        graft.ml.ConvFront.ConvFrontModel(W,
+          blocks = Seq(
+            graft.ml.ConvFront.ConvBlock(3, 2, 3,
+              w = Array.tabulate(18) { idx =>
+                val ci = (idx / 3) % 3
+                if (axisOnly.forall(_ == ci)) r.nextGaussian() * 0.4
+                else 0.0
+              },
+              b = Array.fill(2)(0.0),
+              scale = Array.fill(2)(1.0), shift = Array.fill(2)(0.0)),
+            graft.ml.ConvFront.ConvBlock(2, 2, 3,
+              w = Array.fill(12)(r.nextGaussian() * 0.4),
+              b = Array.fill(2)(0.0),
+              scale = Array.fill(2)(1.0), shift = Array.fill(2)(0.0))),
+          mix = Array.fill(2)(r.nextGaussian()), mixBias = 0.0,
+          mean = 0.0, std = 256.0)
+      val stack = model("mha", bidir = true)
+      def pipe(axisOnly: Option[Int]) =
+        graft.ml.ConvPipe.ConvPipeModel(front3(axisOnly),
+          stack.copy(window = front3(None).outLen, mean = 0.0, std = 1.0))
+      val m3 = pipe(None)
+      val reps3 = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        s3.select(graft.ml.ConvPipe.logitCol(m3, col("window")).as("z"))
+          .agg(sum("z")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(
+        f"[lstm2] score conv3d_pipe (cIn=3, 125->29 steps) n=$scoreRows%8d: " +
+          f"${reps3.min}%6.2f s (${scoreRows / reps3.min}%,.0f rows/s)")
+      val towers = (0 until 3).map(a => pipe(Some(a)))
+      val d = towers.map(t =>
+        graft.ml.TowerFusion.pooledDim(t.stack)).sum
+      val tf = graft.ml.TowerFusion.TowerFusionModel(towers,
+        fuse = Array.fill(d * d)(r.nextGaussian() * 0.1),
+        w1 = Array.fill(4 * d)(r.nextGaussian() * 0.3),
+        b1 = Array.fill(4)(0.0),
+        w2 = Array.fill(4)(r.nextGaussian()),
+        b2 = 0.0)
+      val repsT = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ml.TowerFusion.withLogit(tf, s3, "window")
+          .agg(sum("logit")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(
+        f"[lstm2] score tower_fusion (3 towers) n=$scoreRows%8d: " +
+          f"${repsT.min}%6.2f s (${scoreRows / repsT.min}%,.0f rows/s)")
+      s3.unpersist()
+    }
+
     // one full-amber training point at fixed iterations (warm first)
     val iters = 10
     LstmStack.train(windows(500),

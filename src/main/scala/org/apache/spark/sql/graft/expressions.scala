@@ -799,8 +799,10 @@ case class LstmStackLogit(
       val headDecls = headDeclCode(sP, den, numM, denM, H2v)
       val headStep =
         headStepCode(sc, attR, attCsR, hB, sP, den, numM, denM, H2v)
-      // readout tail: scalar logit (binary) or K class logits (K-mode),
-      // each class row through the SAME per-class accumulation walk
+      // readout tail (RETURN-style — the body lives in its own
+      // generated method, see below): scalar logit (binary) or K class
+      // logits (K-mode), each class row through the SAME per-class
+      // accumulation walk
       val readout =
         if (kMode) {
           val dvKR = ctx.addReferenceObj("ls2DenseK", denseKA, "double[]")
@@ -817,11 +819,40 @@ case class LstmStackLogit(
              |    $perClass
              |    $zk[__cc] = $z;
              |  }
-             |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($zk);""".stripMargin
+             |  return new org.apache.spark.sql.catalyst.util.GenericArrayData($zk);""".stripMargin
         } else
           s"""double $z = $sc[0];
              |  ${headLogitCode(z, dvR, attDR, sP, den, numM, denM, n, H2v)}
-             |  ${ev.value} = $z;""".stripMargin
+             |  return Double.valueOf($z);""".stripMargin
+      // The recurrence body compiles into its OWN method
+      // (ctx.addNewFunction) — inlined at the consume site, several
+      // stacked/composed expressions in one whole-stage pipeline push
+      // processNext past Janino's 64 KB per-method limit and the whole
+      // stage silently falls back to interpreted eval (measured 15× on
+      // the three-tower fusion). The per-row boxing at the call
+      // boundary is noise next to the recurrence.
+      def asFunction(bodyReturn: String): String = {
+        val fnName = ctx.freshName("lstmStack")
+        val fn = ctx.addNewFunction(fnName,
+          s"""
+             |private Object $fnName(org.apache.spark.sql.catalyst.util.ArrayData $a) {
+             |$bodyReturn
+             |}
+           """.stripMargin)
+        val res = ctx.freshName("lsRes")
+        val assign =
+          if (kMode)
+            s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res;"
+          else s"${ev.value} = ((Double) $res).doubleValue();"
+        s"""
+           |Object $res = $fn($a);
+           |if ($res == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  $assign
+           |}
+         """.stripMargin
+      }
       if (bidir) {
         // bidirectional variant: both layer-1 directions stored per
         // original time index (xs precomputed), layer 2 over the concat
@@ -861,11 +892,10 @@ case class LstmStackLogit(
              |  }""".stripMargin
         }
         val xDim = 2 * H1v
-        s"""
+        asFunction(s"""
            |int $n = $a.numElements();
-           |if ($n == 0) {
-           |  ${ev.isNull} = true;
-           |} else {
+           |if ($n == 0) return null;
+           |{
            |  double[] $xsv = new double[$n];
            |  for (int __t = 0; __t < $n; __t++) {
            |    $xsv[__t] = ($a.getDouble(__t) - $sc[1]) / $sc[2];
@@ -908,13 +938,12 @@ case class LstmStackLogit(
            |  }
            |  $readout
            |}
-         """.stripMargin
+         """.stripMargin)
       } else
-      s"""
+      asFunction(s"""
          |int $n = $a.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
+         |if ($n == 0) return null;
+         |{
          |  double[] $hA = new double[$H1v];
          |  double[] $cA = new double[$H1v];
          |  double[] $hpA = new double[$H1v];
@@ -969,7 +998,7 @@ case class LstmStackLogit(
          |  }
          |  $readout
          |}
-       """.stripMargin
+       """.stripMargin)
     })
 
   // The head's accumulate/readout code is chosen at CODEGEN time —
@@ -1196,30 +1225,47 @@ case class ConvFrontSeq(
       val shrink = shapes.map(s => s"$ol = ($ol - ${s._3} + 1) / 2;")
         .mkString(" ")
       val tl = ctx.freshName("tl")
+      // The whole body lives in its OWN generated method
+      // (ctx.addNewFunction): inlined at the consume site, several of
+      // these expressions in one whole-stage pipeline push the stage's
+      // processNext past Janino's 64 KB per-method limit and Spark
+      // silently falls back to INTERPRETED execution for the stage
+      // (measured 15× on the three-tower fusion). As a method the code
+      // is bounded per method and the call site is one line.
+      val fnName = ctx.freshName("convFrontSeq")
+      val fn = ctx.addNewFunction(fnName,
+        s"""
+           |private Object $fnName(org.apache.spark.sql.catalyst.util.ArrayData $a) {
+           |  int $n = $a.numElements();
+           |  int $tl = $n / $cIn0;
+           |  int $ol = $tl; $shrink
+           |  if ($n == 0 || $n % $cIn0 != 0 || $ol < 1) return null;
+           |  double[][] $cur = new double[$cIn0][$tl];
+           |  for (int __t = 0; __t < $tl; __t++) {
+           |    for (int __a = 0; __a < $cIn0; __a++) {
+           |      $cur[__a][__t] = ($a.getDouble(__t * $cIn0 + __a) - $sc[1]) / $sc[2];
+           |    }
+           |  }
+           |  $stages
+           |  int $tf = $cur[0].length;
+           |  double[] $y = new double[$tf];
+           |  for (int __t = 0; __t < $tf; __t++) {
+           |    double __acc = $sc[0];
+           |    for (int __c = 0; __c < ${mix.length}; __c++) {
+           |      __acc += $mixR[__c] * $cur[__c][__t];
+           |    }
+           |    $y[__t] = __acc;
+           |  }
+           |  return new org.apache.spark.sql.catalyst.util.GenericArrayData($y);
+           |}
+         """.stripMargin)
+      val res = ctx.freshName("cfRes")
       s"""
-         |int $n = $a.numElements();
-         |int $tl = $n / $cIn0;
-         |int $ol = $tl; $shrink
-         |if ($n == 0 || $n % $cIn0 != 0 || $ol < 1) {
+         |Object $res = $fn($a);
+         |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[][] $cur = new double[$cIn0][$tl];
-         |  for (int __t = 0; __t < $tl; __t++) {
-         |    for (int __a = 0; __a < $cIn0; __a++) {
-         |      $cur[__a][__t] = ($a.getDouble(__t * $cIn0 + __a) - $sc[1]) / $sc[2];
-         |    }
-         |  }
-         |  $stages
-         |  int $tf = $cur[0].length;
-         |  double[] $y = new double[$tf];
-         |  for (int __t = 0; __t < $tf; __t++) {
-         |    double __acc = $sc[0];
-         |    for (int __c = 0; __c < ${mix.length}; __c++) {
-         |      __acc += $mixR[__c] * $cur[__c][__t];
-         |    }
-         |    $y[__t] = __acc;
-         |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($y);
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res;
          |}
        """.stripMargin
     })

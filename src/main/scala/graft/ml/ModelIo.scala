@@ -273,7 +273,7 @@ object ModelIo {
   /** The composed conv→recurrence artifact: the conv front-end's block
     * list inline + the stack block in the graft-lstm2 shape — one
     * self-contained file, same bit-exact round-trip discipline. */
-  def saveConvPipe(m: ConvPipe.ConvPipeModel, path: String): Unit = {
+  private def convPipeJson(m: ConvPipe.ConvPipeModel): JValue = {
     m.front.blocks.zipWithIndex.foreach { case (bl, i) =>
       requireFinite(s"block$i.w", bl.w); requireFinite(s"block$i.b", bl.b)
       requireFinite(s"block$i.scale", bl.scale)
@@ -290,8 +290,7 @@ object ModelIo {
     // reuse the stack renderer for its finiteness guards + field shape
     // — embedded IN MEMORY (a sidecar temp file would race between two
     // concurrent saves of the same artifact path)
-    val stackJson = lstm2Json(m.stack)
-    val j: JValue = JObject(
+    JObject(
       "format" -> JString("graft-convpipe"),
       "version" -> JInt(Version),
       "window" -> JInt(m.front.window),
@@ -300,12 +299,17 @@ object ModelIo {
       "mixBias" -> num(m.front.mixBias),
       "mean" -> num(m.front.mean),
       "std" -> num(m.front.std),
-      "stack" -> stackJson)
-    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+      "stack" -> lstm2Json(m.stack))
   }
 
-  def loadConvPipe(path: String): ConvPipe.ConvPipeModel = {
-    val j = readJson(path, "graft-convpipe")
+  def saveConvPipe(m: ConvPipe.ConvPipeModel, path: String): Unit =
+    writeStr(path, JsonMethods.compact(JsonMethods.render(convPipeJson(m))))
+
+  def loadConvPipe(path: String): ConvPipe.ConvPipeModel =
+    convPipeOf(readJson(path, "graft-convpipe"), path)
+
+  private def convPipeOf(j: JValue, where: String): ConvPipe.ConvPipeModel = {
+    checkHeader(j, where, "graft-convpipe")
     val blocks = (j \ "blocks") match {
       case JArray(bs) => bs.map { b =>
         ConvFront.ConvBlock(
@@ -313,7 +317,7 @@ object ModelIo {
           w = dArr(b, "w"), b = dArr(b, "b"),
           scale = dArr(b, "scale"), shift = dArr(b, "shift"))
       }
-      case _ => sys.error(s"$path: missing blocks array")
+      case _ => sys.error(s"$where: missing blocks array")
     }
     val front = ConvFront.ConvFrontModel(
       window = iNum(j, "window"), blocks = blocks,
@@ -321,7 +325,46 @@ object ModelIo {
       mean = dNum(j, "mean"), std = dNum(j, "std"))
     // the embedded stack passes the same graft-lstm2 header + shape
     // validation as a standalone artifact — in memory, no temp file
-    ConvPipe.ConvPipeModel(front, lstm2Of(j \ "stack", s"$path#stack"))
+    ConvPipe.ConvPipeModel(front, lstm2Of(j \ "stack", s"$where#stack"))
+  }
+
+  // ---------------------------------------------------------- tower fusion
+
+  /** The N-tower fusion artifact ([[TowerFusion.TowerFusionModel]]):
+    * every tower embedded as a graft-convpipe block (each re-validated
+    * through the same header gate on load), plus the fusion matrix and
+    * dense head — one self-contained file, bit-exact round-trip. */
+  def saveTowerFusion(m: TowerFusion.TowerFusionModel, path: String): Unit = {
+    requireFinite("fuse", m.fuse); requireFinite("w1", m.w1)
+    requireFinite("b1", m.b1); requireFinite("w2", m.w2)
+    requireFinite("b2", Seq(m.b2))
+    val j: JValue = JObject(
+      "format" -> JString("graft-towerfusion"),
+      "version" -> JInt(Version),
+      "towers" -> JArray(m.towers.map(convPipeJson).toList),
+      "fuse" -> arr(m.fuse),
+      "w1" -> arr(m.w1),
+      "b1" -> arr(m.b1),
+      "w2" -> arr(m.w2),
+      "b2" -> num(m.b2))
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadTowerFusion(path: String): TowerFusion.TowerFusionModel = {
+    val j = readJson(path, "graft-towerfusion")
+    val towers = (j \ "towers") match {
+      case JArray(ts) => ts.zipWithIndex.map { case (t, i) =>
+        convPipeOf(t, s"$path#tower$i")
+      }
+      case _ => sys.error(s"$path: missing towers array")
+    }
+    TowerFusion.TowerFusionModel(
+      towers = towers,
+      fuse = dArr(j, "fuse"),
+      w1 = dArr(j, "w1"),
+      b1 = dArr(j, "b1"),
+      w2 = dArr(j, "w2"),
+      b2 = dNum(j, "b2"))
   }
 
   // ------------------------------------------------------------- manifest

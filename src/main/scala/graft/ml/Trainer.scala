@@ -256,6 +256,59 @@ object Trainer {
     }
   }
 
+  // --------------------------------------------------------- multi-class
+
+  /** K-CLASS feature assembly — the reference's
+    * `Dense(num_classes, softmax)` target (`amber/model.py:66`; C4's
+    * type2id has THREE classes): same fail-loud P12 basis as
+    * [[assembleFeatures]], label = the class id itself (0 = false
+    * alarm, 1 = seizure, 2 = unknown). */
+  def assembleFeaturesK(epochs: Dataset[EpochRow]): DataFrame = {
+    val names = EpochFeatures.FeatureNames
+    val arr = array(names.map(n =>
+      when(element_at(col("features"), n).isNull,
+        raise_error(lit(s"epoch features missing '$n'")))
+        .otherwise(element_at(col("features"), n))): _*)
+    epochs.toDF()
+      .select(col("eventId"), col("type"),
+        col("type").cast("double").as("label"),
+        array_to_vector(arr).as("features"))
+  }
+
+  /** MULTINOMIAL logistic regression over the assembled K-class
+    * epochs — MLlib's native softmax cross-entropy (distributed LBFGS,
+    * treeAggregate gradients, driver state = the K×|features|
+    * coefficient matrix). Serving is `prediction` = argmax over the
+    * K linear logits — softmax is monotone per row, so no
+    * transcendental is needed to CLASSIFY (probabilities, when asked
+    * for, come from MLlib's own softmax). */
+  def trainMulticlass(assembled: DataFrame, maxIter: Int = 50,
+                      regParam: Double = 0.01): LogisticRegressionModel =
+    new LogisticRegression()
+      .setFamily("multinomial")
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setStandardization(true)
+      .fit(assembled)
+
+  /** Per-event K-class rollup: majority epoch vote per event (ties to
+    * the LOWEST class id — deterministic), plus the true label — the
+    * A6 confusion-matrix feed for the multi-class head. */
+  def predictEventsK(model: LogisticRegressionModel,
+                     assembled: DataFrame): DataFrame = {
+    val scored = model.transform(assembled)
+      .select(col("eventId"), col("label"),
+        col("prediction").cast("int").as("pred"))
+    scored.groupBy(col("eventId"), col("pred"))
+      .agg(max(col("label")).cast("int").as("label"),
+        count(lit(1)).as("n_epochs"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("eventId"))
+          .orderBy(col("n_epochs").desc, col("pred"))))
+      .filter(col("__rk") === 1)
+      .select(col("eventId"), col("label"), col("pred"))
+  }
+
   // ------------------------------------------------- neural network (MLP)
 
   /** A trained MLP plus the feature standardization it was fit under —

@@ -199,6 +199,64 @@ class ModelIoSpec extends SparkSpec {
     assert(e.getMessage.contains("graft-convpipe"))
   }
 
+  test("tower-fusion artifact round-trips bit-exactly; wrong embedded block loud") {
+    import graft.ml.{ConvFront, ConvPipe, LstmStack, TowerFusion}
+    val rnd = new scala.util.Random(77)
+    def tower(axis: Int): ConvPipe.ConvPipeModel = {
+      val front = ConvFront.ConvFrontModel(16,
+        blocks = Seq(ConvFront.ConvBlock(3, 2, 3,
+          w = Array.tabulate(18) { idx =>
+            if ((idx / 3) % 3 == axis) rnd.nextGaussian() * 0.4 else 0.0
+          },
+          b = Array.fill(2)(rnd.nextGaussian() * 0.1),
+          scale = Array.fill(2)(1.0), shift = Array.fill(2)(0.0))),
+        mix = Array.fill(2)(rnd.nextGaussian()),
+        mixBias = 0.1, mean = 0.0, std = 2.0)
+      val h1 = 2; val h2 = 2; val nH = 2
+      ConvPipe.ConvPipeModel(front, LstmStack.Lstm2Model(h1, h2,
+        front.outLen,
+        wx1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+        wh1 = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+        b1 = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+        wx2 = Array.fill(4 * h2 * 2 * h1)(rnd.nextGaussian() * 0.5),
+        wh2 = Array.fill(4 * h2 * h2)(rnd.nextGaussian() * 0.4),
+        b2 = Array.fill(4 * h2)(rnd.nextGaussian() * 0.2),
+        dense = Array.fill(h2)(rnd.nextGaussian()),
+        bias = 0.1, mean = 0.0, std = 1.0,
+        head = "mha", bidir = true,
+        wx1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.5),
+        wh1b = Array.fill(4 * h1 * h1)(rnd.nextGaussian() * 0.4),
+        b1b = Array.fill(4 * h1)(rnd.nextGaussian() * 0.2),
+        nHeads = nH,
+        attA = Array.fill(nH * h2)(rnd.nextGaussian() * 0.5),
+        attCs = Array.fill(nH)(rnd.nextGaussian() * 0.3),
+        attD = Array.fill(nH * h2)(rnd.nextGaussian())))
+    }
+    val towers = (0 until 3).map(tower)
+    val d = towers.map(t => TowerFusion.pooledDim(t.stack)).sum
+    val m = TowerFusion.TowerFusionModel(towers,
+      fuse = Array.fill(d * d)(rnd.nextGaussian() * 0.2),
+      w1 = Array.fill(4 * d)(rnd.nextGaussian() * 0.3),
+      b1 = Array.fill(4)(rnd.nextGaussian() * 0.2),
+      w2 = Array.fill(4)(rnd.nextGaussian()),
+      b2 = 0.2)
+    val p = tmp("towerfusion.json")
+    ModelIo.saveTowerFusion(m, p)
+    val back = ModelIo.loadTowerFusion(p)
+    assert(back.towers.size == 3 &&
+      back.fuse.toSeq == m.fuse.toSeq && back.w2.toSeq == m.w2.toSeq)
+    (0 until 10).foreach { _ =>
+      val w = Array.fill(3 * 16)(rnd.nextGaussian() * 2)
+      assert(java.lang.Double.doubleToLongBits(TowerFusion.forward(back, w)) ==
+        java.lang.Double.doubleToLongBits(TowerFusion.forward(m, w)))
+    }
+    // a conv-pipe artifact must not half-load as a tower fusion
+    val pc = tmp("pipe_not_fusion.json")
+    ModelIo.saveConvPipe(towers.head, pc)
+    val e = intercept[Exception](ModelIo.loadTowerFusion(pc))
+    assert(e.getMessage.contains("graft-towerfusion"))
+  }
+
   test("pre-bidir v1 stacked artifact (no bidir block) loads as unidirectional") {
     import graft.ml.LstmStack
     val rnd = new scala.util.Random(23)

@@ -138,6 +138,65 @@ class TrainerSpec extends SparkSpec {
     assembled.unpersist()
   }
 
+  test("multiclass: multinomial LR learns a 3-class planted corpus; event vote + confusion") {
+    import spark.implicits._
+    // three physically distinct classes (the C4 label space: nda -> 0,
+    // seizure -> 1, anything else -> 2): ROI-band tremor vs slow sway
+    // vs a high-band buzz. Physics sweeps by i%3, fold by i%2 —
+    // DECOUPLED (the r13 aliasing lesson), so the held-out fold sees
+    // only frequencies inside the trained band.
+    val specs = (0 until 12).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 4.0 + (i % 3) * 0.1, 200.0 + 10.0 * i,
+              22.5 * i, 5.0, 55.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "nda",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * (i % 3), 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))),
+        EventSpec(s"UN$i", "buzz sim", typeStr = "unknown",
+          durationSecs = 60.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("buzz", 0, 9.0 + (i % 3) * 0.2, 150.0 + 10.0 * i,
+              15.0 * i, 5.0, 55.0))))
+    }
+    val c3 = SimulatedEvents(spark, specs)
+    val ep3 = FeatureExtract.extract(c3,
+      FeatureExtract.Config(window = 125, step = 125, highPassHz = 0.0))
+    val a = Trainer.assembleFeaturesK(ep3).cache()
+    // K-class labels really span {0, 1, 2}
+    val lbls = a.select("label").distinct().collect()
+      .map(_.getDouble(0)).toSet
+    assert(lbls == Set(0.0, 1.0, 2.0), s"labels $lbls")
+    def foldOf = expr("CAST(substring(eventId, 3) AS INT) % 2")
+    val train = a.filter(foldOf === 0)
+    val heldOut = a.filter(foldOf === 1)
+    val m = Trainer.trainMulticlass(train, maxIter = 80, regParam = 0.001)
+    assert(m.numClasses == 3)
+    val ev = Trainer.predictEventsK(m, heldOut).cache()
+    val n = ev.count()
+    assert(n == 18, s"expected 18 held-out events, got $n")
+    val correct = ev.filter(col("pred") === col("label")).count()
+    assert(correct >= 16,
+      s"held-out 3-class event accuracy only $correct/$n")
+    // the A6 tie-in: confusion matrix is diagonal-dominant per class
+    val conf = ev.groupBy("label", "pred").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 to 2).foreach { cl =>
+      val diag = conf.getOrElse((cl, cl), 0L)
+      val offs = conf.filter { case ((l, p), _) => l == cl && p != cl }
+        .values.sum
+      assert(diag > offs, s"class $cl: diag $diag vs off $offs ($conf)")
+    }
+    ev.unpersist(); a.unpersist()
+  }
+
   test("auroc: distributed two-phase rank == global-window form, tie-heavy and hand cases") {
     import spark.implicits._
     // hand case: scores (.1,.1,.2), labels (0,1,1) -> ranks (1.5,1.5,3),

@@ -107,20 +107,20 @@ object ConvPipe {
 
   // ------------------------------------------------------- param layout
 
-  private def shapesOf(blocks: Seq[BlockSpec],
+  private[ml] def shapesOf(blocks: Seq[BlockSpec],
       cIn0: Int): Seq[(Int, Int, Int)] = {
     var cIn = cIn0
     blocks.map { b => val s = (cIn, b.cOut, b.k); cIn = b.cOut; s }
   }
 
-  private def convParamCount(shapes: Seq[(Int, Int, Int)]): Int =
+  private[ml] def convParamCount(shapes: Seq[(Int, Int, Int)]): Int =
     shapes.map { case (ci, co, k) => co * ci * k + 3 * co }.sum +
       shapes.last._2 + 1 // mix + mixBias
 
   /** Build the front-end model from the parameter vector (blocks at
     * ascending offsets, then mix/mixBias — [[ConvFront.rowBackward]]'s
     * exact walk). */
-  private def frontOf(p: Array[Double], shapes: Seq[(Int, Int, Int)],
+  private[ml] def frontOf(p: Array[Double], shapes: Seq[(Int, Int, Int)],
       window: Int, mean: Double, std: Double): ConvFrontModel = {
     var o = 0
     val blocks = shapes.map { case (ci, co, k) =>

@@ -501,17 +501,51 @@ object LstmStack {
       }, nP)
   }
 
-  /** Per-row loss + gradient of the stacked network over an ALREADY
-    * prepared input sequence `xs` — normalization (or a conv front-end,
-    * [[ConvPipe]]) is the caller's job. Parameters read from
-    * p(off + ...) and gradients accumulate into grad(off + ...), so a
-    * composed model can place the stack's block inside a larger
-    * vector. When `dxOut` is non-null it receives d(loss)/d(xs(t)) —
-    * what a front-end backward consumes. Returns wt·loss. */
-  private[ml] def rowGrad(p: Array[Double], off: Int, h1N: Int, h2N: Int,
-      head: String, bidir: Boolean, nHeads: Int,
-      y: Double, wt: Double, xs: Array[Double],
-      grad: Array[Double], dxOut: Array[Double]): Double = {
+  /** Stored forward state for one row — everything the backward pass
+    * needs. Built by [[forwardStore]]; consumed by
+    * [[backwardFromPooled]] (with [[rowGrad]]'s logistic head on top,
+    * or [[TowerFusion]]'s fusion backward seeding `dPooled` directly).
+    * Plain mutable holder; lives for one row. */
+  private[ml] final class StackTape(val T: Int) {
+    var xs: Array[Double] = null
+    var xsRev: Array[Double] = null
+    var g1I: Array[Array[Double]] = null
+    var g1F: Array[Array[Double]] = null
+    var g1G: Array[Array[Double]] = null
+    var g1O: Array[Array[Double]] = null
+    var c1S: Array[Array[Double]] = null
+    var h1S: Array[Array[Double]] = null
+    var g1Ib: Array[Array[Double]] = null
+    var g1Fb: Array[Array[Double]] = null
+    var g1Gb: Array[Array[Double]] = null
+    var g1Ob: Array[Array[Double]] = null
+    var c1Sb: Array[Array[Double]] = null
+    var h1Sb: Array[Array[Double]] = null
+    var x2S: Array[Array[Double]] = null
+    var g2I: Array[Array[Double]] = null
+    var g2F: Array[Array[Double]] = null
+    var g2G: Array[Array[Double]] = null
+    var g2O: Array[Array[Double]] = null
+    var c2S: Array[Array[Double]] = null
+    var h2S: Array[Array[Double]] = null
+    var sPool: Array[Double] = null
+    var wAtt: Array[Double] = null
+    var num: Array[Double] = null
+    var den: Double = 0.0
+    var wMha: Array[Array[Double]] = null
+    var numM: Array[Double] = null
+    var denM: Array[Double] = null
+  }
+
+  /** The stacked forward pass with STORED activations (both layer-1
+    * directions, layer 2, head accumulators) over an already prepared
+    * `xs` — the arithmetic is byte-for-byte the pre-round-15 rowGrad
+    * forward section, relocated so a composed caller (the N-tower
+    * fusion) can read the pooled vector, run its own head, and seed
+    * [[backwardFromPooled]]. */
+  private[ml] def forwardStore(p: Array[Double], off: Int, h1N: Int,
+      h2N: Int, head: String, bidir: Boolean, nHeads: Int,
+      xs: Array[Double]): StackTape = {
     val attn = head == "attn"
     val mha = head == "mha"
     val T = xs.length
@@ -519,260 +553,366 @@ object LstmStack {
     val b1O = off + oB1(h1N, h2N); val wx2O = off + oWx2(h1N, h2N, bidir)
     val wh2O = off + oWh2(h1N, h2N, bidir)
     val b2O = off + oB2(h1N, h2N, bidir)
-    val dvO = off + oDv(h1N, h2N, bidir)
-    val biasO = off + oBias(h1N, h2N, bidir)
     val wx1bO = off + oWx1b(h1N, h2N); val wh1bO = off + oWh1b(h1N, h2N)
     val b1bO = off + oB1b(h1N, h2N)
-    val xN = x2DimOf(h1N, bidir);
-    {
-      // ---- forward, storing activations for both layers
-      val g1I = Array.ofDim[Double](T, h1N)
-      val g1F = Array.ofDim[Double](T, h1N)
-      val g1G = Array.ofDim[Double](T, h1N); val g1O = Array.ofDim[Double](T, h1N)
-      val c1S = Array.ofDim[Double](T, h1N); val h1S = Array.ofDim[Double](T, h1N)
-      l1ForwardStore(p, xs, h1N, wx1O, wh1O, b1O,
-        g1I, g1F, g1G, g1O, c1S, h1S)
-      // backward direction (bidir): same cell over the REVERSED series,
-      // activations stored in PROCESSING order (r = 0 is sample T-1)
-      val xsRev = if (bidir) Array.tabulate(T)(r => xs(T - 1 - r)) else null
-      val g1Ib = if (bidir) Array.ofDim[Double](T, h1N) else null
-      val g1Fb = if (bidir) Array.ofDim[Double](T, h1N) else null
-      val g1Gb = if (bidir) Array.ofDim[Double](T, h1N) else null
-      val g1Ob = if (bidir) Array.ofDim[Double](T, h1N) else null
-      val c1Sb = if (bidir) Array.ofDim[Double](T, h1N) else null
-      val h1Sb = if (bidir) Array.ofDim[Double](T, h1N) else null
-      if (bidir)
-        l1ForwardStore(p, xsRev, h1N, wx1bO, wh1bO,
-          b1bO, g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb)
-      // layer-2 input sequence: h1fwd(t) (++ h1bwd(t) when bidir —
-      // h1bwd at ORIGINAL time t is the backward pass's r = T-1-t row)
-      val x2S =
-        if (bidir) Array.tabulate(T) { t =>
-          val row = new Array[Double](2 * h1N)
-          System.arraycopy(h1S(t), 0, row, 0, h1N)
-          System.arraycopy(h1Sb(T - 1 - t), 0, row, h1N, h1N)
-          row
-        }
-        else h1S
-      val g2I = Array.ofDim[Double](T, h2N); val g2F = Array.ofDim[Double](T, h2N)
-      val g2G = Array.ofDim[Double](T, h2N); val g2O = Array.ofDim[Double](T, h2N)
-      val c2S = Array.ofDim[Double](T, h2N); val h2S = Array.ofDim[Double](T, h2N)
-      val hp = new Array[Double](h2N)
-      val sPool = new Array[Double](h2N)
-      var t = 0
-      while (t < T) {
-        if (t > 0) System.arraycopy(h2S(t - 1), 0, hp, 0, h2N)
-        else java.util.Arrays.fill(hp, 0, h2N, 0.0)
-        var u = 0
-        while (u < h2N) {
-          val pre = new Array[Double](4)
-          var g = 0
-          while (g < 4) {
-            var acc = p(b2O + g * h2N + u)
-            var j = 0
-            while (j < xN) {
-              acc += p(wx2O + (g * h2N + u) * xN + j) * x2S(t)(j); j += 1
-            }
-            var v = 0
-            while (v < h2N) {
-              acc += p(wh2O + (g * h2N + u) * h2N + v) * hp(v); v += 1
-            }
-            pre(g) = acc
-            g += 1
+    val xN = x2DimOf(h1N, bidir)
+    val tp = new StackTape(T)
+    tp.xs = xs
+    // ---- forward, storing activations for both layers
+    tp.g1I = Array.ofDim[Double](T, h1N)
+    tp.g1F = Array.ofDim[Double](T, h1N)
+    tp.g1G = Array.ofDim[Double](T, h1N); tp.g1O = Array.ofDim[Double](T, h1N)
+    tp.c1S = Array.ofDim[Double](T, h1N); tp.h1S = Array.ofDim[Double](T, h1N)
+    l1ForwardStore(p, xs, h1N, wx1O, wh1O, b1O,
+      tp.g1I, tp.g1F, tp.g1G, tp.g1O, tp.c1S, tp.h1S)
+    // backward direction (bidir): same cell over the REVERSED series,
+    // activations stored in PROCESSING order (r = 0 is sample T-1)
+    tp.xsRev = if (bidir) Array.tabulate(T)(r => xs(T - 1 - r)) else null
+    if (bidir) {
+      tp.g1Ib = Array.ofDim[Double](T, h1N)
+      tp.g1Fb = Array.ofDim[Double](T, h1N)
+      tp.g1Gb = Array.ofDim[Double](T, h1N)
+      tp.g1Ob = Array.ofDim[Double](T, h1N)
+      tp.c1Sb = Array.ofDim[Double](T, h1N)
+      tp.h1Sb = Array.ofDim[Double](T, h1N)
+      l1ForwardStore(p, tp.xsRev, h1N, wx1bO, wh1bO,
+        b1bO, tp.g1Ib, tp.g1Fb, tp.g1Gb, tp.g1Ob, tp.c1Sb, tp.h1Sb)
+    }
+    // layer-2 input sequence: h1fwd(t) (++ h1bwd(t) when bidir —
+    // h1bwd at ORIGINAL time t is the backward pass's r = T-1-t row)
+    tp.x2S =
+      if (bidir) Array.tabulate(T) { t =>
+        val row = new Array[Double](2 * h1N)
+        System.arraycopy(tp.h1S(t), 0, row, 0, h1N)
+        System.arraycopy(tp.h1Sb(T - 1 - t), 0, row, h1N, h1N)
+        row
+      }
+      else tp.h1S
+    tp.g2I = Array.ofDim[Double](T, h2N); tp.g2F = Array.ofDim[Double](T, h2N)
+    tp.g2G = Array.ofDim[Double](T, h2N); tp.g2O = Array.ofDim[Double](T, h2N)
+    tp.c2S = Array.ofDim[Double](T, h2N); tp.h2S = Array.ofDim[Double](T, h2N)
+    val hp = new Array[Double](h2N)
+    tp.sPool = new Array[Double](h2N)
+    var t = 0
+    while (t < T) {
+      if (t > 0) System.arraycopy(tp.h2S(t - 1), 0, hp, 0, h2N)
+      else java.util.Arrays.fill(hp, 0, h2N, 0.0)
+      var u = 0
+      while (u < h2N) {
+        val pre = new Array[Double](4)
+        var g = 0
+        while (g < 4) {
+          var acc = p(b2O + g * h2N + u)
+          var j = 0
+          while (j < xN) {
+            acc += p(wx2O + (g * h2N + u) * xN + j) * tp.x2S(t)(j); j += 1
           }
-          g2I(t)(u) = hardSig(pre(0)); g2F(t)(u) = hardSig(pre(1))
-          g2G(t)(u) = hardTanh(pre(2)); g2O(t)(u) = hardSig(pre(3))
-          val cPrev = if (t > 0) c2S(t - 1)(u) else 0.0
-          val cn = g2F(t)(u) * cPrev + g2I(t)(u) * g2G(t)(u)
-          c2S(t)(u) = cn
-          h2S(t)(u) = g2O(t)(u) * hardTanh(cn)
-          sPool(u) += h2S(t)(u)
+          var v = 0
+          while (v < h2N) {
+            acc += p(wh2O + (g * h2N + u) * h2N + v) * hp(v); v += 1
+          }
+          pre(g) = acc
+          g += 1
+        }
+        tp.g2I(t)(u) = hardSig(pre(0)); tp.g2F(t)(u) = hardSig(pre(1))
+        tp.g2G(t)(u) = hardTanh(pre(2)); tp.g2O(t)(u) = hardSig(pre(3))
+        val cPrev = if (t > 0) tp.c2S(t - 1)(u) else 0.0
+        val cn = tp.g2F(t)(u) * cPrev + tp.g2I(t)(u) * tp.g2G(t)(u)
+        tp.c2S(t)(u) = cn
+        tp.h2S(t)(u) = tp.g2O(t)(u) * hardTanh(cn)
+        tp.sPool(u) += tp.h2S(t)(u)
+        u += 1
+      }
+      t += 1
+    }
+    // ---- head forward (attn/mha: scores/weights + smoothed
+    // accumulators; mha ALSO keeps the residual mean pool)
+    val attAO = off + oAttA(h1N, h2N, bidir)
+    val attCO = off + oAttC(h1N, h2N, bidir)
+    val mhaCsO = if (mha) off + oMhaCs(h1N, h2N, bidir, nHeads) else 0
+    tp.wAtt = if (attn) new Array[Double](T) else null
+    tp.num = if (attn) new Array[Double](h2N) else null
+    tp.wMha = if (mha) Array.ofDim[Double](nHeads, T) else null
+    tp.numM = if (mha) new Array[Double](nHeads * h2N) else null
+    tp.denM = if (mha) new Array[Double](nHeads) else null
+    if (attn) {
+      t = 0
+      while (t < T) {
+        var sc = p(attCO)
+        var u = 0
+        while (u < h2N) { sc += p(attAO + u) * tp.h2S(t)(u); u += 1 }
+        val w = hardSig(sc); tp.wAtt(t) = w
+        u = 0
+        while (u < h2N) { tp.num(u) += w * tp.h2S(t)(u); u += 1 }
+        tp.den += w
+        t += 1
+      }
+    } else if (mha) {
+      t = 0
+      while (t < T) {
+        var k = 0
+        while (k < nHeads) {
+          var sc = p(mhaCsO + k)
+          var u = 0
+          while (u < h2N) {
+            sc += p(attAO + k * h2N + u) * tp.h2S(t)(u); u += 1
+          }
+          val w = hardSig(sc); tp.wMha(k)(t) = w
+          u = 0
+          while (u < h2N) {
+            tp.numM(k * h2N + u) += w * tp.h2S(t)(u); u += 1
+          }
+          tp.denM(k) += w
+          k += 1
+        }
+        t += 1
+      }
+    }
+    tp
+  }
+
+  /** The stored state's pooled HEAD-INPUT vector — residual/mean pool
+    * first, then heads (k, u) ascending: the same component order as
+    * [[HeadState.logitFor]]/[[KHead]] readouts. */
+  private[ml] def pooledOfTape(tp: StackTape, h2N: Int, head: String,
+      nHeads: Int): Array[Double] = head match {
+    case "attn" =>
+      Array.tabulate(h2N)(u => tp.num(u) / (1.0 + tp.den))
+    case "mha" =>
+      Array.tabulate(h2N * (1 + nHeads)) { c =>
+        if (c < h2N) tp.sPool(c) / tp.T
+        else {
+          val k = (c - h2N) / h2N; val u = (c - h2N) % h2N
+          tp.numM(k * h2N + u) / (1.0 + tp.denM(k))
+        }
+      }
+    case _ =>
+      Array.tabulate(h2N)(u => tp.sPool(u) / tp.T)
+  }
+
+  /** Backward from a POOLED-VECTOR gradient: head backward (attention
+    * weight calculus → per-timestep dh2 + attA/attC/attCs grads) then
+    * the layer-2 / layer-1 BPTT tail. `dPooled` is dLoss/d(pooled
+    * component c) in [[pooledOfTape]] order. The logistic readout's
+    * own parameters (bias, dense, attD) do NOT live here — [[rowGrad]]
+    * accumulates them before seeding, and a fusion caller has no such
+    * readout at the stack level. Arithmetic is byte-for-byte the
+    * pre-round-15 rowGrad backward with dz·dense / dz·attD factored
+    * into `dPooled` ((a·b)/c and (-a)·b associativity are exact in
+    * IEEE, so the factoring is bit-preserving). */
+  private[ml] def backwardFromPooled(p: Array[Double], off: Int,
+      h1N: Int, h2N: Int, head: String, bidir: Boolean, nHeads: Int,
+      tp: StackTape, dPooled: Array[Double],
+      grad: Array[Double], dxOut: Array[Double]): Unit = {
+    val attn = head == "attn"
+    val mha = head == "mha"
+    val T = tp.T
+    val wx1O = off + oWx1(h1N, h2N); val wh1O = off + oWh1(h1N, h2N)
+    val b1O = off + oB1(h1N, h2N); val wx2O = off + oWx2(h1N, h2N, bidir)
+    val wh2O = off + oWh2(h1N, h2N, bidir)
+    val b2O = off + oB2(h1N, h2N, bidir)
+    val wx1bO = off + oWx1b(h1N, h2N); val wh1bO = off + oWh1b(h1N, h2N)
+    val b1bO = off + oB1b(h1N, h2N)
+    val attAO = off + oAttA(h1N, h2N, bidir)
+    val attCO = off + oAttC(h1N, h2N, bidir)
+    val mhaCsO = if (mha) off + oMhaCs(h1N, h2N, bidir, nHeads) else 0
+    val xN = x2DimOf(h1N, bidir)
+    // head backward → per-timestep dh2 contributions + head grads
+    val dhHead = Array.ofDim[Double](T, h2N)
+    var t = 0
+    var u = 0
+    if (attn) {
+      val denom = 1.0 + tp.den
+      val dnum = new Array[Double](h2N)
+      var dden = 0.0
+      u = 0
+      while (u < h2N) {
+        dnum(u) = dPooled(u) / denom
+        dden += -dPooled(u) * tp.num(u) / (denom * denom)
+        u += 1
+      }
+      t = 0
+      while (t < T) {
+        var dw = dden
+        u = 0
+        while (u < h2N) { dw += dnum(u) * tp.h2S(t)(u); u += 1 }
+        val w = tp.wAtt(t)
+        val ds = if (w > 0.0 && w < 1.0) 0.25 * dw else 0.0
+        grad(attCO) += ds
+        u = 0
+        while (u < h2N) {
+          grad(attAO + u) += ds * tp.h2S(t)(u)
+          dhHead(t)(u) = dnum(u) * w + ds * p(attAO + u)
           u += 1
         }
         t += 1
       }
-      // ---- head forward (attn/mha: scores/weights + smoothed
-      // accumulators; mha ALSO keeps the residual mean pool)
-      val attAO = off + oAttA(h1N, h2N, bidir)
-      val attCO = off + oAttC(h1N, h2N, bidir)
-      val mhaCsO = if (mha) off + oMhaCs(h1N, h2N, bidir, nHeads) else 0
-      val mhaDO = if (mha) off + oMhaD(h1N, h2N, bidir, nHeads) else 0
-      val wAtt = if (attn) new Array[Double](T) else null
-      val num = if (attn) new Array[Double](h2N) else null
-      var den = 0.0
-      val wMha = if (mha) Array.ofDim[Double](nHeads, T) else null
-      val numM = if (mha) new Array[Double](nHeads * h2N) else null
-      val denM = if (mha) new Array[Double](nHeads) else null
-      if (attn) {
-        t = 0
-        while (t < T) {
-          var sc = p(attCO)
-          var u = 0
-          while (u < h2N) { sc += p(attAO + u) * h2S(t)(u); u += 1 }
-          val w = hardSig(sc); wAtt(t) = w
-          u = 0
-          while (u < h2N) { num(u) += w * h2S(t)(u); u += 1 }
-          den += w
-          t += 1
-        }
-      } else if (mha) {
-        t = 0
-        while (t < T) {
-          var k = 0
-          while (k < nHeads) {
-            var sc = p(mhaCsO + k)
-            var u = 0
-            while (u < h2N) { sc += p(attAO + k * h2N + u) * h2S(t)(u); u += 1 }
-            val w = hardSig(sc); wMha(k)(t) = w
-            u = 0
-            while (u < h2N) { numM(k * h2N + u) += w * h2S(t)(u); u += 1 }
-            denM(k) += w
-            k += 1
-          }
-          t += 1
-        }
+    } else {
+      // mean pool (also mha's residual path): d s_u = dPooled_u / T,
+      // reaching EVERY timestep's dh2_u
+      u = 0
+      while (u < h2N) {
+        val c = dPooled(u) / T
+        var tt = 0
+        while (tt < T) { dhHead(tt)(u) = c; tt += 1 }
+        u += 1
       }
-      var z = p(biasO)
-      var u = 0
-      if (attn) {
-        val denom = 1.0 + den
-        while (u < h2N) { z += p(dvO + u) * (num(u) / denom); u += 1 }
-      } else {
-        while (u < h2N) { z += p(dvO + u) * (sPool(u) / T); u += 1 }
-        if (mha) {
-          var k = 0
-          while (k < nHeads) {
-            val denom = 1.0 + denM(k)
-            u = 0
-            while (u < h2N) {
-              z += p(mhaDO + k * h2N + u) * (numM(k * h2N + u) / denom)
-              u += 1
-            }
-            k += 1
-          }
-        }
-      }
-      val loss =
-        if (z > 0) z + math.log1p(math.exp(-z)) - y * z
-        else math.log1p(math.exp(z)) - y * z
-      val dz = wt * (1.0 / (1.0 + math.exp(-z)) - y)
-      // ---- backward
-      grad(biasO) += dz
-      // head backward → per-timestep dh2 contributions + head grads
-      val dhHead = Array.ofDim[Double](T, h2N)
-      if (attn) {
-        val denom = 1.0 + den
-        val dpool = Array.tabulate(h2N)(u => dz * p(dvO + u))
-        val dnum = new Array[Double](h2N)
-        var dden = 0.0
-        u = 0
-        while (u < h2N) {
-          grad(dvO + u) += dz * (num(u) / denom)
-          dnum(u) = dpool(u) / denom
-          dden += -dpool(u) * num(u) / (denom * denom)
-          u += 1
-        }
-        t = 0
-        while (t < T) {
-          var dw = dden
-          u = 0
-          while (u < h2N) { dw += dnum(u) * h2S(t)(u); u += 1 }
-          val w = wAtt(t)
-          val ds = if (w > 0.0 && w < 1.0) 0.25 * dw else 0.0
-          grad(attCO) += ds
+      if (mha) {
+        // each head replays the attn-head calculus with its own
+        // slice, ACCUMULATING into dhHead on top of the residual
+        var k = 0
+        while (k < nHeads) {
+          val denom = 1.0 + tp.denM(k)
+          val dnum = new Array[Double](h2N)
+          var dden = 0.0
           u = 0
           while (u < h2N) {
-            grad(attAO + u) += ds * h2S(t)(u)
-            dhHead(t)(u) = dnum(u) * w + ds * p(attAO + u)
+            dnum(u) = dPooled(h2N + k * h2N + u) / denom
+            dden += -dPooled(h2N + k * h2N + u) *
+              tp.numM(k * h2N + u) / (denom * denom)
             u += 1
           }
-          t += 1
-        }
-      } else {
-        // mean pool (also mha's residual path): d pooled_u = dz·dense_u;
-        // d s_u = that / T, reaching EVERY timestep's dh2_u
-        u = 0
-        while (u < h2N) {
-          grad(dvO + u) += dz * (sPool(u) / T)
-          val c = dz * p(dvO + u) / T
-          var tt = 0
-          while (tt < T) { dhHead(tt)(u) = c; tt += 1 }
-          u += 1
-        }
-        if (mha) {
-          // each head replays the attn-head calculus with its own
-          // slice, ACCUMULATING into dhHead on top of the residual
-          var k = 0
-          while (k < nHeads) {
-            val denom = 1.0 + denM(k)
-            val dnum = new Array[Double](h2N)
-            var dden = 0.0
+          t = 0
+          while (t < T) {
+            var dw = dden
+            u = 0
+            while (u < h2N) { dw += dnum(u) * tp.h2S(t)(u); u += 1 }
+            val w = tp.wMha(k)(t)
+            val ds = if (w > 0.0 && w < 1.0) 0.25 * dw else 0.0
+            grad(mhaCsO + k) += ds
             u = 0
             while (u < h2N) {
-              val dD = p(mhaDO + k * h2N + u)
-              grad(mhaDO + k * h2N + u) += dz * (numM(k * h2N + u) / denom)
-              dnum(u) = dz * dD / denom
-              dden += -dz * dD * numM(k * h2N + u) / (denom * denom)
+              grad(attAO + k * h2N + u) += ds * tp.h2S(t)(u)
+              dhHead(t)(u) += dnum(u) * w + ds * p(attAO + k * h2N + u)
               u += 1
             }
-            t = 0
-            while (t < T) {
-              var dw = dden
-              u = 0
-              while (u < h2N) { dw += dnum(u) * h2S(t)(u); u += 1 }
-              val w = wMha(k)(t)
-              val ds = if (w > 0.0 && w < 1.0) 0.25 * dw else 0.0
-              grad(mhaCsO + k) += ds
-              u = 0
-              while (u < h2N) {
-                grad(attAO + k * h2N + u) += ds * h2S(t)(u)
-                dhHead(t)(u) += dnum(u) * w + ds * p(attAO + k * h2N + u)
-                u += 1
-              }
-              t += 1
-            }
-            k += 1
+            t += 1
           }
+          k += 1
         }
       }
-      // layer-2 BPTT; collects d(input) contributions per t
-      val dx1FromL2 = Array.ofDim[Double](T, xN)
-      run2(p, grad, dhHead, dx1FromL2, T, xN, h2N,
-        g2I, g2F, g2G, g2O, c2S, x2S, h2S, wx2O, wh2O, b2O)
-      if (bidir) {
-        // split the layer-2 input gradient into the two directions;
-        // the backward direction's BPTT runs in PROCESSING order
-        // (reversed time), so its dh slice reverses too
-        val dhF = Array.tabulate(T)(t =>
-          java.util.Arrays.copyOfRange(dx1FromL2(t), 0, h1N))
-        val dhB = Array.tabulate(T)(r =>
-          java.util.Arrays.copyOfRange(dx1FromL2(T - 1 - r), h1N, 2 * h1N))
-        run1(p, grad, dhF, xs, T, h1N,
-          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O, dxOut)
-        // the backward direction's input gradient lands in PROCESSING
-        // order; fold it back to original indices
-        val dxRev = if (dxOut != null) new Array[Double](T) else null
-        run1(p, grad, dhB, xsRev, T, h1N,
-          g1Ib, g1Fb, g1Gb, g1Ob, c1Sb, h1Sb,
-          wx1bO, wh1bO, b1bO, dxRev)
-        if (dxOut != null) {
-          var tt = 0
-          while (tt < T) { dxOut(tt) += dxRev(T - 1 - tt); tt += 1 }
-        }
-      } else {
-        // layer-1 BPTT
-        run1(p, grad, dx1FromL2, xs, T, h1N,
-          g1I, g1F, g1G, g1O, c1S, h1S, wx1O, wh1O, b1O, dxOut)
+    }
+    // layer-2 BPTT; collects d(input) contributions per t
+    val dx1FromL2 = Array.ofDim[Double](T, xN)
+    run2(p, grad, dhHead, dx1FromL2, T, xN, h2N,
+      tp.g2I, tp.g2F, tp.g2G, tp.g2O, tp.c2S, tp.x2S, tp.h2S,
+      wx2O, wh2O, b2O)
+    if (bidir) {
+      // split the layer-2 input gradient into the two directions;
+      // the backward direction's BPTT runs in PROCESSING order
+      // (reversed time), so its dh slice reverses too
+      val dhF = Array.tabulate(T)(t =>
+        java.util.Arrays.copyOfRange(dx1FromL2(t), 0, h1N))
+      val dhB = Array.tabulate(T)(r =>
+        java.util.Arrays.copyOfRange(dx1FromL2(T - 1 - r), h1N, 2 * h1N))
+      run1(p, grad, dhF, tp.xs, T, h1N,
+        tp.g1I, tp.g1F, tp.g1G, tp.g1O, tp.c1S, tp.h1S,
+        wx1O, wh1O, b1O, dxOut)
+      // the backward direction's input gradient lands in PROCESSING
+      // order; fold it back to original indices
+      val dxRev = if (dxOut != null) new Array[Double](T) else null
+      run1(p, grad, dhB, tp.xsRev, T, h1N,
+        tp.g1Ib, tp.g1Fb, tp.g1Gb, tp.g1Ob, tp.c1Sb, tp.h1Sb,
+        wx1bO, wh1bO, b1bO, dxRev)
+      if (dxOut != null) {
+        var tt = 0
+        while (tt < T) { dxOut(tt) += dxRev(T - 1 - tt); tt += 1 }
       }
-      wt * loss
+    } else {
+      // layer-1 BPTT
+      run1(p, grad, dx1FromL2, tp.xs, T, h1N,
+        tp.g1I, tp.g1F, tp.g1G, tp.g1O, tp.c1S, tp.h1S,
+        wx1O, wh1O, b1O, dxOut)
     }
   }
 
-  /** Layer-1 forward with stored activations (one direction): the
-    * scalar hard-gate cell over `xsProc` (already in PROCESSING order —
-    * reversed for the bidirectional backward pass), gates/states into
-    * the given T×H1 buffers at processing indices. Accumulation order
-    * is the scalar cell's. */
+  /** Per-row loss + gradient of the stacked network over an ALREADY
+    * prepared input sequence `xs` — normalization (or a conv front-end,
+    * [[ConvPipe]]) is the caller's job. Parameters read from
+    * p(off + ...) and gradients accumulate into grad(off + ...), so a
+    * composed model can place the stack's block inside a larger
+    * vector. When `dxOut` is non-null it receives d(loss)/d(xs(t)) —
+    * what a front-end backward consumes. Returns wt·loss.
+    *
+    * Round-15 shape: [[forwardStore]] (stored activations) → the
+    * logistic readout here (z, loss, dz, the readout's own bias/dense/
+    * attD grads, and dPooled = dz·readout-row) →
+    * [[backwardFromPooled]]. The factoring is bit-preserving (see that
+    * method's docblock); the FD gates pin it. */
+  private[ml] def rowGrad(p: Array[Double], off: Int, h1N: Int, h2N: Int,
+      head: String, bidir: Boolean, nHeads: Int,
+      y: Double, wt: Double, xs: Array[Double],
+      grad: Array[Double], dxOut: Array[Double]): Double = {
+    val attn = head == "attn"
+    val mha = head == "mha"
+    val T = xs.length
+    val dvO = off + oDv(h1N, h2N, bidir)
+    val biasO = off + oBias(h1N, h2N, bidir)
+    val mhaDO = if (mha) off + oMhaD(h1N, h2N, bidir, nHeads) else 0
+    val tp = forwardStore(p, off, h1N, h2N, head, bidir, nHeads, xs)
+    // ---- readout (same accumulation order as the pre-tape code)
+    var z = p(biasO)
+    var u = 0
+    if (attn) {
+      val denom = 1.0 + tp.den
+      while (u < h2N) { z += p(dvO + u) * (tp.num(u) / denom); u += 1 }
+    } else {
+      while (u < h2N) { z += p(dvO + u) * (tp.sPool(u) / T); u += 1 }
+      if (mha) {
+        var k = 0
+        while (k < nHeads) {
+          val denom = 1.0 + tp.denM(k)
+          u = 0
+          while (u < h2N) {
+            z += p(mhaDO + k * h2N + u) * (tp.numM(k * h2N + u) / denom)
+            u += 1
+          }
+          k += 1
+        }
+      }
+    }
+    val loss =
+      if (z > 0) z + math.log1p(math.exp(-z)) - y * z
+      else math.log1p(math.exp(z)) - y * z
+    val dz = wt * (1.0 / (1.0 + math.exp(-z)) - y)
+    // ---- readout backward: its own parameter grads + dPooled seeds
+    grad(biasO) += dz
+    val dPooled =
+      new Array[Double](if (mha) h2N * (1 + nHeads) else h2N)
+    if (attn) {
+      val denom = 1.0 + tp.den
+      u = 0
+      while (u < h2N) {
+        grad(dvO + u) += dz * (tp.num(u) / denom)
+        dPooled(u) = dz * p(dvO + u)
+        u += 1
+      }
+    } else {
+      u = 0
+      while (u < h2N) {
+        grad(dvO + u) += dz * (tp.sPool(u) / T)
+        dPooled(u) = dz * p(dvO + u)
+        u += 1
+      }
+      if (mha) {
+        var k = 0
+        while (k < nHeads) {
+          val denom = 1.0 + tp.denM(k)
+          u = 0
+          while (u < h2N) {
+            grad(mhaDO + k * h2N + u) += dz * (tp.numM(k * h2N + u) / denom)
+            dPooled(h2N + k * h2N + u) = dz * p(mhaDO + k * h2N + u)
+            u += 1
+          }
+          k += 1
+        }
+      }
+    }
+    backwardFromPooled(p, off, h1N, h2N, head, bidir, nHeads,
+      tp, dPooled, grad, dxOut)
+    wt * loss
+  }
+
   private def l1ForwardStore(p: Array[Double], xsProc: Array[Double],
       h1N: Int, wxO: Int, whO: Int, bO: Int,
       gI: Array[Array[Double]], gF: Array[Array[Double]],

@@ -20,6 +20,9 @@ object Lstm2ScaleProbe {
   def main(args: Array[String]): Unit = {
     val scoreRows = args.headOption.map(_.toLong).getOrElse(1000000L)
     val trainRows = args.lift(1).map(_.toLong).getOrElse(100000L)
+    // 3rd arg: comma-separated sections (score, train, tftrain)
+    val parts = args.lift(2).getOrElse("score,train,tftrain")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,6 +79,7 @@ object Lstm2ScaleProbe {
                else Array.emptyDoubleArray)
     }
 
+    if (parts("score")) {
     val sdf = windows(scoreRows).persist()
     sdf.count()
     val variants = Seq(
@@ -195,22 +199,59 @@ object Lstm2ScaleProbe {
           f"${repsT.min}%6.2f s (${scoreRows / repsT.min}%,.0f rows/s)")
       s3.unpersist()
     }
+    } // parts("score")
 
     // one full-amber training point at fixed iterations (warm first)
-    val iters = 10
-    LstmStack.train(windows(500),
-      LstmStack.Config(h1 = 2, h2 = 2, maxIter = 2, head = "mha",
-        bidir = true, nHeads = nH))
-    val tdf = windows(trainRows).persist()
-    tdf.count()
-    val t0 = System.nanoTime()
-    LstmStack.train(tdf,
-      LstmStack.Config(h1 = 2, h2 = 2, maxIter = iters, head = "mha",
-        bidir = true, nHeads = nH))
-    System.err.println(
-      f"[lstm2] train full-amber (bidir+mha) n=$trainRows%8d " +
-        f"maxIter=$iters: ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-    tdf.unpersist()
+    if (parts("train")) {
+      val iters = 10
+      LstmStack.train(windows(500),
+        LstmStack.Config(h1 = 2, h2 = 2, maxIter = 2, head = "mha",
+          bidir = true, nHeads = nH))
+      val tdf = windows(trainRows).persist()
+      tdf.count()
+      val t0 = System.nanoTime()
+      LstmStack.train(tdf,
+        LstmStack.Config(h1 = 2, h2 = 2, maxIter = iters, head = "mha",
+          bidir = true, nHeads = nH))
+      System.err.println(
+        f"[lstm2] train full-amber (bidir+mha) n=$trainRows%8d " +
+          f"maxIter=$iters: ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      tdf.unpersist()
+    }
+
+    // joint N-tower fusion training point (round 15): interleaved
+    // 3-axis windows, fixed iterations — the cost model says ~N× the
+    // single composed pipe per evaluation plus fusion flops
+    if (parts("tftrain")) {
+      def windows3d(n: Long): DataFrame =
+        spark.range(n).select(
+          col("id"),
+          (col("id") % 2).cast("double").as("label"),
+          transform(sequence(lit(0), lit(3 * W - 1)), j => {
+            val t = (j / 3).cast("double")
+            val a = (j % 3).cast("double")
+            val ph = pmod(col("id") * 2654435761L, lit(628))
+              .cast("double") / 100.0
+            lit(100.0) * a + lit(500.0) * sin(t / lit(8.0) + ph) +
+              when(col("id") % 2 === 1,
+                lit(200.0) * sin(t * lit(1.26) + ph)).otherwise(lit(0.0))
+          }).as("window"))
+      val cfg = graft.ml.TowerFusion.TrainConfig(
+        nTowers = 3,
+        blocks = Seq(graft.ml.ConvPipe.BlockSpec(2, 3),
+          graft.ml.ConvPipe.BlockSpec(2, 3)),
+        h1 = 2, h2 = 2, nHeads = 2, fusionHidden = 4, maxIter = 10)
+      graft.ml.TowerFusion.train(windows3d(500),
+        cfg.copy(maxIter = 2)) // warmup
+      val tdf3 = windows3d(trainRows).persist()
+      tdf3.count()
+      val t0 = System.nanoTime()
+      graft.ml.TowerFusion.train(tdf3, cfg)
+      System.err.println(
+        f"[lstm2] train tower-fusion (3 towers, joint) n=$trainRows%8d " +
+          f"maxIter=10: ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      tdf3.unpersist()
+    }
     spark.stop()
   }
 }

@@ -728,10 +728,18 @@ object RelationalQueries {
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
     val vx = col("n") * col("sxx") - col("sx") * col("sx")
     val vy = col("n") * col("syy") - col("sy") * col("sy")
+    // the moments are exact; the CLOSED FORMS are a·b − c·d chains that
+    // DuckDB's compiled code may FMA-contract where Java never does
+    // (measured 1 ulp on corr at sf0.001 ONLY — a latent hazard the
+    // r15 cross-SF audit surfaced), so the outputs go on ROUND grids
+    // (the ml5 discipline): corr ∈ [−1,1] on ×1e9; slope/intercept
+    // (≤ ~3·10⁴ here) on ×1e6 — both far inside 2^53
     g.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-      (cov / (sqrt(vx) * sqrt(vy))).as("corr"),
-      (cov / vx).as("slope"),
-      ((col("sy") - (cov / vx) * col("sx")) / col("n")).as("intercept"))
+      round(cov / (sqrt(vx) * sqrt(vy)) * 1e9).cast("long")
+        .as("corr_x1e9"),
+      round((cov / vx) * 1e6).cast("long").as("slope_x1e6"),
+      round((col("sy") - (cov / vx) * col("sx")) / col("n") * 1e6)
+        .cast("long").as("intercept_x1e6"))
   }
 
   val a17Sql: String =
@@ -744,10 +752,13 @@ object RelationalQueries {
        |    ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
        |  FROM lineitem GROUP BY 1)
        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
-       |    AS corr,
-       |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-       |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
+       |  CAST(ROUND((n*sxy - sx*sy)
+       |    / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) * 1e9) AS BIGINT)
+       |    AS corr_x1e9,
+       |  CAST(ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e6) AS BIGINT)
+       |    AS slope_x1e6,
+       |  CAST(ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+       |    * 1e6) AS BIGINT) AS intercept_x1e6
        |FROM g""".stripMargin
 
   /** SKETCH3 — approx quantiles gated by the RANK-ERROR BAND (closing

@@ -367,6 +367,68 @@ object ModelIo {
       b2 = dNum(j, "b2"))
   }
 
+  // --------------------------------------------------------------- forest
+
+  private def intArr(xs: Array[Int]): JValue =
+    JArray(xs.map(i => JInt(BigInt(i))).toList)
+
+  private def intArrOf(j: JValue, field: String): Array[Int] =
+    (j \ field) match {
+      case JArray(vs) => vs.map {
+        case JInt(i) => i.toInt
+        case other => sys.error(s"$field: non-integer element $other")
+      }.toArray
+      case _ => sys.error(s"missing integer array '$field'")
+    }
+
+  private def treeJson(t: Forest.Tree): JValue = JObject(
+    "feature" -> intArr(t.feature),
+    "threshold" -> arr(t.threshold),
+    "left" -> intArr(t.left),
+    "right" -> intArr(t.right),
+    "vote" -> arr(t.vote))
+
+  private def treeOf(j: JValue): Forest.Tree = Forest.Tree(
+    feature = intArrOf(j, "feature"),
+    threshold = dArr(j, "threshold"),
+    left = intArrOf(j, "left"),
+    right = intArrOf(j, "right"),
+    vote = dArr(j, "vote"))
+
+  /** The random-forest artifact ([[Forest.ForestModel]]) — the engine's
+    * portable rendering of rfModel.py's joblib blob: trees as
+    * threshold/feature/child/vote arrays plus the named feature basis
+    * the splits index into. Bit-exact round-trip; the [[Forest.Tree]]
+    * constructor re-validates the node graph on load. */
+  def saveForest(m: Forest.ForestModel, path: String): Unit = {
+    m.trees.zipWithIndex.foreach { case (t, i) =>
+      requireFinite(s"tree$i.threshold", t.threshold)
+      requireFinite(s"tree$i.vote", t.vote)
+    }
+    val j: JValue = JObject(
+      "format" -> JString("graft-forest"),
+      "version" -> JInt(Version),
+      "featureNames" -> JArray(m.featureNames.map(JString(_)).toList),
+      "trees" -> JArray(m.trees.map(treeJson).toList))
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadForest(path: String): Forest.ForestModel = {
+    val j = readJson(path, "graft-forest")
+    val names = (j \ "featureNames") match {
+      case JArray(ns) => ns.map {
+        case JString(s) => s
+        case other => sys.error(s"$path: non-string feature name $other")
+      }
+      case _ => sys.error(s"$path: missing featureNames")
+    }
+    val trees = (j \ "trees") match {
+      case JArray(ts) => ts.map(treeOf)
+      case _ => sys.error(s"$path: missing trees array")
+    }
+    Forest.ForestModel(names, trees.toArray)
+  }
+
   // ------------------------------------------------------------- manifest
 
   /** The deployment manifest — the engine's analogue of the

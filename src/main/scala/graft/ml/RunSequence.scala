@@ -684,6 +684,33 @@ object RunSequence {
     (fit, score)
   }
 
+  /** The RANDOM-FOREST family for [[runWith]] — the reference's
+    * shipping DEFAULT modelClass (`nnConfig.json:174` sets
+    * `"modelClass": "rfModel.RfModel"`; `runOptimisation.py:29` reads
+    * its kfold summary as the sweep baseline): MLlib
+    * [[org.apache.spark.ml.classification.RandomForestClassifier]] per
+    * fold on the feature basis through [[Forest.train]], `transform`'s
+    * class-1 probability on the held-out slice. The M13
+    * `subtypeWeights` knob rides MLlib's weightCol — sklearn's
+    * `class_weight` dict is per-row weight keyed on the label, the
+    * same semantics stated per row (rfModel.py:66-77). */
+  def rfFamily(rfCfg: Forest.Config = Forest.Config(),
+               subtypeWeights: Map[String, Double] = Map.empty)
+      : (DataFrame => org.apache.spark.ml.classification.RandomForestClassificationModel,
+         (org.apache.spark.ml.classification.RandomForestClassificationModel, DataFrame) => DataFrame) = {
+    val fit = (train: DataFrame) => {
+      val (t, w) = withSubtypeWeight(train, subtypeWeights)
+      Forest.train(t, rfCfg, w)
+    }
+    val score = (m: org.apache.spark.ml.classification.RandomForestClassificationModel,
+                 test: DataFrame) =>
+      m.transform(test)
+        .select(col("eventId"), col("label"),
+          element_at(vector_to_array(col("probability")), 2)
+            .as("p_seizure"))
+    (fit, score)
+  }
+
   /** The weighted-LR family — [[Trainer.trainLogisticWeighted]] through
     * the same seam ([[run]]'s default family with the M13 knob). */
   def logisticWeightedFamily(subtypeWeights: Map[String, Double],

@@ -409,6 +409,33 @@ object Trainer {
     }
   }
 
+  /** The FOREST as a replay scorer — the reference's default modelClass
+    * (`rfModel.py`) deployed into the same FSM as every other family:
+    * the SAME [[basisFn]] window→P12 pipeline, then the flattened
+    * forest's compare-and-descend [[Forest.forward]]. Takes the
+    * FLATTENED model ([[Forest.fromMllib]]) so serving ships arrays,
+    * never the MLlib object graph; the name check pins the train/serve
+    * basis (a forest trained on the W7 history basis must not descend
+    * on a bare-P12 window). */
+  def scorerForest(m: Forest.ForestModel,
+                   cfg: graft.operators.FeatureExtract.Config =
+                     graft.operators.FeatureExtract.Config(highPassHz = 0.0))
+      : Array[Double] => Double = {
+    require(m.featureNames == EpochFeatures.FeatureNames,
+      s"forest basis ${m.featureNames.take(3).mkString(",")}... is not " +
+        "the serve-time P12 basis")
+    val basis = basisFn(cfg)
+    (vecG: Array[Double]) => Forest.forward(m, basis(vecG))
+  }
+
+  /** [[deployedAlgWith]] for the forest. */
+  def deployedForest(m: Forest.ForestModel,
+                     cfg: graft.operators.FeatureExtract.Config =
+                       graft.operators.FeatureExtract.Config(highPassHz = 0.0),
+                     base: graft.streaming.NnSettings = graft.streaming.NnSettings())
+      : graft.streaming.NnAlg =
+    deployedAlgWith(scorerForest(m, cfg), cfg, base)
+
   /** ANY trained scorer closure as a fully-assembled replay detector,
     * paired with the ONLY [[graft.streaming.NnSettings]] shape the
     * [[basisFn]] contract is valid under — `bufferSamples` pinned to

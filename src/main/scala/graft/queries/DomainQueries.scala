@@ -2673,6 +2673,80 @@ object DomainQueries {
       |       (SELECT COUNT(*) FROM aud WHERE fold = f AND sz = 0)
       |FROM audf""".stripMargin
 
+  /** The ml8 forest: FIXED integer thresholds and integer leaf votes
+    * over four integer-exact window features, so the whole forest
+    * output — compare-and-descend only, no arithmetic beyond the final
+    * vote sum — is an exact integer and the cross-engine compare is a
+    * plain hash with ZERO FMA hazard (unlike the ml4/ml5 grid
+    * bridges). Feature basis over a present rawData window:
+    * f_max / f_min / f_sum (Σm) / f_above (#{m > 1000}) — all exact
+    * integers on the fixture. ONE source of truth: [[ml8Sql]]'s nested
+    * CASE ladders are GENERATED from this object's node arrays.
+    * Thresholds bisect the fixture (m ∈ [800, 1200], Σm ≈ 125 000,
+    * low-motion dps pin f_max = 1001 / f_above = 62), so every branch
+    * of every tree is exercised. */
+  private val ml8Net: graft.ml.Forest.ForestModel = {
+    import graft.ml.Forest.Tree
+    // feature ids: 0 = f_max, 1 = f_min, 2 = f_sum, 3 = f_above
+    val t0 = Tree(
+      feature = Array(2, 0, 3, -1, -1, -1, -1),
+      threshold = Array(125000.0, 1150.0, 62.0, 0, 0, 0, 0),
+      left = Array(1, 3, 5, 0, 0, 0, 0),
+      right = Array(2, 4, 6, 0, 0, 0, 0),
+      vote = Array(0, 0, 0, 0.0, 1.0, 2.0, 3.0))
+    val t1 = Tree(
+      feature = Array(3, 1, 2, -1, -1, -1, -1),
+      threshold = Array(60.0, 820.0, 126000.0, 0, 0, 0, 0),
+      left = Array(1, 3, 5, 0, 0, 0, 0),
+      right = Array(2, 4, 6, 0, 0, 0, 0),
+      vote = Array(0, 0, 0, 2.0, 0.0, 1.0, 3.0))
+    val t2 = Tree(
+      feature = Array(0, -1, 1, -1, -1),
+      threshold = Array(1180.0, 0, 810.0, 0, 0),
+      left = Array(1, 0, 3, 0, 0),
+      right = Array(2, 0, 4, 0, 0),
+      vote = Array(0, 1.0, 0, 0.0, 2.0))
+    graft.ml.Forest.ForestModel(
+      Seq("f_max", "f_min", "f_sum", "f_above"), Array(t0, t1, t2))
+  }
+
+  /** ML8 — the random-forest forward pass under the oracle gate
+    * ([[graft.ml.Forest.voteSumCol]]; the reference's shipping DEFAULT
+    * modelClass, `user_tools/nnTraining2/rfModel.py` via
+    * `nnConfig.json:174`): four integer window features → three fixed
+    * decision trees as pure Catalyst comparison ladders → the summed
+    * vote, per present magnitude window. The TRAINER
+    * ([[graft.ml.Forest.train]], MLlib RandomForestClassifier through
+    * the Trainer seam) is spec-gated (ForestSpec: planted-separable
+    * corpus, MLlib-vs-flattened forward parity, ModelIo round-trip,
+    * replay deployment); the SCORING PATH the training produces is
+    * gated here bit-exactly via [[ml8Net]]. */
+  def ml8RfForward(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        array_max(col("rawData")).as("f0"),
+        array_min(col("rawData")).as("f1"),
+        aggregate(col("rawData"), lit(0.0), (a, x) => a + x).as("f2"),
+        size(filter(col("rawData"), x => x > 1000)).cast("double").as("f3"))
+      .select(col("e"), col("d"),
+        graft.ml.Forest.voteSumCol(ml8Net,
+          Seq(col("f0"), col("f1"), col("f2"), col("f3")))
+          .cast("long").as("votes"))
+
+  val ml8Sql: String = {
+    def caseOf(t: graft.ml.Forest.Tree, i: Int): String =
+      if (t.feature(i) < 0) t.vote(i).toLong.toString
+      else s"(CASE WHEN f${t.feature(i)} <= ${t.threshold(i).toLong} " +
+        s"THEN ${caseOf(t, t.left(i))} ELSE ${caseOf(t, t.right(i))} END)"
+    val votes = ml8Net.trees.map(caseOf(_, 0)).mkString(" + ")
+    sqlBase +
+      s""", featrf AS (
+         |  SELECT e, d, MAX(m) AS f0, MIN(m) AS f1, SUM(m) AS f2,
+         |         SUM(CASE WHEN m > 1000 THEN 1 ELSE 0 END) AS f3
+         |  FROM sampm GROUP BY e, d)
+         |SELECT e, d, CAST($votes AS BIGINT) AS votes FROM featrf""".stripMargin
+  }
+
   /** RPT5 — the results-analysis tool under the oracle gate
     * ([[graft.report.ResultsAnalysis.analyze]]; the reference's
     * `user_tools/nnTraining2/analyzeEventResults.py:123-255`):
@@ -3808,6 +3882,7 @@ object DomainQueries {
     "ml5_ensemble"      -> (ml5Ensemble _),
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
+    "ml8_rf"            -> (ml8RfForward _),
     "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
     "rpt6_analyze_data" -> (rpt6AnalyzeData _),
     "rpt7_model_compare" -> (rpt7ModelCompare _),
@@ -3902,6 +3977,7 @@ object DomainQueries {
     "ml5_ensemble"      -> ml5Sql,
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,
+    "ml8_rf"            -> ml8Sql,
     "rpt5_results_analysis" -> rpt5Sql,
     "rpt6_analyze_data" -> rpt6Sql,
     "rpt7_model_compare" -> rpt7Sql,

@@ -132,21 +132,33 @@ object RunSequence {
     * (eventId, type, tsSec, startSample, <P12 cols>, <lag/mean cols>).
     */
   def historyEpochs(ev: DataFrame, dps: Dataset[FlatDp],
-                    cfg: Config): DataFrame = {
+                    cfg: Config): DataFrame =
+    FeatureHistory.addHistory(flatEpochs(ev, dps, cfg.extract),
+      EpochFeatures.FeatureNames, cfg.historyN)
+
+  /** The pre-history half of [[historyEpochs]] — fused P14 validate +
+    * P12 extract, flattened to fail-loud feature columns. Split out so
+    * [[paramSweep]] can MEMOIZE it: the extraction depends only on the
+    * selected events and `extract` (window/step/filter knobs), not on
+    * historyN / augmentation / fold count, so sweep values that leave
+    * `extract` untouched share ONE materialization (the reference's
+    * copy-baseline-files-unless-window/step skip list,
+    * `runOptimisation.py:72-75`). */
+  def flatEpochs(ev: DataFrame, dps: Dataset[FlatDp],
+                 extract: FeatureExtract.Config): DataFrame = {
     // J3 semi join: only selected events pay validation + extraction
     val sel = dps.join(ev.select(col("srcId")),
         dps("eventId") === col("srcId"), "left_semi")
       .as[FlatDp](dps.encoder)
-    val epochs = FeatureExtract.extract(sel, cfg.extract, validate = true)
+    val epochs = FeatureExtract.extract(sel, extract, validate = true)
     val names = EpochFeatures.FeatureNames
     val featCols = names.map(nm =>
       when(element_at(col("features"), nm).isNull,
         raise_error(lit(s"epoch features missing '$nm'")))
         .otherwise(element_at(col("features"), nm)).as(nm))
-    val flat = epochs.toDF().select(
+    epochs.toDF().select(
       Seq(col("eventId"), col("type"), col("tsSec"),
         col("startSample")) ++ featCols: _*)
-    FeatureHistory.addHistory(flat, names, cfg.historyN)
   }
 
   /** The deterministic relational skeleton the ml2 oracle gates —
@@ -166,9 +178,16 @@ object RunSequence {
     * multiplies the extraction cost. */
   def skeleton(events: DataFrame, dps: Dataset[FlatDp], select: Column,
                foldOf: Column, cfg: Config = Config()): DataFrame = {
-    val spark = events.sparkSession
     val ev = selectedEvents(events, select, foldOf)
-    val hist = historyEpochs(ev, dps, cfg)
+    skeletonFromHist(ev, historyEpochs(ev, dps, cfg), cfg)
+  }
+
+  /** [[skeleton]]'s aggregate half over an ALREADY-BUILT history-epoch
+    * frame — the seam [[paramSweep]] re-enters per swept config with
+    * its memoized extraction. */
+  private def skeletonFromHist(ev: DataFrame, hist: DataFrame,
+                               cfg: Config): DataFrame = {
+    val spark = ev.sparkSession
     val perEvent = hist.groupBy(col("eventId"))
       .agg(count(lit(1)).as("nEp"))
     // left join: an event whose epochs all fell to the history filter
@@ -216,6 +235,92 @@ object RunSequence {
         lit(0L).as("n_epochs"))
     train.unionByName(trainAug).unionByName(test).unionByName(guard)
   }
+
+  // ----------------------------------------------------- parameter sweep
+
+  /** Set one named config knob — the sweep's param surface, mirroring
+    * `runOptimisation.py`'s params_to_vary (model knobs like
+    * n_estimators live in the model family; the DATA-PROCESSING knobs
+    * the sweep memoizes around are these). Fail-loud on an unknown
+    * name: a typo'd sweep param must not silently re-run the
+    * baseline. */
+  def withKnob(cfg: Config, param: String, v: Long): Config =
+    param match {
+      case "oversampleFactor" => cfg.copy(oversampleFactor = v.toInt)
+      case "tcAugFac" => cfg.copy(tcAugFac = v.toInt)
+      case "historyN" => cfg.copy(historyN = v.toInt)
+      case "k" => cfg.copy(k = v.toInt)
+      case "window" =>
+        cfg.copy(extract = cfg.extract.copy(window = v.toInt))
+      case "step" =>
+        cfg.copy(extract = cfg.extract.copy(step = v.toInt))
+      case other => throw new IllegalArgumentException(
+        s"unknown sweep param '$other' (oversampleFactor, tcAugFac, " +
+          "historyN, k, window, step)")
+    }
+
+  /** The `runOptimisation.py` parameter-sweep harness
+    * (`user_tools/nnTraining2/runOptimisation.py:8-80`): run the
+    * baseline config, then re-run the sequence once per (param, value)
+    * with that single knob changed, and collect every run's per-fold
+    * summary into ONE comparison frame —
+    * (param, value, fold, stage, n_events, n_epochs), `param =
+    * 'baseline'` / `value = -1` for the baseline row block (the
+    * reference records value=None; −1 keeps the frame integer-typed).
+    *
+    * The reference's memoization — it copies the baseline's extracted
+    * data files into each sweep directory UNLESS the param is in the
+    * re-extract list (window/step/highPassOrder,
+    * runOptimisation.py:72-75) — is held STRUCTURALLY here: the fused
+    * validate+extract lineage ([[flatEpochs]]) is keyed by its
+    * [[FeatureExtract.Config]] and persisted once per DISTINCT config;
+    * augmentation / history / fold knobs re-enter
+    * [[skeletonFromHist]] over the shared materialization. Returns the
+    * frame plus the distinct extract configs actually materialized
+    * (the memoization receipt ParamSweepSpec pins).
+    *
+    * Scale shape: one heavy extraction per distinct (window, step, …)
+    * value — exactly the reruns the statistics demand — and per run
+    * only the O(events) skeleton aggregates; nothing in the sweep loop
+    * collects data rows to the driver. */
+  def paramSweepWithStats(events: DataFrame, dps: Dataset[FlatDp],
+                          select: Column, foldOf: Column,
+                          base: Config = Config(),
+                          sweeps: Seq[(String, Seq[Long])])
+      : (DataFrame, Seq[FeatureExtract.Config]) = {
+    require(sweeps.forall(_._2.nonEmpty), "a swept param needs values")
+    val ev = selectedEvents(events, select, foldOf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count()
+    val flatCache =
+      scala.collection.mutable.LinkedHashMap.empty[FeatureExtract.Config, DataFrame]
+    def flatFor(ec: FeatureExtract.Config): DataFrame =
+      flatCache.getOrElseUpdate(ec, {
+        val f = flatEpochs(ev, dps, ec)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        f.count()
+        f
+      })
+    def runOne(param: String, value: Long, cfg: Config): DataFrame = {
+      val hist = FeatureHistory.addHistory(flatFor(cfg.extract),
+        EpochFeatures.FeatureNames, cfg.historyN)
+      skeletonFromHist(ev, hist, cfg)
+        .select(lit(param).as("param"), lit(value).as("value"),
+          col("fold"), col("stage"), col("n_events"), col("n_epochs"))
+    }
+    val runs = runOne("baseline", -1L, base) +:
+      sweeps.flatMap { case (p, vs) =>
+        vs.map(v => runOne(p, v, withKnob(base, p, v)))
+      }
+    (runs.reduce(_.unionByName(_)), flatCache.keys.toSeq)
+  }
+
+  /** [[paramSweepWithStats]] without the receipt — the ml9 query
+    * surface. */
+  def paramSweep(events: DataFrame, dps: Dataset[FlatDp], select: Column,
+                 foldOf: Column, base: Config = Config(),
+                 sweeps: Seq[(String, Seq[Long])]): DataFrame =
+    paramSweepWithStats(events, dps, select, foldOf, base, sweeps)._1
 
   /** Per-outer-fold nested-validation outcome: which candidate family
     * the inner CV chose, every candidate's inner mean AUROC, and the

@@ -2747,6 +2747,88 @@ object DomainQueries {
          |SELECT e, d, CAST($votes AS BIGINT) AS votes FROM featrf""".stripMargin
   }
 
+  /** The ml9 sweep grid — one knob changed per run, baseline first
+    * (the reference sweeps each param independently against one shared
+    * baseline, `runOptimisation.py:41-55`). ONE source of truth: the
+    * query's `sweeps` argument AND [[ml9Sql]]'s per-run constants both
+    * derive from this list through [[graft.ml.RunSequence.withKnob]]. */
+  private val ml9Sweeps: Seq[(String, Long)] =
+    Seq("oversampleFactor" -> 3L, "tcAugFac" -> 2L, "historyN" -> 2L)
+
+  /** ML9 — the `runOptimisation.py` parameter-sweep harness under the
+    * oracle gate ([[graft.ml.RunSequence.paramSweep]],
+    * `user_tools/nnTraining2/runOptimisation.py:8-80`): baseline run +
+    * one re-run per swept knob, each emitting the ml2 skeleton's
+    * (fold, stage, n_events, n_epochs) summary, collected into one
+    * comparison frame keyed by (param, value). The counts come from
+    * the REAL re-composed frames per config — a knob that silently
+    * failed to propagate (augment multiplier, history drop) breaks
+    * exactly its run's rows. Extraction MEMOIZATION (one
+    * materialization for all four runs here, since none touch
+    * window/step) is pinned by ParamSweepSpec's receipt. */
+  def ml9ParamSweep(s: SparkSession, d: String): DataFrame = {
+    val events = OsdbFixture.ev(s, d).select(
+      col("e").as("id"), col("u"),
+      col("type_str").as("type"), col("sub_type").as("subType"))
+    val dps = OsdbFixture.flatDps(s, d,
+      where = col("k") % 3 =!= 2 && col("u") % 2 === 0)
+    graft.ml.RunSequence.paramSweep(
+      events, dps,
+      select = col("type") =!= "Unknown" && col("u") % 2 === 0,
+      foldOf = Exact.knuthHash32(col("id")) % 3,
+      sweeps = ml9Sweeps.map { case (p, v) => p -> Seq(v) })
+  }
+
+  val ml9Sql: String = {
+    val base = graft.ml.RunSequence.Config()
+    val runs = ("baseline", -1L, base) +: ml9Sweeps.map { case (p, v) =>
+      (p, v, graft.ml.RunSequence.withKnob(base, p, v))
+    }
+    val blocks = runs.zipWithIndex.map { case ((p, v, cfg), i) =>
+      val o = cfg.oversampleFactor
+      val tcM = o * (1 + cfg.tcAugFac)
+      val nep = s"GREATEST(ndp2 - ${cfg.historyN - 1}, 0)"
+      val mult = s"CASE WHEN label = 1 AND sub_type = 'tonicClonic' " +
+        s"THEN $tcM WHEN label = 1 THEN $o ELSE 1 END"
+      // only the first block names the output columns
+      val as = if (i == 0)
+        (" AS param", " AS value", " AS fold", " AS stage",
+          " AS n_events", " AS n_epochs")
+      else ("", "", "", "", "", "")
+      s"""SELECT '$p'${as._1}, CAST($v AS BIGINT)${as._2}, f${as._3},
+         |       'train'${as._4}, COUNT(*)${as._5},
+         |       CAST(SUM($nep) AS BIGINT)${as._6}
+         |FROM selswp, foldswp WHERE fold <> f GROUP BY f
+         |UNION ALL
+         |SELECT '$p', CAST($v AS BIGINT), f, 'train_aug',
+         |       CAST(SUM($mult) AS BIGINT),
+         |       CAST(SUM(($mult) * ($nep)) AS BIGINT)
+         |FROM selswp, foldswp WHERE fold <> f GROUP BY f
+         |UNION ALL
+         |SELECT '$p', CAST($v AS BIGINT), f, 'test', COUNT(*),
+         |       CAST(SUM($nep) AS BIGINT)
+         |FROM selswp, foldswp WHERE fold = f GROUP BY f
+         |UNION ALL
+         |SELECT '$p', CAST($v AS BIGINT), f, 'guard',
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM foldswp""".stripMargin
+    }
+    sqlBase +
+      s""", ndpswp AS (
+         |  SELECT e, MAX(d) - MIN(d) + 1 AS ndp2
+         |  FROM dpx
+         |  WHERE (k % 4 <> 1 OR (k + d) % 7 <> 0)
+         |    AND k % 3 <> 2 AND u % 2 = 0
+         |  GROUP BY e),
+         |selswp AS (
+         |  SELECT ev.e, ((ev.e * 2654435761) % 4294967296) % 3 AS fold,
+         |         ndp2, ev.label, ev.sub_type
+         |  FROM ev JOIN ndpswp ON ev.e = ndpswp.e
+         |  WHERE ev.k % 3 <> 2 AND ev.u % 2 = 0),
+         |foldswp AS (SELECT unnest(range(0, 3)) AS f)
+         |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** RPT5 — the results-analysis tool under the oracle gate
     * ([[graft.report.ResultsAnalysis.analyze]]; the reference's
     * `user_tools/nnTraining2/analyzeEventResults.py:123-255`):
@@ -3883,6 +3965,7 @@ object DomainQueries {
     "ml6_nested_kfold"  -> (ml6NestedKfold _),
     "ml7_pipeline_audit" -> (ml7Audit _),
     "ml8_rf"            -> (ml8RfForward _),
+    "ml9_param_sweep"   -> (ml9ParamSweep _),
     "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
     "rpt6_analyze_data" -> (rpt6AnalyzeData _),
     "rpt7_model_compare" -> (rpt7ModelCompare _),
@@ -3978,6 +4061,7 @@ object DomainQueries {
     "ml6_nested_kfold"  -> ml6Sql,
     "ml7_pipeline_audit" -> ml7Sql,
     "ml8_rf"            -> ml8Sql,
+    "ml9_param_sweep"   -> ml9Sql,
     "rpt5_results_analysis" -> rpt5Sql,
     "rpt6_analyze_data" -> rpt6Sql,
     "rpt7_model_compare" -> rpt7Sql,

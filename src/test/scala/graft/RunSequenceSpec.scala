@@ -622,4 +622,71 @@ class RunSequenceSpec extends SparkSpec {
     // TC rows = E0's 4 copies + E3 = 5 events x 3 epochs each
     assert(tcWeighted == 15L, s"TC-weighted epoch rows: $tcWeighted")
   }
+
+  // ------------------------------------------------------- parameter sweep
+
+  private def sweepEvents = evFrame(Seq(
+    ("E0", "Seizure", "Tonic-Clonic", 0),
+    ("E1", "False Alarm", "other", 1),
+    ("E2", "Seizure", "other", 0),
+    ("E3", "Unknown", "other", 1))) // excluded by select
+
+  test("paramSweep: baseline block == skeleton; each knob reshapes exactly its run") {
+    val base = RunSequence.Config(historyN = 2,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    val dps = miniDps(Seq("E0", "E1", "E2", "E3"))
+    val sw = RunSequence.paramSweep(
+      sweepEvents, dps, col("type") =!= "Unknown", col("fold0"), base,
+      sweeps = Seq("oversampleFactor" -> Seq(3L), "historyN" -> Seq(3L)))
+    val rows = sw.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size == 3 * 12, s"3 runs x 12 stage rows, got ${rows.size}")
+    // baseline block is exactly the skeleton's frame
+    val sk = RunSequence.skeleton(sweepEvents, dps,
+        col("type") =!= "Unknown", col("fold0"), base)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    sk.foreach { case ((f, stage), v) =>
+      assert(rows(("baseline", -1L, f, stage)) == v,
+        s"baseline ($f, $stage): ${rows(("baseline", -1L, f, stage))} != $v")
+    }
+    // oversampleFactor=3: E0 (TC seizure) x6, E2 (seizure) x3, E1 x1 —
+    // fold 1 trains on E0+E2 -> 9 plan events, 27 epochs (nEp = 3)
+    assert(rows(("oversampleFactor", 3L, 1L, "train_aug")) == ((9L, 27L)))
+    // ...and leaves the un-augmented stages at the baseline's values
+    assert(rows(("oversampleFactor", 3L, 1L, "train")) ==
+      rows(("baseline", -1L, 1L, "train")))
+    // historyN=3: one more dropped epoch per event (nEp = 4 - 2 = 2)
+    assert(rows(("historyN", 3L, 2L, "train")) == ((3L, 6L)))
+    assert(rows(("historyN", 3L, 1L, "train_aug")) == ((6L, 12L)))
+    // the guard stage is zero in EVERY run
+    rows.foreach { case ((p, v, f, stage), n) =>
+      if (stage == "guard") assert(n == ((0L, 0L)), s"guard ($p,$v,$f): $n")
+    }
+  }
+
+  test("paramSweep memoization: one extraction unless window/step is swept; unknown knob fails") {
+    val base = RunSequence.Config(historyN = 2,
+      extract = FeatureExtract.Config(highPassHz = 0.0))
+    val dps = miniDps(Seq("E0", "E1", "E2", "E3"))
+    // three runs, none touching extract -> ONE materialized config
+    val (df1, cfgs1) = RunSequence.paramSweepWithStats(
+      sweepEvents, dps, col("type") =!= "Unknown", col("fold0"), base,
+      sweeps = Seq("oversampleFactor" -> Seq(3L, 4L), "tcAugFac" -> Seq(2L)))
+    assert(df1.count() == 4 * 12)
+    assert(cfgs1 == Seq(base.extract),
+      s"extraction ran for ${cfgs1.size} configs, expected the shared one")
+    // a step sweep forces exactly one extra extraction per new value
+    val (df2, cfgs2) = RunSequence.paramSweepWithStats(
+      sweepEvents, dps, col("type") =!= "Unknown", col("fold0"), base,
+      sweeps = Seq("step" -> Seq(250L), "oversampleFactor" -> Seq(3L)))
+    assert(df2.count() == 3 * 12)
+    assert(cfgs2 == Seq(base.extract, base.extract.copy(step = 250)),
+      s"got $cfgs2")
+    // fail-loud on a typo'd knob
+    intercept[IllegalArgumentException](
+      RunSequence.withKnob(base, "n_estimatorz", 10L))
+  }
 }

@@ -132,6 +132,48 @@ object ModelIo {
       std = dNum(j, "std"))
   }
 
+  // ------------------------------------------------------ spectrogram CNN
+
+  def saveSpecCnn(m: SpecCnn.SpecCnnModel, path: String): Unit = {
+    m.layers.zipWithIndex.foreach { case (l, i) =>
+      requireFinite(s"layer$i.w", l.w); requireFinite(s"layer$i.b", l.b)
+    }
+    requireFinite("dense", m.dense)
+    requireFinite("scalars", Seq(m.bias, m.mean, m.std))
+    val j: JValue = JObject(
+      "format" -> JString("graft-speccnn"),
+      "version" -> JInt(Version),
+      "nFreq" -> JInt(m.nFreq),
+      "nSpec" -> JInt(m.nSpec),
+      "layers" -> JArray(m.layers.map(l => JObject(
+        "cIn" -> JInt(l.cIn), "cOut" -> JInt(l.cOut),
+        "w" -> arr(l.w), "b" -> arr(l.b)): JValue).toList),
+      "dense" -> arr(m.dense),
+      "bias" -> num(m.bias),
+      "mean" -> num(m.mean),
+      "std" -> num(m.std))
+    writeStr(path, JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  def loadSpecCnn(path: String): SpecCnn.SpecCnnModel = {
+    val j = readJson(path, "graft-speccnn")
+    val layers = (j \ "layers") match {
+      case JArray(ls) => ls.map { lj =>
+        SpecCnn.Layer(iNum(lj, "cIn"), iNum(lj, "cOut"),
+          dArr(lj, "w"), dArr(lj, "b"))
+      }.toArray
+      case _ => sys.error("missing 'layers' array")
+    }
+    SpecCnn.SpecCnnModel(
+      nFreq = iNum(j, "nFreq"),
+      nSpec = iNum(j, "nSpec"),
+      layers = layers,
+      dense = dArr(j, "dense"),
+      bias = dNum(j, "bias"),
+      mean = dNum(j, "mean"),
+      std = dNum(j, "std"))
+  }
+
   // ----------------------------------------------------------------- LSTM
 
   def saveLstm(m: Lstm.LstmModel, path: String): Unit = {

@@ -478,6 +478,13 @@ object RunSequence {
     def windows[M](name: String)(
         family: (DataFrame => M, (M, DataFrame) => DataFrame)): NestedCandidate =
       erase(name, "window", family)
+
+    /** A candidate trained on the SPECTROGRAM basis (the reference's
+      * `specCnnModel.py` input: per-window spectral-history images,
+      * [[SpecCnn.specImage]] over the M8 buffers). */
+    def spectrogram[M](name: String)(
+        family: (DataFrame => M, (M, DataFrame) => DataFrame)): NestedCandidate =
+      erase(name, "spectrogram", family)
   }
 
   /** NESTED k-fold validation — the reference's answer to
@@ -525,13 +532,14 @@ object RunSequence {
   def runNestedBases(events: DataFrame, dps: Dataset[FlatDp], select: Column,
                      outerFoldOf: Column, innerFoldOf: Column,
                      outerK: Int, cfg: Config = Config(),
-                     bufferSamples: Int = 750)(
+                     bufferSamples: Int = 750,
+                     specCfg: SpecCnn.Config = SpecCnn.Config())(
                      candidates: Seq[NestedCandidate])
       : Seq[NestedResult[Any]] = {
     require(candidates.nonEmpty, "nested selection over zero candidates")
     require(outerK >= 2, s"outerK must be >= 2: $outerK")
     val badBasis = candidates.filterNot(c =>
-      c.basis == "features" || c.basis == "window")
+      c.basis == "features" || c.basis == "window" || c.basis == "spectrogram")
     require(badBasis.isEmpty,
       s"unknown candidate basis: ${badBasis.map(c => s"${c.name}=${c.basis}").mkString(", ")}")
     require(candidates.map(_.name).distinct.size == candidates.size,
@@ -560,9 +568,11 @@ object RunSequence {
         s"saw [${b.getLong(2)}, ${b.getLong(3)}]")
     val inUse = candidates.map(_.basis).distinct
     val bases: Map[String, DataFrame] = inUse.map { basis =>
-      val base =
-        if (basis == "features") assembledHistoryBase(evAll, dps, cfg)
-        else assembledWindowBase(evAll, dps, bufferSamples)
+      val base = basis match {
+        case "features" => assembledHistoryBase(evAll, dps, cfg)
+        case "window" => assembledWindowBase(evAll, dps, bufferSamples)
+        case _ => assembledSpecBase(evAll, dps, bufferSamples, specCfg)
+      }
       basis -> base.persist(StorageLevel.MEMORY_AND_DISK)
     }.toMap
     bases.values.foreach(_.count())
@@ -649,6 +659,27 @@ object RunSequence {
       .select(col("eventId"),
         when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
         col("vec").as("window"))
+  }
+
+  /** The SPECTROGRAM basis assembled to (eventId, label, spectrogram) —
+    * the raw-window base mapped through the pure per-window
+    * [[SpecCnn.specImage]] (the reference's accData2vector →
+    * generateSpectralHistoryFromAccelLst chain, specCnnModel.py:215-235).
+    * Fold-free and extraction-invariant exactly like the other two
+    * bases, so one materialization serves the whole nested run; the
+    * per-window DFT cost (O(nSpec·specSamp²) flops) is paid once, not
+    * per fold × candidate. */
+  private def assembledSpecBase(ev: DataFrame, dps: Dataset[FlatDp],
+                                bufferSamples: Int,
+                                specCfg: SpecCnn.Config): DataFrame = {
+    val base = assembledWindowBase(ev, dps, bufferSamples)
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col("eventId"), col("label"), col("window"))
+      .as[(String, Double, Array[Double])]
+      .map { case (e, l, w) => (e, l,
+        SpecCnn.specImage(w, specCfg.specSamp, specCfg.specStep, specCfg.zeroTol)) }
+      .toDF("eventId", "label", "spectrogram")
   }
 
   /** [[assembledHistoryBase]] with the caller's fold column joined on
@@ -785,6 +816,31 @@ object RunSequence {
     }
     val score = (m: Lstm.LstmModel, test: DataFrame) =>
       Lstm.scoreWindows(m, test)
+        .select(col("eventId"), col("label"), col("p_seizure"))
+    (fit, score)
+  }
+
+  /** The SPECTROGRAM-CNN family for the spectrogram basis — the
+    * reference's `specCnnModel.py` modelClass: [[SpecCnn.train]] per
+    * fold on the spectrogram slice, [[SpecCnn.scoreSpectrograms]]'
+    * codegen'd 2-D forward on the held-out slice; same train/serve
+    * scaling contract and M13 knob as [[cnnFamily]]. `windowSamples`
+    * must match the basis's bufferSamples — the image geometry
+    * ([[SpecCnn.imageDims]]) derives from it, and a mismatch fails
+    * loudly in training's shape require, never silently. */
+  def specFamily(specCfg: SpecCnn.Config = SpecCnn.Config(),
+                 windowSamples: Int = 750,
+                 subtypeWeights: Map[String, Double] = Map.empty)
+      : (DataFrame => SpecCnn.SpecCnnModel,
+         (SpecCnn.SpecCnnModel, DataFrame) => DataFrame) = {
+    val (nFreq, nSpec) = SpecCnn.imageDims(
+      windowSamples, specCfg.specSamp, specCfg.specStep)
+    val fit = (train: DataFrame) => {
+      val (t, w) = withSubtypeWeight(train, subtypeWeights)
+      SpecCnn.train(t, nFreq, nSpec, specCfg, w)
+    }
+    val score = (m: SpecCnn.SpecCnnModel, test: DataFrame) =>
+      SpecCnn.scoreSpectrograms(m, test)
         .select(col("eventId"), col("label"), col("p_seizure"))
     (fit, score)
   }

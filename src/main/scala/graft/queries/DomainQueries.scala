@@ -2829,6 +2829,115 @@ object DomainQueries {
          |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** The ml10 network: FIXED small-integer weights over a 6×5 image so
+    * that every intermediate of the real 2-D CNN forward — same-padded
+    * 3×3 convs, ReLU, same-pool maxes, dense logit — is an exact
+    * integer (|logit| ≪ 2^53) and the cross-engine compare is a plain
+    * hash (the ml3 oracle class: mul/add/compare only). Two layers
+    * (1→2→2 channels) so the stack, the channel chain, AND the odd-dim
+    * same-pool edges (6×5 → 3×3 → 2×2) are all exercised. ONE source
+    * of truth: [[ml10Sql]]'s staged per-cell CTEs are GENERATED from
+    * this object's weights. */
+  private val ml10Net: graft.ml.SpecCnn.SpecCnnModel = {
+    import graft.ml.SpecCnn.{Layer, SpecCnnModel}
+    val l0 = Layer(1, 2,
+      w = Array.tabulate(2 * 1 * 9)(i => ((i * 5) % 7 - 3).toDouble),
+      b = Array.tabulate(2)(o => (o - 1).toDouble))
+    val l1 = Layer(2, 2,
+      w = Array.tabulate(2 * 2 * 9)(i => ((i * 3) % 5 - 2).toDouble),
+      b = Array.tabulate(2)(o => (1 - o).toDouble))
+    SpecCnnModel(6, 5, Array(l0, l1),
+      dense = Array.tabulate(2 * 2 * 2)(i => ((i * 7) % 5 - 2).toDouble),
+      bias = 1.0, mean = 0.0, std = 1.0)
+  }
+
+  /** ML10 — the spectrogram-model 2-D CNN forward pass under the
+    * oracle gate ([[graft.ml.SpecCnn.logitCol]]; the reference's
+    * `specCnnModel.py` makeModel, the last nnModel subclass): the
+    * fixture window's first 30 magnitude samples read as a 6×5
+    * freq-major image → conv(3×3 same)→ReLU→maxpool(2×2 same), twice →
+    * dense logit, as ONE native codegen'd expression. The SPECTROGRAM
+    * extraction is spec-gated ([[graft.ml.SpecCnn.specImage]] —
+    * SpecCnnSpec's layout/DC/sine-bin tests; DFT magnitudes are
+    * transcendental, not a cross-engine hash contract), and the
+    * TRAINER is spec-gated (finite-difference gradient + planted
+    * corpus); the architecture both produce and consume IS gated here
+    * bit-exactly via [[ml10Net]]'s integer weights. */
+  def ml10SpecCnn(s: SparkSession, d: String): DataFrame =
+    OsdbFixture.dps(s, d).filter(col("has_raw"))
+      .select(col("e"), col("d"),
+        graft.ml.SpecCnn.logitCol(ml10Net, slice(col("rawData"), 1, 30))
+          .cast("long").as("logit"))
+
+  val ml10Sql: String = {
+    val m = ml10Net
+    // plan-time dims per level: 6×5 → 3×3 → 2×2
+    val dims = Seq((6, 5), (3, 3), (2, 2))
+    def wv(l: Int, o: Int, ci: Int, dy: Int, dx: Int): Long =
+      m.layers(l).w(((o * m.layers(l).cIn + ci) * 3 + dy) * 3 + dx).toLong
+    // conv cell (o, f, s) of layer l over input refs `in(ci, ff, ss)`
+    def convCell(l: Int, o: Int, f: Int, s: Int,
+                 in: (Int, Int, Int) => String): String = {
+      val (h, w) = dims(l)
+      val terms = for {
+        ci <- 0 until m.layers(l).cIn
+        dy <- 0 until 3
+        ff = f + dy - 1
+        if ff >= 0 && ff < h
+        dx <- 0 until 3
+        ss = s + dx - 1
+        if ss >= 0 && ss < w
+      } yield s"(${wv(l, o, ci, dy, dx)})*${in(ci, ff, ss)}"
+      s"GREATEST(0, ${m.layers(l).b(o).toLong} + ${terms.mkString(" + ")})"
+    }
+    // pool cell (o, fp, sp) at level l+1 over act refs `a(o, f, s)`
+    def poolCell(l: Int, o: Int, fp: Int, sp: Int,
+                 a: (Int, Int, Int) => String): String = {
+      val (h, w) = dims(l)
+      val cells = for {
+        f <- Seq(2 * fp, 2 * fp + 1) if f < h
+        s <- Seq(2 * sp, 2 * sp + 1) if s < w
+      } yield a(o, f, s)
+      if (cells.size == 1) cells.head else s"GREATEST(${cells.mkString(", ")})"
+    }
+    def grid(l: Int): Seq[(Int, Int, Int)] = for {
+      o <- 0 until m.layers(l).cOut
+      f <- 0 until dims(l)._1
+      s <- 0 until dims(l)._2
+    } yield (o, f, s)
+    def pgrid(l: Int): Seq[(Int, Int, Int)] = for {
+      o <- 0 until m.layers(l).cOut
+      f <- 0 until dims(l + 1)._1
+      s <- 0 until dims(l + 1)._2
+    } yield (o, f, s)
+    val a0 = grid(0).map { case (o, f, s) =>
+      s"${convCell(0, o, f, s, (_, ff, ss) => s"xs[${ff * 5 + ss + 1}]")} AS a${o}_${f}_$s"
+    }
+    val p0 = pgrid(0).map { case (o, fp, sp) =>
+      s"${poolCell(0, o, fp, sp, (oo, f, s) => s"a${oo}_${f}_$s")} AS p${o}_${fp}_$sp"
+    }
+    val a1 = grid(1).map { case (o, f, s) =>
+      s"${convCell(1, o, f, s, (ci, ff, ss) => s"p${ci}_${ff}_$ss")} AS b${o}_${f}_$s"
+    }
+    val p1 = pgrid(1).map { case (o, fp, sp) =>
+      s"${poolCell(1, o, fp, sp, (oo, f, s) => s"b${oo}_${f}_$s")} AS q${o}_${fp}_$sp"
+    }
+    val dense = (for {
+      c <- 0 until 2; f <- 0 until 2; s <- 0 until 2
+    } yield s"(${m.dense(((c * 2) + f) * 2 + s).toLong})*q${c}_${f}_$s")
+      .mkString(" + ")
+    sqlBase +
+      s""", xs10 AS (
+         |  SELECT e, d, list(m ORDER BY i) AS xs FROM sampm
+         |  WHERE i < 30 GROUP BY e, d),
+         |c10a AS (SELECT e, d, ${a0.mkString(",\n         ")} FROM xs10),
+         |c10p AS (SELECT e, d, ${p0.mkString(",\n         ")} FROM c10a),
+         |c10b AS (SELECT e, d, ${a1.mkString(",\n         ")} FROM c10p),
+         |c10q AS (SELECT e, d, ${p1.mkString(",\n         ")} FROM c10b)
+         |SELECT e, d, CAST(${m.bias.toLong} + $dense AS BIGINT) AS logit
+         |FROM c10q""".stripMargin
+  }
+
   /** RPT5 — the results-analysis tool under the oracle gate
     * ([[graft.report.ResultsAnalysis.analyze]]; the reference's
     * `user_tools/nnTraining2/analyzeEventResults.py:123-255`):
@@ -3966,6 +4075,7 @@ object DomainQueries {
     "ml7_pipeline_audit" -> (ml7Audit _),
     "ml8_rf"            -> (ml8RfForward _),
     "ml9_param_sweep"   -> (ml9ParamSweep _),
+    "ml10_spec_cnn"     -> (ml10SpecCnn _),
     "rpt5_results_analysis" -> (rpt5ResultsAnalysis _),
     "rpt6_analyze_data" -> (rpt6AnalyzeData _),
     "rpt7_model_compare" -> (rpt7ModelCompare _),
@@ -4062,6 +4172,7 @@ object DomainQueries {
     "ml7_pipeline_audit" -> ml7Sql,
     "ml8_rf"            -> ml8Sql,
     "ml9_param_sweep"   -> ml9Sql,
+    "ml10_spec_cnn"     -> ml10Sql,
     "rpt5_results_analysis" -> rpt5Sql,
     "rpt6_analyze_data" -> rpt6Sql,
     "rpt7_model_compare" -> rpt7Sql,

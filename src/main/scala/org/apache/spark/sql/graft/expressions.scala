@@ -1274,6 +1274,260 @@ case class ConvFrontSeq(
     copy(child = newChild)
 }
 
+/** The 2-D "image-style" CNN forward pass over a flattened spectrogram
+  * (`graft.ml.SpecCnn` — the reference's spectrogram-input model class,
+  * `user_tools/nnTraining2/specCnnModel.py:84-100`: per layer
+  * Conv2D(3×3, same) → ReLU → MaxPool2D(2×2, same), then flatten →
+  * dense logit). One native expression, the 2-D twin of
+  * [[Conv1dMaxPoolLogit]]: architecture as a per-row pure function,
+  * training elsewhere (`SpecCnn.train`).
+  *
+  * Input layout: freq-major single-channel image, pixel (f, s) at index
+  * f·nSpec + s — the flattened (nFreq, nSpec) image the reference's
+  * `inputShape` declares. Internally channels are planes; the readout
+  * flattens (c, f, s) with c slowest, s fastest.
+  *
+  * "Same" conv pads (k−1)/2 zeros on each side (odd k); "same" pool
+  * emits ceil(dim/2) cells, edge cells maxing over the available
+  * elements only (post-ReLU values are ≥ 0, and the pool max seeds from
+  * the first covered cell, so no sentinel is needed). Accumulation
+  * order is the cross-engine contract, mirrored by `SpecCnn.forward`
+  * and the generated ml10 SQL: conv acc = b(o) then ci, dy, dx
+  * ascending; readout c, f, s ascending. With integer inputs and
+  * integer weights every intermediate is an exact integer (|logit| ≪
+  * 2^53) — the ml3 oracle class.
+  *
+  * NULL for an input whose length ≠ nFreq·nSpec (a wrong-shape image
+  * has no meaningful convolution; the fail-loud serve guard lives in
+  * `SpecCnn.scoreSpectrograms`, same split as the conv/recurrent
+  * family). Layer dims are plan-time constants, so codegen unrolls per
+  * layer; the whole body is its OWN generated method
+  * (ctx.addNewFunction — the 64 KB whole-stage lesson, see
+  * [[ConvFrontSeq]]). */
+case class SpecCnn2dLogit(
+    child: Expression,
+    nFreq: Int,
+    nSpec: Int,
+    channels: Seq[(Int, Int)], // (cIn, cOut) per layer, 3×3 kernels
+    ws: Seq[Seq[Double]],      // layer i: ((o·cIn + ci)·3 + dy)·3 + dx
+    bs: Seq[Seq[Double]],      // layer i: per output channel
+    dense: Seq[Double],        // over the final (c, f, s) flatten
+    bias: Double,
+    mean: Double,
+    std: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(nFreq >= 1 && nSpec >= 1, "SpecCnn2dLogit empty image")
+  require(channels.nonEmpty && channels.head._1 == 1,
+    "SpecCnn2dLogit consumes a single-channel image")
+  require(channels.sliding(2).forall(p => p.size < 2 || p(0)._2 == p(1)._1),
+    "SpecCnn2dLogit channel chain inconsistent")
+  require(channels.indices.forall { i =>
+    val (ci, co) = channels(i)
+    ws(i).length == co * ci * 9 && bs(i).length == co
+  }, "SpecCnn2dLogit weight shapes inconsistent")
+
+  /** (H, W) after layer i pools — ceil halving per layer. */
+  private def dimsAfter(i: Int): (Int, Int) =
+    (0 to i).foldLeft((nFreq, nSpec))((d, _) => ((d._1 + 1) / 2, (d._2 + 1) / 2))
+
+  private val (hOut, wOut) = dimsAfter(channels.length - 1)
+  require(dense.length == channels.last._2 * hOut * wOut,
+    s"SpecCnn2dLogit dense length ${dense.length} != " +
+      s"${channels.last._2}*$hOut*$wOut")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "spec_cnn2d_logit"
+
+  @transient private lazy val wA = ws.map(_.toArray).toArray
+  @transient private lazy val bA = bs.map(_.toArray).toArray
+  @transient private lazy val dvA = dense.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val img = a.asInstanceOf[ArrayData]
+    if (img.numElements() != nFreq * nSpec) return null
+    var h = nFreq; var w = nSpec
+    var cur = Array.tabulate(1, nFreq, nSpec)((_, f, s) =>
+      (img.getDouble(f * nSpec + s) - mean) / std)
+    var li = 0
+    while (li < channels.length) {
+      val (cIn, cOut) = channels(li)
+      val act = Array.ofDim[Double](cOut, h, w)
+      var o = 0
+      while (o < cOut) {
+        var f = 0
+        while (f < h) {
+          var s = 0
+          while (s < w) {
+            var acc = bA(li)(o)
+            var ci = 0
+            while (ci < cIn) {
+              var dy = 0
+              while (dy < 3) {
+                val ff = f + dy - 1
+                if (ff >= 0 && ff < h) {
+                  var dx = 0
+                  while (dx < 3) {
+                    val ss = s + dx - 1
+                    if (ss >= 0 && ss < w)
+                      acc += wA(li)(((o * cIn + ci) * 3 + dy) * 3 + dx) * cur(ci)(ff)(ss)
+                    dx += 1
+                  }
+                }
+                dy += 1
+              }
+              ci += 1
+            }
+            act(o)(f)(s) = if (acc > 0.0) acc else 0.0
+            s += 1
+          }
+          f += 1
+        }
+        o += 1
+      }
+      val hp = (h + 1) / 2; val wp = (w + 1) / 2
+      val out = Array.ofDim[Double](cOut, hp, wp)
+      o = 0
+      while (o < cOut) {
+        var fp = 0
+        while (fp < hp) {
+          var sp = 0
+          while (sp < wp) {
+            var best = act(o)(2 * fp)(2 * sp) // first covered cell seeds
+            if (2 * sp + 1 < w && act(o)(2 * fp)(2 * sp + 1) > best)
+              best = act(o)(2 * fp)(2 * sp + 1)
+            if (2 * fp + 1 < h) {
+              if (act(o)(2 * fp + 1)(2 * sp) > best)
+                best = act(o)(2 * fp + 1)(2 * sp)
+              if (2 * sp + 1 < w && act(o)(2 * fp + 1)(2 * sp + 1) > best)
+                best = act(o)(2 * fp + 1)(2 * sp + 1)
+            }
+            out(o)(fp)(sp) = best
+            sp += 1
+          }
+          fp += 1
+        }
+        o += 1
+      }
+      cur = out; h = hp; w = wp
+      li += 1
+    }
+    var z = bias
+    var c = 0
+    var idx = 0
+    while (c < channels.last._2) {
+      var f = 0
+      while (f < h) {
+        var s = 0
+        while (s < w) {
+          z += dvA(idx) * cur(c)(f)(s)
+          idx += 1; s += 1
+        }
+        f += 1
+      }
+      c += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wR = channels.indices.map(i =>
+        ctx.addReferenceObj(s"sc2W$i", wA(i), "double[]"))
+      val bR = channels.indices.map(i =>
+        ctx.addReferenceObj(s"sc2B$i", bA(i), "double[]"))
+      val dvR = ctx.addReferenceObj("sc2Dense", dvA, "double[]")
+      val sc = ctx.addReferenceObj("sc2Scalars",
+        Array(bias, mean, std), "double[]")
+      val cur = ctx.freshName("cur")
+      val z = ctx.freshName("z")
+      // per-layer unrolled stage with PLAN-TIME dims (the ConvFrontSeq
+      // pattern); loops inside each stage match nullSafeEval's order
+      var dh = nFreq; var dw = nSpec
+      val stages = channels.indices.map { i =>
+        val (cIn, cOut) = channels(i)
+        val h = dh; val w = dw
+        dh = (dh + 1) / 2; dw = (dw + 1) / 2
+        s"""{
+           |  double[][][] __act = new double[$cOut][$h][$w];
+           |  for (int __o = 0; __o < $cOut; __o++) {
+           |    for (int __f = 0; __f < $h; __f++) {
+           |      for (int __s = 0; __s < $w; __s++) {
+           |        double __acc = ${bR(i)}[__o];
+           |        for (int __ci = 0; __ci < $cIn; __ci++) {
+           |          for (int __dy = 0; __dy < 3; __dy++) {
+           |            int __ff = __f + __dy - 1;
+           |            if (__ff < 0 || __ff >= $h) continue;
+           |            for (int __dx = 0; __dx < 3; __dx++) {
+           |              int __ss = __s + __dx - 1;
+           |              if (__ss < 0 || __ss >= $w) continue;
+           |              __acc += ${wR(i)}[((__o * $cIn + __ci) * 3 + __dy) * 3 + __dx] * $cur[__ci][__ff][__ss];
+           |            }
+           |          }
+           |        }
+           |        __act[__o][__f][__s] = __acc > 0.0 ? __acc : 0.0;
+           |      }
+           |    }
+           |  }
+           |  double[][][] __out = new double[$cOut][$dh][$dw];
+           |  for (int __o = 0; __o < $cOut; __o++) {
+           |    for (int __fp = 0; __fp < $dh; __fp++) {
+           |      for (int __sp = 0; __sp < $dw; __sp++) {
+           |        double __best = __act[__o][2 * __fp][2 * __sp];
+           |        if (2 * __sp + 1 < $w && __act[__o][2 * __fp][2 * __sp + 1] > __best)
+           |          __best = __act[__o][2 * __fp][2 * __sp + 1];
+           |        if (2 * __fp + 1 < $h) {
+           |          if (__act[__o][2 * __fp + 1][2 * __sp] > __best)
+           |            __best = __act[__o][2 * __fp + 1][2 * __sp];
+           |          if (2 * __sp + 1 < $w && __act[__o][2 * __fp + 1][2 * __sp + 1] > __best)
+           |            __best = __act[__o][2 * __fp + 1][2 * __sp + 1];
+           |        }
+           |        __out[__o][__fp][__sp] = __best;
+           |      }
+           |    }
+           |  }
+           |  $cur = __out;
+           |}""".stripMargin
+      }.mkString("\n")
+      val fnName = ctx.freshName("specCnn2d")
+      val fn = ctx.addNewFunction(fnName,
+        s"""
+           |private double $fnName(org.apache.spark.sql.catalyst.util.ArrayData $a) {
+           |  double[][][] $cur = new double[1][$nFreq][$nSpec];
+           |  for (int __f = 0; __f < $nFreq; __f++) {
+           |    for (int __s = 0; __s < $nSpec; __s++) {
+           |      $cur[0][__f][__s] = ($a.getDouble(__f * $nSpec + __s) - $sc[1]) / $sc[2];
+           |    }
+           |  }
+           |  $stages
+           |  double $z = $sc[0];
+           |  int __idx = 0;
+           |  for (int __c = 0; __c < ${channels.last._2}; __c++) {
+           |    for (int __f = 0; __f < $hOut; __f++) {
+           |      for (int __s = 0; __s < $wOut; __s++) {
+           |        $z += $dvR[__idx] * $cur[__c][__f][__s];
+           |        __idx++;
+           |      }
+           |    }
+           |  }
+           |  return $z;
+           |}
+         """.stripMargin)
+      s"""
+         |if ($a.numElements() != ${nFreq * nSpec}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $fn($a);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression↔Column bridge (the `private[sql]` side of the API). */
 object GraftSqlBridge {
   import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -1311,6 +1565,15 @@ object GraftSqlBridge {
     ExpressionUtils.column(ConvFrontSeq(
       ExpressionUtils.expression(win), shapes, ws, bs, scales, shifts,
       mix, mixBias, mean, std))
+
+  def specCnn2dLogit(img: Column, nFreq: Int, nSpec: Int,
+                     channels: Seq[(Int, Int)],
+                     ws: Seq[Seq[Double]], bs: Seq[Seq[Double]],
+                     dense: Seq[Double], bias: Double,
+                     mean: Double, std: Double): Column =
+    ExpressionUtils.column(SpecCnn2dLogit(
+      ExpressionUtils.expression(img), nFreq, nSpec, channels, ws, bs,
+      dense, bias, mean, std))
 
   def lstmStackLogit(win: Column, h1: Int, h2: Int,
                      wx1: Seq[Double], wh1: Seq[Double], b1: Seq[Double],

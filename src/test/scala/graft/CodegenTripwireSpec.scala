@@ -21,7 +21,7 @@ class CodegenTripwireSpec extends SparkSpec {
     "ml3_cnn_forward", "ml4_lstm_forward", "ml4b_lstm_stack",
     "ml4c_lstm_attn", "ml4d_lstm_bidir", "ml4e_lstm_fusion",
     "ml4f_conv_pipe", "ml4g_conv3d_pipe", "ml4h_multiclass",
-    "ml4i_tower_fusion", "ml5_ensemble", "ml8_rf",
+    "ml4i_tower_fusion", "ml5_ensemble", "ml8_rf", "ml10_spec_cnn",
     "viz1_dataviz_series", "p12_epoch_features", "c5n_native_mag")
 
   test("no expression-stacked query's whole-stage codegen falls off the 64 KB cliff") {

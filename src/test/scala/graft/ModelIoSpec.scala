@@ -50,6 +50,37 @@ class ModelIoSpec extends SparkSpec {
     }
   }
 
+  test("spectrogram-CNN artifact round-trips bit-exactly (weights AND scores); wrong format loud") {
+    val rnd = new scala.util.Random(17)
+    val layers = Array(
+      graft.ml.SpecCnn.Layer(1, 2,
+        Array.fill(18)(rnd.nextGaussian()), Array.fill(2)(rnd.nextGaussian())),
+      graft.ml.SpecCnn.Layer(2, 3,
+        Array.fill(54)(rnd.nextGaussian()), Array.fill(3)(rnd.nextGaussian())))
+    val m = graft.ml.SpecCnn.SpecCnnModel(6, 5, layers,
+      dense = Array.fill(3 * 2 * 2)(rnd.nextGaussian()),
+      bias = rnd.nextGaussian(), mean = 0.21, std = 1.7)
+    val p = tmp("speccnn.json")
+    ModelIo.saveSpecCnn(m, p)
+    val back = ModelIo.loadSpecCnn(p)
+    assert(back.nFreq == 6 && back.nSpec == 5)
+    assert(back.layers.zip(m.layers).forall { case (a, b) =>
+      a.cIn == b.cIn && a.cOut == b.cOut &&
+        a.w.toSeq == b.w.toSeq && a.b.toSeq == b.b.toSeq
+    })
+    assert(back.dense.toSeq == m.dense.toSeq)
+    (0 until 10).foreach { _ =>
+      val img = Array.fill(30)(rnd.nextGaussian() * 2)
+      assert(java.lang.Double.doubleToLongBits(graft.ml.SpecCnn.forward(back, img)) ==
+        java.lang.Double.doubleToLongBits(graft.ml.SpecCnn.forward(m, img)))
+    }
+    // wrong format is loud
+    val pc = tmp("notspec.json")
+    ModelIo.saveCnn(randCnn(3), pc)
+    val e = intercept[RuntimeException](ModelIo.loadSpecCnn(pc))
+    assert(e.getMessage.contains("graft-speccnn"))
+  }
+
   test("LSTM artifact round-trips bit-exactly (weights AND scores)") {
     val m = randLstm(13)
     val p = tmp("lstm.json")

@@ -552,6 +552,56 @@ class RunSequenceSpec extends SparkSpec {
     }
   }
 
+  test("runNestedBases: the SPECTROGRAM basis joins the candidate grid — spec-CNN beats a features-basis dud") {
+    val n = 12
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 4.0 + (i % 3) * 0.1, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 28.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 30.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    import spark.implicits._
+    val events = (0 until n).flatMap { i =>
+      Seq((s"SZ$i", "Seizure", "other", i % 2, (i / 2) % 2),
+        (s"OK$i", "False Alarm", "other", i % 2, (i / 2) % 2))
+    }.toDF("id", "type", "subType", "ofold", "ifold")
+    val dud = RunSequence.NestedCandidate.features[Unit]("dud_features")((
+      (_: org.apache.spark.sql.DataFrame) => (),
+      (_: Unit, test: org.apache.spark.sql.DataFrame) =>
+        test.select(col("eventId"), col("label"),
+          (abs(hash(col("eventId"))) % 1000).cast("double")
+            .divide(1000.0).as("p_seizure"))))
+    val specCfg = graft.ml.SpecCnn.Config(channels = Seq(2, 2), maxIter = 50)
+    val spec = RunSequence.NestedCandidate.spectrogram("spec_cnn")(
+      RunSequence.specFamily(specCfg, windowSamples = 125))
+    val results = RunSequence.runNestedBases(
+      events, corpus, lit(true), col("ofold"), col("ifold"),
+      outerK = 2, RunSequence.Config(k = 2), bufferSamples = 125,
+      specCfg = specCfg)(Seq(dud, spec))
+    assert(results.size == 2)
+    results.foreach { r =>
+      assert(r.chosen == "spec_cnn",
+        s"outer ${r.outerFold}: inner CV chose ${r.chosen} (${r.innerMeanAuroc})")
+      assert(r.innerMeanAuroc("spec_cnn") > r.innerMeanAuroc("dud_features"))
+      // winner retrain ran on the SPECTROGRAM basis: geometry pinned to
+      // the 125-sample buffer's image (25 bins × 4 slices)
+      val m = r.outer.model.asInstanceOf[graft.ml.SpecCnn.SpecCnnModel]
+      assert(m.nFreq == 25 && m.nSpec == 4)
+      assert(r.outer.heldOutAuroc > 0.9,
+        s"outer ${r.outerFold}: held-out AUROC ${r.outer.heldOutAuroc}")
+    }
+  }
+
   test("runNestedBases: out-of-range fold columns fail loudly") {
     import spark.implicits._
     val events = (0 until 8).map(i =>

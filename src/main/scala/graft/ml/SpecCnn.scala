@@ -590,4 +590,21 @@ object SpecCnn {
       val img = specImage(vecG, cfg.specSamp, cfg.specStep, cfg.zeroTol)
       1.0 / (1.0 + math.exp(-forward(m, img)))
     }
+
+  /** The trained spectrogram CNN as a fully-assembled replay detector
+    * (the [[Cnn.deployedCnn]] symmetry): `windowSamples` is the buffer
+    * length the model was trained under — the image geometry it
+    * produces must BE the trained geometry, enforced here rather than
+    * surfacing as a per-datapoint shape error mid-replay. normalise
+    * off: the model's own (mean, std) is the only scaling. */
+  def deployedSpecCnn(m: SpecCnnModel, cfg: Config, windowSamples: Int,
+                      base: graft.streaming.NnSettings = graft.streaming.NnSettings())
+      : graft.streaming.NnAlg = {
+    val (nf, ns) = imageDims(windowSamples, cfg.specSamp, cfg.specStep)
+    require(nf == m.nFreq && ns == m.nSpec,
+      s"buffer $windowSamples yields ${nf}x$ns, trained ${m.nFreq}x${m.nSpec}")
+    new graft.streaming.NnAlg(
+      base.copy(bufferSamples = windowSamples, normalise = false),
+      scorer(m, cfg))
+  }
 }

@@ -32,13 +32,16 @@ import graft.ml.ConvPipe.ConvPipeModel
   *     put the FINAL value on the ×1e6 round grid in the oracle (the
   *     ml5 FMA discipline).
   *
-  * Plan shape: one projection per tower (each a nested codegen'd
-  * `LstmStackLogit(ConvFrontSeq(w))` in K-mode) + one arithmetic
-  * projection — scan → project chain, no shuffle, no UDF. The tower
-  * projections stay SEPARATE from the fusion arithmetic by
-  * CollapseProject's own guard (a non-cheap alias referenced more
-  * than once is never inlined), so each tower's recurrence runs once
-  * per row. */
+  * Plan shape: ONE projection — the N tower expressions (each a nested
+  * codegen'd `LstmStackLogit(ConvFrontSeq(w))` in K-mode) are direct
+  * children of one native [[org.apache.spark.sql.graft.FusionDenseLogit]],
+  * which runs the fusion/dense arithmetic in its own generated method.
+  * No shuffle, no UDF, each tower's recurrence evaluated exactly once
+  * per row (expression children evaluate once by construction). The
+  * round-15 staged-projection form measured 2.3× the three-recurrence
+  * floor on per-level UnsafeRow copies; the native form measures AT the
+  * floor (523k vs ~435k·3-pipe-share rows/s, round-16 probe) with the
+  * ml4i hash unchanged. */
 object TowerFusion {
 
   case class TowerFusionModel(
@@ -122,56 +125,35 @@ object TowerFusion {
     z
   }
 
-  /** Attach the fused logit to `df`: one staged column per tower (the
-    * pooled vector, one nested codegen'd expression each), then the
-    * fusion/dense arithmetic staged LEVEL BY LEVEL — pooled components,
-    * fused vector, ReLU dense units — each level's expressions
-    * referencing the previous level's ATTRIBUTES only. Staging is not
-    * cosmetic: one monolithic z expression duplicates every fused(j)
-    * subtree into all H dense rows (and the ReLU's when() doubles each
-    * h) — a multi-thousand-node tree whose generated method blows past
-    * the JIT compile threshold and runs ~15× slow (measured 21.9 s vs
-    * 1.5 s at sf0.1). Per level, CollapseProject's non-cheap-alias
-    * guard keeps multiply-referenced definitions in their own
-    * projection, so every subtree is computed exactly once per row.
-    * Returns `df` with `outCol` appended; staged columns dropped. */
+  /** The fused logit as ONE native column: each tower's pooled vector
+    * (a nested codegen'd K-mode `LstmStackLogit(ConvFrontSeq(w))`)
+    * nested directly as a child of
+    * [[org.apache.spark.sql.graft.FusionDenseLogit]], which runs the
+    * concat → (v + A·v) → ReLU dense → scalar arithmetic in one
+    * generated method. One projection, each tower evaluated exactly
+    * once per row (expression children evaluate once by construction).
+    *
+    * History: round 15 staged this as pooled/fused/ReLU column LEVELS
+    * behind CollapseProject's non-cheap-alias guard — correct and
+    * codegen'd, but the per-level UnsafeRow copies measured 2.3× over
+    * the three-recurrence floor (SCALING.md:1540). The native form
+    * removes the copies with the SAME accumulation order
+    * ([[fusionScalar]]'s), so the ml4i oracle hash pins the swap
+    * bit-exact. (The round-15 lesson about ONE MONOLITHIC column
+    * expression still stands — that form duplicated every fused(j)
+    * subtree into all H dense rows; a generated method with local
+    * arrays duplicates nothing.) */
+  def logitCol(m: TowerFusionModel, win: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.fusionDenseLogit(
+      m.towers.map(t => LstmStack.logitsKCol(t.stack, unitKHead(t.stack),
+        ConvFront.seqCol(t.front, win))),
+      m.dims, m.fuse.toSeq, m.w1.toSeq, m.b1.toSeq, m.w2.toSeq, m.b2)
+
+  /** Attach the fused logit to `df` — [[logitCol]] under the original
+    * staged-API name (all call sites go through here). */
   def withLogit(m: TowerFusionModel, df: DataFrame, winCol: String,
-                outCol: String = "logit"): DataFrame = {
-    val d = m.d
-    val nH = m.b1.length
-    val towers = m.towers.zipWithIndex.foldLeft(df) { case (acc, (t, ti)) =>
-      acc.withColumn(s"__tfp$ti",
-        LstmStack.logitsKCol(t.stack, unitKHead(t.stack),
-          ConvFront.seqCol(t.front, col(winCol))))
-    }
-    // pooled components as scalar columns
-    val vDefs = m.towers.zipWithIndex.flatMap { case (t, ti) =>
-      (0 until pooledDim(t.stack)).map(i =>
-        element_at(col(s"__tfp$ti"), i + 1))
-    }
-    val withV = vDefs.zipWithIndex.foldLeft(towers) { case (acc, (c, j)) =>
-      acc.withColumn(s"__tfv$j", c)
-    }
-    // fused = v + A·v, one column per component
-    val withF = (0 until d).foldLeft(withV) { (acc, j) =>
-      acc.withColumn(s"__tff$j",
-        (0 until d).foldLeft(col(s"__tfv$j"): Column)((a2, i) =>
-          a2 + lit(m.fuse(j * d + i)) * col(s"__tfv$i")))
-    }
-    // ReLU dense units (the when() duplicates only this level's h)
-    val withH = (0 until nH).foldLeft(withF) { (acc, r) =>
-      val h = (0 until d).foldLeft(lit(m.b1(r)): Column)((a2, j) =>
-        a2 + lit(m.w1(r * d + j)) * col(s"__tff$j"))
-      acc.withColumn(s"__tfh$r", when(h > 0.0, h).otherwise(lit(0.0)))
-    }
-    val z = (0 until nH).foldLeft(lit(m.b2): Column)((acc, r) =>
-      acc + lit(m.w2(r)) * col(s"__tfh$r"))
-    withH.withColumn(outCol, z)
-      .drop(m.towers.indices.map(ti => s"__tfp$ti") ++
-        (0 until d).map(j => s"__tfv$j") ++
-        (0 until d).map(j => s"__tff$j") ++
-        (0 until nH).map(r => s"__tfh$r"): _*)
-  }
+                outCol: String = "logit"): DataFrame =
+    df.withColumn(outCol, logitCol(m, col(winCol)))
 
   // ------------------------------------------------------------ training
 

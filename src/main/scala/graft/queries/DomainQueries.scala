@@ -3959,14 +3959,25 @@ object DomainQueries {
         sum(col("w").getItem(2)).as("meanfreq_x1e6"),
         sum(col("w").getItem(3)).as("entropy_x1e6"))
 
-  /** Constants measured once on the driver sf0.01 testdata (see
-    * [[p9WelchPsd]]); a failure here with no code change means the
+  /** Constants measured once PER SF on the driver testdata (see
+    * [[p9WelchPsd]]), dispatched on the events-table row count (the
+    * TextQueries d5Sql pattern — an unknown sf selects zero rows and
+    * fails loudly); a failure here with no code change means the
     * fixture moved — re-pin via `graft.tools.PinProbe`. */
   val p9Sql: String =
-    """SELECT * FROM (VALUES (CAST(3000 AS BIGINT), CAST(847066302 AS BIGINT),
-      |  CAST(406832379 AS BIGINT), CAST(21676584369 AS BIGINT),
-      |  CAST(6175213816 AS BIGINT)))
-      |  t(n_dp, tot_x1e3, peak_x1e3, meanfreq_x1e6, entropy_x1e6)""".stripMargin
+    """SELECT n_dp, tot_x1e3, peak_x1e3, meanfreq_x1e6, entropy_x1e6
+      |FROM (VALUES
+      |  (1000,   CAST(300 AS BIGINT),   CAST(83878620 AS BIGINT),
+      |   CAST(40159852 AS BIGINT),   CAST(2143639104 AS BIGINT),
+      |   CAST(618295168 AS BIGINT)),
+      |  (10000,  CAST(3000 AS BIGINT),  CAST(847066302 AS BIGINT),
+      |   CAST(406832379 AS BIGINT),  CAST(21676584369 AS BIGINT),
+      |   CAST(6175213816 AS BIGINT)),
+      |  (100000, CAST(30000 AS BIGINT), CAST(8478940457 AS BIGINT),
+      |   CAST(4073563494 AS BIGINT), CAST(216636040545 AS BIGINT),
+      |   CAST(61744305269 AS BIGINT)))
+      |  t(sf_n, n_dp, tot_x1e3, peak_x1e3, meanfreq_x1e6, entropy_x1e6)
+      |WHERE sf_n = (SELECT COUNT(*) FROM events)""".stripMargin
 
   /** P13 (HR/O2 interpolation onto the sample timebase,
     * `nnTraining2/extractFeatures.py` hrInterp shape): the real

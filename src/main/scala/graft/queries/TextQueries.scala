@@ -462,18 +462,29 @@ object TextQueries {
           lit(100L).as("recall_pct")))
   }
 
-  /** Constants measured once on the driver sf0.01 testdata
-    * (deterministic — see [[d5DedupRecall]]). If the driver testdata is
-    * ever regenerated or the oracle runs at a different sf, re-derive
-    * the pins with `runMain graft.tools.DedupProbe <sfDir>` — a failure
+  /** Constants measured once PER SF on the driver testdata
+    * (deterministic — see [[d5DedupRecall]]), dispatched on the
+    * events-table row count (the only marker distinguishing sf0.001
+    * from sf0.01 — their documents tables have the same COUNT with
+    * different content). An unknown sf selects ZERO rows and fails the
+    * row-count compare loudly rather than matching stale constants.
+    * Re-derive after a fixture regeneration with
+    * `runMain graft.tools.PinProbe d5_dedup_recall <sfDir>` — a failure
     * here with no code change means the FIXTURE moved, not the dedup
     * paths. */
   val d5Sql: String =
-    """SELECT * FROM (VALUES
-      |  ('minhash', CAST(25 AS BIGINT), CAST(100 AS BIGINT)),
-      |  ('simhash', CAST(17 AS BIGINT), CAST(64 AS BIGINT)),
-      |  ('truth',   CAST(25 AS BIGINT), CAST(100 AS BIGINT)))
-      |  t(method, n_pairs, recall_pct)""".stripMargin
+    """SELECT method, n_pairs, recall_pct FROM (VALUES
+      |  (1000,   'minhash', CAST(28 AS BIGINT),  CAST(100 AS BIGINT)),
+      |  (1000,   'simhash', CAST(24 AS BIGINT),  CAST(78 AS BIGINT)),
+      |  (1000,   'truth',   CAST(28 AS BIGINT),  CAST(100 AS BIGINT)),
+      |  (10000,  'minhash', CAST(25 AS BIGINT),  CAST(100 AS BIGINT)),
+      |  (10000,  'simhash', CAST(17 AS BIGINT),  CAST(64 AS BIGINT)),
+      |  (10000,  'truth',   CAST(25 AS BIGINT),  CAST(100 AS BIGINT)),
+      |  (100000, 'minhash', CAST(256 AS BIGINT), CAST(100 AS BIGINT)),
+      |  (100000, 'simhash', CAST(416 AS BIGINT), CAST(73 AS BIGINT)),
+      |  (100000, 'truth',   CAST(256 AS BIGINT), CAST(100 AS BIGINT)))
+      |  t(sf_n, method, n_pairs, recall_pct)
+      |WHERE sf_n = (SELECT COUNT(*) FROM events)""".stripMargin
 
   // ------------------------------------------------------- text analysis
 
@@ -1357,17 +1368,24 @@ object TextQueries {
         floor(col("hits") * 100 / col("n_bf")).cast("long").as("recall_pct"))
   }
 
-  /** Constants measured once on the driver sf0.01 testdata
-    * (deterministic — see [[e5AnnRecall]]; the LSH figure matches the
+  /** Constants measured once PER SF on the driver testdata
+    * (deterministic — see [[e5AnnRecall]]; the LSH figures match the
     * lshRecallEstimate prediction for this data's neighbor-cosine
-    * distribution). If the driver testdata is ever regenerated or the
-    * oracle runs at a different sf, re-derive the pins with
-    * `runMain graft.tools.RecallProbe <sfDir>` — a failure here with no
-    * code change means the FIXTURE moved, not the ANN paths. */
+    * distribution), dispatched on the events-table row count (see
+    * [[d5Sql]] for why events, and for the unknown-sf loudness
+    * property). Re-derive after a fixture regeneration with
+    * `runMain graft.tools.PinProbe e5_ann_recall <sfDir>` — a failure
+    * here with no code change means the FIXTURE moved, not the ANN
+    * paths. */
   val e5Sql: String =
-    """SELECT * FROM (VALUES
-      |  ('ivf', CAST(61 AS BIGINT)),
-      |  ('lsh', CAST(8 AS BIGINT))) t(method, recall_pct)""".stripMargin
+    """SELECT method, recall_pct FROM (VALUES
+      |  (1000,   'ivf', CAST(61 AS BIGINT)),
+      |  (1000,   'lsh', CAST(6 AS BIGINT)),
+      |  (10000,  'ivf', CAST(61 AS BIGINT)),
+      |  (10000,  'lsh', CAST(8 AS BIGINT)),
+      |  (100000, 'ivf', CAST(58 AS BIGINT)),
+      |  (100000, 'lsh', CAST(8 AS BIGINT))) t(sf_n, method, recall_pct)
+      |WHERE sf_n = (SELECT COUNT(*) FROM events)""".stripMargin
 
   /** E6: self-scoring gate for [[Similarity.cosineNearDupPairs]] (the
     * embedding-cosine near-dup path, previously unit-only) — candidate
@@ -1413,16 +1431,22 @@ object TextQueries {
           lit(100L).as("recall_pct")))
   }
 
-  /** Constants measured once on the driver sf0.01 testdata (see
-    * [[e6CosNearDup]]); re-derive with
+  /** Constants measured once PER SF on the driver testdata (see
+    * [[e6CosNearDup]]), dispatched on the events-table row count (see
+    * [[d5Sql]]); re-derive with
     * `runMain graft.tools.PinProbe e6_cos_neardup <sfDir>` if the
     * testdata regenerates — a failure with no code change means the
     * fixture moved, not the similarity path. */
   val e6Sql: String =
-    """SELECT * FROM (VALUES
-      |  ('cosdup', CAST(7 AS BIGINT), CAST(12 AS BIGINT)),
-      |  ('truth',  CAST(54 AS BIGINT), CAST(100 AS BIGINT)))
-      |  t(method, n_pairs, recall_pct)""".stripMargin
+    """SELECT method, n_pairs, recall_pct FROM (VALUES
+      |  (1000,   'cosdup', CAST(6 AS BIGINT),   CAST(9 AS BIGINT)),
+      |  (1000,   'truth',  CAST(61 AS BIGINT),  CAST(100 AS BIGINT)),
+      |  (10000,  'cosdup', CAST(7 AS BIGINT),   CAST(12 AS BIGINT)),
+      |  (10000,  'truth',  CAST(54 AS BIGINT),  CAST(100 AS BIGINT)),
+      |  (100000, 'cosdup', CAST(98 AS BIGINT),  CAST(10 AS BIGINT)),
+      |  (100000, 'truth',  CAST(934 AS BIGINT), CAST(100 AS BIGINT)))
+      |  t(sf_n, method, n_pairs, recall_pct)
+      |WHERE sf_n = (SELECT COUNT(*) FROM events)""".stripMargin
 
   /** The planted-cluster embedding fixture behind [[e7DesignRecall]]:
     * deterministic formula-derived unit vectors with REAL cluster

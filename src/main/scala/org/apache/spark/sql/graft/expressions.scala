@@ -1274,6 +1274,145 @@ case class ConvFrontSeq(
     copy(child = newChild)
 }
 
+/** The tower-fusion readout (`graft.ml.TowerFusion`): N pooled tower
+  * vectors (each an `array<double>` child — in practice a nested
+  * K-mode [[LstmStackLogit]]) concatenated to v, then the collapsed
+  * EnhancedFusionLayer fused = v + A·v, the ReLU dense layer, and the
+  * scalar head — as ONE native expression. Replaces the level-staged
+  * projection chain (pooled / fused / ReLU columns), whose per-level
+  * UnsafeRow copies measured 2.3× over the three-recurrence floor
+  * (SCALING.md round-15 table); each tower child is still evaluated
+  * exactly once (children evaluate once per row by construction — no
+  * CollapseProject guard needed).
+  *
+  * Accumulation order is `TowerFusion.fusionScalar`'s, which the
+  * staged column form also followed: fused(j) = v(j) + Σ_i
+  * fuse(j·d+i)·v(i) (i ascending), h(r) = b1(r) + Σ_j w1(r·d+j)·
+  * fused(j), z = b2 + Σ_r w2(r)·ReLU(h(r)) — so the swap is
+  * bit-preserving (ml4i's oracle hash pins it). NULL if any tower
+  * child is NULL or a child's length ≠ its declared dim (the tower
+  * expressions yield NULL on malformed windows; this propagates it).
+  * The arithmetic lives in its own generated method (the 64 KB
+  * hygiene rule). */
+case class FusionDenseLogit(
+    children: Seq[Expression],
+    dims: Seq[Int],       // pooled dim per tower child
+    fuse: Seq[Double],    // D×D row-major, D = dims.sum
+    w1: Seq[Double],      // H×D
+    b1: Seq[Double],      // H
+    w2: Seq[Double],      // H
+    b2: Double)
+    extends Expression with ImplicitCastInputTypes {
+
+  private val d = dims.sum
+  require(children.nonEmpty && children.size == dims.size,
+    "FusionDenseLogit needs one dim per tower child")
+  require(fuse.length == d * d, s"fuse must be $d x $d: ${fuse.length}")
+  require(w1.length == b1.length * d && w2.length == b1.length,
+    "FusionDenseLogit dense shapes inconsistent")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fusion_dense_logit"
+
+  @transient private lazy val fuseA = fuse.toArray
+  @transient private lazy val w1A = w1.toArray
+  @transient private lazy val b1A = b1.toArray
+  @transient private lazy val w2A = w2.toArray
+  @transient private lazy val offs = dims.scanLeft(0)(_ + _).toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = new Array[Double](d)
+    var t = 0
+    while (t < children.size) {
+      val a = children(t).eval(input)
+      if (a == null) return null
+      val arr = a.asInstanceOf[ArrayData]
+      if (arr.numElements() != dims(t)) return null
+      var i = 0
+      while (i < dims(t)) { v(offs(t) + i) = arr.getDouble(i); i += 1 }
+      t += 1
+    }
+    var z = b2
+    val fused = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      var acc = v(j)
+      var i = 0
+      while (i < d) { acc += fuseA(j * d + i) * v(i); i += 1 }
+      fused(j) = acc
+      j += 1
+    }
+    var r = 0
+    while (r < b1A.length) {
+      var h = b1A(r)
+      var jj = 0
+      while (jj < d) { h += w1A(r * d + jj) * fused(jj); jj += 1 }
+      z += w2A(r) * (if (h > 0.0) h else 0.0)
+      r += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fuseR = ctx.addReferenceObj("tflFuse", fuseA, "double[]")
+    val w1R = ctx.addReferenceObj("tflW1", w1A, "double[]")
+    val b1R = ctx.addReferenceObj("tflB1", b1A, "double[]")
+    val w2R = ctx.addReferenceObj("tflW2", w2A, "double[]")
+    val childCodes = children.map(_.genCode(ctx))
+    val args = children.indices
+      .map(i => s"org.apache.spark.sql.catalyst.util.ArrayData a$i")
+      .mkString(", ")
+    val gather = children.indices.map { t =>
+      s"""if (a$t.numElements() != ${dims(t)}) return null;
+         |  for (int __i = 0; __i < ${dims(t)}; __i++) __v[${offs(t)} + __i] = a$t.getDouble(__i);""".stripMargin
+    }.mkString("\n  ")
+    val fnName = ctx.freshName("fusionDense")
+    val fn = ctx.addNewFunction(fnName,
+      s"""
+         |private Double $fnName($args) {
+         |  double[] __v = new double[$d];
+         |  $gather
+         |  double[] __f = new double[$d];
+         |  for (int __j = 0; __j < $d; __j++) {
+         |    double __acc = __v[__j];
+         |    for (int __i = 0; __i < $d; __i++) __acc += $fuseR[__j * $d + __i] * __v[__i];
+         |    __f[__j] = __acc;
+         |  }
+         |  double __z = ${b2}D;
+         |  for (int __r = 0; __r < ${b1A.length}; __r++) {
+         |    double __h = $b1R[__r];
+         |    for (int __jj = 0; __jj < $d; __jj++) __h += $w1R[__r * $d + __jj] * __f[__jj];
+         |    __z += $w2R[__r] * (__h > 0.0 ? __h : 0.0);
+         |  }
+         |  return Double.valueOf(__z);
+         |}
+       """.stripMargin)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val res = ctx.freshName("tflRes")
+    val callArgs = childCodes.map(_.value).mkString(", ")
+    val anyNull = childCodes.map(c => s"${c.isNull}").mkString(" || ")
+    val childBlock = childCodes.map(_.code).reduce(_ + _)
+    ev.copy(code = childBlock + code"""
+         |boolean ${ev.isNull} = true;
+         |double ${ev.value} = 0.0;
+         |if (!($anyNull)) {
+         |  Double $res = $fn($callArgs);
+         |  if ($res != null) {
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = $res.doubleValue();
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** The 2-D "image-style" CNN forward pass over a flattened spectrogram
   * (`graft.ml.SpecCnn` — the reference's spectrogram-input model class,
   * `user_tools/nnTraining2/specCnnModel.py:84-100`: per layer
@@ -1565,6 +1704,12 @@ object GraftSqlBridge {
     ExpressionUtils.column(ConvFrontSeq(
       ExpressionUtils.expression(win), shapes, ws, bs, scales, shifts,
       mix, mixBias, mean, std))
+
+  def fusionDenseLogit(towers: Seq[Column], dims: Seq[Int],
+                       fuse: Seq[Double], w1: Seq[Double], b1: Seq[Double],
+                       w2: Seq[Double], b2: Double): Column =
+    ExpressionUtils.column(FusionDenseLogit(
+      towers.map(ExpressionUtils.expression), dims, fuse, w1, b1, w2, b2))
 
   def specCnn2dLogit(img: Column, nFreq: Int, nSpec: Int,
                      channels: Seq[(Int, Int)],

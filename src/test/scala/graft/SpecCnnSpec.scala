@@ -173,6 +173,22 @@ class SpecCnnSpec extends SparkSpec {
     val pf = 1.0 / (1.0 + math.exp(-SpecCnn.forward(model, img)))
     assert(pc == pf)
 
+    // deploy: the trained spec-CNN inside the same alarm FSM as the
+    // other families; wrong buffer geometry is loud at assembly time
+    def replayAlarms(eventId: String): Long = {
+      val dps = corpus.filter(_.eventId == eventId)
+        .map(d2 => graft.streaming.ReplayDp(d2.eventId, d2.tsSec, d2.hr, 0L,
+          d2.rawData, d2.rawData3D, d2.seq))
+      graft.streaming.Replay.replayBatchWith(dps,
+          Seq(() => graft.ml.SpecCnn.deployedSpecCnn(model, cfg, 125)))
+        .filter(col("alarmState") === 2).count()
+    }
+    assert(replayAlarms("SZ1") > 0, "SpecCnn detector never alarmed on a seizure")
+    assert(replayAlarms("OK1") == 0, "SpecCnn detector false-alarmed on normal")
+    val ge = intercept[IllegalArgumentException](
+      graft.ml.SpecCnn.deployedSpecCnn(model, cfg, 100))
+    assert(ge.getMessage.contains("trained 25x4"))
+
     // M13 neutral identity: all-1.0 weights train bit-identically
     val id = SpecCnn.train(trainDf.withColumn("w", lit(1.0)), nFreq, nSpec,
       cfg, weightCol = Some("w"))

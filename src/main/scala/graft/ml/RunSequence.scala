@@ -485,6 +485,50 @@ object RunSequence {
     def spectrogram[M](name: String)(
         family: (DataFrame => M, (M, DataFrame) => DataFrame)): NestedCandidate =
       erase(name, "spectrogram", family)
+
+    /** The reference's modelClass DISPATCH (`nnTrainer.create_model`,
+      * nnTrainer.py:255-281: importlib on nnConfig's "modelClass"
+      * string) as a total fail-loud registry: each reference class
+      * name resolves to the engine family that redesigns it AND the
+      * basis it consumes — so a config-driven caller can assemble a
+      * nested-selection grid from the exact strings nnConfig.json
+      * carries. The deepEpi auto-convert quirk (nnTrainer.py:264-267
+      * rewrites the TF name to the torch class) is mirrored by both
+      * names resolving to the same family. `windowSamples` sizes the
+      * spectrogram geometry (must match the runNestedBases
+      * bufferSamples, like [[specFamily]]); configs stay the engine
+      * families' defaults — per-family knobs belong to the typed
+      * constructors, exactly as nnConfig's modelConfig block belongs
+      * to the class it configures. */
+    def forModelClass(modelClass: String,
+                      subtypeWeights: Map[String, Double] = Map.empty,
+                      windowSamples: Int = 750): NestedCandidate =
+      modelClass match {
+        case "rfModel.RfModel" => // the shipping default (nnConfig.json:174)
+          features(modelClass)(rfFamily(subtypeWeights = subtypeWeights))
+        case "nnModel.NnModel" => // the base class trains the MLP skeleton
+          features(modelClass)(mlpFamily())
+        case "cnnModel.CnnModel" =>
+          windows(modelClass)(cnnFamily(subtypeWeights = subtypeWeights))
+        case "amberModel.AmberModel" => // the full amber stack (bidir + mha)
+          windows(modelClass)(LstmStack.lstm2Family(
+            LstmStack.Config(head = "mha", bidir = true),
+            subtypeWeights))
+        case "deepEpiCnnModel.DeepEpiCnnModel" |
+             "deepEpiCnnModel_torch.DeepEpiCnnModelPyTorch" =>
+          windows(modelClass)(ConvPipe.convPipeFamily(
+            subtypeWeights = subtypeWeights))
+        case "specCnnModel.SpecCnnModel" =>
+          spectrogram(modelClass)(specFamily(
+            windowSamples = windowSamples, subtypeWeights = subtypeWeights))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown modelClass '$other' — the reference's registry is " +
+              "rfModel.RfModel, nnModel.NnModel, cnnModel.CnnModel, " +
+              "amberModel.AmberModel, deepEpiCnnModel.DeepEpiCnnModel, " +
+              "deepEpiCnnModel_torch.DeepEpiCnnModelPyTorch, " +
+              "specCnnModel.SpecCnnModel")
+      }
   }
 
   /** NESTED k-fold validation — the reference's answer to

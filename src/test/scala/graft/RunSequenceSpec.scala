@@ -602,6 +602,26 @@ class RunSequenceSpec extends SparkSpec {
     }
   }
 
+  test("forModelClass: the reference's modelClass strings resolve to family + basis; unknown loud") {
+    import RunSequence.NestedCandidate
+    val expected = Seq(
+      "rfModel.RfModel" -> "features",
+      "nnModel.NnModel" -> "features",
+      "cnnModel.CnnModel" -> "window",
+      "amberModel.AmberModel" -> "window",
+      "deepEpiCnnModel.DeepEpiCnnModel" -> "window",
+      "deepEpiCnnModel_torch.DeepEpiCnnModelPyTorch" -> "window", // the auto-convert quirk
+      "specCnnModel.SpecCnnModel" -> "spectrogram")
+    expected.foreach { case (name, basis) =>
+      val c = NestedCandidate.forModelClass(name)
+      assert(c.name == name && c.basis == basis,
+        s"$name resolved to basis ${c.basis}, expected $basis")
+    }
+    val e = intercept[IllegalArgumentException](
+      NestedCandidate.forModelClass("noSuch.Model"))
+    assert(e.getMessage.contains("unknown modelClass"))
+  }
+
   test("runNestedBases: out-of-range fold columns fail loudly") {
     import spark.implicits._
     val events = (0 until 8).map(i =>

@@ -55,6 +55,9 @@ object NestedPipeProbe {
         (s"OK$i", "False Alarm", "other", i % 2, (i / 2) % 2))
     }.toDF("id", "type", "subType", "ofold", "ifold")
 
+    // round 16: the THIRD basis joins the grid — all three bases
+    // extracted in one nested run, 4 candidates × outer 2 × inner 2
+    val specCfg = graft.ml.SpecCnn.Config(channels = Seq(2, 2), maxIter = 60)
     val candidates = Seq(
       RunSequence.NestedCandidate.features("mlp_features")(
         RunSequence.mlpFamily(hidden = Seq(16, 8), maxIter = 60)),
@@ -65,13 +68,15 @@ object NestedPipeProbe {
         ConvPipe.convPipeFamily(ConvPipe.Config(
           blocks = Seq(ConvPipe.BlockSpec(2, 3), ConvPipe.BlockSpec(2, 3)),
           h1 = 2, h2 = 2, head = "mha", nHeads = 2, bidir = true,
-          maxIter = 60))))
+          maxIter = 60))),
+      RunSequence.NestedCandidate.spectrogram("speccnn_spectrogram")(
+        RunSequence.specFamily(specCfg, windowSamples = 125)))
 
     val t0 = System.nanoTime()
     val results = RunSequence.runNestedBases(
       events, corpus, lit(true), col("ofold"), col("ifold"),
-      outerK = 2, RunSequence.Config(k = 2), bufferSamples = 125)(
-      candidates)
+      outerK = 2, RunSequence.Config(k = 2), bufferSamples = 125,
+      specCfg = specCfg)(candidates)
     val wall = (System.nanoTime() - t0) / 1e9
     System.err.println(
       f"[nestedpipe] events=${2 * n} outerK=2 innerK=2 " +

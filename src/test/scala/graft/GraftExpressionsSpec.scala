@@ -389,4 +389,71 @@ class GraftExpressionsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("spec_cnn2d_logit: INTERPRETED eval == JVM forward bit-for-bit; wrong shape null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(29)
+    val layers = Array(
+      graft.ml.SpecCnn.Layer(1, 2,
+        Array.fill(18)(rnd.nextGaussian()), Array.fill(2)(rnd.nextGaussian())),
+      graft.ml.SpecCnn.Layer(2, 3,
+        Array.fill(54)(rnd.nextGaussian()), Array.fill(3)(rnd.nextGaussian())))
+    val m = graft.ml.SpecCnn.SpecCnnModel(5, 6, layers,
+      Array.fill(3 * 2 * 2)(rnd.nextGaussian()), rnd.nextGaussian(),
+      mean = 0.11, std = 1.3)
+    def exprOf(img: Array[Double]) =
+      org.apache.spark.sql.graft.SpecCnn2dLogit(
+        Literal.create(img.toSeq, ArrayType(DoubleType)), 5, 6,
+        m.layers.map(l => (l.cIn, l.cOut)).toSeq,
+        m.layers.map(_.w.toSeq).toSeq, m.layers.map(_.b.toSeq).toSeq,
+        m.dense.toSeq, m.bias, m.mean, m.std)
+    (0 until 15).foreach { i =>
+      val img = Array.fill(30)(rnd.nextGaussian() * 3)
+      val got = exprOf(img).eval(null)
+      assert(got != null, s"trial $i: null for a well-shaped image")
+      assert(java.lang.Double.doubleToLongBits(got.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(graft.ml.SpecCnn.forward(m, img)),
+        s"trial $i: interpreted eval diverges from forward")
+    }
+    assert(exprOf(Array.fill(29)(1.0)).eval(null) == null)
+  }
+
+  test("fusion_dense_logit: INTERPRETED eval == independent restatement; wrong dim null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(31)
+    val dims = Seq(3, 2, 4)
+    val d = dims.sum
+    val h = 3
+    val fuse = Array.fill(d * d)(rnd.nextGaussian() * 0.2)
+    val w1 = Array.fill(h * d)(rnd.nextGaussian())
+    val b1 = Array.fill(h)(rnd.nextGaussian() * 0.1)
+    val w2 = Array.fill(h)(rnd.nextGaussian())
+    val b2 = rnd.nextGaussian()
+    // independent restatement of the documented accumulation order
+    def expected(v: Array[Double]): Double = {
+      val fused = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(v(j))((a, i) => a + fuse(j * d + i) * v(i)))
+      (0 until h).foldLeft(b2) { (z, r) =>
+        val hr = (0 until d).foldLeft(b1(r))((a, j) => a + w1(r * d + j) * fused(j))
+        z + w2(r) * (if (hr > 0.0) hr else 0.0)
+      }
+    }
+    def exprOf(towers: Seq[Array[Double]]) =
+      org.apache.spark.sql.graft.FusionDenseLogit(
+        towers.map(t => Literal.create(t.toSeq, ArrayType(DoubleType))),
+        dims, fuse.toSeq, w1.toSeq, b1.toSeq, w2.toSeq, b2)
+    (0 until 15).foreach { i =>
+      val towers = dims.map(n => Array.fill(n)(rnd.nextGaussian()))
+      val got = exprOf(towers).eval(null)
+      assert(got != null, s"trial $i")
+      assert(java.lang.Double.doubleToLongBits(got.asInstanceOf[Double]) ==
+        java.lang.Double.doubleToLongBits(expected(towers.flatten.toArray)),
+        s"trial $i: interpreted eval diverges from the restatement")
+    }
+    // a wrong-length tower child propagates NULL, never a wrong logit
+    assert(exprOf(Seq(Array.fill(3)(1.0), Array.fill(1)(1.0),
+      Array.fill(4)(1.0))).eval(null) == null)
+  }
 }

@@ -69,7 +69,7 @@ object ConvPipe {
     val z = when(size(col(winCol)) === m.front.inputLen,
         logitCol(m, col(winCol)))
       .otherwise(raise_error(concat(
-        lit("window "), size(col(winCol)).cast("string"),
+        lit("window "), coalesce(size(col(winCol)).cast("string"), lit("NULL")),
         lit(s" != trained input length ${m.front.inputLen}"))).cast("double"))
     windows.withColumn("logit", z)
       .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))

@@ -63,7 +63,7 @@ object Ensemble {
     when(size(scores) === n, combined)
       .otherwise(raise_error(concat(
         lit(s"harrellDavis: expected $n model scores, got "),
-        size(scores).cast("string"))).cast("double"))
+        coalesce(size(scores).cast("string"), lit("NULL")))).cast("double"))
   }
 
   /** The reference's comparison baseline (`simple_quantile`): numpy's
@@ -82,7 +82,7 @@ object Ensemble {
     when(size(scores) === n, v)
       .otherwise(raise_error(concat(
         lit(s"simpleQuantile: expected $n model scores, got "),
-        size(scores).cast("string"))).cast("double"))
+        coalesce(size(scores).cast("string"), lit("NULL")))).cast("double"))
   }
 
   /** Score `data` with every fold model and combine per event: one
@@ -149,7 +149,7 @@ object Ensemble {
     def pOrRaise(i: Int): Column =
       coalesce(col(s"__p$i"), raise_error(concat(
         lit(s"ensemble model $i produced no score for event "),
-        col("eventId").cast("string"))).cast("double"))
+        coalesce(col("eventId").cast("string"), lit("NULL")))).cast("double"))
     data
       .groupBy(col("eventId"))
       .agg(max(col("label")).as("label"), perModelMax: _*)

@@ -389,7 +389,7 @@ object Lstm {
                    winCol: String = "window"): DataFrame = {
     val z = when(size(col(winCol)) === m.window, logitCol(m, col(winCol)))
       .otherwise(raise_error(concat(
-        lit("window "), size(col(winCol)).cast("string"),
+        lit("window "), coalesce(size(col(winCol)).cast("string"), lit("NULL")),
         lit(s" != trained window ${m.window}"))).cast("double"))
     windows.withColumn("logit", z)
       .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))

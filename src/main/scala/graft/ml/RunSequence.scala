@@ -281,38 +281,65 @@ object RunSequence {
     *
     * Scale shape: one heavy extraction per distinct (window, step, …)
     * value — exactly the reruns the statistics demand — and per run
-    * only the O(events) skeleton aggregates; nothing in the sweep loop
-    * collects data rows to the driver. */
+    * only the O(events) skeleton aggregates. The returned frame is the
+    * O(runs × folds × stages) SUMMARY, materialized eagerly so every
+    * cached lineage (selection, per-config extractions) is released
+    * before returning — a long-lived session running many sweeps must
+    * not accumulate pinned block-manager partitions. (The summary
+    * collect is the documented O(small) gate-instrument class, like
+    * rpt3 — never data rows.)
+    *
+    * `k` is NOT sweepable here, fail-loud: the fold column is the
+    * caller's opaque expression, evaluated once against the baseline
+    * split — a k re-run would leave folds ≥ k empty and events from
+    * folds the new k cannot reach in every train slice and no test
+    * slice, a silently-wrong comparison frame. Sweeping the fold count
+    * is [[runNested]]'s territory (where both fold expressions are
+    * explicit). */
   def paramSweepWithStats(events: DataFrame, dps: Dataset[FlatDp],
                           select: Column, foldOf: Column,
                           base: Config = Config(),
                           sweeps: Seq[(String, Seq[Long])])
       : (DataFrame, Seq[FeatureExtract.Config]) = {
     require(sweeps.forall(_._2.nonEmpty), "a swept param needs values")
+    require(sweeps.forall(_._1 != "k"),
+      "'k' is not sweepable through paramSweep: the fold column is " +
+        "evaluated once against the baseline k, so a k re-run would " +
+        "compare silently-wrong splits (see the docblock)")
+    val spark = events.sparkSession
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
     val flatCache =
       scala.collection.mutable.LinkedHashMap.empty[FeatureExtract.Config, DataFrame]
-    def flatFor(ec: FeatureExtract.Config): DataFrame =
-      flatCache.getOrElseUpdate(ec, {
-        val f = flatEpochs(ev, dps, ec)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        f.count()
-        f
-      })
-    def runOne(param: String, value: Long, cfg: Config): DataFrame = {
-      val hist = FeatureHistory.addHistory(flatFor(cfg.extract),
-        EpochFeatures.FeatureNames, cfg.historyN)
-      skeletonFromHist(ev, hist, cfg)
-        .select(lit(param).as("param"), lit(value).as("value"),
-          col("fold"), col("stage"), col("n_events"), col("n_epochs"))
-    }
-    val runs = runOne("baseline", -1L, base) +:
-      sweeps.flatMap { case (p, vs) =>
-        vs.map(v => runOne(p, v, withKnob(base, p, v)))
+    try {
+      def flatFor(ec: FeatureExtract.Config): DataFrame =
+        flatCache.getOrElseUpdate(ec, {
+          val f = flatEpochs(ev, dps, ec)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          f.count()
+          f
+        })
+      def runOne(param: String, value: Long, cfg: Config): DataFrame = {
+        val hist = FeatureHistory.addHistory(flatFor(cfg.extract),
+          EpochFeatures.FeatureNames, cfg.historyN)
+        skeletonFromHist(ev, hist, cfg)
+          .select(lit(param).as("param"), lit(value).as("value"),
+            col("fold"), col("stage"), col("n_events"), col("n_epochs"))
       }
-    (runs.reduce(_.unionByName(_)), flatCache.keys.toSeq)
+      val runs = runOne("baseline", -1L, base) +:
+        sweeps.flatMap { case (p, vs) =>
+          vs.map(v => runOne(p, v, withKnob(base, p, v)))
+        }
+      val out = runs.reduce(_.unionByName(_))
+      val rows = out.collect().toSeq // the tiny summary, see docblock
+      (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema),
+        flatCache.keys.toSeq)
+    } finally {
+      flatCache.values.foreach(_.unpersist(false))
+      ev.unpersist(false)
+    }
   }
 
   /** [[paramSweepWithStats]] without the receipt — the ml9 query
@@ -588,11 +615,12 @@ object RunSequence {
       s"unknown candidate basis: ${badBasis.map(c => s"${c.name}=${c.basis}").mkString(", ")}")
     require(candidates.map(_.name).distinct.size == candidates.size,
       s"duplicate candidate names: ${candidates.map(_.name).mkString(", ")}")
-    // The two bases are invariant to EVERYTHING the nested loop varies —
-    // candidate, inner fold, outer fold, and even the outer-train
-    // slicing (slices are subsets of the selected corpus) — so each
-    // basis in use is extracted exactly ONCE; every train/score frame
-    // below is a projection/join over these persisted frames
+    // The bases (features, window, spectrogram) are invariant to
+    // EVERYTHING the nested loop varies — candidate, inner fold, outer
+    // fold, and even the outer-train slicing (slices are subsets of
+    // the selected corpus) — so each basis in use is extracted exactly
+    // ONCE; every train/score frame below is a projection/join over
+    // these persisted frames
     val evAll = events.filter(select).select(
         col("id").cast("string").as("srcId"),
         typeIdCol(col("type")).as("type"),
@@ -937,8 +965,9 @@ object RunSequence {
     * per fold — F14 leak guard (fail loud), copy-replicate the training
     * slice through the fold-invariant [[augmentPlan]], fit, score the
     * held-out slice, A4 event metrics + ml1 AUROC. `dataCol` is the
-    * basis column the model family consumes ("features" vector or raw
-    * "window" array); everything else is basis-independent. */
+    * basis column the model family consumes ("features" vector, raw
+    * "window" array, or flattened "spectrogram" image); everything
+    * else is basis-independent. */
   private def foldLoop[M](ev: DataFrame, assembledIn: DataFrame,
                           cfg: Config, dataCol: String,
                           fit: DataFrame => M,

@@ -576,7 +576,7 @@ object SpecCnn {
                         imgCol: String = "spectrogram"): DataFrame = {
     val z = when(size(col(imgCol)) === m.nFreq * m.nSpec, logitCol(m, col(imgCol)))
       .otherwise(raise_error(concat(
-        lit("image "), size(col(imgCol)).cast("string"),
+        lit("image "), coalesce(size(col(imgCol)).cast("string"), lit("NULL")),
         lit(s" != trained ${m.nFreq}x${m.nSpec}"))).cast("double"))
     images.withColumn("logit", z)
       .withColumn("p_seizure", lit(1.0) / (lit(1.0) + exp(-col("logit"))))

@@ -36,16 +36,21 @@ object CodegenAudit {
 
   /** Every WholeStageCodegenExec in the plan, INCLUDING inside AQE
     * query stages (QueryStageExec is a leaf node whose materialized
-    * body hides from TreeNode.collect) and stages nested under
-    * InputAdapters. */
-  private def collectStages(p: SparkPlan): Seq[WholeStageCodegenExec] =
-    p match {
+    * body hides from TreeNode.collect), stages nested under
+    * InputAdapters, AND stages hosted in SUBQUERY plans
+    * (ScalarSubquery/InSubquery bodies are a separate traversal from
+    * `children` — without it a subquery's oversized stage would escape
+    * the tripwire and silently run interpreted). */
+  private def collectStages(p: SparkPlan): Seq[WholeStageCodegenExec] = {
+    val sub = p.subqueries.flatMap(collectStages)
+    (p match {
       case a: AdaptiveSparkPlanExec => collectStages(a.executedPlan)
       case q: QueryStageExec => collectStages(q.plan)
       case w: WholeStageCodegenExec =>
         w +: w.children.flatMap(collectStages)
       case other => other.children.flatMap(collectStages)
-    }
+    }) ++ sub
+  }
 
   /** Execute `df` (RDD-level count, so the audited plan IS the query's
     * own plan — a Dataset count would wrap it in a new aggregate),

@@ -758,5 +758,12 @@ class RunSequenceSpec extends SparkSpec {
     // fail-loud on a typo'd knob
     intercept[IllegalArgumentException](
       RunSequence.withKnob(base, "n_estimatorz", 10L))
+    // fail-loud on a 'k' sweep: the fold column was evaluated against
+    // the baseline k, so a k re-run would compare silently-wrong splits
+    val ke = intercept[IllegalArgumentException](
+      RunSequence.paramSweepWithStats(
+        sweepEvents, dps, col("type") =!= "Unknown", col("fold0"), base,
+        sweeps = Seq("k" -> Seq(5L))))
+    assert(ke.getMessage.contains("not sweepable"))
   }
 }

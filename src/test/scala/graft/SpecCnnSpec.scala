@@ -67,6 +67,13 @@ class SpecCnnSpec extends SparkSpec {
       SpecCnn.scoreSpectrograms(m, df).collect())
     val bmsg = be.getMessage + Option(be.getCause).map(_.getMessage).getOrElse("")
     assert(bmsg.contains("trained 4x4"), bmsg.take(300))
+    // a NULL image also fails loudly WITH a readable message (size(NULL)
+    // is NULL; the guard coalesces it so raise_error never gets NULL)
+    val ndf = Seq[Option[Array[Double]]](None).toDF("spectrogram")
+    val ne = intercept[Exception](
+      SpecCnn.scoreSpectrograms(m, ndf).collect())
+    val nmsg = ne.getMessage + Option(ne.getCause).map(_.getMessage).getOrElse("")
+    assert(nmsg.contains("image NULL"), nmsg.take(300))
   }
 
   test("specImage: slice layout, DC residual clip, sine peak bin, zeroTol") {

@@ -10,7 +10,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,6 +20,17 @@ object Verify {
       // >100 declared queries: without this the 100-entry codegen cache
       // thrashes and every query pays Janino recompilation (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs, for the
+    // partition-invariance audit (vary shuffle partitions / scan-split
+    // sizes and re-hash EVERY oracle: a result that moves with the
+    // partitioning would break on a differently-sized cluster)
+    val spark = sys.env.get("SPARK_GRAFT_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

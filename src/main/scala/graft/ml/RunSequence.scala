@@ -185,9 +185,15 @@ object RunSequence {
   /** [[skeleton]]'s aggregate half over an ALREADY-BUILT history-epoch
     * frame — the seam [[paramSweep]] re-enters per swept config with
     * its memoized extraction. */
-  private def skeletonFromHist(ev: DataFrame, hist: DataFrame,
-                               cfg: Config): DataFrame = {
-    val spark = ev.sparkSession
+  /** The per-event epoch-count frame (srcId, fold, nEp), PERSISTED —
+    * the single materialization of the extract+history lineage. Split
+    * out of [[skeletonFromHist]] so the sweep can memoize it per
+    * (extract config, historyN): it depends on nothing else, and three
+    * of ml9's four runs share it. Caller owns the persist lifetime
+    * (the sweep releases in its finally; the one-run [[skeleton]] path
+    * leaves it to the session, bounded by Verify's per-query
+    * clearCache). */
+  private def evWOf(ev: DataFrame, hist: DataFrame): DataFrame = {
     val perEvent = hist.groupBy(col("eventId"))
       .agg(count(lit(1)).as("nEp"))
     // left join: an event whose epochs all fell to the history filter
@@ -196,7 +202,17 @@ object RunSequence {
       .select(col("srcId"), col("fold"),
         coalesce(col("nEp"), lit(0L)).as("nEp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    evW.count() // the single materialization of the extract lineage
+    evW.count()
+    evW
+  }
+
+  private def skeletonFromHist(ev: DataFrame, hist: DataFrame,
+                               cfg: Config): DataFrame =
+    skeletonFromEvW(ev, evWOf(ev, hist), cfg)
+
+  private def skeletonFromEvW(ev: DataFrame, evW: DataFrame,
+                              cfg: Config): DataFrame = {
+    val spark = ev.sparkSession
     val plan = augmentPlan(ev, cfg)
     val planW = plan.join(
         evW.select(col("srcId").as("psrc"), col("nEp")),
@@ -312,6 +328,13 @@ object RunSequence {
     ev.count()
     val flatCache =
       scala.collection.mutable.LinkedHashMap.empty[FeatureExtract.Config, DataFrame]
+    // evW (the per-event epoch counts) depends ONLY on (extract config,
+    // historyN) — augmentation knobs reshape the aggregation
+    // multipliers, never the counts frame — so runs sharing both reuse
+    // ONE materialization (the reference's skip-if-exists applied to
+    // the history stage, not just extraction)
+    val evWCache = scala.collection.mutable.LinkedHashMap
+      .empty[(FeatureExtract.Config, Int), DataFrame]
     try {
       def flatFor(ec: FeatureExtract.Config): DataFrame =
         flatCache.getOrElseUpdate(ec, {
@@ -320,13 +343,14 @@ object RunSequence {
           f.count()
           f
         })
-      def runOne(param: String, value: Long, cfg: Config): DataFrame = {
-        val hist = FeatureHistory.addHistory(flatFor(cfg.extract),
-          EpochFeatures.FeatureNames, cfg.historyN)
-        skeletonFromHist(ev, hist, cfg)
+      def evWFor(cfg: Config): DataFrame =
+        evWCache.getOrElseUpdate((cfg.extract, cfg.historyN),
+          evWOf(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
+            EpochFeatures.FeatureNames, cfg.historyN)))
+      def runOne(param: String, value: Long, cfg: Config): DataFrame =
+        skeletonFromEvW(ev, evWFor(cfg), cfg)
           .select(lit(param).as("param"), lit(value).as("value"),
             col("fold"), col("stage"), col("n_events"), col("n_epochs"))
-      }
       val runs = runOne("baseline", -1L, base) +:
         sweeps.flatMap { case (p, vs) =>
           vs.map(v => runOne(p, v, withKnob(base, p, v)))
@@ -337,6 +361,7 @@ object RunSequence {
         spark.sparkContext.parallelize(rows, 1), out.schema),
         flatCache.keys.toSeq)
     } finally {
+      evWCache.values.foreach(_.unpersist(false))
       flatCache.values.foreach(_.unpersist(false))
       ev.unpersist(false)
     }

@@ -110,6 +110,20 @@ object RunSequence {
       col("subType"),
       foldOf.cast("long").as("fold"))
 
+  /** Fail-loud fold-range validation for the single-assignment paths
+    * (the [[runNestedBases]] contract applied everywhere): every fold
+    * value must land in 0..k-1. An out-of-range fold — a negative
+    * hash, a `% k` without pmod — otherwise sits in EVERY training
+    * slice and NO test slice: the F14 guard stays 0 and every metric
+    * is silently computed on wrong splits. An empty selection passes
+    * (downstream paths fail loudly on their own terms). */
+  private def requireFoldRange(ev: DataFrame, k: Int): Unit = {
+    val b = ev.agg(min("fold"), max("fold")).head()
+    if (!b.isNullAt(0))
+      require(b.getLong(0) >= 0 && b.getLong(1) < k,
+        s"foldOf out of range 0..${k - 1}: saw [${b.getLong(0)}, ${b.getLong(1)}]")
+  }
+
   /** The fold-invariant copy-augmentation plan: one row per training
     * event id (synthetic or original) with its source id and the
     * source's fold. M3 oversamples seizures ×`oversampleFactor`, M7
@@ -179,12 +193,10 @@ object RunSequence {
   def skeleton(events: DataFrame, dps: Dataset[FlatDp], select: Column,
                foldOf: Column, cfg: Config = Config()): DataFrame = {
     val ev = selectedEvents(events, select, foldOf)
+    requireFoldRange(ev, cfg.k)
     skeletonFromHist(ev, historyEpochs(ev, dps, cfg), cfg)
   }
 
-  /** [[skeleton]]'s aggregate half over an ALREADY-BUILT history-epoch
-    * frame — the seam [[paramSweep]] re-enters per swept config with
-    * its memoized extraction. */
   /** The per-event epoch-count frame (srcId, fold, nEp), PERSISTED —
     * the single materialization of the extract+history lineage. Split
     * out of [[skeletonFromHist]] so the sweep can memoize it per
@@ -206,10 +218,15 @@ object RunSequence {
     evW
   }
 
+  /** [[skeleton]]'s aggregate half over an ALREADY-BUILT history-epoch
+    * frame — [[evWOf]] then [[skeletonFromEvW]]. */
   private def skeletonFromHist(ev: DataFrame, hist: DataFrame,
                                cfg: Config): DataFrame =
     skeletonFromEvW(ev, evWOf(ev, hist), cfg)
 
+  /** The 3k+1 skeleton aggregations over the tiny persisted evW frame
+    * — the seam [[paramSweep]] re-enters per swept config with its
+    * memoized extraction AND memoized evW. */
   private def skeletonFromEvW(ev: DataFrame, evW: DataFrame,
                               cfg: Config): DataFrame = {
     val spark = ev.sparkSession
@@ -290,10 +307,10 @@ object RunSequence {
     * runOptimisation.py:72-75) — is held STRUCTURALLY here: the fused
     * validate+extract lineage ([[flatEpochs]]) is keyed by its
     * [[FeatureExtract.Config]] and persisted once per DISTINCT config;
-    * augmentation / history / fold knobs re-enter
-    * [[skeletonFromHist]] over the shared materialization. Returns the
-    * frame plus the distinct extract configs actually materialized
-    * (the memoization receipt ParamSweepSpec pins).
+    * augmentation knobs re-enter [[skeletonFromEvW]] over the shared
+    * materializations. Returns the frame plus TWO memoization
+    * receipts the spec pins: the distinct extract configs and the
+    * distinct (extract, historyN) evW frames actually materialized.
     *
     * Scale shape: one heavy extraction per distinct (window, step, …)
     * value — exactly the reruns the statistics demand — and per run
@@ -316,7 +333,8 @@ object RunSequence {
                           select: Column, foldOf: Column,
                           base: Config = Config(),
                           sweeps: Seq[(String, Seq[Long])])
-      : (DataFrame, Seq[FeatureExtract.Config]) = {
+      : (DataFrame, Seq[FeatureExtract.Config],
+         Seq[(FeatureExtract.Config, Int)]) = {
     require(sweeps.forall(_._2.nonEmpty), "a swept param needs values")
     require(sweeps.forall(_._1 != "k"),
       "'k' is not sweepable through paramSweep: the fold column is " +
@@ -326,6 +344,7 @@ object RunSequence {
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
+    requireFoldRange(ev, base.k)
     val flatCache =
       scala.collection.mutable.LinkedHashMap.empty[FeatureExtract.Config, DataFrame]
     // evW (the per-event epoch counts) depends ONLY on (extract config,
@@ -359,7 +378,8 @@ object RunSequence {
       val rows = out.collect().toSeq // the tiny summary, see docblock
       (spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema),
-        flatCache.keys.toSeq)
+        flatCache.keys.toSeq,
+        evWCache.keys.toSeq) // the history-stage memoization receipt
     } finally {
       evWCache.values.foreach(_.unpersist(false))
       flatCache.values.foreach(_.unpersist(false))
@@ -646,49 +666,66 @@ object RunSequence {
     // the selected corpus) — so each basis in use is extracted exactly
     // ONCE; every train/score frame below is a projection/join over
     // these persisted frames
-    val evAll = events.filter(select).select(
+    // every persist below registers here IMMEDIATELY, before its first
+    // count — a validation require or a basis-extraction failure must
+    // not strand pinned MEMORY_AND_DISK blocks (the session-lifetime
+    // leak the paramSweep docblock warns about)
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += p
+      p
+    }
+    try {
+      val evAll = pin(events.filter(select).select(
         col("id").cast("string").as("srcId"),
         typeIdCol(col("type")).as("type"),
         col("subType"),
         outerFoldOf.cast("long").as("ofold"),
-        innerFoldOf.cast("long").as("ifold"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    evAll.count()
-    // fail-loud fold-range validation (one agg over the persisted frame)
-    val b = evAll.agg(min("ofold"), max("ofold"), min("ifold"), max("ifold"))
-      .head()
-    require(!b.isNullAt(0), "nested selection over an empty selected corpus")
-    require(b.getLong(0) >= 0 && b.getLong(1) < outerK,
-      s"outerFoldOf out of range 0..${outerK - 1}: saw [${b.getLong(0)}, ${b.getLong(1)}]")
-    require(b.getLong(2) >= 0 && b.getLong(3) < cfg.k,
-      s"innerFoldOf out of range 0..${cfg.k - 1} (inner fold count = cfg.k): " +
-        s"saw [${b.getLong(2)}, ${b.getLong(3)}]")
-    val inUse = candidates.map(_.basis).distinct
-    val bases: Map[String, DataFrame] = inUse.map { basis =>
-      val base = basis match {
-        case "features" => assembledHistoryBase(evAll, dps, cfg)
-        case "window" => assembledWindowBase(evAll, dps, bufferSamples)
-        case _ => assembledSpecBase(evAll, dps, bufferSamples, specCfg)
+        innerFoldOf.cast("long").as("ifold")))
+      evAll.count()
+      // fail-loud fold-range validation (one agg over the persisted frame)
+      val b = evAll.agg(min("ofold"), max("ofold"), min("ifold"), max("ifold"))
+        .head()
+      require(!b.isNullAt(0), "nested selection over an empty selected corpus")
+      require(b.getLong(0) >= 0 && b.getLong(1) < outerK,
+        s"outerFoldOf out of range 0..${outerK - 1}: saw [${b.getLong(0)}, ${b.getLong(1)}]")
+      require(b.getLong(2) >= 0 && b.getLong(3) < cfg.k,
+        s"innerFoldOf out of range 0..${cfg.k - 1} (inner fold count = cfg.k): " +
+          s"saw [${b.getLong(2)}, ${b.getLong(3)}]")
+      val inUse = candidates.map(_.basis).distinct
+      // the spectrogram basis DERIVES from the window basis: when both
+      // are in play, build spec from the PERSISTED window frame so the
+      // P14-validate + M8 extraction over the datapoint corpus runs
+      // once, not once per basis (the "extracted exactly ONCE" claim
+      // taken literally at the shared-lineage level)
+      val windowBase: Option[DataFrame] =
+        if (inUse.contains("window") || inUse.contains("spectrogram")) {
+          val w = assembledWindowBase(evAll, dps, bufferSamples)
+          Some(if (inUse.contains("window")) pin(w) else w)
+        } else None
+      val bases: Map[String, DataFrame] = inUse.map { basis =>
+        val base = basis match {
+          case "features" => pin(assembledHistoryBase(evAll, dps, cfg))
+          case "window" => windowBase.get
+          case _ => pin(specBaseFrom(windowBase.get, specCfg))
+        }
+        basis -> base
+      }.toMap
+      bases.values.foreach(_.count())
+      def withFold(basis: String, evSlice: DataFrame): DataFrame = {
+        val base = bases(basis)
+        base.join(evSlice.select(col("srcId"), col("fold")),
+            base("eventId") === col("srcId"))
+          .select(col("eventId"), col("fold"), col("label"), col(basis))
       }
-      basis -> base.persist(StorageLevel.MEMORY_AND_DISK)
-    }.toMap
-    bases.values.foreach(_.count())
-    def withFold(basis: String, evSlice: DataFrame): DataFrame = {
-      val base = bases(basis)
-      base.join(evSlice.select(col("srcId"), col("fold")),
-          base("eventId") === col("srcId"))
-        .select(col("eventId"), col("fold"), col("label"), col(basis))
-    }
-    try {
       (0 until outerK).map { o =>
-        val innerEv = evAll.filter(col("ofold") =!= o)
+        val innerEv = pin(evAll.filter(col("ofold") =!= o)
           .select(col("srcId"), col("type"), col("subType"),
-            col("ifold").as("fold"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+            col("ifold").as("fold")))
         innerEv.count()
         val innerAssembled = inUse.map(basis =>
-          basis -> withFold(basis, innerEv)
-            .persist(StorageLevel.MEMORY_AND_DISK)).toMap
+          basis -> pin(withFold(basis, innerEv))).toMap
         innerAssembled.values.foreach(_.count())
         val innerMean =
           try candidates.map { c =>
@@ -705,10 +742,9 @@ object RunSequence {
         // winner retrains on the FULL outer-train slice, scores outer
         // fold o once: the outer split as a 2-way fold column over the
         // SAME persisted basis, run only on the test fold
-        val outerEv = evAll.select(col("srcId"), col("type"),
+        val outerEv = pin(evAll.select(col("srcId"), col("type"),
             col("subType"),
-            when(col("ofold") === o, 1L).otherwise(0L).as("fold"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+            when(col("ofold") === o, 1L).otherwise(0L).as("fold")))
         outerEv.count()
         val outerRun =
           try foldLoop(outerEv, withFold(winner.basis, outerEv),
@@ -717,10 +753,7 @@ object RunSequence {
           finally outerEv.unpersist(false)
         NestedResult[Any](o, chosen, innerMean, outerRun.copy(fold = o))
       }
-    } finally {
-      bases.values.foreach(_.unpersist(false))
-      evAll.unpersist(false)
-    }
+    } finally pinned.foreach(_.unpersist(false))
   }
 
   /** The P12+W7 feature-history basis assembled to (eventId, label,
@@ -759,20 +792,19 @@ object RunSequence {
   }
 
   /** The SPECTROGRAM basis assembled to (eventId, label, spectrogram) —
-    * the raw-window base mapped through the pure per-window
+    * a raw-window frame mapped through the pure per-window
     * [[SpecCnn.specImage]] (the reference's accData2vector →
     * generateSpectralHistoryFromAccelLst chain, specCnnModel.py:215-235).
     * Fold-free and extraction-invariant exactly like the other two
-    * bases, so one materialization serves the whole nested run; the
-    * per-window DFT cost (O(nSpec·specSamp²) flops) is paid once, not
-    * per fold × candidate. */
-  private def assembledSpecBase(ev: DataFrame, dps: Dataset[FlatDp],
-                                bufferSamples: Int,
-                                specCfg: SpecCnn.Config): DataFrame = {
-    val base = assembledWindowBase(ev, dps, bufferSamples)
-    val spark = base.sparkSession
+    * bases; DERIVES from the window basis, so when both are in play the
+    * nested run feeds it the PERSISTED window frame and the heavy
+    * P14+M8 extraction is shared (the DFT map is the only added
+    * cost). */
+  private def specBaseFrom(windowBase: DataFrame,
+                           specCfg: SpecCnn.Config): DataFrame = {
+    val spark = windowBase.sparkSession
     import spark.implicits._
-    base.select(col("eventId"), col("label"), col("window"))
+    windowBase.select(col("eventId"), col("label"), col("window"))
       .as[(String, Double, Array[Double])]
       .map { case (e, l, w) => (e, l,
         SpecCnn.specImage(w, specCfg.specSamp, specCfg.specStep, specCfg.zeroTol)) }
@@ -788,6 +820,17 @@ object RunSequence {
         col("eventId") === col("srcId"))
       .select(col("eventId"), col("fold"), col("label"), col("features"))
 
+  /** MLlib probability scoring, ONE home: transform, take the class-1
+    * probability as p_seizure — shared by every MLlib-backed family
+    * (LR, weighted LR, random forest) so the extraction convention
+    * cannot drift between them. */
+  private def probScore(m: org.apache.spark.ml.Model[_],
+                        test: DataFrame): DataFrame =
+    m.transform(test)
+      .select(col("eventId"), col("label"),
+        element_at(vector_to_array(col("probability")), 2)
+          .as("p_seizure"))
+
   /** The full composed run with the DEFAULT model family (LBFGS
     * logistic regression) — see [[runWith]] for the seam itself. */
   def run(events: DataFrame, dps: Dataset[FlatDp], select: Column,
@@ -795,10 +838,7 @@ object RunSequence {
       : Seq[FoldResult[org.apache.spark.ml.classification.LogisticRegressionModel]] =
     runWith(events, dps, select, foldOf, cfg)(
       train => Trainer.trainLogistic(train, cfg.maxIter, cfg.regParam),
-      (m, test) => m.transform(test)
-        .select(col("eventId"), col("label"),
-          element_at(vector_to_array(col("probability")), 2)
-            .as("p_seizure")))
+      (m, test) => probScore(m, test))
 
   /** The MLP family for [[runWith]] — [[Trainer.trainMlp]] fit on the
     * fold's training slice, its stored (mean, std) z-scaling replayed
@@ -829,6 +869,7 @@ object RunSequence {
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
+    requireFoldRange(ev, cfg.k)
     try foldLoop(ev, assembledHistory(ev, dps, cfg), cfg, "features",
       fit, score)
     finally ev.unpersist(false)
@@ -851,17 +892,14 @@ object RunSequence {
     val ev = selectedEvents(events, select, foldOf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
-    val sel = dps.join(ev.select(col("srcId")),
-        dps("eventId") === col("srcId"), "left_semi")
-      .as[FlatDp](dps.encoder)
-    val vdf = graft.streaming.NnBuffer.dp2vectors(
-      graft.operators.Flatten.validateAndFill(sel), bufferSamples).toDF()
-    val assembled = vdf
-      .join(ev.select(col("srcId"), col("type"), col("fold")),
-        vdf("eventId") === col("srcId"))
-      .select(col("eventId"), col("fold"),
-        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
-        col("vec").as("window"))
+    requireFoldRange(ev, cfg.k)
+    // ONE definition of the window-basis assembly (shared with the
+    // nested path) + the fold join — two inline copies had already
+    // started to drift risk onto the label/validate conventions
+    val assembled = assembledWindowBase(ev, dps, bufferSamples)
+      .join(ev.select(col("srcId"), col("fold")),
+        col("eventId") === col("srcId"))
+      .select(col("eventId"), col("fold"), col("label"), col("window"))
     try foldLoop(ev, assembled, cfg, "window", fit, score)
     finally ev.unpersist(false)
   }
@@ -961,11 +999,7 @@ object RunSequence {
       Forest.train(t, rfCfg, w)
     }
     val score = (m: org.apache.spark.ml.classification.RandomForestClassificationModel,
-                 test: DataFrame) =>
-      m.transform(test)
-        .select(col("eventId"), col("label"),
-          element_at(vector_to_array(col("probability")), 2)
-            .as("p_seizure"))
+                 test: DataFrame) => probScore(m, test)
     (fit, score)
   }
 
@@ -978,11 +1012,7 @@ object RunSequence {
     val fit = (train: DataFrame) =>
       Trainer.trainLogisticWeighted(train, subtypeWeights, maxIter, regParam)
     val score = (m: org.apache.spark.ml.classification.LogisticRegressionModel,
-                 test: DataFrame) =>
-      m.transform(test)
-        .select(col("eventId"), col("label"),
-          element_at(vector_to_array(col("probability")), 2)
-            .as("p_seizure"))
+                 test: DataFrame) => probScore(m, test)
     (fit, score)
   }
 

@@ -742,19 +742,26 @@ class RunSequenceSpec extends SparkSpec {
       extract = FeatureExtract.Config(highPassHz = 0.0))
     val dps = miniDps(Seq("E0", "E1", "E2", "E3"))
     // three runs, none touching extract -> ONE materialized config
-    val (df1, cfgs1) = RunSequence.paramSweepWithStats(
+    val (df1, cfgs1, evws1) = RunSequence.paramSweepWithStats(
       sweepEvents, dps, col("type") =!= "Unknown", col("fold0"), base,
       sweeps = Seq("oversampleFactor" -> Seq(3L, 4L), "tcAugFac" -> Seq(2L)))
     assert(df1.count() == 4 * 12)
     assert(cfgs1 == Seq(base.extract),
       s"extraction ran for ${cfgs1.size} configs, expected the shared one")
+    // the history-stage receipt: all four runs share historyN, so ONE
+    // evW frame was materialized for the whole sweep
+    assert(evws1 == Seq((base.extract, base.historyN)), s"got $evws1")
     // a step sweep forces exactly one extra extraction per new value
-    val (df2, cfgs2) = RunSequence.paramSweepWithStats(
+    val (df2, cfgs2, evws2) = RunSequence.paramSweepWithStats(
       sweepEvents, dps, col("type") =!= "Unknown", col("fold0"), base,
       sweeps = Seq("step" -> Seq(250L), "oversampleFactor" -> Seq(3L)))
     assert(df2.count() == 3 * 12)
     assert(cfgs2 == Seq(base.extract, base.extract.copy(step = 250)),
       s"got $cfgs2")
+    // a step sweep forces a second evW (its extract differs); a
+    // historyN sweep would force one via the key's second component
+    assert(evws2 == Seq((base.extract, base.historyN),
+      (base.extract.copy(step = 250), base.historyN)), s"got $evws2")
     // fail-loud on a typo'd knob
     intercept[IllegalArgumentException](
       RunSequence.withKnob(base, "n_estimatorz", 10L))

@@ -2765,7 +2765,7 @@ object DomainQueries {
     * failed to propagate (augment multiplier, history drop) breaks
     * exactly its run's rows. Extraction MEMOIZATION (one
     * materialization for all four runs here, since none touch
-    * window/step) is pinned by ParamSweepSpec's receipt. */
+    * window/step) is pinned by RunSequenceSpec's receipt test. */
   def ml9ParamSweep(s: SparkSession, d: String): DataFrame = {
     val events = OsdbFixture.ev(s, d).select(
       col("e").as("id"), col("u"),

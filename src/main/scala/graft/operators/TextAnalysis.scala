@@ -38,22 +38,29 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
     "zh" -> Seq("的", "是", "不", "了", "在"))
 
-  /** Per-language evidence score: total stopword occurrences. */
+  /** Per-language evidence score: total stopword occurrences. (The
+    * column composition — kept for [[stopwordRatio]]-style reuse and as
+    * the readable statement of what [[langId]] computes.) */
   def langScore(text: Column, profile: Seq[String]): Column =
     profile.map(w => countOccurrences(concat(lit(" "), lower(text), lit(" ")), w))
       .reduce(_ + _)
 
   /** Language-ID: argmax profile score, alphabetical tiebreak, "und"
-    * (undetermined) when no profile scores at all. */
-  def langId(text: Column): Column = {
-    val scores = LangProfiles.map { case (l, p) => (l, langScore(text, p)) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
-      when(s === best && s > 0, lit(l)).otherwise(acc)
-    }
-    // foldRight keeps the FIRST (alphabetical) match on ties
-    pick
-  }
+    * (undetermined) when no profile scores at all — as ONE native
+    * expression ([[org.apache.spark.sql.graft.LangIdExpr]]).
+    *
+    * History: this was a greatest+when column composition over
+    * [[langScore]]; conditional branches are ineligible for codegen
+    * subexpression elimination, so each language's five
+    * regexp_replace subtrees inlined ~3× — t1's generated method
+    * reached 64,074 bytes (1.4 KB under the Janino cliff) and pipe3's
+    * Project, stacking the same tree with its quality filters, went
+    * OVER and ran silently interpreted (caught by CodegenSweep, round
+    * 16). The native form is semantics-identical (the expression
+    * docblock states the contract; the t1/pipe oracles pin it). */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.langId(
+      text, LangProfiles.map(_._1), LangProfiles.map(_._2))
 
   /** Quality-score feature bundle: token count, mean token length,
     * punctuation ratio, stopword ratio, uppercase ratio. Combine/weight

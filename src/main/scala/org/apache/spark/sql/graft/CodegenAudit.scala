@@ -69,8 +69,14 @@ object CodegenAudit {
         StageReport(label, stats.maxMethodCodeSize, None)
       } catch {
         case e: Exception =>
+          // Janino wraps the real failure (e.g. "Code of method ...
+          // grows beyond 64 KB") several causes deep — report the
+          // ROOT message, which is the actionable one
+          var root: Throwable = e
+          while (root.getCause != null && root.getCause != root)
+            root = root.getCause
           StageReport(label, Int.MaxValue,
-            Some(Option(e.getMessage).getOrElse(e.toString).take(300)))
+            Some(Option(root.getMessage).getOrElse(root.toString).take(500)))
       }
     }
   }

@@ -1274,6 +1274,101 @@ case class ConvFrontSeq(
     copy(child = newChild)
 }
 
+/** The T1 language-ID heuristic (`graft.operators.TextAnalysis.langId`)
+  * as ONE native expression. The original column composition —
+  * per-language stopword scores via length-delta `regexp_replace`
+  * chains, `greatest` argmax, a `when` pick chain — defeats codegen
+  * subexpression elimination (conditional branches are CSE-ineligible),
+  * so every language score's five regexp_replace subtrees inline ~3×
+  * each: the t1 Project's generated method measured 64,074 bytes
+  * (1.4 KB from the Janino 64 KB cliff) and pipe3's Project, which
+  * stacks the same tree with the quality-gate filters, went OVER the
+  * cliff and ran silently interpreted — the exact WARN-only failure
+  * mode the round-15 lesson documented, caught by the full-registry
+  * CodegenSweep.
+  *
+  * Semantics are the column form's, EXACTLY: wrap as
+  * `' ' + lower(text) + ' '` (UTF8String.toLowerCase — the same kernel
+  * `lower()` uses), count NON-OVERLAPPING occurrences of each literal
+  * stopword left-to-right (what `regexp_replace` with a quoted literal
+  * removes), argmax with FIRST-declared-language tiebreak, "und" when
+  * no profile scores or the input is NULL (the when-chain's
+  * null-propagation produced "und", so this expression is
+  * non-nullable and handles null itself). Counts are exact integers on
+  * both forms (the column form's double division is an exact multiple
+  * of the needle length), so the t1/pipe oracles are unchanged. */
+case class LangIdExpr(
+    child: Expression,
+    langs: Seq[String],
+    profiles: Seq[Seq[String]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(langs.length == profiles.length && langs.nonEmpty,
+    "LangIdExpr needs one profile per language")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val langU =
+    langs.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  @transient private lazy val undU =
+    org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  @transient private lazy val profA = profiles.map(_.toArray).toArray
+
+  /** Public for the generated code's call site. */
+  def compute(t: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (t == null) return undU
+    val s = " " + t.toLowerCase.toString + " "
+    var best = 0
+    var bestLang: org.apache.spark.unsafe.types.UTF8String = undU
+    var li = 0
+    while (li < profA.length) {
+      var score = 0
+      val prof = profA(li)
+      var wi = 0
+      while (wi < prof.length) {
+        val w = prof(wi)
+        var from = 0
+        var idx = s.indexOf(w, from)
+        while (idx >= 0) {
+          score += 1
+          from = idx + w.length
+          idx = s.indexOf(w, from)
+        }
+        wi += 1
+      }
+      // strict > keeps the FIRST declared language on ties (the
+      // column form's foldRight pick order)
+      if (score > best) { best = score; bestLang = langU(li) }
+      li += 1
+    }
+    if (best > 0) bestLang else undU
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("langIdExpr", this,
+      classOf[LangIdExpr].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+         |UTF8String ${ev.value} = $ref.compute(${c.isNull} ? null : ${c.value});
+         |boolean ${ev.isNull} = false;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The tower-fusion readout (`graft.ml.TowerFusion`): N pooled tower
   * vectors (each an `array<double>` child — in practice a nested
   * K-mode [[LstmStackLogit]]) concatenated to v, then the collapsed
@@ -1704,6 +1799,11 @@ object GraftSqlBridge {
     ExpressionUtils.column(ConvFrontSeq(
       ExpressionUtils.expression(win), shapes, ws, bs, scales, shifts,
       mix, mixBias, mean, std))
+
+  def langId(text: Column, langs: Seq[String],
+             profiles: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(LangIdExpr(
+      ExpressionUtils.expression(text), langs, profiles))
 
   def fusionDenseLogit(towers: Seq[Column], dims: Seq[Int],
                        fuse: Seq[Double], w1: Seq[Double], b1: Seq[Double],

@@ -22,7 +22,12 @@ class CodegenTripwireSpec extends SparkSpec {
     "ml4c_lstm_attn", "ml4d_lstm_bidir", "ml4e_lstm_fusion",
     "ml4f_conv_pipe", "ml4g_conv3d_pipe", "ml4h_multiclass",
     "ml4i_tower_fusion", "ml5_ensemble", "ml8_rf", "ml10_spec_cnn",
-    "viz1_dataviz_series", "p12_epoch_features", "c5n_native_mag")
+    "viz1_dataviz_series", "p12_epoch_features", "c5n_native_mag",
+    // the round-16 CodegenSweep catches: t1's lang-id tree sat 1.4 KB
+    // under the cliff and pipe3's Project was OVER it (silently
+    // interpreted); all three now ride the native LangIdExpr and this
+    // gate keeps them down
+    "t1_langid", "pipe1_corpus_pipeline", "pipe3_incremental_refresh")
 
   test("no expression-stacked query's whole-stage codegen falls off the 64 KB cliff") {
     val hugeLimit = spark.conf

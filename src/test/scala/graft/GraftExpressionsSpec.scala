@@ -419,6 +419,44 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(exprOf(Array.fill(29)(1.0)).eval(null) == null)
   }
 
+  test("lang_id: native expression == the original column composition; null/tie/zh edges") {
+    import graft.operators.TextAnalysis
+    // the ORIGINAL greatest+when composition, restated inline as the
+    // independent truth side (the form the native expression replaced)
+    def langIdColumnForm(text: org.apache.spark.sql.Column) = {
+      val scores = TextAnalysis.LangProfiles.map { case (l, p) =>
+        (l, TextAnalysis.langScore(text, p)) }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldRight(lit("und")) { case ((l, s), acc) =>
+        when(s === best && s > 0, lit(l)).otherwise(acc)
+      }
+    }
+    val rows = Seq(
+      "The cat and the dog, that is the point of it all",
+      "el que la casa y de la madre",
+      "le chat et les chiens des villes",
+      "der Hund und die Katze ist nicht da",
+      "这是不在的了",
+      // TIE case: ' de ' scores for es AND fr profiles equally
+      " de de de ",
+      "no stopwords here whatsoever xyz",
+      "",
+      null)
+    val df = rows.toDF("text")
+    val both = df.select(
+        TextAnalysis.langId(col("text")).as("native"),
+        langIdColumnForm(col("text")).as("column"))
+      .collect()
+    both.zip(rows).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1),
+        s"'$t': native ${r.getString(0)} != column ${r.getString(1)}")
+    }
+    // null text: BOTH forms yield "und" (the when-chain null-propagates
+    // to the otherwise; the native expression handles null itself)
+    val nulls = both.last
+    assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
+  }
+
   test("fusion_dense_logit: INTERPRETED eval == independent restatement; wrong dim null") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}

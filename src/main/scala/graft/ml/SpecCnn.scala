@@ -476,6 +476,14 @@ object SpecCnn {
             cfg: Config = Config(),
             weightCol: Option[String] = None): SpecCnnModel = {
     import breeze.linalg.{DenseVector => BDV}
+    // fail at TRAINING time on degenerate geometry: a windowSamples <
+    // specSamp yields nSpec = 0 via imageDims, every image is empty
+    // (pLen 0 == nFreq*0 passes the shape require below), and LBFGS
+    // would silently fit a bias-only model — the failure would only
+    // surface later at serving via SpecCnn2dLogit's own require
+    require(nFreq >= 1 && nSpec >= 1,
+      s"degenerate spectrogram geometry nFreq=$nFreq nSpec=$nSpec — " +
+        "window shorter than one spectral slice?")
     val spark = images.sparkSession
     import spark.implicits._
     val wCol = weightCol.map(col).getOrElse(lit(1.0))

@@ -1385,10 +1385,13 @@ case class LangIdExpr(
   * fuse(j·d+i)·v(i) (i ascending), h(r) = b1(r) + Σ_j w1(r·d+j)·
   * fused(j), z = b2 + Σ_r w2(r)·ReLU(h(r)) — so the swap is
   * bit-preserving (ml4i's oracle hash pins it). NULL if any tower
-  * child is NULL or a child's length ≠ its declared dim (the tower
-  * expressions yield NULL on malformed windows; this propagates it).
-  * The arithmetic lives in its own generated method (the 64 KB
-  * hygiene rule). */
+  * child is NULL (the tower expressions yield NULL on malformed
+  * windows; this propagates it). A NON-null child whose length ≠ its
+  * declared dim cannot come from data — dims and the tower children
+  * derive from the same model object — so that case RAISES instead of
+  * nulling every logit silently (a wiring bug should fail the job,
+  * not zero the score column). The arithmetic lives in its own
+  * generated method (the 64 KB hygiene rule). */
 case class FusionDenseLogit(
     children: Seq[Expression],
     dims: Seq[Int],       // pooled dim per tower child
@@ -1425,7 +1428,10 @@ case class FusionDenseLogit(
       val a = children(t).eval(input)
       if (a == null) return null
       val arr = a.asInstanceOf[ArrayData]
-      if (arr.numElements() != dims(t)) return null
+      if (arr.numElements() != dims(t))
+        throw new IllegalStateException(
+          s"fusion_dense_logit tower $t: length ${arr.numElements()} != " +
+            s"declared dim ${dims(t)} — tower wiring out of sync with dims")
       var i = 0
       while (i < dims(t)) { v(offs(t) + i) = arr.getDouble(i); i += 1 }
       t += 1
@@ -1461,7 +1467,8 @@ case class FusionDenseLogit(
       .map(i => s"org.apache.spark.sql.catalyst.util.ArrayData a$i")
       .mkString(", ")
     val gather = children.indices.map { t =>
-      s"""if (a$t.numElements() != ${dims(t)}) return null;
+      s"""if (a$t.numElements() != ${dims(t)}) throw new IllegalStateException(
+         |    "fusion_dense_logit tower $t: length " + a$t.numElements() + " != declared dim ${dims(t)} — tower wiring out of sync with dims");
          |  for (int __i = 0; __i < ${dims(t)}; __i++) __v[${offs(t)} + __i] = a$t.getDouble(__i);""".stripMargin
     }.mkString("\n  ")
     val fnName = ctx.freshName("fusionDense")

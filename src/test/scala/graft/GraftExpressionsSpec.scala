@@ -437,8 +437,11 @@ class GraftExpressionsSpec extends SparkSpec {
       "le chat et les chiens des villes",
       "der Hund und die Katze ist nicht da",
       "这是不在的了",
-      // TIE case: ' de ' scores for es AND fr profiles equally
-      " de de de ",
+      // TIE case: ' la ' is in BOTH the es and fr profiles (and no
+      // other), so es and fr genuinely tie and the cross-language
+      // tiebreak (strict > vs the foldRight pick order → first
+      // declared, es) is what's exercised
+      " la la ",
       "no stopwords here whatsoever xyz",
       "",
       null)
@@ -451,13 +454,16 @@ class GraftExpressionsSpec extends SparkSpec {
       assert(r.getString(0) == r.getString(1),
         s"'$t': native ${r.getString(0)} != column ${r.getString(1)}")
     }
+    // the es/fr tie resolves to the FIRST declared language in both
+    // forms (native first-strict-max == foldRight pick order)
+    assert(both(5).getString(0) == "es" && both(5).getString(1) == "es")
     // null text: BOTH forms yield "und" (the when-chain null-propagates
     // to the otherwise; the native expression handles null itself)
     val nulls = both.last
     assert(nulls.getString(0) == "und" && nulls.getString(1) == "und")
   }
 
-  test("fusion_dense_logit: INTERPRETED eval == independent restatement; wrong dim null") {
+  test("fusion_dense_logit: INTERPRETED eval == independent restatement; wrong dim raises") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val rnd = new scala.util.Random(31)
@@ -490,8 +496,12 @@ class GraftExpressionsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(expected(towers.flatten.toArray)),
         s"trial $i: interpreted eval diverges from the restatement")
     }
-    // a wrong-length tower child propagates NULL, never a wrong logit
-    assert(exprOf(Seq(Array.fill(3)(1.0), Array.fill(1)(1.0),
-      Array.fill(4)(1.0))).eval(null) == null)
+    // a wrong-length tower child is a CONSTRUCTION bug (dims and the
+    // tower children derive from one model object) — it raises rather
+    // than silently nulling every logit
+    intercept[IllegalStateException] {
+      exprOf(Seq(Array.fill(3)(1.0), Array.fill(1)(1.0),
+        Array.fill(4)(1.0))).eval(null)
+    }
   }
 }

@@ -1,0 +1,416 @@
+package graft.config
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.{EventFilterConfig, FeatureExtract}
+import graft.ml.RunSequence
+
+/** The reference's config-JSON entry point, typed.
+  *
+  * The reference engine's "logical plan" IS a JSON config object:
+  * `libosd/configUtils.py` `loadConfig` parses a file, every tool then
+  * optionally splices in a second file via the top-level `osdbCfg`
+  * pointer with Python's dict-union (`configObj | osdbCfgObj`,
+  * `selectData.py:137-142` — SHALLOW, top-level keys only, the
+  * right/osdb side WINS on conflicts), and the merged dict's
+  * `eventFilters` / `dataProcessing` / `modelConfig` sections drive
+  * selection, extraction, augmentation, and model dispatch
+  * (`nnConfig.json`, SURVEY §3). This object parses those SAME files
+  * into the engine's typed configs:
+  *
+  *   - `eventFilters`  → [[graft.operators.EventFilterConfig]] (F5/F6)
+  *     (+ `osdbConfig.invalidEvents` → `invalidIds`, the F4 list —
+  *     `selectData.py:25-34`)
+  *   - `dataProcessing` → [[DataProcessing]] → [[FeatureExtract.Config]]
+  *     + [[RunSequence.Config]] knobs (window/step/highPass/historyN/
+  *     augmentation flags — `extractFeatures.py`, `augmentData.py:483-`,
+  *     `addFeatureHistory.py:243-245`)
+  *   - `modelConfig.modelClass` → the importlib-string dispatch
+  *     ([[RunSequence.NestedCandidate.forModelClass]])
+  *
+  * FAIL-LOUD CONTRACT (the `withKnob` convention): an unknown key in a
+  * CLOSED section (top level, `eventFilters`, `dataProcessing`,
+  * `osdbConfig`) raises with the offending names — a typo'd filter key
+  * must not silently select everything. Exempt are the reference
+  * format's documentation conventions, used throughout its shipped
+  * files: keys starting with `_` (disabled alternates like
+  * `_osdbFiles`), ending `_desc` (inline prose), or starting with `#`
+  * (comment keys, e.g. nnConfig.json's TensorFlow note). `modelConfig`
+  * and `dataFileNames` are OPEN sections by the reference's own
+  * contract — `modelConfig` is the model class's private namespace
+  * (each class reads its own keys via `.get`), `dataFileNames` is the
+  * CSV-stage file naming the engine's lake replaces — so they parse to
+  * maps without key validation.
+  *
+  * Scale note: config parsing is driver-side O(file) and feeds plan
+  * CONSTRUCTION only — nothing here touches the data plane. The typed
+  * configs it produces compile into the same pushable predicates and
+  * plans the hand-built queries use.
+  */
+object ConfigBridge {
+
+  /** A parsed config document: the top-level field map + where it came
+    * from (for error messages). */
+  final case class Doc(fields: Map[String, JValue], source: String) {
+    def section(name: String): Map[String, JValue] = fields.get(name) match {
+      case Some(JObject(fs)) => fs.toMap
+      case Some(other) => throw new IllegalArgumentException(
+        s"$source: '$name' must be an object, got ${other.getClass.getSimpleName}")
+      case None => Map.empty
+    }
+  }
+
+  /** Reference doc-key convention: `_`-prefixed (disabled alternates),
+    * `*_desc` (prose), `#`-prefixed (comments) — present throughout the
+    * shipped files, never read by any tool. */
+  private def isDocKey(k: String): Boolean =
+    k.startsWith("_") || k.endsWith("_desc") || k.startsWith("#")
+
+  private def failUnknown(source: String, section: String,
+                          keys: Iterable[String], known: Set[String]): Unit = {
+    val unknown = keys.filterNot(k => isDocKey(k) || known(k))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$source: unknown ${if (section.isEmpty) "top-level" else s"'$section'"} " +
+          s"key(s) ${unknown.mkString("'", "', '", "'")} — known: " +
+          known.toSeq.sorted.mkString(", "))
+  }
+
+  // ------------------------------------------------------------ loading
+
+  /** `configUtils.loadConfig`: parse one JSON file. Unlike the
+    * reference (which returns None and lets the caller crash later),
+    * parse errors raise HERE with the path. */
+  def load(path: String): Doc = parseDoc(
+    new String(Files.readAllBytes(Paths.get(path)), "UTF-8"), path)
+
+  /** Parse from an in-memory string (tests, classpath resources). */
+  def parseDoc(json: String, source: String): Doc =
+    JsonMethods.parse(json) match {
+      case JObject(fs) => Doc(fs.toMap, source)
+      case other => throw new IllegalArgumentException(
+        s"$source: config root must be a JSON object, got " +
+          other.getClass.getSimpleName)
+    }
+
+  /** Load a classpath resource (the checked-in copy of the reference's
+    * shipped nnConfig.json lives at `/osdb/nnConfig.json`). */
+  def loadResource(resource: String): Doc = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"config resource not found: $resource")
+    try parseDoc(new String(in.readAllBytes(), "UTF-8"), s"classpath:$resource")
+    finally in.close()
+  }
+
+  /** Python's `configObj | osdbCfgObj`: SHALLOW top-level union, the
+    * override side wins whole-key (a section object is REPLACED, not
+    * deep-merged — pinned by ConfigBridgeSpec). */
+  def merge(base: Doc, over: Doc): Doc =
+    Doc(base.fields ++ over.fields, s"${base.source} | ${over.source}")
+
+  /** `loadConfig` + the `osdbCfg` splice (`selectData.py:137-142`): if
+    * the file carries a top-level `osdbCfg` file name, load it and
+    * merge it OVER this file. The reference resolves the name against
+    * the process cwd; a library has no meaningful cwd, so a relative
+    * name resolves against the config file's own directory first and
+    * falls back to cwd (documented deviation — same file layout, no
+    * dependence on where the driver was launched). */
+  def loadMerged(path: String): Doc = {
+    val base = load(path)
+    base.fields.get("osdbCfg") match {
+      case None => base
+      case Some(JString(name)) =>
+        val p = Paths.get(name)
+        val resolved: Path =
+          if (p.isAbsolute) p
+          else {
+            val sibling = Paths.get(path).toAbsolutePath.getParent.resolve(name)
+            if (Files.exists(sibling)) sibling else p
+          }
+        merge(base, load(resolved.toString))
+      case Some(other) => throw new IllegalArgumentException(
+        s"$path: 'osdbCfg' must be a file-name string, got " +
+          other.getClass.getSimpleName)
+    }
+  }
+
+  // ------------------------------------------------------- leaf readers
+
+  private def str(source: String, sec: String, k: String, v: JValue): String =
+    v match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"$source: $sec.$k must be a string, got $other")
+    }
+
+  private def bool(source: String, sec: String, k: String, v: JValue): Boolean =
+    v match {
+      case JBool(b) => b
+      case other => throw new IllegalArgumentException(
+        s"$source: $sec.$k must be a boolean, got $other")
+    }
+
+  private def int(source: String, sec: String, k: String, v: JValue): Int =
+    v match {
+      case JInt(n) => n.toInt
+      case JLong(n) => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$source: $sec.$k must be an integer, got $other")
+    }
+
+  private def dbl(source: String, sec: String, k: String, v: JValue): Double =
+    v match {
+      case JDouble(n) => n
+      case JDecimal(n) => n.toDouble
+      case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$source: $sec.$k must be a number, got $other")
+    }
+
+  private def strList(source: String, sec: String, k: String, v: JValue): Seq[String] =
+    v match {
+      case JArray(xs) => xs.map {
+        case JString(s) => s
+        case JInt(n) => n.toString // userId lists carry bare numbers
+        case JLong(n) => n.toString
+        case other => throw new IllegalArgumentException(
+          s"$source: $sec.$k entries must be strings, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$source: $sec.$k must be a list, got $other")
+    }
+
+  // --------------------------------------------------------- eventFilters
+
+  private val EventFilterKeys = Set(
+    "includeUserIds", "excludeUserIds", "includeTypes", "excludeTypes",
+    "includeSubTypes", "excludeSubTypes", "includeDataSources",
+    "excludeDataSources", "includeText", "excludeText",
+    "require3dData", "requireHrData", "requireO2SatData")
+
+  private val OsdbConfigKeys = Set("cacheDir", "osdbFiles", "invalidEvents")
+
+  /** `eventFilters` section + `osdbConfig.invalidEvents` →
+    * [[EventFilterConfig]]. Missing keys default to "no constraint",
+    * exactly the reference's `.get(..., [])` reads; unknown keys raise. */
+  def eventFilters(doc: Doc): EventFilterConfig = {
+    val sec = doc.section("eventFilters")
+    failUnknown(doc.source, "eventFilters", sec.keys, EventFilterKeys)
+    val osdb = doc.section("osdbConfig")
+    failUnknown(doc.source, "osdbConfig", osdb.keys, OsdbConfigKeys)
+    def sl(k: String): Seq[String] =
+      sec.get(k).map(strList(doc.source, "eventFilters", k, _)).getOrElse(Nil)
+    def bf(k: String): Boolean =
+      sec.get(k).exists(bool(doc.source, "eventFilters", k, _))
+    EventFilterConfig(
+      includeUserIds = sl("includeUserIds"),
+      includeTypes = sl("includeTypes"),
+      includeSubTypes = sl("includeSubTypes"),
+      includeDataSources = sl("includeDataSources"),
+      includeText = sl("includeText"),
+      excludeUserIds = sl("excludeUserIds"),
+      excludeTypes = sl("excludeTypes"),
+      excludeSubTypes = sl("excludeSubTypes"),
+      excludeDataSources = sl("excludeDataSources"),
+      excludeText = sl("excludeText"),
+      require3dData = bf("require3dData"),
+      requireHrData = bf("requireHrData"),
+      requireO2SatData = bf("requireO2SatData"),
+      invalidIds = osdb.get("invalidEvents")
+        .map(strList(doc.source, "osdbConfig", "invalidEvents", _))
+        .getOrElse(Nil))
+  }
+
+  // -------------------------------------------------------- dataProcessing
+
+  /** The `dataProcessing` section, fully typed. Defaults are the
+    * reference's own (each cited read site). Keys the Python runtime
+    * owns (worker pools, pandas chunking) are validated for presence in
+    * the known universe but have no engine meaning — Spark owns its own
+    * parallelism — and are deliberately not represented here. */
+  final case class DataProcessing(
+      window: Int = 125,               // extractFeatures epoch samples
+      step: Int = 125,
+      highPassFreq: Double = 0.0,      // 0 disables (extractFeatures)
+      highPassOrder: Int = 2,          // filtfilt order; engine pins 2
+      historyN: Int = 0,               // addFeatureHistory.py:243-245
+      oversample: String = "none",     // augmentData.py:498
+      undersample: String = "none",
+      noiseAugmentation: Boolean = false,
+      noiseAugmentationFactor: Int = 20,
+      noiseAugmentationValue: Double = 30.0,
+      phaseAugmentation: Boolean = false,
+      phaseAugmentationStep: Int = 1,
+      phaseAugmentationFactor: Option[Int] = None,
+      userAugmentation: Boolean = false,
+      splitTestTrainByEvent: Boolean = true,
+      accSdThreshold: Double = 0.0,
+      testProp: Double = 0.3,
+      validationProp: Double = 0.0,
+      seizureTimeRange: Option[(Int, Int)] = None,
+      features: Seq[String] = Nil,
+      validateDatapoints: Boolean = false,
+      simpleMagnitudeOnly: Boolean = false)
+
+  private val DataProcessingKeys = Set(
+    "window", "step", "highPassFreq", "highPassOrder",
+    "addFeatureHistoryLength", "nHistory", // nHistory: back-compat alias
+    "oversample", "undersample",
+    "noiseAugmentation", "noiseAugmentationFactor", "noiseAugmentationValue",
+    "phaseAugmentation", "phaseAugmentationStep", "phaseAugmentationFactor",
+    "userAugmentation", "splitTestTrainByEvent", "accSdThreshold",
+    "testProp", "validationProp", "seizureTimeRange", "features",
+    "validateDatapoints", "simpleMagnitudeOnly",
+    // python-runtime knobs: validated as known, no engine meaning
+    "worker_count", "batch_size", "stream_chunksize", "stream_low_memory",
+    "stream_dtype_map", "progress_interval", "debug")
+
+  def dataProcessing(doc: Doc): DataProcessing = {
+    val sec = doc.section("dataProcessing")
+    failUnknown(doc.source, "dataProcessing", sec.keys, DataProcessingKeys)
+    val src = doc.source
+    // JSON null == Python None == "knob disabled, take the default":
+    // every reference read is `.get(k, default)` followed by a
+    // truthiness or `is not None` guard (augmentData.py:545,
+    // extractFeatures.py) — the shipped deep-pytorch file carries
+    // "highPassFreq": null with exactly that meaning
+    def get(k: String): Option[JValue] =
+      sec.get(k).filter(_ != JNull)
+    def i(k: String, d: Int) = get(k).map(int(src, "dataProcessing", k, _)).getOrElse(d)
+    def n(k: String, d: Double) = get(k).map(dbl(src, "dataProcessing", k, _)).getOrElse(d)
+    def b(k: String, d: Boolean) = get(k).map(bool(src, "dataProcessing", k, _)).getOrElse(d)
+    def s(k: String, d: String) =
+      get(k).map(str(src, "dataProcessing", k, _)).getOrElse(d)
+    val range = get("seizureTimeRange").map {
+      case JArray(List(a, b2)) =>
+        (int(src, "dataProcessing", "seizureTimeRange", a),
+          int(src, "dataProcessing", "seizureTimeRange", b2))
+      case other => throw new IllegalArgumentException(
+        s"$src: dataProcessing.seizureTimeRange must be [lo, hi], got $other")
+    }
+    DataProcessing(
+      window = i("window", 125),
+      step = i("step", 125),
+      highPassFreq = n("highPassFreq", 0.0),
+      highPassOrder = i("highPassOrder", 2),
+      // addFeatureHistoryLength wins over the legacy nHistory alias
+      // (addFeatureHistory.py:243-245), both absent -> 0 (disabled)
+      historyN = get("addFeatureHistoryLength")
+        .map(int(src, "dataProcessing", "addFeatureHistoryLength", _))
+        .getOrElse(i("nHistory", 0)),
+      oversample = s("oversample", "none").toLowerCase,
+      undersample = s("undersample", "none").toLowerCase,
+      noiseAugmentation = b("noiseAugmentation", d = false),
+      noiseAugmentationFactor = i("noiseAugmentationFactor", 20),
+      noiseAugmentationValue = n("noiseAugmentationValue", 30.0),
+      phaseAugmentation = b("phaseAugmentation", d = false),
+      phaseAugmentationStep = i("phaseAugmentationStep", 1),
+      phaseAugmentationFactor = get("phaseAugmentationFactor")
+        .map(int(src, "dataProcessing", "phaseAugmentationFactor", _)),
+      userAugmentation = b("userAugmentation", d = false),
+      splitTestTrainByEvent = b("splitTestTrainByEvent", d = true),
+      accSdThreshold = n("accSdThreshold", 0.0),
+      testProp = n("testProp", 0.3),
+      validationProp = n("validationProp", 0.0),
+      seizureTimeRange = range,
+      features = get("features")
+        .map(strList(src, "dataProcessing", "features", _)).getOrElse(Nil),
+      validateDatapoints = b("validateDatapoints", d = false),
+      simpleMagnitudeOnly = b("simpleMagnitudeOnly", d = false))
+  }
+
+  // ------------------------------------------------------- typed targets
+
+  /** `dataProcessing` → the extraction kernel config. The engine's
+    * filtfilt is the reference's order-2 Butterworth
+    * ([[graft.functions.Filters]]); a config asking for a different
+    * order fails loudly rather than silently filtering differently. */
+  def featureExtractConfig(dp: DataProcessing,
+                           sampleFreq: Double = 25.0): FeatureExtract.Config = {
+    require(dp.highPassOrder == 2,
+      s"highPassOrder ${dp.highPassOrder}: the engine implements the " +
+        "reference's order-2 Butterworth filtfilt only (Filters.scala)")
+    FeatureExtract.Config(
+      window = dp.window, step = dp.step,
+      highPassHz = dp.highPassFreq, sampleFreq = sampleFreq)
+  }
+
+  /** `dataProcessing` → the runSequence skeleton knobs. `k` stays a
+    * caller argument — the reference takes fold count from the CLI
+    * (`runSequence.py:801 args['kfold']`), not the config file; same
+    * for `tcAugFac` (`augmentData.py:919 args['tc_factor']`).
+    *
+    * `oversample` mapping: "none"/null → factor 1 (no copies). The
+    * resampling modes ("random"/"smote") balance classes to a
+    * DATA-DEPENDENT ratio (imblearn fit_resample,
+    * `augmentData.py:562-575`) — that is [[graft.operators.Augment]]'s
+    * runtime job, not a plan-time constant — so the skeleton's
+    * closed-form multiplier keeps the engine default (×2, the
+    * reference corpus's typical seizure:non-seizure balance point)
+    * and the full pipelines apply the real samplers. */
+  def runSequenceConfig(dp: DataProcessing, k: Int,
+                        tcAugFac: Int = 0): RunSequence.Config =
+    RunSequence.Config(
+      k = k,
+      oversampleFactor = if (dp.oversample == "none") 1 else 2,
+      tcAugFac = tcAugFac,
+      historyN = math.max(dp.historyN, 1), // historyN 0 = disabled = keep rows
+      extract = featureExtractConfig(dp))
+
+  // ---------------------------------------------------------- modelConfig
+
+  /** `modelConfig` is the model class's OPEN namespace (each class
+    * reads its own keys via `.get` — rfModel reads n_estimators,
+    * the TF classes read the lr schedule, etc.), so no key validation;
+    * returned raw for per-family constructors. */
+  def modelConfig(doc: Doc): Map[String, JValue] = doc.section("modelConfig")
+
+  /** The importlib dispatch string (`modelConfig.modelClass`,
+    * nnConfig.json:174) — feed to
+    * [[RunSequence.NestedCandidate.forModelClass]], which owns the
+    * known-registry fail-loud. */
+  def modelClass(doc: Doc): String =
+    modelConfig(doc).get("modelClass") match {
+      case Some(JString(s)) => s
+      case Some(other) => throw new IllegalArgumentException(
+        s"${doc.source}: modelConfig.modelClass must be a string, got $other")
+      case None => throw new IllegalArgumentException(
+        s"${doc.source}: modelConfig.modelClass missing — nothing to train")
+    }
+
+  /** `modelConfig.subtypeWeights` (the M13 surface,
+    * `subtype_weighting.py:13-25`); absent → unweighted. */
+  def subtypeWeights(doc: Doc): Map[String, Double] =
+    modelConfig(doc).get("subtypeWeights") match {
+      case None => Map.empty
+      case Some(JObject(fs)) =>
+        fs.map { case (k, v) =>
+          k -> dbl(doc.source, "modelConfig.subtypeWeights", k, v) }.toMap
+      case Some(other) => throw new IllegalArgumentException(
+        s"${doc.source}: modelConfig.subtypeWeights must be an object, got $other")
+    }
+
+  /** Top-level key validation + `randomSeed`. Sections validate lazily
+    * (each accessor), the top level validates here. */
+  private val TopKeys = Set(
+    "debug", "randomSeed", "osdbCfg", "osdbConfig", "dataFileNames",
+    "eventFilters", "dataProcessing", "modelConfig",
+    "modelType", "modelBackend")
+
+  def validateTop(doc: Doc): Doc = {
+    failUnknown(doc.source, "", doc.fields.keys, TopKeys)
+    doc
+  }
+
+  def randomSeed(doc: Doc): Option[Long] =
+    doc.fields.get("randomSeed").map {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => throw new IllegalArgumentException(
+        s"${doc.source}: randomSeed must be an integer, got $other")
+    }
+}

@@ -578,8 +578,18 @@ object RunSequence {
       * to the class it configures. */
     def forModelClass(modelClass: String,
                       subtypeWeights: Map[String, Double] = Map.empty,
-                      windowSamples: Int = 750): NestedCandidate =
-      modelClass match {
+                      windowSamples: Int = 750): NestedCandidate = {
+      // the reference accepts a FULL module path and splits on dots —
+      // module '.'.join(parts[:-1]), class parts[-1]
+      // (nnTrainer.load_model_class, nnTrainer.py:269-274: the shipped
+      // deep-pytorch config carries
+      // 'user_tools.nnTraining2.deepEpiCnnModel.DeepEpiCnnModel') —
+      // so the registry keys on the LEAF module + class pair
+      val parts = modelClass.split('.')
+      require(parts.length >= 2,
+        s"modelClass '$modelClass' must be a module path and class " +
+          "name, e.g. 'mod.submod.ClassName' (nnTrainer.py:270-271)")
+      parts.takeRight(2).mkString(".") match {
         case "rfModel.RfModel" => // the shipping default (nnConfig.json:174)
           features(modelClass)(rfFamily(subtypeWeights = subtypeWeights))
         case "nnModel.NnModel" => // the base class trains the MLP skeleton
@@ -605,6 +615,7 @@ object RunSequence {
               "deepEpiCnnModel_torch.DeepEpiCnnModelPyTorch, " +
               "specCnnModel.SpecCnnModel")
       }
+    }
   }
 
   /** NESTED k-fold validation — the reference's answer to

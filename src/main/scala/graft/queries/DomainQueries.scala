@@ -1561,6 +1561,94 @@ object DomainQueries {
       |SELECT f, 'guard', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
       |FROM foldsml""".stripMargin
 
+  /** CFG1 — the CONFIG-JSON entry point under the oracle gate
+    * ([[graft.config.ConfigBridge]], the last parity surface from the
+    * round-16 verdict): the reference's own shipped `nnConfig.json`
+    * (checked-in verbatim at `/osdb/nnConfig.json`;
+    * `user_tools/nnTraining2/nnConfig.json`) drives the ml2 skeleton
+    * END TO END — `eventFilters` compiles to the F5/F6 predicate
+    * (require3dData=true → k%4≠1; excludeDataSources "Phone" substring-
+    * matches the fixture's PhoneApp → k%4≠2; excludeText probes the
+    * null-desc path; excludeSubTypes matches nothing by content),
+    * `dataProcessing` supplies window/step/highPass (125/125/0.5 —
+    * the extraction kernel config), addFeatureHistoryLength=5 → the
+    * W7 drop is 4 rows per event (vs ml2's 2 — a bridge that ignored
+    * the file and used engine defaults breaks the hash), and
+    * oversample="none" → multiplier 1 (train_aug == train, vs the
+    * engine default ×2 — same tripwire). `modelConfig.modelClass`
+    * resolves through [[graft.ml.RunSequence.NestedCandidate
+    * .forModelClass]] and the resolved (class, basis) pair is emitted
+    * as a receipt row the oracle pins as a constant — if the file's
+    * modelClass changed, the Spark side would emit a different string.
+    *
+    * The oracle restates the config's effect from the fixture's closed
+    * forms: selection k%4∉{1,2}, epochs = GREATEST(n_dp − 4, 0)
+    * (historyN 5; n_dp = 4+k%5 ∈ 4..8, so the 0-epoch branch is
+    * exercised at n_dp=4), fold = knuthHash32(e) % 3, guard ≡ 0. */
+  def cfg1ConfigBridge(s: SparkSession, d: String): DataFrame = {
+    import graft.config.ConfigBridge
+    val doc = ConfigBridge.validateTop(ConfigBridge.loadResource("/osdb/nnConfig.json"))
+    val efc = ConfigBridge.eventFilters(doc)
+    val dp = ConfigBridge.dataProcessing(doc)
+    val cfg = ConfigBridge.runSequenceConfig(dp, k = 3)
+    // the importlib-string dispatch must RESOLVE (fail-loud wiring);
+    // the receipt row pins which family+basis the file selected
+    val cand = graft.ml.RunSequence.NestedCandidate.forModelClass(
+      ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
+    val events = OsdbFixture.ev(s, d).select(
+      col("e").as("id"), col("u").as("userId"),
+      col("type_str").as("type"), col("sub_type").as("subType"),
+      col("data_source").as("dataSourceName"),
+      lit(null).cast("string").as("desc"),
+      (col("k") % 4 =!= 1).as("has3dData"),
+      // honest any-datapoint flags from the fixture's closed forms
+      // (not consulted by the shipped config's require*=false, but
+      // real if a config flips them)
+      expr("exists(sequence(0L, n_dp - 1), dd -> (k + dd) % 4 >= k % 5)")
+        .as("hasHrData"),
+      expr("exists(sequence(0L, n_dp - 1), dd -> (k*2 + dd) % 6 >= k % 7)")
+        .as("hasO2SatData"))
+    val dps = OsdbFixture.flatDps(s, d,
+      where = col("k") % 4 =!= 1 && col("k") % 4 =!= 2)
+    val skel = graft.ml.RunSequence.skeleton(
+      events, dps,
+      select = EventFilters.compile(efc),
+      foldOf = Exact.knuthHash32(col("id")) % 3,
+      cfg = cfg)
+    val receipt = s.range(1).select(
+      lit(-1L).as("fold"),
+      lit(s"model_class:${cand.name}:${cand.basis}").as("stage"),
+      lit(0L).as("n_events"), lit(0L).as("n_epochs"))
+    skel.unionByName(receipt)
+  }
+
+  val cfg1Sql: String = sqlBase +
+    """, ndpc AS (
+      |  SELECT e, MAX(d) - MIN(d) + 1 AS ndp2
+      |  FROM dpx WHERE k % 4 NOT IN (1, 2)
+      |  GROUP BY e),
+      |selcfg AS (
+      |  SELECT ev.e, ((ev.e * 2654435761) % 4294967296) % 3 AS fold,
+      |         GREATEST(ndp2 - 4, 0) AS nep
+      |  FROM ev JOIN ndpc ON ev.e = ndpc.e
+      |  WHERE ev.k % 4 NOT IN (1, 2)),
+      |foldc AS (SELECT unnest(range(0, 3)) AS f)
+      |SELECT f AS fold, 'train' AS stage, COUNT(*) AS n_events,
+      |       CAST(SUM(nep) AS BIGINT) AS n_epochs
+      |FROM selcfg, foldc WHERE fold <> f GROUP BY f
+      |UNION ALL
+      |SELECT f, 'train_aug', COUNT(*), CAST(SUM(nep) AS BIGINT)
+      |FROM selcfg, foldc WHERE fold <> f GROUP BY f
+      |UNION ALL
+      |SELECT f, 'test', COUNT(*), CAST(SUM(nep) AS BIGINT)
+      |FROM selcfg, foldc WHERE fold = f GROUP BY f
+      |UNION ALL
+      |SELECT f, 'guard', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM foldc
+      |UNION ALL
+      |SELECT -1, 'model_class:rfModel.RfModel:features',
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
+
   /** The ml3 network: FIXED small-integer weights (3 filters × width
     * 4) so that, over the fixture's integer magnitude samples, every
     * intermediate of the real CNN forward pass — conv sums, ReLU'd
@@ -4070,6 +4158,7 @@ object DomainQueries {
     "rpt2_user_summary" -> (rpt2UserSummary _),
     "ml1_auroc"         -> (ml1Auroc _),
     "ml2_run_sequence"  -> (ml2RunSequence _),
+    "cfg1_config_bridge" -> (cfg1ConfigBridge _),
     "ml3_cnn_forward"   -> (ml3CnnForward _),
     "ml4_lstm_forward"  -> (ml4LstmForward _),
     "ml4b_lstm_stack"   -> (ml4bLstmStackForward _),
@@ -4167,6 +4256,7 @@ object DomainQueries {
     "rpt2_user_summary" -> rpt2Sql,
     "ml1_auroc"         -> ml1Sql,
     "ml2_run_sequence"  -> ml2Sql,
+    "cfg1_config_bridge" -> cfg1Sql,
     "ml3_cnn_forward"   -> ml3Sql,
     "ml4_lstm_forward"  -> ml4Sql,
     "ml4b_lstm_stack"   -> ml4bSql,

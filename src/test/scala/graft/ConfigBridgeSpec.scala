@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ConfigBridge
+import graft.config.ConfigBridge.Doc
+import org.json4s._
+
+/** The config-JSON entry point ([[ConfigBridge]]): the reference's
+  * `loadConfig` + `configObj | osdbCfgObj` merge (`libosd/
+  * configUtils.py`, `selectData.py:137-142`) parsed into the engine's
+  * typed configs, with the fail-loud unknown-key contract. The
+  * END-TO-END wiring (shipped nnConfig.json → EventFilters →
+  * skeleton → forModelClass) is the ORACLED cfg1_config_bridge query;
+  * this spec pins the parse/merge laws themselves. */
+class ConfigBridgeSpec extends AnyFunSuite {
+
+  private def doc(json: String, src: String = "test"): Doc =
+    ConfigBridge.parseDoc(json, src)
+
+  // --------------------------------------------------------------- merge
+
+  test("merge is Python dict-union: SHALLOW, override side wins whole-key") {
+    val base = doc("""{"a": 1, "eventFilters": {"includeTypes": ["x"],
+                      "excludeTypes": ["y"]}, "keep": "base"}""")
+    val over = doc("""{"eventFilters": {"includeTypes": ["z"]}, "new": 2}""")
+    val m = ConfigBridge.merge(base, over)
+    // untouched key survives; new key arrives
+    assert(m.fields("a") == JInt(1) && m.fields("new") == JInt(2))
+    assert(m.fields("keep") == JString("base"))
+    // the SECTION is REPLACED wholesale, not deep-merged: base's
+    // excludeTypes is GONE (configObj | osdbCfgObj is a top-level
+    // union — Python's | does not recurse)
+    val ef = m.section("eventFilters")
+    assert(ef.get("includeTypes").contains(JArray(List(JString("z")))))
+    assert(!ef.contains("excludeTypes"),
+      "shallow merge must replace the whole section object")
+  }
+
+  test("loadMerged follows the osdbCfg pointer; the osdb side WINS") {
+    val dir = Files.createTempDirectory("cfgbridge").toFile
+    dir.deleteOnExit()
+    val osdb = new java.io.File(dir, "osdbCfg.json")
+    Files.write(osdb.toPath,
+      """{"eventFilters": {"excludeTypes": ["osdb-wins"]},
+         "randomSeed": 99}""".getBytes("UTF-8"))
+    val main = new java.io.File(dir, "nnConfig.json")
+    Files.write(main.toPath,
+      """{"osdbCfg": "osdbCfg.json", "randomSeed": 1,
+         "eventFilters": {"excludeTypes": ["main-loses"]}}""".getBytes("UTF-8"))
+    val m = ConfigBridge.loadMerged(main.getPath)
+    assert(ConfigBridge.randomSeed(m).contains(99L))
+    assert(ConfigBridge.eventFilters(m).excludeTypes == Seq("osdb-wins"))
+    // no pointer -> identity
+    val alone = ConfigBridge.loadMerged(osdb.getPath)
+    assert(ConfigBridge.randomSeed(alone).contains(99L))
+  }
+
+  // ----------------------------------------------------------- fail-loud
+
+  test("unknown keys raise with the offending names (closed sections)") {
+    // eventFilters: a typo'd filter key must not silently select everything
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigBridge.eventFilters(doc("""{"eventFilters": {"excludeSubType": ["x"]}}"""))
+    }
+    assert(e1.getMessage.contains("excludeSubType"))
+    // dataProcessing
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigBridge.dataProcessing(doc("""{"dataProcessing": {"widnow": 125}}"""))
+    }
+    assert(e2.getMessage.contains("widnow"))
+    // top level
+    val e3 = intercept[IllegalArgumentException] {
+      ConfigBridge.validateTop(doc("""{"eventFilterss": {}}"""))
+    }
+    assert(e3.getMessage.contains("eventFilterss"))
+  }
+
+  test("reference doc-key conventions are exempt from fail-loud") {
+    // _-prefixed alternates, *_desc prose, #-comment keys — all present
+    // in the shipped files, never read by any reference tool
+    val d = doc("""{"eventFilters_desc": "prose", "_disabled": 1,
+                    "eventFilters": {"_includeTypes": ["off"],
+                    "includeTypes_desc": "prose", "# note": "hi",
+                    "includeTypes": ["Seizure"]},
+                    "dataProcessing": {"_all_features": ["x"], "window": 50}}""")
+    ConfigBridge.validateTop(d)
+    assert(ConfigBridge.eventFilters(d).includeTypes == Seq("Seizure"))
+    assert(ConfigBridge.dataProcessing(d).window == 50)
+  }
+
+  // --------------------------------------------------------------- typing
+
+  test("dataProcessing: defaults, nHistory alias, null oversample") {
+    val empty = ConfigBridge.dataProcessing(doc("""{}"""))
+    assert(empty.window == 125 && empty.step == 125 &&
+      empty.historyN == 0 && empty.oversample == "none")
+    // legacy alias (addFeatureHistory.py:243-245): nHistory read only
+    // when addFeatureHistoryLength is absent
+    val alias = ConfigBridge.dataProcessing(
+      doc("""{"dataProcessing": {"nHistory": 3}}"""))
+    assert(alias.historyN == 3)
+    val both = ConfigBridge.dataProcessing(
+      doc("""{"dataProcessing": {"nHistory": 3, "addFeatureHistoryLength": 7}}"""))
+    assert(both.historyN == 7)
+    // "oversample": null is the reference's "none" (augmentData.py:545
+    // guards `is not None` before lowercasing)
+    val nul = ConfigBridge.dataProcessing(
+      doc("""{"dataProcessing": {"oversample": null, "undersample": "RANDOM"}}"""))
+    assert(nul.oversample == "none" && nul.undersample == "random")
+  }
+
+  test("featureExtractConfig pins the order-2 filtfilt; other orders raise") {
+    val dp = ConfigBridge.dataProcessing(doc(
+      """{"dataProcessing": {"window": 100, "step": 50, "highPassFreq": 0.7,
+          "highPassOrder": 2}}"""))
+    val fe = ConfigBridge.featureExtractConfig(dp)
+    assert(fe.window == 100 && fe.step == 50 && fe.highPassHz == 0.7)
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.featureExtractConfig(dp.copy(highPassOrder = 4))
+    }
+    assert(e.getMessage.contains("order"))
+  }
+
+  test("runSequenceConfig: oversample mapping and historyN floor") {
+    val none = ConfigBridge.runSequenceConfig(
+      ConfigBridge.dataProcessing(doc("""{}""")), k = 3)
+    assert(none.oversampleFactor == 1 && none.historyN == 1 && none.k == 3)
+    val rnd = ConfigBridge.runSequenceConfig(
+      ConfigBridge.dataProcessing(
+        doc("""{"dataProcessing": {"oversample": "random",
+                "addFeatureHistoryLength": 5}}""")), k = 4, tcAugFac = 1)
+    assert(rnd.oversampleFactor == 2 && rnd.historyN == 5 &&
+      rnd.k == 4 && rnd.tcAugFac == 1)
+  }
+
+  test("modelConfig is an OPEN namespace; modelClass + subtypeWeights typed") {
+    val d = doc("""{"modelConfig": {"modelClass": "rfModel.RfModel",
+                    "n_estimators": 100, "anyKeyAtAll": true,
+                    "subtypeWeights": {"tonicClonic": 2.5, "other": 1}}}""")
+    assert(ConfigBridge.modelClass(d) == "rfModel.RfModel")
+    assert(ConfigBridge.subtypeWeights(d) ==
+      Map("tonicClonic" -> 2.5, "other" -> 1.0))
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.modelClass(doc("""{"modelConfig": {}}"""))
+    }
+    assert(e.getMessage.contains("modelClass"))
+  }
+
+  // ------------------------------------------------- shipped files parse
+
+  test("all three shipped reference configs parse end-to-end") {
+    // the main shipped file (also the cfg1 driver) from the MAIN
+    // classpath; the tf-test and deep-pytorch variants from test
+    // resources — full top-level validation + every typed section
+    val main = ConfigBridge.validateTop(
+      ConfigBridge.loadResource("/osdb/nnConfig.json"))
+    val ef = ConfigBridge.eventFilters(main)
+    assert(ef.require3dData && !ef.requireHrData)
+    assert(ef.excludeDataSources == Seq("Phone", "AndroidWear"))
+    assert(ef.excludeText == Seq("bulk type/subtype set"))
+    val dp = ConfigBridge.dataProcessing(main)
+    assert(dp.window == 125 && dp.step == 125 && dp.highPassFreq == 0.5 &&
+      dp.historyN == 5 && dp.oversample == "none" &&
+      dp.undersample == "random" && dp.seizureTimeRange.contains((-20, 20)) &&
+      dp.features.size == 15)
+    assert(ConfigBridge.modelClass(main) == "rfModel.RfModel")
+    assert(ConfigBridge.randomSeed(main).contains(42L))
+    // the dispatch string resolves in the engine registry
+    val cand = graft.ml.RunSequence.NestedCandidate
+      .forModelClass(ConfigBridge.modelClass(main))
+    assert(cand.basis == "features")
+
+    // the reference dispatch splits a FULL module path on dots
+    // (nnTrainer.load_model_class:269-274) — the deep-pytorch shipped
+    // file carries the fully-qualified form; a bare class name raises
+    assert(graft.ml.RunSequence.NestedCandidate.forModelClass(
+      "user_tools.nnTraining2.rfModel.RfModel").basis == "features")
+    intercept[IllegalArgumentException] {
+      graft.ml.RunSequence.NestedCandidate.forModelClass("RfModel")
+    }
+
+    for (r <- Seq("/osdb/nnConfig_test.json", "/osdb/nnConfig_deep_pytorch.json")) {
+      val d = ConfigBridge.validateTop(ConfigBridge.loadResource(r))
+      ConfigBridge.eventFilters(d)
+      val p = ConfigBridge.dataProcessing(d)
+      assert(p.window > 0 && p.step > 0)
+      // each shipped variant's modelClass resolves in the registry
+      val c = graft.ml.RunSequence.NestedCandidate
+        .forModelClass(ConfigBridge.modelClass(d))
+      assert(c.basis.nonEmpty)
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DomainQueries, RelationalQueries}
+import graft.queries.{DomainQueries, LakeQueries, RelationalQueries, SpectralQueries}
 
 /** Physical-plan audits: the 100 TB story depends on WHICH plan Catalyst
   * picks, not just on results matching. These pin the load-bearing plan
@@ -80,7 +80,7 @@ class PlanSpec extends SparkSpec {
   test("band-power over tone datapoints is shuffle-free: scan -> generate -> project (P4)") {
     // the per-datapoint DFT is embarrassingly parallel — any Exchange
     // here would mean the fixture or the kernel accidentally grouped
-    val p = plan(DomainQueries.p4BandPower(spark, sf))
+    val p = plan(SpectralQueries.p4BandPower(spark, sf))
     val n = "Exchange".r.findAllIn(p).size
     assert(n == 0, s"expected no Exchange, found $n:\n${p.take(3000)}")
   }
@@ -88,7 +88,7 @@ class PlanSpec extends SparkSpec {
   test("epoch feature extraction is one grouping shuffle (P12/W5)") {
     // groupByKey(eventId).flatMapGroups over map-side fixture generation:
     // exactly one hash exchange on the event key, like the W8 buffer
-    val p = plan(DomainQueries.p12EpochFeatures(spark, sf))
+    val p = plan(SpectralQueries.p12EpochFeatures(spark, sf))
     val n = "Exchange".r.findAllIn(p).size
     assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
   }
@@ -119,8 +119,8 @@ class PlanSpec extends SparkSpec {
     // read must hit the partition index, not scan+filter — at 100 TB this
     // is the difference between reading one directory and reading all.
     // Pin the EXACT read DataFrame the declared lake1 entry executes.
-    val dir = graft.queries.DomainQueries.lake1Write(spark, sf)
-    val p = plan(graft.queries.DomainQueries.lake1Read(spark, dir))
+    val dir = graft.queries.LakeQueries.lake1Write(spark, sf)
+    val p = plan(graft.queries.LakeQueries.lake1Read(spark, dir))
     // loose match on purpose: the exact explain rendering (filter
     // order, isnotnull inclusion) varies across Spark versions — the
     // invariant is a non-empty PartitionFilters naming the category
@@ -134,8 +134,8 @@ class PlanSpec extends SparkSpec {
     // sort-merge join must consume the bucket layout directly — an
     // Exchange on user_id means the write-time shuffle is being paid
     // AGAIN at read time and the layout is dead weight.
-    val (evT, dimT) = DomainQueries.lake2Write(spark, sf)
-    val p = plan(DomainQueries.lake2Read(spark, evT, dimT))
+    val (evT, dimT) = LakeQueries.lake2Write(spark, sf)
+    val p = plan(LakeQueries.lake2Read(spark, evT, dimT))
     assert("Bucketed: true".r.findAllIn(p).size == 2,
       s"expected both scans bucketed in:\n${p.take(3000)}")
     assert(p.contains("SortMergeJoin"),
@@ -378,7 +378,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("lake7 ORC read prunes partitions: the category filter never scans other dirs") {
-    val p = plan(graft.queries.DomainQueries.lake7Orc(spark, sf))
+    val p = plan(graft.queries.LakeQueries.lake7Orc(spark, sf))
     assert(p.contains("PartitionFilters") && p.contains("category"),
       s"ORC partition pruning lost:\n${p.take(3000)}")
   }

@@ -82,6 +82,33 @@ object GiantEventProbe {
       uniform.unpersist(); both.unpersist()
     }
 
+    // the P14→P12 fused extraction lineage (FeatureExtract.extract with
+    // validate=true — the exact per-event flatMapGroups the ml2/cfg1
+    // skeleton and every training path run): the third per-event-linear
+    // surface of SURVEY §7.4 risk 6, unmeasured until round 17. The
+    // giant event's epochs are windowed (window=step=125), so the work
+    // is ~linear in dps; the question is the straggler TAIL (one task
+    // owns all 8,000 windows: DFT + Welch + filtfilt per window).
+    if (mode == "extract" || mode == "both") {
+      val uniform = spark.createDataset(
+        (0 until nUniform).flatMap(e => flat(s"E$e", e, uniformDps)))
+        .repartition(cpus.toInt).cache()
+      uniform.count()
+      val both = uniform.unionByName(
+        spark.createDataset(flat("GIANT", 999999L, giantDps))).cache()
+      both.count()
+      def extract(ds: Dataset[FlatDp], tag: String): Unit = {
+        val t = time(tag) {
+          graft.operators.FeatureExtract.extract(ds, validate = true)
+            .toDF().queryExecution.toRdd.count()
+        }
+        System.err.println(f"[giant] $tag min: $t%.2f s")
+      }
+      extract(uniform, s"extract uniform($nUniform x $uniformDps dps)")
+      extract(both, s"extract uniform+giant($giantDps dps)")
+      uniform.unpersist(); both.unpersist()
+    }
+
     if (mode == "replay" || mode == "both") {
       val uniform = spark.createDataset(
         (0 until nUniform).flatMap(e => rdp(s"E$e", e, uniformDps)))

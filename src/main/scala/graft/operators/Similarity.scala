@@ -487,6 +487,93 @@ object Similarity {
         col("score"))
   }
 
+  /** HARD-NEGATIVE MINING at scale: per anchor, the top-k most-similar
+    * vectors carrying a DIFFERENT label — the contrastive-training
+    * mining step — through [[ivfKnn]]'s coarse quantizer instead of the
+    * brute cross join. The exact form (e11) scores every
+    * (anchor, opposite-label) pair: with the anchor set a fixed
+    * fraction of the corpus that is O(N²) BY CONSTRUCTION (measured
+    * decade exponent 1.31 at the r17 sf0.1→sf1 leg), which no plan
+    * shape fixes — the candidate GENERATION has to become sub-linear.
+    * This operator reuses the measured IVF machinery verbatim
+    * (spherical-Lloyd quantizer, one inverted list per vector,
+    * O(N·nprobe) probe rows, bucket-local scoring, WindowGroupLimit
+    * top-k): the only semantic delta is the entry predicate — the
+    * scoring join keeps CROSS-LABEL pairs where ivfKnn drops the self
+    * pair. Same knob law as ivfKnn (nlist = 0 derives ⌈√N⌉, nprobe = 0
+    * derives max(4, ⌈√nlist⌉) — O(N^0.75) scored pairs at held
+    * recall); recall caveat: a hard negative is by definition NEAR the
+    * anchor, the regime where IVF recall is highest (the e7 design
+    * gates measure exactly this band).
+    *
+    * Kept as its own method rather than a flag on ivfKnn: the pinned
+    * e4/e5/e7 oracle hashes gate ivfKnn's exact plan, and threading a
+    * label column through it would change the shuffled row shape for
+    * every caller that has no label. */
+  def hardNegativesAnn(vectors: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, dim: Int, k: Int,
+                       nlist: Int = 0, nprobe: Int = 0,
+                       sampleSize: Int = 2048, iters: Int = 5,
+                       listShards: Int = 8,
+                       anchorPred: Column = lit(true)): DataFrame = {
+    require(nlist >= 0,
+      s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
+    require(nprobe >= 0,
+      s"nprobe must be >= 1, or 0 to derive max(4, ceil(sqrt(nlist))); got $nprobe")
+    val nl =
+      if (nlist > 0) {
+        if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
+        nlist
+      } else math.min(sqrtKnob(vectors.count()), sampleSize)
+    val np = math.min(
+      if (nprobe > 0) nprobe
+      else if (nlist > 0) 4
+      else math.max(4, sqrtKnob(nl.toLong)), nl)
+    val spark = vectors.sparkSession
+    val base = vectors
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v"))))
+    val sample = unitSample(base, sampleSize, "hardNegativesAnn")
+    val centroids = sphericalLloyd(sample, nl, dim, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Double]) => nearestDot(v.toArray, bc.value) }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      val scored = Array.tabulate(cs.length) { c =>
+        var d = 0.0; var j = 0
+        val m = math.min(arr.length, cs(c).length)
+        while (j < m) { d += arr(j) * cs(c)(j); j += 1 }
+        (c, d)
+      }
+      scored.sortBy { case (c, d) => (-d, c) }.take(np).map(_._1)
+    }
+    val lists = base
+      .select(col("id"), col("lbl"), col("v"), col("nrm"),
+        assignUdf(col("v")).as("lst"),
+        pmod(col("id"), lit(listShards.toLong)).as("shard"))
+      .groupBy("lst", "shard")
+      .agg(collect_list(
+        struct(col("id"), col("lbl"), col("v"), col("nrm"))).as("entries"))
+    val queries = base.filter(anchorPred)
+      .select(col("id"), col("lbl"), col("v"), col("nrm"),
+        explode(probeUdf(col("v"))).as("lst"))
+    val scored = queries.join(lists, "lst")
+      .select(col("id"), col("lbl"), col("v"), col("nrm"),
+        explode(col("entries")).as("e"))
+      .filter(col("e.lbl") =!= col("lbl")) // cross-label subsumes self-exclusion
+      .select(col("id"), col("e.id").as("nid"),
+        (graft.plans.GraftExpressions.arrayDot(col("v"), col("e.v"))
+          / (col("nrm") * col("e.nrm"))).as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as("vec_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("score"))
+  }
+
   /** IVF-PQ ANN (the FAISS IVFADC shape) — the COMPRESSION layer on top
     * of [[ivfKnn]]'s coarse quantizer, and the configuration a 100 TB
     * vector corpus actually deploys: the inverted lists store ONE int of

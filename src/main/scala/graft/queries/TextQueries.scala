@@ -1013,6 +1013,56 @@ object TextQueries {
       |      FROM p)
       |WHERE rank <= 2""".stripMargin
 
+  /** E12 — hard-negative mining through the IVF path
+    * ([[Similarity.hardNegativesAnn]]): the SCALE form of e11, whose
+    * brute cross join is O(N²) by construction (r17 sf0.1→sf1 decade
+    * exponent 1.31 — the anchor set is a fixed fraction of the corpus).
+    * Same anchors (vec_id % 7), same cross-label semantics, but
+    * candidates come from the e4 coarse quantizer's probed buckets:
+    * the oracle replays the SHARED Lloyd chain ([[coarseChainSql]] —
+    * a fix there cannot desync e4/e9/e12), then probe + bucket-local
+    * CROSS-LABEL scoring + top-k, every float fold order-replicated,
+    * scores bit-exact like e4's. Declared knobs stay the pinned
+    * (nlist=16, nprobe=4) gate form; production derives ⌈√N⌉ lists
+    * (the measured O(N^0.75) law — HardNegProbe carries the
+    * sf0.1→sf1 decade table). */
+  def e12HardNegAnn(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegativesAnn(Tables.embeddings(s, d), "vec_id",
+      "embedding", "label", dim = 64, k = 2, nlist = 16, nprobe = 4,
+      anchorPred = col("id") % 7 === 0)
+
+  // lazy: declared above coarseChainSql in the file, so a strict val
+  // would read it as null during object init
+  lazy val e12Sql: String = {
+    val (nprobe, iters, k) = (4, 5, 2)
+    coarseChainSql +
+      s""",
+         |clist AS MATERIALIZED (SELECT c, list(val ORDER BY j) AS cl FROM cent$iters GROUP BY c),
+         |baseL AS MATERIALIZED (
+         |  SELECT b.id, b.v, b.nrm, e.label FROM base b
+         |  JOIN embeddings e ON e.vec_id = b.id),
+         |dots AS MATERIALIZED (SELECT b.id, cl.c, list_dot_product(b.v, cl.cl) AS d FROM base b, clist cl),
+         |ranked AS MATERIALIZED (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d DESC, c) AS pr
+         |  FROM dots),
+         |assign AS MATERIALIZED (SELECT id, c AS lst FROM ranked WHERE pr = 1),
+         |probes AS MATERIALIZED (
+         |  SELECT id, c AS lst FROM ranked WHERE pr <= $nprobe AND id % 7 = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT q.id, a.id AS nid
+         |  FROM probes q JOIN assign a ON a.lst = q.lst
+         |), scored AS MATERIALIZED (
+         |  SELECT c.id, c.nid,
+         |         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS score
+         |  FROM cand c JOIN baseL x ON x.id = c.id JOIN baseL y ON y.id = c.nid
+         |  WHERE x.label <> y.label)
+         |SELECT id AS vec_id, rank, nid AS neighbor_id, score
+         |FROM (SELECT id, nid, score,
+         |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= $k""".stripMargin
+  }
+
   /** E2 LSH-bucketed ANN (random hyperplanes, 4 tables): the 100 TB
     * scale path. Fully oracled since round 9: [[e2Sql]] re-derives the
     * signatures in DuckDB from the SAME plane matrix
@@ -2338,6 +2388,7 @@ object TextQueries {
     "e2_lsh_ann"       -> (e2LshAnn _),
     "e3_native_dot"    -> (e3NativeDot _),
     "e11_hard_negatives" -> (e11HardNegatives _),
+    "e12_hard_neg_ann"  -> (e12HardNegAnn _),
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "e9_ivfpq"         -> (e9IvfPq _),
     "e10_pq_refine"    -> (e10PqRefine _),
@@ -2393,6 +2444,7 @@ object TextQueries {
     "e10_pq_refine"    -> e10Sql,
     "e3_native_dot"    -> e3Sql,
     "e11_hard_negatives" -> e11Sql,
+    "e12_hard_neg_ann"  -> e12Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,
     "e7_design_recall" -> e7Sql,

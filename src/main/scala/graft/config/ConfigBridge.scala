@@ -406,6 +406,31 @@ object ConfigBridge {
     doc
   }
 
+  /** `runOptimisation.py`'s knob application (runOptimisation.py:49-54):
+    * a swept parameter lands at the FIRST matching level of
+    * top-level → `modelConfig` → `dataProcessing`. One deviation,
+    * consistent with the engine-wide withKnob convention: the
+    * reference writes NOTHING when the param matches no level and
+    * silently re-runs the baseline config — here that raises, because
+    * a typo'd sweep param re-measuring the baseline k times is the
+    * exact failure mode the fail-loud contract exists for. */
+  def withParam(doc: Doc, param: String, value: JValue): Doc = {
+    def setIn(section: String): Option[Doc] = doc.fields.get(section) match {
+      case Some(JObject(fs)) if fs.exists(_._1 == param) =>
+        Some(Doc(doc.fields.updated(section,
+          JObject(fs.map { case (k, v) => if (k == param) (k, value) else (k, v) })),
+          doc.source))
+      case _ => None
+    }
+    if (doc.fields.contains(param))
+      Doc(doc.fields.updated(param, value), doc.source)
+    else setIn("modelConfig").orElse(setIn("dataProcessing")).getOrElse(
+      throw new IllegalArgumentException(
+        s"${doc.source}: sweep param '$param' matches no top-level, " +
+          "modelConfig, or dataProcessing key — the reference would " +
+          "silently re-run the baseline here (runOptimisation.py:49-54)"))
+  }
+
   def randomSeed(doc: Doc): Option[Long] =
     doc.fields.get("randomSeed").map {
       case JInt(n) => n.toLong

@@ -149,6 +149,29 @@ class ConfigBridgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("modelClass"))
   }
 
+  test("withParam applies the runOptimisation precedence; no-match raises") {
+    val d = doc("""{"randomSeed": 1,
+                    "modelConfig": {"n_estimators": 100, "window": 9},
+                    "dataProcessing": {"window": 125, "step": 125}}""")
+    // top level wins first
+    assert(ConfigBridge.withParam(d, "randomSeed", JInt(7))
+      .fields("randomSeed") == JInt(7))
+    // modelConfig before dataProcessing (runOptimisation.py:49-54) —
+    // 'window' exists in BOTH; the modelConfig one must take the hit
+    val w = ConfigBridge.withParam(d, "window", JInt(50))
+    assert(w.section("modelConfig")("window") == JInt(50))
+    assert(w.section("dataProcessing")("window") == JInt(125))
+    // dataProcessing fallback
+    assert(ConfigBridge.withParam(d, "step", JInt(25))
+      .section("dataProcessing")("step") == JInt(25))
+    // no level matches: the reference silently re-runs the baseline;
+    // the engine raises (withKnob convention)
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.withParam(d, "stpe", JInt(25))
+    }
+    assert(e.getMessage.contains("stpe"))
+  }
+
   // ------------------------------------------------- shipped files parse
 
   test("all three shipped reference configs parse end-to-end") {

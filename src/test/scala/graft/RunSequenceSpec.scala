@@ -455,6 +455,70 @@ class RunSequenceSpec extends SparkSpec {
     }
   }
 
+  test("config-driven e2e: the SHIPPED nnConfig.json trains its own model class") {
+    // the full user path: parse the reference's shipped config file,
+    // compile its eventFilters, derive the RunSequence knobs, resolve
+    // its modelClass through the dispatch registry, and TRAIN on a
+    // planted corpus — every knob from the FILE, none hand-picked.
+    // (cfg1 oracles the skeleton counts; this is the trainable leg.)
+    import graft.config.ConfigBridge
+    val doc = ConfigBridge.validateTop(
+      ConfigBridge.loadResource("/osdb/nnConfig.json"))
+    val efc = ConfigBridge.eventFilters(doc)
+    val dp = ConfigBridge.dataProcessing(doc)
+    val cfg = ConfigBridge.runSequenceConfig(dp, k = 3)
+    assert(cfg.historyN == 5 && cfg.oversampleFactor == 1 &&
+      cfg.extract.highPassHz == 0.5) // the file's values, not defaults
+    val cand = RunSequence.NestedCandidate.forModelClass(
+      ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
+    assert(cand.basis == "features") // rfModel.RfModel
+
+    val n = 9
+    val specs = (0 until n).flatMap { i =>
+      Seq(
+        EventSpec(s"SZ$i", "seizure sim", typeStr = "seizure",
+          durationSecs = 40.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("tremor", 0, 4.0 + (i % 3) * 0.2, 200.0 + 10.0 * i,
+              22.5 * i, 2.0, 38.0))),
+        EventSpec(s"OK$i", "normal sim", typeStr = "falseAlarm",
+          durationSecs = 40.0,
+          components = Seq(
+            Component("gravity", 0, 0.0, 1000.0, 0.0, 0.0, 1e9),
+            Component("sway", 0, 0.4 + 0.02 * i, 40.0 + 5.0 * i,
+              10.0 * i, 0.0, 1e9))))
+    }
+    val corpus = SimulatedEvents(spark, specs)
+    import spark.implicits._
+    // the FILTER-facing event frame (the reference's event fields):
+    // one PhoneApp event per class planted so the file's
+    // excludeDataSources clause has real work to do
+    val events = (0 until n).flatMap { i =>
+      Seq(
+        (s"SZ$i", "Seizure", "other",
+          if (i == n - 1) "PhoneApp" else "GarminSDA", i % 3),
+        (s"OK$i", "False Alarm", "other",
+          if (i == n - 1) "PhoneApp" else "BangleJS", i % 3))
+    }.toDF("id", "type", "subType", "dataSourceName", "fold0")
+      .withColumn("desc", lit(null).cast("string"))
+      .withColumn("has3dData", lit(true))
+      .withColumn("hasHrData", lit(true))
+      .withColumn("hasO2SatData", lit(true))
+    val select = graft.operators.EventFilters.compile(efc)
+    // the compiled file predicate drops exactly the planted PhoneApp pair
+    assert(events.filter(select).count() == 2L * n - 2)
+    val results = RunSequence.runWith(
+      events, corpus, select, col("fold0"), cfg)(cand.fit, cand.score)
+    assert(results.size == cfg.k)
+    results.foreach { fr =>
+      assert(fr.heldOutAuroc > 0.9,
+        s"fold ${fr.fold}: config-driven RF held-out AUROC only ${fr.heldOutAuroc}")
+      assert(fr.nTrainAugEvents == fr.nTrainEvents,
+        "oversample=none in the file must mean NO copy augmentation")
+    }
+  }
+
   test("run(): planted-separable corpus learns every fold; counts match the skeleton") {
     val n = 12
     val specs = (0 until n).flatMap { i =>

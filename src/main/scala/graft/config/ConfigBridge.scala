@@ -394,6 +394,266 @@ object ConfigBridge {
         s"${doc.source}: modelConfig.subtypeWeights must be an object, got $other")
     }
 
+  // ---------------------------------------------------- testRunner config
+
+  /** One `algorithms[]` entry (testConfig.json): the reference
+    * instantiates `module.Class(settingsStr)` dynamically
+    * (testRunner.py:126-143, injecting the entry's `name` into the
+    * settings first); the engine twin is [[buildAlg]]. */
+  final case class TestRunnerAlg(name: String, algClass: String,
+                                 enabled: Boolean,
+                                 settings: Map[String, JValue])
+
+  final case class TestRunnerConfig(
+      eventFilters: EventFilterConfig, // incl. TOP-level invalidEvents (F4)
+      dataFiles: Seq[String],
+      algorithms: Seq[TestRunnerAlg])
+
+  private val TestRunnerTopKeys = Set(
+    "dbDir", "dataFiles", "download", "credentialsFname", "eventFilters",
+    "algorithms", "invalidEvents", "invalidEventsReasons", "osdbCfg",
+    "debug", "requireHrData", "samplePeriod", "testName")
+
+  private val AlgEntryKeys = Set("name", "alg", "enabled", "settings")
+
+  /** The testRunner config format (`user_tools/testRunner/
+    * testConfig*.json` — runTest, testRunner.py:37-147): same
+    * `eventFilters` section as nnConfig (reused verbatim), top-level
+    * `invalidEvents` (the F4 list lives at the top here, not under
+    * osdbConfig), and the `algorithms` array. `invalidEventsReasons` is
+    * curator prose; `dbDir`/`download`/`credentialsFname` are the
+    * Python runtime's cache/fetch knobs — the engine's sources layer
+    * owns data access. Fail-loud on unknown keys throughout. */
+  def testRunnerConfig(doc: Doc): TestRunnerConfig = {
+    failUnknown(doc.source, "", doc.fields.keys, TestRunnerTopKeys)
+    val sec = doc.section("eventFilters")
+    failUnknown(doc.source, "eventFilters", sec.keys, EventFilterKeys)
+    def sl(k: String): Seq[String] =
+      sec.get(k).map(strList(doc.source, "eventFilters", k, _)).getOrElse(Nil)
+    def bf(k: String): Boolean =
+      sec.get(k).exists(bool(doc.source, "eventFilters", k, _))
+    val ef = EventFilterConfig(
+      includeUserIds = sl("includeUserIds"),
+      includeTypes = sl("includeTypes"),
+      includeSubTypes = sl("includeSubTypes"),
+      includeDataSources = sl("includeDataSources"),
+      includeText = sl("includeText"),
+      excludeUserIds = sl("excludeUserIds"),
+      excludeTypes = sl("excludeTypes"),
+      excludeSubTypes = sl("excludeSubTypes"),
+      excludeDataSources = sl("excludeDataSources"),
+      excludeText = sl("excludeText"),
+      require3dData = bf("require3dData"),
+      requireHrData = bf("requireHrData"),
+      requireO2SatData = bf("requireO2SatData"),
+      invalidIds = doc.fields.get("invalidEvents")
+        .map(strList(doc.source, "", "invalidEvents", _)).getOrElse(Nil))
+    val algs = doc.fields.get("algorithms") match {
+      case None => Nil
+      case Some(JArray(xs)) => xs.map {
+        case JObject(fs) =>
+          val m = fs.toMap
+          failUnknown(doc.source, "algorithms[]", m.keys, AlgEntryKeys)
+          TestRunnerAlg(
+            name = m.get("name").map(str(doc.source, "algorithms[]", "name", _))
+              .getOrElse(throw new IllegalArgumentException(
+                s"${doc.source}: algorithms[] entry missing 'name'")),
+            algClass = m.get("alg").map(str(doc.source, "algorithms[]", "alg", _))
+              .getOrElse(throw new IllegalArgumentException(
+                s"${doc.source}: algorithms[] entry missing 'alg'")),
+            enabled = m.get("enabled")
+              .exists(bool(doc.source, "algorithms[]", "enabled", _)),
+            settings = m.get("settings") match {
+              case Some(JObject(ss)) => ss.toMap
+              case None => Map.empty
+              case Some(other) => throw new IllegalArgumentException(
+                s"${doc.source}: algorithms[].settings must be an object, got $other")
+            })
+        case other => throw new IllegalArgumentException(
+          s"${doc.source}: algorithms[] entries must be objects, got $other")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"${doc.source}: 'algorithms' must be a list, got $other")
+    }
+    TestRunnerConfig(ef,
+      doc.fields.get("dataFiles")
+        .map(strList(doc.source, "", "dataFiles", _)).getOrElse(Nil),
+      algs)
+  }
+
+  // per-class known-settings universes (union over every shipped
+  // testConfig variant); the keys the PYTHON runtime owns are noted
+  // at their read sites below
+  private val OsdSettingKeys = Set("mode", "offset", "sampleFreq",
+    "samplePeriod", "alarmFreqMin", "alarmFreqMax", "alarmThresh",
+    "alarmRatioThresh", "warnTime", "alarmTime", "flapSettings", "name")
+  private val OsdV1SettingKeys = Set("sampleFreq", "samplePeriod",
+    "alarmFreqMin", "alarmFreqMax", "alarmThresh", "alarmRatioThresh",
+    "warnTime", "alarmTime", "name")
+  private val HrSettingKeys = Set("mode", "thresh_high", "thresh_low",
+    "thresh_offset_high", "thresh_offset_low",
+    "moving_average_time_window", "samplePeriod", "warnTime", "alarmTime",
+    "name")
+  private val NnSettingKeys = Set("modelFname", "inputFormat", "normalise",
+    "sdThresh", "mode", "samplePeriod", "warnTime", "alarmTime",
+    "bufferSeconds", "sampleFreq", "name")
+  private val SpecSettingKeys = Set("modelFname", "inputFormat", "dims",
+    "analysisSamp", "specSamp", "specStep", "normalise", "sdThresh",
+    "mode", "samplePeriod", "warnTime", "alarmTime", "name")
+  private val FlapKeys = Set("enabled", "flapAlarmFreqMin",
+    "flapAlarmFreqMax", "flapAlarmThresh", "flapAlarmRatioThresh")
+  private val DeviceSettingKeys = Set("ipAddr", "delayMs", "name")
+
+  /** The `module.Class(settingsStr)` dynamic instantiation
+    * (testRunner.py:126-143) as a typed registry: each reference
+    * algorithm class maps to the engine detector that redesigns it,
+    * with every settings key either wired or accounted for. The
+    * model-bearing classes (nnAlg/specAlg) resolve `modelFname`
+    * against `modelDir` as a GRAFT artifact (the engine's deployment
+    * format, [[graft.ml.ModelIo]]) — the reference's .keras files are
+    * TensorFlow runtime state the engine deliberately does not load;
+    * its manifest + artifact round-trip is the deployment seam.
+    * `inputFormat`/`mode`/`dims` describe the keras tensor layout and
+    * have no engine meaning (the artifact's own shapes drive the
+    * buffer); `delayMs` paces the reference's single-phone serial
+    * loop, meaningless against the per-event device farm. */
+  def buildAlg(a: TestRunnerAlg, modelDir: String = "."): graft.streaming.SdAlg = {
+    import graft.streaming._
+    val src = docInline(a)
+    val sec = s"algorithms[${a.name}].settings"
+    val st = a.settings
+    def g(k: String): Option[JValue] = st.get(k).filter(_ != JNull)
+    def num(k: String, d: Double) = g(k).map(dbl(src, sec, k, _)).getOrElse(d)
+    def in(k: String, d: Int) = g(k).map(int(src, sec, k, _)).getOrElse(d)
+    def bl(k: String, d: Boolean) = g(k).map(bool(src, sec, k, _)).getOrElse(d)
+    def sg(k: String, d: String) = g(k).map(str(src, sec, k, _)).getOrElse(d)
+    def modelPath(): String = {
+      val f = sg("modelFname", "")
+      require(f.nonEmpty, s"$src: $sec.modelFname missing")
+      val p = Paths.get(f)
+      (if (p.isAbsolute) p else Paths.get(modelDir).resolve(f)).toString
+    }
+    def nnBase(): NnSettings = NnSettings(
+      name = Some(a.name),
+      normalise = bl("normalise", d = false),
+      sdThresh = num("sdThresh", 0.0),
+      samplePeriod = num("samplePeriod", 5.0),
+      warnTime = num("warnTime", 5.0),
+      alarmTime = num("alarmTime", 10.0))
+    a.algClass.split('.').takeRight(2).mkString(".") match {
+      case "osdAlg.OsdAlg" =>
+        failUnknown(src, sec, st.keys, OsdSettingKeys)
+        val flap = g("flapSettings") match {
+          case None => None
+          case Some(JObject(fs)) =>
+            val fm = fs.toMap
+            failUnknown(src, s"$sec.flapSettings", fm.keys, FlapKeys)
+            def fnum(k: String, d: Double) =
+              fm.get(k).map(dbl(src, s"$sec.flapSettings", k, _)).getOrElse(d)
+            if (fm.get("enabled").exists(bool(src, s"$sec.flapSettings", "enabled", _)))
+              Some(FlapSettings(
+                freqMin = fnum("flapAlarmFreqMin", 2.0),
+                freqMax = fnum("flapAlarmFreqMax", 4.0),
+                thresh = fnum("flapAlarmThresh", 10000.0),
+                ratioThresh = fnum("flapAlarmRatioThresh", 80.0)))
+            else None
+          case Some(other) => throw new IllegalArgumentException(
+            s"$src: $sec.flapSettings must be an object, got $other")
+        }
+        new OsdAlg(OsdSettings(
+          mode = sg("mode", "V2"),
+          sampleFreq = num("sampleFreq", 25.0),
+          samplePeriod = num("samplePeriod", 5.0),
+          warnTime = num("warnTime", 5.0),
+          alarmTime = num("alarmTime", 10.0),
+          alarmThresh = num("alarmThresh", 100.0),
+          alarmRatioThresh = num("alarmRatioThresh", 57.0),
+          offset = num("offset", 0.0),
+          alarmFreqMin = num("alarmFreqMin", 3.0),
+          alarmFreqMax = num("alarmFreqMax", 8.0),
+          flap = flap,
+          name = Some(a.name)))
+      case "osdAlg_v1.OsdAlg_v1" =>
+        failUnknown(src, sec, st.keys, OsdV1SettingKeys)
+        // the libosd-variant: magnitude data as-is (no 3D recompute, no
+        // mode/offset), ratio gated on SPEC power, raw power scale
+        new OsdAlg(OsdSettings(
+          mode = "V0",
+          sampleFreq = num("sampleFreq", 25.0),
+          samplePeriod = num("samplePeriod", 5.0),
+          warnTime = num("warnTime", 5.0),
+          alarmTime = num("alarmTime", 10.0),
+          alarmThresh = num("alarmThresh", 100.0),
+          alarmRatioThresh = num("alarmRatioThresh", 57.0),
+          accelScaleFactor = 1.0,
+          alarmFreqMin = num("alarmFreqMin", 3.0),
+          alarmFreqMax = num("alarmFreqMax", 8.0),
+          gateOnSpec = true,
+          name = Some(a.name)))
+      case "hrAlg.HrAlg" =>
+        failUnknown(src, sec, st.keys, HrSettingKeys)
+        new HrAlg(HrSettings(
+          mode = sg("mode", "MODE_SIMPLE"),
+          name = Some(a.name),
+          threshHigh = num("thresh_high", 150.0),
+          threshLow = num("thresh_low", 40.0),
+          threshOffsetHigh = num("thresh_offset_high", 30.0),
+          threshOffsetLow = num("thresh_offset_low", 20.0),
+          movingAverageTimeWindowSecs = num("moving_average_time_window", 60.0),
+          samplePeriod = num("samplePeriod", 5.0),
+          warnTime = num("warnTime", 5.0),
+          alarmTime = num("alarmTime", 10.0)))
+      case "nnAlg.NnAlg" =>
+        failUnknown(src, sec, st.keys, NnSettingKeys)
+        val path = modelPath()
+        graft.ml.ModelIo.formatOf(path) match {
+          case "graft-cnn" => graft.ml.Cnn.deployedCnn(
+            graft.ml.ModelIo.loadCnn(path), nnBase())
+          case "graft-lstm" => graft.ml.Lstm.deployedLstm(
+            graft.ml.ModelIo.loadLstm(path), nnBase())
+          case "graft-lstm2" => graft.ml.LstmStack.deployedLstm2(
+            graft.ml.ModelIo.loadLstm2(path), nnBase())
+          case "graft-convpipe" => graft.ml.ConvPipe.deployedConvPipe(
+            graft.ml.ModelIo.loadConvPipe(path), nnBase())
+          case other => throw new IllegalArgumentException(
+            s"$src: $path format '$other' is not an nnAlg-deployable " +
+              "window model (graft-cnn/lstm/lstm2/convpipe)")
+        }
+      case "specAlg.SpecAlg" =>
+        failUnknown(src, sec, st.keys, SpecSettingKeys)
+        val path = modelPath()
+        graft.ml.SpecCnn.deployedSpecCnn(
+          graft.ml.ModelIo.loadSpecCnn(path),
+          graft.ml.SpecCnn.Config(
+            specSamp = in("specSamp", 50),
+            specStep = in("specStep", 5)),
+          windowSamples = in("analysisSamp", 250),
+          base = nnBase())
+      case "deviceAlg.DeviceAlg" =>
+        failUnknown(src, sec, st.keys, DeviceSettingKeys)
+        val addr = sg("ipAddr", "")
+        require(addr.nonEmpty, s"$src: $sec.ipAddr missing")
+        new DeviceAlg(() => new HttpDeviceClient(addr))
+      case other => throw new IllegalArgumentException(
+        s"$src: unknown algorithm class '$other' — the reference ships " +
+          "osdAlg.OsdAlg, osdAlg_v1.OsdAlg_v1, hrAlg.HrAlg, nnAlg.NnAlg, " +
+          "specAlg.SpecAlg, deviceAlg.DeviceAlg")
+    }
+  }
+
+  private def docInline(a: TestRunnerAlg): String = s"alg '${a.name}'"
+
+  /** ENABLED algorithms as factories for
+    * [[graft.streaming.Replay.replayBatchWith]] — disabled entries are
+    * parsed structurally in [[testRunnerConfig]] but not built (their
+    * settings keys validate at build time), matching the reference's
+    * enabled gate (testRunner.py:131). The factories are serializable
+    * closures: one fresh detector per (event, alg) group on the
+    * executors, the device-farm scale shape. */
+  def enabledAlgFactories(cfg: TestRunnerConfig, modelDir: String = ".")
+      : Seq[() => graft.streaming.SdAlg] =
+    cfg.algorithms.filter(_.enabled).map(a => () => buildAlg(a, modelDir))
+
   /** Top-level key validation + `randomSeed`. Sections validate lazily
     * (each accessor), the top level validates here. */
   private val TopKeys = Set(

@@ -47,6 +47,20 @@ object ModelIo {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Peek an artifact's `format` tag without loading it — the dispatch
+    * key for config-driven deployment ([[graft.config.ConfigBridge]]:
+    * a testConfig `modelFname` names a graft artifact; its format tag
+    * decides which family's loader + deployed-detector assembly runs,
+    * the engine twin of the reference's keras-file-implies-class. */
+  def formatOf(path: String): String = {
+    val j = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    (j \ "format") match {
+      case JString(f) => f
+      case _ => sys.error(s"$path: missing format tag — not a graft model artifact")
+    }
+  }
+
   private def readJson(path: String, expectFormat: String): JValue = {
     val raw = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)

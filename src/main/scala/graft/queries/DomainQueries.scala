@@ -669,6 +669,82 @@ object DomainQueries {
       |  CAST(12 - CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dp
       |FROM base""".stripMargin
 
+  /** CFG2 — the testRunner CONFIG entry point under the oracle gate
+    * ([[graft.config.ConfigBridge.testRunnerConfig]]/[[graft.config
+    * .ConfigBridge.buildAlg]], round 17): the reference's own shipped
+    * `testConfig.json` (checked-in verbatim at `/osdb/testConfig.json`;
+    * `user_tools/testRunner/testConfig.json`) drives the replay farm —
+    * its two enabled OsdAlg entries (OSD_flap with the flapSettings
+    * second band ENABLED, OSD_no_flap identical but flap-disabled) are
+    * built from the FILE's settings (band 3-8 Hz, thresholds 500/57,
+    * flap band 2-4 Hz at 10000/80, the entry NAME injected into the
+    * detector as testRunner.py:136 does) and replayed over a planted
+    * integer-bin tone fixture.
+    *
+    * The fixture places each event's alarm run (dps 3..3+k%6) on a
+    * pure cosine at one of four DFT bins chosen to split the two
+    * algorithms: bin 16 (3.2 Hz — BOTH bands), bin 12 (2.4 Hz — flap
+    * band only), bin 30 (6 Hz — main band only), bin 2 (0.4 Hz —
+    * neither). Amplitude 1000 puts every fired ratio at ≥ 25% margin
+    * over the FILE's thresholds (main ratio 100 vs 57, flap 250 vs
+    * 80, roi 156k vs 500, flap-roi 391k vs 10000) and exact-bin tones
+    * leak ~1e-9 relative into the other band, so the alarm BOOLEANS
+    * are float-robust and the oracle restates the detection schedule
+    * in closed form: OSD_flap fires on bins {16,12,30}, OSD_no_flap
+    * on {16,30}, with w10's FSM warn/alarm/decay arithmetic. A lost
+    * flap branch, a band misread from the file, a name not injected,
+    * or an FSM drift each break the hash. */
+  def cfg2Testrunner(s: SparkSession, d: String): DataFrame = {
+    import graft.config.ConfigBridge
+    val cfg = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig.json"))
+    // the model-bearing entries (SpecCnn/amber) deploy via ModelIo
+    // artifacts (spec-gated — ConfigBridgeSpec builds them); the
+    // oracled leg drives the two spectrum-analytic OsdAlg entries
+    val osd = cfg.algorithms.filter(a =>
+      a.enabled && a.algClass == "osdAlg.OsdAlg")
+    import s.implicits._
+    val dps = OsdbFixture.ev(s, d)
+      .withColumn("d", explode(expr("sequence(0L, 11L)")))
+      .withColumn("b",
+        when(col("k") % 4 === 0, 16).when(col("k") % 4 === 1, 12)
+          .when(col("k") % 4 === 2, 30).otherwise(2))
+      .select(
+        col("e").cast("string").as("eventId"),
+        (lit(OsdbFixture.TsBase) + col("k") * 3600 + col("d") * 5).as("tsSec"),
+        lit(80.0).as("hr"),
+        lit(0L).as("alarmStateRecorded"),
+        when(col("d") >= 3 && col("d") < lit(3) + col("k") % 6,
+          expr("transform(sequence(0, 124), i -> 1000.0d * cos(2.0d * pi() * b * i / 125.0d))"))
+          .otherwise(expr("transform(sequence(0, 124), i -> 0.0d)"))
+          .as("rawData"),
+        array().cast("array<double>").as("rawData3D"),
+        col("d").as("seq"))
+      .as[ReplayDp]
+    Replay.detectionStats(
+        Replay.replayBatchWith(dps, ConfigBridge.enabledAlgFactories(
+          cfg.copy(algorithms = osd))))
+      .select(col("eventId").as("event_id"), col("alg"),
+        col("detected").cast("long").as("detected"),
+        col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
+        col("nDp").as("n_dp"))
+  }
+
+  val cfg2Sql: String = sqlBase +
+    """, algt AS (SELECT 'OSD_flap' AS alg, TRUE AS has_flap
+      |           UNION ALL SELECT 'OSD_no_flap', FALSE),
+      |evt AS (SELECT e, k % 6 AS r, k % 4 AS band FROM ev)
+      |SELECT CAST(e AS VARCHAR) AS event_id, alg,
+      |  CAST(CASE WHEN hit AND r >= 3 THEN 1 ELSE 0 END AS BIGINT) AS detected,
+      |  CAST(CASE WHEN hit AND r >= 3 THEN r - 2 ELSE 0 END AS BIGINT) AS n_alarm,
+      |  CAST(CASE WHEN hit THEN (CASE WHEN r >= 2 THEN 1 ELSE 0 END)
+      |                        + (CASE WHEN r >= 3 THEN 1 ELSE 0 END)
+      |       ELSE 0 END AS BIGINT) AS n_warn,
+      |  CAST(12 AS BIGINT) AS n_dp
+      |FROM (SELECT e, r, alg,
+      |        band IN (0, 2) OR (has_flap AND band = 1) AS hit
+      |      FROM evt, algt)""".stripMargin
+
   /** A6B — the testRunner detection-stats parity pivot
     * (`user_tools/testRunner/results.py:99-243` saveResults2): per
     * (algorithm, category) totals, correct counts, and the correct
@@ -1361,6 +1437,7 @@ object DomainQueries {
     "ml1_auroc"         -> (ml1Auroc _),
     "ml2_run_sequence"  -> (ml2RunSequence _),
     "cfg1_config_bridge" -> (cfg1ConfigBridge _),
+    "cfg2_testrunner"   -> (cfg2Testrunner _),
     "ml3_cnn_forward"   -> (ml3CnnForward _),
     "ml4_lstm_forward"  -> (ml4LstmForward _),
     "ml4b_lstm_stack"   -> (ml4bLstmStackForward _),
@@ -1459,6 +1536,7 @@ object DomainQueries {
     "ml1_auroc"         -> ml1Sql,
     "ml2_run_sequence"  -> ml2Sql,
     "cfg1_config_bridge" -> cfg1Sql,
+    "cfg2_testrunner"   -> cfg2Sql,
     "ml3_cnn_forward"   -> ml3Sql,
     "ml4_lstm_forward"  -> ml4Sql,
     "ml4b_lstm_stack"   -> ml4bSql,

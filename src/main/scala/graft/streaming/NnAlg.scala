@@ -108,6 +108,7 @@ object NnBuffer {
 
 case class NnSettings(
     bufferSamples: Int = 750,         // 30 s at 25 Hz
+    name: Option[String] = None,      // config-injected (testRunner.py:136)
     normalise: Boolean = false,
     sdThresh: Double = 0.0,           // F10 gate; 0 disables
     probThresh: Double = 0.5,
@@ -121,7 +122,7 @@ case class NnSettings(
 final class NnAlg(s: NnSettings = NnSettings(),
                   score: Array[Double] => Double = NnAlg.stubScore)
     extends SdAlg {
-  val name = "NnAlg"
+  val name = s.name.getOrElse("NnAlg")
   private val fsm = new AlarmFsm(s.samplePeriod, s.warnTime, s.alarmTime)
   private val buf = new NnBuffer.AccBuffer(s.bufferSamples)
   private var lastP = 0.0

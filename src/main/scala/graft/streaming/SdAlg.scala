@@ -72,6 +72,17 @@ final class AlarmFsm(samplePeriod: Double, warnTime: Double, alarmTime: Double)
 
 /** Detector settings mirroring the phone-app defaults
   * (documentation/Data_Structure.md:78-92). */
+/** The flap-detection second band (osdAlg.py:41-43,190-233): a
+  * low-frequency ROI computed with the SAME spectrum machinery as the
+  * main band, OR'd into the alarm decision (osdAlg.py:293 "force an
+  * alarm state if we are in a flap alarm state"). Defaults are the
+  * shipped testConfig.json's flapSettings. */
+case class FlapSettings(
+    freqMin: Double = 2.0,
+    freqMax: Double = 4.0,
+    thresh: Double = 10000.0,
+    ratioThresh: Double = 80.0)
+
 case class OsdSettings(
     mode: String = "V2",            // V0 mag-data | V1 |x|+|y|+|z| | V2 sqrt | V3 offset | V4 per-axis
     sampleFreq: Double = 25.0,
@@ -82,7 +93,14 @@ case class OsdSettings(
     alarmRatioThresh: Double = 57.0,
     freqCutoff: Double = 12.0,      // android-app cutoff quirk (not fs/2)
     offset: Double = 0.0,
-    accelScaleFactor: Double = 1000.0)
+    accelScaleFactor: Double = 1000.0,
+    alarmFreqMin: Double = 3.0,     // main ROI band (osdAlg.py:31-32)
+    alarmFreqMax: Double = 8.0,
+    flap: Option[FlapSettings] = None, // None == flapSettings disabled
+    gateOnSpec: Boolean = false,    // osdAlg_v1 gates the ratio on
+                                    // specPower (osdAlg_v1.py:112), the
+                                    // device/osdAlg.py variant on roi
+    name: Option[String] = None)    // config-injected (testRunner.py:136)
 
 /** Device-faithful OSD algorithm (testRunner/osdAlg.py):
   *   specPower: sum |X_k|^2 over k in [1, nSamp/2) ∩ [1, bin(12 Hz)],
@@ -93,7 +111,7 @@ case class OsdSettings(
   *   then the shared FSM.
   */
 final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
-  val name = s"OsdAlg-${s.mode}"
+  val name = s.name.getOrElse(s"OsdAlg-${s.mode}")
   private val fsm = new AlarmFsm(s.samplePeriod, s.warnTime, s.alarmTime)
   private var lastSpec = 0.0
   private var lastRoi = 0.0
@@ -131,27 +149,46 @@ final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
   private def inAlarm(accData: Array[Double], fMin: Double, fMax: Double): Boolean = {
     lastSpec = devSpecPower(accData) / s.accelScaleFactor
     lastRoi = devRoiPower(accData, fMin, fMax) / s.accelScaleFactor
+    val gate = if (s.gateOnSpec) lastSpec else lastRoi
     lastRatio =
-      if (lastRoi > s.alarmThresh) 10.0 * lastRoi / lastSpec else 0.0
+      if (gate > s.alarmThresh) 10.0 * lastRoi / lastSpec else 0.0
     lastRatio > s.alarmRatioThresh
   }
 
+  /** The flap second-band check (osdAlg.py:190-256): same spectrum
+    * machinery, its own thresholds, and — as in the reference — it
+    * does NOT clobber the reported main-band spec/roi/ratio (flap
+    * values go to extraData there; here they stay local). */
+  private def inFlapAlarm(accData: Array[Double], f: FlapSettings): Boolean = {
+    val spec = devSpecPower(accData) / s.accelScaleFactor
+    val roi = devRoiPower(accData, f.freqMin, f.freqMax) / s.accelScaleFactor
+    val ratio = if (roi > f.thresh) 10.0 * roi / spec else 0.0
+    ratio > f.ratioThresh
+  }
+
   def processDp(dp: ReplayDp): AlgResult = {
-    val fMin = 3.0; val fMax = 8.0
+    val fMin = s.alarmFreqMin; val fMax = s.alarmFreqMax
+    def withFlap(acc: Array[Double]): Boolean = {
+      val main = inAlarm(acc, fMin, fMax)
+      // main-band evaluation FIRST so lastSpec/lastRoi/lastRatio report
+      // the main band even when only the flap band alarms
+      main || s.flap.exists(f => inFlapAlarm(acc, f))
+    }
     val alarm = s.mode match {
       case "V0" =>
-        inAlarm(dp.rawData, fMin, fMax)
+        withFlap(dp.rawData)
       case "V4" =>
         if (dp.rawData3D.nonEmpty) {
-          // per-axis: any axis alarming alarms the datapoint
-          (0 to 2).exists(ax => inAlarm(Signal.deinterleave(dp.rawData3D, ax), fMin, fMax))
-        } else inAlarm(dp.rawData, fMin, fMax)
+          // per-axis: any axis alarming alarms the datapoint (the
+          // reference ORs main and flap per axis — osdAlg.py:267-279)
+          (0 to 2).exists(ax => withFlap(Signal.deinterleave(dp.rawData3D, ax)))
+        } else withFlap(dp.rawData)
       case m => // V1 / V2 / V3 magnitude recomputed from 3D when present
         val acc =
           if (dp.rawData3D.nonEmpty && dp.rawData3D.exists(_ != 0.0))
             Signal.magnitude3D(dp.rawData3D, m, s.offset)
           else dp.rawData
-        inAlarm(acc, fMin, fMax)
+        withFlap(acc)
     }
     val st = fsm.step(alarm)
     AlgResult(st, fsm.alarmCount, lastSpec, lastRoi, lastRatio)
@@ -168,6 +205,7 @@ final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
 
 case class HrSettings(
     mode: String = "MODE_SIMPLE",   // | MODE_ADAPTIVE_THRESHOLD | MODE_AVERAGE_HR
+    name: Option[String] = None,    // config-injected (testRunner.py:136)
     threshHigh: Double = 150.0,
     threshLow: Double = 40.0,
     threshOffsetHigh: Double = 30.0,
@@ -181,7 +219,7 @@ case class HrSettings(
   * forces state -1 and resets the count; history keeps the last
   * window/5 values, averaging over non-missing entries only. */
 final class HrAlg(s: HrSettings = HrSettings()) extends SdAlg {
-  val name = s"HrAlg-${s.mode}"
+  val name = s.name.getOrElse(s"HrAlg-${s.mode}")
   private val fsm = new AlarmFsm(s.samplePeriod, s.warnTime, s.alarmTime)
   private val histLen = (s.movingAverageTimeWindowSecs / 5.0).toInt
   private val hist = scala.collection.mutable.Queue.empty[Double]

@@ -172,6 +172,100 @@ class ConfigBridgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stpe"))
   }
 
+  // ------------------------------------------------ testRunner config
+
+  private def toneDp(bin: Int, d: Long, amp: Double = 1000.0) =
+    graft.streaming.ReplayDp("E", 1700000000L + d * 5, 80.0, 0L,
+      Array.tabulate(125)(i => amp * math.cos(2 * math.Pi * bin * i / 125.0)),
+      Array.emptyDoubleArray, d)
+
+  test("testRunnerConfig parses the shipped testConfig.json; buildAlg wires the flap branch") {
+    import graft.config.ConfigBridge
+    val cfg = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig.json"))
+    // top-level invalidEvents is the F4 list here (selectData puts it
+    // under osdbConfig; testRunner at the top)
+    assert(cfg.eventFilters.invalidIds.size == 20 &&
+      cfg.eventFilters.invalidIds.contains("44314"))
+    assert(cfg.eventFilters.excludeDataSources == Seq("Phone", "AndroidWear"))
+    assert(cfg.algorithms.size == 8)
+    assert(cfg.algorithms.filter(_.enabled).map(_.name).toSet ==
+      Set("OSD_flap", "OSD_no_flap", "SpecCnn", "amber"))
+
+    val flapAlg = ConfigBridge.buildAlg(
+      cfg.algorithms.find(_.name == "OSD_flap").get)
+    val noFlap = ConfigBridge.buildAlg(
+      cfg.algorithms.find(_.name == "OSD_no_flap").get)
+    // the entry name is injected into the detector (testRunner.py:136)
+    assert(flapAlg.name == "OSD_flap" && noFlap.name == "OSD_no_flap")
+    // bin 12 = 2.4 Hz: inside the flap band [2,4), outside main [3,8) —
+    // only the flap-enabled build should ever raise the FSM
+    def runTone(alg: graft.streaming.SdAlg, bin: Int): Int = {
+      alg.reset()
+      (0L until 5L).map(d => alg.processDp(toneDp(bin, d)).alarmState).max
+    }
+    assert(runTone(flapAlg, 12) == 2, "flap band must drive the FSM to ALARM")
+    assert(runTone(noFlap, 12) == 0, "flap-disabled build must ignore 2.4 Hz")
+    // bin 30 = 6 Hz: main band — both fire
+    assert(runTone(flapAlg, 30) == 2 && runTone(noFlap, 30) == 2)
+    // bin 2 = 0.4 Hz: neither
+    assert(runTone(flapAlg, 2) == 0 && runTone(noFlap, 2) == 0)
+    // a typo'd settings key fails loudly at build time
+    val bad = cfg.algorithms.find(_.name == "OSD_flap").get
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.buildAlg(bad.copy(settings =
+        bad.settings + ("alarmTresh" -> JInt(5))))
+    }
+    assert(e.getMessage.contains("alarmTresh"))
+  }
+
+  test("buildAlg deploys model-bearing entries from graft artifacts") {
+    import graft.config.ConfigBridge
+    import graft.config.ConfigBridge.TestRunnerAlg
+    val dir = Files.createTempDirectory("cfgmodels").toString
+    // a tiny CNN artifact for the nnAlg entry
+    graft.ml.ModelIo.saveCnn(graft.ml.Cnn.CnnModel(
+      nFilters = 2, width = 4, window = 125,
+      filters = Array.fill(8)(0.1), filterBias = Array.fill(2)(0.0),
+      dense = Array(1.0, -1.0), bias = 0.0, mean = 0.0, std = 1.0),
+      s"$dir/cnn.graft")
+    val nn = ConfigBridge.buildAlg(TestRunnerAlg("cnn", "nnAlg.NnAlg",
+      enabled = true, settings = Map(
+        "modelFname" -> JString("cnn.graft"), "sdThresh" -> JDouble(0.0),
+        "samplePeriod" -> JDouble(5.0))), modelDir = dir)
+    assert(nn.name == "cnn")
+    // a geometry-consistent SpecCnn artifact for the specAlg entry:
+    // imageDims(analysisSamp=250, specSamp=50, specStep=5) = (25, 41)
+    graft.ml.ModelIo.saveSpecCnn(graft.ml.SpecCnn.SpecCnnModel(
+      nFreq = 25, nSpec = 41,
+      layers = Array(graft.ml.SpecCnn.Layer(1, 1,
+        Array.fill(9)(0.1), Array(0.0))),
+      dense = Array.fill(13 * 21)(0.01), bias = 0.0, mean = 0.0, std = 1.0),
+      s"$dir/spec.graft")
+    val spec = ConfigBridge.buildAlg(TestRunnerAlg("SpecCnn", "specAlg.SpecAlg",
+      enabled = true, settings = Map(
+        "modelFname" -> JString("spec.graft"),
+        "analysisSamp" -> JInt(250), "specSamp" -> JInt(50),
+        "specStep" -> JInt(5))), modelDir = dir)
+    assert(spec.name == "SpecCnn")
+    // the wrong artifact family for nnAlg fails loudly with the format
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.buildAlg(TestRunnerAlg("x", "nnAlg.NnAlg",
+        enabled = true,
+        settings = Map("modelFname" -> JString("spec.graft"))),
+        modelDir = dir)
+    }
+    assert(e.getMessage.contains("graft-speccnn"))
+    // osdAlg_v1: spec-gated ratio at raw power scale — a main-band tone
+    // still alarms (spec power clears the same 100 threshold)
+    val v1 = ConfigBridge.buildAlg(TestRunnerAlg("OSD_v1",
+      "osdAlg_v1.OsdAlg_v1", enabled = true, settings = Map(
+        "alarmFreqMin" -> JInt(3), "alarmFreqMax" -> JInt(8),
+        "alarmThresh" -> JInt(100), "alarmRatioThresh" -> JInt(57))))
+    v1.reset()
+    assert((0L until 5L).map(d => v1.processDp(toneDp(30, d)).alarmState).max == 2)
+  }
+
   // ------------------------------------------------- shipped files parse
 
   test("all three shipped reference configs parse end-to-end") {

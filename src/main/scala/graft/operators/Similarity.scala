@@ -574,6 +574,104 @@ object Similarity {
         col("nid").as("neighbor_id"), col("score"))
   }
 
+  /** PER-LABEL-INDEX hard-negative mining — the recall fix for
+    * [[hardNegativesAnn]]'s structural blind spot. A single shared
+    * quantizer probes the cells nearest the ANCHOR, which are
+    * dominated by the anchor's OWN label: the true hard negative sits
+    * in an opposite-label cluster whose cell rarely ranks in the
+    * anchor's top-nprobe (measured: recall@2 ~0.57 at derived knobs,
+    * ~0.76 at doubled probes — HardNegProbe). Here each label gets its
+    * OWN quantizer (the FAISS per-shard-index pattern): inverted lists
+    * key on (label, cell), and an anchor probes the top cells of EVERY
+    * opposite label's index — the probe ranking now runs against
+    * centroids of exactly the population being mined, restoring the
+    * self-knn recall anatomy per label pair.
+    *
+    * Scale shape: per-label quantizer training is |L| driver-side
+    * Lloyd runs over capped samples (driver state |L|·√(N/|L|)·dim
+    * doubles — labels are CLASSES, small by nature; a high-cardinality
+    * label column is the caller's modeling error and fails the
+    * train-time sample require). Probe rows are O(anchors·|L|·nprobe)
+    * against lists of size N/(|L|·nlist_l) — total scored pairs the
+    * same O-shape as the shared-index form, redistributed to the
+    * cells that matter. Everything after the probe (bucket-local
+    * scoring, pre-shuffle WindowGroupLimit top-k) is
+    * [[ivfKnn]]'s measured machinery. */
+  def hardNegativesAnnPerLabel(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dim: Int, k: Int,
+      nprobe: Int = 0, sampleSize: Int = 2048, iters: Int = 5,
+      listShards: Int = 8,
+      anchorPred: Column = lit(true)): DataFrame = {
+    val spark = vectors.sparkSession
+    val base = vectors
+      .select(col(idCol).as("id"), col(labelCol).cast("string").as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = base.groupBy("lbl").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap // |L| rows
+      require(counts.size >= 2,
+        s"hardNegativesAnnPerLabel needs >= 2 labels, saw ${counts.size}")
+      // per-label quantizer: nlist_l = ceil(sqrt(N_l)) (the measured
+      // ivfKnn law applied within the label population)
+      val perLabel: Map[String, (Array[Array[Double]], Int)] =
+        counts.map { case (l, n) =>
+          val nl = math.min(sqrtKnob(n), sampleSize)
+          val cents = sphericalLloyd(
+            unitSample(base.filter(col("lbl") === l), sampleSize,
+              s"hardNegativesAnnPerLabel($l)"), nl, dim, iters)
+          val np = math.min(
+            if (nprobe > 0) nprobe else math.max(4, sqrtKnob(cents.length.toLong)),
+            cents.length)
+          l -> (cents, np)
+        }
+      val bc = spark.sparkContext.broadcast(perLabel)
+      // each vector is indexed under ITS OWN label's quantizer
+      val assignUdf = udf { (l: String, v: Seq[Double]) =>
+        nearestDot(v.toArray, bc.value(l)._1)
+      }
+      // an anchor probes the top cells of EVERY OTHER label's index
+      val probeUdf = udf { (anchorLbl: String, v: Seq[Double]) =>
+        val arr = v.toArray
+        bc.value.iterator.filter(_._1 != anchorLbl).flatMap {
+          case (l, (cs, np)) =>
+            val scored = Array.tabulate(cs.length) { c =>
+              var d = 0.0; var j = 0
+              val m = math.min(arr.length, cs(c).length)
+              while (j < m) { d += arr(j) * cs(c)(j); j += 1 }
+              (c, d)
+            }
+            scored.sortBy { case (c, d) => (-d, c) }.take(np)
+              .iterator.map { case (c, _) => s"$l#$c" }
+        }.toArray
+      }
+      val lists = base
+        .select(col("id"), col("v"), col("nrm"),
+          concat(col("lbl"), lit("#"), assignUdf(col("lbl"), col("v")))
+            .as("cell"),
+          pmod(col("id"), lit(listShards.toLong)).as("shard"))
+        .groupBy("cell", "shard")
+        .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("entries"))
+      val queries = base.filter(anchorPred)
+        .select(col("id"), col("v"), col("nrm"),
+          explode(probeUdf(col("lbl"), col("v"))).as("cell"))
+      val scored = queries.join(lists, "cell")
+        .select(col("id"), col("v"), col("nrm"), explode(col("entries")).as("e"))
+        // no cross-label filter needed: an anchor never probes its own
+        // label's cells, so every entry is opposite-label by construction
+        .select(col("id"), col("e.id").as("nid"),
+          (graft.plans.GraftExpressions.arrayDot(col("v"), col("e.v"))
+            / (col("nrm") * col("e.nrm"))).as("score"))
+      val w = Window.partitionBy("id").orderBy(col("score").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("id").as("vec_id"), col("rank"),
+          col("nid").as("neighbor_id"), col("score"))
+    } finally base.unpersist(false)
+  }
+
   /** IVF-PQ ANN (the FAISS IVFADC shape) — the COMPRESSION layer on top
     * of [[ivfKnn]]'s coarse quantizer, and the configuration a 100 TB
     * vector corpus actually deploys: the inverted lists store ONE int of

@@ -1437,6 +1437,44 @@ object TextQueries {
       |  (100000, 'lsh', CAST(8 AS BIGINT))) t(sf_n, method, recall_pct)
       |WHERE sf_n = (SELECT COUNT(*) FROM events)""".stripMargin
 
+  /** E13 — recall gate for the PER-LABEL-INDEX hard-negative miner
+    * ([[Similarity.hardNegativesAnnPerLabel]], round 17): floor(100·
+    * recall@2) of the derived-knob per-label path against the exact
+    * e11 truth (the O(N²) cross join — the gate's bounded-scale
+    * harness, never the operator's path; e13 joins d5/e5/e6 in the
+    * never-scale-probe set). The per-label index exists because the
+    * SHARED-index form ([[Similarity.hardNegativesAnn]]/e12) probes
+    * anchor-nearest cells dominated by the anchor's own label —
+    * measured recall ~0.57; per-label restores the self-knn anatomy
+    * per label pair (~0.73-0.89 derived, ~0.88-0.95 at 2× probes —
+    * HardNegProbe). A LOW-ish pin is the boundary-outlier effect on
+    * THIS fixture (a hard negative is a peripheral point of its own
+    * label's cluster structure — the worst case for cluster routing),
+    * not a bug; the probe knob is the dial. */
+  def e13HardnegRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = e11HardNegatives(s, d).select(
+      col("qid").as("vec_id"), col("nid").as("neighbor_id"))
+    val ann = Similarity.hardNegativesAnnPerLabel(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        dim = 64, k = 2, anchorPred = col("id") % 7 === 0)
+      .select("vec_id", "neighbor_id")
+    ann.join(truth, Seq("vec_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(floor(col("hits") * 100 / col("n_truth")).cast("long")
+        .as("recall_pct"))
+  }
+
+  /** Per-SF pins, events-count dispatch (see [[e5Sql]]); re-derive with
+    * `runMain graft.tools.PinProbe e13_hardneg_recall <sfDir>` after a
+    * fixture regen. */
+  val e13Sql: String =
+    """SELECT recall_pct FROM (VALUES
+      |  (1000,   CAST(89 AS BIGINT)),
+      |  (10000,  CAST(88 AS BIGINT)),
+      |  (100000, CAST(79 AS BIGINT))) t(sf_n, recall_pct)
+      |WHERE sf_n = (SELECT COUNT(*) FROM events)""".stripMargin
+
   /** E6: self-scoring gate for [[Similarity.cosineNearDupPairs]] (the
     * embedding-cosine near-dup path, previously unit-only) — candidate
     * count and floor(100·recall) of the DECLARED config (minCosine 0.3,
@@ -2389,6 +2427,7 @@ object TextQueries {
     "e3_native_dot"    -> (e3NativeDot _),
     "e11_hard_negatives" -> (e11HardNegatives _),
     "e12_hard_neg_ann"  -> (e12HardNegAnn _),
+    "e13_hardneg_recall" -> (e13HardnegRecall _),
     "e4_ivf_knn"       -> (e4IvfKnn _),
     "e9_ivfpq"         -> (e9IvfPq _),
     "e10_pq_refine"    -> (e10PqRefine _),
@@ -2445,6 +2484,7 @@ object TextQueries {
     "e3_native_dot"    -> e3Sql,
     "e11_hard_negatives" -> e11Sql,
     "e12_hard_neg_ann"  -> e12Sql,
+    "e13_hardneg_recall" -> e13Sql,
     "e5_ann_recall"    -> e5Sql,
     "e6_cos_neardup"   -> e6Sql,
     "e7_design_recall" -> e7Sql,

@@ -40,16 +40,44 @@ object HardNegProbe {
       val emb = graft.Tables.embeddings(spark, sf)
       val n = emb.count()
       println(s"[hardneg] === $sf: $n vectors ===")
-      time(s"$sf ann-derived") {
+      def ann(nlist: Int, nprobe: Int) =
         graft.operators.Similarity.hardNegativesAnn(emb, "vec_id",
-            "embedding", "label", dim = 64, k = 2,
-            anchorPred = col("id") % 7 === 0)
-          .queryExecution.toRdd.count()
+          "embedding", "label", dim = 64, k = 2, nlist = nlist,
+          nprobe = nprobe, anchorPred = col("id") % 7 === 0)
+      time(s"$sf ann-derived") {
+        ann(0, 0).queryExecution.toRdd.count()
       }
       time(s"$sf exact-cross (e11 form)") {
         graft.queries.TextQueries.e11HardNegatives(spark, sf)
           .queryExecution.toRdd.count()
       }
+      // recall@2 vs the exact form, per knob setting: the pinned gate
+      // (16,4), the derived law, and derived-nlist with a doubled probe
+      val exact = graft.queries.TextQueries.e11HardNegatives(spark, sf)
+        .select(col("qid"), col("nid")).cache()
+      val nEx = exact.count()
+      val nl = graft.operators.Similarity.sqrtKnob(n)
+      for ((tag, a) <- Seq(
+          ("pinned(16,4)", ann(16, 4)),
+          (s"derived($nl,0)", ann(0, 0)),
+          (s"wide($nl,${2 * math.max(4, graft.operators.Similarity.sqrtKnob(nl.toLong))})",
+            ann(nl, 2 * math.max(4, graft.operators.Similarity.sqrtKnob(nl.toLong)))),
+          ("per-label(derived)",
+            graft.operators.Similarity.hardNegativesAnnPerLabel(emb,
+              "vec_id", "embedding", "label", dim = 64, k = 2,
+              anchorPred = col("id") % 7 === 0)),
+          ("per-label(2x-probe)",
+            graft.operators.Similarity.hardNegativesAnnPerLabel(emb,
+              "vec_id", "embedding", "label", dim = 64, k = 2,
+              nprobe = 2 * math.max(4, graft.operators.Similarity.sqrtKnob(
+                graft.operators.Similarity.sqrtKnob(n / 10).toLong)),
+              anchorPred = col("id") % 7 === 0)))) {
+        val hit = exact.join(a.select(col("vec_id").as("qid"),
+            col("neighbor_id").as("nid")), Seq("qid", "nid"))
+          .count()
+        println(f"[hardneg] $sf recall@2 $tag: ${hit.toDouble / nEx}%.4f")
+      }
+      exact.unpersist()
     }
     spark.stop()
   }

@@ -38,7 +38,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # ScaleGen corpora are Spark-written DIRECTORIES; the driver
+            # testdata are single files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)

@@ -495,11 +495,11 @@ object ConfigBridge {
     "moving_average_time_window", "samplePeriod", "warnTime", "alarmTime",
     "name")
   private val NnSettingKeys = Set("modelFname", "inputFormat", "normalise",
-    "sdThresh", "mode", "samplePeriod", "warnTime", "alarmTime",
-    "bufferSeconds", "sampleFreq", "name")
+    "sdThresh", "probThresh", "mode", "samplePeriod", "warnTime",
+    "alarmTime", "bufferSeconds", "sampleFreq", "name")
   private val SpecSettingKeys = Set("modelFname", "inputFormat", "dims",
     "analysisSamp", "specSamp", "specStep", "normalise", "sdThresh",
-    "mode", "samplePeriod", "warnTime", "alarmTime", "name")
+    "probThresh", "mode", "samplePeriod", "warnTime", "alarmTime", "name")
   private val FlapKeys = Set("enabled", "flapAlarmFreqMin",
     "flapAlarmFreqMax", "flapAlarmThresh", "flapAlarmRatioThresh")
   private val DeviceSettingKeys = Set("ipAddr", "delayMs", "name")
@@ -537,9 +537,24 @@ object ConfigBridge {
       name = Some(a.name),
       normalise = bl("normalise", d = false),
       sdThresh = num("sdThresh", 0.0),
+      probThresh = num("probThresh", 0.5), // nnAlg.py:47 default 0.5
       samplePeriod = num("samplePeriod", 5.0),
       warnTime = num("warnTime", 5.0),
       alarmTime = num("alarmTime", 10.0))
+    // bufferSeconds/sampleFreq describe the keras runtime's sample
+    // buffer; the deployed artifact PINS bufferSamples to its trained
+    // window (Cnn.deployedCnn et al), so a config asking for a
+    // different length must fail loudly rather than be silently
+    // ignored — same convention as highPassOrder.
+    def checkBuffer(window: Int): Unit =
+      g("bufferSeconds").foreach { v =>
+        val want = dbl(src, sec, "bufferSeconds", v) * num("sampleFreq", 25.0)
+        require(want.round.toInt == window,
+          s"$src: $sec bufferSeconds*sampleFreq = ${want.round.toInt} " +
+            s"samples, but the deployed artifact's trained window is " +
+            s"$window — the buffer length is artifact-owned; drop " +
+            "bufferSeconds or deploy a matching artifact")
+      }
     a.algClass.split('.').takeRight(2).mkString(".") match {
       case "osdAlg.OsdAlg" =>
         failUnknown(src, sec, st.keys, OsdSettingKeys)
@@ -575,20 +590,28 @@ object ConfigBridge {
           name = Some(a.name)))
       case "osdAlg_v1.OsdAlg_v1" =>
         failUnknown(src, sec, st.keys, OsdV1SettingKeys)
-        // the libosd-variant: magnitude data as-is (no 3D recompute, no
-        // mode/offset), ratio gated on SPEC power, raw power scale
+        // the 'version 1' variant: |x|+|y|+|z| magnitude RECOMPUTED from
+        // data3D when present (osdAlg_v1.py:48-74, the V1 mode), stored
+        // magnitude only as the fallback; ratio gated on SPEC power
+        // (osdAlg_v1.py:112); raw power scale (no ACCEL_SCALE_FACTOR
+        // division anywhere in v1); freqCutoff = fs/2 — NOT the device's
+        // 12 Hz quirk (osdAlg_v1.py:32) — and spec bins summed over
+        // range(1, mNSamp) rather than [1, n/2) (osdAlg_v1.py:88-90)
+        val fs = num("sampleFreq", 25.0)
         new OsdAlg(OsdSettings(
-          mode = "V0",
-          sampleFreq = num("sampleFreq", 25.0),
+          mode = "V1",
+          sampleFreq = fs,
           samplePeriod = num("samplePeriod", 5.0),
           warnTime = num("warnTime", 5.0),
           alarmTime = num("alarmTime", 10.0),
           alarmThresh = num("alarmThresh", 100.0),
           alarmRatioThresh = num("alarmRatioThresh", 57.0),
+          freqCutoff = fs / 2.0,
           accelScaleFactor = 1.0,
           alarmFreqMin = num("alarmFreqMin", 3.0),
           alarmFreqMax = num("alarmFreqMax", 8.0),
           gateOnSpec = true,
+          specBinsFullRange = true,
           name = Some(a.name)))
       case "hrAlg.HrAlg" =>
         failUnknown(src, sec, st.keys, HrSettingKeys)
@@ -606,19 +629,25 @@ object ConfigBridge {
       case "nnAlg.NnAlg" =>
         failUnknown(src, sec, st.keys, NnSettingKeys)
         val path = modelPath()
-        graft.ml.ModelIo.formatOf(path) match {
-          case "graft-cnn" => graft.ml.Cnn.deployedCnn(
-            graft.ml.ModelIo.loadCnn(path), nnBase())
-          case "graft-lstm" => graft.ml.Lstm.deployedLstm(
-            graft.ml.ModelIo.loadLstm(path), nnBase())
-          case "graft-lstm2" => graft.ml.LstmStack.deployedLstm2(
-            graft.ml.ModelIo.loadLstm2(path), nnBase())
-          case "graft-convpipe" => graft.ml.ConvPipe.deployedConvPipe(
-            graft.ml.ModelIo.loadConvPipe(path), nnBase())
+        val (alg, window) = graft.ml.ModelIo.formatOf(path) match {
+          case "graft-cnn" =>
+            val m = graft.ml.ModelIo.loadCnn(path)
+            (graft.ml.Cnn.deployedCnn(m, nnBase()), m.window)
+          case "graft-lstm" =>
+            val m = graft.ml.ModelIo.loadLstm(path)
+            (graft.ml.Lstm.deployedLstm(m, nnBase()), m.window)
+          case "graft-lstm2" =>
+            val m = graft.ml.ModelIo.loadLstm2(path)
+            (graft.ml.LstmStack.deployedLstm2(m, nnBase()), m.window)
+          case "graft-convpipe" =>
+            val m = graft.ml.ModelIo.loadConvPipe(path)
+            (graft.ml.ConvPipe.deployedConvPipe(m, nnBase()), m.front.inputLen)
           case other => throw new IllegalArgumentException(
             s"$src: $path format '$other' is not an nnAlg-deployable " +
               "window model (graft-cnn/lstm/lstm2/convpipe)")
         }
+        checkBuffer(window)
+        alg
       case "specAlg.SpecAlg" =>
         failUnknown(src, sec, st.keys, SpecSettingKeys)
         val path = modelPath()

@@ -632,7 +632,12 @@ object Similarity {
       val assignUdf = udf { (l: String, v: Seq[Double]) =>
         nearestDot(v.toArray, bc.value(l)._1)
       }
-      // an anchor probes the top cells of EVERY OTHER label's index
+      // an anchor probes the top cells of EVERY OTHER label's index.
+      // The cell key is a two-field (label, cellIdx) STRUCT, not a
+      // delimited string — a label containing the delimiter (e.g. "a"
+      // vs "a#1") would otherwise collide cells ACROSS labels, silently
+      // merging lists and reintroducing same-label candidates the
+      // probe-side exclusion claims are impossible by construction.
       val probeUdf = udf { (anchorLbl: String, v: Seq[Double]) =>
         val arr = v.toArray
         bc.value.iterator.filter(_._1 != anchorLbl).flatMap {
@@ -644,19 +649,21 @@ object Similarity {
               (c, d)
             }
             scored.sortBy { case (c, d) => (-d, c) }.take(np)
-              .iterator.map { case (c, _) => s"$l#$c" }
+              .iterator.map { case (c, _) => (l, c) }
         }.toArray
       }
       val lists = base
         .select(col("id"), col("v"), col("nrm"),
-          concat(col("lbl"), lit("#"), assignUdf(col("lbl"), col("v")))
-            .as("cell"),
+          struct(col("lbl").as("l"),
+            assignUdf(col("lbl"), col("v")).as("c")).as("cell"),
           pmod(col("id"), lit(listShards.toLong)).as("shard"))
         .groupBy("cell", "shard")
         .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("entries"))
       val queries = base.filter(anchorPred)
         .select(col("id"), col("v"), col("nrm"),
-          explode(probeUdf(col("lbl"), col("v"))).as("cell"))
+          explode(probeUdf(col("lbl"), col("v"))).as("pc"))
+        .select(col("id"), col("v"), col("nrm"),
+          struct(col("pc._1").as("l"), col("pc._2").as("c")).as("cell"))
       val scored = queries.join(lists, "cell")
         .select(col("id"), col("v"), col("nrm"), explode(col("entries")).as("e"))
         // no cross-label filter needed: an anchor never probes its own

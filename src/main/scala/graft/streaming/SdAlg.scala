@@ -100,6 +100,11 @@ case class OsdSettings(
     gateOnSpec: Boolean = false,    // osdAlg_v1 gates the ratio on
                                     // specPower (osdAlg_v1.py:112), the
                                     // device/osdAlg.py variant on roi
+    specBinsFullRange: Boolean = false, // osdAlg_v1 sums spec bins over
+                                    // range(1, mNSamp) gated by the
+                                    // cutoff (osdAlg_v1.py:88-90) — at
+                                    // fs/2 cutoff that reaches bins
+                                    // 1..62 of 125, one past [1, n/2)
     name: Option[String] = None)    // config-injected (testRunner.py:136)
 
 /** Device-faithful OSD algorithm (testRunner/osdAlg.py):
@@ -117,38 +122,44 @@ final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
   private var lastRoi = 0.0
   private var lastRatio = 0.0
 
-  private def devSpecPower(x: Array[Double]): Double = {
-    val n = x.length
+  // spec/roi powers over a PRE-COMPUTED spectrum: the reference
+  // recomputes np.fft.fft inside each get*Power call
+  // (osdAlg.py:161-206) — up to 4 O(n²) DFTs per datapoint with flap
+  // enabled — but nothing in the semantics requires that, so here the
+  // DFT runs ONCE per accel buffer and every band power reads the same
+  // re/im arrays. The per-band arithmetic below is unchanged, so the
+  // emitted values are bit-identical to the recompute form.
+  private def devSpecPower(re: Array[Double], im: Array[Double], n: Int): Double = {
     if (n == 0) return 0.0
     val fr = 1.0 / s.samplePeriod
     val nCut = (s.freqCutoff / fr).toInt
-    val (re, im) = Signal.dft(x)
+    val hi = if (s.specBinsFullRange) n else n / 2
     var p = 0.0
     var i = 1
-    while (i < n / 2) {
+    while (i < hi) {
       if (i <= nCut) p += Signal.magnitudeSq(re(i), im(i))
       i += 1
     }
     p / n / 2
   }
 
-  private def devRoiPower(x: Array[Double], fMin: Double, fMax: Double): Double = {
-    val n = x.length
+  private def devRoiPower(re: Array[Double], im: Array[Double], n: Int,
+      fMin: Double, fMax: Double): Double = {
     if (n == 0) return 0.0
     val fr = 1.0 / s.samplePeriod
     val nMin = (fMin / fr).toInt
     val nMax = (fMax / fr).toInt
     if (nMax <= nMin) return 0.0
-    val (re, im) = Signal.dft(x)
     var p = 0.0
     var i = nMin
     while (i < nMax) { p += Signal.magnitudeSq(re(i), im(i)); i += 1 }
     p / (nMax - nMin)
   }
 
-  private def inAlarm(accData: Array[Double], fMin: Double, fMax: Double): Boolean = {
-    lastSpec = devSpecPower(accData) / s.accelScaleFactor
-    lastRoi = devRoiPower(accData, fMin, fMax) / s.accelScaleFactor
+  private def inAlarm(re: Array[Double], im: Array[Double], n: Int,
+      fMin: Double, fMax: Double): Boolean = {
+    lastSpec = devSpecPower(re, im, n) / s.accelScaleFactor
+    lastRoi = devRoiPower(re, im, n, fMin, fMax) / s.accelScaleFactor
     val gate = if (s.gateOnSpec) lastSpec else lastRoi
     lastRatio =
       if (gate > s.alarmThresh) 10.0 * lastRoi / lastSpec else 0.0
@@ -159,9 +170,10 @@ final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
     * machinery, its own thresholds, and — as in the reference — it
     * does NOT clobber the reported main-band spec/roi/ratio (flap
     * values go to extraData there; here they stay local). */
-  private def inFlapAlarm(accData: Array[Double], f: FlapSettings): Boolean = {
-    val spec = devSpecPower(accData) / s.accelScaleFactor
-    val roi = devRoiPower(accData, f.freqMin, f.freqMax) / s.accelScaleFactor
+  private def inFlapAlarm(re: Array[Double], im: Array[Double], n: Int,
+      f: FlapSettings): Boolean = {
+    val spec = devSpecPower(re, im, n) / s.accelScaleFactor
+    val roi = devRoiPower(re, im, n, f.freqMin, f.freqMax) / s.accelScaleFactor
     val ratio = if (roi > f.thresh) 10.0 * roi / spec else 0.0
     ratio > f.ratioThresh
   }
@@ -169,10 +181,14 @@ final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
   def processDp(dp: ReplayDp): AlgResult = {
     val fMin = s.alarmFreqMin; val fMax = s.alarmFreqMax
     def withFlap(acc: Array[Double]): Boolean = {
-      val main = inAlarm(acc, fMin, fMax)
+      val n = acc.length
+      val (re, im) =
+        if (n == 0) (Array.empty[Double], Array.empty[Double])
+        else Signal.dft(acc)
+      val main = inAlarm(re, im, n, fMin, fMax)
       // main-band evaluation FIRST so lastSpec/lastRoi/lastRatio report
       // the main band even when only the flap band alarms
-      main || s.flap.exists(f => inFlapAlarm(acc, f))
+      main || s.flap.exists(f => inFlapAlarm(re, im, n, f))
     }
     val alarm = s.mode match {
       case "V0" =>

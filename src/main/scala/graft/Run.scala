@@ -1,0 +1,446 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{ConfigBridge, ConfigTools}
+import graft.config.ConfigBridge.Doc
+import graft.functions.TimeParse
+import graft.operators.{EventFilters, Flatten, Tidy}
+import graft.operators.Flatten.FlatDp
+import graft.queries.{DomainQueries, Exact, MlQueries, OsdbFixture}
+import graft.report.{ResultsAnalysis, Summarise}
+import graft.sources.{FlatCsv, OsdbJson}
+import graft.streaming.ReplayDp
+
+/** The driver CLI — the engine driven the way the reference is driven:
+  *
+  * {{{
+  * graft.Run <tool> <configFile> <lakeDir> <outDir> [options]
+  * }}}
+  *
+  * | tool       | reference twin                                      |
+  * |------------|-----------------------------------------------------|
+  * | select     | selectData.py:119 main (filters → selected events)  |
+  * | flatten    | flattenData.py:449 main (nested → wide CSV)         |
+  * | runseq     | runSequence.py:799 main (k-fold pipeline skeleton)  |
+  * | testrunner | testRunner.py:156 main (detector farm replay)       |
+  * | summarise  | summariseData.py:322 main (HTML report + index)     |
+  *
+  * Config handling is [[ConfigBridge]] end to end: `loadMerged` honors
+  * the `osdbCfg` second-file splice (shallow union, override wins —
+  * runSequence.py:820-826), `randomSeed` is parsed and logged
+  * (the engine's splits are content-hash-deterministic — fold
+  * assignment never consumes an RNG, so the seed only matters to the
+  * sampling augmenters, which the composed pipelines seed from it),
+  * and every unknown key fails loudly per the bridge's contract.
+  *
+  * Options:
+  *   --kfold N      runseq fold count (runSequence.py:801 takes this
+  *                  from the CLI, not the config; default 3)
+  *   --train        runseq: additionally run the per-fold fit/score
+  *                  loop with the config's dispatched modelClass and
+  *                  write fold_metrics
+  *   --modelDir D   testrunner: directory modelFname entries resolve
+  *                  against (default: the lake dir)
+  *   --only S,S     testrunner: keep only algorithm entries whose name
+  *                  or class contains one of the substrings (the
+  *                  engine twin of --testData narrowing; model-bearing
+  *                  entries need graft artifacts — see ModelIo)
+  *   --pageSize N   summarise: index shard size (default 1000)
+  *   --master M     Spark master (default local[*])
+  *
+  * Lake layouts (auto-detected):
+  *   - OSDB JSON category files (`*.json` arrays / `*.ndjson`),
+  *     the reference's own database format → [[OsdbJson.readEvents]]
+  *     (+ the full [[Tidy]] expansion);
+  *   - nested-event parquet (`events.parquet` with a `datapoints`
+  *     column), the engine's lake format (S6) → [[Tidy]];
+  *   - the driver testdata star schema (`events.parquet` with
+  *     `event_id`) → the deterministic [[OsdbFixture]] derivation,
+  *     the demo corpus the entire oracle registry runs on. In this
+  *     mode the tools consume EXACTLY the frames the cfg1/cfg2 gate
+  *     queries consume (RunSpec pins CLI output ≡ gate frame).
+  *
+  * Scale shape: the CLI adds nothing to the data plane — each tool is
+  * plan construction over the already-audited lineages (skeleton,
+  * replay, report), so the 100 TB arguments are the pipelines' own.
+  */
+object Run {
+
+  private val Usage =
+    """usage: graft.Run <tool> <configFile> <lakeDir> <outDir> [options]
+      |  tools: select | flatten | runseq | testrunner | summarise
+      |  options: --kfold N | --train | --modelDir D | --only S[,S]
+      |           --pageSize N | --master M""".stripMargin
+
+  // ----------------------------------------------------------- arg parsing
+
+  final case class Args(
+      tool: String, configFile: String, lakeDir: String, outDir: String,
+      kfold: Int = 3, train: Boolean = false,
+      modelDir: Option[String] = None, only: Seq[String] = Nil,
+      pageSize: Int = 1000, master: String = "local[*]")
+
+  private[graft] def parseArgs(argv: Array[String]): Args = {
+    require(argv.length >= 4, Usage)
+    val tools = Set("select", "flatten", "runseq", "testrunner", "summarise")
+    require(tools(argv(0)), s"unknown tool '${argv(0)}'\n$Usage")
+    var a = Args(argv(0), argv(1), argv(2), argv(3))
+    var i = 4
+    while (i < argv.length) {
+      argv(i) match {
+        case "--kfold" => a = a.copy(kfold = argv(i + 1).toInt); i += 2
+        case "--train" => a = a.copy(train = true); i += 1
+        case "--modelDir" => a = a.copy(modelDir = Some(argv(i + 1))); i += 2
+        case "--only" =>
+          a = a.copy(only = argv(i + 1).split(",").toSeq.filter(_.nonEmpty))
+          i += 2
+        case "--pageSize" => a = a.copy(pageSize = argv(i + 1).toInt); i += 2
+        case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case other => throw new IllegalArgumentException(
+          s"unknown option '$other'\n$Usage")
+      }
+    }
+    require(a.kfold >= 1, s"--kfold must be >= 1: ${a.kfold}")
+    a
+  }
+
+  // ------------------------------------------------------- lake resolution
+
+  /** The three supported lake layouts (see the object scaladoc). */
+  private[graft] sealed trait Lake
+  private[graft] final case class JsonLake(paths: Seq[String]) extends Lake
+  private[graft] final case class ParquetLake(path: String) extends Lake
+  private[graft] final case class TestdataLake(dir: String) extends Lake
+
+  private[graft] def resolveLake(spark: SparkSession, dir: String,
+                                 dataFiles: Seq[String]): Lake = {
+    val p = Paths.get(dir)
+    require(Files.isDirectory(p), s"lake dir not found: $dir")
+    // config-listed dataFiles win when they exist in the lake (the
+    // reference reads exactly the configured category files)
+    val listed = dataFiles.map(p.resolve).filter(Files.exists(_))
+    if (listed.nonEmpty) return JsonLake(listed.map(_.toString))
+    val entries = Files.list(p).iterator().asScala.map(_.toString).toSeq.sorted
+    val jsons = entries.filter(f => f.endsWith(".json") || f.endsWith(".ndjson"))
+    if (jsons.nonEmpty) return JsonLake(jsons)
+    val evp = p.resolve("events.parquet")
+    require(Files.exists(evp),
+      s"$dir: no OSDB json files and no events.parquet — not a lake")
+    val fields = spark.read.parquet(evp.toString).schema.fieldNames.toSet
+    if (fields.contains("datapoints")) ParquetLake(evp.toString)
+    else if (fields.contains("event_id")) TestdataLake(dir)
+    else throw new IllegalArgumentException(
+      s"$evp: neither nested OSDB events (datapoints column) nor the " +
+        "driver testdata star schema (event_id column)")
+  }
+
+  /** Nested-event frame (tidied, `n_dp` attached) for the
+    * index/report/select surfaces. */
+  private def nestedEvents(spark: SparkSession, lake: Lake): DataFrame = {
+    val df = lake match {
+      case JsonLake(paths) =>
+        // one scan per encoding: .json carries the reference's
+        // one-array-per-category files (S1), .ndjson the streaming
+        // variant (S2)
+        val (nd, arr) = paths.partition(_.endsWith(".ndjson"))
+        val reads =
+          (if (arr.nonEmpty) Seq(OsdbJson.readEvents(spark, arr, multiLine = true)) else Nil) ++
+          (if (nd.nonEmpty) Seq(OsdbJson.readEvents(spark, nd, multiLine = false)) else Nil)
+        reads.reduce(_.unionByName(_))
+      case ParquetLake(path) => Tidy(spark.read.parquet(path))
+      case TestdataLake(dir) => OsdbFixture.nested(spark, dir)
+    }
+    if (df.columns.contains("n_dp")) df
+    else df.withColumn("n_dp",
+      coalesce(size(col("datapoints")).cast("long"), lit(0L)))
+  }
+
+  /** C4 type→id as a Column (flattenData.py:13-27). */
+  private def typeIdCol(t: Column): Column = {
+    val lt = lower(coalesce(t, lit("")))
+    when(lt.contains("seizure"), 1)
+      .when(lt.contains("false alarm") || lt.contains("nda"), 0)
+      .otherwise(2)
+  }
+
+  /** Nested events → the flat per-datapoint stream (J2 explode with
+    * parent propagation + the C1 time parse); the real-lake twin of
+    * the fixture's closed-form [[OsdbFixture.flatDps]]. */
+  private def nestedToFlatDps(nested: DataFrame): Dataset[FlatDp] = {
+    val spark = nested.sparkSession
+    import spark.implicits._
+    nested.select(col("id"), col("userId"), col("type"),
+        posexplode(col("datapoints")).as(Seq("dpIdx", "dp")))
+      .select(
+        col("id").cast("string").as("eventId"),
+        col("userId").cast("string").as("userId"),
+        col("type").as("typeStr"),
+        typeIdCol(col("type")).as("type"),
+        coalesce(TimeParse.dateStr2secs(col("dp.dataTime")), lit(0L)).as("tsSec"),
+        coalesce(col("dp.alarmState"), lit(0L)).as("osdAlarmState"),
+        coalesce(col("dp.specPower"), lit(0.0)).as("osdSpecPower"),
+        coalesce(col("dp.roiPower"), lit(0.0)).as("osdRoiPower"),
+        coalesce(col("dp.hr"), lit(-1.0)).as("hr"),
+        coalesce(col("dp.o2Sat"), lit(-1.0)).as("o2sat"),
+        coalesce(col("dp.rawData"), array().cast("array<double>")).as("rawData"),
+        coalesce(col("dp.rawData3D"), array().cast("array<double>")).as("rawData3D"),
+        lit(false).as("synthetic"),
+        col("dpIdx").cast("long").as("seq"))
+      .as[FlatDp]
+  }
+
+  /** The runseq / select inputs: an event-level frame carrying the
+    * filterable columns ([[EventFilters.compile]]'s contract) and the
+    * flat datapoint stream. Testdata mode hands back the cfg1 gate's
+    * own frames. */
+  private def selectInputs(spark: SparkSession, lake: Lake)
+      : (DataFrame, Dataset[FlatDp]) = lake match {
+    case TestdataLake(dir) => MlQueries.cfg1Inputs(spark, dir)
+    case other =>
+      val nested = nestedEvents(spark, other)
+      val events = nested.select(
+        col("id"), col("userId"), col("type"), col("subType"),
+        col("dataSourceName"), col("desc"),
+        col("has3dData"), col("hasHrData"), col("hasO2SatData"))
+      (events, nestedToFlatDps(nested))
+  }
+
+  /** The replay stream for the testrunner tool. Testdata mode replays
+    * the cfg2 gate's planted integer-bin tone corpus (the star schema
+    * carries no accelerometer arrays); real lakes replay their actual
+    * datapoints. */
+  private def replayDps(spark: SparkSession, lake: Lake): Dataset[ReplayDp] =
+    lake match {
+      case TestdataLake(dir) => DomainQueries.cfg2ToneDps(spark, dir)
+      case other =>
+        import spark.implicits._
+        nestedToFlatDps(nestedEvents(spark, other)).map(d => ReplayDp(
+          d.eventId, d.tsSec, d.hr, d.osdAlarmState,
+          d.rawData, d.rawData3D, d.seq))
+    }
+
+  // ------------------------------------------------------------ the tools
+
+  /** selectData.py: filters → selected events, written as the lake's
+    * nested shape (parquet) + NDJSON (S8). */
+  private def runSelect(spark: SparkSession, doc: Doc, lake: Lake,
+                        outDir: String): Long = {
+    val efc = ConfigBridge.eventFilters(doc)
+    val (events, _) = selectInputs(spark, lake)
+    val keep = events.filter(EventFilters.compile(efc))
+      .select(col("id").cast("string").as("__keep"))
+    val nested = nestedEvents(spark, lake)
+    val selected = nested
+      .join(keep, nested("id").cast("string") === col("__keep"), "left_semi")
+    val withCat =
+      if (selected.columns.contains("category")) selected
+      else selected.withColumn("category", lit("selected"))
+    withCat.write.mode("overwrite").parquet(s"$outDir/selected_events")
+    OsdbJson.writeEventsJson(withCat, s"$outDir/selected_events_json")
+    spark.read.parquet(s"$outDir/selected_events").count()
+  }
+
+  /** flattenData.py: nested → [[Flatten.flattenedWide]] CSV (S10),
+    * honoring dataProcessing.validateDatapoints (P14). */
+  private def runFlatten(spark: SparkSession, doc: Doc, lake: Lake,
+                         outDir: String): Long = {
+    val dp = ConfigBridge.dataProcessing(doc)
+    // the WHOLE corpus flattens (flattenData takes no filters) — in
+    // testdata mode that is the unfiltered fixture stream, not cfg1's
+    // selection-pushed slice
+    val dps = lake match {
+      case TestdataLake(dir) => OsdbFixture.flatDps(spark, dir)
+      case other => nestedToFlatDps(nestedEvents(spark, other))
+    }
+    val validated = if (dp.validateDatapoints) Flatten.validateAndFill(dps) else dps
+    FlatCsv.write(validated.toDF(), s"$outDir/flattened_csv")
+    spark.read.option("header", "true").csv(s"$outDir/flattened_csv").count()
+  }
+
+  /** runSequence.py run_sequence: the k-fold skeleton + modelClass
+    * receipt ([[ConfigTools.runseqFrame]] — cfg1's frame); with
+    * `--train`, additionally the per-fold fit/score loop on the
+    * dispatched candidate's basis. */
+  private def runRunseq(spark: SparkSession, doc: Doc, lake: Lake,
+                        a: Args): Long = {
+    val (events, dps) = selectInputs(spark, lake)
+    // fold assignment: testdata mode uses the cfg1 gate's exact hash
+    // (numeric ids by fixture construction — the CLI ≡ gate equality
+    // pin); real lakes hash the id STRING through xxhash64, which is
+    // both string-id-safe and parity-free (the multiplicative hash
+    // preserves id parity in its low bits, so an all-even-id corpus
+    // under an even k would put every event in fold 0)
+    val foldOf = lake match {
+      case TestdataLake(_) => Exact.knuthHash32(col("id")) % a.kfold
+      case _ => pmod(xxhash64(col("id").cast("string")), lit(a.kfold.toLong))
+    }
+    val frame = ConfigTools.runseqFrame(doc, events, dps, foldOf, a.kfold)
+    frame.coalesce(1).write.mode("overwrite")
+      .parquet(s"${a.outDir}/runseq_skeleton")
+    if (a.train) {
+      val cand = graft.ml.RunSequence.NestedCandidate.forModelClass(
+        ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
+      val cfg = ConfigBridge.runSequenceConfig(
+        ConfigBridge.dataProcessing(doc), a.kfold)
+      val select = EventFilters.compile(ConfigBridge.eventFilters(doc))
+      // fail loud BEFORE training when any fold is empty — the
+      // symptom downstream is MLlib's cryptic "empty dataset" on the
+      // complementary fold's training slice
+      val occupied = events.filter(select)
+        .select(foldOf.cast("long").as("f")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val missing = (0L until a.kfold.toLong).filterNot(occupied)
+      require(missing.isEmpty,
+        s"--train: fold(s) ${missing.mkString(",")} have no events " +
+          s"under --kfold ${a.kfold} — too few selected events, or a " +
+          "degenerate id distribution for this k; pick a smaller or " +
+          "different k")
+      val folds = cand.basis match {
+        case "features" => graft.ml.RunSequence.runWith(
+          events, dps, select, foldOf, cfg)(cand.fit, cand.score)
+        case "window" => graft.ml.RunSequence.runWithWindows(
+          events, dps, select, foldOf, cfg)(cand.fit, cand.score)
+        case other => throw new IllegalArgumentException(
+          s"--train: basis '$other' needs the nested runner " +
+            "(RunSequence.runNestedBases); the CLI single-k path " +
+            "covers features/window")
+      }
+      import spark.implicits._
+      folds.map(f => (f.fold, f.nTrainEvents, f.nTrainAugEvents,
+          f.nTestEvents, f.heldOutAuroc, f.eventTp, f.eventFp,
+          f.eventTn, f.eventFn))
+        .toDF("fold", "n_train", "n_train_aug", "n_test", "auroc",
+          "tp", "fp", "tn", "fn")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${a.outDir}/fold_metrics")
+    }
+    frame.count()
+  }
+
+  /** testRunner.py runTest: config-built detector farm → replay →
+    * detection stats ([[ConfigTools.testrunnerFrame]] — cfg2's frame)
+    * + the analyzeEventResults rollup per algorithm. */
+  private def runTestrunner(spark: SparkSession, doc: Doc, lake: Lake,
+                            a: Args): Long = {
+    val cfg0 = ConfigBridge.testRunnerConfig(doc)
+    val cfg =
+      if (a.only.isEmpty) cfg0
+      else cfg0.copy(algorithms = cfg0.algorithms.filter(alg =>
+        a.only.exists(s => alg.name.contains(s) || alg.algClass.contains(s))))
+    require(cfg.algorithms.exists(_.enabled),
+      s"${doc.source}: no enabled algorithms" +
+        (if (a.only.nonEmpty) s" matching --only ${a.only.mkString(",")}" else ""))
+    val modelDir = a.modelDir.getOrElse(a.lakeDir)
+    val stats = ConfigTools.testrunnerFrame(cfg, replayDps(spark, lake), modelDir)
+      .persist()
+    stats.write.mode("overwrite").parquet(s"${a.outDir}/detection_stats")
+
+    // analyzeEventResults per algorithm: event label from the type
+    // string, prediction from the replay verdict
+    val (events, _) = selectInputs(spark, lake)
+    val meta = events.select(col("id").cast("string").as("event_id"),
+      col("userId"), col("subType"),
+      when(typeIdCol(col("type")) === 1, 1).otherwise(0).as("label"))
+    val results = stats.join(meta, "event_id").select(
+      col("event_id").as("eventId"), col("userId"), col("label"),
+      col("detected").cast("int").as("prediction"), col("subType"), col("alg"))
+    val algNames = cfg.algorithms.filter(_.enabled).map(_.name)
+    val analysis = algNames.map { nm =>
+      ResultsAnalysis.analyze(results.filter(col("alg") === nm))
+        .withColumn("alg", lit(nm))
+    }.reduce(_.unionByName(_))
+    analysis.coalesce(1).write.mode("overwrite")
+      .parquet(s"${a.outDir}/results_analysis")
+    val n = stats.count()
+    stats.unpersist()
+    n
+  }
+
+  /** summariseData.py: the sharded HTML report
+    * ([[Summarise.writeReport]] — S15), honoring the config's
+    * invalidEvents list. */
+  private def runSummarise(spark: SparkSession, doc: Doc, lake: Lake,
+                           a: Args): Long = {
+    val cfg = ConfigBridge.summariserConfig(doc)
+    val nested = nestedEvents(spark, lake)
+    val kept =
+      if (cfg.invalidIds.isEmpty) nested
+      else nested.filter(!col("id").cast("string").isin(cfg.invalidIds: _*))
+    val dps = lake match {
+      case TestdataLake(dir) => OsdbFixture.flatDps(spark, dir)
+      case _ => nestedToFlatDps(kept)
+    }
+    val pages = Summarise.writeReport(kept, dps, a.outDir, a.pageSize)
+    val n = pages.count()
+    pages.unpersist()
+    n
+  }
+
+  // ---------------------------------------------------------------- main
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(a.master)
+      .appName(s"graft.Run ${a.tool}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val n = run(spark, a)
+      println(s"graft.Run ${a.tool}: OK, $n rows -> ${a.outDir}")
+    } finally spark.stop()
+  }
+
+  /** The dispatch, separated from session lifecycle so specs can run
+    * tools against their own session. Returns the row count of the
+    * tool's primary output. */
+  def run(spark: SparkSession, a: Args): Long = {
+    // testConfig / osdbCfg formats own their key sets; the nnConfig
+    // family validates the shared top level here (fail-loud)
+    val doc0 = ConfigBridge.loadMerged(a.configFile)
+    val doc = a.tool match {
+      case "testrunner" | "summarise" => doc0
+      case _ => ConfigBridge.validateTop(doc0)
+    }
+    ConfigBridge.randomSeed(doc).foreach(s =>
+      println(s"graft.Run: randomSeed $s (content-hash splits are " +
+        "seed-free; samplers consume it)"))
+    new java.io.File(a.outDir).mkdirs()
+    val lake = resolveLake(spark, a.lakeDir,
+      a.tool match {
+        case "testrunner" =>
+          ConfigBridge.testRunnerConfig(doc).dataFiles
+        case "summarise" =>
+          ConfigBridge.summariserConfig(doc).dataFiles
+        case _ => Nil
+      })
+    lake match {
+      case TestdataLake(_) =>
+        println("graft.Run: testdata star-schema lake -> deterministic " +
+          "fixture derivation (the oracle registry's corpus)")
+      case JsonLake(paths) =>
+        println(s"graft.Run: OSDB json lake (${paths.length} files)")
+      case ParquetLake(p) =>
+        println(s"graft.Run: nested-event parquet lake at $p")
+    }
+    a.tool match {
+      case "select" => runSelect(spark, doc, lake, a.outDir)
+      case "flatten" => runFlatten(spark, doc, lake, a.outDir)
+      case "runseq" => runRunseq(spark, doc, lake, a)
+      case "testrunner" => runTestrunner(spark, doc, lake, a)
+      case "summarise" => runSummarise(spark, doc, lake, a)
+    }
+  }
+}

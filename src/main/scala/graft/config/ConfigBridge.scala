@@ -448,7 +448,17 @@ object ConfigBridge {
       requireO2SatData = bf("requireO2SatData"),
       invalidIds = doc.fields.get("invalidEvents")
         .map(strList(doc.source, "", "invalidEvents", _)).getOrElse(Nil))
-    val algs = doc.fields.get("algorithms") match {
+    TestRunnerConfig(ef,
+      doc.fields.get("dataFiles")
+        .map(strList(doc.source, "", "dataFiles", _)).getOrElse(Nil),
+      algEntries(doc))
+  }
+
+  /** The `algorithms` array — shared by the testRunner and
+    * testDeviceHrAlg formats (both instantiate the same
+    * `module.Class(settingsStr)` entries). */
+  private def algEntries(doc: Doc): Seq[TestRunnerAlg] =
+    doc.fields.get("algorithms") match {
       case None => Nil
       case Some(JArray(xs)) => xs.map {
         case JObject(fs) =>
@@ -475,10 +485,69 @@ object ConfigBridge {
       case Some(other) => throw new IllegalArgumentException(
         s"${doc.source}: 'algorithms' must be a list, got $other")
     }
-    TestRunnerConfig(ef,
-      doc.fields.get("dataFiles")
-        .map(strList(doc.source, "", "dataFiles", _)).getOrElse(Nil),
-      algs)
+
+  /** A synthetic HR trace from the testDeviceHrAlg format
+    * (`testDeviceHrAlg.json`: named 30-sample hrVals lists the tool
+    * drives through the HR detector farm — testDeviceHrAlg.py:52). */
+  final case class HrTrace(name: String, id: Long, hrVals: Seq[Double])
+
+  private val DeviceHrTopKeys = Set("debug", "eventHrData", "algorithms")
+  private val HrTraceKeys = Set("name", "id", "hrVals")
+
+  /** The testDeviceHrAlg config format: the SAME `algorithms` array as
+    * testRunner plus `eventHrData` synthetic traces. */
+  def deviceHrConfig(doc: Doc): (Seq[TestRunnerAlg], Seq[HrTrace]) = {
+    failUnknown(doc.source, "", doc.fields.keys, DeviceHrTopKeys)
+    val traces = doc.fields.get("eventHrData") match {
+      case None => Nil
+      case Some(JArray(xs)) => xs.map {
+        case JObject(fs) =>
+          val m = fs.toMap
+          failUnknown(doc.source, "eventHrData[]", m.keys, HrTraceKeys)
+          HrTrace(
+            name = m.get("name").map(str(doc.source, "eventHrData[]", "name", _))
+              .getOrElse(throw new IllegalArgumentException(
+                s"${doc.source}: eventHrData[] entry missing 'name'")),
+            id = m.get("id").map(int(doc.source, "eventHrData[]", "id", _).toLong)
+              .getOrElse(throw new IllegalArgumentException(
+                s"${doc.source}: eventHrData[] entry missing 'id'")),
+            hrVals = m.get("hrVals") match {
+              case Some(JArray(vs)) =>
+                vs.map(dbl(doc.source, "eventHrData[]", "hrVals", _))
+              case _ => throw new IllegalArgumentException(
+                s"${doc.source}: eventHrData[].hrVals must be a list")
+            })
+        case other => throw new IllegalArgumentException(
+          s"${doc.source}: eventHrData[] entries must be objects, got $other")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"${doc.source}: 'eventHrData' must be a list, got $other")
+    }
+    (algEntries(doc), traces)
+  }
+
+  // --------------------------------------------------- summariser config
+
+  /** The dataSummariser config format (`osdbCfg.json.template`,
+    * summariseData.py:322 main): `dataFiles` + `invalidEvents` +
+    * `skipElements` (fields the report omits); `cacheDir` /
+    * `credentialsFname` are the Python runtime's fetch knobs — the
+    * engine's sources layer owns data access. */
+  final case class SummariserConfig(
+      dataFiles: Seq[String],
+      invalidIds: Seq[String],
+      skipElements: Seq[String])
+
+  private val SummariserTopKeys = Set("cacheDir", "dataFiles",
+    "invalidEvents", "credentialsFname", "skipElements", "osdbCfg",
+    "debug")
+
+  def summariserConfig(doc: Doc): SummariserConfig = {
+    failUnknown(doc.source, "", doc.fields.keys, SummariserTopKeys)
+    def sl(k: String): Seq[String] =
+      doc.fields.get(k).filter(_ != JNull)
+        .map(strList(doc.source, "", k, _)).getOrElse(Nil)
+    SummariserConfig(sl("dataFiles"), sl("invalidEvents"), sl("skipElements"))
   }
 
   // per-class known-settings universes (union over every shipped
@@ -530,6 +599,17 @@ object ConfigBridge {
     def modelPath(): String = {
       val f = sg("modelFname", "")
       require(f.nonEmpty, s"$src: $sec.modelFname missing")
+      // the reference's TF/Torch/ExecuTorch runtime files are the
+      // deployment seam the engine deliberately does not load — name
+      // the seam BEFORE touching the filesystem, instead of a
+      // file-not-found or JSON parse error downstream
+      val ext = f.substring(f.lastIndexOf('.') + 1).toLowerCase
+      val foreign = Set("keras", "h5", "pte", "pt", "pth", "onnx", "tflite")
+      require(!foreign(ext),
+        s"$src: $sec.modelFname '$f' is a .$ext runtime artifact — the " +
+          "engine deploys graft artifacts (ModelIo manifest + artifact " +
+          "round-trip is the deployment seam; export the trained model " +
+          "with ModelIo.save* and point modelFname at the .graft file)")
       val p = Paths.get(f)
       (if (p.isAbsolute) p else Paths.get(modelDir).resolve(f)).toString
     }
@@ -662,7 +742,7 @@ object ConfigBridge {
         failUnknown(src, sec, st.keys, DeviceSettingKeys)
         val addr = sg("ipAddr", "")
         require(addr.nonEmpty, s"$src: $sec.ipAddr missing")
-        new DeviceAlg(() => new HttpDeviceClient(addr))
+        new DeviceAlg(() => new HttpDeviceClient(addr), Some(a.name))
       case other => throw new IllegalArgumentException(
         s"$src: unknown algorithm class '$other' — the reference ships " +
           "osdAlg.OsdAlg, osdAlg_v1.OsdAlg_v1, hrAlg.HrAlg, nnAlg.NnAlg, " +

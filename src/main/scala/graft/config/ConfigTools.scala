@@ -1,0 +1,73 @@
+package graft.config
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.config.ConfigBridge.{Doc, TestRunnerConfig}
+import graft.ml.RunSequence
+import graft.operators.EventFilters
+import graft.operators.Flatten.FlatDp
+import graft.streaming.{Replay, ReplayDp}
+
+/** The tool COMPOSITIONS the reference's CLI mains execute, as
+  * library functions — one per driver entry point, shared verbatim by
+  * the oracled gate queries (cfg1/cfg2) and the [[graft.Run]] CLI so
+  * the command line and the correctness gate cannot drift:
+  *
+  *   - [[runseqFrame]] — `runSequence.py:799` run_sequence: parsed
+  *     config → event filters + dataProcessing knobs → the k-fold
+  *     skeleton with the modelClass dispatch receipt (cfg1's frame).
+  *   - [[testrunnerFrame]] — `testRunner.py:37-147` runTest: parsed
+  *     testConfig → enabled detector factories → batch replay →
+  *     per-(event, algorithm) detection stats (cfg2's frame).
+  *
+  * Everything here is plan construction + the already-audited
+  * skeleton/replay lineages; no new data-plane shapes.
+  */
+object ConfigTools {
+
+  /** run_sequence's data path (runSequence.py:938-1040: selectData →
+    * flatten → extract/augment/history → k-fold split), composed from
+    * a PARSED config doc over caller-supplied event/datapoint frames.
+    * `k` comes from the caller exactly as the reference takes fold
+    * count from the CLI (`runSequence.py:801 args['kfold']`), not the
+    * config file. Emits the skeleton's (fold, stage, n_events,
+    * n_epochs) frame plus the model-class dispatch receipt row — the
+    * importlib-string resolution (fail-loud) recorded as data. */
+  def runseqFrame(doc: Doc, events: DataFrame, dps: Dataset[FlatDp],
+                  foldOf: Column, k: Int): DataFrame = {
+    val efc = ConfigBridge.eventFilters(doc)
+    val dp = ConfigBridge.dataProcessing(doc)
+    val cfg = ConfigBridge.runSequenceConfig(dp, k)
+    // the importlib-string dispatch must RESOLVE (fail-loud wiring);
+    // the receipt row pins which family+basis the file selected
+    val cand = RunSequence.NestedCandidate.forModelClass(
+      ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
+    val skel = RunSequence.skeleton(
+      events, dps,
+      select = EventFilters.compile(efc),
+      foldOf = foldOf,
+      cfg = cfg)
+    val receipt = events.sparkSession.range(1).select(
+      lit(-1L).as("fold"),
+      lit(s"model_class:${cand.name}:${cand.basis}").as("stage"),
+      lit(0L).as("n_events"), lit(0L).as("n_epochs"))
+    skel.unionByName(receipt)
+  }
+
+  /** runTest's replay path (testRunner.py:126-150: instantiate each
+    * enabled `module.Class(settingsStr)`, run every event through
+    * every algorithm, tally results): config-built detector factories
+    * → [[Replay.replayBatchWith]] (one fresh detector per (event,
+    * alg) group on the executors) → [[Replay.detectionStats]], in the
+    * reference's result column naming. */
+  def testrunnerFrame(cfg: TestRunnerConfig, dps: Dataset[ReplayDp],
+                      modelDir: String = "."): DataFrame =
+    Replay.detectionStats(
+        Replay.replayBatchWith(dps,
+          ConfigBridge.enabledAlgFactories(cfg, modelDir)))
+      .select(col("eventId").as("event_id"), col("alg"),
+        col("detected").cast("long").as("detected"),
+        col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
+        col("nDp").as("n_dp"))
+}

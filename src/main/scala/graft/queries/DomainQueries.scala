@@ -694,17 +694,14 @@ object DomainQueries {
     * on {16,30}, with w10's FSM warn/alarm/decay arithmetic. A lost
     * flap branch, a band misread from the file, a name not injected,
     * or an FSM drift each break the hash. */
-  def cfg2Testrunner(s: SparkSession, d: String): DataFrame = {
-    import graft.config.ConfigBridge
-    val cfg = ConfigBridge.testRunnerConfig(
-      ConfigBridge.loadResource("/osdb/testConfig.json"))
-    // the model-bearing entries (SpecCnn/amber) deploy via ModelIo
-    // artifacts (spec-gated — ConfigBridgeSpec builds them); the
-    // oracled leg drives the two spectrum-analytic OsdAlg entries
-    val osd = cfg.algorithms.filter(a =>
-      a.enabled && a.algClass == "osdAlg.OsdAlg")
+  /** cfg2's planted integer-bin tone fixture — exposed so
+    * [[graft.Run]]'s testdata-lake mode replays the CLI over the SAME
+    * datapoint stream and the spec's CLI-output ≡ cfg2-frame equality
+    * is by construction. */
+  def cfg2ToneDps(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[ReplayDp] = {
     import s.implicits._
-    val dps = OsdbFixture.ev(s, d)
+    OsdbFixture.ev(s, d)
       .withColumn("d", explode(expr("sequence(0L, 11L)")))
       .withColumn("b",
         when(col("k") % 4 === 0, 16).when(col("k") % 4 === 1, 12)
@@ -721,13 +718,19 @@ object DomainQueries {
         array().cast("array<double>").as("rawData3D"),
         col("d").as("seq"))
       .as[ReplayDp]
-    Replay.detectionStats(
-        Replay.replayBatchWith(dps, ConfigBridge.enabledAlgFactories(
-          cfg.copy(algorithms = osd))))
-      .select(col("eventId").as("event_id"), col("alg"),
-        col("detected").cast("long").as("detected"),
-        col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
-        col("nDp").as("n_dp"))
+  }
+
+  def cfg2Testrunner(s: SparkSession, d: String): DataFrame = {
+    import graft.config.{ConfigBridge, ConfigTools}
+    val cfg = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig.json"))
+    // the model-bearing entries (SpecCnn/amber) deploy via ModelIo
+    // artifacts (spec-gated — ConfigBridgeSpec builds them); the
+    // oracled leg drives the two spectrum-analytic OsdAlg entries
+    val osd = cfg.algorithms.filter(a =>
+      a.enabled && a.algClass == "osdAlg.OsdAlg")
+    ConfigTools.testrunnerFrame(cfg.copy(algorithms = osd),
+      cfg2ToneDps(s, d))
   }
 
   val cfg2Sql: String = sqlBase +

@@ -148,16 +148,16 @@ object MlQueries {
     * forms: selection k%4∉{1,2}, epochs = GREATEST(n_dp − 4, 0)
     * (historyN 5; n_dp = 4+k%5 ∈ 4..8, so the 0-epoch branch is
     * exercised at n_dp=4), fold = knuthHash32(e) % 3, guard ≡ 0. */
-  def cfg1ConfigBridge(s: SparkSession, d: String): DataFrame = {
-    import graft.config.ConfigBridge
-    val doc = ConfigBridge.validateTop(ConfigBridge.loadResource("/osdb/nnConfig.json"))
-    val efc = ConfigBridge.eventFilters(doc)
-    val dp = ConfigBridge.dataProcessing(doc)
-    val cfg = ConfigBridge.runSequenceConfig(dp, k = 3)
-    // the importlib-string dispatch must RESOLVE (fail-loud wiring);
-    // the receipt row pins which family+basis the file selected
-    val cand = graft.ml.RunSequence.NestedCandidate.forModelClass(
-      ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
+  /** The fixture inputs cfg1 feeds the run_sequence composition —
+    * exposed so [[graft.Run]]'s testdata-lake mode drives the CLI over
+    * the SAME frames and the spec's CLI-output ≡ cfg1-frame equality
+    * is by construction, not coincidence. The `where` on the
+    * datapoint side is a scan-level pushdown of the shipped config's
+    * selection (require3dData kills k%4==1, the 'Phone' dataSource
+    * exclusion kills k%4==2); skeleton's semi join makes it
+    * result-neutral. */
+  def cfg1Inputs(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.sql.Dataset[graft.operators.Flatten.FlatDp]) = {
     val events = OsdbFixture.ev(s, d).select(
       col("e").as("id"), col("u").as("userId"),
       col("type_str").as("type"), col("sub_type").as("subType"),
@@ -173,16 +173,15 @@ object MlQueries {
         .as("hasO2SatData"))
     val dps = OsdbFixture.flatDps(s, d,
       where = col("k") % 4 =!= 1 && col("k") % 4 =!= 2)
-    val skel = graft.ml.RunSequence.skeleton(
-      events, dps,
-      select = EventFilters.compile(efc),
-      foldOf = Exact.knuthHash32(col("id")) % 3,
-      cfg = cfg)
-    val receipt = s.range(1).select(
-      lit(-1L).as("fold"),
-      lit(s"model_class:${cand.name}:${cand.basis}").as("stage"),
-      lit(0L).as("n_events"), lit(0L).as("n_epochs"))
-    skel.unionByName(receipt)
+    (events, dps)
+  }
+
+  def cfg1ConfigBridge(s: SparkSession, d: String): DataFrame = {
+    import graft.config.{ConfigBridge, ConfigTools}
+    val doc = ConfigBridge.validateTop(ConfigBridge.loadResource("/osdb/nnConfig.json"))
+    val (events, dps) = cfg1Inputs(s, d)
+    ConfigTools.runseqFrame(doc, events, dps,
+      foldOf = Exact.knuthHash32(col("id")) % 3, k = 3)
   }
 
   val cfg1Sql: String = sqlBase +

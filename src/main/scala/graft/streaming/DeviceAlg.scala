@@ -133,12 +133,16 @@ final class LoopbackDeviceClient(alg: SdAlg) extends DeviceClient {
   * lives on the DEVICE (a fresh client per event group gives the
   * reference's independent-events semantics); snapshot/restore report
   * the last seen verdict, which is all a physical device exposes. */
-final class DeviceAlg(mkClient: () => DeviceClient) extends SdAlg {
+final class DeviceAlg(mkClient: () => DeviceClient,
+                      algName: Option[String] = None) extends SdAlg {
   private val mapper = new ObjectMapper()
   private var client: DeviceClient = _
   private var last: AlgResult = AlgResult(0, 0.0, 0.0, 0.0, 0.0)
 
-  override def name: String = "DeviceAlg"
+  // config-injected like every farm entry (testRunner.py:136) — the
+  // shipped testConfig_devices runs SIX DeviceAlg entries whose stats
+  // are only tellable apart by their entry names
+  override def name: String = algName.getOrElse("DeviceAlg")
 
   private def settingsJson: String = {
     // deviceAlg.py getSettingsJson: fixed GarminSD-compatible packet

@@ -310,4 +310,107 @@ class ConfigBridgeSpec extends AnyFunSuite {
       assert(c.basis.nonEmpty)
     }
   }
+
+  // --------------------------------------- every shipped testConfig variant
+
+  /** A ReplayDp carrying a tone ONLY in the data3D x-axis (y=z=0,
+    * stored magnitude ZERO): under osdAlg_v1's |x|+|y|+|z| recompute
+    * (osdAlg_v1.py:48-61) the detector sees the tone; a mapping that
+    * read the stored magnitude would see silence. The tone rides on a
+    * +1000 offset so |x| == x (abs-sum == the x series). */
+  private def tone3dDp(bin: Int, d: Long, amp: Double = 1000.0) =
+    graft.streaming.ReplayDp("E", 1700000000L + d * 5, 80.0, 0L,
+      Array.fill(125)(0.0),
+      Array.tabulate(375)(j =>
+        if (j % 3 == 0) 1000.0 + amp * math.cos(2 * math.Pi * bin * (j / 3) / 125.0)
+        else 0.0),
+      d)
+
+  test("every shipped testConfig variant builds or fails with its documented reason") {
+    import graft.config.ConfigBridge
+    import graft.streaming.DeviceAlg
+
+    // testConfig_HR — the HR detector farm: both enabled entries build
+    // with injected names and the file's thresholds/modes wired
+    val hr = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig_HR.json"))
+    assert(hr.algorithms.map(_.name) ==
+      Seq("OSD_v1", "HR_Simple", "HR_Adaptive", "Phone"))
+    val built = ConfigBridge.enabledAlgFactories(hr).map(_())
+    assert(built.map(_.name) == Seq("HR_Simple", "HR_Adaptive"))
+    // the file sets thresh_high 120 (not the 150 default): hr 125
+    // alarms MODE_SIMPLE, hr 115 does not
+    val simple = built.head
+    simple.reset()
+    val hi = (0L until 4L).map(d => simple.processDp(
+      graft.streaming.ReplayDp("E", 1700000000L + d * 5, 125.0, 0L,
+        Array.emptyDoubleArray, Array.emptyDoubleArray, d)).alarmState).max
+    assert(hi >= 1, "hr 125 must cross the FILE's thresh_high 120")
+    simple.reset()
+    val lo = (0L until 4L).map(d => simple.processDp(
+      graft.streaming.ReplayDp("E", 1700000000L + d * 5, 115.0, 0L,
+        Array.emptyDoubleArray, Array.emptyDoubleArray, d)).alarmState).max
+    assert(lo == 0, "hr 115 sits under the FILE's thresh_high 120")
+
+    // the OSD_v1 entry (disabled in the file, built directly): the v1
+    // mapping recomputes |x|+|y|+|z| from data3D — a tone delivered
+    // ONLY via the x-axis alarms even though the stored magnitude is
+    // silent (the r17 mapping read the stored magnitude: ADVICE item)
+    val v1 = ConfigBridge.buildAlg(hr.algorithms.head)
+    v1.reset()
+    assert((0L until 5L).map(d => v1.processDp(tone3dDp(30, d)).alarmState).max == 2,
+      "osdAlg_v1 must see the data3D abs-sum tone")
+
+    // testConfig_HrFrozen — only the Phone DeviceAlg entry is enabled;
+    // it builds a device client factory carrying the entry name
+    val fz = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig_HrFrozen.json"))
+    val fzBuilt = ConfigBridge.enabledAlgFactories(fz).map(_())
+    assert(fzBuilt.map(_.name) == Seq("Phone"))
+    assert(fzBuilt.head.isInstanceOf[DeviceAlg])
+
+    // testConfig_devices — a SIX-entry device farm: every entry builds
+    // a DeviceAlg under its own injected name (stats would otherwise
+    // collapse into one 'DeviceAlg' label)
+    val dv = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig_devices.json"))
+    val dvBuilt = ConfigBridge.enabledAlgFactories(dv).map(_())
+    assert(dvBuilt.size == 6 && dvBuilt.forall(_.isInstanceOf[DeviceAlg]))
+    assert(dvBuilt.map(_.name).distinct.size == 6)
+    assert(dvBuilt.map(_.name).contains("OsdAlg_4.3.1_flap"))
+
+    // testConfig_pte — the ExecuTorch modelFname hits the documented
+    // deployment-seam raise (a .pte runtime file is not a graft
+    // artifact), BEFORE any filesystem touch
+    val pte = ConfigBridge.testRunnerConfig(
+      ConfigBridge.loadResource("/osdb/testConfig_pte.json"))
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.enabledAlgFactories(pte).map(_())
+    }
+    assert(e.getMessage.contains(".pte runtime artifact"))
+
+    // testDeviceHrAlg — its own format: the shared algorithms array +
+    // eventHrData synthetic traces; the enabled HR farm replays them
+    val (algs, traces) = ConfigBridge.deviceHrConfig(
+      ConfigBridge.loadResource("/osdb/testDeviceHrAlg.json"))
+    assert(traces.map(_.name) ==
+      Seq("Spike", "Smaller Spike", "Slow Rise", "Fast Rise"))
+    assert(traces.forall(_.hrVals.length == 30))
+    val hrFarm = algs.filter(a => a.enabled && a.algClass == "hrAlg.HrAlg")
+      .map(ConfigBridge.buildAlg(_))
+    assert(hrFarm.map(_.name) == Seq("HR_Simple", "HR_Adaptive", "HR_Average"))
+    def drive(alg: graft.streaming.SdAlg, t: ConfigBridge.HrTrace): Int = {
+      alg.reset()
+      t.hrVals.zipWithIndex.map { case (h, i) =>
+        alg.processDp(graft.streaming.ReplayDp(t.name, 1700000000L + i * 5,
+          h, 0L, Array.emptyDoubleArray, Array.emptyDoubleArray, i.toLong))
+          .alarmState
+      }.max
+    }
+    // the file's HR_Simple thresholds (150/40) never fire on the
+    // Spike trace (peaks 105); the adaptive detector (offsets 20/20)
+    // catches the Smaller Spike's 60→120 jump against its moving avg
+    assert(drive(hrFarm(0), traces.head) == 0)
+    assert(drive(hrFarm(1), traces(1)) >= 1)
+  }
 }

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{DomainQueries, MlQueries}
+
+/** The driver CLI ([[Run]]): `graft.Run <tool> <config> <lake> <out>`
+  * — the engine driven the way the reference is driven
+  * (runSequence.py:799 / testRunner.py:156 / summariseData.py:322).
+  *
+  * The load-bearing pins: invoked against the CHECKED-IN SHIPPED
+  * configs over the testdata lake, the CLI's runseq and testrunner
+  * outputs must equal the cfg1/cfg2 gate queries' frames row for row —
+  * the command line and the oracle gate run the same composition
+  * ([[graft.config.ConfigTools]]), so they cannot drift. */
+class RunSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Copy a checked-in shipped config resource to a real file (the CLI
+    * takes file paths, as the reference does). */
+  private def resourceToFile(resource: String, tmp: java.nio.file.Path): String = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing resource $resource")
+    val out = tmp.resolve(Paths.get(resource).getFileName.toString)
+    try Files.write(out, in.readAllBytes()) finally in.close()
+    out.toString
+  }
+
+  private def rows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+  }
+
+  test("parseArgs: tools, flags, and fail-loud unknowns") {
+    val a = Run.parseArgs(Array("runseq", "c.json", "/lake", "/out",
+      "--kfold", "5", "--train", "--only", "osd,hr", "--pageSize", "7"))
+    assert(a.kfold == 5 && a.train && a.only == Seq("osd", "hr") &&
+      a.pageSize == 7)
+    intercept[IllegalArgumentException] {
+      Run.parseArgs(Array("nosuch", "c", "l", "o"))
+    }
+    intercept[IllegalArgumentException] {
+      Run.parseArgs(Array("runseq", "c", "l", "o", "--bogus"))
+    }
+    intercept[IllegalArgumentException] { Run.parseArgs(Array("runseq")) }
+  }
+
+  test("runseq CLI from the shipped nnConfig.json equals the cfg1 gate frame") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val cfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    val out = tmp.resolve("out").toString
+    val n = Run.run(spark, Run.Args("runseq", cfg, sf, out, kfold = 3))
+    assert(n > 0)
+    val cli = spark.read.parquet(s"$out/runseq_skeleton")
+    val gate = MlQueries.cfg1ConfigBridge(spark, sf)
+    assert(cli.columns.sorted.sameElements(gate.columns.sorted))
+    assert(rows(cli) == rows(gate),
+      "CLI runseq output must equal the cfg1_config_bridge frame")
+    // the modelClass dispatch receipt made it through the CLI path
+    assert(rows(cli).exists(_.contains("model_class:rfModel.RfModel:features")))
+  }
+
+  test("testrunner CLI from the shipped testConfig.json equals the cfg2 gate frame") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val cfg = resourceToFile("/osdb/testConfig.json", tmp)
+    val out = tmp.resolve("out").toString
+    // the shipped file's model-bearing entries (SpecCnn/amber) need
+    // graft artifacts; the spectrum-analytic farm is the --only slice,
+    // exactly the subset the cfg2 gate replays
+    val n = Run.run(spark, Run.Args("testrunner", cfg, sf, out,
+      only = Seq("osdAlg.OsdAlg")))
+    assert(n > 0)
+    val cli = spark.read.parquet(s"$out/detection_stats")
+    val gate = DomainQueries.cfg2Testrunner(spark, sf)
+    assert(rows(cli) == rows(gate),
+      "CLI testrunner output must equal the cfg2_testrunner frame")
+    // both config-built detectors ran under their injected names
+    val algs = cli.select("alg").distinct().collect().map(_.getString(0)).toSet
+    assert(algs == Set("OSD_flap", "OSD_no_flap"))
+    // the analyzeEventResults rollup is written per algorithm
+    val ana = spark.read.parquet(s"$out/results_analysis")
+    assert(ana.select("alg").distinct().count() == 2)
+    assert(ana.filter(org.apache.spark.sql.functions.col("side")
+      .isin("user_tpr", "user_far")).count() > 0)
+  }
+
+  test("select + flatten + summarise run from the shipped configs over the testdata lake") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val nnCfg = resourceToFile("/osdb/nnConfig.json", tmp)
+
+    val selOut = tmp.resolve("sel").toString
+    val nSel = Run.run(spark, Run.Args("select", nnCfg, sf, selOut))
+    assert(nSel > 0)
+    val selected = spark.read.parquet(s"$selOut/selected_events")
+    // the shipped filters: require3dData + the Phone dataSource and
+    // Unknown subType exclusions — the fixture encodes these as k-mod
+    // classes, so spot-check the exclusions actually bit
+    import org.apache.spark.sql.functions._
+    assert(selected.filter(col("dataSourceName").contains("Phone")).count() == 0)
+    assert(nSel < spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") % 20 === 0).count())
+    // the NDJSON sink round-trips as one row per selected event
+    val js = spark.read.json(s"$selOut/selected_events_json")
+    assert(js.count() == nSel)
+
+    val flatOut = tmp.resolve("flat").toString
+    val nFlat = Run.run(spark, Run.Args("flatten", nnCfg, sf, flatOut))
+    assert(nFlat > 0)
+    // the wide CSV carries the M000..M124 sample columns (S10 shape)
+    val csv = spark.read.option("header", "true").csv(s"$flatOut/flattened_csv")
+    assert(csv.columns.count(_.matches("M\\d{3}")) == 125)
+
+    val sumCfgPath = tmp.resolve("osdbCfg.json")
+    Files.writeString(sumCfgPath,
+      """{"dataFiles": [], "invalidEvents": [], "skipElements": []}""")
+    val sumOut = tmp.resolve("sum").toString
+    val nSum = Run.run(spark,
+      Run.Args("summarise", sumCfgPath.toString, sf, sumOut, pageSize = 7))
+    assert(nSum > 0)
+    assert(Files.exists(Paths.get(sumOut, "index.html")),
+      "summarise must publish the report TOC")
+  }
+
+  test("nested-parquet lake mode selects the same events as testdata mode") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val nnCfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    // materialize the fixture's NESTED shape as a real events.parquet
+    // lake — the CLI must auto-detect it (datapoints column) and run
+    // the Tidy-derived path, landing on the same selection the
+    // fixture-mode flags produce
+    val lakeDir = tmp.resolve("lake")
+    Files.createDirectories(lakeDir)
+    queries.OsdbFixture.nested(spark, sf)
+      .write.mode("overwrite").parquet(lakeDir.resolve("events.parquet").toString)
+    val outA = tmp.resolve("outA").toString
+    val outB = tmp.resolve("outB").toString
+    val nA = Run.run(spark, Run.Args("select", nnCfg, lakeDir.toString, outA))
+    val nB = Run.run(spark, Run.Args("select", nnCfg, sf, outB))
+    assert(nA == nB, s"nested-lake selection ($nA) must match testdata ($nB)")
+    val idsA = spark.read.parquet(s"$outA/selected_events")
+      .select("id").collect().map(_.getString(0)).toSet
+    val idsB = spark.read.parquet(s"$outB/selected_events")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(idsA == idsB)
+  }
+
+  test("runseq --train runs the dispatched modelClass per fold") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val cfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    val out = tmp.resolve("out").toString
+    // k=3: the fixture's ids are all multiples of 20, so the gate's
+    // multiplicative hash is parity-degenerate under an even k — the
+    // CLI detects that and fails loudly (asserted below)
+    Run.run(spark, Run.Args("runseq", cfg, "/root/testdata/sf0.01", out,
+      kfold = 3, train = true))
+    val m = spark.read.parquet(s"$out/fold_metrics")
+    assert(m.count() == 3)
+    assert(m.columns.contains("auroc") && m.columns.contains("tp"))
+    import org.apache.spark.sql.functions._
+    // every fold trained on a non-empty slice and scored held-out events
+    assert(m.filter(col("n_train") === 0 || col("n_test") === 0).count() == 0)
+    // the degenerate-fold case fails loudly BEFORE training: every
+    // fixture id is a multiple of 20, so knuthHash32 % 2 is constant
+    val e = intercept[IllegalArgumentException] {
+      Run.run(spark, Run.Args("runseq", cfg, "/root/testdata/sf0.01",
+        tmp.resolve("out2").toString, kfold = 2, train = true))
+    }
+    assert(e.getMessage.contains("have no events"))
+  }
+}

@@ -622,8 +622,16 @@ object Similarity {
           val cents = sphericalLloyd(
             unitSample(base.filter(col("lbl") === l), sampleSize,
               s"hardNegativesAnnPerLabel($l)"), nl, dim, iters)
+          // derived nprobe is 2·max(4, ⌈√nlist_l⌉) — DOUBLE ivfKnn's
+          // self-knn law: cross-label probing ranks an anchor against
+          // ANOTHER population's centroids, where the target sits near
+          // a cluster boundary more often than in the self-knn case
+          // (HardNegProbe ladder: the 1× knob decays 0.89→0.73 across
+          // decades while the 2× row holds 0.88-0.95; e13 pins the
+          // per-SF floors)
           val np = math.min(
-            if (nprobe > 0) nprobe else math.max(4, sqrtKnob(cents.length.toLong)),
+            if (nprobe > 0) nprobe
+            else 2 * math.max(4, sqrtKnob(cents.length.toLong)),
             cents.length)
           l -> (cents, np)
         }

@@ -74,9 +74,9 @@ object Run {
 
   private val Usage =
     """usage: graft.Run <tool> <configFile> <lakeDir> <outDir> [options]
-      |  tools: select | flatten | runseq | testrunner | summarise
+      |  tools: select | flatten | runseq | testrunner | summarise | sweep
       |  options: --kfold N | --train | --modelDir D | --only S[,S]
-      |           --pageSize N | --master M""".stripMargin
+      |           --pageSize N | --master M | --params k=v1:v2[,k=v...]""".stripMargin
 
   // ----------------------------------------------------------- arg parsing
 
@@ -84,11 +84,13 @@ object Run {
       tool: String, configFile: String, lakeDir: String, outDir: String,
       kfold: Int = 3, train: Boolean = false,
       modelDir: Option[String] = None, only: Seq[String] = Nil,
-      pageSize: Int = 1000, master: String = "local[*]")
+      pageSize: Int = 1000, master: String = "local[*]",
+      params: Seq[(String, Seq[Long])] = Nil)
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.length >= 4, Usage)
-    val tools = Set("select", "flatten", "runseq", "testrunner", "summarise")
+    val tools = Set("select", "flatten", "runseq", "testrunner",
+      "summarise", "sweep")
     require(tools(argv(0)), s"unknown tool '${argv(0)}'\n$Usage")
     var a = Args(argv(0), argv(1), argv(2), argv(3))
     var i = 4
@@ -102,11 +104,21 @@ object Run {
           i += 2
         case "--pageSize" => a = a.copy(pageSize = argv(i + 1).toInt); i += 2
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case "--params" =>
+          a = a.copy(params = argv(i + 1).split(",").toSeq.filter(_.nonEmpty)
+            .map { kv =>
+              val Array(k, vs) = kv.split("=", 2)
+              require(vs.nonEmpty, s"--params: '$kv' has no values")
+              k -> vs.split(":").toSeq.map(_.toLong)
+            })
+          i += 2
         case other => throw new IllegalArgumentException(
           s"unknown option '$other'\n$Usage")
       }
     }
     require(a.kfold >= 1, s"--kfold must be >= 1: ${a.kfold}")
+    if (a.tool == "sweep") require(a.params.nonEmpty,
+      s"sweep needs --params\n$Usage")
     a
   }
 
@@ -323,6 +335,104 @@ object Run {
     frame.count()
   }
 
+  /** runOptimisation.py (run_and_collect:8-80): baseline + one re-run
+    * per (param, value) with that single knob changed, collected into
+    * one comparison frame. Data-processing knobs ride the MEMOIZED
+    * sweep harness ([[graft.ml.RunSequence.paramSweep]] — one heavy
+    * extraction per distinct window/step, one history frame per
+    * (extract, historyN), the reference's copy-baseline-files skip
+    * list held structurally); model knobs (n_estimators / max_depth —
+    * the reference's rfModel surface) change only the fit, so they
+    * need `--train` and produce per-fold metrics per value. A param
+    * matching neither surface fails loudly with both knob universes —
+    * the runOptimisation silent-baseline-rerun failure mode stays
+    * loud here, same contract as [[ConfigBridge.withParam]]. */
+  private def runSweep(spark: SparkSession, doc: Doc, lake: Lake,
+                       a: Args): Long = {
+    import org.json4s.JInt
+    val (events, dps) = selectInputs(spark, lake)
+    val foldOf = lake match {
+      case TestdataLake(_) => Exact.knuthHash32(col("id")) % a.kfold
+      case _ => pmod(xxhash64(col("id").cast("string")), lit(a.kfold.toLong))
+    }
+    val select = EventFilters.compile(ConfigBridge.eventFilters(doc))
+    val base = ConfigBridge.runSequenceConfig(
+      ConfigBridge.dataProcessing(doc), a.kfold)
+    val dataKnob = Map(
+      "window" -> "window", "step" -> "step",
+      "addFeatureHistoryLength" -> "historyN", "nHistory" -> "historyN")
+    val modelKnobs = Set("n_estimators", "max_depth")
+    val (dataSweeps, modelSweeps) = a.params.partition {
+      case (k, _) => dataKnob.contains(k)
+    }
+    modelSweeps.foreach { case (k, _) =>
+      if (k == "highPassOrder") throw new IllegalArgumentException(
+        "sweep param 'highPassOrder': the engine implements the " +
+          "reference's order-2 Butterworth filtfilt only " +
+          "(ConfigBridge.featureExtractConfig)")
+      require(modelKnobs(k),
+        s"sweep param '$k' is neither a data-processing knob " +
+          s"(${dataKnob.keys.toSeq.sorted.mkString(", ")}) nor a model " +
+          s"knob (${modelKnobs.toSeq.sorted.mkString(", ")}) — the " +
+          "reference would silently re-run the baseline here " +
+          "(runOptimisation.py:49-54)")
+      // placement validation against the FILE (withParam's contract)
+      ConfigBridge.withParam(doc, k, JInt(0))
+    }
+    var n = 0L
+    if (dataSweeps.nonEmpty) {
+      dataSweeps.foreach { case (k, _) =>
+        ConfigBridge.withParam(doc, k, JInt(0)) // file-placement check
+      }
+      val frame = graft.ml.RunSequence.paramSweep(events, dps, select,
+        foldOf, base, dataSweeps.map { case (k, vs) => dataKnob(k) -> vs })
+      frame.coalesce(1).write.mode("overwrite")
+        .parquet(s"${a.outDir}/sweep_results")
+      n += frame.count()
+    }
+    if (modelSweeps.nonEmpty) {
+      require(a.train,
+        "model-knob sweeps change only the fit — pass --train " +
+          "(the skeleton frame is identical across model knobs)")
+      val mc = ConfigBridge.modelClass(doc)
+      require(mc.endsWith("rfModel.RfModel") || mc == "rfModel.RfModel",
+        s"model-knob sweep implements the reference's rfModel surface " +
+          s"(n_estimators/max_depth — rfModel.py); config selects '$mc'")
+      val mCfg = ConfigBridge.modelConfig(doc)
+      def mcInt(k: String, d: Int): Int = mCfg.get(k) match {
+        case Some(org.json4s.JInt(v)) => v.toInt
+        case _ => d
+      }
+      val baseRf = graft.ml.Forest.Config(
+        numTrees = mcInt("n_estimators", 100),
+        maxDepth = mcInt("max_depth", 8))
+      import spark.implicits._
+      def foldRows(param: String, value: Long, rf: graft.ml.Forest.Config) = {
+        val (fit, score) = graft.ml.RunSequence.rfFamily(rf,
+          ConfigBridge.subtypeWeights(doc))
+        graft.ml.RunSequence.runWith(events, dps, select, foldOf, base)(
+          fit, score).map(f => (param, value, f.fold, f.heldOutAuroc,
+            f.eventTp, f.eventFp, f.eventTn, f.eventFn))
+      }
+      val rows = foldRows("baseline", -1L, baseRf) ++
+        modelSweeps.flatMap { case (k, vs) =>
+          vs.flatMap { v =>
+            val rf = k match {
+              case "n_estimators" => baseRf.copy(numTrees = v.toInt)
+              case "max_depth" => baseRf.copy(maxDepth = v.toInt)
+            }
+            foldRows(k, v, rf)
+          }
+        }
+      val m = rows.toDF("param", "value", "fold", "auroc",
+        "tp", "fp", "tn", "fn")
+      m.coalesce(1).write.mode("overwrite")
+        .parquet(s"${a.outDir}/sweep_metrics")
+      n += m.count()
+    }
+    n
+  }
+
   /** testRunner.py runTest: config-built detector farm → replay →
     * detection stats ([[ConfigTools.testrunnerFrame]] — cfg2's frame)
     * + the analyzeEventResults rollup per algorithm. */
@@ -441,6 +551,7 @@ object Run {
       case "runseq" => runRunseq(spark, doc, lake, a)
       case "testrunner" => runTestrunner(spark, doc, lake, a)
       case "summarise" => runSummarise(spark, doc, lake, a)
+      case "sweep" => runSweep(spark, doc, lake, a)
     }
   }
 }

@@ -148,6 +148,60 @@ class RunSpec extends SparkSpec {
     assert(idsA == idsB)
   }
 
+  test("sweep runs the runOptimisation twin: data knobs memoized, model knobs trained") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val cfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    import org.apache.spark.sql.functions._
+
+    // data-processing knobs ride the memoized paramSweep harness and
+    // emit (param, value, fold, stage) rows incl. the baseline block
+    val out = tmp.resolve("out").toString
+    val n = Run.run(spark, Run.Args("sweep", cfg, sf, out, kfold = 3,
+      params = Seq("window" -> Seq(100L, 125L),
+        "addFeatureHistoryLength" -> Seq(3L))))
+    assert(n > 0)
+    val res = spark.read.parquet(s"$out/sweep_results")
+    val params = res.select("param").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(params == Set("baseline", "window", "historyN"))
+    // the baseline block restates the runseq skeleton's stage rows
+    assert(res.filter(col("param") === "baseline" &&
+      col("stage") === "train").count() == 3)
+
+    // model knobs need --train (the skeleton is knob-invariant there)
+    val e1 = intercept[IllegalArgumentException] {
+      Run.run(spark, Run.Args("sweep", cfg, sf, tmp.resolve("o2").toString,
+        params = Seq("n_estimators" -> Seq(5L))))
+    }
+    assert(e1.getMessage.contains("--train"))
+
+    // an unknown param fails loudly with both knob universes — never
+    // the reference's silent baseline re-run (runOptimisation.py:49-54)
+    val e2 = intercept[IllegalArgumentException] {
+      Run.run(spark, Run.Args("sweep", cfg, sf, tmp.resolve("o3").toString,
+        params = Seq("n_esimators" -> Seq(5L)))) // typo'd on purpose
+    }
+    assert(e2.getMessage.contains("neither a data-processing knob"))
+
+    // the engine's order-2 filtfilt pin stays loud under sweep too
+    val e3 = intercept[IllegalArgumentException] {
+      Run.run(spark, Run.Args("sweep", cfg, sf, tmp.resolve("o4").toString,
+        params = Seq("highPassOrder" -> Seq(4L))))
+    }
+    assert(e3.getMessage.contains("order-2"))
+
+    // model-knob sweep with --train: per-fold metrics per value, at
+    // sf0.01 (see the --train test's scarcity note)
+    val out5 = tmp.resolve("o5").toString
+    Run.run(spark, Run.Args("sweep", cfg, "/root/testdata/sf0.01", out5,
+      kfold = 3, train = true, params = Seq("n_estimators" -> Seq(5L))))
+    val m = spark.read.parquet(s"$out5/sweep_metrics")
+    assert(m.select("param").distinct().collect().map(_.getString(0)).toSet ==
+      Set("baseline", "n_estimators"))
+    assert(m.count() == 6) // 2 runs x 3 folds
+    assert(m.filter(col("auroc").isNaN).count() == 0)
+  }
+
   test("runseq --train runs the dispatched modelClass per fold") {
     val tmp = Files.createTempDirectory("graft_run_")
     val cfg = resourceToFile("/osdb/nnConfig.json", tmp)

@@ -75,14 +75,15 @@ object Run {
   private val Usage =
     """usage: graft.Run <tool> <configFile> <lakeDir> <outDir> [options]
       |  tools: select | flatten | runseq | testrunner | summarise | sweep
-      |  options: --kfold N | --train | --modelDir D | --only S[,S]
-      |           --pageSize N | --master M | --params k=v1:v2[,k=v...]""".stripMargin
+      |  options: --kfold N | --nestedKfold N | --train | --modelDir D
+      |           --only S[,S] | --pageSize N | --master M
+      |           --params k=v1:v2[,k=v...]""".stripMargin
 
   // ----------------------------------------------------------- arg parsing
 
   final case class Args(
       tool: String, configFile: String, lakeDir: String, outDir: String,
-      kfold: Int = 3, train: Boolean = false,
+      kfold: Int = 3, train: Boolean = false, nestedKfold: Int = 0,
       modelDir: Option[String] = None, only: Seq[String] = Nil,
       pageSize: Int = 1000, master: String = "local[*]",
       params: Seq[(String, Seq[Long])] = Nil)
@@ -97,6 +98,8 @@ object Run {
     while (i < argv.length) {
       argv(i) match {
         case "--kfold" => a = a.copy(kfold = argv(i + 1).toInt); i += 2
+        case "--nestedKfold" =>
+          a = a.copy(nestedKfold = argv(i + 1).toInt); i += 2
         case "--train" => a = a.copy(train = true); i += 1
         case "--modelDir" => a = a.copy(modelDir = Some(argv(i + 1))); i += 2
         case "--only" =>
@@ -295,6 +298,8 @@ object Run {
     val frame = ConfigTools.runseqFrame(doc, events, dps, foldOf, a.kfold)
     frame.coalesce(1).write.mode("overwrite")
       .parquet(s"${a.outDir}/runseq_skeleton")
+    if (a.nestedKfold > 0) return runNestedSeq(spark, doc, lake, a,
+      events, dps, frame.count())
     if (a.train) {
       val cand = graft.ml.RunSequence.NestedCandidate.forModelClass(
         ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
@@ -333,6 +338,66 @@ object Run {
         .parquet(s"${a.outDir}/fold_metrics")
     }
     frame.count()
+  }
+
+  /** The `--nestedKfold N` protocol (runSequence.py:1702 + the
+    * NESTED_KFOLD_README evaluation contract): outer-N × inner-k
+    * nested validation. Writes the deterministic `nested_skeleton`
+    * slice-count frame (ml6's class) always, and — with `--train` —
+    * `nested_metrics`: per outer fold, the inner-CV mean AUROC of the
+    * dispatched candidate and its single evaluation on the untouched
+    * outer test slice. Fold hashes follow ml6's dual-multiplier
+    * convention on the testdata lake and seed-separated xxhash64 on
+    * real lakes. */
+  private def runNestedSeq(spark: SparkSession, doc: Doc, lake: Lake,
+      a: Args, events: DataFrame, dps: Dataset[FlatDp],
+      skeletonRows: Long): Long = {
+    val select = EventFilters.compile(ConfigBridge.eventFilters(doc))
+    val (outerFoldOf, innerFoldOf) = lake match {
+      case TestdataLake(_) => (
+        ((col("id") * lit(2654435761L)) % lit(4294967296L)) % a.nestedKfold,
+        ((col("id") * lit(2246822519L)) % lit(4294967296L)) % a.kfold)
+      case _ => (
+        pmod(xxhash64(col("id").cast("string")), lit(a.nestedKfold.toLong)),
+        pmod(xxhash64(col("id").cast("string"), lit("inner")),
+          lit(a.kfold.toLong)))
+    }
+    val skel = graft.ml.RunSequence.nestedSkeleton(events, select,
+      outerFoldOf, innerFoldOf, a.nestedKfold, a.kfold)
+    skel.coalesce(1).write.mode("overwrite")
+      .parquet(s"${a.outDir}/nested_skeleton")
+    if (a.train) {
+      // same fail-loud-before-training contract as the flat path: an
+      // empty OUTER fold trains the complementary fold on nothing
+      // (testdata ids are multiples of 20, so the gate-convention
+      // multiplicative hash is parity-degenerate under an even outer k)
+      val occupied = events.filter(select)
+        .select(outerFoldOf.cast("long").as("f")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val missing = (0L until a.nestedKfold.toLong).filterNot(occupied)
+      require(missing.isEmpty,
+        s"--train: outer fold(s) ${missing.mkString(",")} have no " +
+          s"events under --nestedKfold ${a.nestedKfold} — too few " +
+          "selected events, or a degenerate id distribution for this " +
+          "k; pick a smaller or different k")
+      val cand = graft.ml.RunSequence.NestedCandidate.forModelClass(
+        ConfigBridge.modelClass(doc), ConfigBridge.subtypeWeights(doc))
+      val cfg = ConfigBridge.runSequenceConfig(
+        ConfigBridge.dataProcessing(doc), a.kfold)
+      val nested = graft.ml.RunSequence.runNestedBases(events, dps,
+        select, outerFoldOf, innerFoldOf, a.nestedKfold, cfg)(Seq(cand))
+      import spark.implicits._
+      nested.map(r => (r.outerFold, r.chosen,
+          r.innerMeanAuroc.getOrElse(r.chosen, Double.NaN),
+          r.outer.heldOutAuroc, r.outer.nTestEvents,
+          r.outer.eventTp, r.outer.eventFp, r.outer.eventTn,
+          r.outer.eventFn))
+        .toDF("outer_fold", "chosen", "inner_mean_auroc", "outer_auroc",
+          "n_test", "tp", "fp", "tn", "fn")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${a.outDir}/nested_metrics")
+    }
+    skeletonRows + skel.count()
   }
 
   /** runOptimisation.py (run_and_collect:8-80): baseline + one re-run

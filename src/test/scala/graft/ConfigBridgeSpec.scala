@@ -413,4 +413,24 @@ class ConfigBridgeSpec extends AnyFunSuite {
     assert(drive(hrFarm(0), traces.head) == 0)
     assert(drive(hrFarm(1), traces(1)) >= 1)
   }
+
+  test("the shipped dataSummariser osdbCfg template parses under summariserConfig") {
+    import graft.config.ConfigBridge
+    // checked-in verbatim from user_tools/dataSummariser/
+    // osdbCfg.json.template: the _-prefixed keys (_cacheDir,
+    // _dataFiles, _skipElements) are the reference's disabled-alternate
+    // convention and must pass the doc-key exemption, the live keys
+    // parse typed
+    val cfg = ConfigBridge.summariserConfig(
+      ConfigBridge.loadResource("/osdb/osdbCfg.json.template"))
+    assert(cfg.dataFiles ==
+      Seq("simulated_events.json", "osdb_3min_allSeizures.json"))
+    assert(cfg.invalidIds.isEmpty && cfg.skipElements.isEmpty)
+    // an unknown live key still raises (the exemption is doc keys only)
+    val e = intercept[IllegalArgumentException] {
+      ConfigBridge.summariserConfig(ConfigBridge.parseDoc(
+        """{"dataFiles": [], "cacheDirr": "x"}""", "t"))
+    }
+    assert(e.getMessage.contains("cacheDirr"))
+  }
 }

@@ -148,6 +148,36 @@ class RunSpec extends SparkSpec {
     assert(idsA == idsB)
   }
 
+  test("runseq --nestedKfold writes the nested skeleton and (with --train) outer-fold metrics") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val cfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    import org.apache.spark.sql.functions._
+    val out = tmp.resolve("out").toString
+    // outer k must be ODD on the testdata lake: ids are multiples of
+    // 20 and the gate-convention multiplicative hash preserves parity,
+    // so an even outer k leaves a fold empty (fail-loud, checked below)
+    Run.run(spark, Run.Args("runseq", cfg, "/root/testdata/sf0.01", out,
+      kfold = 3, nestedKfold = 3, train = true))
+    val skel = spark.read.parquet(s"$out/nested_skeleton")
+    // outer 3 x inner 3 inner stages + outer stages + guard rows, all
+    // (of, inf) pairs explicit (the ml6 zero-row discipline)
+    assert(skel.filter(col("stage") === "inner_train").count() == 9)
+    assert(skel.filter(col("stage") === "outer_test").count() == 3)
+    val m = spark.read.parquet(s"$out/nested_metrics")
+    assert(m.count() == 3)
+    // the parity-degenerate even outer k fails loudly BEFORE training
+    val e = intercept[IllegalArgumentException] {
+      Run.run(spark, Run.Args("runseq", cfg, "/root/testdata/sf0.01",
+        tmp.resolve("outEven").toString, kfold = 3, nestedKfold = 2,
+        train = true))
+    }
+    assert(e.getMessage.contains("outer fold"))
+    assert(m.select("chosen").distinct().head().getString(0)
+      .contains("rfModel.RfModel"))
+    assert(m.filter(col("outer_auroc").isNaN ||
+      col("inner_mean_auroc").isNaN).count() == 0)
+  }
+
   test("sweep runs the runOptimisation twin: data knobs memoized, model knobs trained") {
     val tmp = Files.createTempDirectory("graft_run_")
     val cfg = resourceToFile("/osdb/nnConfig.json", tmp)

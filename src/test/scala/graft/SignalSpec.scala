@@ -19,6 +19,35 @@ class SignalSpec extends AnyFunSuite {
     (1 until 62).filter(_ != 25).foreach(k => assert(mag(k) < 1e-6))
   }
 
+  test("mixed-radix fft equals the direct DFT sum at every length class") {
+    // the r18 dft is a {2,3,5}-smooth Cooley–Tukey with a rough-factor
+    // direct-sum base — pin it against an independent naive sum across
+    // smooth (125, 50, 250, 64, 60), partially-smooth (35 = 5·7,
+    // 126 = 2·3²·7), rough-prime (7, 13), and tiny lengths
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 2, 3, 4, 5, 6, 7, 8, 12, 13, 25, 35, 50, 60, 64,
+        125, 126, 250)) {
+      val x = Array.fill(n)(rnd.nextDouble() * 2000 - 1000)
+      val (re, im) = Signal.dft(x)
+      var k = 0
+      while (k < n) {
+        var sr = 0.0; var si = 0.0
+        var t = 0
+        while (t < n) {
+          val a = -2.0 * math.Pi * (k.toLong * t % n) / n
+          sr += x(t) * math.cos(a)
+          si += x(t) * math.sin(a)
+          t += 1
+        }
+        // absolute tolerance scaled to the coefficient magnitude floor:
+        // inputs are O(1000), n <= 250, so coefficients are O(n*1000)
+        assert(math.abs(re(k) - sr) < 1e-6 && math.abs(im(k) - si) < 1e-6,
+          s"n=$n k=$k: (${re(k)}, ${im(k)}) vs naive ($sr, $si)")
+        k += 1
+      }
+    }
+  }
+
   test("dft matches Parseval: sum x^2 == (1/n) sum |X|^2") {
     val x = Array.tabulate(125)(i => math.sin(i * 0.7) + 0.3 * math.cos(i * 1.3))
     val (re, im) = Signal.dft(x)

@@ -30,6 +30,8 @@ import graft.streaming.ReplayDp
   * | runseq     | runSequence.py:799 main (k-fold pipeline skeleton)  |
   * | testrunner | testRunner.py:156 main (detector farm replay)       |
   * | summarise  | summariseData.py:322 main (HTML report + index)     |
+  * | sweep      | runOptimisation.py:97 main (param sweep + collect)  |
+  * | updatetest | updateTestData.py:427 main (leak-free new test set) |
   *
   * Config handling is [[ConfigBridge]] end to end: `loadMerged` honors
   * the `osdbCfg` second-file splice (shallow union, override wins —
@@ -74,10 +76,11 @@ object Run {
 
   private val Usage =
     """usage: graft.Run <tool> <configFile> <lakeDir> <outDir> [options]
-      |  tools: select | flatten | runseq | testrunner | summarise | sweep
+      |  tools: select | flatten | runseq | testrunner | summarise |
+      |         sweep | updatetest
       |  options: --kfold N | --nestedKfold N | --train | --modelDir D
       |           --only S[,S] | --pageSize N | --master M
-      |           --params k=v1:v2[,k=v...]""".stripMargin
+      |           --params k=v1:v2[,k=v...] | --trainIds P | --testIds P""".stripMargin
 
   // ----------------------------------------------------------- arg parsing
 
@@ -86,12 +89,13 @@ object Run {
       kfold: Int = 3, train: Boolean = false, nestedKfold: Int = 0,
       modelDir: Option[String] = None, only: Seq[String] = Nil,
       pageSize: Int = 1000, master: String = "local[*]",
-      params: Seq[(String, Seq[Long])] = Nil)
+      params: Seq[(String, Seq[Long])] = Nil,
+      trainIds: Option[String] = None, testIds: Option[String] = None)
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.length >= 4, Usage)
     val tools = Set("select", "flatten", "runseq", "testrunner",
-      "summarise", "sweep")
+      "summarise", "sweep", "updatetest")
     require(tools(argv(0)), s"unknown tool '${argv(0)}'\n$Usage")
     var a = Args(argv(0), argv(1), argv(2), argv(3))
     var i = 4
@@ -107,6 +111,8 @@ object Run {
           i += 2
         case "--pageSize" => a = a.copy(pageSize = argv(i + 1).toInt); i += 2
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case "--trainIds" => a = a.copy(trainIds = Some(argv(i + 1))); i += 2
+        case "--testIds" => a = a.copy(testIds = Some(argv(i + 1))); i += 2
         case "--params" =>
           a = a.copy(params = argv(i + 1).split(",").toSeq.filter(_.nonEmpty)
             .map { kv =>
@@ -122,7 +128,35 @@ object Run {
     require(a.kfold >= 1, s"--kfold must be >= 1: ${a.kfold}")
     if (a.tool == "sweep") require(a.params.nonEmpty,
       s"sweep needs --params\n$Usage")
+    if (a.tool == "updatetest") require(a.trainIds.nonEmpty,
+      s"updatetest needs --trainIds (the prior run's training ids)\n$Usage")
     a
+  }
+
+  /** An id set from a prior run's artifact: a parquet dir (first
+    * column named id/eventId/event_id wins), a header-less
+    * one-id-per-line text/CSV file, or NDJSON events with an `id`
+    * field — the engine renditions of the reference's
+    * trainData.json/csv id loaders (updateTestData.py:36-142). */
+  private def loadIdSet(spark: SparkSession, path: String): DataFrame = {
+    val idCols = Seq("id", "eventId", "event_id")
+    if (Files.isDirectory(Paths.get(path)) || path.endsWith(".parquet")) {
+      val df = spark.read.parquet(path)
+      val c = idCols.find(df.columns.contains).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no id/eventId/event_id column among " +
+            df.columns.mkString(", ")))
+      df.select(col(c).cast("string").as("__tid")).distinct()
+    } else if (path.endsWith(".json") || path.endsWith(".ndjson")) {
+      val df = spark.read.json(path)
+      val c = idCols.find(df.columns.contains).getOrElse(
+        throw new IllegalArgumentException(s"$path: events carry no id field"))
+      df.select(col(c).cast("string").as("__tid")).distinct()
+    } else {
+      spark.read.text(path)
+        .select(trim(col("value")).as("__tid"))
+        .filter(col("__tid") =!= "").distinct()
+    }
   }
 
   // ------------------------------------------------------- lake resolution
@@ -537,6 +571,79 @@ object Run {
     n
   }
 
+  /** updateTestData.py (update_test_data:250-420): a NEW test set of
+    * every event that passes the config's filters AND was not in the
+    * original training run — the F5 selection, a J4 anti join against
+    * the prior ids, a fail-loud train/test-overlap guard (data
+    * leakage aborts the reference with an ERROR; here it raises), and
+    * the added/removed-vs-original-test comparison split
+    * seizure/non-seizure. */
+  private def runUpdateTest(spark: SparkSession, doc: Doc, lake: Lake,
+                            a: Args): Long = {
+    val efc = ConfigBridge.eventFilters(doc)
+    val (events, _) = selectInputs(spark, lake)
+    val trainIds = loadIdSet(spark, a.trainIds.get).persist()
+    val selected = events.filter(EventFilters.compile(efc))
+      .withColumn("__sid", col("id").cast("string"))
+      .persist()
+    try {
+      val testNew = selected
+        .join(trainIds, selected("__sid") === trainIds("__tid"), "left_anti")
+        .persist()
+      // the reference's leakage abort: by anti-join construction the
+      // overlap is zero; verify it anyway so a broken id rendition
+      // (type mismatch, padding) cannot silently pass everything
+      val overlap = testNew
+        .join(trainIds, testNew("__sid") === trainIds("__tid")).count()
+      require(overlap == 0, s"train/test overlap $overlap — data leakage")
+
+      val nested = nestedEvents(spark, lake)
+      val outEvents = nested.join(
+        testNew.select(col("__sid").as("__keep")),
+        nested("id").cast("string") === col("__keep"), "left_semi")
+      val withCat =
+        if (outEvents.columns.contains("category")) outEvents
+        else outEvents.withColumn("category", lit("testDataNew"))
+      withCat.write.mode("overwrite").parquet(s"${a.outDir}/test_data_new")
+      OsdbJson.writeEventsJson(withCat, s"${a.outDir}/test_data_new_json")
+
+      // added/removed vs the ORIGINAL test set (when supplied), split
+      // by the C4 seizure class — the reference's comparison block
+      val isSz = (typeIdCol(col("type")) === 1).as("__sz")
+      val newIds = testNew.select(col("__sid"), isSz)
+      val (added, removed) = a.testIds match {
+        case None => (newIds, newIds.limit(0))
+        case Some(p) =>
+          val orig = loadIdSet(spark, p)
+          (newIds.join(orig, newIds("__sid") === orig("__tid"), "left_anti"),
+            selected.select(col("__sid"), isSz)
+              .join(orig, col("__sid") === orig("__tid"), "left_semi")
+              .join(newIds.select(col("__sid").as("__nid")),
+                col("__sid") === col("__nid"), "left_anti"))
+      }
+      def cnt(df: DataFrame, szOnly: Option[Boolean]): Long = szOnly match {
+        case None => df.count()
+        case Some(b) => df.filter(col("__sz") === b).count()
+      }
+      import spark.implicits._
+      val summary = Seq(
+        ("total_in_db", selected.count()),
+        ("in_training", trainIds.count()),
+        ("in_test_new", testNew.count()),
+        ("added_seizure", cnt(added, Some(true))),
+        ("added_non_seizure", cnt(added, Some(false))),
+        ("removed_seizure", cnt(removed, Some(true))),
+        ("removed_non_seizure", cnt(removed, Some(false))),
+        ("train_test_overlap", overlap))
+        .toDF("metric", "n")
+      summary.coalesce(1).write.mode("overwrite")
+        .parquet(s"${a.outDir}/update_summary")
+      summary.collect().foreach(r =>
+        println(s"graft.Run updatetest: ${r.getString(0)} = ${r.getLong(1)}"))
+      testNew.count()
+    } finally { trainIds.unpersist(); selected.unpersist() }
+  }
+
   /** summariseData.py: the sharded HTML report
     * ([[Summarise.writeReport]] — S15), honoring the config's
     * invalidEvents list. */
@@ -617,6 +724,7 @@ object Run {
       case "testrunner" => runTestrunner(spark, doc, lake, a)
       case "summarise" => runSummarise(spark, doc, lake, a)
       case "sweep" => runSweep(spark, doc, lake, a)
+      case "updatetest" => runUpdateTest(spark, doc, lake, a)
     }
   }
 }

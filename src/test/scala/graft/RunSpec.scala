@@ -148,6 +148,52 @@ class RunSpec extends SparkSpec {
     assert(idsA == idsB)
   }
 
+  test("updatetest builds a leak-free new test set (anti-join vs prior training ids)") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val nnCfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    import org.apache.spark.sql.functions._
+    // the 'prior run': select under the same config, take every other
+    // selected id as the training set, write it one-per-line (the
+    // reference's CSV id-list rendition)
+    val selOut = tmp.resolve("sel").toString
+    val nSel = Run.run(spark, Run.Args("select", nnCfg, sf, selOut))
+    val selIds = spark.read.parquet(s"$selOut/selected_events")
+      .select("id").collect().map(_.getString(0)).sorted
+    val trainIds = selIds.zipWithIndex.collect { case (id, i) if i % 2 == 0 => id }
+    val idsFile = tmp.resolve("trainIds.txt")
+    Files.writeString(idsFile, trainIds.mkString("", "\n", "\n"))
+
+    val out = tmp.resolve("out").toString
+    val n = Run.run(spark, Run.Args("updatetest", nnCfg, sf, out,
+      trainIds = Some(idsFile.toString)))
+    assert(n == nSel - trainIds.length,
+      "testDataNew must be exactly the selected events minus training")
+    val newIds = spark.read.parquet(s"$out/test_data_new")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(newIds.intersect(trainIds.toSet).isEmpty, "leak-free by anti-join")
+    val summary = spark.read.parquet(s"$out/update_summary")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary("total_in_db") == nSel)
+    assert(summary("in_training") == trainIds.length)
+    assert(summary("in_test_new") == n)
+    assert(summary("train_test_overlap") == 0)
+    // with --testIds = the new set itself, added/removed are both zero
+    val out2 = tmp.resolve("out2").toString
+    Run.run(spark, Run.Args("updatetest", nnCfg, sf, out2,
+      trainIds = Some(idsFile.toString),
+      testIds = Some(s"$out/test_data_new")))
+    val s2 = spark.read.parquet(s"$out2/update_summary")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2("added_seizure") + s2("added_non_seizure") == 0)
+    assert(s2("removed_seizure") + s2("removed_non_seizure") == 0)
+    // parquet id-set rendition: pointing --trainIds at the selected
+    // parquet leaves NOTHING new
+    val out3 = tmp.resolve("out3").toString
+    val n3 = Run.run(spark, Run.Args("updatetest", nnCfg, sf, out3,
+      trainIds = Some(s"$selOut/selected_events")))
+    assert(n3 == 0)
+  }
+
   test("runseq --nestedKfold writes the nested skeleton and (with --train) outer-fold metrics") {
     val tmp = Files.createTempDirectory("graft_run_")
     val cfg = resourceToFile("/osdb/nnConfig.json", tmp)

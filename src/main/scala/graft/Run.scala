@@ -608,7 +608,15 @@ object Run {
       OsdbJson.writeEventsJson(withCat, s"${a.outDir}/test_data_new_json")
 
       // added/removed vs the ORIGINAL test set (when supplied), split
-      // by the C4 seizure class — the reference's comparison block
+      // by the C4 seizure class — the reference's comparison block.
+      // removed = original_test_ids − new_test_ids over RAW id sets
+      // (updateTestData.py:360), NOT restricted to currently-selected
+      // events; the type lookup is the FILTERED event map (:355-356),
+      // so an original test event deleted from the lake or no longer
+      // passing the filters lands in the 'unknown' bucket (the
+      // reference's _count_ids_by_type, :227-247). added ids are a
+      // subset of the selection by construction, so their types are
+      // always known.
       val isSz = (typeIdCol(col("type")) === 1).as("__sz")
       val newIds = testNew.select(col("__sid"), isSz)
       val (added, removed) = a.testIds match {
@@ -616,13 +624,16 @@ object Run {
         case Some(p) =>
           val orig = loadIdSet(spark, p)
           (newIds.join(orig, newIds("__sid") === orig("__tid"), "left_anti"),
-            selected.select(col("__sid"), isSz)
-              .join(orig, col("__sid") === orig("__tid"), "left_semi")
-              .join(newIds.select(col("__sid").as("__nid")),
-                col("__sid") === col("__nid"), "left_anti"))
+            orig.join(newIds.select(col("__sid").as("__nid")),
+                orig("__tid") === col("__nid"), "left_anti")
+              .join(selected.select(col("__sid"), isSz),
+                orig("__tid") === col("__sid"), "left")
+              .select(orig("__tid").as("__sid"), col("__sz")))
       }
+      // szOnly: Some(b) = that class; None = the null-type 'unknown'
+      // bucket (id absent from the filtered lake)
       def cnt(df: DataFrame, szOnly: Option[Boolean]): Long = szOnly match {
-        case None => df.count()
+        case None => df.filter(col("__sz").isNull).count()
         case Some(b) => df.filter(col("__sz") === b).count()
       }
       import spark.implicits._
@@ -634,6 +645,7 @@ object Run {
         ("added_non_seizure", cnt(added, Some(false))),
         ("removed_seizure", cnt(removed, Some(true))),
         ("removed_non_seizure", cnt(removed, Some(false))),
+        ("removed_unknown", cnt(removed, None)),
         ("train_test_overlap", overlap))
         .toDF("metric", "n")
       summary.coalesce(1).write.mode("overwrite")

@@ -692,6 +692,8 @@ object ConfigBridge {
           alarmFreqMax = num("alarmFreqMax", 8.0),
           gateOnSpec = true,
           specBinsFullRange = true,
+          fallbackOnZeroSum = false, // v1 has no dataSum check
+                                     // (osdAlg_v1.py:63-65)
           name = Some(a.name)))
       case "hrAlg.HrAlg" =>
         failUnknown(src, sec, st.keys, HrSettingKeys)

@@ -105,6 +105,12 @@ case class OsdSettings(
                                     // cutoff (osdAlg_v1.py:88-90) — at
                                     // fs/2 cutoff that reaches bins
                                     // 1..62 of 125, one past [1, n/2)
+    fallbackOnZeroSum: Boolean = true, // device osdAlg.py:105 replays the
+                                    // stored magnitude when the 3D trace
+                                    // SUMS to zero (dataSum==0);
+                                    // osdAlg_v1.py:63-65 has no sum check
+                                    // — an all-zero data3D stays a zero
+                                    // signal there (bridge sets false)
     name: Option[String] = None)    // config-injected (testRunner.py:136)
 
 /** Device-faithful OSD algorithm (testRunner/osdAlg.py):
@@ -199,9 +205,15 @@ final class OsdAlg(s: OsdSettings = OsdSettings()) extends SdAlg {
           // reference ORs main and flap per axis — osdAlg.py:267-279)
           (0 to 2).exists(ax => withFlap(Signal.deinterleave(dp.rawData3D, ax)))
         } else withFlap(dp.rawData)
-      case m => // V1 / V2 / V3 magnitude recomputed from 3D when present
+      case m => // V1 / V2 / V3 magnitude recomputed from 3D when present.
+        // Stored-magnitude fallback: the device alg replays 'data' when
+        // the 3D trace SUMS to zero (osdAlg.py:105 dataSum==0 — a sum
+        // test, so cancelling ±axes also fall back); the v1 library alg
+        // never sum-checks (osdAlg_v1.py:63-65 falls back only on an
+        // EMPTY data3D — an all-zero trace stays a zero signal).
         val acc =
-          if (dp.rawData3D.nonEmpty && dp.rawData3D.exists(_ != 0.0))
+          if (dp.rawData3D.nonEmpty &&
+              (!s.fallbackOnZeroSum || dp.rawData3D.sum != 0.0))
             Signal.magnitude3D(dp.rawData3D, m, s.offset)
           else dp.rawData
         withFlap(acc)

@@ -19,9 +19,12 @@ class SignalSpec extends AnyFunSuite {
     (1 until 62).filter(_ != 25).foreach(k => assert(mag(k) < 1e-6))
   }
 
-  test("mixed-radix fft equals the direct DFT sum at every length class") {
-    // the r18 dft is a {2,3,5}-smooth Cooley–Tukey with a rough-factor
-    // direct-sum base — pin it against an independent naive sum across
+  test("conjugate-symmetry dft equals an independent naive full sum at every length class") {
+    // the shipped Signal.dft is a direct O(n²) sum that computes only
+    // bins 0..n/2 and MIRRORS the upper half via real-input conjugate
+    // symmetry (an FFT was measured slower at n=125 and rejected —
+    // Signal.scala's doc). Pin it against an independent naive FULL
+    // sum (every bin summed directly, no mirroring) across
     // smooth (125, 50, 250, 64, 60), partially-smooth (35 = 5·7,
     // 126 = 2·3²·7), rough-prime (7, 13), and tiny lengths
     val rnd = new scala.util.Random(42)

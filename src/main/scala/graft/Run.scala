@@ -32,6 +32,7 @@ import graft.streaming.ReplayDp
   * | summarise  | summariseData.py:322 main (HTML report + index)     |
   * | sweep      | runOptimisation.py:97 main (param sweep + collect)  |
   * | updatetest | updateTestData.py:427 main (leak-free new test set) |
+  * | devicehr   | testDeviceHrAlg.py:52 main (synthetic HR traces)    |
   *
   * Config handling is [[ConfigBridge]] end to end: `loadMerged` honors
   * the `osdbCfg` second-file splice (shallow union, override wins —
@@ -77,10 +78,12 @@ object Run {
   private val Usage =
     """usage: graft.Run <tool> <configFile> <lakeDir> <outDir> [options]
       |  tools: select | flatten | runseq | testrunner | summarise |
-      |         sweep | updatetest
+      |         sweep | updatetest | devicehr
       |  options: --kfold N | --nestedKfold N | --train | --modelDir D
       |           --only S[,S] | --pageSize N | --master M
-      |           --params k=v1:v2[,k=v...] | --trainIds P | --testIds P""".stripMargin
+      |           --params k=v1:v2[,k=v...] | --trainIds P | --testIds P
+      |  devicehr replays the config's synthetic eventHrData traces —
+      |  the lakeDir argument is accepted but unused (pass '-')""".stripMargin
 
   // ----------------------------------------------------------- arg parsing
 
@@ -95,7 +98,7 @@ object Run {
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.length >= 4, Usage)
     val tools = Set("select", "flatten", "runseq", "testrunner",
-      "summarise", "sweep", "updatetest")
+      "summarise", "sweep", "updatetest", "devicehr")
     require(tools(argv(0)), s"unknown tool '${argv(0)}'\n$Usage")
     var a = Args(argv(0), argv(1), argv(2), argv(3))
     var i = 4
@@ -656,12 +659,37 @@ object Run {
     } finally { trainIds.unpersist(); selected.unpersist() }
   }
 
+  /** Fields [[runSummarise]] CANNOT honor in `skipElements`: the
+    * reference's report reads them unguarded right after tidy
+    * (`summariseData.py:152-158` eventObj['id'/'dataTime'/'userId'/
+    * 'type'/'subType'/'desc'/'osdAlarmState'], :264-267; 'datapoints'
+    * feeds every series) — a config skipping one of these crashes the
+    * Python main with a KeyError mid-report; here it raises up front. */
+  private val SummariseLoadBearing = Set("id", "dataTime", "userId",
+    "type", "subType", "desc", "osdAlarmState", "datapoints")
+
   /** summariseData.py: the sharded HTML report
     * ([[Summarise.writeReport]] — S15), honoring the config's
-    * invalidEvents list. */
+    * invalidEvents AND skipElements lists. skipElements semantics are
+    * tidy's (libosd/tidy_db.py:66,83,105,150: drop the listed fields
+    * from every expanded event/datapoint before the report sees them):
+    *   - load-bearing fields ([[SummariseLoadBearing]]) fail loudly;
+    *   - `rawData` / `hr` elide their rendered sections (and the
+    *     per-datapoint DFTs that feed the rawData-derived ones);
+    *   - every other name (accMean, accSd, updated, created,
+    *     dataTimeStr, maxVal, maxFreq, statusStr, categoryId, ... —
+    *     the shipped template's `_skipElements` census) is dropped by
+    *     construction: the engine's interchange record (FlatDp + the
+    *     index projection) never carries those fields to the report. */
   private def runSummarise(spark: SparkSession, doc: Doc, lake: Lake,
                            a: Args): Long = {
     val cfg = ConfigBridge.summariserConfig(doc)
+    val bearing = cfg.skipElements.filter(SummariseLoadBearing)
+    require(bearing.isEmpty,
+      s"${doc.source}: skipElements ${bearing.mkString("[", ", ", "]")} " +
+        "are load-bearing for the summary report — the reference reads " +
+        "them unguarded after tidy (summariseData.py:152-158,264-267) " +
+        "and would crash with a KeyError; remove them from skipElements")
     val nested = nestedEvents(spark, lake)
     val kept =
       if (cfg.invalidIds.isEmpty) nested
@@ -670,9 +698,49 @@ object Run {
       case TestdataLake(dir) => OsdbFixture.flatDps(spark, dir)
       case _ => nestedToFlatDps(kept)
     }
-    val pages = Summarise.writeReport(kept, dps, a.outDir, a.pageSize)
+    val pages = Summarise.writeReport(kept, dps, a.outDir, a.pageSize,
+      skip = cfg.skipElements.toSet)
     val n = pages.count()
     pages.unpersist()
+    n
+  }
+
+  /** testDeviceHrAlg.py (runTest:28-58, testDeviceHrAlg.py:52 main):
+    * build the config's enabled algorithm farm, push each synthetic
+    * `eventHrData` trace through it ([[ConfigTools.deviceHrFrame]]),
+    * and report per-trace verdicts plus the saveResults2 per-alg
+    * rollup. Every synthetic trace is a seizure event
+    * (makeEventObj:147 `type='seizure'`), so expectAlarm is always
+    * true and correct == detected (saveResults2:223-247); all traces
+    * fall in the reference's allSeizures output class. */
+  private def runDeviceHr(spark: SparkSession, doc: Doc, a: Args): Long = {
+    val (entries0, traces) = ConfigBridge.deviceHrConfig(doc)
+    val entries =
+      if (a.only.isEmpty) entries0
+      else entries0.filter(alg =>
+        a.only.exists(s => alg.name.contains(s) || alg.algClass.contains(s)))
+    require(traces.nonEmpty, s"${doc.source}: no eventHrData traces")
+    require(entries.exists(_.enabled),
+      s"${doc.source}: no enabled algorithms" +
+        (if (a.only.nonEmpty) s" matching --only ${a.only.mkString(",")}" else ""))
+    val modelDir = a.modelDir.getOrElse(
+      if (a.lakeDir == "-") "." else a.lakeDir)
+    val stats = ConfigTools.deviceHrFrame(spark, entries, traces, modelDir)
+      .persist()
+    import spark.implicits._
+    val meta = traces.map(t => (t.id.toString, t.name))
+      .toDF("event_id", "name")
+    val verdicts = stats.join(broadcast(meta), "event_id")
+      .withColumn("expect_alarm", lit(true))
+      .withColumn("correct", col("detected") === 1)
+    verdicts.write.mode("overwrite").parquet(s"${a.outDir}/hr_results")
+    val rollup = verdicts.groupBy("alg").agg(
+      sum(col("correct").cast("long")).as("n_correct"),
+      count(lit(1)).as("n_traces"))
+    rollup.coalesce(1).write.mode("overwrite")
+      .parquet(s"${a.outDir}/hr_rollup")
+    val n = stats.count()
+    stats.unpersist()
     n
   }
 
@@ -705,13 +773,16 @@ object Run {
     // family validates the shared top level here (fail-loud)
     val doc0 = ConfigBridge.loadMerged(a.configFile)
     val doc = a.tool match {
-      case "testrunner" | "summarise" => doc0
+      case "testrunner" | "summarise" | "devicehr" => doc0
       case _ => ConfigBridge.validateTop(doc0)
     }
     ConfigBridge.randomSeed(doc).foreach(s =>
       println(s"graft.Run: randomSeed $s (content-hash splits are " +
         "seed-free; samplers consume it)"))
     new java.io.File(a.outDir).mkdirs()
+    // devicehr takes no lake: the config's synthetic traces ARE the
+    // data (testDeviceHrAlg.py's main takes only the config file)
+    if (a.tool == "devicehr") return runDeviceHr(spark, doc, a)
     val lake = resolveLake(spark, a.lakeDir,
       a.tool match {
         case "testrunner" =>

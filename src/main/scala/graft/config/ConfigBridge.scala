@@ -530,9 +530,13 @@ object ConfigBridge {
 
   /** The dataSummariser config format (`osdbCfg.json.template`,
     * summariseData.py:322 main): `dataFiles` + `invalidEvents` +
-    * `skipElements` (fields the report omits); `cacheDir` /
-    * `credentialsFname` are the Python runtime's fetch knobs — the
-    * engine's sources layer owns data access. */
+    * `skipElements` (fields tidy drops from every expanded event/
+    * datapoint, libosd/tidy_db.py:66,83,105,150 — WIRED in
+    * [[graft.Run.runSummarise]]: load-bearing fields raise, rendered
+    * fields elide their report sections, the rest are dropped by
+    * construction); `cacheDir` / `credentialsFname` are the Python
+    * runtime's fetch knobs — the engine's sources layer owns data
+    * access. */
   final case class SummariserConfig(
       dataFiles: Seq[String],
       invalidIds: Seq[String],
@@ -572,6 +576,13 @@ object ConfigBridge {
   private val FlapKeys = Set("enabled", "flapAlarmFreqMin",
     "flapAlarmFreqMax", "flapAlarmThresh", "flapAlarmRatioThresh")
   private val DeviceSettingKeys = Set("ipAddr", "delayMs", "name")
+  // amberAlg.py:33-42 reads modelFname/mode/samplePeriod/warnTime/
+  // alarmTime/sdThresh (sdThresh defaults to 5.0 there, not nnAlg's
+  // 0.0); inputFormat/normalise ride in from the shared base-settings
+  // convention the other nn entries carry
+  private val AmberSettingKeys = Set("modelFname", "mode", "inputFormat",
+    "normalise", "sdThresh", "samplePeriod", "warnTime", "alarmTime",
+    "bufferSeconds", "sampleFreq", "name")
 
   /** The `module.Class(settingsStr)` dynamic instantiation
     * (testRunner.py:126-143) as a typed registry: each reference
@@ -745,10 +756,43 @@ object ConfigBridge {
         val addr = sg("ipAddr", "")
         require(addr.nonEmpty, s"$src: $sec.ipAddr missing")
         new DeviceAlg(() => new HttpDeviceClient(addr), Some(a.name))
+      case "amberAlg.AmberAlg" =>
+        // the AMBER detector (testRunner/amberAlg.py:22-54): a keras
+        // GRU/LSTM stack over (125, 2) accel+HR rows, pSeizure > 0.5
+        // fixed (amberAlg.py:117), sdThresh low-movement gate
+        // defaulting to 5.0 (:42). The ARCHITECTURE is in-engine as
+        // the amber family (LstmStack/ConvPipe, ml4b-ml4i); the alias
+        // deploys those artifacts through the same nnAlg window seam —
+        // a .keras modelFname hits modelPath()'s named deployment-seam
+        // raise exactly like nnAlg entries.
+        failUnknown(src, sec, st.keys, AmberSettingKeys)
+        val path = modelPath()
+        val base = nnBase().copy(sdThresh = num("sdThresh", 5.0))
+        val (alg, window) = graft.ml.ModelIo.formatOf(path) match {
+          case "graft-lstm2" =>
+            val m = graft.ml.ModelIo.loadLstm2(path)
+            (graft.ml.LstmStack.deployedLstm2(m, base), m.window)
+          case "graft-convpipe" =>
+            val m = graft.ml.ModelIo.loadConvPipe(path)
+            (graft.ml.ConvPipe.deployedConvPipe(m, base), m.front.inputLen)
+          case other => throw new IllegalArgumentException(
+            s"$src: $path format '$other' is not an amber-family " +
+              "artifact (graft-lstm2/convpipe — the LSTM-stack and " +
+              "conv-pipe lines amberAlg's model.py builds)")
+        }
+        checkBuffer(window)
+        alg
       case other => throw new IllegalArgumentException(
         s"$src: unknown algorithm class '$other' — the reference ships " +
           "osdAlg.OsdAlg, osdAlg_v1.OsdAlg_v1, hrAlg.HrAlg, nnAlg.NnAlg, " +
-          "specAlg.SpecAlg, deviceAlg.DeviceAlg")
+          "specAlg.SpecAlg, deviceAlg.DeviceAlg, amberAlg.AmberAlg. " +
+          "Declined dead legacy: svmAlg imports the REMOVED nnTraining " +
+          "package (unrunnable in the snapshot), lstmAlg is an " +
+          "abandoned stub (getAlarmState is a FIXME returning 0, " +
+          "lstmAlg.py:58-65), jamie1 loads a joblib-pickled model " +
+          "(jamie1.py — a Python-runtime artifact, the same foreign " +
+          "deployment seam as .keras/.pte; its spectral path is " +
+          "osdAlg's, already in-engine)")
     }
   }
 

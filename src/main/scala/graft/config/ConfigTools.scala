@@ -1,9 +1,9 @@
 package graft.config
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.config.ConfigBridge.{Doc, TestRunnerConfig}
+import graft.config.ConfigBridge.{Doc, HrTrace, TestRunnerAlg, TestRunnerConfig}
 import graft.ml.RunSequence
 import graft.operators.EventFilters
 import graft.operators.Flatten.FlatDp
@@ -70,4 +70,33 @@ object ConfigTools {
         col("detected").cast("long").as("detected"),
         col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
         col("nDp").as("n_dp"))
+
+  /** testDeviceHrAlg.py's replay path (runTest:28-58 +
+    * makeEventObj:134-161): each `eventHrData` trace becomes a
+    * synthetic seizure event — one datapoint per hrVal, the constant
+    * dataTime the reference pins ("2023-04-30T00:00:00Z"), a flat
+    * 1000 mg 125-sample buffer — replayed through every ENABLED
+    * algorithm by the same [[Replay.replayBatchWith]] lineage as
+    * [[testrunnerFrame]], keyed by trace id. The trace list is
+    * config-sized (driver-side by nature, like the reference's), the
+    * replay itself is the audited distributed path. */
+  def deviceHrFrame(spark: SparkSession, algs: Seq[TestRunnerAlg],
+                    traces: Seq[HrTrace],
+                    modelDir: String = "."): DataFrame = {
+    import spark.implicits._
+    val t0 = 1682812800L // dateStr2secs("2023-04-30T00:00:00Z")
+    val dps = spark.createDataset(traces.flatMap { t =>
+      t.hrVals.zipWithIndex.map { case (h, i) =>
+        ReplayDp(t.id.toString, t0, h, 0L,
+          Array.fill(125)(1000.0), Array.emptyDoubleArray, i.toLong)
+      }
+    })
+    val factories = algs.filter(_.enabled)
+      .map(a => () => ConfigBridge.buildAlg(a, modelDir))
+    Replay.detectionStats(Replay.replayBatchWith(dps, factories))
+      .select(col("eventId").as("event_id"), col("alg"),
+        col("detected").cast("long").as("detected"),
+        col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
+        col("nDp").as("n_dp"))
+  }
 }

@@ -291,24 +291,25 @@ object Summarise {
                       stds: Seq[Double] = Seq.empty,
                       maxes: Seq[Double] = Seq.empty,
                       skews: Seq[Double] = Seq.empty,
-                      kurts: Seq[Double] = Seq.empty): String = {
-    s"""<!DOCTYPE html>
-       |<html><head><meta charset="utf-8"><title>Event ${esc(eventId)}</title>
-       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
-       |td,th{border:1px solid #999;padding:4px 10px}h2{margin-top:1.5em}</style>
-       |</head><body>
-       |<h1>Event ${esc(eventId)} Summary</h1>
-       |<table>
-       |<tr><th>Event ID</th><td>${esc(eventId)}</td></tr>
-       |<tr><th>User ID</th><td>${esc(userId)}</td></tr>
-       |<tr><th>Type</th><td>${esc(typeStr)}</td></tr>
-       |<tr><th>Datapoints</th><td>$nDp</td></tr>
-       |</table>
-       |<h2>Acceleration (per-datapoint mean magnitude, mg)</h2>
-       |${svgPolyline(dpMeans, 600, 120, "#1f77b4", "acceleration")}
-       |<h2>Heart rate (bpm)</h2>
-       |${svgPolyline(hrs, 600, 120, "#d62728", "heart rate")}
-       |<h2>Spectrum / ROI powers</h2>
+                      kurts: Seq[Double] = Seq.empty,
+                      skip: Set[String] = Set.empty): String = {
+    // skipElements (osdbCfg): tidy drops the listed fields from every
+    // expanded datapoint/event (libosd/tidy_db.py:66,83,105,150), so a
+    // skipped field's sections never render. 'rawData' feeds the
+    // acceleration chart and EVERY derived analysis series; 'hr' feeds
+    // the heart-rate chart. Other FlatDp-renderable fields have no
+    // section of their own (rawData3D/o2sat are carried, not drawn).
+    val accSections =
+      if (skip("rawData")) ""
+      else s"""<h2>Acceleration (per-datapoint mean magnitude, mg)</h2>
+       |${svgPolyline(dpMeans, 600, 120, "#1f77b4", "acceleration")}""".stripMargin
+    val hrSection =
+      if (skip("hr")) ""
+      else s"""<h2>Heart rate (bpm)</h2>
+       |${svgPolyline(hrs, 600, 120, "#d62728", "heart rate")}""".stripMargin
+    val analysisSections =
+      if (skip("rawData")) ""
+      else s"""<h2>Spectrum / ROI powers</h2>
        |${svgMultiline(Seq(
            ("Spectrum Power", "#1f77b4", specPowers),
            ("ROI Power", "#ff7f0e", roiPowers)), 600, 140, "powers")}
@@ -329,7 +330,22 @@ object Summarise {
        |<h2>Skewness</h2>
        |${svgSignedPolyline(skews, 600, 120, "#2ca02c", "skewness")}
        |<h2>Kurtosis</h2>
-       |${svgSignedPolyline(kurts, 600, 120, "#d62728", "kurtosis")}
+       |${svgSignedPolyline(kurts, 600, 120, "#d62728", "kurtosis")}""".stripMargin
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>Event ${esc(eventId)}</title>
+       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 10px}h2{margin-top:1.5em}</style>
+       |</head><body>
+       |<h1>Event ${esc(eventId)} Summary</h1>
+       |<table>
+       |<tr><th>Event ID</th><td>${esc(eventId)}</td></tr>
+       |<tr><th>User ID</th><td>${esc(userId)}</td></tr>
+       |<tr><th>Type</th><td>${esc(typeStr)}</td></tr>
+       |<tr><th>Datapoints</th><td>$nDp</td></tr>
+       |</table>
+       |$accSections
+       |$hrSection
+       |$analysisSections
        |</body></html>
        |""".stripMargin
   }
@@ -351,13 +367,14 @@ object Summarise {
     * `<bundleFile>#<eventId>`. */
   def writeEventPages(dps: Dataset[FlatDp], outDir: String,
                       cfg: Spectrogram.Config = Spectrogram.Config(),
-                      packed: Boolean = false)
+                      packed: Boolean = false,
+                      skip: Set[String] = Set.empty)
       : Dataset[EventPage] = {
     val spark = dps.sparkSession
     import spark.implicits._
     val confBox = HadoopConfBox.fromSession(spark)
     val rendered = dps.groupByKey(_.eventId).mapGroups { (eventId, it) =>
-      (eventId, renderGroupHtml(eventId, it, cfg))
+      (eventId, renderGroupHtml(eventId, it, cfg, skip))
     }
     if (packed) {
       rendered.mapPartitions { it =>
@@ -427,13 +444,18 @@ object Summarise {
   /** One event's full page HTML from its (unsorted) datapoint group —
     * the single render path both output modes share. */
   private def renderGroupHtml(eventId: String, it: Iterator[FlatDp],
-                              cfg: Spectrogram.Config): String = {
+                              cfg: Spectrogram.Config,
+                              skip: Set[String] = Set.empty): String = {
       val sorted = it.toArray.sortBy(d => (d.tsSec, d.seq))
-      val dpMeans = sorted.map { d =>
+      // a skipped rawData elides every derived section — also skip the
+      // per-datapoint DFTs that would feed them (the dominant render
+      // cost); a skipped hr only elides its chart (O(n) to compute)
+      val skipAcc = skip("rawData")
+      val dpMeans = if (skipAcc) Seq.empty[Double] else sorted.map { d =>
         if (d.rawData == null || d.rawData.isEmpty) -1.0
         else d.rawData.sum / d.rawData.length
       }.toSeq
-      val hrs = sorted.map(_.hr).toSeq
+      val hrs = if (skip("hr")) Seq.empty[Double] else sorted.map(_.hr).toSeq
       // the analysis series: the REAL osdAlg kernels per datapoint
       // (P4-P7), exactly what the reference's analysisLst carries.
       // ONE DFT per datapoint serves all five quantities (the FromDft
@@ -441,7 +463,7 @@ object Summarise {
       // transform 7× per datapoint.
       import graft.functions.Signal
       val analysis = sorted.map { d =>
-        if (d.rawData == null || d.rawData.isEmpty) None
+        if (skipAcc || d.rawData == null || d.rawData.isEmpty) None
         else {
           val (re, im) = Signal.dft(d.rawData)
           val spec = Signal.specPowerFromDft(re, im)
@@ -474,14 +496,17 @@ object Summarise {
           val n = specs.map(_.length).min
           (0 until n).map(i => specs.map(_(i)).sum / specs.length)
         }
-      val acc = sorted.flatMap(d =>
-        if (d.rawData == null) Array.empty[Double] else d.rawData)
+      val acc =
+        if (skipAcc) Array.empty[Double]
+        else sorted.flatMap(d =>
+          if (d.rawData == null) Array.empty[Double] else d.rawData)
       val spec = Spectrogram.spectralHistory(acc, cfg)
       renderEventHtml(eventId,
         sorted.headOption.map(_.userId).getOrElse("-"),
         sorted.headOption.map(_.typeStr).getOrElse("-"),
         sorted.length, dpMeans, hrs, specPowers, roiPowers, roiRatios,
-        alarms, meanSpectrum, spec, bandTotals, stds, maxes, skews, kurts)
+        alarms, meanSpectrum, spec, bandTotals, stds, maxes, skews, kurts,
+        skip)
   }
 
   // ----------------------------------------------------- sharded index pages
@@ -723,7 +748,8 @@ object Summarise {
     * accumulate cached partitions. (The persist cannot be dropped here —
     * it is what makes the render exactly-once.) */
   def writeReport(nested: DataFrame, dps: Dataset[FlatDp], outDir: String,
-                  pageSize: Int = 1000): DataFrame = {
+                  pageSize: Int = 1000,
+                  skip: Set[String] = Set.empty): DataFrame = {
     val spark = nested.sparkSession
     import spark.implicits._
     // FORCE the page writes through a persist: the side effect lives in
@@ -732,7 +758,7 @@ object Summarise {
     // running two actions on the result would render every page twice.
     // count() is an O(1)-to-the-driver aggregate (the round-9 form
     // collected the whole metadata table here).
-    val pages = writeEventPages(dps, outDir)
+    val pages = writeEventPages(dps, outDir, skip = skip)
       .persist(StorageLevel.MEMORY_AND_DISK)
     pages.count()
     val idx = indexSummary(nested)

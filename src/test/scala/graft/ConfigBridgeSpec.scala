@@ -256,6 +256,49 @@ class ConfigBridgeSpec extends AnyFunSuite {
         modelDir = dir)
     }
     assert(e.getMessage.contains("graft-speccnn"))
+    // amberAlg.AmberAlg (testRunner/amberAlg.py): the AMBER alias
+    // deploys amber-family artifacts (graft-lstm2/convpipe) through
+    // the nnAlg window seam
+    val rnd = new scala.util.Random(31)
+    val ah1 = 2; val ah2 = 2
+    graft.ml.ModelIo.saveLstm2(graft.ml.LstmStack.Lstm2Model(ah1, ah2, 48,
+      wx1 = Array.fill(4 * ah1)(rnd.nextGaussian()),
+      wh1 = Array.fill(4 * ah1 * ah1)(rnd.nextGaussian()),
+      b1 = Array.fill(4 * ah1)(rnd.nextGaussian()),
+      wx2 = Array.fill(4 * ah2 * ah1)(rnd.nextGaussian()),
+      wh2 = Array.fill(4 * ah2 * ah2)(rnd.nextGaussian()),
+      b2 = Array.fill(4 * ah2)(rnd.nextGaussian()),
+      dense = Array.fill(ah2)(rnd.nextGaussian()),
+      bias = 0.0, mean = 0.0, std = 1.0), s"$dir/amber.graft")
+    val amber = ConfigBridge.buildAlg(TestRunnerAlg("Amber",
+      "amberAlg.AmberAlg", enabled = true, settings = Map(
+        "modelFname" -> JString("amber.graft"),
+        "mode" -> JString("raw"))), modelDir = dir)
+    assert(amber.name == "Amber")
+    // a .keras modelFname hits the named deployment-seam raise before
+    // any filesystem touch, exactly like nnAlg entries
+    val ek = intercept[IllegalArgumentException] {
+      ConfigBridge.buildAlg(TestRunnerAlg("Amber2", "amberAlg.AmberAlg",
+        enabled = true,
+        settings = Map("modelFname" -> JString("amber.keras"))),
+        modelDir = dir)
+    }
+    assert(ek.getMessage.contains(".keras runtime artifact"))
+    // a non-amber-family graft artifact fails with the format named
+    val ef = intercept[IllegalArgumentException] {
+      ConfigBridge.buildAlg(TestRunnerAlg("Amber3", "amberAlg.AmberAlg",
+        enabled = true,
+        settings = Map("modelFname" -> JString("cnn.graft"))),
+        modelDir = dir)
+    }
+    assert(ef.getMessage.contains("amber-family"))
+    // the dead legacy trio stays declined, with the reasons written
+    val ed = intercept[IllegalArgumentException] {
+      ConfigBridge.buildAlg(TestRunnerAlg("svm", "svmAlg.SvmAlg",
+        enabled = true, settings = Map.empty))
+    }
+    assert(ed.getMessage.contains("nnTraining") &&
+      ed.getMessage.contains("jamie1"))
     // osdAlg_v1: spec-gated ratio at raw power scale — a main-band tone
     // still alarms (spec power clears the same 100 threshold)
     val v1 = ConfigBridge.buildAlg(TestRunnerAlg("OSD_v1",

@@ -123,6 +123,78 @@ class RunSpec extends SparkSpec {
     assert(nSum > 0)
     assert(Files.exists(Paths.get(sumOut, "index.html")),
       "summarise must publish the report TOC")
+
+    // skipElements is WIRED (tidy's field-drop, libosd/tidy_db.py:66-150):
+    // a skipped 'hr' disappears from every rendered event page (the
+    // baseline pages above carry it); inert template names (accMean,
+    // dataTimeStr) pass through — the interchange never carries them
+    def somePage(dir: String): String = {
+      val d = Files.list(Paths.get(dir)).filter(p =>
+        p.getFileName.toString.startsWith("Event_")).findFirst().get()
+      Files.readString(d.resolve("index.html"))
+    }
+    assert(somePage(sumOut).contains("<h2>Heart rate"))
+    val skipCfg = tmp.resolve("osdbCfgSkip.json")
+    Files.writeString(skipCfg,
+      """{"dataFiles": [], "invalidEvents": [],
+        | "skipElements": ["hr", "accMean", "dataTimeStr"]}""".stripMargin)
+    val skipOut = tmp.resolve("sumSkip").toString
+    assert(Run.run(spark, Run.Args("summarise", skipCfg.toString, sf,
+      skipOut, pageSize = 7)) == nSum)
+    val page = somePage(skipOut)
+    assert(!page.contains("Heart rate"), "skipped hr must not render")
+    assert(page.contains("<h2>Acceleration"), "unskipped sections stay")
+    // a load-bearing field raises up front (the reference's report
+    // reads it unguarded post-tidy, summariseData.py:152-158)
+    val badCfg = tmp.resolve("osdbCfgBad.json")
+    Files.writeString(badCfg,
+      """{"dataFiles": [], "invalidEvents": [], "skipElements": ["userId"]}""")
+    val e = intercept[IllegalArgumentException] {
+      Run.run(spark, Run.Args("summarise", badCfg.toString, sf,
+        tmp.resolve("sumBad").toString, pageSize = 7))
+    }
+    assert(e.getMessage.contains("load-bearing"))
+  }
+
+  test("devicehr replays the shipped testDeviceHrAlg traces through the config-built farm") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val cfg = resourceToFile("/osdb/testDeviceHrAlg.json", tmp)
+    import org.apache.spark.sql.functions._
+    val out = tmp.resolve("out").toString
+    // no lake: the config's synthetic traces are the data. --only HR
+    // narrows past the shipped file's enabled 'Phone'
+    // deviceAlg.DeviceAlg entry — the reference would push traces to a
+    // CONNECTED phone at its ipAddr; without a device that connection
+    // (correctly) errors, same as the Python tool
+    val n = Run.run(spark, Run.Args("devicehr", cfg, "-", out,
+      only = Seq("HR")))
+    val res = spark.read.parquet(s"$out/hr_results")
+    // 4 shipped traces × 3 enabled HR algorithms
+    assert(n == 12 && res.count() == 12)
+    assert(res.select("name").distinct().count() == 4)
+    assert(res.filter(col("n_dp") =!= 30).count() == 0,
+      "every trace carries its 30 hrVals datapoints")
+    // the file's HR_Simple thresholds (150/40) never fire on the Spike
+    // trace (peaks 105); the adaptive detector (offsets 20/20) catches
+    // the Smaller Spike's 60->120 jump against its moving average —
+    // the ConfigBridgeSpec farm verdicts (>= WARNING), now through the
+    // CLI end to end
+    def fired(alg: String, trace: String): Long = {
+      val r = res.filter(col("alg") === alg && col("name") === trace)
+        .select("n_alarm", "n_warn").head()
+      r.getLong(0) + r.getLong(1)
+    }
+    assert(fired("HR_Simple", "Spike") == 0)
+    assert(fired("HR_Adaptive", "Smaller Spike") >= 1)
+    val roll = spark.read.parquet(s"$out/hr_rollup")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(roll.keySet == Set("HR_Simple", "HR_Adaptive", "HR_Average"))
+    assert(roll.values.forall(_._2 == 4))
+    // --only narrows the farm as in testrunner
+    val out2 = tmp.resolve("out2").toString
+    val n2 = Run.run(spark, Run.Args("devicehr", cfg, "-", out2,
+      only = Seq("HR_Simple")))
+    assert(n2 == 4)
   }
 
   test("nested-parquet lake mode selects the same events as testdata mode") {

@@ -96,8 +96,21 @@ object Bench {
       System.err.println(f"[sweep $pass] ${(System.nanoTime() - t0) / 1e9}%.1f s total")
       times
     }
+    // The two composite-pipeline queries are the registry's dominant
+    // noise term (r18 driver record: ml9 reps 13.4/15.8/21.5 s — a 60%
+    // spread min-of-3 barely contains). Two EXTRA back-to-back reps
+    // each (min-of-5 overall) so a real 10% regression on them stays
+    // distinguishable from an ambient stall. Headline total is still
+    // the per-query min — the extras cost bench wall-clock only.
+    val extraRepNames =
+      Seq("ml9_param_sweep", "cfg1_config_bridge").filter(filtered.contains)
+    val extras: Seq[(String, Double)] = (1 to 2).flatMap { _ =>
+      spark.sharedState.cacheManager.clearCache()
+      extraRepNames.map(n => n -> timeOne(filtered(n)))
+    }
     val repsByName: Map[String, Seq[Double]] =
-      sweeps.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+      (sweeps.flatten ++ extras).groupBy(_._1)
+        .map { case (n, ts) => n -> ts.map(_._2) }
     val results = alpha.map { case (name, _) =>
       // min over SUCCESSFUL reps only: -1 marks failure and must neither
       // win the min (one bad rep hiding a working query) nor subtract

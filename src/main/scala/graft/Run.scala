@@ -60,7 +60,10 @@ import graft.streaming.ReplayDp
   * Lake layouts (auto-detected):
   *   - OSDB JSON category files (`*.json` arrays / `*.ndjson`),
   *     the reference's own database format → [[OsdbJson.readEvents]]
-  *     (+ the full [[Tidy]] expansion);
+  *     (+ the full [[Tidy]] expansion). Scale note: an ARRAY file
+  *     reads as ONE task (multiLine JSON is unsplittable) — right for
+  *     the reference's four category files, wrong for bulk; big lakes
+  *     belong in NDJSON or the parquet layout below;
   *   - nested-event parquet (`events.parquet` with a `datapoints`
   *     column), the engine's lake format (S6) → [[Tidy]];
   *   - the driver testdata star schema (`events.parquet` with

@@ -21,7 +21,14 @@ import graft.operators.Tidy
 object OsdbJson {
 
   /** S1/S2/U3: read one or more category files; category taken from the
-    * file name (the reference keeps one JSON array per category). */
+    * file name (the reference keeps one JSON array per category).
+    *
+    * SPLITTABILITY: a `multiLine` ARRAY file is NOT splittable — the
+    * whole file parses as ONE task. Fine for the reference's four
+    * category files; a footgun for a big array-file lake (one 1 TB
+    * array = one task). Bulk data belongs in NDJSON (line-splittable)
+    * or parquet — the array encoding is an ingest format, not a
+    * storage format. */
   def readEvents(spark: SparkSession, paths: Seq[String],
                  multiLine: Boolean = true, tidy: Boolean = true): DataFrame = {
     val raw = spark.read

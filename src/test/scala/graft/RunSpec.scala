@@ -156,6 +156,74 @@ class RunSpec extends SparkSpec {
     assert(e.getMessage.contains("load-bearing"))
   }
 
+  test("OSDB json lake mode: array+ndjson categories select like the other layouts; dataFiles win") {
+    val tmp = Files.createTempDirectory("graft_run_")
+    val nnCfg = resourceToFile("/osdb/nnConfig.json", tmp)
+    import org.apache.spark.sql.functions._
+    // materialize the fixture's nested events as the reference's
+    // NATIVE database format: a .json ARRAY file per category (S1)
+    // plus an .ndjson category file (S2) — the two encodings
+    // resolveLake reads separately and unions
+    val lakeDir = tmp.resolve("jsonlake")
+    Files.createDirectories(lakeDir)
+    val nested = queries.OsdbFixture.nested(spark, sf)
+    val isSeiz = lower(col("type")).contains("seizure")
+    Files.writeString(lakeDir.resolve("osdb_3min_allSeizures.json"),
+      nested.filter(isSeiz).toJSON.collect().mkString("[\n", ",\n", "\n]"))
+    Files.writeString(lakeDir.resolve("osdb_3min_otherEvents.ndjson"),
+      nested.filter(!isSeiz).toJSON.collect().mkString("", "\n", "\n"))
+
+    // select over the json lake lands on the same id set as testdata
+    // mode (the nested-parquet pin's pattern, third layout)
+    val outJ = tmp.resolve("outJ").toString
+    val outT = tmp.resolve("outT").toString
+    val nJ = Run.run(spark, Run.Args("select", nnCfg, lakeDir.toString, outJ))
+    val nT = Run.run(spark, Run.Args("select", nnCfg, sf, outT))
+    assert(nJ == nT, s"json-lake selection ($nJ) must match testdata ($nT)")
+    def ids(out: String): Set[String] =
+      spark.read.parquet(s"$out/selected_events")
+        .select("id").collect().map(_.getString(0)).toSet
+    assert(ids(outJ) == ids(outT))
+    // category comes from the FILE NAME for array files (S1's
+    // contract, OsdbJson.readEvents)
+    val cats = spark.read.parquet(s"$outJ/selected_events")
+      .select("category").distinct().collect().map(_.getString(0)).toSet
+    assert(cats.contains("osdb_3min_allSeizures"))
+
+    // runseq drives the REAL-lake path (nestedToFlatDps posexplode +
+    // xxhash64 folds) end to end over the json lake
+    val outR = tmp.resolve("outR").toString
+    Run.run(spark, Run.Args("runseq", nnCfg, lakeDir.toString, outR,
+      kfold = 3))
+    val skel = spark.read.parquet(s"$outR/runseq_skeleton")
+    assert(skel.filter(col("stage") === "train").count() == 3)
+
+    // config-listed dataFiles WIN over the directory listing
+    // (Run.resolveLake's priority branch): a decoy json in the lake
+    // dir is excluded when the osdbCfg lists only the category files
+    Files.writeString(lakeDir.resolve("zz_decoy.json"),
+      """[{"id": "9999001", "userId": "u9", "type": "Seizure",
+        |  "subType": "other", "dataSourceName": "Garmin",
+        |  "datapoints": [{"eventId": "9999001", "hr": 70.0}]}]""".stripMargin)
+    val listedCfg = tmp.resolve("osdbCfgListed.json")
+    Files.writeString(listedCfg,
+      """{"dataFiles": ["osdb_3min_allSeizures.json",
+        |               "osdb_3min_otherEvents.ndjson"],
+        | "invalidEvents": [], "skipElements": []}""".stripMargin)
+    val openCfg = tmp.resolve("osdbCfgOpen.json")
+    Files.writeString(openCfg,
+      """{"dataFiles": [], "invalidEvents": [], "skipElements": []}""")
+    val outA = tmp.resolve("sumListed").toString
+    val outB = tmp.resolve("sumOpen").toString
+    val nA = Run.run(spark,
+      Run.Args("summarise", listedCfg.toString, lakeDir.toString, outA))
+    val nB = Run.run(spark,
+      Run.Args("summarise", openCfg.toString, lakeDir.toString, outB))
+    assert(nB == nA + 1, "the unlisted decoy joins only the open run")
+    assert(!Files.exists(Paths.get(outA, "Event_9999001_summary")))
+    assert(Files.exists(Paths.get(outB, "Event_9999001_summary")))
+  }
+
   test("devicehr replays the shipped testDeviceHrAlg traces through the config-built farm") {
     val tmp = Files.createTempDirectory("graft_run_")
     val cfg = resourceToFile("/osdb/testDeviceHrAlg.json", tmp)

@@ -328,13 +328,20 @@ class RunSpec extends SparkSpec {
     assert(s2("removed_seizure") + s2("removed_non_seizure") == 0)
     assert(s2("removed_unknown") == 0)
     // removed diffs RAW id sets (updateTestData.py:360), not just the
-    // current selection: an original test id with no filtered-lake
-    // event lands in 'unknown' (_count_ids_by_type, :227-247), a
-    // training id (selected, excluded from the new set) is removed
-    // with its real class
+    // current selection: an original test id with no FILTERED-lake
+    // event lands in 'unknown' (the reference's type map is built from
+    // the post-filter events, :355-356; _count_ids_by_type :227-247)
+    // whether the id is absent from the lake entirely OR present but
+    // failing the filters; a training id (selected, excluded from the
+    // new set) is removed with its real class
+    val unselectedId = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id").cast("string"))
+      .filter(!col("event_id").isin(selIds.map(_.toLong): _*))
+      .head().getString(0)
     val origFile = tmp.resolve("origTest.txt")
     Files.writeString(origFile,
-      (newIds.toSeq.sorted ++ Seq(trainIds.head, "graft-no-such-id"))
+      (newIds.toSeq.sorted ++
+        Seq(trainIds.head, "graft-no-such-id", unselectedId))
         .mkString("", "\n", "\n"))
     val out2b = tmp.resolve("out2b").toString
     Run.run(spark, Run.Args("updatetest", nnCfg, sf, out2b,
@@ -344,7 +351,7 @@ class RunSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s2b("added_seizure") + s2b("added_non_seizure") == 0)
     assert(s2b("removed_seizure") + s2b("removed_non_seizure") == 1)
-    assert(s2b("removed_unknown") == 1)
+    assert(s2b("removed_unknown") == 2)
     // parquet id-set rendition: pointing --trainIds at the selected
     // parquet leaves NOTHING new
     val out3 = tmp.resolve("out3").toString

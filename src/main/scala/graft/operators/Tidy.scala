@@ -76,15 +76,26 @@ object Tidy {
       coalesce(expr("size(datapoints)"), lit(0)) &&
       expr("size(datapoints)") > 0
 
+  /** Per-datapoint validity, reference-exact (tidy_db.py:120-146):
+    * hr counts when `> 0` (not merely present — an hr of 0 is a
+    * sensor-off reading there), o2Sat likewise; a 3D trace counts when
+    * present AND its sample sum is non-zero (the reference's
+    * `abs(sum3d) > 0` over the truncated window). One documented
+    * deviation: the reference also requires exactly 125*3 samples — a
+    * fixed-sample-rate guard its own FIXME acknowledges — which the
+    * engine drops because [[tidyDatapoints]] already truncates to the
+    * window and shape-only fixtures carry presence stubs. */
   def derive(df: DataFrame): DataFrame =
     df.withColumn("osdAlarmState",
         coalesce(col("osdAlarmState"), worstAlarmState))
       .withColumn("has3dData",
-        hasFlag("dp.rawData3D IS NOT NULL AND size(dp.rawData3D) > 0"))
+        hasFlag("dp.rawData3D IS NOT NULL AND size(dp.rawData3D) > 0 " +
+          "AND aggregate(dp.rawData3D, cast(0.0 as double), " +
+          "(a, x) -> a + x) != 0.0"))
       .withColumn("hasHrData",
-        hasFlag("dp.hr IS NOT NULL AND dp.hr <> -1"))
+        hasFlag("dp.hr IS NOT NULL AND dp.hr > 0"))
       .withColumn("hasO2SatData",
-        hasFlag("dp.o2Sat IS NOT NULL AND dp.o2Sat <> -1"))
+        hasFlag("dp.o2Sat IS NOT NULL AND dp.o2Sat > 0"))
 
   /** J1/S12: left-join curated seizure times (eventId -> [start,end])
     * from a small side table; broadcast — the side input is tiny. */

@@ -212,8 +212,8 @@ object DomainQueries {
       |  SELECT e,
       |    MAX(CASE WHEN alarm IN (1,2,3) THEN alarm ELSE 0 END) AS worst_state,
       |    2*SUM(CASE WHEN has_3d THEN 1 ELSE 0 END) >= COUNT(*) AS has3d,
-      |    2*SUM(CASE WHEN hr <> -1 THEN 1 ELSE 0 END) >= COUNT(*) AS has_hr,
-      |    2*SUM(CASE WHEN o2 <> -1 THEN 1 ELSE 0 END) >= COUNT(*) AS has_o2
+      |    2*SUM(CASE WHEN hr > 0 THEN 1 ELSE 0 END) >= COUNT(*) AS has_hr,
+      |    2*SUM(CASE WHEN o2 > 0 THEN 1 ELSE 0 END) >= COUNT(*) AS has_o2
       |  FROM dpx GROUP BY e)
       |GROUP BY 1, 2, 3, 4""".stripMargin
 

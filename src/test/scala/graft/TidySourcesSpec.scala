@@ -60,6 +60,36 @@ class TidySourcesSpec extends SparkSpec {
     assert(dp2.getDouble(0) == 75.0 && dp2.getInt(1) == 3)
   }
 
+  test("A3 flags are reference-exact: hr 0 and all-zero 3D traces do not count") {
+    // tidy_db.py:120-146: a datapoint counts toward hasHrData only when
+    // hr > 0 (0 = sensor off, not merely 'present'), toward hasO2SatData
+    // only when o2Sat > 0, and toward has3dData only when the 3D trace
+    // sums non-zero (abs(sum3d) > 0)
+    val dir = Files.createTempDirectory("osdb").toFile
+    val zeros375 = Seq.fill(375)(0).mkString("[", ",", "]")
+    val live375 = (1 to 375).mkString("[", ",", "]")
+    val events =
+      s"""[
+         |{"id": 1, "userId": "u1", "type": "Seizure",
+         | "datapoints": [
+         |   {"eventId": "1", "hr": 0, "o2Sat": 0, "rawData3D": $zeros375},
+         |   {"eventId": "1", "hr": 0, "o2Sat": 0, "rawData3D": $zeros375}]},
+         |{"id": 2, "userId": "u2", "type": "Seizure",
+         | "datapoints": [
+         |   {"eventId": "2", "hr": 72, "o2Sat": 97, "rawData3D": $live375},
+         |   {"eventId": "2", "hr": 68, "o2Sat": 98, "rawData3D": $live375}]}
+         |]""".stripMargin
+    val f = new java.io.File(dir, "flags.json")
+    Files.writeString(f.toPath, events)
+    val flags = OsdbJson.readEvents(spark, Seq(f.getAbsolutePath))
+      .select("id", "hasHrData", "hasO2SatData", "has3dData")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(flags("1") == ((false, false, false)),
+      "hr 0 / o2Sat 0 / all-zero 3D are sensor-off, not data")
+    assert(flags("2") == ((true, true, true)))
+  }
+
   test("C2 multi-format timestamp parse handles legacy day-first strings") {
     import spark.implicits._
     val df = Seq("09-05-2022 02:37:25", "2022-05-09T02:37:25",

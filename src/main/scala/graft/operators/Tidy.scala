@@ -86,8 +86,14 @@ object Tidy {
     * engine drops because [[tidyDatapoints]] already truncates to the
     * window and shape-only fixtures carry presence stubs. */
   def derive(df: DataFrame): DataFrame =
+    // tidy REPLACES the stored event state with the recomputed worst
+    // (tidyDbObj runs updateEventAlarmState on every event,
+    // tidy_db.py:235 + 170-198 — the pass exists precisely because
+    // stored states were wrong for some false-alarm events); only a
+    // datapoint-less event keeps its stored value (:199-201 error path)
     df.withColumn("osdAlarmState",
-        coalesce(col("osdAlarmState"), worstAlarmState))
+        when(coalesce(expr("size(datapoints)"), lit(0)) > 0, worstAlarmState)
+          .otherwise(col("osdAlarmState")))
       .withColumn("has3dData",
         hasFlag("dp.rawData3D IS NOT NULL AND size(dp.rawData3D) > 0 " +
           "AND aggregate(dp.rawData3D, cast(0.0 as double), " +

@@ -90,6 +90,32 @@ class TidySourcesSpec extends SparkSpec {
     assert(flags("2") == ((true, true, true)))
   }
 
+  test("A2 tidy REPLACES a wrong stored event alarm state from the datapoints") {
+    // tidy_db.py:235 + 170-198: updateEventAlarmState runs on every
+    // event — the stored state is overwritten by the recomputed worst
+    // (the pass exists because stored states were wrong for some false
+    // alarms); only a datapoint-less event keeps its stored value
+    val dir = Files.createTempDirectory("osdb").toFile
+    val events =
+      """[
+        |{"id": 1, "userId": "u1", "type": "False Alarm", "osdAlarmState": 2,
+        | "datapoints": [{"eventId": "1", "alarmState": 0},
+        |                {"eventId": "1", "alarmState": 0}]},
+        |{"id": 2, "userId": "u2", "type": "Seizure", "osdAlarmState": 1,
+        | "datapoints": [{"eventId": "2", "alarmState": 3},
+        |                {"eventId": "2", "alarmState": 2}]},
+        |{"id": 3, "userId": "u3", "type": "Seizure", "osdAlarmState": 2}
+        |]""".stripMargin
+    val f = new java.io.File(dir, "states.json")
+    Files.writeString(f.toPath, events)
+    val states = OsdbJson.readEvents(spark, Seq(f.getAbsolutePath))
+      .select("id", "osdAlarmState").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(states("1") == 0L, "stored ALARM with all-OK dps is corrected to OK")
+    assert(states("2") == 3L, "FALL outranks ALARM in the correction ladder")
+    assert(states("3") == 2L, "a datapoint-less event keeps its stored state")
+  }
+
   test("C2 multi-format timestamp parse handles legacy day-first strings") {
     import spark.implicits._
     val df = Seq("09-05-2022 02:37:25", "2022-05-09T02:37:25",

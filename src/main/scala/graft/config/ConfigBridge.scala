@@ -810,7 +810,15 @@ object ConfigBridge {
     cfg.algorithms.filter(_.enabled).map(a => () => buildAlg(a, modelDir))
 
   /** Top-level key validation + `randomSeed`. Sections validate lazily
-    * (each accessor), the top level validates here. */
+    * (each accessor), the top level validates here.
+    *
+    * `modelType`/`modelBackend` (shipped in nnConfig_test.json) are the
+    * legacy FRAMEWORK selectors — nnTrainer.py:40-57 maps them to
+    * 'tensorflow' vs 'pytorch', i.e. which Python runtime executes the
+    * same architecture. The engine's one runtime IS the replacement for
+    * that seam; the semantic choice of architecture family rides
+    * `modelConfig.modelClass` (the importlib dispatch, [[modelClass]]),
+    * so the backend knobs parse structurally and select nothing. */
   private val TopKeys = Set(
     "debug", "randomSeed", "osdbCfg", "osdbConfig", "dataFileNames",
     "eventFilters", "dataProcessing", "modelConfig",

@@ -85,8 +85,9 @@ object Run {
       |  options: --kfold N | --nestedKfold N | --train | --modelDir D
       |           --only S[,S] | --pageSize N | --master M
       |           --params k=v1:v2[,k=v...] | --trainIds P | --testIds P
-      |  devicehr replays the config's synthetic eventHrData traces —
-      |  the lakeDir argument is accepted but unused (pass '-')""".stripMargin
+      |  devicehr replays the config's synthetic eventHrData traces; no
+      |  lake is read — lakeDir only seeds --modelDir's default (pass
+      |  '-' to resolve model files against the cwd)""".stripMargin
 
   // ----------------------------------------------------------- arg parsing
 
@@ -541,16 +542,27 @@ object Run {
   /** testRunner.py runTest: config-built detector farm → replay →
     * detection stats ([[ConfigTools.testrunnerFrame]] — cfg2's frame)
     * + the analyzeEventResults rollup per algorithm. */
+  /** `--only` narrowing shared by the farm tools (testrunner /
+    * devicehr): keep entries whose name or class contains one of the
+    * substrings; fail loud when no enabled entry survives. */
+  private def onlyEnabled(src: String,
+                          entries: Seq[ConfigBridge.TestRunnerAlg],
+                          only: Seq[String]): Seq[ConfigBridge.TestRunnerAlg] = {
+    val kept =
+      if (only.isEmpty) entries
+      else entries.filter(alg =>
+        only.exists(s => alg.name.contains(s) || alg.algClass.contains(s)))
+    require(kept.exists(_.enabled),
+      s"$src: no enabled algorithms" +
+        (if (only.nonEmpty) s" matching --only ${only.mkString(",")}" else ""))
+    kept
+  }
+
   private def runTestrunner(spark: SparkSession, doc: Doc, lake: Lake,
                             a: Args): Long = {
     val cfg0 = ConfigBridge.testRunnerConfig(doc)
-    val cfg =
-      if (a.only.isEmpty) cfg0
-      else cfg0.copy(algorithms = cfg0.algorithms.filter(alg =>
-        a.only.exists(s => alg.name.contains(s) || alg.algClass.contains(s))))
-    require(cfg.algorithms.exists(_.enabled),
-      s"${doc.source}: no enabled algorithms" +
-        (if (a.only.nonEmpty) s" matching --only ${a.only.mkString(",")}" else ""))
+    val cfg = cfg0.copy(algorithms =
+      onlyEnabled(doc.source, cfg0.algorithms, a.only))
     val modelDir = a.modelDir.getOrElse(a.lakeDir)
     val stats = ConfigTools.testrunnerFrame(cfg, replayDps(spark, lake), modelDir)
       .persist()
@@ -621,9 +633,12 @@ object Run {
       // so an original test event deleted from the lake or no longer
       // passing the filters lands in the 'unknown' bucket (the
       // reference's _count_ids_by_type, :227-247). added ids are a
-      // subset of the selection by construction, so their types are
-      // always known.
-      val isSz = (typeIdCol(col("type")) === 1).as("__sz")
+      // subset of the selection by construction, but the LAKE does not
+      // guarantee a type value — the reference buckets a None type as
+      // 'unknown' (:234-236), so __sz is three-valued: true/false by
+      // the C4 class, null when the event has no type at all.
+      val isSz = when(col("type").isNull, lit(null).cast("boolean"))
+        .otherwise(typeIdCol(col("type")) === 1).as("__sz")
       val newIds = testNew.select(col("__sid"), isSz)
       val (added, removed) = a.testIds match {
         case None => (newIds, newIds.limit(0))
@@ -636,8 +651,9 @@ object Run {
                 orig("__tid") === col("__sid"), "left")
               .select(orig("__tid").as("__sid"), col("__sz")))
       }
-      // szOnly: Some(b) = that class; None = the null-type 'unknown'
-      // bucket (id absent from the filtered lake)
+      // szOnly: Some(b) = that class; None = the 'unknown' bucket —
+      // __sz null because the id has no filtered-lake row OR its event
+      // carries no type value
       def cnt(df: DataFrame, szOnly: Option[Boolean]): Long = szOnly match {
         case None => df.filter(col("__sz").isNull).count()
         case Some(b) => df.filter(col("__sz") === b).count()
@@ -649,6 +665,7 @@ object Run {
         ("in_test_new", testNew.count()),
         ("added_seizure", cnt(added, Some(true))),
         ("added_non_seizure", cnt(added, Some(false))),
+        ("added_unknown", cnt(added, None)),
         ("removed_seizure", cnt(removed, Some(true))),
         ("removed_non_seizure", cnt(removed, Some(false))),
         ("removed_unknown", cnt(removed, None)),
@@ -718,14 +735,8 @@ object Run {
     * fall in the reference's allSeizures output class. */
   private def runDeviceHr(spark: SparkSession, doc: Doc, a: Args): Long = {
     val (entries0, traces) = ConfigBridge.deviceHrConfig(doc)
-    val entries =
-      if (a.only.isEmpty) entries0
-      else entries0.filter(alg =>
-        a.only.exists(s => alg.name.contains(s) || alg.algClass.contains(s)))
+    val entries = onlyEnabled(doc.source, entries0, a.only)
     require(traces.nonEmpty, s"${doc.source}: no eventHrData traces")
-    require(entries.exists(_.enabled),
-      s"${doc.source}: no enabled algorithms" +
-        (if (a.only.nonEmpty) s" matching --only ${a.only.mkString(",")}" else ""))
     val modelDir = a.modelDir.getOrElse(
       if (a.lakeDir == "-") "." else a.lakeDir)
     val stats = ConfigTools.deviceHrFrame(spark, entries, traces, modelDir)

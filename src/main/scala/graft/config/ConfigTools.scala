@@ -61,15 +61,19 @@ object ConfigTools {
     * → [[Replay.replayBatchWith]] (one fresh detector per (event,
     * alg) group on the executors) → [[Replay.detectionStats]], in the
     * reference's result column naming. */
-  def testrunnerFrame(cfg: TestRunnerConfig, dps: Dataset[ReplayDp],
-                      modelDir: String = "."): DataFrame =
-    Replay.detectionStats(
-        Replay.replayBatchWith(dps,
-          ConfigBridge.enabledAlgFactories(cfg, modelDir)))
+  /** The reference's result column naming over [[Replay.detectionStats]]
+    * — shared by both farm frames so the CLI outputs cannot drift. */
+  private def statsFrame(dps: Dataset[ReplayDp],
+                         algs: Seq[() => graft.streaming.SdAlg]): DataFrame =
+    Replay.detectionStats(Replay.replayBatchWith(dps, algs))
       .select(col("eventId").as("event_id"), col("alg"),
         col("detected").cast("long").as("detected"),
         col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
         col("nDp").as("n_dp"))
+
+  def testrunnerFrame(cfg: TestRunnerConfig, dps: Dataset[ReplayDp],
+                      modelDir: String = "."): DataFrame =
+    statsFrame(dps, ConfigBridge.enabledAlgFactories(cfg, modelDir))
 
   /** testDeviceHrAlg.py's replay path (runTest:28-58 +
     * makeEventObj:134-161): each `eventHrData` trace becomes a
@@ -91,12 +95,7 @@ object ConfigTools {
           Array.fill(125)(1000.0), Array.emptyDoubleArray, i.toLong)
       }
     })
-    val factories = algs.filter(_.enabled)
-      .map(a => () => ConfigBridge.buildAlg(a, modelDir))
-    Replay.detectionStats(Replay.replayBatchWith(dps, factories))
-      .select(col("eventId").as("event_id"), col("alg"),
-        col("detected").cast("long").as("detected"),
-        col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
-        col("nDp").as("n_dp"))
+    statsFrame(dps, algs.filter(_.enabled)
+      .map(a => () => ConfigBridge.buildAlg(a, modelDir)))
   }
 }

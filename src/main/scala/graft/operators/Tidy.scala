@@ -25,24 +25,41 @@ object Tidy {
     * osdDbConnection.py:33-64), truncate arrays to their documented
     * lengths (tidy_db.py:70,74 — C8), and normalise.
     *
-    * The outer/inner payloads are parsed ONCE per datapoint through
-    * staged transforms: Catalyst does not common-subexpression-eliminate
-    * inside a `transform` lambda, so the earlier single-lambda form
-    * re-ran `from_json` on the same string for every referencing field
-    * (8 outer + 6 inner parses per dp). Staging cut the legacy
-    * double-encoded expansion 0.89 -> 0.37 s on 200k payload-bearing
-    * dps (TidyJsonProbe, warm min); null-dataJSON corpora (the
-    * fixture) are unaffected either way. */
+    * The outer/inner payloads are parsed AT MOST ONCE per datapoint
+    * through staged transforms: Catalyst does not
+    * common-subexpression-eliminate inside a `transform` lambda, so the
+    * earlier single-lambda form re-ran `from_json` on the same string
+    * for every referencing field (8 outer + 6 inner parses per dp).
+    * Staging cut the legacy double-encoded expansion 0.89 -> 0.37 s on
+    * 200k payload-bearing dps (TidyJsonProbe, warm min). Each stage
+    * also keeps the old coalesce chain's LAZINESS: the outer parse runs
+    * only when some consuming first-class field is null, the inner one
+    * only when neither the field nor the outer payload supplied a
+    * value — so a re-tidied corpus (first-class fields populated,
+    * dataJSON still attached) pays zero parses, exactly like the
+    * per-field form (probe `populated` mode pins this). Null-dataJSON
+    * corpora (the fixture) are unaffected either way. */
   def tidyDatapoints(df: DataFrame): DataFrame = {
     val dpExpr =
       s"""transform(
          |  transform(
          |    transform(datapoints, dp0 -> struct(
          |      dp0 as dp,
-         |      from_json(dp0.dataJSON, '$dpPayloadSchema') as o)),
+         |      CASE WHEN dp0.dataTime IS NULL OR dp0.hr IS NULL
+         |             OR dp0.o2Sat IS NULL OR dp0.alarmState IS NULL
+         |             OR dp0.specPower IS NULL OR dp0.roiPower IS NULL
+         |             OR dp0.rawData IS NULL OR dp0.rawData3D IS NULL
+         |           THEN from_json(dp0.dataJSON, '$dpPayloadSchema')
+         |      END as o)),
          |    t0 -> struct(
          |      t0.dp as dp, t0.o as o,
-         |      from_json(t0.o.dataJSON, '$dpPayloadSchema') as i)),
+         |      CASE WHEN (t0.dp.dataTime IS NULL AND t0.o.dataTime IS NULL)
+         |             OR (t0.dp.hr IS NULL AND t0.o.HR IS NULL)
+         |             OR (t0.dp.o2Sat IS NULL AND t0.o.o2Sat IS NULL)
+         |             OR (t0.dp.rawData IS NULL AND t0.o.rawData IS NULL)
+         |             OR t0.dp.rawData3D IS NULL
+         |           THEN from_json(t0.o.dataJSON, '$dpPayloadSchema')
+         |      END as i)),
          |  t -> named_struct(
          |  'eventId', t.dp.eventId,
          |  'dataTime', coalesce(t.dp.dataTime, t.o.dataTime, t.i.dataTime),
@@ -89,10 +106,13 @@ object Tidy {
     // tidy REPLACES the stored event state with the recomputed worst
     // (tidyDbObj runs updateEventAlarmState on every event,
     // tidy_db.py:235 + 170-198 — the pass exists precisely because
-    // stored states were wrong for some false-alarm events); only a
-    // datapoint-less event keeps its stored value (:199-201 error path)
+    // stored states were wrong for some false-alarm events). The guard
+    // is PRESENCE of the datapoints key, not non-emptiness: an event
+    // with an EMPTY datapoints list still runs the correction (all
+    // counts zero -> state 0, :186-196); only a MISSING key takes the
+    // keep-stored error path (:199-201).
     df.withColumn("osdAlarmState",
-        when(coalesce(expr("size(datapoints)"), lit(0)) > 0, worstAlarmState)
+        when(col("datapoints").isNotNull, worstAlarmState)
           .otherwise(col("osdAlarmState")))
       .withColumn("has3dData",
         hasFlag("dp.rawData3D IS NOT NULL AND size(dp.rawData3D) > 0 " +

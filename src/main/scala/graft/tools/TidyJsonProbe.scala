@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
   * across a `transform` lambda's fields, so the parse count per dp is
   * what this probe exposes.
   *
-  * `runMain graft.tools.TidyJsonProbe [nEvents] [dpsPerEvent] [reps]`
-  * (defaults 20000, 10, 3).
+  * `runMain graft.tools.TidyJsonProbe [nEvents] [dpsPerEvent] [reps]
+  * [populated]` (defaults 20000, 10, 3; any 4th arg switches to the
+  * RE-TIDY shape — first-class fields populated, dataJSON still
+  * attached — which must pay ZERO parses, like the per-field coalesce
+  * form's short-circuit).
   */
 object TidyJsonProbe {
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(20000)
     val nDp = args.lift(1).map(_.toInt).getOrElse(10)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val populated = args.length > 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,20 +38,27 @@ object TidyJsonProbe {
       """{\\\"HR\\\": 72.5, \\\"o2Sat\\\": 97.0, \\\"alarmState\\\": 1, \\\"data\\\": [""",
       ",", "]}")
     val outer = s"""{\\"dataTime\\": \\"2023-04-30T00:00:00Z\\", \\"dataJSON\\": \\"$inner\\"}"""
+    // populated mode: the re-tidy shape — every first-class field
+    // already carries a value, dataJSON still attached
+    val dt = if (populated) "'2023-04-30T00:00:00Z'" else "cast(null as string)"
+    val d = if (populated) "cast(1.0 as double)" else "cast(null as double)"
+    val l = if (populated) "cast(1 as bigint)" else "cast(null as bigint)"
+    val arr =
+      if (populated) "array(cast(1.0 as double))" else "cast(null as array<double>)"
     val df = spark.range(nEvents.toLong)
       .select(col("id").cast("string").as("id"),
         expr(s"""transform(sequence(1, $nDp), i -> named_struct(
           |  'eventId', cast(id as string),
-          |  'dataTime', cast(null as string),
-          |  'hr', cast(null as double),
-          |  'o2Sat', cast(null as double),
-          |  'alarmState', cast(null as bigint),
-          |  'specPower', cast(null as double),
-          |  'roiPower', cast(null as double),
-          |  'roiRatio', cast(null as double),
-          |  'simpleSpec', cast(null as array<double>),
-          |  'rawData', cast(null as array<double>),
-          |  'rawData3D', cast(null as array<double>),
+          |  'dataTime', $dt,
+          |  'hr', $d,
+          |  'o2Sat', $d,
+          |  'alarmState', $l,
+          |  'specPower', $d,
+          |  'roiPower', $d,
+          |  'roiRatio', $d,
+          |  'simpleSpec', $arr,
+          |  'rawData', $arr,
+          |  'rawData3D', $arr,
           |  'dataJSON', "$outer"))""".stripMargin).as("datapoints"))
       .persist()
     df.count()

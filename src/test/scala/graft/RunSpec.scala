@@ -350,6 +350,7 @@ class RunSpec extends SparkSpec {
     val s2b = spark.read.parquet(s"$out2b/update_summary")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s2b("added_seizure") + s2b("added_non_seizure") == 0)
+    assert(s2b("added_unknown") == 0, "fixture events always carry a type")
     assert(s2b("removed_seizure") + s2b("removed_non_seizure") == 1)
     assert(s2b("removed_unknown") == 2)
     // parquet id-set rendition: pointing --trainIds at the selected

@@ -104,7 +104,9 @@ class TidySourcesSpec extends SparkSpec {
         |{"id": 2, "userId": "u2", "type": "Seizure", "osdAlarmState": 1,
         | "datapoints": [{"eventId": "2", "alarmState": 3},
         |                {"eventId": "2", "alarmState": 2}]},
-        |{"id": 3, "userId": "u3", "type": "Seizure", "osdAlarmState": 2}
+        |{"id": 3, "userId": "u3", "type": "Seizure", "osdAlarmState": 2},
+        |{"id": 4, "userId": "u4", "type": "Seizure", "osdAlarmState": 2,
+        | "datapoints": []}
         |]""".stripMargin
     val f = new java.io.File(dir, "states.json")
     Files.writeString(f.toPath, events)
@@ -113,7 +115,9 @@ class TidySourcesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(states("1") == 0L, "stored ALARM with all-OK dps is corrected to OK")
     assert(states("2") == 3L, "FALL outranks ALARM in the correction ladder")
-    assert(states("3") == 2L, "a datapoint-less event keeps its stored state")
+    assert(states("3") == 2L, "a MISSING datapoints key keeps the stored state")
+    assert(states("4") == 0L,
+      "an EMPTY datapoints list still runs the correction (all counts 0 -> OK)")
   }
 
   test("C2 multi-format timestamp parse handles legacy day-first strings") {

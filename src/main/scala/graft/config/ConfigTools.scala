@@ -88,6 +88,12 @@ object ConfigTools {
                     traces: Seq[HrTrace],
                     modelDir: String = "."): DataFrame = {
     import spark.implicits._
+    // the replay groups by trace id — duplicate ids would silently
+    // merge two traces into one interleaved event (the reference keeps
+    // list entries separate, so this is a config error here)
+    val dup = traces.groupBy(_.id).collect { case (id, ts) if ts.size > 1 => id }
+    require(dup.isEmpty,
+      s"eventHrData ids must be unique, duplicated: ${dup.mkString(", ")}")
     val t0 = 1682812800L // dateStr2secs("2023-04-30T00:00:00Z")
     val dps = spark.createDataset(traces.flatMap { t =>
       t.hrVals.zipWithIndex.map { case (h, i) =>

@@ -739,12 +739,11 @@ object Run {
     require(traces.nonEmpty, s"${doc.source}: no eventHrData traces")
     val modelDir = a.modelDir.getOrElse(
       if (a.lakeDir == "-") "." else a.lakeDir)
+    // the frame already carries event_id + name per trace LIST ENTRY
+    // (duplicate ids stay separate, like the reference's iteration)
     val stats = ConfigTools.deviceHrFrame(spark, entries, traces, modelDir)
       .persist()
-    import spark.implicits._
-    val meta = traces.map(t => (t.id.toString, t.name))
-      .toDF("event_id", "name")
-    val verdicts = stats.join(broadcast(meta), "event_id")
+    val verdicts = stats
       .withColumn("expect_alarm", lit(true))
       .withColumn("correct", col("detected") === 1)
     verdicts.write.mode("overwrite").parquet(s"${a.outDir}/hr_results")

@@ -55,12 +55,6 @@ object ConfigTools {
     skel.unionByName(receipt)
   }
 
-  /** runTest's replay path (testRunner.py:126-150: instantiate each
-    * enabled `module.Class(settingsStr)`, run every event through
-    * every algorithm, tally results): config-built detector factories
-    * → [[Replay.replayBatchWith]] (one fresh detector per (event,
-    * alg) group on the executors) → [[Replay.detectionStats]], in the
-    * reference's result column naming. */
   /** The reference's result column naming over [[Replay.detectionStats]]
     * — shared by both farm frames so the CLI outputs cannot drift. */
   private def statsFrame(dps: Dataset[ReplayDp],
@@ -71,6 +65,12 @@ object ConfigTools {
         col("nAlarm").as("n_alarm"), col("nWarn").as("n_warn"),
         col("nDp").as("n_dp"))
 
+  /** runTest's replay path (testRunner.py:126-150: instantiate each
+    * enabled `module.Class(settingsStr)`, run every event through
+    * every algorithm, tally results): config-built detector factories
+    * → [[Replay.replayBatchWith]] (one fresh detector per (event,
+    * alg) group on the executors) → [[Replay.detectionStats]], in the
+    * reference's result column naming. */
   def testrunnerFrame(cfg: TestRunnerConfig, dps: Dataset[ReplayDp],
                       modelDir: String = "."): DataFrame =
     statsFrame(dps, ConfigBridge.enabledAlgFactories(cfg, modelDir))
@@ -81,27 +81,31 @@ object ConfigTools {
     * dataTime the reference pins ("2023-04-30T00:00:00Z"), a flat
     * 1000 mg 125-sample buffer — replayed through every ENABLED
     * algorithm by the same [[Replay.replayBatchWith]] lineage as
-    * [[testrunnerFrame]], keyed by trace id. The trace list is
+    * [[testrunnerFrame]]. The replay is keyed by the trace's LIST
+    * ORDINAL, not its id, so duplicate-id entries stay separate events
+    * exactly as the reference's list iteration keeps them; the output
+    * carries the trace's real `event_id` and `name`. The trace list is
     * config-sized (driver-side by nature, like the reference's), the
     * replay itself is the audited distributed path. */
   def deviceHrFrame(spark: SparkSession, algs: Seq[TestRunnerAlg],
                     traces: Seq[HrTrace],
                     modelDir: String = "."): DataFrame = {
     import spark.implicits._
-    // the replay groups by trace id — duplicate ids would silently
-    // merge two traces into one interleaved event (the reference keeps
-    // list entries separate, so this is a config error here)
-    val dup = traces.groupBy(_.id).collect { case (id, ts) if ts.size > 1 => id }
-    require(dup.isEmpty,
-      s"eventHrData ids must be unique, duplicated: ${dup.mkString(", ")}")
     val t0 = 1682812800L // dateStr2secs("2023-04-30T00:00:00Z")
-    val dps = spark.createDataset(traces.flatMap { t =>
-      t.hrVals.zipWithIndex.map { case (h, i) =>
-        ReplayDp(t.id.toString, t0, h, 0L,
-          Array.fill(125)(1000.0), Array.emptyDoubleArray, i.toLong)
-      }
+    val dps = spark.createDataset(traces.zipWithIndex.flatMap {
+      case (t, ti) =>
+        t.hrVals.zipWithIndex.map { case (h, i) =>
+          ReplayDp(ti.toString, t0, h, 0L,
+            Array.fill(125)(1000.0), Array.emptyDoubleArray, i.toLong)
+        }
     })
+    val meta = traces.zipWithIndex
+      .map { case (t, ti) => (ti.toString, t.id.toString, t.name) }
+      .toDF("event_id", "__tid", "name")
     statsFrame(dps, algs.filter(_.enabled)
-      .map(a => () => ConfigBridge.buildAlg(a, modelDir)))
+        .map(a => () => ConfigBridge.buildAlg(a, modelDir)))
+      .join(broadcast(meta), "event_id")
+      .select(col("__tid").as("event_id"), col("name"), col("alg"),
+        col("detected"), col("n_alarm"), col("n_warn"), col("n_dp"))
   }
 }

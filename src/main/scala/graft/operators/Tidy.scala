@@ -39,42 +39,74 @@ object Tidy {
     * dataJSON still attached) pays zero parses, exactly like the
     * per-field form (probe `populated` mode pins this). Null-dataJSON
     * corpora (the fixture) are unaffected either way. */
+  /** One tidied datapoint field: output name, the fallback chain over
+    * `dp` (first-class) / `o` (outer payload) / `i` (inner payload)
+    * references IN PRIORITY ORDER, and an optional truncation length
+    * (C8). The named_struct AND both stage parse-guards derive from
+    * this one table, so adding a payload fallback can never drift out
+    * of the guards (a guard miss would silently null the fallback
+    * whenever every guarded field happened to be populated). */
+  private final case class DpField(out: String, chain: Seq[String],
+                                   cap: Option[Int] = None) {
+    require(chain.head.startsWith("dp."), s"$out: chain must lead dp.*")
+    def dpName: String = chain.head.stripPrefix("dp.")
+    def usesPayload: Boolean = chain.exists(r => !r.startsWith("dp."))
+    def usesInner: Boolean = chain.exists(_.startsWith("i."))
+    def outerRef: Option[String] = chain.find(_.startsWith("o."))
+  }
+
+  private val DpFields: Seq[DpField] = Seq(
+    DpField("eventId", Seq("dp.eventId")),
+    DpField("dataTime", Seq("dp.dataTime", "o.dataTime", "i.dataTime")),
+    DpField("hr", Seq("dp.hr", "o.HR", "i.HR")),
+    DpField("o2Sat", Seq("dp.o2Sat", "o.o2Sat", "i.o2Sat")),
+    DpField("alarmState", Seq("dp.alarmState", "o.alarmState")),
+    DpField("specPower", Seq("dp.specPower", "o.specPower")),
+    DpField("roiPower", Seq("dp.roiPower", "o.roiPower")),
+    DpField("roiRatio", Seq("dp.roiRatio")),
+    DpField("simpleSpec", Seq("dp.simpleSpec"),
+      cap = Some(Osdb.SimpleSpecBins)),
+    DpField("rawData", Seq("dp.rawData", "o.rawData", "i.data"),
+      cap = Some(Osdb.SamplesPerDatapoint)),
+    DpField("rawData3D", Seq("dp.rawData3D", "i.data3D"),
+      cap = Some(Osdb.Samples3D)),
+    DpField("dataJSON", Seq("dp.dataJSON")))
+
   def tidyDatapoints(df: DataFrame): DataFrame = {
+    // outer parse needed when any payload-consuming field is null (an
+    // inner-only chain still needs o.dataJSON, so it counts)
+    val outerGuard = DpFields.filter(_.usesPayload)
+      .map(f => s"dp0.${f.dpName} IS NULL").mkString(" OR ")
+    // inner parse needed when neither the first-class field nor the
+    // outer payload supplied a value for some inner-consuming field
+    val innerGuard = DpFields.filter(_.usesInner).map { f =>
+      f.outerRef match {
+        case Some(o) => s"(t0.dp.${f.dpName} IS NULL AND t0.$o IS NULL)"
+        case None => s"t0.dp.${f.dpName} IS NULL"
+      }
+    }.mkString(" OR ")
+    val entries = DpFields.map { f =>
+      val refs = f.chain.map(r => s"t.$r")
+      val base =
+        if (refs.size == 1) refs.head
+        else refs.mkString("coalesce(", ", ", ")")
+      s"'${f.out}', ${f.cap.fold(base)(n => s"slice($base, 1, $n)")}"
+    }.mkString(",\n  ")
     val dpExpr =
       s"""transform(
          |  transform(
          |    transform(datapoints, dp0 -> struct(
          |      dp0 as dp,
-         |      CASE WHEN dp0.dataTime IS NULL OR dp0.hr IS NULL
-         |             OR dp0.o2Sat IS NULL OR dp0.alarmState IS NULL
-         |             OR dp0.specPower IS NULL OR dp0.roiPower IS NULL
-         |             OR dp0.rawData IS NULL OR dp0.rawData3D IS NULL
+         |      CASE WHEN $outerGuard
          |           THEN from_json(dp0.dataJSON, '$dpPayloadSchema')
          |      END as o)),
          |    t0 -> struct(
          |      t0.dp as dp, t0.o as o,
-         |      CASE WHEN (t0.dp.dataTime IS NULL AND t0.o.dataTime IS NULL)
-         |             OR (t0.dp.hr IS NULL AND t0.o.HR IS NULL)
-         |             OR (t0.dp.o2Sat IS NULL AND t0.o.o2Sat IS NULL)
-         |             OR (t0.dp.rawData IS NULL AND t0.o.rawData IS NULL)
-         |             OR t0.dp.rawData3D IS NULL
+         |      CASE WHEN $innerGuard
          |           THEN from_json(t0.o.dataJSON, '$dpPayloadSchema')
          |      END as i)),
          |  t -> named_struct(
-         |  'eventId', t.dp.eventId,
-         |  'dataTime', coalesce(t.dp.dataTime, t.o.dataTime, t.i.dataTime),
-         |  'hr', coalesce(t.dp.hr, t.o.HR, t.i.HR),
-         |  'o2Sat', coalesce(t.dp.o2Sat, t.o.o2Sat, t.i.o2Sat),
-         |  'alarmState', coalesce(t.dp.alarmState, t.o.alarmState),
-         |  'specPower', coalesce(t.dp.specPower, t.o.specPower),
-         |  'roiPower', coalesce(t.dp.roiPower, t.o.roiPower),
-         |  'roiRatio', t.dp.roiRatio,
-         |  'simpleSpec', slice(t.dp.simpleSpec, 1, ${Osdb.SimpleSpecBins}),
-         |  'rawData', slice(coalesce(t.dp.rawData, t.o.rawData, t.i.data),
-         |      1, ${Osdb.SamplesPerDatapoint}),
-         |  'rawData3D', slice(coalesce(t.dp.rawData3D, t.i.data3D),
-         |      1, ${Osdb.Samples3D}),
-         |  'dataJSON', t.dp.dataJSON))""".stripMargin
+         |  $entries))""".stripMargin
     df.withColumn("datapoints", expr(dpExpr))
   }
 

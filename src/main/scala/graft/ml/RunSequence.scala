@@ -139,16 +139,45 @@ object RunSequence {
       .select(col("id"), col("srcId"), col("fold"))
   }
 
-  /** P14→P12→W7 for the selected events, ONCE for all folds: fused
-    * validate+extract, the P12 map pulled into fail-loud feature
-    * columns (a renamed feature must break the pipeline, exactly like
-    * [[Trainer.assembleFeatures]]), then the lag-history basis. Output:
-    * (eventId, type, tsSec, startSample, <P12 cols>, <lag/mean cols>).
-    */
+  /** P14→P12→W7 for the selected events, ONCE for all folds, FUSED
+    * into one group pass ([[FeatureExtract.extractHist]] — r19: the
+    * addHistory(flatEpochs(...)) composition re-shuffled by the same
+    * eventId key and paid a 720-column WindowExec plan per execution;
+    * see the extractHist docblock for the equivalence argument and
+    * RunSequenceSpec for the row-for-row pin). Raw shape: (eventId,
+    * type, tsSec, startSample, hist) with hist in the
+    * FeatureNames-major (lags, mean) layout. */
+  private[graft] def histEpochsRaw(ev: DataFrame, dps: Dataset[FlatDp],
+                                   cfg: Config): DataFrame = {
+    val sel = dps.join(ev.select(col("srcId")),
+        dps("eventId") === col("srcId"), "left_semi")
+      .as[FlatDp](dps.encoder)
+    FeatureExtract.extractHist(sel, cfg.extract, cfg.historyN).toDF()
+  }
+
+  /** [[histEpochsRaw]] projected to the legacy NAMED-column frame:
+    * (eventId, type, tsSec, startSample, <P12 cols>, <lag/mean cols>)
+    * — the pre-r19 `addHistory(flatEpochs(...))` shape, kept for
+    * callers that read features by name. The hot composed paths
+    * ([[skeleton]], [[assembledHistoryBase]]) consume the raw frame
+    * directly and never build this 724-column projection. */
   def historyEpochs(ev: DataFrame, dps: Dataset[FlatDp],
-                    cfg: Config): DataFrame =
-    FeatureHistory.addHistory(flatEpochs(ev, dps, cfg.extract),
-      EpochFeatures.FeatureNames, cfg.historyN)
+                    cfg: Config): DataFrame = {
+    val raw = histEpochsRaw(ev, dps, cfg)
+    val n = cfg.historyN
+    val names = EpochFeatures.FeatureNames
+    val flatCols = names.zipWithIndex.map { case (nm, j) =>
+      element_at(col("hist"), j * (n + 1) + 1).as(nm)
+    }
+    val histCols = names.zipWithIndex.flatMap { case (nm, j) =>
+      val base = j * (n + 1)
+      (0 until n).map(k =>
+        element_at(col("hist"), base + k + 1).as(s"${nm}_t-$k")) :+
+        element_at(col("hist"), base + n + 1).as(s"${nm}_mean")
+    }
+    raw.select(Seq(col("eventId"), col("type"), col("tsSec"),
+      col("startSample")) ++ flatCols ++ histCols: _*)
+  }
 
   /** The pre-history half of [[historyEpochs]] — fused P14 validate +
     * P12 extract, flattened to fail-loud feature columns. Split out so
@@ -165,11 +194,10 @@ object RunSequence {
         dps("eventId") === col("srcId"), "left_semi")
       .as[FlatDp](dps.encoder)
     val epochs = FeatureExtract.extract(sel, extract, validate = true)
-    val names = EpochFeatures.FeatureNames
-    val featCols = names.map(nm =>
-      when(element_at(col("features"), nm).isNull,
-        raise_error(lit(s"epoch features missing '$nm'")))
-        .otherwise(element_at(col("features"), nm)).as(nm))
+    // positional fail-loud map projection — the per-name element_at
+    // scan was O(|features|²) per row and dominated this lineage
+    // (EpochFeatures.featureCols docblock; r19 Ml2Profile numbers)
+    val featCols = EpochFeatures.featureCols(EpochFeatures.FeatureNames)
     epochs.toDF().select(
       Seq(col("eventId"), col("type"), col("tsSec"),
         col("startSample")) ++ featCols: _*)
@@ -193,7 +221,9 @@ object RunSequence {
   def skeleton(events: DataFrame, dps: Dataset[FlatDp], select: Column,
                foldOf: Column, cfg: Config = Config()): DataFrame = {
     val ev = selectedEvents(events, select, foldOf)
-    skeletonFromHist(ev, historyEpochs(ev, dps, cfg), cfg)
+    // the raw fused frame: evW only counts rows per event, so the
+    // 724-column named projection would be pure plan weight here
+    skeletonFromHist(ev, histEpochsRaw(ev, dps, cfg), cfg)
   }
 
   /** The per-event epoch-count frame (srcId, fold, nEp), PERSISTED —
@@ -776,15 +806,15 @@ object RunSequence {
     * outer, per-o 2-way splits) share one materialization and attach
     * their fold column with a cheap join. */
   private def assembledHistoryBase(ev: DataFrame, dps: Dataset[FlatDp],
-                                   cfg: Config): DataFrame = {
-    val names = EpochFeatures.FeatureNames
-    val histCols = names.flatMap(f =>
-      (0 until cfg.historyN).map(k => s"${f}_t-$k") :+ s"${f}_mean")
-    historyEpochs(ev, dps, cfg).select(
-        col("eventId"),
-        when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
-        array_to_vector(array(histCols.map(col): _*)).as("features"))
-  }
+                                   cfg: Config): DataFrame =
+    // hist is ALREADY the assembled vector layout (FeatureNames-major
+    // lags+mean — the extractHist contract), so the basis is one
+    // array_to_vector over the fused frame instead of a 576-column
+    // array() projection
+    histEpochsRaw(ev, dps, cfg).select(
+      col("eventId"),
+      when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
+      array_to_vector(col("hist")).as("features"))
 
   /** The RAW-WINDOW basis assembled to (eventId, label, window) —
     * fold-free like [[assembledHistoryBase]]: P14 validate → M8 sliding

@@ -41,11 +41,9 @@ object Trainer {
     * type (1) → 1.0, everything else → 0.0 (the reference's binary
     * nnTraining target). */
   def assembleFeatures(epochs: Dataset[EpochRow]): DataFrame = {
-    val names = EpochFeatures.FeatureNames
-    val arr = array(names.map(n =>
-      when(element_at(col("features"), n).isNull,
-        raise_error(lit(s"epoch features missing '$n'")))
-        .otherwise(element_at(col("features"), n))): _*)
+    // positional fail-loud map projection (EpochFeatures.featureCols
+    // docblock) — the old per-name element_at was an O(|map|) scan each
+    val arr = array(EpochFeatures.featureCols(EpochFeatures.FeatureNames): _*)
     epochs.toDF()
       .select(col("eventId"), col("type"),
         when(col("type") === 1, 1.0).otherwise(0.0).as("label"),
@@ -264,11 +262,8 @@ object Trainer {
     * [[assembleFeatures]], label = the class id itself (0 = false
     * alarm, 1 = seizure, 2 = unknown). */
   def assembleFeaturesK(epochs: Dataset[EpochRow]): DataFrame = {
-    val names = EpochFeatures.FeatureNames
-    val arr = array(names.map(n =>
-      when(element_at(col("features"), n).isNull,
-        raise_error(lit(s"epoch features missing '$n'")))
-        .otherwise(element_at(col("features"), n))): _*)
+    // positional fail-loud map projection, same as [[assembleFeatures]]
+    val arr = array(EpochFeatures.featureCols(EpochFeatures.FeatureNames): _*)
     epochs.toDF()
       .select(col("eventId"), col("type"),
         col("type").cast("double").as("label"),

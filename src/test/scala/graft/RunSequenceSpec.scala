@@ -86,6 +86,42 @@ class RunSequenceSpec extends SparkSpec {
     assert(seq == 2, s"sequential path: expected 2 Exchanges, found $seq")
   }
 
+  test("fused extract+history == addHistory(flatEpochs(...)) row-for-row, bit-exact") {
+    import spark.implicits._
+    // the same tricky corpus (gap fill, overlap drop, accel-less skips)
+    // plus a short event that must vanish entirely under the history drop
+    val rows = Seq(
+      dp("A", 1000, 0, acc = true), dp("A", 1005, 1, acc = false),
+      dp("A", 1010, 2, acc = true), dp("A", 1015, 3, acc = true),
+      dp("B", 2000, 0, acc = true), dp("B", 2015, 1, acc = true),
+      dp("C", 3000, 0, acc = true), dp("C", 3005, 1, acc = true),
+      dp("C", 3007, 2, acc = true), dp("C", 3012, 3, acc = true),
+      dp("D", 4000, 0, acc = false), dp("D", 4005, 1, acc = true),
+      dp("D", 4010, 2, acc = true), dp("D", 4015, 3, acc = false),
+      dp("E", 5000, 0, acc = true)) // 1 epoch < historyN: all dropped
+    val ds = spark.createDataset(rows)
+    val ev = spark.createDataset(rows.map(_.eventId).distinct).toDF("srcId")
+    for (n <- Seq(2, 3)) {
+      val cfg = RunSequence.Config(historyN = n)
+      val fused = RunSequence.historyEpochs(ev, ds, cfg)
+      val unfused = graft.operators.FeatureHistory.addHistory(
+        RunSequence.flatEpochs(ev, ds, cfg.extract),
+        graft.functions.EpochFeatures.FeatureNames, cfg.historyN)
+      assert(fused.columns.toSeq == unfused.columns.toSeq,
+        s"historyN=$n: column drift")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(r =>
+          (r.head.asInstanceOf[String], r(3).asInstanceOf[Int]))
+      val (fr, ur) = (rowsOf(fused), rowsOf(unfused))
+      assert(fr.length == ur.length, s"historyN=$n: row-count drift")
+      fr.zip(ur).foreach { case (f, u) =>
+        assert(f == u, s"historyN=$n: row mismatch\nfused   $f\nunfused $u")
+      }
+      // the short event is fully dropped on both sides
+      assert(!fr.exists(_.head == "E"))
+    }
+  }
+
   // ----------------------------------------------------------- plan algebra
 
   private def evFrame(rows: Seq[(String, String, String, Int)]) = {

@@ -234,18 +234,34 @@ object RunSequence {
     * (the sweep releases in its finally; the one-run [[skeleton]] path
     * leaves it to the session, bounded by Verify's per-query
     * clearCache). */
-  private def evWOf(ev: DataFrame, hist: DataFrame): DataFrame = {
+  private def evWFrame(ev: DataFrame, hist: DataFrame): DataFrame = {
     val perEvent = hist.groupBy(col("eventId"))
       .agg(count(lit(1)).as("nEp"))
     // left join: an event whose epochs all fell to the history filter
     // still counts as an event in the fold slices (nEp = 0)
-    val evW = ev.join(perEvent, ev("srcId") === perEvent("eventId"), "left")
+    ev.join(perEvent, ev("srcId") === perEvent("eventId"), "left")
       .select(col("srcId"), col("fold"),
         coalesce(col("nEp"), lit(0L)).as("nEp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def evWOf(ev: DataFrame, hist: DataFrame): DataFrame = {
+    val evW = evWFrame(ev, hist).persist(StorageLevel.MEMORY_AND_DISK)
     evW.count()
     evW
   }
+
+  /** Release the executor blocks behind an eagerly localCheckpoint'ed
+    * frame: `Dataset.unpersist` is a SILENT NO-OP on checkpoint storage
+    * (the r10 BPE lesson — the RDD is not in the cache manager), so the
+    * handle is the LogicalRDD's own RDD. Only legal AFTER every action
+    * that reads the frame — a truncated-lineage RDD cannot be
+    * recomputed. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => df.unpersist(false)
+    }
 
   /** [[skeleton]]'s aggregate half over an ALREADY-BUILT history-epoch
     * frame — [[evWOf]] then [[skeletonFromEvW]]. */
@@ -256,12 +272,15 @@ object RunSequence {
   /** The 3k+1 skeleton aggregations over the tiny persisted evW frame
     * — the seam [[paramSweep]] re-enters per swept config with its
     * memoized extraction AND memoized evW. */
-  private def skeletonFromEvW(ev: DataFrame, evW: DataFrame,
-                              cfg: Config): DataFrame = {
+  private[graft] def skeletonFromEvW(ev: DataFrame, evW: DataFrame,
+                                     cfg: Config): DataFrame = {
     // fold-range validation on the PERSISTED evW frame — the same
     // fail-loud contract as the runWith paths at ~zero cost (the
     // skeleton's own ev is lazy; validating it directly re-scanned the
-    // events table once per execution, +1.4 s on ml2 at sf0.1)
+    // events table once per execution, +1.4 s on ml2 at sf0.1). It is
+    // also LOAD-BEARING for the complement algebra below: train(f) =
+    // total − fold f's own counts holds only when every row's fold is
+    // one of the k fold values.
     requireFoldRange(evW, cfg.k)
     val spark = ev.sparkSession
     val plan = augmentPlan(ev, cfg)
@@ -271,32 +290,51 @@ object RunSequence {
       .select(col("id"), col("srcId"), col("fold"), col("nEp"))
     val folds = spark.range(cfg.k).select(col("id").as("f"))
 
-    // left-join the folds frame (like the guard stage) so a fold with
-    // ZERO matching events still emits an explicit (fold, stage, 0, 0)
-    // row — an oracle restating per-fold counts from closed forms always
-    // sees every (fold, stage) pair, never a missing-vs-zero mismatch on
-    // sparse fixtures
-    def stageAgg(src: DataFrame, keep: Column, stage: String): DataFrame =
-      folds.join(
-          src.crossJoin(folds).filter(keep)
-            .groupBy(col("f"))
-            .agg(count(lit(1)).as("ne"), sum("nEp").as("nep")),
-          Seq("f"), "left")
-        .select(col("f").as("fold"), lit(stage).as("stage"),
-          coalesce(col("ne"), lit(0L)).as("n_events"),
-          coalesce(col("nep"), lit(0L)).as("n_epochs"))
-
-    val train = stageAgg(evW, col("fold") =!= col("f"), "train")
-    val trainAug = stageAgg(planW, col("fold") =!= col("f"), "train_aug")
-    val test = stageAgg(evW, col("fold") === col("f"), "test")
-    // the F14 guard as data: any plan id equal to a test-slice event id
+    // r19 opt round: the old form built one crossJoin(folds) + filter +
+    // groupBy + left-join subtree PER STAGE (16 per skeleton; ml9's
+    // 4-run sweep collected 64 of them in one union, and that
+    // plan-time/stage-scheduling fixed cost — not data — was ~2/3 of
+    // ml9, measured identical at sf0.001 and sf0.1). Each source frame
+    // now gets ONE per-fold aggregate plus ONE grand total; the
+    // complement slice is exact long subtraction (Σ_{g≠f} x(g) =
+    // Σ_g x(g) − x(f) — every term a count/sum over the same real
+    // frame, guarded by requireFoldRange above). The folds left join
+    // keeps the explicit-zero-row discipline: a fold with no events
+    // still emits (fold, stage, 0, 0).
+    def perFold(src: DataFrame): DataFrame = {
+      val pf = src.groupBy(col("fold"))
+        .agg(count(lit(1)).as("ne"), sum("nEp").as("nep"))
+      val tot = src.agg(count(lit(1)).as("totNe"), sum("nEp").as("totNep"))
+      folds.join(pf, folds("f") === pf("fold"), "left").crossJoin(tot)
+        .select(col("f"),
+          coalesce(col("ne"), lit(0L)).as("ne"),
+          coalesce(col("nep"), lit(0L)).as("nep"),
+          col("totNe"), coalesce(col("totNep"), lit(0L)).as("totNep"))
+    }
+    def slices(src: DataFrame, trainStage: String, testStage: Option[String])
+        : Seq[DataFrame] = {
+      val a = perFold(src)
+      val train = a.select(col("f").as("fold"),
+        lit(trainStage).as("stage"),
+        (col("totNe") - col("ne")).as("n_events"),
+        (col("totNep") - col("nep")).as("n_epochs"))
+      train +: testStage.toSeq.map(st =>
+        a.select(col("f").as("fold"), lit(st).as("stage"),
+          col("ne").as("n_events"), col("nep").as("n_epochs")))
+    }
+    val Seq(train, test) = slices(evW, "train", Some("test"))
+    val Seq(trainAug) = slices(planW, "train_aug", None)
+    // the F14 guard as data: a (plan id = test-slice event id) pair
+    // leaks into fold f exactly when the test row's fold IS f and the
+    // plan row's fold is not — i.e. group the matched pairs with
+    // trFold ≠ teFold by teFold (same per-fold counts as the old
+    // crossJoin(folds) filter, one exchange instead of k-fanout)
     val overlaps = planW.select(col("id"), col("fold").as("trFold"))
       .join(evW.select(col("srcId").as("tid"), col("fold").as("teFold")),
         col("id") === col("tid"))
-      .crossJoin(folds)
-      .filter(col("trFold") =!= col("f") && col("teFold") === col("f"))
-      .groupBy(col("f")).agg(count(lit(1)).as("nOver"))
-    val guard = folds.join(overlaps, Seq("f"), "left")
+      .filter(col("trFold") =!= col("teFold"))
+      .groupBy(col("teFold")).agg(count(lit(1)).as("nOver"))
+    val guard = folds.join(overlaps, folds("f") === col("teFold"), "left")
       .select(col("f").as("fold"), lit("guard").as("stage"),
         coalesce(col("nOver"), lit(0L)).as("n_events"),
         lit(0L).as("n_epochs"))
@@ -375,9 +413,20 @@ object RunSequence {
         "evaluated once against the baseline k, so a k re-run would " +
         "compare silently-wrong splits (see the docblock)")
     val spark = events.sparkSession
-    val ev = selectedEvents(events, select, foldOf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ev.count()
+    // EAGER LOCAL CHECKPOINTS, not persists (r19 opt round): the sweep
+    // is plan-time bound, not data bound — ml9 benched the same at
+    // sf0.001 and sf0.1 because every one of the 4 runs' skeleton
+    // frames re-embedded (and re-analyzed) the FULL extraction lineage
+    // through the persisted frames' logical plans (a persist caches
+    // blocks but keeps the logical tree). localCheckpoint(eager)
+    // truncates each memoized frame to a flat LogicalRDD, so the
+    // per-run skeletons analyze O(skeleton) trees, not O(lineage) —
+    // the r10 BPE plan-time lesson applied to the sweep. Legal here
+    // because the sweep COLLECTS its summary before returning, so no
+    // escaping plan references the checkpointed blocks; the finally
+    // releases them via [[releaseLocalCheckpoint]]. Storage class is
+    // the same executor MEMORY_AND_DISK as the old persists.
+    val ev = selectedEvents(events, select, foldOf).localCheckpoint(true)
     requireFoldRange(ev, base.k)
     val flatCache =
       scala.collection.mutable.LinkedHashMap.empty[FeatureExtract.Config, DataFrame]
@@ -390,16 +439,12 @@ object RunSequence {
       .empty[(FeatureExtract.Config, Int), DataFrame]
     try {
       def flatFor(ec: FeatureExtract.Config): DataFrame =
-        flatCache.getOrElseUpdate(ec, {
-          val f = flatEpochs(ev, dps, ec)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          f.count()
-          f
-        })
+        flatCache.getOrElseUpdate(ec,
+          flatEpochs(ev, dps, ec).localCheckpoint(true))
       def evWFor(cfg: Config): DataFrame =
         evWCache.getOrElseUpdate((cfg.extract, cfg.historyN),
-          evWOf(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
-            EpochFeatures.FeatureNames, cfg.historyN)))
+          evWFrame(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
+            EpochFeatures.FeatureNames, cfg.historyN)).localCheckpoint(true))
       def runOne(param: String, value: Long, cfg: Config): DataFrame =
         skeletonFromEvW(ev, evWFor(cfg), cfg)
           .select(lit(param).as("param"), lit(value).as("value"),
@@ -415,9 +460,9 @@ object RunSequence {
         flatCache.keys.toSeq,
         evWCache.keys.toSeq) // the history-stage memoization receipt
     } finally {
-      evWCache.values.foreach(_.unpersist(false))
-      flatCache.values.foreach(_.unpersist(false))
-      ev.unpersist(false)
+      evWCache.values.foreach(releaseLocalCheckpoint)
+      flatCache.values.foreach(releaseLocalCheckpoint)
+      releaseLocalCheckpoint(ev)
     }
   }
 
@@ -464,21 +509,32 @@ object RunSequence {
       val outer = spark.range(outerK).select(col("id").as("of"))
       val inner = spark.range(innerK).select(col("id").as("inf"))
       val pairs = outer.crossJoin(inner)
+      // r19 opt round: the old form crossJoined the FULL event frame by
+      // the fold grid per stage (×k² rows for the inner stages — a
+      // wasteful event-table blow-up at any scale). ONE per-(ofold,
+      // ifold) CELL aggregate over ev (≤ outerK·innerK rows) carries
+      // every count; the stage slices are sums over that tiny cell
+      // frame (the crossJoin now multiplies k² cells, not N events),
+      // exact long arithmetic, same numbers. Explicit-zero discipline
+      // via the pairs/outer left joins, unchanged.
+      val perCell = ev.groupBy(col("ofold"), col("ifold"))
+        .agg(count(lit(1)).as("cnt"))
       // inner stages: every (of, inf) pair always present (left join →
       // explicit zeros, the ml2 zero-row discipline)
       def innerAgg(keep: Column, stage: String): DataFrame =
         pairs.join(
-            ev.crossJoin(pairs).filter(col("ofold") =!= col("of") && keep)
+            perCell.crossJoin(pairs)
+              .filter(col("ofold") =!= col("of") && keep)
               .groupBy(col("of"), col("inf"))
-              .agg(count(lit(1)).as("ne")),
+              .agg(sum(col("cnt")).as("ne")),
             Seq("of", "inf"), "left")
           .select(col("of").as("outer_fold"), col("inf").as("inner_fold"),
             lit(stage).as("stage"),
             coalesce(col("ne"), lit(0L)).as("n_events"))
       def outerAgg(keep: Column, stage: String): DataFrame =
         outer.join(
-            ev.crossJoin(outer).filter(keep)
-              .groupBy(col("of")).agg(count(lit(1)).as("ne")),
+            perCell.crossJoin(outer).filter(keep)
+              .groupBy(col("of")).agg(sum(col("cnt")).as("ne")),
             Seq("of"), "left")
           .select(col("of").as("outer_fold"), lit(-1L).as("inner_fold"),
             lit(stage).as("stage"),
@@ -487,18 +543,17 @@ object RunSequence {
       val innerVal = innerAgg(col("ifold") === col("inf"), "inner_val")
       val outerTrain = outerAgg(col("ofold") =!= col("of"), "outer_train")
       val outerTest = outerAgg(col("ofold") === col("of"), "outer_test")
-      // guard as data: ids in both slices of the same outer fold
-      val trainIds = ev.crossJoin(outer)
-        .filter(col("ofold") =!= col("of"))
-        .select(col("of").as("gof"), col("srcId").as("trId"))
-      val testIds = ev.crossJoin(outer)
-        .filter(col("ofold") === col("of"))
-        .select(col("of").as("gof2"), col("srcId").as("teId"))
+      // guard as data: ids in both slices of the same outer fold — a
+      // row pair (a, b) with one srcId and a.ofold ≠ b.ofold lands in
+      // exactly outer fold b.ofold's guard (test row b's fold IS of,
+      // train row a's is not), so group the srcId self-join by b.ofold
+      // instead of fanning the id lists out by the fold grid
       val guard = outer.join(
-          trainIds.join(testIds,
-              col("gof") === col("gof2") && col("trId") === col("teId"))
-            .groupBy(col("gof")).agg(count(lit(1)).as("ne")),
-          col("of") === col("gof"), "left")
+          ev.select(col("srcId"), col("ofold").as("aOf"))
+            .join(ev.select(col("srcId"), col("ofold").as("bOf")), "srcId")
+            .filter(col("aOf") =!= col("bOf"))
+            .groupBy(col("bOf")).agg(count(lit(1)).as("ne")),
+          col("of") === col("bOf"), "left")
         .select(col("of").as("outer_fold"), lit(-1L).as("inner_fold"),
           lit("guard").as("stage"),
           coalesce(col("ne"), lit(0L)).as("n_events"))
@@ -530,15 +585,33 @@ object RunSequence {
         .join(ev.select(col("srcId").as("psrc"), col("type")),
           col("srcId") === col("psrc"))
         .select(col("id"), col("fold"), col("type"))
-      def classAgg(src: DataFrame, keep: Column, stage: String): DataFrame =
-        folds.join(
-            src.crossJoin(folds).filter(keep).groupBy(col("f"))
-              .agg(sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
-                sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth")),
-            Seq("f"), "left")
-          .select(col("f").as("fold"), lit(stage).as("stage"),
-            coalesce(col("nsz"), lit(0L)).as("n_seizure"),
-            coalesce(col("noth"), lit(0L)).as("n_other"))
+      // r19 opt round: one per-fold class aggregate + one grand total
+      // per source frame (the skeletonFromEvW complement shape) instead
+      // of a crossJoin(folds) event-table blow-up per stage; train is
+      // exact long subtraction over the same real frame, fail-loud
+      // fold-range guaranteed by selectedEvents' caller contract
+      def classAgg(src: DataFrame, complement: Boolean, stage: String): DataFrame = {
+        val pf = src.groupBy(col("fold"))
+          .agg(sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
+            sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth"))
+        val tot = src.agg(
+          sum(when(col("type") === 1, 1L).otherwise(0L)).as("totSz"),
+          sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("totOth"))
+        val base = folds.join(pf, folds("f") === pf("fold"), "left")
+          .crossJoin(tot)
+          .select(col("f"),
+            coalesce(col("nsz"), lit(0L)).as("nsz"),
+            coalesce(col("noth"), lit(0L)).as("noth"),
+            coalesce(col("totSz"), lit(0L)).as("totSz"),
+            coalesce(col("totOth"), lit(0L)).as("totOth"))
+        if (complement)
+          base.select(col("f").as("fold"), lit(stage).as("stage"),
+            (col("totSz") - col("nsz")).as("n_seizure"),
+            (col("totOth") - col("noth")).as("n_other"))
+        else
+          base.select(col("f").as("fold"), lit(stage).as("stage"),
+            col("nsz").as("n_seizure"), col("noth").as("n_other"))
+      }
       val selected = ev.agg(
           sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
           sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth"))
@@ -546,9 +619,9 @@ object RunSequence {
           coalesce(col("nsz"), lit(0L)).as("n_seizure"),
           coalesce(col("noth"), lit(0L)).as("n_other"))
       selected
-        .unionByName(classAgg(ev, col("fold") =!= col("f"), "train"))
-        .unionByName(classAgg(planT, col("fold") =!= col("f"), "train_aug"))
-        .unionByName(classAgg(ev, col("fold") === col("f"), "test"))
+        .unionByName(classAgg(ev, complement = true, "train"))
+        .unionByName(classAgg(planT, complement = true, "train_aug"))
+        .unionByName(classAgg(ev, complement = false, "test"))
     } finally ev.unpersist(false)
   }
 

@@ -111,6 +111,10 @@ object OsdbFixture {
     ev(s, dir)
       .withColumn("d", explode(expr("sequence(0L, n_dp - 1)")))
       .filter(where)
+      // spread the NARROW pre-array rows to cluster width before the
+      // compute-amplifying tone generation — see [[dps]]'s repartition
+      // note (the same single-split-scan bottleneck)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("e"), col("k"), col("d"),
         toneUdf(col("k"), col("d"), lit(n)).as("rawData"))
 
@@ -167,6 +171,20 @@ object OsdbFixture {
       .withColumn("has_raw", (col("k") + col("d")) % 7 =!= 0)
       .withColumn("has_3d", col("k") % 4 =!= 1)
       .filter(where)
+      // The driver tables are each ONE small parquet file (events.parquet
+      // ~2 MB at sf0.1, a single row group), so every scan is a single
+      // task and everything up to the first exchange — including the
+      // 125/375-double array generation below and any per-row kernel a
+      // query stacks on it — ran on ONE core (r19 opt round; guide §2.5
+      // "input skew: one huge unsplittable file … repartition immediately
+      // after the read"). Repartition the NARROW rows (no arrays yet,
+      // ~150 B/row) to cluster width BEFORE the compute-amplifying array
+      // columns; the explicit partition count is user-pinned, so AQE
+      // does not coalesce it back to one. Scale shape: the shuffled
+      // bytes are the pre-explosion fixture rows — at any scale this is
+      // the standard narrow-table spread before a generator, not a
+      // payload shuffle.
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("rawData",
         if (arrays) when(col("has_raw"), magUdf(col("k"), col("d"), lit(rawLen)))
         else when(col("has_raw"), array(lit(1.0))))

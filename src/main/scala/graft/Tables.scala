@@ -44,6 +44,25 @@ object Tables {
         s"events.ts: unexpected physical type $other — extend Tables.normalizeTs")
     }
 
+  /** Spread a SMALL scan to cluster width — conditionally (r19 opt
+    * round; guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"). The driver tables are
+    * each ONE parquet file with one row group, so a scan is ONE task
+    * and every per-row kernel stacked on it (shingling, fingerprints,
+    * vector math, tokenization) ran single-threaded up to the query's
+    * first exchange. Scale-adaptive by construction: the repartition
+    * fires only when the scan yielded fewer partitions than
+    * defaultParallelism — a production many-split lake scan is
+    * untouched, so this can never become a payload shuffle at scale.
+    * Row-to-partition assignment stays deterministic under retries
+    * (Spark's sort-before-repartition, SPARK-23207); the whole oracle
+    * registry is partition-layout-invariant (the part7/split256k audit
+    * legs force exactly this class of change). */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
@@ -52,6 +71,14 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  // NOT spread here (measured, r19): a blanket spread on the corpus
+  // tables consistently SLOWED the multi-pass consumers (ivfKnn's
+  // quantizer/assignment passes, lm1's count passes re-execute the
+  // scan, so each pass paid the added exchange: e4 ×1.58, e5 ×1.70,
+  // lm1 ×1.60) while helping single-pass kernels. spread() is applied
+  // surgically inside the single-pass fingerprinting operators instead
+  // (Dedup.duplicateSpanRemoval / minHashCandidates / simHashCandidates
+  // — d7 ×0.50, d3 ×0.66 measured).
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }

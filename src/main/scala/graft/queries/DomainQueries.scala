@@ -706,6 +706,9 @@ object DomainQueries {
       .withColumn("b",
         when(col("k") % 4 === 0, 16).when(col("k") % 4 === 1, 12)
           .when(col("k") % 4 === 2, 30).otherwise(2))
+      // narrow-row spread before the 125-cos tone generation below —
+      // the OsdbFixture.dps repartition note (single-split scan)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("e").cast("string").as("eventId"),
         (lit(OsdbFixture.TsBase) + col("k") * 3600 + col("d") * 5).as("tsSec"),

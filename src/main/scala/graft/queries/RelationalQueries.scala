@@ -721,7 +721,10 @@ object RelationalQueries {
     * scale. */
   def a17ExactCorr(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity"); val y = col("l_extendedprice")
-    val g = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+    // five DECIMAL product-sums per row are the registry's heaviest
+    // partial aggregation — spread the few-split scan so the map-side
+    // partials parallelize (no-op on a many-split lake scan; r19)
+    val g = Tables.spread(Tables.lineitem(s, d)).groupBy("l_returnflag").agg(
       count(lit(1)).cast("double").as("n"),
       dsum(x).as("sx"), dsum(y).as("sy"),
       dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))

@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's stdout JSON line. sbt's default forked
+// output strategy routes the child's stdout through the logger, which
+// prefixes every line with "[info] " and broke the driver's JSON parse
+// in rounds 18-19 (BENCH_r*.json parsed: null). StdoutOutput hands the
+// forked JVM the real stdout/stderr; showSuccess drops the "[success]
+// Total time" trailer sbt would otherwise print AFTER our final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint so the bench stdout stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -122,7 +122,7 @@ object Bench {
     // contract's single stdout JSON line stays alone): regressions are
     // visible at generation time instead of surfacing in the verdict.
     reportDeltas(results)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Per-rep times ride inside the artifact itself (one array per query,
     // sweep order) so a stall is self-evident from the rep spread in
@@ -131,25 +131,33 @@ object Bench {
       s"\"" + k + "\":[" + repsByName(k).map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    // The declared driver-contract line: metric/value/unit/queries/sf.
+    // Per-rep arrays moved OUT of this line and into the BENCH_FULL file
+    // (r20): with 206 queries the reps tripled the line past 11 KB and
+    // guaranteed it fell off the driver artifact's ~2 KB stdout tail.
+    val fullLine = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
-    // The driver's artifact keeps only a ~2 KB stdout tail, so the full
-    // per-query map above is truncated in BENCH_r*.json past ~40 queries
-    // (r13 verdict "What's wrong" #3). Persist the complete map to a
-    // stable repo file so round-over-round per-query regression auditing
-    // never depends on the tail capture. Best-effort: bench numbers are
-    // the contract, the file is a convenience.
-    try {
+    // Per-cpus artifact (r19 verdict #3: the 8-core scaling sweep used to
+    // clobber BENCH_FULL.json, destroying the 32-core per-query record).
+    // Carries the per-rep arrays so a stall is self-evident from the rep
+    // spread without the stderr capture the driver drops. Best-effort:
+    // the stdout line is the contract, files are a convenience.
+    val fullWithReps = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"reps":$reps,"sf":"$sfDir","cpus":$cpus}"""
+    def writeQuiet(path: String, text: String): Unit = try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+        java.nio.file.Paths.get(path), (text + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // Tail-proofing: the driver keeps only ~2 KB of stdout tail, and the
-    // full line above crossed 11 KB in round 7 — its head (total,
-    // n_queries, the a*-m* half of the registry) fell off the artifact
-    // of record. A SECOND compact line printed LAST always survives the
-    // tail: headline total, failure count, top-10 slowest, and
-    // per-family (leading alpha prefix) second sums.
+    writeQuiet(s"BENCH_FULL_c$cpus.json", fullWithReps)
+    // Fixed-name summary the driver (or anyone) can read without
+    // tail-parsing sbt stdout (r19 verdict #2c).
+    writeQuiet("bench_summary.json", fullLine)
+    // Tail-proofing: the driver keeps only ~2 KB of stdout tail and the
+    // full line above is ~5-6 KB at 206 queries. A SECOND compact line
+    // (<1.5 KB) printed as the VERY LAST stdout act always survives the
+    // tail: headline total, failure count, top-10 slowest, per-family
+    // (leading alpha prefix) second sums. build.sbt's StdoutOutput +
+    // showSuccess=false keep sbt from prefixing "[info] " or appending
+    // "[success]" after it.
     val ok = results.filter(_._2 >= 0)
     val nFailed = results.size - ok.size
     val top10 = ok.sortBy(-_._2).take(10)
@@ -158,7 +166,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, xs) => s"\"" + f + "\":" + f"${xs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"top10":$top10,"families":$fams,"sf":"$sfDir","note":"compact tail line; full per-query map precedes. Action is queryExecution.toRdd.count (round 9): earlier rounds' DataFrame.count let Catalyst join-eliminate/prune benched work, so r9+ values are higher-but-honest vs r8 and earlier (see SCALING.md methodology corrections)"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"top10":$top10,"families":$fams,"sf":"$sfDir","note":"compact tail line; full per-query map precedes and is mirrored in bench_summary.json. Timed action: queryExecution.toRdd.count (r9+, honest vs join-eliminating DataFrame.count; see SCALING.md)"}""")
     spark.stop()
   }
 

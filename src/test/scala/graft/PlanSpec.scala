@@ -68,29 +68,52 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
   }
 
-  test("per-event domain ops are one grouping shuffle (W8 buffer)") {
-    // dp2vectors = groupByKey(eventId).flatMapGroups: the fixture
-    // generation is map-side, so the whole operator is exactly one
-    // hash-partitioning exchange on the event key.
-    val p = plan(DomainQueries.w8NnBuffer(spark, sf))
-    val n = "Exchange".r.findAllIn(p).size
-    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
+  /** Counts of (hash, roundrobin) exchanges plus a position pin for the
+    * r19 fixture spread: the ONE allowed RoundRobinPartitioning exchange
+    * is OsdbFixture's narrow-row repartition and must sit BELOW any
+    * grouping exchange (deeper in the tree = later in the plan string),
+    * i.e. it shuffles the ~150 B pre-array fixture rows, never a
+    * post-grouping / post-array payload. */
+  private def exchangeShape(p: String): (Int, Int) = {
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    val total = "Exchange".r.findAllIn(p).size
+    assert(total == hash + rr,
+      s"unexpected Exchange kind (not hash/roundrobin) in:\n${p.take(3000)}")
+    if (hash > 0 && rr > 0)
+      assert(p.indexOf("Exchange hashpartitioning") <
+             p.indexOf("Exchange RoundRobinPartitioning"),
+        s"fixture spread exchange is ABOVE the grouping exchange — " +
+          s"it would shuffle the grouped payload:\n${p.take(3000)}")
+    (hash, rr)
   }
 
-  test("band-power over tone datapoints is shuffle-free: scan -> generate -> project (P4)") {
-    // the per-datapoint DFT is embarrassingly parallel — any Exchange
-    // here would mean the fixture or the kernel accidentally grouped
+  test("per-event domain ops are one grouping shuffle (W8 buffer)") {
+    // dp2vectors = groupByKey(eventId).flatMapGroups: one hash exchange
+    // on the event key, plus the fixture's narrow-row round-robin spread
+    // below it (r19: every driver table is a single-split parquet file).
+    val p = plan(DomainQueries.w8NnBuffer(spark, sf))
+    assert(exchangeShape(p) == ((1, 1)),
+      s"expected 1 hash + 1 roundrobin Exchange, got ${exchangeShape(p)}:\n${p.take(3000)}")
+  }
+
+  test("band-power over tone datapoints has no grouping shuffle (P4)") {
+    // the per-datapoint DFT is embarrassingly parallel — a hash Exchange
+    // here would mean the fixture or the kernel accidentally grouped.
+    // The single round-robin exchange is the fixture's narrow-row spread
+    // before the compute-amplifying tone generation (r19).
     val p = plan(SpectralQueries.p4BandPower(spark, sf))
-    val n = "Exchange".r.findAllIn(p).size
-    assert(n == 0, s"expected no Exchange, found $n:\n${p.take(3000)}")
+    assert(exchangeShape(p) == ((0, 1)),
+      s"expected 0 hash + 1 roundrobin Exchange, got ${exchangeShape(p)}:\n${p.take(3000)}")
   }
 
   test("epoch feature extraction is one grouping shuffle (P12/W5)") {
     // groupByKey(eventId).flatMapGroups over map-side fixture generation:
-    // exactly one hash exchange on the event key, like the W8 buffer
+    // exactly one hash exchange on the event key (like the W8 buffer) +
+    // the fixture's narrow-row round-robin spread below it (r19).
     val p = plan(SpectralQueries.p12EpochFeatures(spark, sf))
-    val n = "Exchange".r.findAllIn(p).size
-    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n${p.take(3000)}")
+    assert(exchangeShape(p) == ((1, 1)),
+      s"expected 1 hash + 1 roundrobin Exchange, got ${exchangeShape(p)}:\n${p.take(3000)}")
   }
 
   test("saltedJoin shuffles on (key, __salt): hot keys spread across partitions (SK1)") {

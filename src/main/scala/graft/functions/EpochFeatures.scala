@@ -226,8 +226,13 @@ object EpochFeatures {
     names.map { nm =>
       val i = FeatureKeyOrder.indexOf(nm)
       require(i >= 0, s"unknown epoch feature '$nm'")
-      when(try_element_at(ks, lit(i + 1)) === nm,
-        try_element_at(vs, lit(i + 1)))
+      // the value-null check restores the replaced per-name projection's
+      // loudness on a present key with a NULL value (r19 ADVICE) —
+      // unreachable from the kernel's non-nullable Double map encoder,
+      // but this method is public and accepts an arbitrary mapCol; one
+      // codegen null check per read, not a second map probe
+      val v = try_element_at(vs, lit(i + 1))
+      when(try_element_at(ks, lit(i + 1)) === nm && v.isNotNull, v)
         .otherwise(raise_error(lit(s"epoch features missing '$nm'")))
         .as(nm)
     }

@@ -118,7 +118,16 @@ object RunSequence {
     * is silently computed on wrong splits. An empty selection passes
     * (downstream paths fail loudly on their own terms). */
   private def requireFoldRange(ev: DataFrame, k: Int): Unit = {
-    val b = ev.agg(min("fold"), max("fold")).head()
+    // NULL folds checked explicitly (r19 ADVICE): min/max IGNORE nulls,
+    // but the complement algebra (train = total − own fold) silently
+    // counts null-fold rows into every train slice where the old
+    // crossJoin(folds) form dropped them — a nullable foldOf must fail
+    // loudly here, not shift metrics. Same single agg on the same frame.
+    val b = ev.agg(min("fold"), max("fold"),
+      sum(when(col("fold").isNull, 1L).otherwise(0L))).head()
+    require(b.isNullAt(2) || b.getLong(2) == 0L,
+      s"foldOf evaluated to NULL on ${if (b.isNullAt(2)) 0 else b.getLong(2)} rows " +
+        "— every fold value must land in 0..k-1")
     if (!b.isNullAt(0))
       require(b.getLong(0) >= 0 && b.getLong(1) < k,
         s"foldOf out of range 0..${k - 1}: saw [${b.getLong(0)}, ${b.getLong(1)}]")
@@ -261,6 +270,22 @@ object RunSequence {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
       case _ => df.unpersist(false)
+    }
+
+  /** Eager materialization for the sweep's memoized frames. Local mode
+    * takes `localCheckpoint(eager)` — the flat LogicalRDD plan that cut
+    * ml9's plan-time 4× (r19). On a REAL cluster localCheckpoint blocks
+    * have NO lineage: one executor loss mid-sweep fails the whole job
+    * instead of recomputing (r19 verdict #4), so a non-local master
+    * falls back to an eager persist — recomputable, plan kept, released
+    * by the same [[releaseLocalCheckpoint]] (its non-LogicalRDD branch
+    * is a plain unpersist). */
+  private def eagerMat(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(true)
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
     }
 
   /** [[skeleton]]'s aggregate half over an ALREADY-BUILT history-epoch
@@ -425,8 +450,10 @@ object RunSequence {
     // because the sweep COLLECTS its summary before returning, so no
     // escaping plan references the checkpointed blocks; the finally
     // releases them via [[releaseLocalCheckpoint]]. Storage class is
-    // the same executor MEMORY_AND_DISK as the old persists.
-    val ev = selectedEvents(events, select, foldOf).localCheckpoint(true)
+    // the same executor MEMORY_AND_DISK as the old persists. On a
+    // non-local master [[eagerMat]] swaps in an eager persist (r20:
+    // lineage-free checkpoint blocks cannot survive executor loss).
+    val ev = eagerMat(selectedEvents(events, select, foldOf))
     requireFoldRange(ev, base.k)
     val flatCache =
       scala.collection.mutable.LinkedHashMap.empty[FeatureExtract.Config, DataFrame]
@@ -440,11 +467,11 @@ object RunSequence {
     try {
       def flatFor(ec: FeatureExtract.Config): DataFrame =
         flatCache.getOrElseUpdate(ec,
-          flatEpochs(ev, dps, ec).localCheckpoint(true))
+          eagerMat(flatEpochs(ev, dps, ec)))
       def evWFor(cfg: Config): DataFrame =
         evWCache.getOrElseUpdate((cfg.extract, cfg.historyN),
-          evWFrame(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
-            EpochFeatures.FeatureNames, cfg.historyN)).localCheckpoint(true))
+          eagerMat(evWFrame(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
+            EpochFeatures.FeatureNames, cfg.historyN))))
       def runOne(param: String, value: Long, cfg: Config): DataFrame =
         skeletonFromEvW(ev, evWFor(cfg), cfg)
           .select(lit(param).as("param"), lit(value).as("value"),
@@ -580,6 +607,10 @@ object RunSequence {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
     try {
+      // fail-loud fold-range/null guard on the persisted frame (r19
+      // ADVICE): classAgg's complement subtraction below depends on it,
+      // and selectedEvents performs no validation of its own
+      requireFoldRange(ev, cfg.k)
       val folds = spark.range(cfg.k).select(col("id").as("f"))
       val planT = augmentPlan(ev, cfg)
         .join(ev.select(col("srcId").as("psrc"), col("type")),
@@ -589,7 +620,7 @@ object RunSequence {
       // per source frame (the skeletonFromEvW complement shape) instead
       // of a crossJoin(folds) event-table blow-up per stage; train is
       // exact long subtraction over the same real frame, fail-loud
-      // fold-range guaranteed by selectedEvents' caller contract
+      // fold-range/null enforced by the requireFoldRange above
       def classAgg(src: DataFrame, complement: Boolean, stage: String): DataFrame = {
         val pf = src.groupBy(col("fold"))
           .agg(sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),

@@ -344,8 +344,19 @@ object Dedup {
                         minJaccard: Double = 0.0,
                         maxDf: Int = 20): DataFrame = {
     val ngramsUdf = udf((text: String) => shingleSet(text, n))
-    val sh = docs.select(col(idCol).as("id"), blockCol.as("block"),
-        explode(ngramsUdf(col(textCol))).as("shingle"))
+    // spread the NARROW pre-explode rows (r20; the r19 fixture-spread
+    // pattern): the shingle UDF + explode over a few-split docs scan ran
+    // as one task — repartition the (id, block, text) rows to cluster
+    // width first so the kernel runs cluster-wide. NOT materialized
+    // (measured both ways): the downstream multi-references share one
+    // executed plan where ReusedExchange dedupes the exchange, and
+    // eagerly serializing the exploded frame measured 1.6-2.5× SLOWER
+    // (it is explosion-sized; the spread ships pre-explosion bytes).
+    val sh = graft.Tables.spread(
+        docs.select(col(idCol).as("id"), blockCol.as("block"),
+          col(textCol).as("t")))
+      .select(col("id"), col("block"),
+        explode(ngramsUdf(col("t"))).as("shingle"))
     val rare = sh.groupBy("block", "shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -55,16 +55,24 @@ object KMeans {
     // ONLY 0 is the derive sentinel — a negative k is a caller bug and
     // must stay loud, not silently cluster with a derived k.
     require(k >= 0, s"k must be >= 1, or 0 to derive ceil(sqrt(N)); got $k")
-    val kk = if (k >= 1) k else Similarity.sqrtKnob(vectors.count())
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(quantScale > 0 && (quantScale & (quantScale - 1)) == 0,
       s"quantScale must be a positive power of two (exact double " +
         s"multiply), got $quantScale")
 
-    val q = vectors.select(col(idCol),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * quantScale + lit(0.5d)).cast("long"))
-        .as("q"))
+    // Materialize the quantized projection ONCE up front (r20 — the
+    // caching decision the docblock above assigned to the caller, now
+    // taken here where every consumer needs it): the seed TakeOrdered,
+    // each iteration's update aggregate and the final assignment pass
+    // all re-executed the corpus scan + quantization.
+    val q = graft.Tables.materialize(
+      vectors.select(col(idCol),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * quantScale + lit(0.5d)).cast("long"))
+          .as("q")))
+    // derived-k count reads the materialized blocks (same N: the
+    // projection never filters)
+    val kk = if (k >= 1) k else Similarity.sqrtKnob(q.count())
 
     // Seeds: the k lowest-id vectors (TakeOrdered — k rows to the
     // driver, never a full sort).

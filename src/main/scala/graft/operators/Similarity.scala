@@ -67,7 +67,15 @@ object Similarity {
     import spark.implicits._
     def typed(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v")).as[(Long, Array[Double])]
-    val base = typed(vectors)
+    // spread the QUERY side (r20; guide §2.5 — the r19 narrow-spread
+    // pattern): the corpus is broadcast, so the whole O(N·|corpus|)
+    // scoring loop runs in the query side's tasks — which was ONE task
+    // on the single-split driver table. Narrow rows (id + vector), one
+    // pass, compute-amplifying kernel: exactly the class the fixture
+    // spread measured ×3-5 on.
+    val base = graft.Tables.spread(
+      vectors.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))).as[(Long, Array[Double])]
     val selfMode = corpus.isEmpty
     val corpusRows = typed(corpus.getOrElse(vectors)).take(maxCorpusRows + 1)
     require(corpusRows.length <= maxCorpusRows,
@@ -427,11 +435,17 @@ object Similarity {
       s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
     require(nprobe >= 0,
       s"nprobe must be >= 1, or 0 to derive max(4, ceil(sqrt(nlist))); got $nprobe")
+    // Materialize the normed corpus ONCE (r20 / guide §5): the knob
+    // count, the quantizer sample, the assignment pass and the probe
+    // pass each re-executed the corpus scan — four single-split scans,
+    // each running the per-row kernel on one core. `base.count()` below
+    // is the same N as `vectors.count()` (normed never filters).
+    val base = graft.Tables.materialize(normed(vectors, idCol, vecCol))
     val nl =
       if (nlist > 0) {
         if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
         nlist
-      } else math.min(sqrtKnob(vectors.count()), sampleSize)
+      } else math.min(sqrtKnob(base.count()), sampleSize)
     // nprobe = 0 on the DERIVED-nlist path grows max(4, ceil(√nlist)) —
     // the round-11 MEASURED correction: with nlist ∝ √N and a FIXED
     // nprobe the probed fraction shrinks as 1/√N and recall decays
@@ -448,7 +462,6 @@ object Similarity {
       else if (nlist > 0) 4
       else math.max(4, sqrtKnob(nl.toLong)), nl)
     val spark = vectors.sparkSession
-    val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfKnn")
     val centroids = sphericalLloyd(sample, nl, dim, iters)
 
@@ -520,21 +533,24 @@ object Similarity {
       s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
     require(nprobe >= 0,
       s"nprobe must be >= 1, or 0 to derive max(4, ceil(sqrt(nlist))); got $nprobe")
+    // Materialize the labelled normed corpus ONCE (r20 / guide §5) —
+    // same four-single-split-scans pathology as [[ivfKnn]]; the count
+    // below equals vectors.count() (the projection never filters).
+    val base = graft.Tables.materialize(vectors
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v")))))
     val nl =
       if (nlist > 0) {
         if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
         nlist
-      } else math.min(sqrtKnob(vectors.count()), sampleSize)
+      } else math.min(sqrtKnob(base.count()), sampleSize)
     val np = math.min(
       if (nprobe > 0) nprobe
       else if (nlist > 0) 4
       else math.max(4, sqrtKnob(nl.toLong)), nl)
     val spark = vectors.sparkSession
-    val base = vectors
-      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm",
-        sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v"))))
     val sample = unitSample(base, sampleSize, "hardNegativesAnn")
     val centroids = sphericalLloyd(sample, nl, dim, iters)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -603,13 +619,17 @@ object Similarity {
       listShards: Int = 8,
       anchorPred: Column = lit(true)): DataFrame = {
     val spark = vectors.sparkSession
-    val base = vectors
+    // materialize, not persist/unpersist-in-finally (r20): the old
+    // unpersist fired BEFORE the lazily-returned lists/queries passes
+    // executed, so both exec-time passes recomputed the corpus from the
+    // raw single-split scan anyway; materialize pays scan+kernel once
+    // and the blocks outlive the returned plan (ContextCleaner-released)
+    val base = graft.Tables.materialize(vectors
       .select(col(idCol).as("id"), col(labelCol).cast("string").as("lbl"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm",
-        sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+        sqrt(graft.plans.GraftExpressions.arrayDot(col("v"), col("v")))))
+    locally {
       val counts = base.groupBy("lbl").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap // |L| rows
       require(counts.size >= 2,
@@ -684,7 +704,7 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("id").as("vec_id"), col("rank"),
           col("nid").as("neighbor_id"), col("score"))
-    } finally base.unpersist(false)
+    }
   }
 
   /** IVF-PQ ANN (the FAISS IVFADC shape) — the COMPRESSION layer on top
@@ -730,11 +750,15 @@ object Similarity {
       s"nlist must be >= 1, or 0 to derive ceil(sqrt(N)); got $nlist")
     require(nprobe >= 0,
       s"nprobe must be >= 1, or 0 to derive max(4, ceil(sqrt(nlist))); got $nprobe")
+    // Materialize the normed corpus ONCE (r20 / guide §5) — the knob
+    // count, quantizer sample, encode/assign and probe passes each
+    // re-executed the single-split corpus scan (see [[ivfKnn]]).
+    val base = graft.Tables.materialize(normed(vectors, idCol, vecCol))
     val nl =
       if (nlist > 0) {
         if (nprobe > 0) require(nprobe <= nlist, "nprobe cannot exceed nlist")
         nlist
-      } else math.min(sqrtKnob(vectors.count()), sampleSize)
+      } else math.min(sqrtKnob(base.count()), sampleSize)
     val np = math.min(
       if (nprobe > 0) nprobe
       else if (nlist > 0) 4
@@ -742,7 +766,6 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val spark = vectors.sparkSession
-    val base = normed(vectors, idCol, vecCol)
     val sample = unitSample(base, sampleSize, "ivfPqKnn")
     val coarse = sphericalLloyd(sample, nl, dim, iters)
     // zero-pad ragged sample vectors to dim before slicing: copyOfRange
@@ -870,7 +893,9 @@ object Similarity {
     val short = ivfPqKnn(vectors, idCol, vecCol, dim, kShortlist, nlist,
         nprobe, m, ksub, pqIters, sampleSize, iters, listShards)
       .select(col("vec_id"), col("neighbor_id"))
-    val nv = normed(vectors, idCol, vecCol)
+    // the refine stage's two raw-vector joins re-scanned the corpus
+    // twice more on top of ivfPqKnn's passes — materialize once (r20)
+    val nv = graft.Tables.materialize(normed(vectors, idCol, vecCol))
     val q = nv.select(col("id").as("vec_id"), col("v").as("qv"),
       col("nrm").as("qn"))
     val c = nv.select(col("id").as("neighbor_id"), col("v").as("cv"),

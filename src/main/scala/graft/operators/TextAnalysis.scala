@@ -177,7 +177,12 @@ object TextAnalysis {
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
                      caches: Option[scala.collection.mutable.Buffer[DataFrame]] =
                        None): DataFrame = {
-    val docsT = docs.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+    // Materialize the tokenized corpus ONCE (r20 / guide §5): the model
+    // aggregation, the scoring join's bigram re-explode and the vocab
+    // count each re-ran tokens() over the raw corpus scan — three
+    // single-split tokenization passes for one declared query.
+    val docsT = graft.Tables.materialize(
+      docs.select(col(idCol), tokens(lower(col(textCol))).as("t")))
     val bigrams = docsT
       .filter(size(col("t")) >= 2)
       .select(col(idCol), explode(expr(

@@ -79,6 +79,41 @@ object StreamQueries {
   /** The bounded feed slice (the oracle SQL applies the same predicate). */
   private val feedSlice = col("user_id") % 4 === 0
 
+  /** Run `body` (a stream start + drain) with a SCALE-ADAPTIVE shuffle
+    * partition count derived from the feed's actual on-disk bytes (r20;
+    * guide §2 — partitioning derived from input size, not a constant
+    * tuned for either local mode or the cluster; AQE cannot coalesce
+    * stateful streaming exchanges, so the derivation substitutes for
+    * it). A stateful micro-batch runs `spark.sql.shuffle.partitions`
+    * state-store tasks PER BATCH — each one a store open + commit — so
+    * the session's batch-tuned constant (32 locally) made every 4-batch
+    * drain pay ~128 state commits over a sub-MB feed (StProfile:
+    * addBatch dominated the drain), while at 100 TB the same constant
+    * would be orders of magnitude too LOW. The derivation is the batch
+    * side's own "what is a partition worth" knob: ceil(feedBytes /
+    * advisoryPartitionSizeInBytes). `spark.graft.streaming
+    * .statePartitions` overrides for deployments that size state
+    * explicitly (state partitions are latched into the checkpoint at
+    * first start, so production restarts keep whatever they began
+    * with regardless of this conf). Results are partition-count
+    * independent — same windows, same state transitions, same rows. */
+  private def withFeedSizedShuffle[T](s: SparkSession,
+      srcDir: java.io.File)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val parts = s.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toLong).getOrElse {
+        val bytes = Option(srcDir.listFiles())
+          .map(_.map(_.length()).sum).getOrElse(0L)
+        val advisory = org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(s.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+        math.max(1L, (bytes + advisory - 1) / advisory)
+      }
+    val prev = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Write `df` as ONE NDJSON file at `srcDir/name.json` with the given
     * mtime — the file-source batching harness shared by st3/st4 (the
     * file source processes files oldest-mtime-first, one per
@@ -129,17 +164,26 @@ object StreamQueries {
       s"${tag}_${runId.incrementAndGet()}")
     val srcDir = new java.io.File(base, "src")
     srcDir.mkdirs()
-    val mm = slice.agg(min("ts_us"), max("ts_us")).collect()(0)
-    // empty slice (degenerate fixture): min/max are null — fall back to
-    // epoch 0 so the drain still runs (empty chunks + sentinels) and
-    // returns an empty result instead of NPE-ing, the old MemoryStream
-    // drain's tolerance
-    val (lo, hi) =
-      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
-    val mid = lo + (hi - lo) / 2
+    // ONE materialization of the slice for the whole feed prep (r20):
+    // the min/max agg and the two chunk writes each re-ran the
+    // events-scan + filter lineage — three jobs, three scans. Persist
+    // the narrow slice, let the agg populate it, write both chunks from
+    // cache, release before the drain starts.
+    val sliceP = slice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t0 = System.currentTimeMillis() - 3600 * 1000L
-    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") <= mid), "a", t0)
-    writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") > mid), "b", t0 + 10000)
+    val (lo, hi) = try {
+      val mm = sliceP.agg(min("ts_us"), max("ts_us")).collect()(0)
+      // empty slice (degenerate fixture): min/max are null — fall back to
+      // epoch 0 so the drain still runs (empty chunks + sentinels) and
+      // returns an empty result instead of NPE-ing, the old MemoryStream
+      // drain's tolerance
+      val b @ (blo, bhi) =
+        if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+      val mid = blo + (bhi - blo) / 2
+      writeNdjsonChunk(base, srcDir, sliceP.filter(col("ts_us") <= mid), "a", t0)
+      writeNdjsonChunk(base, srcDir, sliceP.filter(col("ts_us") > mid), "b", t0 + 10000)
+      b
+    } finally sliceP.unpersist(false)
     def writeSentinel(name: String, us: Long, mtime: Long): Unit = {
       val f = new java.io.File(srcDir, s"$name.json")
       java.nio.file.Files.write(f.toPath, sentinelJson(us).getBytes("UTF-8"))
@@ -154,10 +198,12 @@ object StreamQueries {
       .select(timestamp_micros(col("ts_us")).as("ts") +:
         payload.map(f => col(f.name)): _*)
     val name = s"graft_stream_out_${runId.incrementAndGet()}"
-    val q = agg(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withFeedSizedShuffle(s, srcDir) {
+      val q = agg(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // s.table resolves the view eagerly, so the returned DataFrame keeps
     // its reference to the memory sink's rows after the catalog entry is
     // gone — dropping here stops each bench rep leaking a result table
@@ -335,9 +381,13 @@ object StreamQueries {
       s"st4_${runId.incrementAndGet()}")
     val srcDir = new java.io.File(base, "src")
     srcDir.mkdirs()
+    // one materialization for both chunk writes (r20, the fileFeedDrain
+    // feed-prep shape): batch A and batch B otherwise each re-ran the
+    // documents scan + prefix concat
     val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"),
         concat(col("doc_id").cast("string"), lit(" "), col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tsMs = lit(1700000000000L) + (col("doc_id") % 1000) * 1000
     val batchA = docs.select(tsMs.as("ts_ms"), col("doc_id"), col("text"))
     val batchB = docs.filter(col("doc_id") % 28 === 0)
@@ -345,8 +395,10 @@ object StreamQueries {
         (col("doc_id") + 100000L).as("doc_id"),
         concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
     val t0 = System.currentTimeMillis() - 3600 * 1000L
-    writeNdjsonChunk(base, srcDir, batchA, "a", t0)
-    writeNdjsonChunk(base, srcDir, batchB, "b", t0 + 10000)
+    try {
+      writeNdjsonChunk(base, srcDir, batchA, "a", t0)
+      writeNdjsonChunk(base, srcDir, batchB, "b", t0 + 10000)
+    } finally docs.unpersist(false)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts_ms",
         org.apache.spark.sql.types.LongType),
@@ -362,9 +414,11 @@ object StreamQueries {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fingerprint")
     val name = s"graft_stream_out_${runId.incrementAndGet()}"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withFeedSizedShuffle(s, srcDir) {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val out = s.table(name)
     s.catalog.dropTempView(name)
     out.select(col("doc_id"), col("fingerprint"))
@@ -422,6 +476,10 @@ object StreamQueries {
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
     val slice = Tables.events(s, d).filter(feedSlice)
       .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      // one materialization for the agg + the two phase-split chunk
+      // writes (r20, the fileFeedDrain feed-prep shape); unpersisted
+      // after phase 2's chunk lands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = slice.agg(min("ts_us"), max("ts_us")).collect()(0)
     // empty slice (degenerate fixture): min/max are null — fall back to
     // epoch 0 so the drain still runs (empty chunks + sentinels) and
@@ -449,13 +507,19 @@ object StreamQueries {
         .option("checkpointLocation", ckpt)
         .outputMode("append").start()
     }
-    // phase 1: only the first half exists; consume it, then stop
+    // phase 1: only the first half exists; consume it, then stop.
+    // the feed-sized shuffle derivation runs per phase, but the state
+    // partition count is LATCHED into the checkpoint by phase 1 —
+    // phase 2 restores it from there (the production restart contract)
     writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") <= mid), "a", t0)
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
+    withFeedSizedShuffle(s, srcDir) {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+    }
     // phase 2: the rest lands while the stream is DOWN; a new query
     // resumes from the checkpoint and finishes the drain
     writeNdjsonChunk(base, srcDir, slice.filter(col("ts_us") > mid), "b", t0 + 10000)
+    slice.unpersist(false)
     def writeSentinel(name: String, us: Long, mtime: Long): Unit = {
       val f = new java.io.File(srcDir, s"$name.json")
       java.nio.file.Files.write(f.toPath,
@@ -464,8 +528,10 @@ object StreamQueries {
     }
     writeSentinel("c", hi + 86400L * 1000000L, t0 + 20000)
     writeSentinel("d", hi + 2 * 86400L * 1000000L, t0 + 30000)
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+    withFeedSizedShuffle(s, srcDir) {
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
     // the sink read honors _spark_metadata: exactly the committed files
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0)

@@ -437,6 +437,10 @@ object TextQueries {
   def d5DedupRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
+    // NOT materialized (r20, measured): truth/cands are referenced
+    // multiple times but all references live in ONE executed plan, where
+    // ReusedExchange already dedupes the expensive subtrees — an eager
+    // checkpoint here only added barriers (d5 1.99 -> 4.96 s A/B)
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1),
         n = 3, minJaccard = 0.5, maxDf = Int.MaxValue)
       .select("id_a", "id_b")
@@ -984,8 +988,13 @@ object TextQueries {
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
-    base.select(col("vec_id").as("nid"), col("label").as("nlabel"),
-        col("embedding").as("nv"))
+    // spread the STREAM side of the brute cross-label BNLJ (r20; the
+    // r19 narrow-spread pattern): the anchor set is broadcast, so the
+    // whole O(N·anchors) cosine loop runs in the stream side's tasks —
+    // one task on the single-split embeddings scan before this
+    graft.Tables.spread(
+      base.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("nv")))
       .join(broadcast(q), col("qlabel") =!= col("nlabel"))
       .select(col("qid"), col("nid"),
         graft.plans.GraftExpressions.cosine(col("qv"), col("nv")).as("score"))
@@ -1402,6 +1411,9 @@ object TextQueries {
     * actually ships. */
   def e5AnnRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // bf is referenced twice (hit join + n_bf denominator) but both
+    // references share one executed plan — ReusedExchange dedupes the
+    // scoring subtree, so no materialization (r20, measured)
     val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3)
       .select("vec_id", "neighbor_id")
     val lsh = Similarity.lshKnn(emb, "vec_id", "embedding",
@@ -1452,6 +1464,8 @@ object TextQueries {
     * label's cluster structure — the worst case for cluster routing),
     * not a bug; the probe knob is the dial. */
   def e13HardnegRecall(s: SparkSession, d: String): DataFrame = {
+    // truth referenced twice within one executed plan — ReusedExchange
+    // dedupes the e11 scoring subtree, no materialization (r20, measured)
     val truth = e11HardNegatives(s, d).select(
       col("qid").as("vec_id"), col("nid").as("neighbor_id"))
     val ann = Similarity.hardNegativesAnnPerLabel(
@@ -1502,6 +1516,8 @@ object TextQueries {
       .filter(col("vec_id") % 4 === 0 &&
         graft.plans.GraftExpressions.arrayDot(col("embedding"), col("embedding")) > 0)
       .select(col("vec_id"), col("embedding"))
+    // NOT materialized (r20, measured ×2 slower with eager checkpoints):
+    // all references live in one executed plan (ReusedExchange dedupes)
     val truth = v.as("a").crossJoin(v.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .filter(graft.plans.GraftExpressions.cosine(
@@ -1586,6 +1602,7 @@ object TextQueries {
     * the operators under test are the production paths. */
   def e7DesignRecall(s: SparkSession, d: String): DataFrame = {
     val emb = e7PlantedEmbeddings(s, d)
+    // no materialization — see e5AnnRecall (r20, ReusedExchange)
     val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3)
       .select("vec_id", "neighbor_id")
     val lsh = Similarity.lshKnn(emb, "vec_id", "embedding",
@@ -1627,6 +1644,7 @@ object TextQueries {
     * the design floor). */
   def e7bDerivedRecall(s: SparkSession, d: String): DataFrame = {
     val emb = e7PlantedEmbeddings(s, d)
+    // no materialization — see e5AnnRecall (r20, ReusedExchange)
     val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", k = 3)
       .select("vec_id", "neighbor_id")
     val ivf = Similarity.ivfKnn(emb, "vec_id", "embedding", dim = 64, k = 3)

@@ -385,17 +385,25 @@ class PlanSpec extends SparkSpec {
   test("e11 hard negatives: query set broadcasts, ONE pair shuffle, map-side top-k") {
     // the label-mismatch predicate is non-equi BY DESIGN — it must ride
     // a BroadcastNestedLoopJoin with the (small) query side as the
-    // build. The pinned shape: exactly ONE non-broadcast Exchange in
-    // the whole plan (the rank window's qid partitioning — the corpus
-    // reaches the join shuffle-free), and a WindowGroupLimit BELOW that
-    // exchange so the |corpus|x|queries| pair stream collapses to
-    // top-k-per-query on the map side before it moves.
+    // build. The pinned shape: exactly TWO non-broadcast Exchanges —
+    // the r20 narrow-row spread of the BNLJ's stream side (round robin,
+    // BELOW the join: pre-score bytes move, never the scored pairs) and
+    // the rank window's qid partitioning — plus a WindowGroupLimit
+    // BELOW the rank exchange so the |corpus|x|queries| pair stream
+    // collapses to top-k-per-query on the map side before it moves.
     val p = plan(graft.queries.TextQueries.e11HardNegatives(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), s"broadcast NL lost:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n${p.take(3000)}")
     val nEx = "Exchange".r.findAllIn(p).size -
       "BroadcastExchange".r.findAllIn(p).size
-    assert(nEx == 1, s"expected 1 non-broadcast Exchange, found $nEx:\n${p.take(3000)}")
+    assert(nEx == 2, s"expected 2 non-broadcast Exchanges, found $nEx:\n${p.take(3000)}")
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(rr == 1, s"expected 1 RoundRobin spread exchange, found $rr:\n${p.take(3000)}")
+    // the spread must sit below the join (stream side), not above it —
+    // a round robin ABOVE the BNLJ would shuffle scored pairs
+    assert(p.indexOf("Exchange RoundRobinPartitioning") >
+      p.indexOf("BroadcastNestedLoopJoin"),
+      s"spread exchange not on the BNLJ stream side:\n${p.take(3000)}")
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"map-side top-k (WindowGroupLimit below the exchange) lost:\n${p.take(3000)}")
   }

@@ -124,7 +124,16 @@ object LakeQueries {
   def lake3Compaction(s: SparkSession, d: String): DataFrame = {
     val src = qtmp(s, "lake3_src")
     val dst = qtmp(s, "lake3_dst")
-    graft.Tables.events(s, d).withColumn("category", col("event_type"))
+    // project EARLY (r20; guide §2/§6 — JobProfile attributed lake3's
+    // task time to bytes moved through three full-width passes:
+    // fabricate-write, compact read+rewrite, read-back): the declared
+    // result consumes only (category, user_id, event_id), so the
+    // fabricated sprawl carries exactly those — ts/value/props never
+    // enter the churn. Same 32-files-per-partition sprawl shape, same
+    // compaction job, same oracle-checked aggregates.
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("event_type").as("category"))
       .repartition(32)
       .write.mode("overwrite").partitionBy("category").parquet(src)
     graft.sources.LakeMaintenance.compact(s, src, dst, "category",

@@ -392,10 +392,18 @@ object ReportQueries {
   def rpt3IndexShards(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val outDir = qtmp(s, s"rpt3_${rpt3RunId.incrementAndGet()}")
-    val idx = graft.report.Summarise.indexSummary(
-        OsdbFixture.nested(s, d, arrays = false))
-      .select(col("category"), col("id"), col("userId"),
-        col("type").as("typeStr"), col("subType"), col("n_dp").as("nDp"))
+    // Materialize the index rows ONCE (r20; guide §5 — JobProfile: rpt3
+    // was 13 jobs whose task time was dominated by the UNPERSISTED idx
+    // lineage re-running the whole fixture derivation for shardAssign's
+    // range-SAMPLING job, the range exchange, and the offsets pass.
+    // writeReport persists idx at its call site; this direct entry
+    // never did). The materialized rows are tiny (one metadata row per
+    // event×category); every downstream pass reads blocks.
+    val idx = graft.Tables.materialize(
+        graft.report.Summarise.indexSummary(
+            OsdbFixture.nested(s, d, arrays = false))
+          .select(col("category"), col("id"), col("userId"),
+            col("type").as("typeStr"), col("subType"), col("n_dp").as("nDp")))
       .as[graft.report.Summarise.IdxRow]
     val (shards, _) =
       graft.report.Summarise.writeIndexShards(idx, outDir, pageSize = 7)

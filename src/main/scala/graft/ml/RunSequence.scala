@@ -476,6 +476,38 @@ object RunSequence {
         skeletonFromEvW(ev, evWFor(cfg), cfg)
           .select(lit(param).as("param"), lit(value).as("value"),
             col("fold"), col("stage"), col("n_events"), col("n_epochs"))
+      // Pre-materialize the memoized frames with INDEPENDENT jobs
+      // OVERLAPPED (r20; guide §2.6 — actions are only sequential
+      // because the driver calls them sequentially): the distinct
+      // (extract, historyN) history frames depend on their extraction
+      // frame but not on each other, yet the lazy cache built them one
+      // job wave at a time, leaving the cluster idle through each
+      // wave's task tail. Extraction frames first (every evW's
+      // dependency, usually one), then all history frames from a small
+      // thread pool. Determinism: cache insertion stays in the runs'
+      // combo order, each frame's content is the same single
+      // materialization as before, and the run loop below only READS
+      // the caches. Same idle-tail win on a real cluster (§2.6's
+      // back-fill), not a local-mode trick.
+      val sweepCfgs = base +: sweeps.flatMap { case (p, vs) =>
+        vs.map(v => withKnob(base, p, v))
+      }
+      sweepCfgs.map(_.extract).distinct.foreach(flatFor)
+      val combos = sweepCfgs.map(c => (c.extract, c.historyN)).distinct
+      if (combos.size > 1) {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(combos.size, 3))
+        try {
+          val futs = combos.map { case (ec, h) =>
+            val flat = flatCache(ec) // read on the driver thread
+            ((ec, h), pool.submit(new java.util.concurrent.Callable[DataFrame] {
+              def call(): DataFrame = eagerMat(evWFrame(ev,
+                FeatureHistory.addHistory(flat, EpochFeatures.FeatureNames, h)))
+            }))
+          }
+          futs.foreach { case (k, fut) => evWCache.update(k, fut.get()) }
+        } finally pool.shutdown()
+      }
       val runs = runOne("baseline", -1L, base) +:
         sweeps.flatMap { case (p, vs) =>
           vs.map(v => runOne(p, v, withKnob(base, p, v)))

@@ -294,76 +294,136 @@ object RunSequence {
                                cfg: Config): DataFrame =
     skeletonFromEvW(ev, evWOf(ev, hist), cfg)
 
+  /** Per-fold (n_events, n_epochs) counts of one source frame plus the
+    * grand totals — the collected form of the skeleton's ONE per-fold
+    * aggregate per frame (r20). O(k) rows by construction (k ≤ folds),
+    * the documented gate-instrument collect class. */
+  private[graft] case class FoldCounts(ne: Map[Long, Long],
+                                       nep: Map[Long, Long],
+                                       totNe: Long, totNep: Long)
+
+  /** ONE groupBy(fold) aggregate over `src` (columns fold, nEp),
+    * collected — O(k) rows. With `validate` this ALSO enforces the
+    * requireFoldRange contract (no null folds, every fold in 0..k-1)
+    * off the same collected rows, so the skeleton pays no separate
+    * guard job: the guard that used to be its own eager `.head()` per
+    * skeleton is now a free read of the aggregate the slices need
+    * anyway. The totals are Σ over the per-fold longs — exactly the
+    * old separate grand-total aggregate (count(*) = Σ per-fold counts
+    * once zero null folds is enforced; long addition is associative
+    * and exact). */
+  private def foldCountsOf(src: DataFrame, k: Int,
+                           validate: Boolean): FoldCounts = {
+    val rows = src.groupBy(col("fold"))
+      .agg(count(lit(1)).as("ne"), sum("nEp").as("nep")).collect()
+    if (validate) {
+      val nullNe = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      require(nullNe == 0L,
+        s"foldOf evaluated to NULL on $nullNe rows " +
+          "— every fold value must land in 0..k-1")
+      val fs = rows.filterNot(_.isNullAt(0)).map(_.getLong(0))
+      if (fs.nonEmpty)
+        require(fs.min >= 0 && fs.max < k,
+          s"foldOf out of range 0..${k - 1}: saw [${fs.min}, ${fs.max}]")
+    }
+    val good = rows.filterNot(_.isNullAt(0))
+    def nepOf(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(2)) 0L else r.getLong(2)
+    FoldCounts(
+      good.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      good.map(r => r.getLong(0) -> nepOf(r)).toMap,
+      good.map(_.getLong(1)).sum,
+      good.map(nepOf).sum)
+  }
+
+  /** The skeleton's output schema — pinned so the driver-assembled
+    * frame matches the old aggregate plan's column names and types. */
+  private val skeletonSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fold",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("stage",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_events",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_epochs",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** The 3k+1 skeleton aggregations over the tiny persisted evW frame
     * — the seam [[paramSweep]] re-enters per swept config with its
-    * memoized extraction AND memoized evW. */
+    * memoized extraction AND memoized evW (and, r20, its memoized
+    * per-evW [[FoldCounts]] via `evCounts`).
+    *
+    * r20 opt round: the r19 form returned a 16-branch union plan of
+    * per-fold aggregates; the execution cost was not the data (the
+    * aggregates are O(k) rows over persisted frames) but the DRIVER —
+    * Catalyst analysis of the big union tree plus one serialized
+    * `.head()` guard job per skeleton (JobTimeline: ml9's wall was
+    * dominated by 0.6-0.7 s no-job planning gaps and ~150 ms-spaced
+    * tiny jobs). The three aggregates each skeleton actually needs
+    * (evW by fold, the augment plan by fold, the F14 overlap counts by
+    * test fold) are now collected as THREE O(k)-row results — submitted
+    * CONCURRENTLY (guide §2.6: independent jobs back-fill each other's
+    * task tails, on a cluster as locally) — and the slice rows are
+    * assembled on the driver with the IDENTICAL exact long arithmetic
+    * (train = total − own fold, zero rows for empty folds, guard
+    * zero-filled). Same counts off the same real distributed frames;
+    * only the k-row complement/zero-fill bookkeeping moved out of
+    * Catalyst. The fold-range guard rides the evW aggregate itself
+    * (see [[foldCountsOf]]) instead of a separate eager job. */
   private[graft] def skeletonFromEvW(ev: DataFrame, evW: DataFrame,
-                                     cfg: Config): DataFrame = {
-    // fold-range validation on the PERSISTED evW frame — the same
-    // fail-loud contract as the runWith paths at ~zero cost (the
-    // skeleton's own ev is lazy; validating it directly re-scanned the
-    // events table once per execution, +1.4 s on ml2 at sf0.1). It is
-    // also LOAD-BEARING for the complement algebra below: train(f) =
-    // total − fold f's own counts holds only when every row's fold is
-    // one of the k fold values.
-    requireFoldRange(evW, cfg.k)
+                                     cfg: Config): DataFrame =
+    skeletonFromEvW(ev, evW, cfg, None)
+
+  private[graft] def skeletonFromEvW(ev: DataFrame, evW: DataFrame,
+                                     cfg: Config,
+                                     evCounts: Option[FoldCounts]): DataFrame = {
     val spark = ev.sparkSession
     val plan = augmentPlan(ev, cfg)
     val planW = plan.join(
         evW.select(col("srcId").as("psrc"), col("nEp")),
         col("srcId") === col("psrc"))
       .select(col("id"), col("srcId"), col("fold"), col("nEp"))
-    val folds = spark.range(cfg.k).select(col("id").as("f"))
-
-    // r19 opt round: the old form built one crossJoin(folds) + filter +
-    // groupBy + left-join subtree PER STAGE (16 per skeleton; ml9's
-    // 4-run sweep collected 64 of them in one union, and that
-    // plan-time/stage-scheduling fixed cost — not data — was ~2/3 of
-    // ml9, measured identical at sf0.001 and sf0.1). Each source frame
-    // now gets ONE per-fold aggregate plus ONE grand total; the
-    // complement slice is exact long subtraction (Σ_{g≠f} x(g) =
-    // Σ_g x(g) − x(f) — every term a count/sum over the same real
-    // frame, guarded by requireFoldRange above). The folds left join
-    // keeps the explicit-zero-row discipline: a fold with no events
-    // still emits (fold, stage, 0, 0).
-    def perFold(src: DataFrame): DataFrame = {
-      val pf = src.groupBy(col("fold"))
-        .agg(count(lit(1)).as("ne"), sum("nEp").as("nep"))
-      val tot = src.agg(count(lit(1)).as("totNe"), sum("nEp").as("totNep"))
-      folds.join(pf, folds("f") === pf("fold"), "left").crossJoin(tot)
-        .select(col("f"),
-          coalesce(col("ne"), lit(0L)).as("ne"),
-          coalesce(col("nep"), lit(0L)).as("nep"),
-          col("totNe"), coalesce(col("totNep"), lit(0L)).as("totNep"))
-    }
-    def slices(src: DataFrame, trainStage: String, testStage: Option[String])
-        : Seq[DataFrame] = {
-      val a = perFold(src)
-      val train = a.select(col("f").as("fold"),
-        lit(trainStage).as("stage"),
-        (col("totNe") - col("ne")).as("n_events"),
-        (col("totNep") - col("nep")).as("n_epochs"))
-      train +: testStage.toSeq.map(st =>
-        a.select(col("f").as("fold"), lit(st).as("stage"),
-          col("ne").as("n_events"), col("nep").as("n_epochs")))
-    }
-    val Seq(train, test) = slices(evW, "train", Some("test"))
-    val Seq(trainAug) = slices(planW, "train_aug", None)
     // the F14 guard as data: a (plan id = test-slice event id) pair
     // leaks into fold f exactly when the test row's fold IS f and the
-    // plan row's fold is not — i.e. group the matched pairs with
-    // trFold ≠ teFold by teFold (same per-fold counts as the old
+    // plan row's fold is not — i.e. count the matched pairs with
+    // trFold ≠ teFold by teFold (same counts as the old
     // crossJoin(folds) filter, one exchange instead of k-fanout)
     val overlaps = planW.select(col("id"), col("fold").as("trFold"))
       .join(evW.select(col("srcId").as("tid"), col("fold").as("teFold")),
         col("id") === col("tid"))
       .filter(col("trFold") =!= col("teFold"))
       .groupBy(col("teFold")).agg(count(lit(1)).as("nOver"))
-    val guard = folds.join(overlaps, folds("f") === col("teFold"), "left")
-      .select(col("f").as("fold"), lit("guard").as("stage"),
-        coalesce(col("nOver"), lit(0L)).as("n_events"),
-        lit(0L).as("n_epochs"))
-    train.unionByName(trainAug).unionByName(test).unionByName(guard)
+    // three independent aggregate jobs, overlapped (§2.6). The
+    // fold-range validation (load-bearing for the complement algebra)
+    // is read off the evW aggregate; a violation still throws before
+    // any slice row is assembled.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val (evC, augC, over) = try {
+      def submit[T](f: => T) =
+        pool.submit(new java.util.concurrent.Callable[T] { def call(): T = f })
+      val fEv = submit(evCounts.getOrElse(
+        foldCountsOf(evW, cfg.k, validate = true)))
+      val fAug = submit(foldCountsOf(planW, cfg.k, validate = false))
+      val fOver = submit(overlaps.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      (fEv.get(), fAug.get(), fOver.get())
+    } finally pool.shutdown()
+    // driver-side assembly: identical exact long arithmetic as the old
+    // aggregate plan (train = Σ_g − own(f)), identical explicit-zero
+    // discipline (every fold 0..k-1 emits a row per stage), identical
+    // stage block order (train, train_aug, test, guard)
+    def g(m: Map[Long, Long], f: Long) = m.getOrElse(f, 0L)
+    val fs = 0L.until(cfg.k.toLong)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      fs.map(f => org.apache.spark.sql.Row(f, "train",
+        evC.totNe - g(evC.ne, f), evC.totNep - g(evC.nep, f))) ++
+      fs.map(f => org.apache.spark.sql.Row(f, "train_aug",
+        augC.totNe - g(augC.ne, f), augC.totNep - g(augC.nep, f))) ++
+      fs.map(f => org.apache.spark.sql.Row(f, "test",
+        g(evC.ne, f), g(evC.nep, f))) ++
+      fs.map(f => org.apache.spark.sql.Row(f, "guard", g(over, f), 0L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), skeletonSchema)
   }
 
   // ----------------------------------------------------- parameter sweep
@@ -472,8 +532,14 @@ object RunSequence {
         evWCache.getOrElseUpdate((cfg.extract, cfg.historyN),
           eagerMat(evWFrame(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
             EpochFeatures.FeatureNames, cfg.historyN))))
+      // per-distinct-evW FoldCounts memo (r20): runs sharing an evW
+      // frame share its collected per-fold aggregate (and its fold
+      // validation) exactly as they share the materialization
+      val evWCounts = scala.collection.mutable.LinkedHashMap
+        .empty[(FeatureExtract.Config, Int), FoldCounts]
       def runOne(param: String, value: Long, cfg: Config): DataFrame =
-        skeletonFromEvW(ev, evWFor(cfg), cfg)
+        skeletonFromEvW(ev, evWFor(cfg), cfg,
+          evWCounts.get((cfg.extract, cfg.historyN)))
           .select(lit(param).as("param"), lit(value).as("value"),
             col("fold"), col("stage"), col("n_events"), col("n_epochs"))
       // Pre-materialize the memoized frames with INDEPENDENT jobs
@@ -506,12 +572,40 @@ object RunSequence {
             }))
           }
           futs.foreach { case (k, fut) => evWCache.update(k, fut.get()) }
+          // collect each distinct evW's per-fold aggregate once, also
+          // overlapped — runs sharing the frame share the counts (and
+          // the fold-range validation they carry)
+          val cFuts = combos.map { case key @ (ec, h) =>
+            val w = evWCache(key)
+            (key, pool.submit(new java.util.concurrent.Callable[FoldCounts] {
+              def call(): FoldCounts = foldCountsOf(w, base.k, validate = true)
+            }))
+          }
+          cFuts.foreach { case (k, fut) => evWCounts.update(k, fut.get()) }
         } finally pool.shutdown()
+      } else combos.foreach { case key @ (ec, h) =>
+        evWCounts.update(key,
+          foldCountsOf(evWFor(sweepCfgs.head), base.k, validate = true))
       }
-      val runs = runOne("baseline", -1L, base) +:
+      // the runs' skeleton aggregates are independent of each other —
+      // overlap them too (§2.6); each runOne is 2-3 tiny O(k)-row
+      // collects over already-persisted frames. Results are assembled
+      // in the runs' declared order, so the output frame is unchanged.
+      val runSpecs = ("baseline", -1L, base) +:
         sweeps.flatMap { case (p, vs) =>
-          vs.map(v => runOne(p, v, withKnob(base, p, v)))
+          vs.map(v => (p, v, withKnob(base, p, v)))
         }
+      val runs = if (runSpecs.size > 1) {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(runSpecs.size, 4))
+        try {
+          runSpecs.map { case (p, v, cfg) =>
+            pool.submit(new java.util.concurrent.Callable[DataFrame] {
+              def call(): DataFrame = runOne(p, v, cfg)
+            })
+          }.map(_.get())
+        } finally pool.shutdown()
+      } else runSpecs.map { case (p, v, cfg) => runOne(p, v, cfg) }
       val out = runs.reduce(_.unionByName(_))
       val rows = out.collect().toSeq // the tiny summary, see docblock
       (spark.createDataFrame(
@@ -565,59 +659,73 @@ object RunSequence {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
     try {
-      val outer = spark.range(outerK).select(col("id").as("of"))
-      val inner = spark.range(innerK).select(col("id").as("inf"))
-      val pairs = outer.crossJoin(inner)
-      // r19 opt round: the old form crossJoined the FULL event frame by
-      // the fold grid per stage (×k² rows for the inner stages — a
-      // wasteful event-table blow-up at any scale). ONE per-(ofold,
-      // ifold) CELL aggregate over ev (≤ outerK·innerK rows) carries
-      // every count; the stage slices are sums over that tiny cell
-      // frame (the crossJoin now multiplies k² cells, not N events),
-      // exact long arithmetic, same numbers. Explicit-zero discipline
-      // via the pairs/outer left joins, unchanged.
+      // r19 opt round: ONE per-(ofold, ifold) CELL aggregate over ev
+      // (≤ outerK·innerK rows) carries every count instead of a
+      // crossJoin(folds) event-table blow-up per stage. r20: the stage
+      // slices over that tiny cell frame are assembled on the DRIVER —
+      // the r19 form still returned a 5-branch union of cell-frame
+      // crossJoins whose Catalyst analysis and AQE stage-jobs, not the
+      // data, dominated the query (the skeletonFromEvW finding). The
+      // two aggregates (cells, guard pairs) are collected CONCURRENTLY
+      // (§2.6) and the sums are the identical exact long arithmetic.
       val perCell = ev.groupBy(col("ofold"), col("ifold"))
         .agg(count(lit(1)).as("cnt"))
-      // inner stages: every (of, inf) pair always present (left join →
-      // explicit zeros, the ml2 zero-row discipline)
-      def innerAgg(keep: Column, stage: String): DataFrame =
-        pairs.join(
-            perCell.crossJoin(pairs)
-              .filter(col("ofold") =!= col("of") && keep)
-              .groupBy(col("of"), col("inf"))
-              .agg(sum(col("cnt")).as("ne")),
-            Seq("of", "inf"), "left")
-          .select(col("of").as("outer_fold"), col("inf").as("inner_fold"),
-            lit(stage).as("stage"),
-            coalesce(col("ne"), lit(0L)).as("n_events"))
-      def outerAgg(keep: Column, stage: String): DataFrame =
-        outer.join(
-            perCell.crossJoin(outer).filter(keep)
-              .groupBy(col("of")).agg(sum(col("cnt")).as("ne")),
-            Seq("of"), "left")
-          .select(col("of").as("outer_fold"), lit(-1L).as("inner_fold"),
-            lit(stage).as("stage"),
-            coalesce(col("ne"), lit(0L)).as("n_events"))
-      val innerTrain = innerAgg(col("ifold") =!= col("inf"), "inner_train")
-      val innerVal = innerAgg(col("ifold") === col("inf"), "inner_val")
-      val outerTrain = outerAgg(col("ofold") =!= col("of"), "outer_train")
-      val outerTest = outerAgg(col("ofold") === col("of"), "outer_test")
       // guard as data: ids in both slices of the same outer fold — a
       // row pair (a, b) with one srcId and a.ofold ≠ b.ofold lands in
       // exactly outer fold b.ofold's guard (test row b's fold IS of,
       // train row a's is not), so group the srcId self-join by b.ofold
       // instead of fanning the id lists out by the fold grid
-      val guard = outer.join(
-          ev.select(col("srcId"), col("ofold").as("aOf"))
-            .join(ev.select(col("srcId"), col("ofold").as("bOf")), "srcId")
-            .filter(col("aOf") =!= col("bOf"))
-            .groupBy(col("bOf")).agg(count(lit(1)).as("ne")),
-          col("of") === col("bOf"), "left")
-        .select(col("of").as("outer_fold"), lit(-1L).as("inner_fold"),
-          lit("guard").as("stage"),
-          coalesce(col("ne"), lit(0L)).as("n_events"))
-      innerTrain.unionByName(innerVal).unionByName(outerTrain)
-        .unionByName(outerTest).unionByName(guard)
+      val guardAgg = ev.select(col("srcId"), col("ofold").as("aOf"))
+        .join(ev.select(col("srcId"), col("ofold").as("bOf")), "srcId")
+        .filter(col("aOf") =!= col("bOf"))
+        .groupBy(col("bOf")).agg(count(lit(1)).as("ne"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (cells, guardMap) = try {
+        def submit[T](f: => T) =
+          pool.submit(new java.util.concurrent.Callable[T] { def call(): T = f })
+        val fc = submit(perCell.collect().map { r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+           if (r.isNullAt(1)) None else Some(r.getLong(1)),
+           r.getLong(2))
+        }.toSeq)
+        val fg = submit(guardAgg.collect().collect {
+          case r if !r.isNullAt(0) => r.getLong(0) -> r.getLong(1)
+        }.toMap)
+        (fc.get(), fg.get())
+      } finally pool.shutdown()
+      // driver-side slice sums, replicating the old filters' SQL
+      // three-valued logic exactly: a NULL fold key makes the
+      // comparison NULL, so the cell contributes to no slice that
+      // compares that key (inner stages compare both keys; outer
+      // stages only ofold). Out-of-range folds still contribute to the
+      // ≠ sums, as they did through the crossJoin filters.
+      def sumCells(p: (Option[Long], Option[Long], Long) => Boolean): Long =
+        cells.collect { case c if p(c._1, c._2, c._3) => c._3 }.sum
+      val ofs = 0L.until(outerK.toLong)
+      val infs = 0L.until(innerK.toLong)
+      val rows: Seq[org.apache.spark.sql.Row] =
+        (for (of <- ofs; inf <- infs) yield org.apache.spark.sql.Row(
+          of, inf, "inner_train",
+          sumCells((o, i, _) => o.exists(_ != of) && i.exists(_ != inf)))) ++
+        (for (of <- ofs; inf <- infs) yield org.apache.spark.sql.Row(
+          of, inf, "inner_val",
+          sumCells((o, i, _) => o.exists(_ != of) && i.contains(inf)))) ++
+        ofs.map(of => org.apache.spark.sql.Row(of, -1L, "outer_train",
+          sumCells((o, _, _) => o.exists(_ != of)))) ++
+        ofs.map(of => org.apache.spark.sql.Row(of, -1L, "outer_test",
+          sumCells((o, _, _) => o.contains(of)))) ++
+        ofs.map(of => org.apache.spark.sql.Row(of, -1L, "guard",
+          guardMap.getOrElse(of, 0L)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("outer_fold",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("inner_fold",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("stage",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     } finally ev.unpersist(false)
   }
 
@@ -639,52 +747,72 @@ object RunSequence {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ev.count()
     try {
-      // fail-loud fold-range/null guard on the persisted frame (r19
-      // ADVICE): classAgg's complement subtraction below depends on it,
-      // and selectedEvents performs no validation of its own
-      requireFoldRange(ev, cfg.k)
-      val folds = spark.range(cfg.k).select(col("id").as("f"))
       val planT = augmentPlan(ev, cfg)
         .join(ev.select(col("srcId").as("psrc"), col("type")),
           col("srcId") === col("psrc"))
         .select(col("id"), col("fold"), col("type"))
-      // r19 opt round: one per-fold class aggregate + one grand total
-      // per source frame (the skeletonFromEvW complement shape) instead
-      // of a crossJoin(folds) event-table blow-up per stage; train is
-      // exact long subtraction over the same real frame, fail-loud
-      // fold-range/null enforced by the requireFoldRange above
-      def classAgg(src: DataFrame, complement: Boolean, stage: String): DataFrame = {
-        val pf = src.groupBy(col("fold"))
-          .agg(sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
-            sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth"))
-        val tot = src.agg(
-          sum(when(col("type") === 1, 1L).otherwise(0L)).as("totSz"),
-          sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("totOth"))
-        val base = folds.join(pf, folds("f") === pf("fold"), "left")
-          .crossJoin(tot)
-          .select(col("f"),
-            coalesce(col("nsz"), lit(0L)).as("nsz"),
-            coalesce(col("noth"), lit(0L)).as("noth"),
-            coalesce(col("totSz"), lit(0L)).as("totSz"),
-            coalesce(col("totOth"), lit(0L)).as("totOth"))
-        if (complement)
-          base.select(col("f").as("fold"), lit(stage).as("stage"),
-            (col("totSz") - col("nsz")).as("n_seizure"),
-            (col("totOth") - col("noth")).as("n_other"))
-        else
-          base.select(col("f").as("fold"), lit(stage).as("stage"),
-            col("nsz").as("n_seizure"), col("noth").as("n_other"))
-      }
-      val selected = ev.agg(
-          sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
-          sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth"))
-        .select(lit(-1L).as("fold"), lit("selected").as("stage"),
-          coalesce(col("nsz"), lit(0L)).as("n_seizure"),
-          coalesce(col("noth"), lit(0L)).as("n_other"))
-      selected
-        .unionByName(classAgg(ev, complement = true, "train"))
-        .unionByName(classAgg(planT, complement = true, "train_aug"))
-        .unionByName(classAgg(ev, complement = false, "test"))
+      // r19 opt round: one per-fold class aggregate per source frame
+      // (the skeletonFromEvW complement shape) instead of a
+      // crossJoin(folds) event-table blow-up per stage. r20: the two
+      // O(k)-row aggregates are collected CONCURRENTLY (§2.6) and the
+      // stage rows assembled on the driver with the identical exact
+      // long arithmetic — the r19 form's 4-branch union of tiny
+      // aggregates was Catalyst-analysis and stage-job bound, not data
+      // bound (the skeletonFromEvW finding). The fail-loud
+      // fold-range/null guard (r19 ADVICE — LOAD-BEARING for the
+      // complement subtraction) now rides the collected ev aggregate
+      // itself instead of a separate eager job.
+      def classCounts(src: DataFrame) = src.groupBy(col("fold"))
+        .agg(sum(when(col("type") === 1, 1L).otherwise(0L)).as("nsz"),
+          sum(when(col("type") =!= 1, 1L).otherwise(0L)).as("noth"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          r.getLong(3))).toSeq
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (evC, augC) = try {
+        def submit[T](f: => T) =
+          pool.submit(new java.util.concurrent.Callable[T] { def call(): T = f })
+        val fe = submit(classCounts(ev))
+        val fa = submit(classCounts(planT))
+        (fe.get(), fa.get())
+      } finally pool.shutdown()
+      // requireFoldRange's contract off the same collected aggregate
+      val nullCnt = evC.collect { case (None, _, _, c) => c }.sum
+      require(nullCnt == 0L,
+        s"foldOf evaluated to NULL on $nullCnt rows " +
+          "— every fold value must land in 0..k-1")
+      val seen = evC.flatMap(_._1)
+      if (seen.nonEmpty)
+        require(seen.min >= 0 && seen.max < cfg.k,
+          s"foldOf out of range 0..${cfg.k - 1}: saw [${seen.min}, ${seen.max}]")
+      def szOf(c: Seq[(Option[Long], Long, Long, Long)], f: Long) =
+        c.collect { case (Some(`f`), s, _, _) => s }.sum
+      def othOf(c: Seq[(Option[Long], Long, Long, Long)], f: Long) =
+        c.collect { case (Some(`f`), _, o, _) => o }.sum
+      val (totSz, totOth) = (evC.map(_._2).sum, evC.map(_._3).sum)
+      val (aTotSz, aTotOth) = (augC.map(_._2).sum, augC.map(_._3).sum)
+      val fs = 0L.until(cfg.k.toLong)
+      val rows: Seq[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row(-1L, "selected", totSz, totOth) +:
+        (fs.map(f => org.apache.spark.sql.Row(f, "train",
+          totSz - szOf(evC, f), totOth - othOf(evC, f))) ++
+         fs.map(f => org.apache.spark.sql.Row(f, "train_aug",
+          aTotSz - szOf(augC, f), aTotOth - othOf(augC, f))) ++
+         fs.map(f => org.apache.spark.sql.Row(f, "test",
+          szOf(evC, f), othOf(evC, f))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fold",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("stage",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_seizure",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_other",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     } finally ev.unpersist(false)
   }
 

@@ -293,26 +293,54 @@ object Dedup {
   def dupClustersWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val ss = pairs.sparkSession
     // checkpoint + stats reset (see docblock): flat lineage AND flat
-    // sizeInBytes every round
-    def pin(df: DataFrame): DataFrame =
-      ss.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    // sizeInBytes every round. The RDD handle rides along so a
+    // consumed round's blocks can be RELEASED (r20): localCheckpoint
+    // storage is invisible to Dataset.unpersist (the r10 BPE lesson),
+    // and without the release every round's full edge set stays pinned
+    // in the block manager for the session — O(rounds × edges) memory
+    // at exactly the scale the operator targets.
+    def pin(df: DataFrame): (DataFrame, () => Unit) = {
+      val cp = df.localCheckpoint()
+      // the PERSISTED rdd is the LogicalRDD's own (Dataset.rdd wraps a
+      // fresh deserializer on top — unpersisting that is a no-op)
+      val release: () => Unit = cp.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          () => lr.rdd.unpersist(false)
+        case _ => () => ()
+      }
+      (ss.createDataFrame(cp.rdd, df.schema), release)
+    }
     // canonicalize once, keeping (x, x) self-pairs so their nodes stay
     // in the label set (as their own singleton components)
-    val e0 = pin(pairs
+    val (e0, _) = pin(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .distinct())
     val nodes = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id"))).distinct()
     var e = e0.filter(col("u") =!= col("v"))
+    // the previous round's output count IS this round's input count —
+    // carrying it across rounds halves the per-round action count
+    // (r20; the old form re-counted the same checkpointed set it had
+    // counted as cNew one round earlier). Round 1 has no carried
+    // count, so it counts its input once.
+    var prevCount = -1L
+    // blocks of the round FRAMES consumed and dead (never e0 — the
+    // final labels' singleton branch still reads it — and never the
+    // final e, which the returned labels plan reads)
+    var prevRelease: Option[() => Unit] = None
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val e2 = pin(smallStar(largeStar(e)))
+      val (e2, release2) = pin(smallStar(largeStar(e)))
       // set equality via |A| == |B| ∧ B∖A = ∅ (both are distinct sets)
-      val (cOld, cNew) = (e.count(), e2.count())
+      val cOld = if (prevCount >= 0) prevCount else e.count()
+      val cNew = e2.count()
       converged = cOld == cNew && e2.except(e).head(1).isEmpty
+      prevRelease.foreach(_.apply())
+      prevRelease = Some(release2)
       e = e2
+      prevCount = cNew
       it += 1
     }
     if (!converged)

@@ -195,7 +195,17 @@ object Graph {
                      broadcastDegrees: Boolean = true,
                      caches: Option[mutable.Buffer[DataFrame]] = None,
                      maxBroadcastNodes: Long = 10000000L): DataFrame = {
-    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+    // the caller's edge derivation (g2: a full-corpus window lag +
+    // distinct) feeds TWO separate materializations — the degree
+    // build (via the guard count action) and the orientation join
+    // (via the final collect) — which are different actions, so
+    // ReusedExchange cannot dedupe across them and the derivation ran
+    // twice (r20). Persist it: one pass at any scale, materialized by
+    // the SAME guard count job (no new action — GraphSpec's budget
+    // pin), same release discipline as deg/ori via `caches`.
+    val undC = und.persist(StorageLevel.MEMORY_AND_DISK)
+    caches.foreach(_ += undC)
+    val deg = undC.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     caches.foreach(_ += deg)
@@ -209,7 +219,7 @@ object Graph {
       (col("ud") === col("vd") && col("u") < col("v"))
     // oriented edges feed THREE plan legs (both wedge sides + closure);
     // persist or each leg re-runs the scan+degree+orientation chain
-    val ori = und
+    val ori = undC
       .join(if (doBroadcast) broadcast(du) else du, "u")
       .join(if (doBroadcast) broadcast(dv) else dv, "v")
       .select(

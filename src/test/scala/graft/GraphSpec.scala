@@ -187,9 +187,11 @@ class GraphSpec extends SparkSpec {
       Seq((1L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text",
       caches = Some(buf)).collect()
     // pageRank registers 2 (edge invariant + nodes), LPA 2 (bi + lbl0),
-    // triangles 2 (degrees + oriented edges), bigram LM 1 — all
-    // persisted while in use, all gone after release
-    assert(buf.size == 7, s"expected 7 tracked caches, got ${buf.size}")
+    // triangles 3 (undirected edges + degrees + oriented edges — the
+    // und persist pays the caller's derivation once across the two
+    // materializing actions, r20), bigram LM 1 — all persisted while
+    // in use, all gone after release
+    assert(buf.size == 8, s"expected 8 tracked caches, got ${buf.size}")
     assert(buf.forall(_.storageLevel != StorageLevel.NONE),
       "tracked frames must still be persisted after execution")
     buf.foreach(_.unpersist(true))

@@ -528,10 +528,27 @@ object RunSequence {
       def flatFor(ec: FeatureExtract.Config): DataFrame =
         flatCache.getOrElseUpdate(ec,
           eagerMat(flatEpochs(ev, dps, ec)))
+      // The evW frame only needs the per-event SURVIVOR COUNT of the
+      // history stage, and addHistory's drop depends solely on row
+      // position within the event (deepest lag null ⇔ first historyN−1
+      // rows) plus feature non-nullness — and every feature here is
+      // non-null by flatEpochs' fail-loud positional projection
+      // (featureCols raises on a null value). Running the REAL
+      // addHistory over ONE feature column therefore drops exactly the
+      // same rows as over all 144, while the window plan carries
+      // (n+1) derived columns instead of 144·(n+1) — the 432-column
+      // analysis/codegen weight was ml9's largest remaining driver gap
+      // (JobTimeline: 0.65 s no-job before the evW materializations).
+      // RunSequenceSpec pins the count equivalence.
+      def histCountFrame(flat: DataFrame, h: Int): DataFrame =
+        FeatureHistory.addHistory(
+          flat.select(col("eventId"), col("tsSec"), col("startSample"),
+            col(EpochFeatures.FeatureNames.head)),
+          EpochFeatures.FeatureNames.take(1), h)
       def evWFor(cfg: Config): DataFrame =
         evWCache.getOrElseUpdate((cfg.extract, cfg.historyN),
-          eagerMat(evWFrame(ev, FeatureHistory.addHistory(flatFor(cfg.extract),
-            EpochFeatures.FeatureNames, cfg.historyN))))
+          eagerMat(evWFrame(ev,
+            histCountFrame(flatFor(cfg.extract), cfg.historyN))))
       // per-distinct-evW FoldCounts memo (r20): runs sharing an evW
       // frame share its collected per-fold aggregate (and its fold
       // validation) exactly as they share the materialization
@@ -567,8 +584,8 @@ object RunSequence {
           val futs = combos.map { case (ec, h) =>
             val flat = flatCache(ec) // read on the driver thread
             ((ec, h), pool.submit(new java.util.concurrent.Callable[DataFrame] {
-              def call(): DataFrame = eagerMat(evWFrame(ev,
-                FeatureHistory.addHistory(flat, EpochFeatures.FeatureNames, h)))
+              def call(): DataFrame =
+                eagerMat(evWFrame(ev, histCountFrame(flat, h)))
             }))
           }
           futs.foreach { case (k, fut) => evWCache.update(k, fut.get()) }

@@ -325,8 +325,17 @@ object LakeQueries {
     * hash. */
   def lake5Delete(s: SparkSession, d: String): DataFrame = {
     val dir = qtmp(s, "lake5_lake")
+    // project EARLY (r20; the lake3 narrowing applied here — guide
+    // §2.3/§6): the declared result and the delete predicate consume
+    // only (event_id, user_id, category), so the fabricated lake
+    // carries exactly those — the find pass, the survivor rewrite and
+    // the read-back stop moving ts/value/props through three passes.
+    // Same partitioned layout (writeEventsParquet), same delete
+    // semantics, same oracle-checked aggregate.
     graft.sources.OsdbJson.writeEventsParquet(
-      graft.Tables.events(s, d).withColumn("category", col("event_type")),
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("event_type").as("category")),
       dir)
     graft.sources.LakeMaintenance.deleteWhere(s, dir, "category",
       col("user_id") % 7 === 3)
@@ -392,10 +401,16 @@ object LakeQueries {
     * re-layout breaks the hash. */
   def lake4ZOrder(s: SparkSession, d: String): DataFrame = {
     val dst = qtmp(s, "lake4_z")
+    // project EARLY (r20; the lake3 narrowing — guide §2.3/§6): the
+    // box read consumes only (event_id, user_id, event_type, ts_us),
+    // so the Morton rewrite re-lays exactly those instead of dragging
+    // value/props through the full-table sort+write. Same curve, same
+    // box pruning demonstration, same oracle-checked aggregate.
     val ev = graft.Tables.events(s, d)
-      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
     graft.sources.LakeMaintenance.writeZOrdered(
-      ev.drop("ts"), dst, col("user_id"), col("ts_us"), numFiles = 16)
+      ev, dst, col("user_id"), col("ts_us"), numFiles = 16)
     val mm = ev.agg(min("ts_us"), max("ts_us"), min("user_id"),
       max("user_id")).head()
     val (tLo, tHi, uLo, uHi) =
